@@ -1,13 +1,569 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{Sentiment, TextFunctions}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.TweetPipeline
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query aliases computed columns identically in the Spark code and
+  * the DuckDB oracle SQL (the driver's compare sorts columns by name), and
+  * ends with a fully deterministic ORDER BY. Aggregates over doubles are
+  * rounded on both sides to absorb summation-order FP jitter; pass-through
+  * values are left untouched (bit-identical by construction).
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame =
+    Tables.load(s, d, name)
+
+  /** Deterministic rounding used on BOTH sides of the oracle compare.
+    * Engine `round()` semantics differ (Spark rounds the shortest decimal
+    * representation of the double; DuckDB rounds the binary value), which
+    * makes ~0.1% of per-row roundings disagree by one ulp-of-a-cent. The
+    * pure-IEEE formula floor(x*f + 0.5)/f evaluates bit-identically in
+    * both engines. The SQL oracles carry matching `rN(...)` markers that
+    * [[expandRounding]] rewrites to the same formula.
+    */
+  private def rn(c: Column, f: Double): Column = floor(c * f + 0.5) / f
+  private def r2(c: Column): Column = rn(c, 100.0)
+  private def r4(c: Column): Column = rn(c, 10000.0)
+  private def r6(c: Column): Column = rn(c, 1000000.0)
+
+  /** Expand `r2(expr)` / `r4(expr)` / `r6(expr)` markers in oracle SQL to
+    * `floor((expr) * f + 0.5) / f.0`, matching [[rn]] exactly. */
+  private[graft] def expandRounding(sql: String): String = {
+    val factors = Map('2' -> "100", '4' -> "10000", '6' -> "1000000")
+    var s = sql
+    var m = "\\br([246])\\(".r.findFirstMatchIn(s)
+    while (m.isDefined) {
+      val mm = m.get
+      val open = mm.end - 1
+      var depth = 0
+      var i = open
+      var end = -1
+      while (end < 0) {
+        val ch = s(i)
+        if (ch == '(') depth += 1
+        else if (ch == ')') { depth -= 1; if (depth == 0) end = i }
+        i += 1
+      }
+      val inner = s.substring(open + 1, end)
+      val f = factors(mm.group(1)(0))
+      s = s.substring(0, mm.start) + s"floor(($inner) * $f + 0.5) / $f.0" +
+        s.substring(end + 1)
+      m = "\\br([246])\\(".r.findFirstMatchIn(s)
+    }
+    s
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    TweetPipeline.flagship(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1/A4: grouped aggregation with filter (TPC-H Q1 shape)
+    "q01_pricing_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          r2(sum(col("l_quantity"))).as("sum_qty"),
+          r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+          r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+          r4(avg(col("l_quantity"))).as("avg_qty"),
+          r4(avg(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // P1/P2 + F3: projection + conjunctive filter (pushed to parquet scan)
+    "q02_filter_project" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_discount") < 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // J1: inner equi-join + aggregation
+    "q03_join_agg" -> ((s, d) => {
+      t(s, d, "orders").join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(r2(sum(col("o_totalprice"))).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // J1 variant: explicit broadcast join against a small dimension
+    "q04_join_broadcast" -> ((s, d) => {
+      t(s, d, "lineitem").join(broadcast(t(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(r2(sum(col("l_extendedprice"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // J2: multi-way join across the star schema (TPC-H Q5 shape)
+    "q05_multi_join" -> ((s, d) => {
+      t(s, d, "region")
+        .join(t(s, d, "nation"), col("r_regionkey") === col("n_regionkey"))
+        .join(t(s, d, "customer"), col("n_nationkey") === col("c_nationkey"))
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // J2: left semi join (EXISTS)
+    "q06_semi_join" -> ((s, d) => {
+      t(s, d, "customer").join(
+          t(s, d, "orders").filter(col("o_totalprice") > 100000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J2: left anti join (NOT EXISTS)
+    "q07_anti_join" -> ((s, d) => {
+      t(s, d, "customer").join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // §2.5: per-group top-k via row_number window
+    "q08_window_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // §2.5: lag + running sum window
+    "q09_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          r2(sum(col("o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // A5: rollup with subtotal rows
+    "q10_rollup" -> ((s, d) => {
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          r2(sum(col("o_totalprice"))).as("revenue"))
+        .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+    }),
+
+    // A5: count distinct
+    "q11_distinct_agg" -> ((s, d) => {
+      t(s, d, "orders").groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // §2.7: intersect / except set ops
+    "q12_set_ops" -> ((s, d) => {
+      val a = t(s, d, "orders").select(col("o_custkey").as("custkey")).distinct()
+      val b = t(s, d, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey")).distinct()
+      a.intersect(b).withColumn("op", lit("intersect"))
+        .unionByName(a.except(b).withColumn("op", lit("except")))
+        .select(col("op"), col("custkey"))
+        .orderBy(col("op"), col("custkey"))
+    }),
+
+    // §2.6: global top-k (TakeOrderedAndProject)
+    "q13_topk" -> ((s, d) => {
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // C5/C6: split + explode + aggregate (token frequency)
+    "q14_explode_tokens" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(explode(TextFunctions.tokens(
+          TextFunctions.normalizeWs(col("text")))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(10)
+    }),
+
+    // C2/C7 + string built-ins
+    "q15_string_funcs" -> ((s, d) => {
+      t(s, d, "customer").select(col("c_custkey"),
+          upper(col("c_name")).as("name_upper"),
+          length(col("c_name")).cast("long").as("name_len"),
+          concat(col("c_mktsegment"), lit("#"), col("c_name")).as("tagged"),
+          substring(col("c_name"), 1, 8).as("name_prefix"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // C9/C10: date part extraction + aggregate
+    "q16_date_funcs" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          r2(sum(col("o_totalprice"))).as("revenue"))
+        .orderBy(col("yr"), col("mo"))
+    }),
+
+    // S11/C12: JSON field extraction from the events payload
+    "q17_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(r4(avg(col("k"))).as("avg_k"),
+          max(col("k")).as("max_k"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // C8: surrogate key = base64(raw sha1 digest)
+    "q18_surrogate_key" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.surrogateKey256(col("lang"), col("source"),
+            col("doc_id").cast("string")).as("hash_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // A3: exact dedup by normalized content, deterministic winner
+    "q19_dedup_exact" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(TextFunctions.normalizeWs(col("text")).as("norm"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // C14: conditional + math scalar functions
+    "q20_case_math" -> ((s, d) => {
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_discount") > 0.05, lit("high"))
+            .when(col("l_discount") > 0.02, lit("mid"))
+            .otherwise(lit("low")).as("disc_band"),
+          r2(abs(col("l_extendedprice") * col("l_tax"))).as("tax_amt"),
+          r4(sqrt(col("l_quantity"))).as("qty_sqrt"),
+          pmod(col("l_orderkey"), lit(7)).as("bucket"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // A5: cube grouping sets
+    "q21_cube" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          r2(sum(col("l_quantity"))).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // §2.9: tumbling-window aggregation over the event stream table
+    "q22_events_hourly" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // A3 on the stream table: deterministic first-event-per-key dedup
+    "q23_events_dedup" -> ((s, d) => {
+      Dedup.exactDeterministic(Tables.events(s, d),
+          Seq("user_id", "event_type"), "event_id")
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // Text analysis: token statistics per language
+    "q24_token_stats" -> ((s, d) => {
+      t(s, d, "documents").groupBy(col("lang"))
+        .agg(r4(avg(TextAnalysis.tokenCount(col("text")))).as("avg_tokens"),
+          max(TextAnalysis.tokenCount(col("text"))).cast("long").as("max_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    }),
+
+    // Scalar subquery shape: rows above a computed global aggregate
+    "q25_scalar_subquery" -> ((s, d) => {
+      val avgBal = t(s, d, "customer").agg(avg(col("c_acctbal")).as("avg_bal"))
+      t(s, d, "customer").crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Similarity: exact brute-force cosine top-k (correctness baseline)
+    "q26_cosine_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 20), emb,
+          "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"),
+          r6(col("cos")).as("cos"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Dedup extension: MinHash-LSH near-duplicate pairs (no SQL oracle —
+    // rows-only check; correctness covered by ScalaTest)
+    "q27_minhash_pairs" -> ((s, d) => {
+      Dedup.minhashDupPairs(t(s, d, "documents"), "doc_id", "text",
+          shingleSize = 5, k = 64, bands = 16, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Dedup extension: SimHash near-duplicate pairs (rows-only check)
+    "q28_simhash_pairs" -> ((s, d) => {
+      Dedup.simhashDupPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 8)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Text analysis: language ID + quality scoring (rows-only check)
+    "q29_text_quality" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // C3: sentiment aggregate per language (rows-only check)
+    "q30_sentiment" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("lang"), Sentiment.sentiment(col("text")).as("sent"))
+        .groupBy(col("lang"))
+        .agg(r4(avg(col("sent.polarity"))).as("avg_polarity"),
+          r4(avg(col("sent.subjectivity"))).as("avg_subjectivity"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    }),
+
+    // Flagship end-to-end pipeline (rows-only check)
+    "q31_flagship_pipeline" -> ((s, d) => TweetPipeline.flagship(s, d, 50)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    rawOracleSql.map { case (k, v) => k -> expandRounding(v) }
+
+  private def rawOracleSql: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | r2(sum(l_quantity)) AS sum_qty,
+        | r2(sum(l_extendedprice)) AS sum_base_price,
+        | r2(sum(l_extendedprice * (1 - l_discount))) AS sum_disc_price,
+        | r4(avg(l_quantity)) AS avg_qty,
+        | r4(avg(l_discount)) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_agg" ->
+      """SELECT c_mktsegment, r2(sum(o_totalprice)) AS revenue,
+        | count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q04_join_broadcast" ->
+      """SELECT p_brand, r2(sum(l_extendedprice)) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q05_multi_join" ->
+      """SELECT r_name, n_name,
+        | r2(sum(l_extendedprice * (1 - l_discount))) AS revenue,
+        | count(*) AS n_items
+        |FROM region
+        | JOIN nation ON r_regionkey = n_regionkey
+        | JOIN customer ON n_nationkey = c_nationkey
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q09_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  r2(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q10_rollup" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n_orders,
+        | r2(sum(o_totalprice)) AS revenue
+        |FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)
+        |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+
+    "q11_distinct_agg" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q12_set_ops" ->
+      """SELECT 'intersect' AS op, custkey FROM (
+        |  SELECT DISTINCT o_custkey AS custkey FROM orders
+        |  INTERSECT
+        |  SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+        |UNION ALL
+        |SELECT 'except' AS op, custkey FROM (
+        |  SELECT DISTINCT o_custkey AS custkey FROM orders
+        |  EXCEPT
+        |  SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+        |ORDER BY op, custkey""".stripMargin,
+
+    "q13_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q14_explode_tokens" ->
+      """SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS token
+        |  FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 10""".stripMargin,
+
+    "q15_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS name_upper,
+        | length(c_name) AS name_len,
+        | c_mktsegment || '#' || c_name AS tagged,
+        | substring(c_name, 1, 8) AS name_prefix
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q16_date_funcs" ->
+      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        | count(*) AS n_orders, r2(sum(o_totalprice)) AS revenue
+        |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin,
+
+    "q17_json_extract" ->
+      """SELECT event_type, r4(avg(k)) AS avg_k, max(k) AS max_k,
+        | count(*) AS n
+        |FROM (SELECT event_type,
+        |   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q18_surrogate_key" ->
+      """SELECT doc_id, to_base64(unhex(sha256(lang || source || CAST(doc_id AS VARCHAR)))) AS hash_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q19_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |ORDER BY keep_id""".stripMargin,
+
+    "q20_case_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CASE WHEN l_discount > 0.05 THEN 'high'
+        |      WHEN l_discount > 0.02 THEN 'mid' ELSE 'low' END AS disc_band,
+        | r2(abs(l_extendedprice * l_tax)) AS tax_amt,
+        | r4(sqrt(l_quantity)) AS qty_sqrt,
+        | l_orderkey % 7 AS bucket
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q21_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | r2(sum(l_quantity)) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q22_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        | count(*) AS n, r2(sum(value)) AS sum_value
+        |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+
+    "q23_events_dedup" ->
+      """SELECT user_id, event_type, min(event_id) AS event_id
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q24_token_stats" ->
+      """SELECT lang,
+        | r4(avg(n_tok)) AS avg_tokens,
+        | max(n_tok) AS max_tokens,
+        | count(*) AS n_docs
+        |FROM (SELECT lang, len(list_filter(string_split_regex(trim(text), '\s+'),
+        |   x -> x <> '')) AS n_tok FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q25_scalar_subquery" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q26_cosine_topk" ->
+      """SELECT query_id, neighbor_id, r6(cos) AS cos, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(c.embedding AS DOUBLE[])) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                 CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+  )
 }

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text functions re-expressing the reference's scalar surface
+  * (SURVEY.md §2.8) with codegen'd Spark built-ins — no UDFs in the hot
+  * path, so every function here stays inside whole-stage codegen and
+  * benefits from predicate pushdown / constant folding.
+  *
+  * Reference citations (behavioral, intent-preserving — known reference
+  * bugs like the over-escaped URL regex of staging-transform.py:158 are
+  * NOT replicated, per SURVEY.md §7.4):
+  *  - cleanTweet:    staging-transform.py:151-177 (C1)
+  *  - cleanHashtags: staging-transform.py:180-182 (C2)
+  *  - surrogateKey:  staging-transform.py:189-191,:243-247 (C8)
+  *  - tokens/explode: staging-transform.py:239-240 (C5/C6)
+  */
+object TextFunctions {
+
+  /** C1: tweet-text cleaning chain. Order preserved from the reference:
+    * URLs → quotes → RT/amp tokens → non-word chars → whitespace collapse.
+    * The reference strips the literal substrings "RT"/"amp" anywhere in a
+    * word (a bug); we strip them as standalone tokens (the evident intent:
+    * drop retweet markers and HTML-entity remnants before sentiment).
+    */
+  def cleanTweet(c: Column): Column = {
+    val noUrl     = regexp_replace(c, "https?://\\S+|www\\.\\S+", " ")
+    val noQuote   = regexp_replace(noUrl, "\"", "")
+    val noMarkers = regexp_replace(noQuote, "\\b(RT|amp)\\b", " ")
+    val noSymbol  = regexp_replace(noMarkers, "[^\\w\\s]+", " ")
+    trim(regexp_replace(noSymbol, "\\s+", " "))
+  }
+
+  /** C2: keep only alphanumerics and whitespace in the hashtag string. */
+  def cleanHashtags(c: Column): Column =
+    regexp_replace(c, "[^A-Za-z0-9\\s]+", "")
+
+  /** C8: surrogate primary key = base64 of the *raw* sha1 digest (the
+    * reference base64-encodes digest bytes, not the hex string). Spark's
+    * `sha1` yields hex, so `unhex` recovers the digest bytes first.
+    * Known-answer vector: "12345first_tweet_idhello" →
+    * "ndZ/aJsTFIXIqB1vQBMM3k/JHr4=" (FIXTURES.md B.6).
+    */
+  def surrogateKey(cols: Column*): Column =
+    base64(unhex(sha1(concat(cols: _*))))
+
+  /** sha256 variant of the surrogate key — same base64-of-raw-digest
+    * shape; used where the oracle engine lacks sha1. */
+  def surrogateKey256(cols: Column*): Column =
+    base64(unhex(sha2(concat(cols: _*), 256)))
+
+  /** C5: whitespace tokenization → array<string>; empty input → empty
+    * array (split of "" yields [""], which we filter).
+    */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => t =!= "")
+
+  /** Whitespace token count — codegen'd, no array materialization cost
+    * beyond the split. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: counts word pieces, digits runs, and isolated
+    * punctuation the way byte-pair tokenizers split, via one regexp scan.
+    * Approximates LLM token counting without a vocab file.
+    */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Character n-gram shingles as array<string> (for MinHash / Jaccard).
+    * Pure built-ins: sequence + transform + substring keeps this inside
+    * codegen; shingle count = max(len - n + 1, 0).
+    */
+  def charShingles(c: Column, n: Int): Column = {
+    val len = length(c)
+    when(len < n, array()).otherwise(
+      transform(sequence(lit(1), len - lit(n - 1)), i => c.substr(i, lit(n))))
+  }
+
+  /** Word n-gram shingles from a token array. */
+  def wordShingles(tokensCol: Column, n: Int): Column = {
+    val cnt = size(tokensCol)
+    when(cnt < n, array()).otherwise(
+      transform(sequence(lit(0), cnt - lit(n)),
+        i => concat_ws(" ", slice(tokensCol, i + 1, lit(n)))))
+  }
+
+  /** Rolling document fingerprint: xxhash64 over the normalized text —
+    * lower-cased, whitespace-collapsed — a cheap content identity for
+    * exact-duplicate detection that survives formatting differences.
+    */
+  def fingerprint(c: Column): Column =
+    xxhash64(normalizeWs(c))
+
+  /** Lower-case + collapse all whitespace runs to single spaces. */
+  def normalizeWs(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+}

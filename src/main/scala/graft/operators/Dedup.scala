@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus deduplication operators — exact and near-dup — designed for
+  * 100 TB scale: every variant is a shuffle-on-key or a bounded
+  * candidate-pair join (LSH banding), never an all-pairs cross join.
+  *
+  * The reference's only dedup is `drop_duplicates(subset=['hash_id'])`
+  * (staging-transform.py:248, SURVEY.md A3); the near-dup family
+  * (MinHash/SimHash/Jaccard) is the LLM-training-pipeline extension.
+  */
+object Dedup {
+
+  /** A3: first-wins exact dedup on key columns. Spark's dropDuplicates is
+    * a hash aggregate (partial + final), so only distinct keys shuffle. */
+  def exact(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+
+  /** Deterministic-winner exact dedup: keeps the row with the smallest
+    * `orderCol` per key (the reference's "first wins" made deterministic;
+    * SURVEY.md A3 scale note). One shuffle on the key. */
+  def exactDeterministic(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Content dedup on a normalized-text fingerprint: survives whitespace /
+    * case differences. Keeps min(idCol) per fingerprint — an aggregate,
+    * not a window, so it map-side combines. */
+  def byFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = df.withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+    val winners = fp.groupBy("__fp").agg(min(col(idCol)).as(idCol))
+    fp.join(winners, Seq("__fp", idCol), "left_semi").drop("__fp")
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  private val MersennePrime = (1L << 61) - 1
+
+  /** Deterministic (a, b) coefficient pairs for the k MinHash functions.
+    * Kept below 2^31 so a*x + b stays well inside a long under ANSI mode
+    * (Spark 4 default) — no overflow, no wraparound semantics needed. */
+  private def coeffs(k: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1,
+                 rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signature (array<bigint> of length k) over a shingle array.
+    * h_i(S) = min over shingles s of ((a_i * x(s) + b_i) mod p), with
+    * x(s) = xxhash64(s) folded into [0, 2^31). a, b < 2^31 keeps every
+    * intermediate < 2^62 (ANSI-safe). Pure built-in higher-order
+    * functions: evaluated per row on executors, no UDF serialization.
+    */
+  def minhashSignature(shingles: Column, k: Int = 64, seed: Long = 42L): Column = {
+    val cs = coeffs(k, seed)
+    val xs = array_distinct(transform(shingles, s => pmod(xxhash64(s), lit(1L << 31))))
+    val params = array(cs.map { case (a, b) => struct(lit(a).as("a"), lit(b).as("b")) }: _*)
+    when(size(xs) === 0, array_repeat(lit(MersennePrime), k)).otherwise(
+      transform(params, p =>
+        array_min(transform(xs, x =>
+          pmod(p.getField("a") * x + p.getField("b"), lit(MersennePrime))))))
+  }
+
+  /** LSH band keys from a MinHash signature: `bands` hashes, each over
+    * k/bands consecutive signature slots. Docs sharing any band key are
+    * candidate pairs. */
+  def bandKeys(sig: Column, k: Int, bands: Int): Column = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    // acc stays < 2^31; acc*1000003 + v < 2^51 + 2^61 — ANSI-safe. Band
+    // collisions only add candidate pairs, which exact verification prunes.
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      aggregate(slice(sig, b * lit(r) + 1, lit(r)), lit(17L),
+        (acc, v) => pmod(acc * 1000003L + v, lit(1L << 31))))
+  }
+
+  /** Candidate near-duplicate pairs via MinHash + LSH banding, verified
+    * with exact Jaccard over the shingle sets. Returns
+    * (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    *
+    * Scale shape: shingling + signatures are narrow map work; the only
+    * shuffle is the equi-join on (band index, band hash) — identical keys
+    * co-locate, so the join degenerates to per-bucket pair expansion. Very
+    * hot buckets (boilerplate text) are the classic skew risk; AQE skew
+    * join handles moderate cases and `spark.sql.shuffle.partitions`
+    * should scale with corpus size.
+    */
+  def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 5, k: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.8): DataFrame = {
+    val shingled = df
+      .select(col(idCol).as("id"),
+        array_distinct(TextFunctions.charShingles(
+          TextFunctions.normalizeWs(col(textCol)), shingleSize)).as("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles"), k))
+      .select(col("id"), col("shingles"), posexplode(bandKeys(col("sig"), k, bands)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
+
+    val a = shingled.select(col("band_idx"), col("band"),
+      col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = shingled.select(col("band_idx"), col("band"),
+      col("id").as("id_b"), col("shingles").as("sh_b"))
+
+    a.join(b, Seq("band_idx", "band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** MinHash-LSH dedup: drops every doc that is a near-duplicate of a
+    * lower-id doc (single-link, one hop — the standard "keep cluster
+    * minimum" approximation; full transitive closure would need iterative
+    * connected components, provided by [[connectedComponents]]). */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 5, k: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.8): DataFrame = {
+    val dupes = minhashDupPairs(df, idCol, textCol, shingleSize, k, bands, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dupes, Seq(idCol), "left_anti")
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** SimHash near-dup pairs: 64-bit fingerprints bucketed by band
+    * (4 × 16-bit bands ⇒ any pair within Hamming distance 3 shares at
+    * least one band — pigeonhole), verified by exact Hamming distance. */
+  def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    import graft.expressions.SimHash64
+    val hashed = df.select(col(idCol).as("id"),
+      SimHash64.simhash64(TextFunctions.tokens(TextFunctions.normalizeWs(col(textCol)))).as("sh"))
+    // 4 bands of 16 bits each
+    val bandCols = (0 until 4).map { bi =>
+      struct(lit(bi).as("band_idx"),
+        shiftrightunsigned(col("sh"), bi * 16).bitwiseAND(lit(0xFFFFL)).as("band"))
+    }
+    val banded = hashed.select(col("id"), col("sh"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("sh"), col("bb.band_idx").as("band_idx"), col("bb.band").as("band"))
+    val a = banded.select(col("band_idx"), col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band_idx"), col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band_idx", "band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** N-gram (word) Jaccard similarity pairs above a threshold, using the
+    * same LSH candidate machinery with word shingles — the "n-gram
+    * Jaccard" dedup variant. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val withShingles = df.select(col(idCol).as("id"),
+      array_distinct(TextFunctions.wordShingles(
+        TextFunctions.tokens(TextFunctions.normalizeWs(col(textCol))), n)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), 32))
+      .select(col("id"), col("sh"), posexplode(bandKeys(col("sig"), 32, 16)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
+    val a = withShingles.select(col("band_idx"), col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = withShingles.select(col("band_idx"), col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band_idx", "band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Iterative connected components over dup pairs (small-star style label
+    * propagation): assigns each id the minimum id reachable through the
+    * duplicate graph. Converges in O(log d) rounds for diameter d; each
+    * round is one shuffle. Use when exact clusters matter (vs the one-hop
+    * approximation in [[minhashDedup]]). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // edges both directions
+    var labels = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"))
+      .union(pairs.select(col("id_b").as("id"), col("id_a").as("nbr")))
+      .groupBy("id").agg(min(least(col("nbr"), col("id"))).as("label"))
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .cache()
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val propagated = edges.join(labels.withColumnRenamed("id", "id_b")
+          .withColumnRenamed("label", "nbr_label"), Seq("id_b"))
+        .groupBy(col("id_a").as("id")).agg(min(col("nbr_label")).as("prop_label"))
+      val next = labels.join(propagated, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("prop_label"), col("label"))).as("label"))
+      val changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+}

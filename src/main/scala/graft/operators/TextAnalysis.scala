@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, fingerprinting. All column-level
+  * built-ins (codegen'd); designed to run as narrow map stages — no
+  * shuffles — so they compose freely with dedup/filter pipelines.
+  */
+object TextAnalysis {
+
+  /** Per-language stopword profiles for the n-gram/stopword language-ID
+    * heuristic. Small, deterministic, public common words. */
+  val stopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "von", "ist", "mit", "den", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "une", "est"),
+    "it" -> Seq("il", "di", "che", "la", "per", "un", "con", "del", "non", "una"),
+  )
+
+  /** Heuristic language ID over a token array: the language whose
+    * stopword profile overlaps the document's tokens most wins;
+    * "und" (undetermined) when nothing overlaps. Deterministic tie-break
+    * by language code. */
+  def languageId(text: Column): Column = {
+    val toks = TextFunctions.tokens(TextFunctions.normalizeWs(text))
+    val scores: Seq[(String, Column)] = stopwordProfiles.toSeq.sortBy(_._1).map {
+      case (lang, words) =>
+        lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Heuristic quality score in [0,1] from cheap surface statistics:
+    * length band, punctuation density, stopword ratio, mean word length.
+    * The weights mirror published web-corpus filters (C4/Gopher rules —
+    * public heuristics), tuned for determinism not fidelity. */
+  def qualityScore(text: Column): Column = {
+    val t = TextFunctions.normalizeWs(text)
+    val nChars = length(t).cast("double")
+    val toks = TextFunctions.tokens(t)
+    val nToks = size(toks).cast("double")
+    val punct = size(regexp_extract_all(t, lit("[\\p{Punct}]"), lit(0))).cast("double")
+    val stops = array(stopwordProfiles.values.flatten.toSeq.distinct.map(lit): _*)
+    val stopRatio = when(nToks === 0, 0.0)
+      .otherwise(size(filter(toks, tk => array_contains(stops, tk))).cast("double") / nToks)
+    val meanWordLen = when(nToks === 0, 0.0)
+      .otherwise((nChars - (nToks - 1)) / nToks)
+    val lengthOk = when(nChars.between(50, 20000), 1.0).otherwise(0.3)
+    val punctOk = when(nChars === 0, 0.0)
+      .otherwise(when(punct / nChars < 0.2, 1.0).otherwise(0.4))
+    val wordLenOk = when(meanWordLen.between(2.5, 12.0), 1.0).otherwise(0.4)
+    val stopOk = when(stopRatio > 0.05, 1.0).otherwise(0.6)
+    round((lengthOk * 0.3 + punctOk * 0.25 + wordLenOk * 0.25 + stopOk * 0.2), 4)
+  }
+
+  /** Whitespace token count (codegen'd). */
+  def tokenCount(text: Column): Column = TextFunctions.tokenCount(text)
+
+  /** BPE-ish subword token count. */
+  def bpeTokenCount(text: Column): Column = TextFunctions.bpeTokenCount(text)
+
+  /** 64-bit content fingerprint over normalized text. */
+  def fingerprint(text: Column): Column = TextFunctions.fingerprint(text)
+
+  /** Convenience: annotate a document frame with the full analysis set. */
+  def annotate(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("lang_pred", languageId(col(textCol)))
+      .withColumn("quality", qualityScore(col(textCol)))
+      .withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("n_bpe_tokens", bpeTokenCount(col(textCol)))
+      .withColumn("fp", fingerprint(col(textCol)))
+}
