@@ -58,9 +58,14 @@ object Dedup {
     * intermediate < 2^62 (ANSI-safe). Pure built-in higher-order
     * functions: evaluated per row on executors, no UDF serialization.
     */
-  def minhashSignature(shingles: Column, k: Int = 64, seed: Long = 42L): Column = {
+  def minhashSignature(shingles: Column, k: Int = 64, seed: Long = 42L): Column =
+    minhashSignatureFromHashes(transform(shingles, s => xxhash64(s)), k, seed)
+
+  /** MinHash signature over pre-hashed shingles (array<bigint>) — used by
+    * the pair pipeline so shingle hashing happens exactly once per doc. */
+  def minhashSignatureFromHashes(hashes: Column, k: Int = 64, seed: Long = 42L): Column = {
     val cs = coeffs(k, seed)
-    val xs = array_distinct(transform(shingles, s => pmod(xxhash64(s), lit(1L << 31))))
+    val xs = array_distinct(transform(hashes, h => pmod(h, lit(1L << 31))))
     val params = array(cs.map { case (a, b) => struct(lit(a).as("a"), lit(b).as("b")) }: _*)
     when(size(xs) === 0, array_repeat(lit(MersennePrime), k)).otherwise(
       transform(params, p =>
@@ -82,39 +87,49 @@ object Dedup {
   }
 
   /** Candidate near-duplicate pairs via MinHash + LSH banding, verified
-    * with exact Jaccard over the shingle sets. Returns
+    * with exact Jaccard over the (hashed) shingle sets. Returns
     * (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     *
-    * Scale shape: shingling + signatures are narrow map work; the only
-    * shuffle is the equi-join on (band index, band hash) — identical keys
-    * co-locate, so the join degenerates to per-bucket pair expansion. Very
-    * hot buckets (boilerplate text) are the classic skew risk; AQE skew
-    * join handles moderate cases and `spark.sql.shuffle.partitions`
-    * should scale with corpus size.
+    * Scale shape — three deliberate choices for 100 TB corpora:
+    *  1. The band self-join carries ONLY (band_idx, band, id): candidate
+    *     generation shuffles a few bytes per doc-band, never the shingle
+    *     sets. Pairs are deduped BEFORE any verification work.
+    *  2. Shingles travel as hashed longs (xxhash64), so the verify join
+    *     ships compact long arrays and Jaccard runs on primitive arrays.
+    *  3. Band geometry must match the threshold: rows-per-band
+    *     r = k/bands sets the candidate S-curve P(cand) = 1-(1-j^r)^b.
+    *     The k=128/bands=16 default (r=8) keeps sub-threshold pairs rare
+    *     even on low-entropy text where random docs share many shingles;
+    *     permissive geometry (r≤4) degenerates to O(n²) candidates.
+    * Hot band buckets (boilerplate) remain the skew risk; AQE skew join
+    * splits them at runtime.
     */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
-                      shingleSize: Int = 5, k: Int = 64, bands: Int = 16,
+                      shingleSize: Int = 5, k: Int = 128, bands: Int = 16,
                       threshold: Double = 0.8): DataFrame = {
-    val shingled = df
-      .select(col(idCol).as("id"),
-        array_distinct(TextFunctions.charShingles(
-          TextFunctions.normalizeWs(col(textCol)), shingleSize)).as("shingles"))
-      .withColumn("sig", minhashSignature(col("shingles"), k))
-      .select(col("id"), col("shingles"), posexplode(bandKeys(col("sig"), k, bands)))
+    import graft.expressions.MinHash
+    val hashed = df.select(col(idCol).as("id"),
+        MinHash.hashedCharShingles(
+          TextFunctions.normalizeWs(col(textCol)), shingleSize).as("sh"))
+
+    val banded = hashed
+      .withColumn("sig", MinHash.minhashSignature(col("sh"), k))
+      .select(col("id"), posexplode(bandKeys(col("sig"), k, bands)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
 
-    val a = shingled.select(col("band_idx"), col("band"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = shingled.select(col("band_idx"), col("band"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
-
-    a.join(b, Seq("band_idx", "band"))
+    val candidates = banded.select(col("band_idx"), col("band"), col("id").as("id_a"))
+      .join(banded.select(col("band_idx"), col("band"), col("id").as("id_b")),
+        Seq("band_idx", "band"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    candidates
+      .join(hashed.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        graft.expressions.SortedArrayJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** MinHash-LSH dedup: drops every doc that is a near-duplicate of a
@@ -122,7 +137,7 @@ object Dedup {
     * minimum" approximation; full transitive closure would need iterative
     * connected components, provided by [[connectedComponents]]). */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
-                   shingleSize: Int = 5, k: Int = 64, bands: Int = 16,
+                   shingleSize: Int = 5, k: Int = 128, bands: Int = 16,
                    threshold: Double = 0.8): DataFrame = {
     val dupes = minhashDupPairs(df, idCol, textCol, shingleSize, k, bands, threshold)
       .select(col("id_b").as(idCol)).distinct()
@@ -160,22 +175,28 @@ object Dedup {
     * same LSH candidate machinery with word shingles — the "n-gram
     * Jaccard" dedup variant. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val withShingles = df.select(col(idCol).as("id"),
-      array_distinct(TextFunctions.wordShingles(
-        TextFunctions.tokens(TextFunctions.normalizeWs(col(textCol))), n)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), 32))
-      .select(col("id"), col("sh"), posexplode(bandKeys(col("sig"), 32, 16)))
+                        n: Int = 3, threshold: Double = 0.5,
+                        k: Int = 64, bands: Int = 8): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"),
+      sort_array(array_distinct(transform(TextFunctions.wordShingles(
+        TextFunctions.tokens(TextFunctions.normalizeWs(col(textCol))), n),
+        s => xxhash64(s)))).as("sh"))
+    val banded = hashed
+      .withColumn("sig", minhashSignatureFromHashes(col("sh"), k))
+      .select(col("id"), posexplode(bandKeys(col("sig"), k, bands)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
-    val a = withShingles.select(col("band_idx"), col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = withShingles.select(col("band_idx"), col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band_idx", "band"))
+    val candidates = banded.select(col("band_idx"), col("band"), col("id").as("id_a"))
+      .join(banded.select(col("band_idx"), col("band"), col("id").as("id_b")),
+        Seq("band_idx", "band"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    candidates
+      .join(hashed.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        graft.expressions.SortedArrayJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** Iterative connected components over dup pairs (small-star style label

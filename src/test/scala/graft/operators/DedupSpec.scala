@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill in the afternoon sun"
+
+  /** corpus with planted near-dups: 0/1 near-identical, 2/3 identical,
+    * 4..9 unrelated */
+  private def corpus = Seq(
+    (0L, base),
+    (1L, base + " today"),                       // near-dup of 0
+    (2L, "completely different content about spark query engines and shuffles"),
+    (3L, "completely different content about spark query engines and shuffles"),
+    (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (5L, "one two three four five six seven eight nine ten eleven twelve"),
+    (6L, "red orange yellow green blue indigo violet colors of the rainbow sky"),
+    (7L, "sphinx of black quartz judge my vow pack my box with five dozen jugs"),
+    (8L, "data pipelines require careful partitioning and deduplication at scale"),
+    (9L, "entirely unrelated musings on the philosophy of distributed systems"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps one row per key") {
+    val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    assert(Dedup.exact(df, Seq("k")).count() == 2)
+  }
+
+  test("exactDeterministic keeps the smallest orderCol row per key") {
+    val df = Seq((1, 10, "keep"), (1, 20, "drop"), (2, 5, "keep")).toDF("k", "ord", "tag")
+    val got = Dedup.exactDeterministic(df, Seq("k"), "ord")
+      .filter($"tag" === "drop").count()
+    assert(got == 0)
+  }
+
+  test("byFingerprint collapses case/whitespace variants, keeps min id") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("id", "text")
+    val kept = Dedup.byFingerprint(df, "id", "text").select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("minhashDupPairs finds planted near-dups and identical pairs, no false positives") {
+    val pairs = Dedup.minhashDupPairs(corpus, "doc_id", "text",
+      shingleSize = 5, k = 128, bands = 16, threshold = 0.6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"missing near-dup pair, got $pairs")
+    assert(pairs.contains((2L, 3L)), s"missing identical pair, got $pairs")
+    assert(pairs.size == 2, s"false positives: $pairs")
+  }
+
+  test("minhashDedup drops the higher-id member of each dup cluster") {
+    val kept = Dedup.minhashDedup(corpus, "doc_id", "text",
+      shingleSize = 5, k = 128, bands = 16, threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(1L) && !kept.contains(3L))
+    assert(kept.contains(0L) && kept.contains(2L))
+    assert(kept.size == 8)
+  }
+
+  test("minhash jaccard estimate is exact for identical docs") {
+    val j = Dedup.minhashDupPairs(corpus, "doc_id", "text", threshold = 0.99)
+      .filter($"id_a" === 2 && $"id_b" === 3)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("simhashDupPairs: identical docs at hamming 0; near-dups within budget") {
+    val pairs = Dedup.simhashDupPairs(corpus, "doc_id", "text", maxHamming = 12)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((2L, 3L)) == 0)
+    assert(m.contains((0L, 1L)))
+  }
+
+  test("ngramJaccardPairs finds word-level near-dups") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((2L, 3L)))
+  }
+
+  test("connectedComponents labels transitive clusters with the min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+  }
+
+  test("dedup is idempotent: f(f(x)) == f(x)") {
+    val once = Dedup.minhashDedup(corpus, "doc_id", "text", threshold = 0.6)
+    val twice = Dedup.minhashDedup(once, "doc_id", "text", threshold = 0.6)
+    assert(once.count() == twice.count())
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)),   // near 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),    // orthogonal to 0
+    (3L, Array(0.0f, 0.98f, 0.2f, 0.0f)),   // near 2
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),   // opposite of 0
+  ).toDF("vec_id", "embedding")
+
+  test("cosine of identical vectors is 1, orthogonal 0, opposite -1") {
+    val df = Seq(
+      (Array(1.0, 2.0), Array(1.0, 2.0), 1.0),
+      (Array(1.0, 0.0), Array(0.0, 3.0), 0.0),
+      (Array(1.0, 1.0), Array(-1.0, -1.0), -1.0),
+    ).toDF("a", "b", "want")
+    val bad = df.filter(
+      abs(Similarity.cosine($"a", $"b") - $"want") > 1e-12).count()
+    assert(bad == 0)
+  }
+
+  test("bruteForceTopK ranks the planted neighbor first, excludes self") {
+    val top = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 2)
+      .filter($"query_id" === 0 && $"rank" === 1)
+      .select("neighbor_id").as[Long].head()
+    assert(top == 1L)
+    val selfs = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 4)
+      .filter($"query_id" === $"neighbor_id").count()
+    assert(selfs == 0)
+  }
+
+  test("bruteForceTopK returns exactly k rows per query with ranks 1..k") {
+    val df = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 3)
+    val counts = df.groupBy("query_id").count().select("count").as[Long].collect()
+    assert(counts.forall(_ == 3))
+    val ranks = df.filter($"query_id" === 2).select("rank").as[Int].collect().sorted
+    assert(ranks.toSeq == Seq(1, 2, 3))
+  }
+
+  test("lshTopK recovers the true nearest neighbor for clustered vectors") {
+    // 64-dim: two tight clusters around e1 and e2
+    def e(i: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(i) = 1.0f; a((i + 1) % 64) = eps; a
+    }
+    val df = Seq(
+      (0L, e(0, 0.0f)), (1L, e(0, 0.05f)), (2L, e(0, 0.1f)),
+      (10L, e(30, 0.0f)), (11L, e(30, 0.05f)), (12L, e(30, 0.1f)),
+    ).toDF("vec_id", "embedding")
+    val nn = Similarity.lshTopK(df, "vec_id", "embedding", k = 1,
+      bands = 8, bitsPerBand = 4, dim = 64)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    // each cluster member's NN must come from its own cluster
+    for ((q, n) <- nn) assert((q < 10) == (n < 10), s"$q -> $n crossed clusters")
+  }
+
+  test("embeddingNearDupPairs finds only the near-identical pair") {
+    val df = Seq(
+      (0L, Array.fill(64)(0.5f)),
+      (1L, Array.fill(64)(0.5001f)),                       // cos ~ 1
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)),
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.999)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("languageId picks the language with the strongest stopword overlap") {
+    val df = Seq(
+      ("the cat sat on the mat and it is happy", "en"),
+      ("el perro y la casa de los amigos se ven por la ventana", "es"),
+      ("der hund und die katze sind nicht von den leuten", "de"),
+      ("le chat et les amis de la maison est une merveille", "fr"),
+      ("zxqv qqq www", "und"),
+    ).toDF("text", "want")
+    val bad = df.filter(TextAnalysis.languageId($"text") =!= $"want").count()
+    assert(bad == 0)
+  }
+
+  test("qualityScore is in [0,1]; clean prose beats junk") {
+    val rows = Seq(
+      "The quick brown fox jumps over the lazy dog and it is a fine day for running in the park with friends.",
+      "!!!! ???? ....",
+      "",
+    ).toDF("text").select(TextAnalysis.qualityScore($"text").as("q"))
+      .as[Double].collect()
+    assert(rows.forall(q => q >= 0 && q <= 1))
+    assert(rows(0) > rows(1))
+  }
+
+  test("tokenCount and bpeTokenCount are monotone on concatenation") {
+    val a = "some reasonable text here"
+    val row = Seq((a, a + " plus more words")).toDF("x", "y")
+      .select(TextAnalysis.tokenCount($"x").as("tx"),
+        TextAnalysis.tokenCount($"y").as("ty"),
+        TextAnalysis.bpeTokenCount($"x").as("bx"),
+        TextAnalysis.bpeTokenCount($"y").as("by"))
+      .head()
+    assert(row.getInt(0) < row.getInt(1))
+    assert(row.getInt(2) < row.getInt(3))
+  }
+
+  test("annotate adds the full analysis column set") {
+    val df = TextAnalysis.annotate(Seq((1L, "the cat is happy")).toDF("id", "text"), "text")
+    val cols = df.columns.toSet
+    assert(Set("lang_pred", "quality", "n_tokens", "n_bpe_tokens", "fp").subsetOf(cols))
+  }
+}
