@@ -1,0 +1,100 @@
+package graft.zones
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Schemas
+
+/** Readers and writers for the four zone tables (SURVEY.md §1.1, §2.1).
+  *
+  * Zones are path-based partitioned tables. At cluster scale the paths
+  * are object-store URIs and the writes are the only shuffle-adjacent
+  * stages (partitioned write = one file set per (year,month,day)); on
+  * the test host they are local dirs. Nothing here caches or collects.
+  */
+object Zones {
+
+  /** S5: header-less CSV multi-file read with imposed schema. Spark's
+    * file index handles the multi-file union natively — the reference's
+    * per-object loop + pd.concat (staging-transform.py:125-143)
+    * disappears. `modifiedAfter` (S3/F5) pushes the freshness horizon
+    * into file listing, before any bytes are read. */
+  def readLanding(spark: SparkSession, path: String,
+                  modifiedAfter: Option[java.time.LocalDateTime] = None): DataFrame = {
+    val r = spark.read.schema(Schemas.landing).option("header", "false")
+    modifiedAfter.fold(r)(ts => r.option("modifiedAfter", ts.toString))
+      .csv(path)
+  }
+
+  /** S4: partition-pruned read of one calendar day's landing prefix
+    * (`landing/YYYY/MM/DD/` in the reference, staging-transform.py:216-221).
+    * A day with no prefix at all (consumer wrote nothing) reads as an
+    * empty batch — the reference crashes on that case
+    * (analytical-transform.py:123-125 UnboundLocalError, a bug we don't
+    * replicate; SURVEY.md §7.4). */
+  def readLandingDay(spark: SparkSession, root: String,
+                     year: Int, month: Int, day: Int): DataFrame = {
+    val path = f"$root/$year%04d/$month%02d/$day%02d"
+    if (!pathExists(spark, path))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Schemas.landing)
+    else readLanding(spark, path)
+  }
+
+  /** Existence check through the Hadoop FileSystem API — correct for
+    * local paths and object stores alike. */
+  def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** S7: landing sink — header-less CSV under the date prefix. */
+  def writeLandingDay(df: DataFrame, root: String,
+                      year: Int, month: Int, day: Int): Unit =
+    df.select(Schemas.landing.fieldNames.map(col): _*)
+      .write.mode(SaveMode.Append).option("header", "false")
+      .csv(f"$root/$year%04d/$month%02d/$day%02d")
+
+  /** Staging write: overwrite per run ("DeleteStagingOld" +
+    * "ProcessDataToStaging" states, LandingAnalyticalStateMachine.json:5-39
+    * — old staging data is purged before each load). */
+  def writeStaging(df: DataFrame, path: String): Unit =
+    df.select(Schemas.staging.fieldNames.map(col): _*)
+      .write.mode(SaveMode.Overwrite).option("header", "false").csv(path)
+
+  def readStaging(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schemas.staging).option("header", "false").csv(path)
+
+  /** S8 + J3: append staging into the analytical ORC table. The
+    * staging→analytical column mapping is POSITIONAL in the reference
+    * (`INSERT INTO analytical SELECT * FROM staging`,
+    * analytical-transform.py:25-26): staging `text` lands in analytical
+    * `text_clean`. We keep the contract but make it visible — an explicit
+    * positional rename, then a partitioned append. */
+  def appendAnalytical(staged: DataFrame, path: String): Unit = {
+    val renamed = staged.toDF(Schemas.analytical.fieldNames: _*)
+    renamed.write.mode(SaveMode.Append)
+      .partitionBy("year", "month", "day")
+      .orc(path)
+  }
+
+  def readAnalytical(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schemas.analytical).orc(path)
+
+  /** S9: single-row audit append — a typed 1-row DataFrame, not
+    * string-interpolated SQL (the reference's f-string INSERT at
+    * update-data-log.py:19 is injection-prone; SURVEY.md §7.4). */
+  def appendLog(spark: SparkSession, path: String, timeStamp: String,
+                tableName: String, recordsInserted: Int,
+                year: Int, month: Int, day: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    val row = org.apache.spark.sql.Row(
+      timeStamp, tableName, recordsInserted, year, month, day)
+    spark.createDataFrame(Seq(row).asJava, Schemas.updateLog)
+      .write.mode(SaveMode.Append)
+      .partitionBy("year", "month", "day")
+      .orc(path)
+  }
+
+  def readLog(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schemas.updateLog).orc(path)
+}
