@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.expressions.{HashedCharShingles, MinHashSignature, SimHash64, SortedArrayJaccard}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions, so `spark.sql` users get them too:
+  *
+  *   spark.sql("SELECT simhash64(split(text, ' ')) FROM docs")
+  *   spark.sql("SELECT minhash_signature(hashed_char_shingles(text, 5), 128)")
+  *   spark.sql("SELECT sorted_array_jaccard(a, b)")
+  *
+  * Activate with
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  * or `.withExtensions(new GraftExtensions)`.
+  */
+object GraftExtensions {
+  /** Register the same functions on an already-built session (temp
+    * functions in its FunctionRegistry) — for notebook/REPL use where the
+    * session exists before the library is on the classpath. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("hashed_char_shingles",
+      exprs => HashedCharShingles(exprs.head, exprs(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"shingle size must be a literal, got $other")
+      }), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      exprs => MinHashSignature(exprs.head, exprs(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"k must be a literal, got $other")
+      }, 42L), "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_array_jaccard",
+      exprs => SortedArrayJaccard(exprs.head, exprs(1)), "scala_udf")
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be a long literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("hashed_char_shingles"),
+      new ExpressionInfo(classOf[HashedCharShingles].getName, "hashed_char_shingles"),
+      (args: Seq[Expression]) =>
+        HashedCharShingles(args.head, intLit(args(1), "shingle size"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) => MinHashSignature(args.head,
+        intLit(args(1), "k"),
+        if (args.length > 2) longLit(args(2), "seed") else 42L)))
+
+    ext.injectFunction((
+      FunctionIdentifier("sorted_array_jaccard"),
+      new ExpressionInfo(classOf[SortedArrayJaccard].getName, "sorted_array_jaccard"),
+      (args: Seq[Expression]) => SortedArrayJaccard(args.head, args(1))))
+  }
+}

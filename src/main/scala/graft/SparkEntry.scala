@@ -369,6 +369,76 @@ object SparkEntry {
 
     // Flagship end-to-end pipeline (rows-only check)
     "q31_flagship_pipeline" -> ((s, d) => TweetPipeline.flagship(s, d, 50)),
+
+    // J2 gap exemplar: backward as-of join (error -> latest prior purchase
+    // of the same user), union+window technique
+    "q32_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      operators.AsOfJoin.backward(errors, purchases, Seq("user_id"),
+          "ts", "ts", Seq("purchase_id"))
+        .select(col("event_id"), col("user_id"), col("purchase_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.10 UDAF surface: per-group top-k via typed Aggregator
+    "q33_topk_agg" -> ((s, d) => {
+      val topk = graft.functions.TopKAggregator.topK(3)
+      t(s, d, "orders").join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(topk(col("o_totalprice")).as("vals"))
+        .select(col("c_mktsegment"), posexplode(col("vals")))
+        .select(col("c_mktsegment"), (col("pos") + 1).cast("long").as("rank"),
+          col("col").as("o_totalprice"))
+        .orderBy(col("c_mktsegment"), col("rank"))
+    }),
+
+    // §2.7: UNION ALL across heterogeneous sources (unionByName)
+    "q34_union_all" -> ((s, d) => {
+      val a = t(s, d, "customer")
+        .select(col("c_custkey").as("id"), lit("customer").as("src"))
+      val b = t(s, d, "supplier")
+        .select(col("s_suppkey").as("id"), lit("supplier").as("src"))
+      a.unionByName(b).orderBy(col("src"), col("id"))
+    }),
+
+    // A5: HLL sketch vs exact distinct (rows-only: sketch values are
+    // engine-specific by design)
+    "q35_approx_distinct" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // A5: pivot (wide conditional aggregation)
+    "q36_pivot" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("A", "N", "R"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // Multimodal: synthesize media -> per-partition feature extraction,
+    // meta-only pruning (rows-only: binary pipeline, no SQL equivalent)
+    "q37_media_features" -> ((s, d) => {
+      val media = operators.Multimodal.synthesizeMedia(s, 200)
+      operators.Multimodal.extractFeatures(media).toDF()
+        .orderBy(col("media_id"))
+    }),
+
+    // S10: SQL text execution through spark.sql over registered views
+    "q38_sql_text" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderpriority, count(*) AS n, max(o_totalprice) AS max_price
+              |FROM orders WHERE o_totalprice > 50000
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -565,5 +635,38 @@ object SparkEntry {
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q32_asof_join" ->
+      """SELECT e.event_id, e.user_id, p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND p.ts <= e.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q33_topk_agg" ->
+      """SELECT c_mktsegment, rank, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC) AS rank
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin,
+
+    "q34_union_all" ->
+      """SELECT c_custkey AS id, 'customer' AS src FROM customer
+        |UNION ALL
+        |SELECT s_suppkey AS id, 'supplier' AS src FROM supplier
+        |ORDER BY src, id""".stripMargin,
+
+    "q36_pivot" ->
+      """SELECT l_linestatus,
+        | count(*) FILTER (WHERE l_returnflag = 'A') AS "A",
+        | count(*) FILTER (WHERE l_returnflag = 'N') AS "N",
+        | count(*) FILTER (WHERE l_returnflag = 'R') AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q38_sql_text" ->
+      """SELECT o_orderpriority, count(*) AS n, max(o_totalprice) AS max_price
+        |FROM orders WHERE o_totalprice > 50000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

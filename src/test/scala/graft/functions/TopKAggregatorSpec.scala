@@ -1,0 +1,43 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TopKAggregatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topK keeps the k largest values per group, descending") {
+    val df = Seq(
+      ("a", 5.0), ("a", 1.0), ("a", 9.0), ("a", 7.0),
+      ("b", 2.0), ("b", 3.0),
+    ).toDF("g", "v")
+    val topk = TopKAggregator.topK(3)
+    val out = df.groupBy($"g").agg(topk($"v").as("t"))
+      .as[(String, Seq[Double])].collect().toMap
+    assert(out("a") == Seq(9.0, 7.0, 5.0))
+    assert(out("b") == Seq(3.0, 2.0))
+  }
+
+  test("duplicate values are kept (multiset semantics)") {
+    val df = Seq(("a", 4.0), ("a", 4.0), ("a", 1.0)).toDF("g", "v")
+    val topk = TopKAggregator.topK(2)
+    val out = df.groupBy($"g").agg(topk($"v").as("t"))
+      .as[(String, Seq[Double])].collect().toMap
+    assert(out("a") == Seq(4.0, 4.0))
+  }
+
+  test("GraftExtensions.register makes the native functions callable from SQL") {
+    graft.GraftExtensions.register(spark)
+    Seq(("near duplicate text content here", "near duplicate text content her"))
+      .toDF("a", "b").createOrReplaceTempView("sqlfn_docs")
+    val row = spark.sql(
+      """SELECT simhash64(split(a, ' ')) AS sh,
+        |  sorted_array_jaccard(hashed_char_shingles(a, 5),
+        |                       hashed_char_shingles(b, 5)) AS j,
+        |  minhash_signature(hashed_char_shingles(a, 5), 16) AS sig
+        |FROM sqlfn_docs""".stripMargin).head()
+    assert(row.getLong(0) != 0L)
+    assert(row.getDouble(1) > 0.8 && row.getDouble(1) < 1.0)
+    assert(row.getSeq[Long](2).length == 16)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("backward as-of join picks the latest right row at or before left ts, per key") {
+    val quotes = Seq(
+      (1, ts("2024-01-01 10:00:00"), 100.0),
+      (1, ts("2024-01-01 10:05:00"), 101.0),
+      (1, ts("2024-01-01 10:10:00"), 102.0),
+      (2, ts("2024-01-01 10:00:00"), 200.0),
+    ).toDF("k", "ts", "price")
+    val trades = Seq(
+      (1, ts("2024-01-01 10:07:00"), "t1"),   // -> 101.0 (10:05)
+      (1, ts("2024-01-01 10:10:00"), "t2"),   // -> 102.0 (equal ts inclusive)
+      (1, ts("2024-01-01 09:00:00"), "t3"),   // -> no match (null)
+      (2, ts("2024-01-01 11:00:00"), "t4"),   // -> 200.0
+      (3, ts("2024-01-01 10:00:00"), "t5"),   // key with no quotes -> null
+    ).toDF("k", "ts", "trade_id")
+
+    val out = AsOfJoin.backward(trades, quotes, Seq("k"), "ts", "ts", Seq("price"))
+      .select($"trade_id", $"price").as[(String, Option[Double])]
+      .collect().toMap
+    assert(out("t1").contains(101.0))
+    assert(out("t2").contains(102.0))
+    assert(out("t3").isEmpty)
+    assert(out("t4").contains(200.0))
+    assert(out("t5").isEmpty)
+  }
+
+  test("name collision on right value column gets suffixed") {
+    val l = Seq((1, ts("2024-01-01 10:00:00"), "x")).toDF("k", "ts", "v")
+    val r = Seq((1, ts("2024-01-01 09:00:00"), "y")).toDF("k", "ts", "v")
+    val out = AsOfJoin.backward(l, r, Seq("k"), "ts", "ts", Seq("v"))
+    assert(out.columns.toSeq == Seq("k", "ts", "v", "v_right"))
+    assert(out.select("v_right").as[String].head() == "y")
+  }
+}
