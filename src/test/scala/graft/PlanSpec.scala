@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions — the 100 TB design contract (SURVEY.md §4):
+  * filters and projections must reach the parquet scan, small dimensions
+  * must broadcast, aggregates must partial-aggregate, and hot paths must
+  * stay inside whole-stage codegen. These tests pin the plan shape so a
+  * regression (e.g. a UDF sneaking into a filter and killing pushdown)
+  * fails loudly at test time rather than at cluster scale.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, d)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  /** Final (post-AQE) executed plan: run THIS df, then inspect. In tree
+    * strings, whole-stage codegen shows as "*(n) " node prefixes. */
+  private def executedPlanOf(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, d)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def hasCodegen(plan: String): Boolean = plan.contains("*(")
+
+  test("q02: filter and projection are pushed to the parquet scan") {
+    val p = planOf("q02_filter_project")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.matches("(?s).*PushedFilters: \\[.*l_quantity.*\\].*"), p)
+    assert(p.matches("(?s).*PushedFilters: \\[.*l_discount.*\\].*"), p)
+    // column pruning: shipdate is not read (filter is on quantity/discount)
+    assert(!p.contains("l_shipdate"), p)
+    assert(hasCodegen(executedPlanOf("q02_filter_project")))
+  }
+
+  test("q04: small dimension join uses BroadcastHashJoin") {
+    val p = planOf("q04_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q01: aggregation is partial (map-side combine before the shuffle)") {
+    val p = executedPlanOf("q01_pricing_agg")
+    // two HashAggregate nodes: partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(hasCodegen(p), p)
+  }
+
+  test("q06: semi join does not materialize the right side's payload columns") {
+    val p = planOf("q06_semi_join")
+    assert(p.contains("LeftSemi"), p)
+    // only the join key is read from orders (+ the pushed filter column)
+    assert(!p.contains("o_orderpriority"), p)
+  }
+
+  test("q13: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = planOf("q13_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q26: brute-force ANN broadcasts the query side") {
+    val p = planOf("q26_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("sentiment/minhash expressions do not break codegen in the flagship pipeline") {
+    val p = executedPlanOf("q31_flagship_pipeline")
+    assert(hasCodegen(p), p)
+  }
+}
