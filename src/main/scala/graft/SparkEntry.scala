@@ -439,6 +439,75 @@ object SparkEntry {
               |FROM orders WHERE o_totalprice > 50000
               |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     }),
+
+    // C2 family: pad / translate / reverse string functions
+    "q39_string_extras" -> ((s, d) => {
+      t(s, d, "part").select(col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("brand_pad"),
+          translate(col("p_type"), "aeiou", "AEIOU").as("type_tr"),
+          reverse(col("p_name")).as("name_rev"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // C14: null-handling scalars (nullif / coalesce / nvl2 shape)
+    "q40_null_handling" -> ((s, d) => {
+      t(s, d, "customer").select(col("c_custkey"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("NONE")).as("seg_or_none"),
+          when(col("c_acctbal") < 0, lit(null).cast("double"))
+            .otherwise(col("c_acctbal")).as("bal_nonneg"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // A4/C5: array aggregation with scalar projections (collect + sort)
+    "q41_array_agg" -> ((s, d) => {
+      t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(col("o_orderpriority"))).as("pr"))
+        .select(col("o_custkey"),
+          size(col("pr")).cast("long").as("n_prios"),
+          element_at(col("pr"), 1).as("first_prio"),
+          array_join(col("pr"), ",").as("prio_csv"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // C1 family: regex extraction and counting
+    "q42_regex" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+          regexp_extract(col("text"), "(spark|query)", 1).as("first_kw"),
+          size(regexp_extract_all(col("text"), lit("spark"), lit(0)))
+            .cast("long").as("n_spark"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // J2: IN-subquery (rewritten to semi join by Catalyst)
+    "q43_in_subquery" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      s.sql("""SELECT c_custkey, c_name FROM customer
+              |WHERE c_custkey IN (SELECT o_custkey FROM orders
+              |                    WHERE o_totalprice > 200000)
+              |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // Skew mitigation: two-phase salted aggregation — semantics must be
+    // identical to a plain GROUP BY (the oracle IS the plain GROUP BY)
+    "q45_salted_agg" -> ((s, d) => {
+      operators.Skew.saltedCount(
+          t(s, d, "lineitem").select(col("l_returnflag"), col("l_linestatus")),
+          Seq("l_returnflag", "l_linestatus"), saltBuckets = 16)
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // A1 + HAVING-shape post-aggregation filter; date scalars
+    "q44_having_dates" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_add(col("o_orderdate").cast("date"), 30).cast("string").as("due_date"),
+          datediff(lit("1998-01-01").cast("date"),
+            col("o_orderdate").cast("date")).cast("long").as("days_to_98"),
+          last_day(col("o_orderdate").cast("date")).cast("string").as("month_end"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"))
+        .orderBy(col("o_orderkey"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -668,5 +737,49 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n, max(o_totalprice) AS max_price
         |FROM orders WHERE o_totalprice > 50000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q39_string_extras" ->
+      """SELECT p_partkey, lpad(p_brand, 12, '*') AS brand_pad,
+        | translate(p_type, 'aeiou', 'AEIOU') AS type_tr,
+        | reverse(p_name) AS name_rev
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q40_null_handling" ->
+      """SELECT c_custkey,
+        | coalesce(nullif(c_mktsegment, 'BUILDING'), 'NONE') AS seg_or_none,
+        | CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_nonneg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q41_array_agg" ->
+      """SELECT o_custkey,
+        | len(list_sort(list(o_orderpriority))) AS n_prios,
+        | (list_sort(list(o_orderpriority)))[1] AS first_prio,
+        | array_to_string(list_sort(list(o_orderpriority)), ',') AS prio_csv
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q42_regex" ->
+      """SELECT doc_id,
+        | regexp_extract(text, '(spark|query)', 1) AS first_kw,
+        | len(regexp_extract_all(text, 'spark')) AS n_spark
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q43_in_subquery" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q45_salted_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q44_having_dates" ->
+      """SELECT o_orderkey, o_custkey,
+        | CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS due_date,
+        | date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98,
+        | CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+        | CAST(quarter(o_orderdate) AS BIGINT) AS qtr
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }

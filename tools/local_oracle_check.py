@@ -31,6 +31,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if "datetime" in str(df[c].dtype):
             df[c] = pd.to_datetime(df[c]).dt.floor("us") \
                 .astype("datetime64[ns]").astype("int64")
+        # python date objects (Spark DATE -> pandas object col) -> iso str
+        elif df[c].dtype == "object" and len(df) and \
+                isinstance(df[c].dropna().iloc[0] if df[c].notna().any() else None,
+                           __import__("datetime").date):
+            df[c] = df[c].astype(str)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
