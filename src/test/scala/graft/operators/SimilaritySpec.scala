@@ -59,6 +59,21 @@ class SimilaritySpec extends SparkSpec {
     for ((q, n) <- nn) assert((q < 10) == (n < 10), s"$q -> $n crossed clusters")
   }
 
+  test("ivfTopK finds in-cluster nearest neighbors") {
+    def e(i: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(i) = 1.0f; a((i + 1) % 64) = eps; a
+    }
+    val df = (0 until 8).flatMap { c =>
+      (0 until 4).map(j => ((c * 10 + j).toLong, e(c * 8, 0.03f * j)))
+    }.toDF("vec_id", "embedding")
+    val nn = Similarity.ivfTopK(df, "vec_id", "embedding", k = 1,
+      cells = 8, nprobe = 2)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    // every vector's nearest neighbor must be from its own tight cluster
+    for ((q, n) <- nn) assert(q / 10 == n / 10, s"$q -> $n crossed clusters")
+    assert(nn.size == 32)
+  }
+
   test("embeddingNearDupPairs finds only the near-identical pair") {
     val df = Seq(
       (0L, Array.fill(64)(0.5f)),

@@ -92,6 +92,21 @@ class EtlJobSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/analytical").exists())
   }
 
+  test("F5 lookback: modifiedAfter skips files older than the horizon") {
+    val root = tmp()
+    Zones.writeLandingDay(fixtureLanding, s"$root/landing", 2024, 3, 5)
+    Thread.sleep(1500)
+    val cutoff = java.time.LocalDateTime.now()
+    Thread.sleep(1500)
+    Zones.writeLandingDay(fixtureLanding.limit(1), s"$root/landing2", 2024, 3, 5)
+    // fresh dir read with a cutoff BEFORE its write: included
+    val fresh = Zones.readLanding(spark, s"$root/landing2/2024/03/05", Some(cutoff))
+    assert(fresh.count() == 1)
+    // old dir read with a cutoff AFTER its write: excluded by file listing
+    val stale = Zones.readLanding(spark, s"$root/landing/2024/03/05", Some(cutoff))
+    assert(stale.count() == 0)
+  }
+
   test("landing roundtrip: header-less CSV with imposed schema") {
     val root = tmp()
     Zones.writeLandingDay(fixtureLanding, s"$root/landing", 2024, 3, 5)
