@@ -488,6 +488,16 @@ object SparkEntry {
               |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // Similarity scale path: IVF approximate top-k (rows-only: ANN
+    // results are approximate by construction; recall is spec-tested)
+    "q46_ivf_topk" -> ((s, d) => {
+      Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 3, cells = 16, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          r6(col("cos")).as("cos"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Skew mitigation: two-phase salted aggregation — semantics must be
     // identical to a plain GROUP BY (the oracle IS the plain GROUP BY)
     "q45_salted_agg" -> ((s, d) => {
