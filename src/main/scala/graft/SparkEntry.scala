@@ -488,6 +488,21 @@ object SparkEntry {
               |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // J2 gap exemplar: bounded time-range join via bucketing (errors
+    // within 120s of a purchase by the same user)
+    "q47_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      operators.RangeJoin.withinTolerance(errors, purchases,
+          Seq("user_id"), "ts", "ts", toleranceSec = 3600)
+        .select(col("user_id"), col("l_event_id").as("error_id"),
+          col("r_event_id").as("purchase_id"))
+        .orderBy(col("user_id"), col("error_id"), col("purchase_id"))
+    }),
+
     // Similarity scale path: IVF approximate top-k (rows-only: ANN
     // results are approximate by construction; recall is spec-tested)
     "q46_ivf_topk" -> ((s, d) => {
@@ -778,6 +793,14 @@ object SparkEntry {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders
         |                    WHERE o_totalprice > 200000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q47_range_join" ->
+      """SELECT e.user_id, e.event_id AS error_id, p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id
+        | AND abs(floor(epoch(e.ts)) - floor(epoch(p.ts))) <= 3600
+        |ORDER BY e.user_id, error_id, purchase_id""".stripMargin,
 
     "q45_salted_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n

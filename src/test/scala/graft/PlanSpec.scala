@@ -62,6 +62,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q08: rank-limit window is optimized to WindowGroupLimit (partial top-k)") {
+    // Spark's WindowGroupLimit pushes the rn<=k bound below the shuffle,
+    // so each map task keeps only k rows per key — the built-in version
+    // of a custom partial top-k operator.
+    val p = executedPlanOf("q08_window_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q47: range join plans as an equi-join on buckets, not a nested-loop theta join") {
+    val p = planOf("q47_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("q26: brute-force ANN broadcasts the query side") {
     val p = planOf("q26_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
