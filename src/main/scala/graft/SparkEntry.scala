@@ -335,7 +335,7 @@ object SparkEntry {
     // rows-only check; correctness covered by ScalaTest)
     "q27_minhash_pairs" -> ((s, d) => {
       Dedup.minhashDupPairs(t(s, d, "documents"), "doc_id", "text",
-          shingleSize = 5, k = 128, bands = 16, threshold = 0.6)
+          shingleSize = 5, k = 96, bands = 8, threshold = 0.8)
         .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),

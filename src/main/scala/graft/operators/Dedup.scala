@@ -104,13 +104,23 @@ object Dedup {
     * Hot band buckets (boilerplate) remain the skew risk; AQE skew join
     * splits them at runtime.
     */
+  /** @param persistShingles cache the hashed-shingle projection for the
+    *        duration of the job: the plan references it three times
+    *        (banding + both verification joins), and shingle hashing is
+    *        the dominant map cost. At cluster scale the equivalent is
+    *        materializing signatures to storage between stages; callers
+    *        can pass false to keep the operator side-effect free. */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 5, k: Int = 128, bands: Int = 16,
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8,
+                      persistShingles: Boolean = true): DataFrame = {
     import graft.expressions.MinHash
-    val hashed = df.select(col(idCol).as("id"),
+    val hashed0 = df.select(col(idCol).as("id"),
         MinHash.hashedCharShingles(
           TextFunctions.normalizeWs(col(textCol)), shingleSize).as("sh"))
+    val hashed = if (persistShingles)
+      hashed0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else hashed0
 
     val banded = hashed
       .withColumn("sig", MinHash.minhashSignature(col("sh"), k))
