@@ -488,6 +488,16 @@ object SparkEntry {
               |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // A5: explicit GROUPING SETS (beyond rollup/cube)
+    "q48_grouping_sets" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin)
+    }),
+
     // J2 gap exemplar: bounded time-range join via bucketing (errors
     // within 120s of a purchase by the same user)
     "q47_range_join" -> ((s, d) => {
@@ -793,6 +803,12 @@ object SparkEntry {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders
         |                    WHERE o_totalprice > 200000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q48_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q47_range_join" ->
       """SELECT e.user_id, e.event_id AS error_id, p.event_id AS purchase_id

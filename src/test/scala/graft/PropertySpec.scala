@@ -1,0 +1,91 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import graft.pipeline.{EtlJob, TweetPipeline}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants (SURVEY.md §5.4): dedup idempotence, explode
+  * row-count conservation, surrogate-key determinism/injectivity-on-
+  * inputs, re-run idempotence of the lookback pattern.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  /** Deterministic sampler: run `body` over `n` seeded samples of `gen`
+    * (scalatestplus isn't on the offline classpath, so we drive
+    * scalacheck generators directly). */
+  private def forSamples[A](gen: Gen[A], n: Int = 20)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  private val word = Gen.oneOf("spark", "data", "fast", "slow", "big", "x1", "Y2")
+  private val text = Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+  private val docsGen = Gen.chooseNum(1, 12).flatMap(n =>
+    Gen.listOfN(n, text)).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  test("dedup idempotence: f(f(x)) == f(x) for exact dedup on any frame") {
+    forSamples(docsGen) { docs =>
+      val df = docs.toDF("id", "text")
+      val once = Dedup.exact(df, Seq("text"))
+      val twice = Dedup.exact(once, Seq("text"))
+      assert(once.count() == twice.count())
+      assert(once.count() == docs.map(_._2).distinct.size)
+    }
+  }
+
+  test("explode conservation: output rows == total non-empty token count") {
+    forSamples(docsGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val exploded = df.select(explode(TextFunctions.tokens(col("text"))))
+      val expected = docs.map(_._2.split("\\s+").count(_.nonEmpty)).sum
+      assert(exploded.count() == expected)
+    }
+  }
+
+  test("surrogate key: equal inputs -> equal keys; different inputs -> different keys") {
+    forSamples(Gen.listOfN(6, text)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
+      val keys = df.select(col("t"),
+        TextFunctions.surrogateKey(col("t")).as("k"))
+        .collect().map(r => r.getString(0) -> r.getString(1))
+      val byInput = keys.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      // deterministic: one key per distinct input
+      assert(byInput.values.forall(_.size == 1))
+      // injective on these inputs: distinct inputs -> distinct keys
+      assert(byInput.map(_._2.head).toSet.size == byInput.size)
+    }
+  }
+
+  test("staging transform is idempotent under re-run (same input -> same rows)") {
+    forSamples(docsGen) { docs =>
+      if (docs.nonEmpty) {
+        val landing = docs.map { case (i, t) =>
+          (s"r$i", "2024-03-05 10:00:00", "2024-03-05 09:00:00", s"t$i", "u", 100, t, t)
+        }.toDF("record_id", "timestamp", "created", "tweet_id", "user_name",
+          "rt_count", "hashtags", "text")
+        val a = EtlJob.stagingTransform(landing)
+        val b = EtlJob.stagingTransform(landing)
+        assert(a.count() == b.count())
+        // dedup on hash_id makes union of two runs the same set
+        assert(Dedup.exact(a.unionByName(b), Seq("hash_id")).count() == a.count())
+      }
+    }
+  }
+
+  test("minhash signature length and range invariants") {
+    forSamples(Gen.listOfN(4, text)) { texts =>
+      val df = texts.zipWithIndex.map(_.swap).toDF("id", "t")
+      val sigs = df.select(Dedup.minhashSignature(
+        TextFunctions.charShingles(col("t"), 3), k = 16).as("sig"))
+        .collect().map(_.getSeq[Long](0))
+      assert(sigs.forall(_.length == 16))
+      assert(sigs.forall(_.forall(v => v >= 0)))
+    }
+  }
+}
