@@ -95,14 +95,19 @@ class EtlJobSpec extends SparkSpec {
   test("F5 lookback: modifiedAfter skips files older than the horizon") {
     val root = tmp()
     Zones.writeLandingDay(fixtureLanding, s"$root/landing", 2024, 3, 5)
-    Thread.sleep(1500)
-    val cutoff = java.time.LocalDateTime.now()
-    Thread.sleep(1500)
     Zones.writeLandingDay(fixtureLanding.limit(1), s"$root/landing2", 2024, 3, 5)
-    // fresh dir read with a cutoff BEFORE its write: included
+    // pin mtimes explicitly (no sleeps, no wall-clock race): old files an
+    // hour ago, fresh files now, cutoff in between
+    val now = System.currentTimeMillis()
+    new java.io.File(s"$root/landing/2024/03/05").listFiles()
+      .foreach(_.setLastModified(now - 3600 * 1000))
+    new java.io.File(s"$root/landing2/2024/03/05").listFiles()
+      .foreach(_.setLastModified(now))
+    val cutoff = java.time.LocalDateTime.now().minusMinutes(30)
+    // fresh dir read with a cutoff BEFORE its mtime: included
     val fresh = Zones.readLanding(spark, s"$root/landing2/2024/03/05", Some(cutoff))
     assert(fresh.count() == 1)
-    // old dir read with a cutoff AFTER its write: excluded by file listing
+    // old dir read with a cutoff AFTER its mtime: excluded by file listing
     val stale = Zones.readLanding(spark, s"$root/landing/2024/03/05", Some(cutoff))
     assert(stale.count() == 0)
   }
