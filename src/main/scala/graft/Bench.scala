@@ -12,6 +12,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: initialize codegen, parquet readers, and shuffle
+    // machinery so the first timed query measures the operator, not JVM
+    // startup.
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_name").count().queryExecution.toRdd.count()
     // Queries run in sorted name order (Map iteration order is
     // hash-dependent and would shift JVM-warmup cost between queries
     // across builds). Timing materializes the final physical plan's rows

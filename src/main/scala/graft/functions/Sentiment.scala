@@ -57,8 +57,15 @@ object Sentiment {
       aggregate(matched, lit(0.0), (acc, t) => acc + element_at(scores, t)) / n)
   }
 
-  /** struct<polarity double, subjectivity double> for a text column. */
-  def sentiment(text: Column): Column = {
+  /** struct<polarity double, subjectivity double> for a text column.
+    * Backed by the native codegen [[graft.expressions.SentimentScore]];
+    * [[sentimentDeclarative]] is the built-ins-only reference
+    * implementation the equivalence test pins it against. */
+  def sentiment(text: Column): Column =
+    graft.expressions.SentimentScore(text)
+
+  /** Reference implementation in pure built-in higher-order functions. */
+  def sentimentDeclarative(text: Column): Column = {
     val toks = TextFunctions.tokens(lower(text))
     val matched = filter(toks, t => map_contains_key(polarityMap, t))
     struct(

@@ -41,4 +41,14 @@ class SentimentSpec extends SparkSpec {
   test("case-insensitive matching") {
     assert(score("GREAT")._1 == Sentiment.lexicon("great")._1)
   }
+
+  test("native expression matches the declarative reference on varied inputs") {
+    val texts = Seq("", "   ", "good", "good bad GREAT slow xyz",
+      "the quick brown fox", "terrible\t\nawful  day", "a b c d e f good")
+    val df = texts.toDF("t").select(
+      Sentiment.sentiment($"t").as("native"),
+      Sentiment.sentimentDeclarative($"t").as("decl"))
+    val bad = df.filter($"native" =!= $"decl").count()
+    assert(bad == 0)
+  }
 }

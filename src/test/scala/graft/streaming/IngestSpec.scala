@@ -45,23 +45,29 @@ class IngestSpec extends SparkSpec {
 
   test("streaming watermark dedup drops cross-batch duplicate keys") {
     implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-dedup").toString
     val mem = MemoryStream[(String, Timestamp)]
     val deduped = Ingest.dedupWithinWatermark(
       mem.toDF().toDF("record_id", "ts"), "ts", horizonHours = 2, Seq("record_id"))
-    val q = deduped.writeStream.format("memory").queryName("dedup_out")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    // file sink + shared checkpoint: the second drain RESUMES with state
+    // (a fresh checkpoint-less query would replay from offset zero and
+    // race with addData)
+    def drain(): Unit = {
+      val q = deduped.writeStream.format("parquet")
+        .option("path", s"$root/out").option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
     mem.addData(
       ("a", Timestamp.valueOf("2024-03-05 10:00:00")),
       ("a", Timestamp.valueOf("2024-03-05 10:05:00")),   // dup within batch
       ("b", Timestamp.valueOf("2024-03-05 10:10:00")))
-    q.awaitTermination(60000)
-    val q2 = deduped.writeStream.format("memory").queryName("dedup_out2")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    drain()
     mem.addData(("a", Timestamp.valueOf("2024-03-05 10:20:00")))  // dup across batch
-    q2.awaitTermination(60000)
-    val n1 = spark.table("dedup_out").count()
-    val n2 = spark.table("dedup_out2").count()
-    assert(n1 + n2 == 2, s"expected 2 unique keys total, got $n1 + $n2")
+    drain()
+    val keys = spark.read.parquet(s"$root/out")
+      .select("record_id").as[String].collect().sorted
+    assert(keys.toSeq == Seq("a", "b"), s"expected exactly (a, b), got ${keys.toSeq}")
   }
 
   test("tumbling / sliding / session windows on the events table") {
