@@ -488,6 +488,25 @@ object SparkEntry {
               |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // A5: exact continuous percentiles (median / p90)
+    "q49_percentiles" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          r4(expr("percentile(l_quantity, 0.5)")).as("median_qty"),
+          r4(expr("percentile(l_extendedprice, 0.9)")).as("p90_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // A5: statistical aggregates (stddev / variance / correlation)
+    "q50_stats" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          r4(stddev_samp(col("l_extendedprice"))).as("sd_price"),
+          r6(var_samp(col("l_discount"))).as("var_disc"),
+          r6(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // A5: explicit GROUPING SETS (beyond rollup/cube)
     "q48_grouping_sets" -> ((s, d) => {
       t(s, d, "lineitem").createOrReplaceTempView("lineitem")
@@ -803,6 +822,19 @@ object SparkEntry {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders
         |                    WHERE o_totalprice > 200000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q49_percentiles" ->
+      """SELECT l_returnflag,
+        | r4(quantile_cont(l_quantity, 0.5)) AS median_qty,
+        | r4(quantile_cont(l_extendedprice, 0.9)) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q50_stats" ->
+      """SELECT l_returnflag,
+        | r4(stddev_samp(l_extendedprice)) AS sd_price,
+        | r6(var_samp(l_discount)) AS var_disc,
+        | r6(corr(l_quantity, l_extendedprice)) AS corr_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q48_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n
