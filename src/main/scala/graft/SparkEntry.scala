@@ -488,6 +488,38 @@ object SparkEntry {
               |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // F-family: LIKE / NOT LIKE pattern filters
+    "q51_like_filter" -> ((s, d) => {
+      t(s, d, "part")
+        .filter(col("p_name").like("%widget%") && !col("p_type").like("PROMO%"))
+        .select(col("p_partkey"), col("p_name"), col("p_type"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // A1: conditional aggregation (TPC-H Q12 shape)
+    "q52_conditional_agg" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy(col("yr"))
+    }),
+
+    // Correlated scalar subquery (TPC-H Q17 shape): items below 50% of
+    // their part's average quantity — Catalyst decorrelates to a join
+    "q53_correlated_subquery" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+              |FROM lineitem l1
+              |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+              |                    FROM lineitem l2
+              |                    WHERE l2.l_partkey = l1.l_partkey)
+              |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    }),
+
     // A5: exact continuous percentiles (median / p90)
     "q49_percentiles" -> ((s, d) => {
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
@@ -822,6 +854,27 @@ object SparkEntry {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders
         |                    WHERE o_totalprice > 200000)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q51_like_filter" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE p_name LIKE '%widget%' AND p_type NOT LIKE 'PROMO%'
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q52_conditional_agg" ->
+      """SELECT year(o_orderdate) AS yr,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders GROUP BY yr ORDER BY yr""".stripMargin,
+
+    "q53_correlated_subquery" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem l1
+        |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q49_percentiles" ->
       """SELECT l_returnflag,
