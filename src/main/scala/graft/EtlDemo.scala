@@ -79,6 +79,33 @@ object EtlDemo {
     println("[demo] audit log:")
     Zones.readLog(spark, s"$root/log").orderBy("time_stamp", "table_name").show(false)
 
+    // --- 2b. unified streaming ETL: same raw stream straight to analytical
+    val setl1 = graft.streaming.StreamingEtl.run(spark,
+      spark.readStream.schema(rawSchema).json(rawDir)
+        .withColumn("ts", to_timestamp(col("ts"), "yyyy-MM-dd HH:mm:ss")),
+      s"$root/sa", s"$root/slog", s"$root/sckpt")
+    setl1.awaitTermination(120000)
+    println("[demo] streaming-etl analytical:")
+    Zones.readAnalytical(spark, s"$root/sa")
+      .select("record_id", "hashtag", "polarity").orderBy("record_id", "hashtag").show(false)
+    // re-drain with no new data: idempotent no-op
+    val setl2 = graft.streaming.StreamingEtl.run(spark,
+      spark.readStream.schema(rawSchema).json(rawDir)
+        .withColumn("ts", to_timestamp(col("ts"), "yyyy-MM-dd HH:mm:ss")),
+      s"$root/sa", s"$root/slog", s"$root/sckpt")
+    setl2.awaitTermination(120000)
+    println(s"[demo] streaming-etl rows after re-drain: " +
+      Zones.readAnalytical(spark, s"$root/sa").count())
+
+    // --- 2c. landing compaction: many small files -> few
+    val beforeFiles = new java.io.File(s"$root/landing/2024/03/05")
+      .listFiles().count(_.getName.endsWith(".csv"))
+    Zones.compactLandingDay(spark, s"$root/landing", 2024, 3, 5)
+    val afterFiles = new java.io.File(s"$root/landing/2024/03/05")
+      .listFiles().count(_.getName.endsWith(".csv"))
+    println(s"[demo] compaction: $beforeFiles csv files -> $afterFiles; " +
+      s"rows=${Zones.readLandingDay(spark, s"$root/landing", 2024, 3, 5).count()}")
+
     // --- 3. probe: empty day gates off the analytical load
     val res3 = EtlJob.run(spark, s"$root/landing", s"$root/staging2",
       s"$root/analytical2", s"$root/log", 2024, 3, 9, "2024-03-09 11:00:00")

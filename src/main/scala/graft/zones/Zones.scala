@@ -47,6 +47,30 @@ object Zones {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Compact a landing day's files to ~`targetFileBytes` outputs.
+    * Streaming ingest produces one small file per micro-batch per
+    * partition; at 100 TB that turns every downstream scan into a
+    * file-listing storm. Compaction rewrites the prefix with
+    * ceil(bytes/target) files via an atomic-ish tmp-write + swap.
+    * Run it out-of-band (the reference's DeleteStagingOld slot). */
+  def compactLandingDay(spark: SparkSession, root: String,
+                        year: Int, month: Int, day: Int,
+                        targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val path = f"$root/$year%04d/$month%02d/$day%02d"
+    if (!pathExists(spark, path)) return
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    readLanding(spark, path)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).option("header", "false")
+      .csv(tmp.toString)
+    fs.delete(hPath, true)
+    fs.rename(tmp, hPath)
+  }
+
   /** S7: landing sink — header-less CSV under the date prefix. */
   def writeLandingDay(df: DataFrame, root: String,
                       year: Int, month: Int, day: Int): Unit =
