@@ -21,11 +21,18 @@ object TextAnalysis {
     "it" -> Seq("il", "di", "che", "la", "per", "un", "con", "del", "non", "una"),
   )
 
-  /** Heuristic language ID over a token array: the language whose
-    * stopword profile overlaps the document's tokens most wins;
-    * "und" (undetermined) when nothing overlaps. Deterministic tie-break
-    * by language code. */
-  def languageId(text: Column): Column = {
+  /** One-pass native stats struct<lang_pred, quality, n_bpe> — the fast
+    * path behind [[languageId]]/[[qualityScore]]/[[bpeTokenCount]]. */
+  def textStats(text: Column): Column = graft.expressions.TextStats(text)
+
+  /** Heuristic language ID: the language whose stopword profile has the
+    * most distinct hits in the document wins; "und" when nothing hits;
+    * ascending language code breaks ties. Native single-pass; the
+    * declarative reference below is equivalence-tested against it. */
+  def languageId(text: Column): Column = textStats(text).getField("lang_pred")
+
+  /** Declarative reference implementation of [[languageId]]. */
+  def languageIdDeclarative(text: Column): Column = {
     val toks = TextFunctions.tokens(TextFunctions.normalizeWs(text))
     val scores: Seq[(String, Column)] = stopwordProfiles.toSeq.sortBy(_._1).map {
       case (lang, words) =>
@@ -40,8 +47,12 @@ object TextAnalysis {
   /** Heuristic quality score in [0,1] from cheap surface statistics:
     * length band, punctuation density, stopword ratio, mean word length.
     * The weights mirror published web-corpus filters (C4/Gopher rules —
-    * public heuristics), tuned for determinism not fidelity. */
-  def qualityScore(text: Column): Column = {
+    * public heuristics), tuned for determinism not fidelity. Native
+    * single-pass; declarative reference below. */
+  def qualityScore(text: Column): Column = textStats(text).getField("quality")
+
+  /** Declarative reference implementation of [[qualityScore]]. */
+  def qualityScoreDeclarative(text: Column): Column = {
     val t = TextFunctions.normalizeWs(text)
     val nChars = length(t).cast("double")
     val toks = TextFunctions.tokens(t)
@@ -63,8 +74,9 @@ object TextAnalysis {
   /** Whitespace token count (codegen'd). */
   def tokenCount(text: Column): Column = TextFunctions.tokenCount(text)
 
-  /** BPE-ish subword token count. */
-  def bpeTokenCount(text: Column): Column = TextFunctions.bpeTokenCount(text)
+  /** BPE-ish subword token count (native; declarative reference is
+    * TextFunctions.bpeTokenCount). */
+  def bpeTokenCount(text: Column): Column = textStats(text).getField("n_bpe")
 
   /** 64-bit content fingerprint over normalized text. */
   def fingerprint(text: Column): Column = TextFunctions.fingerprint(text)

@@ -41,6 +41,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row.getInt(2) < row.getInt(3))
   }
 
+  test("native TextStats matches the declarative references on real data") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"text")
+      .unionByName(Seq("", "   ", "el la de !!", "x").toDF("text"))
+    val bad = docs.select(
+        TextAnalysis.languageId($"text").as("n_lang"),
+        TextAnalysis.languageIdDeclarative($"text").as("d_lang"),
+        TextAnalysis.qualityScore($"text").as("n_q"),
+        TextAnalysis.qualityScoreDeclarative($"text").as("d_q"),
+        TextAnalysis.bpeTokenCount($"text").as("n_bpe"),
+        graft.functions.TextFunctions.bpeTokenCount($"text").as("d_bpe"))
+      .filter($"n_lang" =!= $"d_lang" || $"n_q" =!= $"d_q" || $"n_bpe" =!= $"d_bpe")
+    assert(bad.count() == 0, bad.collect().take(3).mkString("\n"))
+  }
+
   test("annotate adds the full analysis column set") {
     val df = TextAnalysis.annotate(Seq((1L, "the cat is happy")).toDF("id", "text"), "text")
     val cols = df.columns.toSet
