@@ -425,10 +425,16 @@ object SparkEntry {
     }),
 
     // Multimodal: synthesize media -> per-partition feature extraction,
-    // meta-only pruning (rows-only: binary pipeline, no SQL equivalent)
+    // meta-only pruning (rows-only: binary pipeline, no SQL equivalent).
+    // Features are projected to scalar f0..f7 columns — the harness
+    // compare sorts rows by every column and cannot sort an array column;
+    // the array-shaped variant stays covered by MultimodalSpec.
     "q37_media_features" -> ((s, d) => {
       val media = operators.Multimodal.synthesizeMedia(s, 200)
-      operators.Multimodal.extractFeatures(media).toDF()
+      val feats = operators.Multimodal.extractFeatures(media).toDF()
+      val fcols = (0 until 8).map(i =>
+        r6(element_at(col("features"), i + 1).cast("double")).as(s"f$i"))
+      feats.select(col("media_id") +: col("kind") +: fcols: _*)
         .orderBy(col("media_id"))
     }),
 
@@ -550,7 +556,7 @@ object SparkEntry {
     }),
 
     // J2 gap exemplar: bounded time-range join via bucketing (errors
-    // within 120s of a purchase by the same user)
+    // within one hour of a purchase by the same user)
     "q47_range_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val errors = ev.filter(col("event_type") === "error")
@@ -594,12 +600,89 @@ object SparkEntry {
           quarter(col("o_orderdate")).cast("long").as("qtr"))
         .orderBy(col("o_orderkey"))
     }),
+
+    // A1 + true HAVING: post-aggregation filter on an aggregate value
+    // (TPC-H Q11 shape). The filter references the rounded alias so both
+    // engines cut on bit-identical values.
+    "q54_having" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(r2(sum(col("o_totalprice"))).as("total_spent"),
+          count(lit(1)).as("n_orders"))
+        .filter(col("total_spent") > 3000000.0)
+        .orderBy(col("o_custkey"))
+    }),
+
+    // A5: approx percentile — the 100-TB default (mergeable sketch, no
+    // per-group sort). Sketch outputs are engine-specific, so the hard
+    // gate compares against Spark's own EXACT percentile: with accuracy
+    // 1e6 on sf-scale groups the approx answer is exact, so the oracle is
+    // DuckDB quantile_cont — same contract as q49 but through the sketch
+    // path. PercentileSpec asserts the error bound at lower accuracy.
+    "q55_approx_percentiles" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          r4(expr("approx_percentile(l_quantity, 0.5, 1000000)")
+            .cast("double")).as("median_qty_approx"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     rawOracleSql.map { case (k, v) => k -> expandRounding(v) }
+
+  /** The sentiment lexicon (graft.functions.Sentiment.lexicon) as a DuckDB
+    * VALUES literal — identical double literals parse to identical IEEE
+    * values in both engines, so per-token scores match bit-for-bit. */
+  private lazy val lexiconValues: String =
+    graft.functions.Sentiment.lexicon.toSeq.sortBy(_._1)
+      .map { case (w, (p, sj)) => s"('$w', $p, $sj)" }
+      .mkString(", ")
+
+  /** Shared oracle CTEs for the sentiment family: tokenize lowered text,
+    * join the lexicon, mean-score per doc with the 0.0 neutral default —
+    * mirrors Sentiment.sentimentDeclarative (which the native
+    * SentimentScore expression is equivalence-tested against). `src` must
+    * expose (doc_id, <textExpr> AS body, ...). */
+  private def sentimentCtes(src: String): String =
+    s"""WITH lex(word, pol, subj) AS (VALUES $lexiconValues),
+       |src AS ($src),
+       |toks AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(trim(lower(body)), '\\s+'), x -> x <> '')) AS tok
+       |  FROM src),
+       |matched AS (
+       |  SELECT doc_id, sum(l.pol) AS sp, sum(l.subj) AS ss, count(*) AS n
+       |  FROM toks t JOIN lex l ON t.tok = l.word GROUP BY doc_id),
+       |sent AS (
+       |  SELECT s.doc_id,
+       |    coalesce(m.sp / m.n, 0.0) AS pol,
+       |    coalesce(m.ss / m.n, 0.0) AS subj
+       |  FROM src s LEFT JOIN matched m ON s.doc_id = m.doc_id)""".stripMargin
+
+  /** TextFunctions.cleanTweet as DuckDB SQL (RE2 and Java regex agree on
+    * \\w, \\s and \\b over this corpus): URLs → quotes → RT/amp markers →
+    * non-word chars → whitespace collapse. */
+  private val cleanTweetSql: String =
+    """trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |  regexp_replace(text, 'https?://\S+|www\.\S+', ' ', 'g'),
+      |  '"', '', 'g'),
+      |  '\b(RT|amp)\b', ' ', 'g'),
+      |  '[^\w\s]+', ' ', 'g'),
+      |  '\s+', ' ', 'g'))""".stripMargin
+
+  /** Stopword profiles (graft.operators.TextAnalysis.stopwordProfiles) as
+    * DuckDB list literals, for the q29 language-ID / quality oracle. */
+  private lazy val profileLists: Map[String, String] =
+    graft.operators.TextAnalysis.stopwordProfiles.map { case (l, ws) =>
+      l -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    }
+  private lazy val allStopsList: String =
+    graft.operators.TextAnalysis.stopwordProfiles.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString("[", ", ", "]")
 
   private def rawOracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
@@ -907,6 +990,82 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // Mirrors TextStatsEval exactly: language = most DISTINCT stopword
+    // hits (ascending code on ties, 'und' on none); quality = weighted
+    // surface stats rounded to 4 decimals; n_bpe over the RAW text.
+    "q29_text_quality" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, text,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt,
+         |    list_filter(string_split_regex(
+         |      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+         |      x -> x <> '') AS tk
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, text,
+         |    len(list_filter(${profileLists("de")}, w -> list_contains(tk, w))) AS s_de,
+         |    len(list_filter(${profileLists("en")}, w -> list_contains(tk, w))) AS s_en,
+         |    len(list_filter(${profileLists("es")}, w -> list_contains(tk, w))) AS s_es,
+         |    len(list_filter(${profileLists("fr")}, w -> list_contains(tk, w))) AS s_fr,
+         |    len(list_filter(${profileLists("it")}, w -> list_contains(tk, w))) AS s_it,
+         |    CAST(len(nt) AS DOUBLE) AS nchars,
+         |    CAST(len(tk) AS DOUBLE) AS ntoks,
+         |    CAST(len(regexp_extract_all(nt, '[[:punct:]]')) AS DOUBLE) AS punct,
+         |    CAST(len(list_filter(tk, t -> list_contains($allStopsList, t))) AS DOUBLE) AS stophits
+         |  FROM toks),
+         |feat AS (
+         |  SELECT doc_id, text, s_de, s_en, s_es, s_fr, s_it,
+         |    greatest(s_de, s_en, s_es, s_fr, s_it) AS best,
+         |    CASE WHEN nchars >= 50 AND nchars <= 20000 THEN 1.0 ELSE 0.3 END AS length_ok,
+         |    CASE WHEN nchars = 0 THEN 0.0
+         |         WHEN punct / nchars < 0.2 THEN 1.0 ELSE 0.4 END AS punct_ok,
+         |    CASE WHEN ntoks = 0 THEN 0.0
+         |         ELSE (nchars - (ntoks - 1)) / ntoks END AS mwl,
+         |    CASE WHEN ntoks = 0 THEN 0.0 ELSE stophits / ntoks END AS stop_ratio
+         |  FROM scored)
+         |SELECT doc_id,
+         |  CASE WHEN best = 0 THEN 'und'
+         |       WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+         |       WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+         |       ELSE 'it' END AS lang_pred,
+         |  round(length_ok * 0.3 + punct_ok * 0.25 +
+         |    (CASE WHEN mwl >= 2.5 AND mwl <= 12.0 THEN 1.0 ELSE 0.4 END) * 0.25 +
+         |    (CASE WHEN stop_ratio > 0.05 THEN 1.0 ELSE 0.6 END) * 0.2, 4) AS quality,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe
+         |FROM feat ORDER BY doc_id""".stripMargin,
+
+    "q30_sentiment" ->
+      (sentimentCtes("SELECT doc_id, lang, text AS body FROM documents") +
+       """
+         |SELECT lang, r4(avg(pol)) AS avg_polarity,
+         | r4(avg(subj)) AS avg_subjectivity, count(*) AS n_docs
+         |FROM sent JOIN src USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin),
+
+    "q31_flagship_pipeline" ->
+      (sentimentCtes(
+         s"SELECT doc_id, $cleanTweetSql AS body FROM documents") +
+       """,
+         |tags AS (SELECT DISTINCT doc_id, tok AS tag FROM toks)
+         |SELECT tag, count(*) AS n_mentions,
+         | r4(avg(pol)) AS avg_polarity, r4(avg(subj)) AS avg_subjectivity
+         |FROM tags JOIN sent USING (doc_id)
+         |GROUP BY tag ORDER BY n_mentions DESC, tag LIMIT 50""".stripMargin),
+
+    "q54_having" ->
+      """SELECT o_custkey, r2(sum(o_totalprice)) AS total_spent,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |HAVING r2(sum(o_totalprice)) > 3000000.0
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q55_approx_percentiles" ->
+      """SELECT l_returnflag,
+        | r4(CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE)) AS median_qty_approx,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q44_having_dates" ->
       """SELECT o_orderkey, o_custkey,

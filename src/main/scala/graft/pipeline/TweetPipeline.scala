@@ -42,15 +42,20 @@ object TweetPipeline {
   def dedup(df: DataFrame): DataFrame = df.dropDuplicates("hash_id")
 
   /** A4: flagship top-K tag popularity + sentiment aggregate — the query
-    * the reference's dashboard computes downstream (README.md:51-53). */
-  def topTags(df: DataFrame, k: Int): DataFrame =
+    * the reference's dashboard computes downstream (README.md:51-53).
+    * Rounding uses floor(x*f+0.5)/f, not `round()`: the pure-IEEE formula
+    * evaluates bit-identically in Spark and the DuckDB oracle (engine
+    * `round` semantics differ on doubles — see SparkEntry.rn). */
+  def topTags(df: DataFrame, k: Int): DataFrame = {
+    def r4(c: org.apache.spark.sql.Column) = floor(c * 10000.0 + 0.5) / 10000.0
     df.groupBy(col("tag"))
       .agg(
         count(lit(1)).as("n_mentions"),
-        round(avg(col("polarity")), 4).as("avg_polarity"),
-        round(avg(col("subjectivity")), 4).as("avg_subjectivity"))
+        r4(avg(col("polarity"))).as("avg_polarity"),
+        r4(avg(col("subjectivity"))).as("avg_subjectivity"))
       .orderBy(col("n_mentions").desc, col("tag"))
       .limit(k)
+  }
 
   /** End-to-end flagship on the `documents` table (tweet stand-in,
     * FIXTURES.md): clean → sentiment → explode → key → dedup → top-K. */
