@@ -347,7 +347,9 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // Text analysis: language ID + quality scoring (rows-only check)
+    // Text analysis: language ID + quality scoring. Hash-gated: the
+    // DuckDB oracle mirrors TextStatsEval term-for-term (stopword
+    // profiles as list literals, IEEE-identical rounding).
     "q29_text_quality" -> ((s, d) => {
       t(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"),
@@ -356,7 +358,8 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // C3: sentiment aggregate per language (rows-only check)
+    // C3: sentiment aggregate per language. Hash-gated: the oracle ports
+    // the lexicon as a VALUES literal (see sentimentOracleCtes).
     "q30_sentiment" -> ((s, d) => {
       t(s, d, "documents")
         .select(col("lang"), Sentiment.sentiment(col("text")).as("sent"))
@@ -367,7 +370,8 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
-    // Flagship end-to-end pipeline (rows-only check)
+    // Flagship end-to-end pipeline. Hash-gated: the oracle ports the full
+    // clean→sentiment→explode→dedup→top-k chain to DuckDB SQL.
     "q31_flagship_pipeline" -> ((s, d) => TweetPipeline.flagship(s, d, 50)),
 
     // J2 gap exemplar: backward as-of join (error -> latest prior purchase
@@ -615,10 +619,13 @@ object SparkEntry {
 
     // A5: approx percentile — the 100-TB default (mergeable sketch, no
     // per-group sort). Sketch outputs are engine-specific, so the hard
-    // gate compares against Spark's own EXACT percentile: with accuracy
-    // 1e6 on sf-scale groups the approx answer is exact, so the oracle is
-    // DuckDB quantile_cont — same contract as q49 but through the sketch
-    // path. PercentileSpec asserts the error bound at lower accuracy.
+    // gate leans on accuracy 1e6 making the approx answer exact at sf
+    // scale; the oracle is DuckDB quantile_disc. The oracle equivalence
+    // additionally assumes tie-heavy data (l_quantity is 1..50 integers,
+    // so both engines' discrete-quantile picks land on the same value);
+    // PercentileSpec pins approx_percentile(1e6) == Spark's exact
+    // percentile_approx-free median on this data, and asserts the
+    // rank-error bound at low accuracy.
     "q55_approx_percentiles" -> ((s, d) => {
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
         .agg(

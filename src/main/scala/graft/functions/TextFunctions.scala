@@ -50,6 +50,16 @@ object TextFunctions {
   def surrogateKey256(cols: Column*): Column =
     base64(unhex(sha2(concat(cols: _*), 256)))
 
+  /** Delimited surrogate key: same base64-of-raw-sha1 shape, but fields
+    * are joined on U+0001 so boundary-ambiguous tuples — ("12", "3x") vs
+    * ("1", "23x") — cannot hash identically. [[surrogateKey]] keeps the
+    * reference's undelimited concat for C8 parity (the known-answer
+    * vector above depends on it); new pipelines should prefer this one.
+    * Note `concat_ws` skips nulls where `concat` nulls the whole key —
+    * callers keying on nullable columns must pre-coalesce. */
+  def surrogateKeyDelimited(cols: Column*): Column =
+    base64(unhex(sha1(concat_ws("\u0001", cols: _*))))
+
   /** C5: whitespace tokenization → array<string>; empty input → empty
     * array (split of "" yields [""], which we filter).
     */

@@ -209,33 +209,62 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Iterative connected components over dup pairs (small-star style label
-    * propagation): assigns each id the minimum id reachable through the
-    * duplicate graph. Converges in O(log d) rounds for diameter d; each
-    * round is one shuffle. Use when exact clusters matter (vs the one-hop
-    * approximation in [[minhashDedup]]). */
+  /** Iterative connected components over dup pairs (label propagation):
+    * assigns each id the minimum id reachable through the duplicate graph.
+    * Each round is one join + one aggregation shuffle. Use when exact
+    * clusters matter (vs the one-hop approximation in [[minhashDedup]]).
+    *
+    * Iteration hygiene for real dup graphs (the naive loop is quadratic):
+    *  - every round's labels are `localCheckpoint`ed (eager), which BOTH
+    *    materializes the round and truncates the logical plan — round
+    *    N+1's plan is one join deep, not N joins deep, so ten iterations
+    *    can't stack into a driver StackOverflow or re-execute round 1
+    *    ten times;
+    *  - the convergence probe carries the previous label alongside the
+    *    new one, so `changed` is a scan of the just-materialized round —
+    *    it never re-runs the propagate join;
+    *  - the prior round's checkpoint blocks are freed explicitly once the
+    *    next round is materialized.
+    */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // edges both directions
+    // edges both directions, reused by every round
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"))
       .union(pairs.select(col("id_b").as("id"), col("id_a").as("nbr")))
       .groupBy("id").agg(min(least(col("nbr"), col("id"))).as("label"))
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .cache()
+      .localCheckpoint()
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
       val propagated = edges.join(labels.withColumnRenamed("id", "id_b")
           .withColumnRenamed("label", "nbr_label"), Seq("id_b"))
         .groupBy(col("id_a").as("id")).agg(min(col("nbr_label")).as("prop_label"))
+      // eager localCheckpoint: materializes this round and cuts lineage
       val next = labels.join(propagated, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("prop_label"), col("label"))).as("label"))
-      val changed = next.as("n").join(labels.as("o"), Seq("id"))
-        .filter(col("n.label") =!= col("o.label")).limit(1).count()
-      labels = next
+        .select(col("id"), col("label").as("prev_label"),
+          least(col("label"), coalesce(col("prop_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      // convergence check scans the materialized round, no recompute
+      val changed = next.filter(col("label") =!= col("prev_label")).limit(1).count()
+      freeCheckpoint(labels)
+      labels = next.select("id", "label")
       converged = changed == 0
       i += 1
     }
+    edges.unpersist()
     labels
   }
+
+  /** Frees the storage blocks behind a `localCheckpoint`ed frame (plain
+    * `Dataset.unpersist` only talks to the cache manager, not to the
+    * checkpointed RDD). Safe to call once the successor round is
+    * materialized. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

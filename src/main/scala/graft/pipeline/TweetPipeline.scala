@@ -31,10 +31,15 @@ object TweetPipeline {
         explode(TextFunctions.tokens(lower(col("text_clean")))))
       .filter(col("tag") =!= "")
 
-  /** C7/C8: surrogate primary key over the identifying columns. */
+  /** C7/C8: surrogate primary key over the identifying columns. Uses the
+    * U+0001-delimited key so boundary-ambiguous id/tag pairs (doc_id 12 +
+    * tag "3x" vs doc_id 1 + tag "23x") can't collapse into one hash —
+    * dedup here must be exactly DISTINCT (doc_id, tag), which is what the
+    * q31 oracle asserts. (EtlJob keeps the reference's undelimited C8
+    * key for parity.) */
   def surrogate(idCols: Seq[String])(df: DataFrame): DataFrame =
     df.withColumn("hash_id",
-      TextFunctions.surrogateKey(idCols.map(c => col(c).cast("string")): _*))
+      TextFunctions.surrogateKeyDelimited(idCols.map(c => col(c).cast("string")): _*))
 
   /** A3: idempotent dedup on the surrogate key (re-runs of the lookback
     * window insert no duplicates — the reference's late-data strategy,

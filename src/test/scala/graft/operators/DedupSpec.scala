@@ -89,6 +89,26 @@ class DedupSpec extends SparkSpec {
     assert(labels(10L) == 10L && labels(11L) == 10L)
   }
 
+  test("connectedComponents survives deep iteration: 14-node chain, bounded plan depth") {
+    // A chain propagates the min label one hop per round, so 13 edges
+    // force >= 8 full iterations — the naive loop would stack 13 joins of
+    // lineage and re-execute round 1 thirteen times; the checkpointed
+    // loop's final plan stays one round deep.
+    val chain = (0L until 13L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(chain, maxIter = 20)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.size == 14)
+    assert(got.values.forall(_ == 0L), s"chain not fully merged: $got")
+    // lineage is truncated: the returned plan reads a materialized round,
+    // not a 13-round join tower
+    val planDepth = {
+      def depth(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+        if (p.children.isEmpty) 1 else 1 + p.children.map(depth).max
+      depth(labels.queryExecution.optimizedPlan)
+    }
+    assert(planDepth <= 5, s"plan depth $planDepth — lineage not truncated")
+  }
+
   test("dedup is idempotent: f(f(x)) == f(x)") {
     val once = Dedup.minhashDedup(corpus, "doc_id", "text", threshold = 0.6)
     val twice = Dedup.minhashDedup(once, "doc_id", "text", threshold = 0.6)

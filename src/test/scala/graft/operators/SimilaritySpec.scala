@@ -1,10 +1,59 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
 
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
+
+  /** All shuffle exchanges in the final (post-AQE) executed plan. */
+  private def collectShuffles(plan: SparkPlan): Seq[ShuffleExchangeExec] = {
+    val here = plan match {
+      case e: ShuffleExchangeExec => Seq(e)
+      case _ => Seq.empty
+    }
+    val kids = plan match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case p => p.children
+    }
+    here ++ kids.flatMap(collectShuffles)
+  }
+
+  /** Exchanges hash-partitioned on an LSH band column — the candidate-
+    * generation shuffle. The 100 TB contract: these must carry ids only,
+    * never the vectors (an array column here multiplies shuffle volume by
+    * the band count on both sides of the self-join). */
+  private def assertBandExchangesCarryNoArrays(df: DataFrame): Unit = {
+    df.collect()
+    val shuffles = collectShuffles(df.queryExecution.executedPlan)
+    val bandShuffles = shuffles.filter(_.outputPartitioning match {
+      case h: HashPartitioning =>
+        h.expressions.exists(_.references.exists(_.name == "band"))
+      case _ => false
+    })
+    assert(bandShuffles.nonEmpty, "expected a shuffle on the band key; " +
+      s"got partitionings ${shuffles.map(_.outputPartitioning)}")
+    for (e <- bandShuffles)
+      assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"band exchange ships an array column: ${e.output}")
+  }
+
+  /** Runs `body` with broadcast joins disabled so band joins must plan a
+    * real shuffle exchange (at test row counts everything broadcasts). */
+  private def withoutBroadcast[T](body: => T): T = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, prev)
+  }
 
   private def vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
@@ -72,6 +121,49 @@ class SimilaritySpec extends SparkSpec {
     // every vector's nearest neighbor must be from its own tight cluster
     for ((q, n) <- nn) assert(q / 10 == n / 10, s"$q -> $n crossed clusters")
     assert(nn.size == 32)
+  }
+
+  test("lshTopK band-join shuffles carry ids only, never vectors") {
+    def e(i: Int): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(i) = 1.0f; a
+    }
+    val df = (0 until 12).map(i => (i.toLong, e(i % 4))).toDF("vec_id", "embedding")
+    withoutBroadcast {
+      assertBandExchangesCarryNoArrays(
+        Similarity.lshTopK(df, "vec_id", "embedding", k = 2,
+          bands = 4, bitsPerBand = 4, dim = 64))
+    }
+  }
+
+  test("embeddingNearDupPairs band-join shuffles carry ids only, never vectors") {
+    val df = Seq(
+      (0L, Array.fill(64)(0.5f)),
+      (1L, Array.fill(64)(0.5001f)),
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)),
+    ).toDF("vec_id", "embedding")
+    withoutBroadcast {
+      assertBandExchangesCarryNoArrays(
+        Similarity.embeddingNearDupPairs(df, "vec_id", "embedding",
+          threshold = 0.999))
+    }
+  }
+
+  test("ivfTopK with explicit cells launches no Spark job at plan-construction time") {
+    val sc = spark.sparkContext
+    def jobs(): Int = sc.statusTracker.getJobIdsForGroup(null).length
+    val before = jobs()
+    val df = Similarity.ivfTopK(vecs, "vec_id", "embedding", k = 1,
+      cells = 2, nprobe = 1)
+    // Flush the async status listener with one sentinel job: the listener
+    // bus is FIFO, so any job started during plan construction above must
+    // be visible by the time the sentinel is.
+    sc.parallelize(1 to 2, 1).count()
+    val deadline = System.currentTimeMillis + 30000
+    while (jobs() < before + 1 && System.currentTimeMillis < deadline)
+      Thread.sleep(50)
+    assert(jobs() == before + 1,
+      s"expected only the sentinel job, got ${jobs() - before}")
+    assert(df.count() > 0)  // the frame still computes when acted on
   }
 
   test("embeddingNearDupPairs finds only the near-identical pair") {

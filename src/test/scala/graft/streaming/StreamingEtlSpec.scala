@@ -54,6 +54,32 @@ class StreamingEtlSpec extends SparkSpec {
     assert(log.toSeq == Seq(1, 2))
   }
 
+  test("micro-batch transform evaluates exactly once per drain (cached inside foreachBatch)") {
+    val root = Files.createTempDirectory("graft-setl-once").toString
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, udf}
+    // Each input row pays the accumulator exactly once IF the micro-batch
+    // is cached: count / analytical write / max-ts audit are three actions
+    // over the same transform, and an uncached batch would re-run the
+    // whole lineage (this UDF included) once per action.
+    val acc = spark.sparkContext.longAccumulator("payload-evals")
+    val countEvals = udf { s: String => acc.add(1); s }.asNondeterministic()
+    val mem = MemoryStream[(String, Timestamp, String)]
+    mem.addData(
+      ("r1", Timestamp.valueOf("2024-03-05 10:00:00"),
+        payload("t1", 150, "Spark BigData", "great stuff")),
+      ("r2", Timestamp.valueOf("2024-03-05 10:01:00"),
+        payload("t2", 120, "Flink", "also good")),
+    )
+    val raw = mem.toDF().toDF("record_id", "ts", "payload")
+      .withColumn("payload", countEvals(col("payload")))
+    val q = StreamingEtl.run(spark, raw, s"$root/analytical", s"$root/log",
+      s"$root/ckpt")
+    q.awaitTermination(120000)
+    assert(acc.value == 2,
+      s"payload evaluated ${acc.value} times for 2 rows — micro-batch recomputed")
+  }
+
   test("landing compaction merges small files and preserves rows") {
     val root = Files.createTempDirectory("graft-compact").toString
     import org.apache.spark.sql.functions._
