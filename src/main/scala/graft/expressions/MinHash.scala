@@ -64,10 +64,20 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
 
 /** Static eval targets (top-level object → static forwarders for Janino). */
 object MinHashEval {
-  val MersennePrime: Long = (1L << 61) - 1
+  /** 2^31-1, NOT 2^61-1: with coefficients a,b < 2^31 and x < 2^31 the
+    * product a*x+b < 2^62 wraps a 61-bit modulus at most once, leaving
+    * (a*x+b) mod p monotone in x for most a — every hash function then
+    * elects the globally-smallest shingle and the signature stops being
+    * min-wise (a near-dup pair whose one unshared shingle holds that
+    * minimum disagrees on almost every slot, at any band geometry). With
+    * the 31-bit Mersenne prime the same product wraps ~2^31 times —
+    * proper universal hashing — and every intermediate still fits ANSI
+    * long arithmetic in the declarative twin (Dedup.minhashSignature). */
+  val MersennePrime: Long = (1L << 31) - 1
 
   /** Deterministic per-(k,seed) coefficient pairs, cached. Matches
-    * graft.operators.Dedup.coeffs: a in [1, 2^31), b in [0, 2^31). */
+    * graft.operators.Dedup.coeffs: a in [1, 2^31-1), b in [0, 2^31-1) —
+    * nextInt's bounds keep a strictly inside (0, p) so a mod p != 0. */
   private val coeffCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
 

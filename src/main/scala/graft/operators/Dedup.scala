@@ -41,7 +41,10 @@ object Dedup {
 
   // ---------------------------------------------------------------- MinHash
 
-  private val MersennePrime = (1L << 61) - 1
+  /** 2^31-1 — see MinHashEval.MersennePrime for why the 61-bit prime is
+    * wrong here (a*x+b would wrap it at most once, making the hash
+    * monotone in x and the signature non-min-wise). */
+  private val MersennePrime = (1L << 31) - 1
 
   /** Deterministic (a, b) coefficient pairs for the k MinHash functions.
     * Kept below 2^31 so a*x + b stays well inside a long under ANSI mode
@@ -54,9 +57,11 @@ object Dedup {
 
   /** MinHash signature (array<bigint> of length k) over a shingle array.
     * h_i(S) = min over shingles s of ((a_i * x(s) + b_i) mod p), with
-    * x(s) = xxhash64(s) folded into [0, 2^31). a, b < 2^31 keeps every
-    * intermediate < 2^62 (ANSI-safe). Pure built-in higher-order
-    * functions: evaluated per row on executors, no UDF serialization.
+    * x(s) = xxhash64(s) folded into [0, 2^31) and p = 2^31-1 (the product
+    * must wrap p many times for min-wise behavior — see MersennePrime).
+    * a, b < 2^31 keeps every intermediate < 2^62 (ANSI-safe). Pure
+    * built-in higher-order functions: evaluated per row on executors, no
+    * UDF serialization.
     */
   def minhashSignature(shingles: Column, k: Int = 64, seed: Long = 42L): Column =
     minhashSignatureFromHashes(transform(shingles, s => xxhash64(s)), k, seed)
@@ -79,7 +84,7 @@ object Dedup {
   def bandKeys(sig: Column, k: Int, bands: Int): Column = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
-    // acc stays < 2^31; acc*1000003 + v < 2^51 + 2^61 — ANSI-safe. Band
+    // acc stays < 2^31; acc*1000003 + v < 2^51 + 2^31 — ANSI-safe. Band
     // collisions only add candidate pairs, which exact verification prunes.
     transform(sequence(lit(0), lit(bands - 1)), b =>
       aggregate(slice(sig, b * lit(r) + 1, lit(r)), lit(17L),
