@@ -92,6 +92,9 @@ object EtlJob {
         } else stagedBack
       val n = toLoad.count()
       Zones.appendAnalytical(toLoad, analyticalPath)
+      // S12: invalidate cached plans/listings over the table we just
+      // appended to (the reference's UpdateQuicksight BI-refresh slot)
+      Zones.refreshAnalytical(spark, analyticalPath)
       Zones.appendLog(spark, logPath, runTime, "analytical.hashtag_data",
         n.toInt, year, month, day)
       Some(LogRecord(runTime, "analytical.hashtag_data", n, year, month, day))

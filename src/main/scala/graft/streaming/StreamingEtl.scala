@@ -49,7 +49,11 @@ object StreamingEtl {
           } else staged
         try {
           val n = toLoad.count()
-          if (n > 0) Zones.appendAnalytical(toLoad, analyticalPath)
+          if (n > 0) {
+            Zones.appendAnalytical(toLoad, analyticalPath)
+            // S12 refresh hook: downstream cached readers see this batch
+            Zones.refreshAnalytical(spark, analyticalPath)
+          }
           // audit partition from the batch's own arrival dates (epoch day
           // for an empty batch), mirroring the reference's run-date stamp
           val maxTs = staged.agg(max(col("time_stamp"))).head()

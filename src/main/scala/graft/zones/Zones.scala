@@ -104,6 +104,16 @@ object Zones {
   def readAnalytical(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(Schemas.analytical).orc(path)
 
+  /** S12: post-load refresh hook — the engine-side analogue of the
+    * reference's BI dataset refresh (UpdateQuicksight state,
+    * update-quicksight-dataset.py:21-56). In Spark the consumers that can
+    * go stale after an append are cached plans and cached file listings
+    * over the table path; `refreshByPath` invalidates both, so every
+    * downstream reader re-lists and sees the new files. Synchronous, so
+    * the reference's ingestion-status polling loop has no equivalent. */
+  def refreshAnalytical(spark: SparkSession, path: String): Unit =
+    spark.catalog.refreshByPath(path)
+
   /** S9: single-row audit append — a typed 1-row DataFrame, not
     * string-interpolated SQL (the reference's f-string INSERT at
     * update-data-log.py:19 is injection-prone; SURVEY.md §7.4). */

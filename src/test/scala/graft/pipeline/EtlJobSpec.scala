@@ -82,6 +82,25 @@ class EtlJobSpec extends SparkSpec {
     assert(Zones.readAnalytical(spark, s"$root/analytical").count() == 6)
   }
 
+  test("S12 refresh hook: cached analytical plans see post-append rows") {
+    val root = tmp()
+    Zones.writeLandingDay(fixtureLanding, s"$root/landing", 2024, 3, 5)
+    EtlJob.run(spark, s"$root/landing", s"$root/staging",
+      s"$root/analytical", s"$root/log", 2024, 3, 5, "2024-03-05 11:00:00")
+
+    // a downstream consumer caches the analytical table (BI-style)
+    val consumer = Zones.readAnalytical(spark, s"$root/analytical").cache()
+    assert(consumer.count() == 3)
+    try {
+      // a second load appends 3 more rows; run() fires the refresh hook,
+      // so a re-read through the SAME cached plan must see 6, not the
+      // stale cache entry
+      EtlJob.run(spark, s"$root/landing", s"$root/staging",
+        s"$root/analytical", s"$root/log", 2024, 3, 5, "2024-03-05 12:00:00")
+      assert(Zones.readAnalytical(spark, s"$root/analytical").count() == 6)
+    } finally consumer.unpersist()
+  }
+
   test("empty landing day: staging log records 0, analytical load is gated off") {
     val root = tmp()
     Zones.writeLandingDay(fixtureLanding.limit(0), s"$root/landing", 2024, 3, 6)
