@@ -650,6 +650,41 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
     }),
+
+    // Curation: deterministic train/val/test split + seeded corpus
+    // shuffle — both content-hash-based (sha256), so membership and
+    // order are reproducible across engines, retries, and repartitions
+    // (unlike rand(seed)). Scale shape: pure projection; the final
+    // ORDER BY is a range-partitioned sort, no global row numbering.
+    "q57_hash_split" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+          operators.Curation.hashSplit(col("doc_id"), "split:42").as("split"),
+          operators.Curation.shuffleKey(col("doc_id"), "shuffle:42")
+            .as("shuffle_key"))
+        .orderBy(col("shuffle_key"))
+    }),
+
+    // Curation: context-window chunking — one row per 64-token window
+    // with half-open offsets. Narrow explode inside codegen; no shuffle.
+    "q58_token_chunks" -> ((s, d) => {
+      operators.Curation.tokenChunks(t(s, d, "documents"),
+          "doc_id", "text", windowTokens = 64)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Curation: weighted source mixture — keep 100% of boosted sources,
+    // 75% of other English, 25% of the rest, via a per-row hash cut.
+    // Pure filter: no per-source counts, no shuffle, uniform-in-source.
+    "q59_source_mixture" -> ((s, d) => {
+      val weight = when(col("source").isin("src0", "src1", "src2"),
+          lit(operators.Curation.KeepAll))
+        .when(col("lang") === "en", lit("c0"))
+        .otherwise(lit("40"))
+      operators.Curation.weightedMixture(t(s, d, "documents"),
+          col("doc_id"), weight, "mix:42")
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1120,5 +1155,32 @@ object SparkEntry {
         | CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
         | CAST(quarter(o_orderdate) AS BIGINT) AS qtr
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q57_hash_split" ->
+      """SELECT doc_id,
+        | CASE WHEN substring(sha256(CAST(doc_id AS VARCHAR) || ':split:42'), 1, 2) < 'e6' THEN 'train'
+        |      WHEN substring(sha256(CAST(doc_id AS VARCHAR) || ':split:42'), 1, 2) < 'f3' THEN 'val'
+        |      ELSE 'test' END AS split,
+        | sha256(CAST(doc_id AS VARCHAR) || ':shuffle:42') AS shuffle_key
+        |FROM documents ORDER BY shuffle_key""".stripMargin,
+
+    "q58_token_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> x <> '')) AS n_tok
+        |  FROM documents)
+        |SELECT doc_id, t.i AS chunk_idx, t.i * 64 AS tok_start,
+        |  least(t.i * 64 + 64, n_tok) AS tok_end
+        |FROM toks, unnest(generate_series(0,
+        |    CAST(ceil(n_tok / 64.0) AS BIGINT) - 1)) t(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q59_source_mixture" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE substring(sha256(CAST(doc_id AS VARCHAR) || ':mix:42'), 1, 2) <
+        |  CASE WHEN source IN ('src0', 'src1', 'src2') THEN 'g0'
+        |       WHEN lang = 'en' THEN 'c0' ELSE '40' END
+        |ORDER BY doc_id""".stripMargin,
   )
 }
