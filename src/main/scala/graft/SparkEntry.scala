@@ -672,6 +672,23 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // Gopher-style repetition filter: type-token ratio + distinct-2-gram
+    // fraction, cut into a drop flag. Pure per-row array math (no explode,
+    // no shuffle) — catches WITHIN-document repetition that cross-document
+    // dedup can't see.
+    "q60_repetition" -> ((s, d) => {
+      val st = TextAnalysis.repetitionStats(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          st.getField("n_tok").as("n_tok"),
+          st.getField("n_uniq_tok").as("n_uniq_tok"),
+          st.getField("ttr").as("ttr"),
+          st.getField("uniq_2gram_frac").as("uniq_2gram_frac"),
+          (st.getField("ttr") < 0.3 ||
+            st.getField("uniq_2gram_frac") < 0.55).as("is_repetitive"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Curation: weighted source mixture — keep 100% of boosted sources,
     // 75% of other English, 25% of the rest, via a per-row hash cut.
     // Pure filter: no per-source counts, no shuffle, uniform-in-source.
@@ -1175,6 +1192,29 @@ object SparkEntry {
         |FROM toks, unnest(generate_series(0,
         |    CAST(ceil(n_tok / 64.0) AS BIGINT) - 1)) t(i)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q60_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> x <> '') AS t
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_uniq_tok,
+        |    list_transform(generate_series(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i + 1]) AS g
+        |  FROM toks),
+        |ratios AS (
+        |  SELECT doc_id, n_tok, n_uniq_tok,
+        |    CASE WHEN n_tok = 0 THEN 0.0
+        |         ELSE r4(n_uniq_tok / CAST(n_tok AS DOUBLE)) END AS ttr,
+        |    CASE WHEN len(g) = 0 THEN 0.0
+        |         ELSE r4(len(list_distinct(g)) / CAST(len(g) AS DOUBLE))
+        |         END AS uniq_2gram_frac
+        |  FROM st)
+        |SELECT doc_id, n_tok, n_uniq_tok, ttr, uniq_2gram_frac,
+        |  (ttr < 0.3 OR uniq_2gram_frac < 0.55) AS is_repetitive
+        |FROM ratios ORDER BY doc_id""".stripMargin,
 
     "q59_source_mixture" ->
       """SELECT doc_id, source, lang FROM documents

@@ -81,6 +81,39 @@ object TextAnalysis {
   /** 64-bit content fingerprint over normalized text. */
   def fingerprint(text: Column): Column = TextFunctions.fingerprint(text)
 
+  /** Repetition signals (Gopher-style repetition filters — published
+    * web-corpus heuristics): type-token ratio and the distinct fraction
+    * of adjacent 2-grams. Low values flag degenerate/boilerplate text
+    * that exact/near dedup misses because the repetition is WITHIN the
+    * document. Pure per-row array math — no explode, no shuffle; at
+    * 100 TB this runs inside the scan's map stage like the rest of the
+    * curation filters.
+    *
+    * Returns struct<n_tok, n_uniq_tok, ttr, uniq_2gram_frac>; callers cut
+    * on the ratios (e.g. ttr < 0.2 OR uniq_2gram_frac < 0.3 → drop).
+    * Ratios are r4-rounded so engine comparisons are bit-stable. */
+  def repetitionStats(text: Column): Column = {
+    val toks = TextFunctions.tokens(TextFunctions.normalizeWs(text))
+    val nTok = size(toks).cast("long")
+    val nUniq = size(array_distinct(toks)).cast("long")
+    // adjacent 2-grams: zip the token array with itself shifted by one
+    val gramLen = greatest(nTok - 1, lit(0L)).cast("int")
+    val grams = zip_with(slice(toks, lit(1), gramLen),
+      slice(toks, lit(2), gramLen),
+      (a, b) => concat(a, lit(" "), b))
+    val nGram = size(grams).cast("long")
+    val nUniqGram = size(array_distinct(grams)).cast("long")
+    val r4 = (c: Column) => floor(c * 10000.0 + 0.5) / 10000.0
+    struct(
+      nTok.as("n_tok"),
+      nUniq.as("n_uniq_tok"),
+      when(nTok === 0, 0.0).otherwise(
+        r4(nUniq.cast("double") / nTok.cast("double"))).as("ttr"),
+      when(nGram === 0, 0.0).otherwise(
+        r4(nUniqGram.cast("double") / nGram.cast("double")))
+        .as("uniq_2gram_frac"))
+  }
+
   /** Convenience: annotate a document frame with the full analysis set. */
   def annotate(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_pred", languageId(col(textCol)))

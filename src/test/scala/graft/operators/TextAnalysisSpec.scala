@@ -61,4 +61,23 @@ class TextAnalysisSpec extends SparkSpec {
     val cols = df.columns.toSet
     assert(Set("lang_pred", "quality", "n_tokens", "n_bpe_tokens", "fp").subsetOf(cols))
   }
+
+  test("repetitionStats: known values, degenerate loops score low") {
+    val df = Seq(
+      (1L, "a b a b a b"),          // 6 tok, 2 uniq; 5 2-grams, 2 uniq
+      (2L, "one two three four"),   // all distinct: ttr=1, grams distinct
+      (3L, ""),                     // empty: all zeros
+      (4L, "word"),                 // single token: no 2-grams
+    ).toDF("doc_id", "text")
+    val st = TextAnalysis.repetitionStats(col("text"))
+    val got = df.select(col("doc_id"), st.getField("n_tok"),
+        st.getField("n_uniq_tok"), st.getField("ttr"),
+        st.getField("uniq_2gram_frac"))
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 6L, 2L, 0.3333, 0.4)))
+    assert(got(2L) == ((2L, 4L, 4L, 1.0, 1.0)))
+    assert(got(3L) == ((3L, 0L, 0L, 0.0, 0.0)))
+    assert(got(4L) == ((4L, 1L, 1L, 1.0, 0.0)))
+  }
 }
