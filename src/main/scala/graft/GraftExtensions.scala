@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.expressions.{HashedCharShingles, MinHashSignature, SimHash64, SortedArrayJaccard}
+import graft.expressions.{HashedCharShingles, MinHashSignature, RepetitionStats, SimHash64, SortedArrayJaccard}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `spark.sql` users get them too:
@@ -37,6 +37,8 @@ object GraftExtensions {
       }, 42L), "scala_udf")
     reg.createOrReplaceTempFunction("sorted_array_jaccard",
       exprs => SortedArrayJaccard(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("repetition_stats",
+      exprs => RepetitionStats(exprs.head), "scala_udf")
   }
 }
 
@@ -77,5 +79,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_array_jaccard"),
       new ExpressionInfo(classOf[SortedArrayJaccard].getName, "sorted_array_jaccard"),
       (args: Seq[Expression]) => SortedArrayJaccard(args.head, args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
+      (args: Seq[Expression]) => RepetitionStats(args.head)))
   }
 }

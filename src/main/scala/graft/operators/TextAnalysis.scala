@@ -85,14 +85,20 @@ object TextAnalysis {
     * web-corpus heuristics): type-token ratio and the distinct fraction
     * of adjacent 2-grams. Low values flag degenerate/boilerplate text
     * that exact/near dedup misses because the repetition is WITHIN the
-    * document. Pure per-row array math — no explode, no shuffle; at
-    * 100 TB this runs inside the scan's map stage like the rest of the
-    * curation filters.
+    * document. Pure per-row math — no explode, no shuffle; at 100 TB this
+    * runs inside the scan's map stage like the rest of the curation
+    * filters. Native single-pass codegen expression; the declarative
+    * reference below is equivalence-tested against it.
     *
     * Returns struct<n_tok, n_uniq_tok, ttr, uniq_2gram_frac>; callers cut
     * on the ratios (e.g. ttr < 0.2 OR uniq_2gram_frac < 0.3 → drop).
     * Ratios are r4-rounded so engine comparisons are bit-stable. */
-  def repetitionStats(text: Column): Column = {
+  def repetitionStats(text: Column): Column =
+    graft.expressions.RepetitionStats(text)
+
+  /** Declarative reference implementation of [[repetitionStats]] —
+    * four interpreted higher-order passes vs the native one. */
+  def repetitionStatsDeclarative(text: Column): Column = {
     val toks = TextFunctions.tokens(TextFunctions.normalizeWs(text))
     val nTok = size(toks).cast("long")
     val nUniq = size(array_distinct(toks)).cast("long")

@@ -34,10 +34,12 @@ class TopKAggregatorSpec extends SparkSpec {
       """SELECT simhash64(split(a, ' ')) AS sh,
         |  sorted_array_jaccard(hashed_char_shingles(a, 5),
         |                       hashed_char_shingles(b, 5)) AS j,
-        |  minhash_signature(hashed_char_shingles(a, 5), 16) AS sig
+        |  minhash_signature(hashed_char_shingles(a, 5), 16) AS sig,
+        |  repetition_stats(a).ttr AS ttr
         |FROM sqlfn_docs""".stripMargin).head()
     assert(row.getLong(0) != 0L)
     assert(row.getDouble(1) > 0.8 && row.getDouble(1) < 1.0)
     assert(row.getSeq[Long](2).length == 16)
+    assert(row.getDouble(3) == 1.0) // 5 distinct tokens / 5 tokens
   }
 }

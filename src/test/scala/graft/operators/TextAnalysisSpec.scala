@@ -62,6 +62,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(Set("lang_pred", "quality", "n_tokens", "n_bpe_tokens", "fp").subsetOf(cols))
   }
 
+  test("native RepetitionStats matches the declarative reference on real data") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"text")
+      .unionByName(Seq("", "   ", "a b a b a b", "x", "Tab\tand\nnewline  runs")
+        .toDF("text"))
+    val bad = docs.select(
+        TextAnalysis.repetitionStats($"text").as("n"),
+        TextAnalysis.repetitionStatsDeclarative($"text").as("d"))
+      .filter($"n.n_tok" =!= $"d.n_tok" || $"n.n_uniq_tok" =!= $"d.n_uniq_tok" ||
+        $"n.ttr" =!= $"d.ttr" || $"n.uniq_2gram_frac" =!= $"d.uniq_2gram_frac")
+    assert(bad.count() == 0, bad.collect().take(3).mkString("\n"))
+  }
+
   test("repetitionStats: known values, degenerate loops score low") {
     val df = Seq(
       (1L, "a b a b a b"),          // 6 tok, 2 uniq; 5 2-grams, 2 uniq
