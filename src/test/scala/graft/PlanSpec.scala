@@ -85,4 +85,29 @@ class PlanSpec extends SparkSpec {
     val p = executedPlanOf("q31_flagship_pipeline")
     assert(hasCodegen(p), p)
   }
+
+  test("curation queries are map-only: sole exchange is the final sort") {
+    for (q <- Seq("q57_hash_split", "q58_token_chunks", "q59_source_mixture",
+        "q60_repetition")) {
+      // executedPlan.toString prints Final AND Initial AQE plans — count
+      // exchanges in the final one only
+      val p = executedPlanOf(q).split("== Initial Plan ==").head
+      val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+      assert(exchanges.size == 1, s"$q expected 1 exchange, got $exchanges\n$p")
+      assert(exchanges.head.contains("rangepartitioning"),
+        s"$q final sort should be a range partition: $exchanges")
+      assert(hasCodegen(p), s"$q lost whole-stage codegen\n$p")
+    }
+  }
+
+  test("repetition_stats evaluates inside whole-stage codegen, not fallback") {
+    val df = SparkEntry.queries("q60_repetition")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the Project carrying repetition_stats must sit under a codegen stage
+    // (a codegen compile failure silently falls back to interpreted mode
+    // with no *(n) prefix on that node)
+    val projLine = p.linesIterator.find(_.contains("repetition_stats"))
+    assert(projLine.exists(_.contains("*(")), s"project not codegen'd:\n$p")
+  }
 }
