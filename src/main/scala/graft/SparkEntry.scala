@@ -702,6 +702,33 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("lang"))
         .orderBy(col("doc_id"))
     }),
+
+    // Curation: benchmark decontamination — flag every train-split doc
+    // that shares a word 3-gram with the test split (the eval set). The
+    // benchmark's distinct grams broadcast (hash table built once per
+    // task); the corpus explodes map-side into that join and hit counts
+    // partial-aggregate before the only shuffle. Runs the hashed scale
+    // path (native single-pass gram hashing): the output is COUNTS, which
+    // are hash-invariant, so the string-based DuckDB oracle still gates
+    // it exactly (modulo 2^-64 hash collisions); hashed≡string is also
+    // pinned in CurationSpec.
+    "q61_decontamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val split = operators.Curation.hashSplit(col("doc_id"), "split:42")
+      operators.Curation.contaminationStats(
+          docs.filter(split === "train"), docs.filter(split === "test"),
+          "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Text analysis: corpus-wide boilerplate 3-grams — document frequency
+    // of per-doc-distinct grams, top 100. Grams dedup inside each row
+    // before the explode (no countDistinct expand); one hash-agg shuffle
+    // with map-side partials; the top-k plans as TakeOrderedAndProject.
+    "q62_boilerplate_ngrams" -> ((s, d) => {
+      TextAnalysis.boilerplateNgrams(t(s, d, "documents"), "doc_id", "text",
+        n = 3, topK = 100)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1222,5 +1249,47 @@ object SparkEntry {
         |  CASE WHEN source IN ('src0', 'src1', 'src2') THEN 'g0'
         |       WHEN lang = 'en' THEN 'c0' ELSE '40' END
         |ORDER BY doc_id""".stripMargin,
+
+    // Distinct 3-gram overlap per train doc against the test split's gram
+    // set; grams are per-doc-distinct lists, so the join-then-count is
+    // exactly |train_grams ∩ bench_grams|.
+    "q61_decontamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substring(sha256(CAST(doc_id AS VARCHAR) || ':split:42'), 1, 2) < 'e6' THEN 'train'
+        |         WHEN substring(sha256(CAST(doc_id AS VARCHAR) || ':split:42'), 1, 2) < 'f3' THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, split,
+        |    list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT unnest(g) AS bg FROM grams WHERE split = 'test'),
+        |hits AS (
+        |  SELECT tr.doc_id, count(*) AS n_hits
+        |  FROM (SELECT doc_id, unnest(g) AS tg FROM grams WHERE split = 'train') tr
+        |  JOIN bench b ON tr.tg = b.bg
+        |  GROUP BY tr.doc_id)
+        |SELECT g.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+        |  coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM grams g LEFT JOIN hits h USING (doc_id)
+        |WHERE g.split = 'train' ORDER BY g.doc_id""".stripMargin,
+
+    "q62_boilerplate_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS gram
+        |  FROM toks)
+        |SELECT gram, count(*) AS doc_freq FROM grams
+        |GROUP BY gram ORDER BY doc_freq DESC, gram LIMIT 100""".stripMargin,
   )
 }

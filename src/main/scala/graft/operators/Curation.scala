@@ -77,4 +77,71 @@ object Curation {
   def weightedMixture(df: DataFrame, key: Column, weightHex: Column,
                       salt: String): DataFrame =
     df.filter(hexByte(key, salt) < weightHex)
+
+  /** Distinct word n-grams of a text column — native single-pass
+    * expressions (graft.expressions.WordNgrams); the string variant is
+    * equivalence-tested against the declarative
+    * array_distinct(wordShingles(tokens(normalizeWs(.)))) recipe, the
+    * hashed variant ships 8-byte longs instead of gram strings. */
+  private def ngramSet(text: Column, n: Int, hashed: Boolean): Column = {
+    val t = coalesce(text, lit(""))
+    if (hashed) graft.expressions.WordNgrams.wordNgramHashes(t, n)
+    else graft.expressions.WordNgrams.wordNgramStrings(t, n)
+  }
+
+  /** The benchmark side as one distinct n-gram per row, broadcast: a
+    * BroadcastHashJoin builds its hash table ONCE per task. (The tempting
+    * alternative — collect_set into one row and `array_intersect` per
+    * corpus row — rebuilds that hash set for EVERY document: O(corpus ×
+    * bench), quadratic-ish at scale. Measured 10× slower at sf0.01.) */
+  private def benchGrams(benchmark: DataFrame, textCol: String, n: Int,
+                         hashed: Boolean): DataFrame =
+    broadcast(
+      benchmark.select(explode(ngramSet(col(textCol), n, hashed)).as("g"))
+        .distinct())
+
+  /** Benchmark decontamination stats: for every corpus document, how many
+    * distinct word `n`-grams it shares with a benchmark/eval set —
+    * (id, n_hits, contaminated). The standard pre-training hygiene step:
+    * training text that quotes an eval set inflates benchmark scores, so
+    * overlapping documents must be found (and usually dropped) before
+    * training.
+    *
+    * Scale shape: the benchmark is the SMALL side (eval sets are MBs; the
+    * corpus is the 100 TB side). Its distinct grams broadcast; the corpus
+    * explodes its per-doc-distinct grams map-side into a broadcast left
+    * join (hash table built once per task, probed per gram), and the hit
+    * count aggregates partially before the ONLY shuffle — one narrow
+    * (id, count) row per doc. `hashed=true` (default) moves xxhash64
+    * longs instead of gram strings; identical hits modulo 2^-64
+    * collisions. The string path exists for engine-exact comparison (the
+    * q61 oracle) and is equivalence-tested against the hashed path in
+    * CurationSpec. */
+  def contaminationStats(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int = 3,
+                         hashed: Boolean = true): DataFrame = {
+    val bench = benchGrams(benchmark, textCol, n, hashed)
+      .withColumn("__hit", lit(1))
+    corpus.select(col(idCol), explode_outer(ngramSet(col(textCol), n, hashed)).as("g"))
+      .join(bench, Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__hit")).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0L)
+  }
+
+  /** Benchmark decontamination: corpus rows sharing NO word `n`-gram with
+    * the benchmark set, all columns preserved. Dirty ids come from the
+    * same broadcast-join shape as [[contaminationStats]] (semi join, so a
+    * document short-circuits on its first hit); the final anti-join is on
+    * the id — AQE broadcasts it when the dirty set is small, which for a
+    * curated corpus vs an eval set it always is. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3,
+                    hashed: Boolean = true): DataFrame = {
+    val dirty = corpus
+      .select(col(idCol), explode(ngramSet(col(textCol), n, hashed)).as("g"))
+      .join(benchGrams(benchmark, textCol, n, hashed), Seq("g"), "left_semi")
+      .select(col(idCol)).distinct()
+    corpus.join(dirty, Seq(idCol), "left_anti")
+  }
 }

@@ -120,6 +120,57 @@ object TextAnalysis {
         .as("uniq_2gram_frac"))
   }
 
+  /** Corpus-wide boilerplate detection: document frequency of distinct
+    * word `n`-grams, top-k by (doc_freq desc, gram asc) — the fuel for
+    * template/chrome removal: grams present in a large fraction of
+    * documents are layout, not content.
+    *
+    * Scale shape: grams are de-duplicated WITHIN each document before the
+    * explode (so a gram counts once per doc without a countDistinct
+    * expand), the count is one hash-aggregate shuffle with map-side
+    * partials, and the top-k plans as TakeOrderedAndProject — never a
+    * global sort. */
+  def boilerplateNgrams(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, topK: Int = 100): DataFrame =
+    df.select(explode(graft.expressions.WordNgrams.wordNgramStrings(
+        coalesce(col(textCol), lit("")), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("gram").asc)
+      .limit(topK)
+
+  /** C4-style line-level dedup: remove every line whose normalized form
+    * appears in at least `minDocs` distinct documents (navigation chrome,
+    * cookie banners, boilerplate headers — the cross-document repetition
+    * that document-level dedup can't see). Returns (id, text) with
+    * offending lines dropped and the survivors rejoined in original
+    * order; documents whose every line is boilerplate drop out entirely.
+    *
+    * Scale shape: lines explode map-side and travel as (id, line_no,
+    * line, 8-byte hash); the frequent-line set is ONE count-distinct
+    * aggregate over the hash and is tiny relative to the corpus (only
+    * lines that cross the threshold), so the removal anti-join
+    * broadcasts; reassembly is one shuffle on the doc id carrying only
+    * surviving lines. The `minDocs` threshold is what keeps the broadcast
+    * small — for permissive thresholds on web-scale corpora drop the
+    * hint and let AQE decide. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                minDocs: Int = 2): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .withColumnRenamed("pos", "line_no").withColumnRenamed("col", "line")
+      .withColumn("lh", xxhash64(TextFunctions.normalizeWs(col("line"))))
+    val frequent = lines.groupBy(col("lh"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("lh")
+    lines.join(broadcast(frequent), Seq("lh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("line_no"), col("line")))),
+          s => s.getField("line")), "\n").as(textCol))
+  }
+
   /** Convenience: annotate a document frame with the full analysis set. */
   def annotate(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_pred", languageId(col(textCol)))

@@ -80,4 +80,75 @@ class CurationSpec extends SparkSpec {
     assert(low.except(high).isEmpty)
     assert(low.count() < high.count())
   }
+
+  private def contaminationFixture = (
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),       // clean
+      (3L, "sphinx of black quartz judge my vow today"),     // clean
+      (4L, "a quick brown fox ran far away from here"),      // 1 hit
+      (5L, ""),                                              // empty: clean
+    ).toDF("doc_id", "text"),
+    Seq(
+      (100L, "the quick brown fox appears in benchmarks"),
+      (101L, "jumps over the lazy dog again"),
+    ).toDF("doc_id", "text"))
+
+  test("contaminationStats counts distinct shared n-grams; empty/clean rows flag false") {
+    val (corpus, bench) = contaminationFixture
+    val got = Curation.contaminationStats(corpus, bench, "doc_id", "text", n = 3)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    // doc 1 shares: "the quick brown", "quick brown fox" (bench 100) +
+    // "jumps over the", "over the lazy", "the lazy dog" (bench 101) = 5
+    assert(got == Seq(
+      (1L, 5L, true), (2L, 0L, false), (3L, 0L, false),
+      (4L, 1L, true), (5L, 0L, false)))
+  }
+
+  test("contaminationStats: hashed broadcast path is equivalent to the string path") {
+    val (corpus, bench) = contaminationFixture
+    val hashed = Curation.contaminationStats(corpus, bench, "doc_id", "text",
+      n = 3, hashed = true)
+    val strings = Curation.contaminationStats(corpus, bench, "doc_id", "text",
+      n = 3, hashed = false)
+    assert(hashed.except(strings).isEmpty && strings.except(hashed).isEmpty)
+  }
+
+  test("decontaminate drops exactly the contaminated rows, keeping all columns") {
+    val (corpus, bench) = contaminationFixture
+    val kept = Curation.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+    assert(kept.columns.toSeq == Seq("doc_id", "text"))
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 3L, 5L))
+  }
+
+  test("native WordNgramStrings matches the declarative recipe on real data") {
+    import graft.functions.TextFunctions
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text")
+      .unionByName(Seq("", "   ", "a b", "One  Two\tTHREE four", "x y z x y z")
+        .toDF("text"))
+    val declarative = array_distinct(TextFunctions.wordShingles(
+      TextFunctions.tokens(TextFunctions.normalizeWs($"text")), 3))
+    val bad = real.select(
+        graft.expressions.WordNgrams.wordNgramStrings($"text", 3).as("n"),
+        declarative.as("d"))
+      .filter($"n" =!= $"d")
+    assert(bad.count() == 0, bad.collect().take(3).mkString("\n"))
+  }
+
+  test("native WordNgramHashes has the same gram count as the string path on real data") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bad = real.select(
+        size(graft.expressions.WordNgrams.wordNgramHashes($"text", 3)).as("nh"),
+        size(graft.expressions.WordNgrams.wordNgramStrings($"text", 3)).as("ns"))
+      .filter($"nh" =!= $"ns")
+    assert(bad.count() == 0)
+  }
+
+  test("decontaminate with an empty benchmark keeps everything") {
+    val (corpus, bench) = contaminationFixture
+    val kept = Curation.decontaminate(corpus, bench.filter(lit(false)),
+      "doc_id", "text", n = 3)
+    assert(kept.count() == corpus.count())
+  }
 }

@@ -93,4 +93,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) == ((3L, 0L, 0L, 0.0, 0.0)))
     assert(got(4L) == ((4L, 1L, 1L, 1.0, 0.0)))
   }
+
+  test("boilerplateNgrams counts each gram once per doc, ordered (freq desc, gram)") {
+    val df = Seq(
+      (1L, "click here to continue click here to continue"), // dup inside one doc
+      (2L, "click here to continue reading more"),
+      (3L, "click here to unsubscribe now"),
+      (4L, "totally unrelated content entirely"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateNgrams(df, "doc_id", "text", n = 3, topK = 3)
+      .as[(String, Long)].collect().toSeq
+    // "click here to" in docs 1,2,3 = 3 (doc 1 counts ONCE despite repeat);
+    // "here to continue" in docs 1,2 = 2; ties at 1 broken by gram asc
+    assert(got.head == (("click here to", 3L)))
+    assert(got(1) == (("here to continue", 2L)))
+    assert(got(2)._2 == 1L)
+  }
+
+  test("lineDedup removes cross-doc frequent lines, preserves order, drops all-boilerplate docs") {
+    val df = Seq(
+      (1L, "UNIQUE OPENING\nSubscribe to our newsletter\nreal content one"),
+      (2L, "Subscribe to our newsletter\nreal content two\nAnother unique line"),
+      (3L, "Subscribe to our newsletter"),                    // only boilerplate
+      (4L, "solo doc untouched\nwith two lines"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lineDedup(df, "doc_id", "text", minDocs = 2)
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "UNIQUE OPENING\nreal content one")
+    assert(got(2L) == "real content two\nAnother unique line")
+    assert(!got.contains(3L)) // every line was boilerplate
+    assert(got(4L) == "solo doc untouched\nwith two lines")
+  }
+
+  test("lineDedup matches on normalized lines (case/whitespace-insensitive)") {
+    val df = Seq(
+      (1L, "Cookie   Notice\nbody a"),
+      (2L, "cookie notice\nbody b"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lineDedup(df, "doc_id", "text", minDocs = 2)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "body a", 2L -> "body b"))
+  }
 }
