@@ -100,6 +100,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q61: bench grams broadcast; only shuffles are the hit-count agg + final sort") {
+    val p = executedPlanOf("q61_decontamination").split("== Initial Plan ==").head
+    // the gram join must be a broadcast hash join (bench side built once
+    // per task), never a sort-merge join shuffling the exploded corpus
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val exchanges = "Exchange ([a-z]+)partitioning\\(([a-z_]+)".r
+      .findAllMatchIn(p).map(m => (m.group(1), m.group(2))).toSeq
+    // exactly three shuffles: the BENCH side's gram distinct (small side,
+    // pre-broadcast), hashpartitioning(doc_id) for the hit count, and
+    // rangepartitioning for the ORDER BY. The exploded CORPUS gram rows
+    // themselves never shuffle — they die inside the map stage.
+    assert(exchanges.sorted == Seq(("hash", "doc_id"), ("hash", "g"),
+      ("range", "doc_id")), s"unexpected exchanges $exchanges\n$p")
+    // hit counting partial-aggregates map-side before its shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q62: per-doc gram dedup happens map-side; top-k is TakeOrderedAndProject") {
+    val p = executedPlanOf("q62_boilerplate_ngrams").split("== Initial Plan ==").head
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+    // sole exchange: the gram-frequency hash aggregate
+    assert(exchanges.size == 1 && exchanges.head.contains("hashpartitioning"),
+      s"expected 1 hash exchange, got $exchanges\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("repetition_stats evaluates inside whole-stage codegen, not fallback") {
     val df = SparkEntry.queries("q60_repetition")(spark, d)
     df.collect()
