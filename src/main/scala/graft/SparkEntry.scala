@@ -729,6 +729,33 @@ object SparkEntry {
       TextAnalysis.boilerplateNgrams(t(s, d, "documents"), "doc_id", "text",
         n = 3, topK = 100)
     }),
+
+    // The full curation pipeline end-to-end: annotate (language ID +
+    // quality + repetition, two native single-pass expressions) → filter
+    // → fingerprint dedup (keep min doc per normalized-content hash) →
+    // deterministic hash split → per-(split, source) corpus stats. Every
+    // per-doc signal computes in ONE map pass over the scan; the only
+    // wide stages are the dedup group and the final stats aggregate. The
+    // oracle composes the proven q29/q60/q57 SQL fragments and dedups on
+    // the normalized text itself (identical groups to the xxhash64
+    // fingerprint modulo collisions).
+    "q63_curation_pipeline" -> ((s, d) => {
+      val st = TextAnalysis.repetitionStats(col("text"))
+      val annotated = t(s, d, "documents").select(
+        col("doc_id"), col("source"), col("text"),
+        TextAnalysis.languageId(col("text")).as("lang_pred"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        st.getField("ttr").as("ttr"),
+        st.getField("uniq_2gram_frac").as("u2"))
+      val kept = annotated.filter(col("lang_pred") =!= "und" &&
+        col("quality") >= 0.7 && col("ttr") >= 0.3 && col("u2") >= 0.55)
+      operators.Dedup.byFingerprint(kept, "doc_id", "text")
+        .select(col("source"), col("quality"),
+          operators.Curation.hashSplit(col("doc_id"), "split:42").as("split"))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), r4(avg(col("quality"))).as("avg_quality"))
+        .orderBy(col("split"), col("source"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1291,5 +1318,72 @@ object SparkEntry {
         |  FROM toks)
         |SELECT gram, count(*) AS doc_freq FROM grams
         |GROUP BY gram ORDER BY doc_freq DESC, gram LIMIT 100""".stripMargin,
+
+    // Composes the proven q29 (language/quality), q60 (repetition), and
+    // q57 (hash split) fragments; dedup groups on normalized text where
+    // the engine groups on its xxhash64 (identical modulo collisions).
+    "q63_curation_pipeline" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt,
+         |    list_filter(string_split_regex(
+         |      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+         |      x -> x <> '') AS tk
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, source, nt, tk,
+         |    len(list_filter(${profileLists("de")}, w -> list_contains(tk, w))) AS s_de,
+         |    len(list_filter(${profileLists("en")}, w -> list_contains(tk, w))) AS s_en,
+         |    len(list_filter(${profileLists("es")}, w -> list_contains(tk, w))) AS s_es,
+         |    len(list_filter(${profileLists("fr")}, w -> list_contains(tk, w))) AS s_fr,
+         |    len(list_filter(${profileLists("it")}, w -> list_contains(tk, w))) AS s_it,
+         |    CAST(len(nt) AS DOUBLE) AS nchars,
+         |    CAST(len(tk) AS DOUBLE) AS ntoks,
+         |    CAST(len(regexp_extract_all(nt, '[[:punct:]]')) AS DOUBLE) AS punct,
+         |    CAST(len(list_filter(tk, t -> list_contains($allStopsList, t))) AS DOUBLE) AS stophits
+         |  FROM toks),
+         |feat AS (
+         |  SELECT doc_id, source, nt, tk, s_de, s_en, s_es, s_fr, s_it,
+         |    greatest(s_de, s_en, s_es, s_fr, s_it) AS best,
+         |    CASE WHEN nchars >= 50 AND nchars <= 20000 THEN 1.0 ELSE 0.3 END AS length_ok,
+         |    CASE WHEN nchars = 0 THEN 0.0
+         |         WHEN punct / nchars < 0.2 THEN 1.0 ELSE 0.4 END AS punct_ok,
+         |    CASE WHEN ntoks = 0 THEN 0.0
+         |         ELSE (nchars - (ntoks - 1)) / ntoks END AS mwl,
+         |    CASE WHEN ntoks = 0 THEN 0.0 ELSE stophits / ntoks END AS stop_ratio
+         |  FROM scored),
+         |ann AS (
+         |  SELECT doc_id, source, nt,
+         |    CASE WHEN best = 0 THEN 'und'
+         |         WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+         |         WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr'
+         |         ELSE 'it' END AS lang_pred,
+         |    round(length_ok * 0.3 + punct_ok * 0.25 +
+         |      (CASE WHEN mwl >= 2.5 AND mwl <= 12.0 THEN 1.0 ELSE 0.4 END) * 0.25 +
+         |      (CASE WHEN stop_ratio > 0.05 THEN 1.0 ELSE 0.6 END) * 0.2, 4) AS quality,
+         |    CASE WHEN len(tk) = 0 THEN 0.0
+         |         ELSE r4(len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE)) END AS ttr,
+         |    CASE WHEN len(tk) - 1 <= 0 THEN 0.0
+         |         ELSE r4(len(list_distinct(list_transform(generate_series(1, len(tk) - 1),
+         |             i -> tk[i] || ' ' || tk[i + 1]))) / CAST(len(tk) - 1 AS DOUBLE))
+         |         END AS u2
+         |  FROM feat),
+         |kept AS (
+         |  SELECT * FROM ann
+         |  WHERE lang_pred <> 'und' AND quality >= 0.7
+         |    AND ttr >= 0.3 AND u2 >= 0.55),
+         |dedup AS (
+         |  SELECT doc_id, source, quality FROM (
+         |    SELECT doc_id, source, quality,
+         |      row_number() OVER (PARTITION BY nt ORDER BY doc_id) AS rn
+         |    FROM kept) WHERE rn = 1),
+         |labeled AS (
+         |  SELECT source, quality,
+         |    CASE WHEN substring(sha256(CAST(doc_id AS VARCHAR) || ':split:42'), 1, 2) < 'e6' THEN 'train'
+         |         WHEN substring(sha256(CAST(doc_id AS VARCHAR) || ':split:42'), 1, 2) < 'f3' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM dedup)
+         |SELECT split, source, count(*) AS n_docs, r4(avg(quality)) AS avg_quality
+         |FROM labeled GROUP BY split, source ORDER BY split, source""".stripMargin,
   )
 }
