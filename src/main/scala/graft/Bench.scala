@@ -33,7 +33,14 @@ object Bench {
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Operators that persist intermediates (e.g. minhash's shingle
+        // cache) would otherwise leak blocks across queries: by the tail
+        // of the run the executor heap is carrying every earlier query's
+        // leftovers and late queries measure GC pressure, not their plan.
+        // Clearing per run also keeps each timing cold/independent.
+        spark.catalog.clearCache()
+        dt
       }.sorted
       name -> times
     }
