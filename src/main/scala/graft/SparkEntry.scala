@@ -756,6 +756,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), r4(avg(col("quality"))).as("avg_quality"))
         .orderBy(col("split"), col("source"))
     }),
+
+    // C4-style line-level dedup, exercised for real: every doc is wrapped
+    // in a shared boilerplate header + footer line (tokens chosen outside
+    // the corpus vocabulary so no raw text can collide with them), so the
+    // operator must (a) flag exactly those two lines as cross-doc
+    // frequent, (b) strip them from every doc, (c) reassemble the unique
+    // middle line — i.e. the hash-gated expectation is the ORIGINAL text.
+    // Docs whose normalized text duplicates another doc's lose their
+    // middle line too and drop out entirely; the oracle mirrors that
+    // exactly, so the gate is robust at any SF.
+    "q64_line_dedup" -> ((s, d) => {
+      val wrapped = t(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n", lit("### subscribe-to-our-newsletter ###"),
+          col("text"), lit("### all-rights-reserved ###")).as("text"))
+      TextAnalysis.lineDedup(wrapped, "doc_id", "text", minDocs = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Connected components over the MinHash near-dup graph: every doc in
+    // a dup pair labeled with the minimum doc id reachable through the
+    // graph (the exact-cluster semantics minhashDedup approximates).
+    // Oracled via a DuckDB RECURSIVE transitive closure over the
+    // exact-Jaccard pair set — which re-verifies the LSH pair generation
+    // AND the iterative label propagation in one gate.
+    "q65_dup_clusters" -> ((s, d) => {
+      val pairs = operators.Dedup.minhashDupPairs(t(s, d, "documents"),
+        "doc_id", "text")
+      operators.Dedup.connectedComponents(pairs).orderBy(col("id"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1385,5 +1414,43 @@ object SparkEntry {
          |  FROM dedup)
          |SELECT split, source, count(*) AS n_docs, r4(avg(quality)) AS avg_quality
          |FROM labeled GROUP BY split, source ORDER BY split, source""".stripMargin,
+
+    "q64_line_dedup" ->
+      """WITH norm AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nl
+        |  FROM documents),
+        |freq AS (
+        |  SELECT nl FROM norm GROUP BY nl HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT doc_id, text FROM norm WHERE nl NOT IN (SELECT nl FROM freq)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Exact-Jaccard pairs (the q27 oracle) + recursive transitive closure:
+    // label(a) = min id reachable, computed to a true fixpoint — no
+    // iteration cap to coincide with.
+    "q65_dup_clusters" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(t, i, 5) for i in generate_series(1, length(t)-4)]) AS s
+        |  FROM docs WHERE length(t) >= 5),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id < b.doc_id
+        |   AND least(len(a.s), len(b.s))::DOUBLE >= 0.8 * greatest(len(a.s), len(b.s))
+        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS id, least(a, min(b)) AS label FROM reach
+        |GROUP BY a ORDER BY id""".stripMargin,
   )
 }
