@@ -785,6 +785,39 @@ object SparkEntry {
         "doc_id", "text")
       operators.Dedup.connectedComponents(pairs).orderBy(col("id"))
     }),
+
+    // Embedding hygiene: per-vector L2 norm, symmetric int8 quantization
+    // (scale + first components) and the max dequantization error. Pure
+    // map-side double math; half-up rounding (floor(x+0.5)) keeps the
+    // quantized grid reproducible across engines, unlike rint's
+    // half-even.
+    "q66_embedding_quantize" -> ((s, d) => {
+      val qz = operators.Embeddings.quantizeInt8(col("embedding"))
+      t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), qz.as("qz"))
+        .select(col("vec_id"),
+          r6(operators.Embeddings.l2Norm(col("embedding"))).as("norm"),
+          r6(col("qz.scale")).as("scale"),
+          col("qz.q")(0).cast("long").as("q0"),
+          col("qz.q")(1).cast("long").as("q1"),
+          r6(array_max(zip_with(
+            operators.Similarity.asDouble(col("embedding")),
+            operators.Embeddings.dequantizeInt8(col("qz")),
+            (x, y) => abs(x - y)))).as("max_err"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Per-dimension corpus stats over every embedding: the explode is
+    // map-side and the aggregate partially combines to one row per
+    // dimension per task, so the shuffle is dims x tasks regardless of
+    // corpus size.
+    "q67_embedding_dim_stats" -> ((s, d) => {
+      operators.Embeddings.dimStats(t(s, d, "embeddings"), "embedding")
+        .select(col("dim"), r4(col("mean")).as("mean"),
+          r4(col("std")).as("std"),
+          r6(col("dim_min")).as("dim_min"), r6(col("dim_max")).as("dim_max"))
+        .orderBy(col("dim"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1452,5 +1485,33 @@ object SparkEntry {
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS id, least(a, min(b)) AS label FROM reach
         |GROUP BY a ORDER BY id""".stripMargin,
+
+    "q66_embedding_quantize" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding AS e,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, e, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(e,
+        |           x -> CAST(floor(x::DOUBLE / scale * 127.0 + 0.5) AS BIGINT))
+        |         END AS qv
+        |  FROM base)
+        |SELECT vec_id,
+        |  r6(sqrt(list_sum(list_transform(e, x -> x::DOUBLE * x::DOUBLE)))) AS norm,
+        |  r6(scale) AS scale,
+        |  qv[1] AS q0, qv[2] AS q1,
+        |  r6(list_max(list_transform(generate_series(1, len(e)),
+        |    i -> abs(e[i]::DOUBLE - (qv[i] * scale) / 127.0)))) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q67_embedding_dim_stats" ->
+      """WITH vals AS (
+        |  SELECT t.i - 1 AS dim, embedding[t.i]::DOUBLE AS v
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i))
+        |SELECT dim, r4(avg(v)) AS mean, r4(stddev_samp(v)) AS std,
+        |  r6(min(v)) AS dim_min, r6(max(v)) AS dim_max
+        |FROM vals GROUP BY dim ORDER BY dim""".stripMargin,
   )
 }

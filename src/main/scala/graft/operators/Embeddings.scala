@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-column utilities for training pipelines: L2 normalization,
+  * symmetric int8 quantization (the storage/serving format ANN indexes
+  * ship), and corpus-level per-dimension statistics (the input to
+  * whitening / scaling decisions).
+  *
+  * Per-row ops are pure map transforms in double precision (float inputs
+  * widen exactly, so results are engine-reproducible). [[dimStats]]
+  * explodes to (dim, value) pairs whose partial aggregation collapses to
+  * `dims` rows per task BEFORE the only shuffle — at 100 TB the shuffle
+  * moves dims × tasks tiny rows, never the vectors.
+  */
+object Embeddings {
+
+  /** L2 norm in double precision (sequential fold, deterministic). */
+  def l2Norm(v: Column): Column = Similarity.norm(Similarity.asDouble(v))
+
+  /** Unit-normalize; the zero vector maps to zeros (not NaN). */
+  def l2Normalize(v: Column): Column = {
+    val d = Similarity.asDouble(v)
+    val n = Similarity.norm(d)
+    when(n === 0.0, d).otherwise(transform(d, x => x / n))
+  }
+
+  /** Symmetric per-vector int8 quantization:
+    * struct<scale double, q array<int>> with q_i = floor(x_i / scale * 127
+    * + 0.5) in [-127, 127] (half-up rounding — floor(x+0.5) — so the
+    * rounding rule is reproducible across engines, unlike round-half-even
+    * `rint`). The zero vector quantizes to zeros with scale 0. */
+  def quantizeInt8(v: Column): Column = {
+    val d = Similarity.asDouble(v)
+    val scale = array_max(transform(d, x => abs(x)))
+    struct(scale.as("scale"),
+      when(scale === 0.0, transform(d, x => lit(0)))
+        .otherwise(transform(d, x => floor(x / scale * 127.0 + 0.5).cast("int")))
+        .as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: x̂_i = (q_i * scale) / 127. */
+  def dequantizeInt8(quantized: Column): Column = {
+    val scale = quantized.getField("scale")
+    transform(quantized.getField("q"),
+      q => (q.cast("double") * scale) / 127.0)
+  }
+
+  /** Per-dimension corpus statistics: (dim, mean, std, min, max) over
+    * every vector. Scale shape: the explode is map-side and the
+    * aggregation partially combines to one row per dimension per task, so
+    * the shuffle volume is dims × tasks regardless of corpus size. */
+  def dimStats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(Similarity.asDouble(col(vecCol))))
+      .groupBy(col("pos").cast("long").as("dim"))
+      .agg(avg(col("col")).as("mean"),
+        stddev_samp(col("col")).as("std"),
+        min(col("col")).as("dim_min"),
+        max(col("col")).as("dim_max"))
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EmbeddingsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Seq(3.0f, 4.0f)),          // norm 5
+    (2L, Seq(0.0f, 0.0f)),          // zero vector
+    (3L, Seq(-1.0f, 0.5f, 0.25f)),  // negative max-abs
+  ).toDF("vec_id", "embedding")
+
+  test("l2Norm and l2Normalize: known values, zero vector stays zero") {
+    val got = vecs.select($"vec_id", Embeddings.l2Norm($"embedding").as("n"),
+        Embeddings.l2Normalize($"embedding").as("u"))
+      .as[(Long, Double, Seq[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 5.0)
+    assert(got(1L)._3 == Seq(0.6, 0.8))
+    assert(got(2L)._2 == 0.0 && got(2L)._3 == Seq(0.0, 0.0))
+    // normalized vectors have unit norm
+    val renorm = math.sqrt(got(3L)._3.map(x => x * x).sum)
+    assert(math.abs(renorm - 1.0) < 1e-12)
+  }
+
+  test("quantizeInt8 round-trips within the grid step; zero vector -> zeros") {
+    val q = Embeddings.quantizeInt8($"embedding")
+    val got = vecs.select($"vec_id", q.getField("scale").as("s"),
+        q.getField("q").as("q"),
+        Embeddings.dequantizeInt8(q).as("deq"))
+      .as[(Long, Double, Seq[Int], Seq[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 4.0 && got(1L)._3 == Seq(95, 127))
+    assert(got(2L)._2 == 0.0 && got(2L)._3 == Seq(0, 0))
+    assert(got(3L)._3 == Seq(-127, 64, 32))
+    // max reconstruction error <= half a grid step (scale / 127 / 2) + eps
+    for ((id, (_, s, _, deq)) <- got if s > 0) {
+      val orig = vecs.filter($"vec_id" === id)
+        .select($"embedding").as[Seq[Float]].head().map(_.toDouble)
+      val err = orig.zip(deq).map { case (a, b) => math.abs(a - b) }.max
+      assert(err <= s / 127.0 / 2.0 + 1e-12, s"vec $id err $err")
+    }
+  }
+
+  test("dimStats: mean/std/min/max per dimension") {
+    val df = Seq(
+      (1L, Seq(1.0f, 10.0f)),
+      (2L, Seq(3.0f, 10.0f)),
+    ).toDF("vec_id", "embedding")
+    val got = Embeddings.dimStats(df, "embedding")
+      .orderBy("dim")
+      .as[(Long, Double, Double, Double, Double)].collect().toSeq
+    assert(got(0) == ((0L, 2.0, math.sqrt(2.0), 1.0, 3.0)))
+    assert(got(1) == ((1L, 10.0, 0.0, 10.0, 10.0)))
+  }
+}
