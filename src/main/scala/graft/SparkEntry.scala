@@ -807,6 +807,22 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // PII redaction, exercised for real (the corpus itself is PII-free —
+    // zero digits/@ — so synthetic PII derived from doc_id is planted
+    // into every doc and the oracle states the expected redaction
+    // CONSTRUCTIVELY, gating the regex chain without needing regex
+    // support in the oracle engine).
+    "q68_pii_redaction" -> ((s, d) => {
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail.example.com via 10.0."),
+        pmod(col("doc_id"), lit(256)), lit(".77 or +1 (555) 010-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.redactPii(planted).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-dimension corpus stats over every embedding: the explode is
     // map-side and the aggregate partially combines to one row per
     // dimension per task, so the shuffle is dims x tasks regardless of
@@ -1513,5 +1529,13 @@ object SparkEntry {
         |SELECT dim, r4(avg(v)) AS mean, r4(stddev_samp(v)) AS std,
         |  r6(min(v)) AS dim_min, r6(max(v)) AS dim_max
         |FROM vals GROUP BY dim ORDER BY dim""".stripMargin,
+
+    // Constructive expectation: the corpus is PII-free (verified: zero
+    // digit/@ characters), so redacting the planted suffix must yield
+    // exactly these three tags.
+    "q68_pii_redaction" ->
+      """SELECT doc_id,
+        |  text || ' contact <EMAIL> via <IP> or <PHONE>' AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

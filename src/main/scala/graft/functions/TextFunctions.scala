@@ -105,4 +105,19 @@ object TextFunctions {
   /** Lower-case + collapse all whitespace runs to single spaces. */
   def normalizeWs(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** PII redaction for training corpora: emails, IPv4 addresses, and
+    * phone-like digit runs replaced with fixed tags. Order matters —
+    * emails first (so phone matching can't eat an address's digits),
+    * then IPs (whose dotted quads would otherwise match the phone
+    * pattern), then phones. Conservative patterns: 7+ digit runs with
+    * separators count as phones; plain small numbers pass through.
+    * Pure regexp_replace chain — codegen'd, map-side, no dictionary. */
+  def redactPii(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?\\d[\\d ()\\-]{7,}\\d", "<PHONE>")
+  }
 }

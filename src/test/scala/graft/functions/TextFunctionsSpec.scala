@@ -71,4 +71,20 @@ class TextFunctionsSpec extends SparkSpec {
     // "internationalization" = 5 chunks of <=4 letters, "," , "4","2", "!"
     assert(got == 9)
   }
+
+  test("redactPii replaces emails, IPs, and phone runs; leaves clean text alone") {
+    val cases = Seq(
+      ("mail bob.smith+tag@sub.example.co.uk now", "mail <EMAIL> now"),
+      ("server at 192.168.001.7 fell over", "server at <IP> fell over"),
+      ("call +1 (555) 010-4242 today", "call <PHONE> today"),
+      ("call 555-010-4242 or 555 010 4243", "call <PHONE> or <PHONE>"),
+      // email digits must not leak into a phone match; IP before phone
+      ("a@b.io 10.0.0.1 +44 20 7946 0958", "<EMAIL> <IP> <PHONE>"),
+      ("just words, and the year 2024 alone", "just words, and the year 2024 alone"),
+      ("", ""),
+    ).toDF("in", "want")
+    val bad = cases.filter(TextFunctions.redactPii($"in") =!= $"want")
+      .select(TextFunctions.redactPii($"in"), $"want")
+    assert(bad.count() == 0, bad.collect().mkString("\n"))
+  }
 }
