@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.expressions.{HashedCharShingles, MinHashSignature, RepetitionStats, SimHash64, SortedArrayJaccard}
+import graft.expressions.{CosineSimilarity, HashedCharShingles, MinHashSignature, RepetitionStats, SentimentScore, SimHash64, SortedArrayJaccard, TextStats, WordNgramHashes, WordNgramStrings}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `spark.sql` users get them too:
@@ -39,6 +39,22 @@ object GraftExtensions {
       exprs => SortedArrayJaccard(exprs.head, exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("repetition_stats",
       exprs => RepetitionStats(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_similarity",
+      exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("sentiment_score",
+      exprs => SentimentScore(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("text_stats",
+      exprs => TextStats(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("word_ngram_strings",
+      exprs => WordNgramStrings(exprs.head, exprs(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"n must be a literal, got $other")
+      }), "scala_udf")
+    reg.createOrReplaceTempFunction("word_ngram_hashes",
+      exprs => WordNgramHashes(exprs.head, exprs(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"n must be a literal, got $other")
+      }), "scala_udf")
   }
 }
 
@@ -84,5 +100,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("repetition_stats"),
       new ExpressionInfo(classOf[RepetitionStats].getName, "repetition_stats"),
       (args: Seq[Expression]) => RepetitionStats(args.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("sentiment_score"),
+      new ExpressionInfo(classOf[SentimentScore].getName, "sentiment_score"),
+      (args: Seq[Expression]) => SentimentScore(args.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("text_stats"),
+      new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
+      (args: Seq[Expression]) => TextStats(args.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("word_ngram_strings"),
+      new ExpressionInfo(classOf[WordNgramStrings].getName, "word_ngram_strings"),
+      (args: Seq[Expression]) =>
+        WordNgramStrings(args.head, intLit(args(1), "n"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("word_ngram_hashes"),
+      new ExpressionInfo(classOf[WordNgramHashes].getName, "word_ngram_hashes"),
+      (args: Seq[Expression]) =>
+        WordNgramHashes(args.head, intLit(args(1), "n"))))
   }
 }

@@ -41,5 +41,17 @@ class TopKAggregatorSpec extends SparkSpec {
     assert(row.getDouble(1) > 0.8 && row.getDouble(1) < 1.0)
     assert(row.getSeq[Long](2).length == 16)
     assert(row.getDouble(3) == 1.0) // 5 distinct tokens / 5 tokens
+
+    val row2 = spark.sql(
+      """SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
+        |  sentiment_score('good great fine').polarity AS pol,
+        |  text_stats('the quick brown fox is here for the test').lang_pred AS lang,
+        |  word_ngram_strings('a b c d', 3) AS gs,
+        |  size(word_ngram_hashes('a b c d', 3)) AS nh""".stripMargin).head()
+    assert(row2.getDouble(0) == 1.0)
+    assert(row2.getDouble(1) > 0.0)
+    assert(row2.getString(2) == "en")
+    assert(row2.getSeq[String](3) == Seq("a b c", "b c d"))
+    assert(row2.getInt(4) == 2)
   }
 }
