@@ -807,6 +807,20 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // Word-n-gram Jaccard near-dup pairs through the MinHash-LSH
+    // machinery, gated against brute-force exact word-3-gram Jaccard in
+    // DuckDB. Geometry note: at r = k/bands = 4, a true pair at the
+    // corpus's observed minimum similarity (j >= 0.9) is missed with
+    // probability (1-0.9^4)^16 ≈ 4e-8, and hashing is seed-deterministic,
+    // so the gate is stable; the corpus has no pairs in the ambiguous
+    // [0.5, 0.9) band to sit on the S-curve's slope.
+    "q69_ngram_jaccard" -> ((s, d) => {
+      operators.Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id",
+          "text", n = 3, threshold = 0.6, k = 64, bands = 16)
+        .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // PII redaction, exercised for real (the corpus itself is PII-free —
     // zero digits/@ — so synthetic PII derived from doc_id is planted
     // into every doc and the oracle states the expected redaction
@@ -1529,6 +1543,29 @@ object SparkEntry {
         |SELECT dim, r4(avg(v)) AS mean, r4(stddev_samp(v)) AS std,
         |  r6(min(v)) AS dim_min, r6(max(v)) AS dim_max
         |FROM vals GROUP BY dim ORDER BY dim""".stripMargin,
+
+    // Exact word-3-gram Jaccard; the length prefilter is sound
+    // (j <= min(|A|,|B|)/max(|A|,|B|)).
+    "q69_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+        |  FROM toks WHERE len(t) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.g, b.g))::DOUBLE
+        |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS j
+        |  FROM grams a JOIN grams b
+        |    ON a.doc_id < b.doc_id
+        |   AND least(len(a.g), len(b.g))::DOUBLE >= 0.6 * greatest(len(a.g), len(b.g)))
+        |SELECT id_a, id_b, r4(j) AS jaccard FROM pairs
+        |WHERE j >= 0.6 ORDER BY id_a, id_b""".stripMargin,
 
     // Constructive expectation: the corpus is PII-free (verified: zero
     // digit/@ characters), so redacting the planted suffix must yield
