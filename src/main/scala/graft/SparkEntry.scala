@@ -726,7 +726,7 @@ object SparkEntry {
     // before the explode (no countDistinct expand); one hash-agg shuffle
     // with map-side partials; the top-k plans as TakeOrderedAndProject.
     "q62_boilerplate_ngrams" -> ((s, d) => {
-      TextAnalysis.boilerplateNgrams(t(s, d, "documents"), "doc_id", "text",
+      TextAnalysis.boilerplateNgrams(t(s, d, "documents"), "text",
         n = 3, topK = 100)
     }),
 
@@ -809,14 +809,16 @@ object SparkEntry {
 
     // Word-n-gram Jaccard near-dup pairs through the MinHash-LSH
     // machinery, gated against brute-force exact word-3-gram Jaccard in
-    // DuckDB. Geometry note: at r = k/bands = 4, a true pair at the
-    // corpus's observed minimum similarity (j >= 0.9) is missed with
-    // probability (1-0.9^4)^16 ≈ 4e-8, and hashing is seed-deterministic,
-    // so the gate is stable; the corpus has no pairs in the ambiguous
-    // [0.5, 0.9) band to sit on the S-curve's slope.
+    // DuckDB. Geometry: r = k/bands = 8 keeps candidate volume tight
+    // (sub-threshold pairs at j=0.3 band-match with P ≈ 1e-3, vs 12% at
+    // r=4 — permissive geometry degenerates toward all-pairs on
+    // boilerplate-heavy corpora); a true pair at the corpus's observed
+    // minimum similarity (j >= 0.9) still band-matches with P ≈ 1-1e-4,
+    // and hashing is seed-deterministic, so the gate is stable — verified
+    // to reproduce the exact-Jaccard pair set at this SF.
     "q69_ngram_jaccard" -> ((s, d) => {
       operators.Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id",
-          "text", n = 3, threshold = 0.6, k = 64, bands = 16)
+          "text", n = 3, threshold = 0.6, k = 128, bands = 16)
         .select(col("id_a"), col("id_b"), r4(col("jaccard")).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),

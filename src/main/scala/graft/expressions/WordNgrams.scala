@@ -26,11 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    characters, grams joined with single spaces); equivalence-tested on
   *    real data in CurationSpec.
   *  - [[WordNgramHashes]]: text → SORTED distinct array<bigint> of gram
-  *    hashes, skipping gram-string allocation entirely (token hashes are
-  *    combined arithmetically). The hash differs from the declarative
-  *    path's xxhash64-of-gram-string — callers (contaminationStats) only
-  *    compare/count grams, so any injective-modulo-collisions hash is
-  *    equivalent; the CurationSpec hashed≡string test pins that.
+  *    hashes, skipping gram-string allocation entirely (per-token 64-bit
+  *    polynomial hashes, splitmix64-finalized, combined arithmetically —
+  *    see gramHashes for why the multipliers must be large). The hash
+  *    differs from the declarative path's xxhash64-of-gram-string —
+  *    callers (contaminationStats) only compare/count grams, so any
+  *    injective-modulo-collisions hash is equivalent; the CurationSpec
+  *    hashed≡string test pins that.
   */
 case class WordNgramStrings(child: Expression, n: Int) extends UnaryExpression {
   require(n > 0, "n-gram size must be positive")
@@ -102,9 +104,11 @@ object WordNgramEval {
   /** Distinct lowercase word n-grams in first-occurrence order — the
     * native twin of array_distinct(wordShingles(tokens(normalizeWs(s)), n)). */
   def gramStrings(s: UTF8String, n: Int): ArrayData = {
-    // whole-string lowercase FIRST (exactly like lower() in normalizeWs):
-    // unicode lowering can change char counts, so order matters
-    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
+    // whole-string lowercase FIRST (exactly like lower() in normalizeWs —
+    // unicode lowering can change char counts, so order matters) and via
+    // UTF8String.toLowerCase, the SAME routine lower() uses, so the
+    // equivalence holds on non-ASCII text under any JVM locale
+    val str = s.toLowerCase.toString
     val (starts, ends, m) = tokenOffsets(str)
     if (m < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]((m - n + 1) * 2)
@@ -134,16 +138,26 @@ object WordNgramEval {
     * string and vice versa), splitmix64 finalizer to decorrelate
     * overlapping windows. One pass, zero gram-string allocation. */
   def gramHashes(s: UTF8String, n: Int): ArrayData = {
-    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val str = s.toLowerCase.toString
     val (starts, ends, m) = tokenOffsets(str)
     if (m < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     val th = new Array[Long](m)
     var i = 0
     while (i < m) {
+      // 64-bit FNV-prime polynomial + splitmix64 finalizer per TOKEN. The
+      // multiplier must be large: with h*31+c, same-length tokens whose
+      // char diffs satisfy sum(dc_i * 31^k) = 0 (e.g. "b<" vs "a[")
+      // collide structurally. With a ~2^40 multiplier a two-char
+      // collision would need dc1*p = -dc2 exactly (no mod wrap at these
+      // magnitudes) — impossible for char-bounded diffs — and longer
+      // spans wrap mod 2^64 into lattice territory, leaving ~2^-64
+      // accidental collisions only.
       var h = 1125899906842597L
       var j = starts(i)
-      while (j < ends(i)) { h = h * 31 + str.charAt(j); j += 1 }
-      th(i) = h
+      while (j < ends(i)) { h = h * 0x100000001B3L + str.charAt(j); j += 1 }
+      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+      th(i) = h ^ (h >>> 31)
       i += 1
     }
     val g = m - n + 1

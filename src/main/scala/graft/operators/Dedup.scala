@@ -231,7 +231,7 @@ object Dedup {
     *  - the prior round's checkpoint blocks are freed explicitly once the
     *    next round is materialized.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // edges both directions, reused by every round
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -246,11 +246,20 @@ object Dedup {
       val propagated = edges.join(labels.withColumnRenamed("id", "id_b")
           .withColumnRenamed("label", "nbr_label"), Seq("id_b"))
         .groupBy(col("id_a").as("id")).agg(min(col("nbr_label")).as("prop_label"))
-      // eager localCheckpoint: materializes this round and cuts lineage
-      val next = labels.join(propagated, Seq("id"), "left")
+      val hopped = labels.join(propagated, Seq("id"), "left")
         .select(col("id"), col("label").as("prev_label"),
           least(col("label"), coalesce(col("prop_label"), col("label"))).as("label"))
-        .localCheckpoint()
+      // pointer doubling: chase each label to ITS label (labels are node
+      // ids, so they have label rows of their own) and take the minimum.
+      // One extra equi-join per round turns O(diameter) convergence into
+      // O(log diameter) — a 1000-link near-dup chain converges in ~10
+      // rounds instead of 1000.
+      val chased = hopped.join(labels
+          .select(col("id").as("label"), col("label").as("label2")), Seq("label"), "left")
+        .select(col("id"), col("prev_label"),
+          least(col("label"), coalesce(col("label2"), col("label"))).as("label"))
+      // eager localCheckpoint: materializes this round and cuts lineage
+      val next = chased.localCheckpoint()
       // convergence check scans the materialized round, no recompute
       val changed = next.filter(col("label") =!= col("prev_label")).limit(1).count()
       freeCheckpoint(labels)
@@ -259,6 +268,11 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // wrong labels are silent downstream (split clusters); fail loudly
+    // instead — maxIter = 20 covers graphs of diameter ~2^19 via doubling
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations " +
+        "(pathological component diameter); raise maxIter")
     labels
   }
 

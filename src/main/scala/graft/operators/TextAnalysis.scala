@@ -129,8 +129,12 @@ object TextAnalysis {
     * explode (so a gram counts once per doc without a countDistinct
     * expand), the count is one hash-aggregate shuffle with map-side
     * partials, and the top-k plans as TakeOrderedAndProject — never a
-    * global sort. */
-  def boilerplateNgrams(df: DataFrame, idCol: String, textCol: String,
+    * global sort.
+    *
+    * Input contract: one row per document (the per-row gram dedup is what
+    * makes doc_freq a document frequency; duplicate doc rows would
+    * inflate it — dedup upstream if needed). */
+  def boilerplateNgrams(df: DataFrame, textCol: String,
                         n: Int = 3, topK: Int = 100): DataFrame =
     df.select(explode(graft.expressions.WordNgrams.wordNgramStrings(
         coalesce(col(textCol), lit("")), n)).as("gram"))
@@ -153,12 +157,20 @@ object TextAnalysis {
     * surviving lines. The `minDocs` threshold is what keeps the broadcast
     * small — for permissive thresholds on web-scale corpora drop the
     * hint and let AQE decide. */
+  /** @param persistLines cache the exploded/hashed line projection: the
+    *        plan references it twice (frequency aggregate + removal
+    *        anti-join) and the explode+normalize+hash is the dominant map
+    *        cost — same rationale as minhashDupPairs' persistShingles.
+    *        Pass false to keep the operator side-effect free. */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
-                minDocs: Int = 2): DataFrame = {
-    val lines = df
+                minDocs: Int = 2, persistLines: Boolean = true): DataFrame = {
+    val lines0 = df
       .select(col(idCol), posexplode(split(col(textCol), "\n")))
       .withColumnRenamed("pos", "line_no").withColumnRenamed("col", "line")
       .withColumn("lh", xxhash64(TextFunctions.normalizeWs(col("line"))))
+    val lines = if (persistLines)
+      lines0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else lines0
     val frequent = lines.groupBy(col("lh"))
       .agg(countDistinct(col(idCol)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)

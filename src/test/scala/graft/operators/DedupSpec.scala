@@ -89,6 +89,26 @@ class DedupSpec extends SparkSpec {
     assert(labels(10L) == 10L && labels(11L) == 10L)
   }
 
+  test("connectedComponents converges on a 60-link chain within default maxIter (pointer doubling)") {
+    // One-hop-per-round propagation would need 60 iterations; the
+    // label-chasing round is O(log diameter), so the default budget of 20
+    // covers it with a wide margin. Base id offset checks min-id labeling
+    // isn't accidentally 0-based.
+    val chain = (100L until 160L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 61)
+    assert(got.values.forall(_ == 100L), s"chain not fully merged")
+  }
+
+  test("connectedComponents fails loudly when the iteration budget is too small") {
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("connectedComponents survives deep iteration: 14-node chain, bounded plan depth") {
     // A chain propagates the min label one hop per round, so 13 edges
     // force >= 8 full iterations — the naive loop would stack 13 joins of

@@ -101,7 +101,7 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "click here to unsubscribe now"),
       (4L, "totally unrelated content entirely"),
     ).toDF("doc_id", "text")
-    val got = TextAnalysis.boilerplateNgrams(df, "doc_id", "text", n = 3, topK = 3)
+    val got = TextAnalysis.boilerplateNgrams(df, "text", n = 3, topK = 3)
       .as[(String, Long)].collect().toSeq
     // "click here to" in docs 1,2,3 = 3 (doc 1 counts ONCE despite repeat);
     // "here to continue" in docs 1,2 = 2; ties at 1 broken by gram asc
