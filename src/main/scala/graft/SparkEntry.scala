@@ -807,6 +807,27 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // Batch sessionization — the batch twin of streaming/Sessionize:
+    // gap > 30 min cuts a new session per user (lag + running sum over
+    // one window partition), then per-session stats. Gap math is in
+    // microseconds on both engines (unix_micros / epoch_us both
+    // floor-truncate the parquet nanos), so the cut is bit-identical.
+    "q70_sessionization" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      val prev = lag(col("us"), 1).over(w)
+      ev.withColumn("is_new",
+          when(prev.isNull || col("us") - prev > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     // Word-n-gram Jaccard near-dup pairs through the MinHash-LSH
     // machinery, gated against brute-force exact word-3-gram Jaccard in
     // DuckDB. Geometry: r = k/bands = 8 keeps candidate volume tight
@@ -1545,6 +1566,24 @@ object SparkEntry {
         |SELECT dim, r4(avg(v)) AS mean, r4(stddev_samp(v)) AS std,
         |  r6(min(v)) AS dim_min, r6(max(v)) AS dim_max
         |FROM vals GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "q70_sessionization" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |flags AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT user_id, us,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flags)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     // Exact word-3-gram Jaccard; the length prefilter is sound
     // (j <= min(|A|,|B|)/max(|A|,|B|)).
