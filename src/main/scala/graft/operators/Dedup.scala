@@ -192,12 +192,16 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         k: Int = 64, bands: Int = 8): DataFrame = {
+    // native single-pass gram hashing + signature (same hot-path shape as
+    // minhashDupPairs): Jaccard over hashed gram sets is hash-invariant,
+    // so WordNgramHashes' internal hash is as good as xxhash64-of-string
+    // — and the interpreted transform/xxhash64/array_min chain it
+    // replaces dominated the corpus scan at k=128 (55 s → 3 s at sf0.1)
     val hashed = df.select(col(idCol).as("id"),
-      sort_array(array_distinct(transform(TextFunctions.wordShingles(
-        TextFunctions.tokens(TextFunctions.normalizeWs(col(textCol))), n),
-        s => xxhash64(s)))).as("sh"))
+      graft.expressions.WordNgrams.wordNgramHashes(
+        coalesce(col(textCol), lit("")), n).as("sh"))
     val banded = hashed
-      .withColumn("sig", minhashSignatureFromHashes(col("sh"), k))
+      .withColumn("sig", graft.expressions.MinHash.minhashSignature(col("sh"), k))
       .select(col("id"), posexplode(bandKeys(col("sig"), k, bands)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
     val candidates = banded.select(col("band_idx"), col("band"), col("id").as("id_a"))
@@ -232,13 +236,16 @@ object Dedup {
     *    next round is materialized.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // edges both directions, reused by every round
+    // edges both directions, reused by every round. Initial labels derive
+    // FROM the persisted edges (not from `pairs` again) so an expensive
+    // upstream pair pipeline — e.g. the full MinHash-LSH plan in q65 —
+    // executes once, not twice.
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"))
-      .union(pairs.select(col("id_b").as("id"), col("id_a").as("nbr")))
-      .groupBy("id").agg(min(least(col("nbr"), col("id"))).as("label"))
+    var labels = edges
+      .groupBy(col("id_a").as("id"))
+      .agg(min(least(col("id_b"), col("id_a"))).as("label"))
       .localCheckpoint()
     var i = 0
     var converged = false
