@@ -128,6 +128,25 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q70: sessionization shuffles once per user partition plus the final sort") {
+    val p = executedPlanOf("q70_sessionization").split("== Initial Plan ==").head
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+    // one hashpartitioning(user_id) feeds BOTH windows (lag + running
+    // sum) and the session aggregate — Spark reuses the partitioning —
+    // plus the rangepartitioning for the ORDER BY
+    assert(exchanges.size == 2, s"expected 2 exchanges, got $exchanges\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q67: dim stats aggregate partially before the only data shuffle") {
+    val p = executedPlanOf("q67_embedding_dim_stats").split("== Initial Plan ==").head
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+    // hashpartitioning(dim) carries at most dims rows per task thanks to
+    // the partial aggregate below it; rangepartitioning for the sort
+    assert(exchanges.size == 2, s"expected 2 exchanges, got $exchanges\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("repetition_stats evaluates inside whole-stage codegen, not fallback") {
     val df = SparkEntry.queries("q60_repetition")(spark, d)
     df.collect()
