@@ -145,6 +145,19 @@ class CurationSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("decontaminate and contaminationStats agree on real data (different join shapes)") {
+    // the two operators take different plans (semi-join short-circuit vs
+    // left-join count); membership must coincide exactly
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val kept = Curation.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .select("doc_id")
+    val clean = Curation.contaminationStats(corpus, bench, "doc_id", "text", n = 3)
+      .filter(!col("contaminated")).select("doc_id")
+    assert(kept.except(clean).isEmpty && clean.except(kept).isEmpty)
+  }
+
   test("decontaminate with an empty benchmark keeps everything") {
     val (corpus, bench) = contaminationFixture
     val kept = Curation.decontaminate(corpus, bench.filter(lit(false)),
