@@ -39,19 +39,45 @@ object Bench {
         // of the run the executor heap is carrying every earlier query's
         // leftovers and late queries measure GC pressure, not their plan.
         // Clearing per run also keeps each timing cold/independent.
+        // catalog.clearCache only drops Dataset-level cache entries;
+        // localCheckpoint / RDD-level persists (connectedComponents,
+        // lineDedup) live in getPersistentRDDs and must be freed
+        // explicitly or they accumulate across the 70-query run.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         dt
       }.sorted
+      // ContextCleaner frees broadcast/accumulator blocks only when the
+      // driver GCs their references; 210 query executions without a GC
+      // can accumulate enough executor-side state to make tail queries
+      // measure heap pressure instead of their plan.
+      System.gc()
       name -> times
     }
+    // The harness captures only the LAST ~2000 chars of output, so the
+    // contract JSON line must fit there entirely: values round to 2
+    // decimals (10 ms — measurement noise exceeds that anyway) and the
+    // min/max spread goes to stderr + target/bench_detail.json instead
+    // of the stdout line.
+    def r2(x: Double): String = // Locale.ROOT: 'f' interpolation would emit ',' decimals under e.g. a German JVM locale, corrupting the JSON
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
     def field(f: Seq[Double] => Double): String = results
-      .map { case (k, ts) => s"\"" + k + "\":" + f(ts) }.mkString("{", ",", "}")
+      .map { case (k, ts) => s"\"" + k + "\":" + r2(f(ts)) }.mkString("{", ",", "}")
     val qs = field(ts => ts(ts.length / 2)) // median
     val qsMin = field(_.head)
     val qsMax = field(_.last)
     val total = results.map { case (_, ts) => ts(ts.length / 2) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""queries_min":$qsMin,"queries_max":$qsMax,"runs":$runs,"sf":"$sfDir"}""")
+    val detail = s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
+      s""""queries_min":$qsMin,"queries_max":$qsMax,"runs":$runs,"sf":"$sfDir"}"""
+    System.err.println(s"[bench-detail] $detail")
+    try {
+      val p = java.nio.file.Paths.get("target/bench_detail.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
+      s""""queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

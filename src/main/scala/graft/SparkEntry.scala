@@ -765,11 +765,15 @@ object SparkEntry {
     // middle line — i.e. the hash-gated expectation is the ORIGINAL text.
     // Docs whose normalized text duplicates another doc's lose their
     // middle line too and drop out entirely; the oracle mirrors that
-    // exactly, so the gate is robust at any SF.
+    // exactly. Internal newlines are flattened to spaces on BOTH sides
+    // first, so the single-middle-line roundtrip is well-defined on any
+    // corpus (a raw multi-line doc sharing a blank/repeated inner line
+    // across docs would otherwise dedup engine-side only).
     "q64_line_dedup" -> ((s, d) => {
       val wrapped = t(s, d, "documents").select(col("doc_id"),
         concat_ws("\n", lit("### subscribe-to-our-newsletter ###"),
-          col("text"), lit("### all-rights-reserved ###")).as("text"))
+          regexp_replace(col("text"), "\n", " "),
+          lit("### all-rights-reserved ###")).as("text"))
       TextAnalysis.lineDedup(wrapped, "doc_id", "text", minDocs = 2)
         .orderBy(col("doc_id"))
     }),
@@ -1503,7 +1507,7 @@ object SparkEntry {
 
     "q64_line_dedup" ->
       """WITH norm AS (
-        |  SELECT doc_id, text,
+        |  SELECT doc_id, replace(text, chr(10), ' ') AS text,
         |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nl
         |  FROM documents),
         |freq AS (

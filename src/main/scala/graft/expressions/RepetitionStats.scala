@@ -56,8 +56,10 @@ object RepetitionStatsEval {
 
   def eval(s: UTF8String): InternalRow = {
     // normalizeWs semantics: lowercase; tokenization on whitespace runs
-    // makes the collapse/trim redundant
-    val norm = s.toString.toLowerCase
+    // makes the collapse/trim redundant. UTF8String.toLowerCase is the
+    // locale-independent routine Spark's lower() uses — String.toLowerCase
+    // would diverge under e.g. a Turkish JVM locale (I → dotless ı).
+    val norm = s.toLowerCase.toString
     val len = norm.length
 
     var nTok = 0L

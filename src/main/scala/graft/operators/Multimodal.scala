@@ -51,11 +51,18 @@ object Multimodal {
   final case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
   /** Deterministic synthetic media table (stands in for a real binary
-    * source; seed-stable so tests and oracles are reproducible). */
+    * source; seed-stable so tests and oracles are reproducible). Every
+    * 10th row is a planted near-duplicate: it reuses the bytes of row
+    * i-3 (same `kind` — kinds cycle mod 3) with the final byte shifted
+    * by ±1, which moves the rolling-hash feature vector by ~1/(1000·n)
+    * in one dimension — so near-dup detection over this table has a
+    * stable non-empty answer instead of vacuously finding nothing in
+    * uniform random noise. */
   def synthesizeMedia(spark: SparkSession, n: Int, seed: Long = 42L): DataFrame = {
     import spark.implicits._
     val kinds = Array("image", "audio", "video")
-    (0L until n.toLong).map { i =>
+    val rows = new scala.collection.mutable.ArrayBuffer[MediaRow](n)
+    (0L until n.toLong).foreach { i =>
       val rnd = new scala.util.Random(seed + i)
       val kind = kinds((i % 3).toInt)
       val len = 64 + rnd.nextInt(192)
@@ -65,8 +72,14 @@ object Multimodal {
         case "audio" => MediaMeta(0, 0, 1, "wav", 1000 + rnd.nextInt(9000), 16000)
         case _       => MediaMeta(64, 64, 3, "mp4", 2000 + rnd.nextInt(8000), 0)
       }
-      MediaRow(i, kind, bytes, meta)
-    }.toDF()
+      rows += (if (i % 10 == 9 && i >= 3) {
+        val src = rows((i - 3).toInt)
+        val nb = src.bytes.clone()
+        nb(nb.length - 1) = (nb(nb.length - 1) ^ 0x01).toByte
+        MediaRow(i, src.kind, nb, src.meta)
+      } else MediaRow(i, kind, bytes, meta))
+    }
+    rows.toSeq.toDF()
   }
 
   /** STUB decode: a real implementation would run an image/audio codec

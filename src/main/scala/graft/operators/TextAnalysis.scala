@@ -161,7 +161,11 @@ object TextAnalysis {
     *        plan references it twice (frequency aggregate + removal
     *        anti-join) and the explode+normalize+hash is the dominant map
     *        cost — same rationale as minhashDupPairs' persistShingles.
-    *        Pass false to keep the operator side-effect free. */
+    *        The blocks stay pinned after the result materializes (an
+    *        operator returning a lazy frame cannot know when to free
+    *        them): callers owning a long-lived session must
+    *        `spark.catalog.clearCache()` (as Bench does per query) or
+    *        pass false to keep the operator side-effect free. */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
                 minDocs: Int = 2, persistLines: Boolean = true): DataFrame = {
     val lines0 = df

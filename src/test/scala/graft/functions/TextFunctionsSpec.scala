@@ -80,6 +80,8 @@ class TextFunctionsSpec extends SparkSpec {
       ("call 555-010-4242 or 555 010 4243", "call <PHONE> or <PHONE>"),
       // email digits must not leak into a phone match; IP before phone
       ("a@b.io 10.0.0.1 +44 20 7946 0958", "<EMAIL> <IP> <PHONE>"),
+      // 7-digit local forms, bare and separated
+      ("reach 555-0100 or 5551234 now", "reach <PHONE> or <PHONE> now"),
       ("just words, and the year 2024 alone", "just words, and the year 2024 alone"),
       ("", ""),
     ).toDF("in", "want")
