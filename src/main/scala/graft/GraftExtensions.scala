@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.expressions.{CosineSimilarity, HashedCharShingles, MinHashSignature, RepetitionStats, SentimentScore, SimHash64, SortedArrayJaccard, TextStats, WordNgramHashes, WordNgramStrings}
+import graft.expressions.{CosineSimilarity, EmbeddingQuantStats, HashedCharShingles, MinHashSignature, RepetitionStats, SentimentScore, SimHash64, SortedArrayJaccard, TextStats, WordNgramHashes, WordNgramStrings}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `spark.sql` users get them too:
@@ -127,5 +127,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordNgramHashes].getName, "word_ngram_hashes"),
       (args: Seq[Expression]) =>
         WordNgramHashes(args.head, intLit(args(1), "n"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("embedding_quant_stats"),
+      new ExpressionInfo(classOf[EmbeddingQuantStats].getName, "embedding_quant_stats"),
+      (args: Seq[Expression]) => EmbeddingQuantStats(args.head)))
   }
 }

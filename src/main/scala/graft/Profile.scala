@@ -30,6 +30,8 @@ object Profile {
         val n = qe.toRdd.count()
         val t2 = System.nanoTime()
         println(f"[profile] $name run$i rows=$n plan=${(t1 - t0) / 1e9}%.2fs exec=${(t2 - t1) / 1e9}%.2fs")
+        if (i == 1 && sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+          println(s"[plan] $name\n${qe.executedPlan}")
         spark.catalog.clearCache()
       }
     }

@@ -796,18 +796,18 @@ object SparkEntry {
     // quantized grid reproducible across engines, unlike rint's
     // half-even.
     "q66_embedding_quantize" -> ((s, d) => {
-      val qz = operators.Embeddings.quantizeInt8(col("embedding"))
+      // quantStats fuses norm + quantize + error into one codegen'd pass;
+      // the declarative composition re-ran its interpreted HOF chain once
+      // per consuming column after projection collapse (~0.65 ms/row).
+      val qz = operators.Embeddings.quantStats(col("embedding"))
       t(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding"), qz.as("qz"))
+        .select(col("vec_id"), qz.as("qz"))
         .select(col("vec_id"),
-          r6(operators.Embeddings.l2Norm(col("embedding"))).as("norm"),
+          r6(col("qz.norm")).as("norm"),
           r6(col("qz.scale")).as("scale"),
           col("qz.q")(0).cast("long").as("q0"),
           col("qz.q")(1).cast("long").as("q1"),
-          r6(array_max(zip_with(
-            operators.Similarity.asDouble(col("embedding")),
-            operators.Embeddings.dequantizeInt8(col("qz")),
-            (x, y) => abs(x - y)))).as("max_err"))
+          r6(col("qz.max_err")).as("max_err"))
         .orderBy(col("vec_id"))
     }),
 
@@ -874,6 +874,56 @@ object SparkEntry {
           r4(col("std")).as("std"),
           r6(col("dim_min")).as("dim_min"), r6(col("dim_max")).as("dim_max"))
         .orderBy(col("dim"))
+    }),
+
+    // TF-IDF term weighting: tf and df are integer aggregates (exact in
+    // both engines); the only fp term is ln(N/df), whose ≤1-ulp libm
+    // spread r4 absorbs. Full (doc, token) output — ranking machinery is
+    // gated elsewhere (q08/q13/q33); the new surface here is the
+    // weighting itself.
+    "q71_tfidf" -> ((s, d) => {
+      TextAnalysis.tfidf(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+          r4(col("weight")).as("weight"))
+        .orderBy(col("doc_id"), col("tok"))
+    }),
+
+    // Per-source quality-quantile pruning: keep each source's top-half
+    // by quality score, report retention. Cross-engine determinism: the
+    // interpolated median only equals a data point when it lands ON one
+    // (see Curation.quantilePrune), so the >= cut keeps identical rows;
+    // the reported median and kept-average absorb ulp spread via r4.
+    "q72_quality_prune" -> ((s, d) => {
+      val scored = t(s, d, "documents").select(col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      operators.Curation.quantilePrune(scored, "source", "quality", 0.5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), max(col("q_total")).as("n_total"),
+          r4(max(col("q_cut"))).as("med_q"),
+          r4(avg(col("quality"))).as("kept_avg_q"))
+        .orderBy(col("source"))
+    }),
+
+    // Embedding-space eval: exact 1-NN label agreement per label (the
+    // standard "is this embedding space any good" probe). Brute-force
+    // cosine is the documented exact baseline (q26); at corpus scale the
+    // same aggregate runs over lshTopK/ivfTopK output. Top-1 ties are
+    // broken on neighbor id; distinct cosine values are ~0.01 apart on
+    // this data, far beyond cross-engine ulp spread.
+    "q73_knn_labels" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val lab = emb.select(col("vec_id"), col("label"))
+      Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 1)
+        .join(lab.toDF("vec_id", "q_label"), col("query_id") === col("vec_id"))
+        .drop("vec_id")
+        .join(lab.toDF("vec_id", "n_label"), col("neighbor_id") === col("vec_id"))
+        .groupBy(col("q_label").as("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("q_label") === col("n_label"), 1L).otherwise(0L))
+            .as("n_agree"))
+        .select(col("label"), col("n"), col("n_agree"),
+          r4(col("n_agree").cast("double") / col("n")).as("agree_rate"))
+        .orderBy(col("label"))
     }),
   )
 
@@ -1619,5 +1669,80 @@ object SparkEntry {
       """SELECT doc_id,
         |  text || ' contact <EMAIL> via <IP> or <PHONE>' AS clean
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // tf and df are exact integer aggregates; ln(N/df) differs by <=1
+    // ulp across libm implementations, absorbed by r4.
+    "q71_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS nd FROM documents)
+        |SELECT t.doc_id, t.tok, t.tf, d.df,
+        |  r4(t.tf * ln(nd::DOUBLE / d.df)) AS weight
+        |FROM tf t JOIN dfq d USING (tok), n
+        |ORDER BY t.doc_id, t.tok""".stripMargin,
+
+    // Quality formula verbatim from the q29 oracle (carried per source);
+    // quantile_cont's interpolated median equals a data value only when
+    // it lands ON one, so the >= cut is engine-independent.
+    "q72_quality_prune" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt,
+         |    list_filter(string_split_regex(
+         |      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+         |      x -> x <> '') AS tk
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(nt) AS DOUBLE) AS nchars,
+         |    CAST(len(tk) AS DOUBLE) AS ntoks,
+         |    CAST(len(regexp_extract_all(nt, '[[:punct:]]')) AS DOUBLE) AS punct,
+         |    CAST(len(list_filter(tk, t -> list_contains($allStopsList, t))) AS DOUBLE) AS stophits
+         |  FROM toks),
+         |feat AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN nchars >= 50 AND nchars <= 20000 THEN 1.0 ELSE 0.3 END AS length_ok,
+         |    CASE WHEN nchars = 0 THEN 0.0
+         |         WHEN punct / nchars < 0.2 THEN 1.0 ELSE 0.4 END AS punct_ok,
+         |    CASE WHEN ntoks = 0 THEN 0.0
+         |         ELSE (nchars - (ntoks - 1)) / ntoks END AS mwl,
+         |    CASE WHEN ntoks = 0 THEN 0.0 ELSE stophits / ntoks END AS stop_ratio
+         |  FROM scored),
+         |qual AS (
+         |  SELECT doc_id, source,
+         |    round(length_ok * 0.3 + punct_ok * 0.25 +
+         |      (CASE WHEN mwl >= 2.5 AND mwl <= 12.0 THEN 1.0 ELSE 0.4 END) * 0.25 +
+         |      (CASE WHEN stop_ratio > 0.05 THEN 1.0 ELSE 0.6 END) * 0.2, 4) AS quality
+         |  FROM feat),
+         |cuts AS (
+         |  SELECT source, quantile_cont(quality, 0.5) AS q_cut,
+         |    count(*) AS n_total
+         |  FROM qual GROUP BY source)
+         |SELECT source, count(*) AS n_kept, max(n_total) AS n_total,
+         |  r4(max(q_cut)) AS med_q, r4(avg(quality)) AS kept_avg_q
+         |FROM qual JOIN cuts USING (source)
+         |WHERE quality >= q_cut
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same pair-scoring technique as the q26 oracle; top-1 per query,
+    // label agreement aggregated per label.
+    "q73_knn_labels" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |knn AS (
+        |  SELECT q.vec_id, q.label AS ql, c.label AS nl,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.e, c.e) DESC, c.vec_id) AS rk
+        |  FROM v q JOIN v c ON q.vec_id <> c.vec_id)
+        |SELECT ql AS label, count(*) AS n,
+        |  count(*) FILTER (WHERE ql = nl) AS n_agree,
+        |  r4(CAST(count(*) FILTER (WHERE ql = nl) AS DOUBLE) / count(*))
+        |    AS agree_rate
+        |FROM knn WHERE rk = 1 GROUP BY ql ORDER BY ql""".stripMargin,
   )
 }

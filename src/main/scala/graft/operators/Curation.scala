@@ -135,6 +135,38 @@ object Curation {
     * document short-circuits on its first hit); the final anti-join is on
     * the id — AQE broadcasts it when the dirty set is small, which for a
     * curated corpus vs an eval set it always is. */
+  /** Per-group quantile pruning: keep the rows of each `groupCol` group
+    * whose `scoreCol` is at or above the group's `p`-quantile (e.g. drop
+    * the bottom-half-quality docs of every source). The returned frame
+    * carries two extra columns: `q_cut` (the group's quantile) and
+    * `q_total` (the group's pre-prune row count) so callers can report
+    * retention without a second pass.
+    *
+    * `accuracy = 0` (default) uses Spark's exact interpolating
+    * `percentile` — a mergeable counts-map aggregate, safe while each
+    * group's distinct-score set is modest (bounded score grids like
+    * rounded quality scores). For heavy-cardinality scores at corpus
+    * scale pass an `approx_percentile` accuracy (e.g. 10000): mergeable
+    * sketch, bounded memory, rank error ≤ 1/accuracy.
+    *
+    * Scale shape: one aggregate shuffle to compute |groups| cut rows,
+    * which broadcast back onto the corpus — the corpus itself crosses no
+    * shuffle. Determinism: exact mode interpolates identically across
+    * engines; the cut value only ever equals a data point when the
+    * quantile lands ON one (interpolation between distinct adjacent
+    * values yields a value strictly between them), so `>=` keeps the
+    * same rows everywhere. */
+  def quantilePrune(df: DataFrame, groupCol: String, scoreCol: String,
+                    p: Double, accuracy: Int = 0): DataFrame = {
+    val cut =
+      if (accuracy > 0) expr(s"approx_percentile($scoreCol, $p, $accuracy)")
+      else expr(s"percentile($scoreCol, $p)")
+    val cuts = df.groupBy(col(groupCol))
+      .agg(cut.as("q_cut"), count(lit(1)).as("q_total"))
+    df.join(broadcast(cuts), Seq(groupCol))
+      .filter(col(scoreCol) >= col("q_cut"))
+  }
+
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, n: Int = 3,
                     hashed: Boolean = true): DataFrame = {

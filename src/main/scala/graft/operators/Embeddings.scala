@@ -40,6 +40,16 @@ object Embeddings {
         .as("q"))
   }
 
+  /** [[l2Norm]] + [[quantizeInt8]] + max dequantization error fused into
+    * ONE codegen'd pass: struct<norm, scale, q, max_err>. Semantically
+    * identical to composing the declarative pieces (equivalence pinned in
+    * EmbeddingsSpec), but the declarative chain re-evaluates its
+    * interpreted higher-order functions once per consuming column after
+    * projection collapse — this computes the bundle once per row. Use
+    * this form when a query reads more than one of the fields. */
+  def quantStats(v: Column): Column =
+    graft.expressions.EmbeddingQuantStats(v)
+
   /** Inverse of [[quantizeInt8]]: x̂_i = (q_i * scale) / 127. */
   def dequantizeInt8(quantized: Column): Column = {
     val scale = quantized.getField("scale")

@@ -187,6 +187,40 @@ object TextAnalysis {
           s => s.getField("line")), "\n").as(textCol))
   }
 
+  /** TF-IDF term weighting over a document frame: one row per
+    * (document, token) with term frequency, document frequency, and
+    * weight = tf · ln(N / df) — the classic relevance/keyword signal
+    * (tokens present in every document weigh 0). Tokenization is the
+    * engine-wide whitespace split of the lowercased text (identical to
+    * the sentiment/text-stats family, so oracles mirror it directly).
+    *
+    * Scale shape: the corpus is scanned and exploded ONCE — tokens
+    * explode map-side, tf is one hash-aggregate shuffle on (id, token),
+    * and df is a count-window over `tok` on tf's already-aggregated
+    * output (a tf ⋈ df self-join would re-scan and re-explode the
+    * corpus: column pruning rewrites the df branch's inner aggregate to
+    * a distinct, defeating exchange reuse). The corpus-size scalar N is
+    * a one-row broadcast, not a driver-side count. Heavy-tail tokens
+    * ("the" is in every document) skew the tok partitioning the same
+    * way under either shape; AQE skew handling or an upstream stopword
+    * filter is the remedy at corpus scale. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("tok"))))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    withDf.crossJoin(broadcast(n))
+      .select(col(idCol), col("tok"), col("tf"), col("df"),
+        (col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+          .as("weight"))
+  }
+
   /** Convenience: annotate a document frame with the full analysis set. */
   def annotate(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_pred", languageId(col(textCol)))

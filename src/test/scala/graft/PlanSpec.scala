@@ -147,6 +147,27 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q71: tfidf scans the corpus once for tf+df (window, not a re-scan self-join)") {
+    val p = executedPlanOf("q71_tfidf").split("== Initial Plan ==").head
+    // two scans total: the token explode and the one-row doc count — a
+    // tf ⋈ df self-join formulation would cost a third (re-explode)
+    assert("Scan parquet".r.findAllIn(p).size == 2, p)
+    val exchanges = "Exchange ([a-z]+)partitioning\\(([a-z_]+)".r
+      .findAllMatchIn(p).map(m => (m.group(1), m.group(2))).toSeq
+    // (doc_id, tok) tf aggregate, tok window for df, range for ORDER BY
+    assert(exchanges.sorted == Seq(("hash", "doc_id"), ("hash", "tok"),
+      ("range", "doc_id")), s"unexpected exchanges $exchanges\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // tf partial+final
+  }
+
+  test("embedding_quant_stats evaluates inside whole-stage codegen, not fallback") {
+    val df = SparkEntry.queries("q66_embedding_quantize")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val projLine = p.linesIterator.find(_.contains("embedding_quant_stats"))
+    assert(projLine.exists(_.contains("*(")), s"project not codegen'd:\n$p")
+  }
+
   test("repetition_stats evaluates inside whole-stage codegen, not fallback") {
     val df = SparkEntry.queries("q60_repetition")(spark, d)
     df.collect()

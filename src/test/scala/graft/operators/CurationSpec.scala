@@ -164,4 +164,25 @@ class CurationSpec extends SparkSpec {
       "doc_id", "text", n = 3)
     assert(kept.count() == corpus.count())
   }
+
+  test("quantilePrune keeps rows at or above the per-group interpolated quantile") {
+    val df = Seq(
+      ("g1", 1.0), ("g1", 2.0), ("g1", 3.0), ("g1", 4.0), // median 2.5
+      ("g2", 5.0),                                        // median 5.0 (on a point)
+    ).toDF("grp", "score")
+    val got = Curation.quantilePrune(df, "grp", "score", 0.5)
+      .as[(String, Double, Double, Long)].collect().toSet
+    assert(got == Set(("g1", 3.0, 2.5, 4L), ("g1", 4.0, 2.5, 4L),
+      ("g2", 5.0, 5.0, 1L)))
+  }
+
+  test("quantilePrune approx mode agrees with exact on a bounded score grid") {
+    // 201 rows so the exact median lands ON a data point (rank 100 = 4.0)
+    // — approx_percentile returns data values, never interpolations, so
+    // the two modes only coincide when the quantile is a data point
+    val df = Seq.tabulate(201)(i => ("g", (i % 10).toDouble)).toDF("grp", "score")
+    val exact = Curation.quantilePrune(df, "grp", "score", 0.5)
+    val approx = Curation.quantilePrune(df, "grp", "score", 0.5, accuracy = 10000)
+    assert(exact.count() == approx.count())
+  }
 }

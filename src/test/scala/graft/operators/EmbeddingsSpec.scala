@@ -44,6 +44,24 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("quantStats (native) ≡ declarative l2Norm/quantizeInt8/dequantize on real data") {
+    val real = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding")
+    val everything = real.unionByName(vecs)
+    val qs = Embeddings.quantStats($"embedding")
+    val native = everything.select($"vec_id",
+      qs.getField("norm").as("norm"), qs.getField("scale").as("scale"),
+      qs.getField("q").as("q"), qs.getField("max_err").as("max_err"))
+    val dz = Embeddings.quantizeInt8($"embedding")
+    val decl = everything.select($"vec_id",
+      Embeddings.l2Norm($"embedding").as("norm"),
+      dz.getField("scale").as("scale"), dz.getField("q").as("q"),
+      array_max(zip_with(Similarity.asDouble($"embedding"),
+        Embeddings.dequantizeInt8(dz), (x, y) => abs(x - y))).as("max_err"))
+    // bit-identical: same fold order, widening, and rounding rule
+    assert(native.exceptAll(decl).isEmpty && decl.exceptAll(native).isEmpty)
+  }
+
   test("dimStats: mean/std/min/max per dimension") {
     val df = Seq(
       (1L, Seq(1.0f, 10.0f)),

@@ -134,4 +134,16 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "body a", 2L -> "body b"))
   }
+
+  test("tfidf: known tf/df/weight values; everywhere-tokens weigh zero") {
+    val df = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidf(df, "doc_id", "text")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got((1L, "a")) == ((2L, 2L, 0.0)))       // ln(2/2) = 0
+    assert(got((2L, "a")) == ((1L, 2L, 0.0)))
+    assert(got((1L, "b")) == ((1L, 1L, math.log(2.0))))
+    assert(got((2L, "c")) == ((1L, 1L, math.log(2.0))))
+    assert(got.size == 4)
+  }
 }
