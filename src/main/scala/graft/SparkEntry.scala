@@ -904,6 +904,29 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Token-budgeted source sampling: data mixtures are specified in
+    // tokens, not rows — admit docs per source in content-hash order
+    // until the running token sum crosses the budget. Integer sums in
+    // hash-then-id window order: deterministic in both engines.
+    "q74_token_budget" -> ((s, d) => {
+      operators.Curation.tokenBudgetSample(t(s, d, "documents"),
+          "doc_id", "text", "source", budget = 500L, salt = "tb:42")
+        .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // Greedy sequence packing (pretraining batch layout): 16 hash shards
+    // (1 hex char — enough docs per shard at this SF that sequences
+    // actually fill and roll over), capacity 512 tokens, first-fit in
+    // (hash, id) order. The oracle replays the same greedy recurrence as
+    // a DuckDB recursive CTE stepping row-by-row per shard.
+    "q75_seq_pack" -> ((s, d) => {
+      operators.Curation.packSequences(t(s, d, "documents"),
+          "doc_id", "text", capacity = 512L, salt = "pack:42",
+          shardHexChars = 1)
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding-space eval: exact 1-NN label agreement per label (the
     // standard "is this embedding space any good" probe). Brute-force
     // cosine is the documented exact baseline (q26); at corpus scale the
@@ -1727,6 +1750,51 @@ object SparkEntry {
          |FROM qual JOIN cuts USING (source)
          |WHERE quality >= q_cut
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q74_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tok,
+        |    sha256(CAST(doc_id AS VARCHAR) || ':tb:42') AS sk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY sk, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_tok
+        |  FROM t)
+        |SELECT doc_id, source, n_tok, cum_tok FROM c
+        |WHERE cum_tok <= 500 ORDER BY source, doc_id""".stripMargin,
+
+    // The same greedy first-fit recurrence as packSequences, stepped
+    // row-by-row per shard (recursion depth = max docs per shard).
+    "q75_seq_pack" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tok,
+        |    sha256(CAST(doc_id AS VARCHAR) || ':pack:42') AS sk
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tok, substring(sk, 1, 1) AS shard,
+        |    row_number() OVER (PARTITION BY substring(sk, 1, 1)
+        |      ORDER BY sk, doc_id) AS rn
+        |  FROM t),
+        |pack AS (
+        |  SELECT doc_id, n_tok, shard, rn,
+        |    0::BIGINT AS seq_id, 0::BIGINT AS tok_start
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.doc_id, o.n_tok, o.shard, o.rn,
+        |    CASE WHEN p.tok_start + p.n_tok > 0
+        |           AND p.tok_start + p.n_tok + o.n_tok > 512
+        |         THEN p.seq_id + 1 ELSE p.seq_id END,
+        |    CASE WHEN p.tok_start + p.n_tok > 0
+        |           AND p.tok_start + p.n_tok + o.n_tok > 512
+        |         THEN 0 ELSE p.tok_start + p.n_tok END
+        |  FROM pack p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1)
+        |SELECT doc_id, shard, seq_id, tok_start, n_tok FROM pack
+        |ORDER BY doc_id""".stripMargin,
 
     // Same pair-scoring technique as the q26 oracle; top-1 per query,
     // label agreement aggregated per label.

@@ -135,6 +135,73 @@ object Curation {
     * document short-circuits on its first hit); the final anti-join is on
     * the id — AQE broadcasts it when the dirty set is small, which for a
     * curated corpus vs an eval set it always is. */
+  /** Token-budgeted source sampling: keep a uniform random-looking (but
+    * fully deterministic) subset of each source totalling at most
+    * `budget` tokens — how real data mixtures are specified ("50 B
+    * tokens of web, 10 B of code"), as opposed to row-fraction sampling
+    * which ignores document length. Rows are admitted in content-hash
+    * order until the source's running token sum crosses the budget;
+    * adds (sample_key, n_tok, cum_tok).
+    *
+    * Scale shape: one window shuffle partitioned by source. A source's
+    * documents form one window partition, so a handful of giant sources
+    * serialize — at that shape, split the budget across `hashSplit`-style
+    * sub-buckets and sample per bucket. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, textCol: String,
+                        srcCol: String, budget: Long, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(col("sample_key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("sample_key", shuffleKey(col(idCol), salt))
+      .withColumn("n_tok",
+        graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= budget)
+  }
+
+  /** Greedy sequence packing: concatenate documents into fixed-capacity
+    * token sequences (pretraining batch layout). Documents are assigned
+    * to one of 16^`shardHexChars` deterministic shards by content hash,
+    * ordered within the shard by (hash, id), and packed first-fit: a doc
+    * that would overflow the current sequence starts the next one (a doc
+    * longer than `capacity` occupies a sequence alone). Output: (id,
+    * shard, seq_id, tok_start, n_tok) — seq_id counts per shard,
+    * tok_start is the doc's offset inside its sequence.
+    *
+    * Packing is inherently sequential, so the parallelism unit is the
+    * shard: each packs independently inside its partition (state resets
+    * on shard change; membership and order are content-hash-determined,
+    * so any partition count or retry reproduces the same packing).
+    * Default 2 hex chars = 256 shards; raise it at corpus scale. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    capacity: Long, salt: String,
+                    shardHexChars: Int = 2): DataFrame = {
+    require(capacity > 0 && shardHexChars >= 1 && shardHexChars <= 8)
+    import df.sparkSession.implicits._
+    val keyed = df.select(col(idCol).cast("long").as("id"),
+        graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")
+          .as("n_tok"),
+        shuffleKey(col(idCol), salt).as("sk"))
+      .withColumn("shard", substring(col("sk"), 1, shardHexChars))
+      .as[(Long, Long, String, String)]
+    keyed.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("sk"), col("id"))
+      .mapPartitions { it =>
+        var curShard: String = null
+        var seq = 0L
+        var fill = 0L
+        it.map { case (id, n, _, shard) =>
+          if (shard != curShard) { curShard = shard; seq = 0L; fill = 0L }
+          if (fill > 0 && fill + n > capacity) { seq += 1L; fill = 0L }
+          val start = fill
+          fill += n
+          (id, shard, seq, start, n)
+        }
+      }
+      .toDF(idCol, "shard", "seq_id", "tok_start", "n_tok")
+  }
+
   /** Per-group quantile pruning: keep the rows of each `groupCol` group
     * whose `scoreCol` is at or above the group's `p`-quantile (e.g. drop
     * the bottom-half-quality docs of every source). The returned frame

@@ -165,6 +165,43 @@ class CurationSpec extends SparkSpec {
     assert(kept.count() == corpus.count())
   }
 
+  test("tokenBudgetSample: per-source running token sum stops at the budget") {
+    val df = Seq(
+      (1L, "s1", "a b c"), (2L, "s1", "d e"), (3L, "s1", "f g h i"),
+      (4L, "s2", "one two three four five six"),
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.tokenBudgetSample(df, "doc_id", "text", "source",
+        budget = 5L, salt = "t")
+      .select("doc_id", "n_tok", "cum_tok")
+      .as[(Long, Long, Long)].collect().toSet
+    // s1 docs admitted in hash order until cum > 5; s2's only doc is 6
+    // tokens -> over budget, excluded entirely
+    val kept = got.map(_._1)
+    assert(!kept.contains(4L))
+    assert(got.forall(_._3 <= 5L))
+    assert(kept.nonEmpty && kept.subsetOf(Set(1L, 2L, 3L)))
+  }
+
+  test("packSequences: capacity respected, offsets contiguous, membership total, layout-independent") {
+    val docs = (0L until 60L).map(i => (i, "tok " * (1 + (i % 7).toInt)))
+      .toDF("doc_id", "text")
+    val packed = Curation.packSequences(docs, "doc_id", "text",
+      capacity = 10L, salt = "p", shardHexChars = 1)
+    val rows = packed.as[(Long, String, Long, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.sameElements(0L until 60L)) // every doc packed once
+    for (((_, seq), grp) <- rows.groupBy(r => (r._2, r._3))) {
+      val sorted = grp.sortBy(_._4)
+      // offsets are the running sum of lengths (contiguous packing)
+      assert(sorted.map(_._4).sameElements(sorted.scanLeft(0L)(_ + _._5).init))
+      // a sequence over capacity can only be a single oversized doc
+      assert(sorted.map(_._5).sum <= 10L || sorted.length == 1)
+    }
+    // same packing regardless of the input's partition layout
+    val re = Curation.packSequences(docs.repartition(7), "doc_id", "text",
+      capacity = 10L, salt = "p", shardHexChars = 1)
+    assert(packed.exceptAll(re).isEmpty && re.exceptAll(packed).isEmpty)
+  }
+
   test("quantilePrune keeps rows at or above the per-group interpolated quantile") {
     val df = Seq(
       ("g1", 1.0), ("g1", 2.0), ("g1", 3.0), ("g1", 4.0), // median 2.5
