@@ -76,8 +76,12 @@ object Bench {
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    // basename only and no "runs" on stdout: with 75 queries the line
+    // must stay under the harness's ~1.9k visible-tail budget; the full
+    // paths/spread live in the stderr + file detail record.
+    val sfName = new java.io.File(sfDir).getName
     println(s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
-      s""""queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
+      s""""queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -928,15 +928,18 @@ object SparkEntry {
     }),
 
     // Embedding-space eval: exact 1-NN label agreement per label (the
-    // standard "is this embedding space any good" probe). Brute-force
-    // cosine is the documented exact baseline (q26); at corpus scale the
-    // same aggregate runs over lshTopK/ivfTopK output. Top-1 ties are
-    // broken on neighbor id; distinct cosine values are ~0.01 apart on
-    // this data, far beyond cross-engine ulp spread.
+    // standard "is this embedding space any good" probe), on a
+    // deterministic 1-in-4 query subsample — the corpus-scale eval
+    // pattern: probe cost stays linear in the corpus while neighbors
+    // still search ALL of it. Brute-force cosine is the documented exact
+    // baseline (q26); at scale the same aggregate runs over
+    // lshTopK/ivfTopK output. Top-1 ties break on neighbor id; distinct
+    // cosine values are ~0.01 apart here, far beyond cross-engine ulps.
     "q73_knn_labels" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val lab = emb.select(col("vec_id"), col("label"))
-      Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 1)
+      Similarity.bruteForceTopK(emb.filter(pmod(col("vec_id"), lit(4)) === 0),
+          emb, "vec_id", "embedding", 1)
         .join(lab.toDF("vec_id", "q_label"), col("query_id") === col("vec_id"))
         .drop("vec_id")
         .join(lab.toDF("vec_id", "n_label"), col("neighbor_id") === col("vec_id"))
@@ -1806,7 +1809,8 @@ object SparkEntry {
         |  SELECT q.vec_id, q.label AS ql, c.label AS nl,
         |    row_number() OVER (PARTITION BY q.vec_id
         |      ORDER BY list_cosine_similarity(q.e, c.e) DESC, c.vec_id) AS rk
-        |  FROM v q JOIN v c ON q.vec_id <> c.vec_id)
+        |  FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id % 4 = 0)
         |SELECT ql AS label, count(*) AS n,
         |  count(*) FILTER (WHERE ql = nl) AS n_agree,
         |  r4(CAST(count(*) FILTER (WHERE ql = nl) AS DOUBLE) / count(*))
