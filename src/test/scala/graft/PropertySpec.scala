@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions
-import graft.operators.Dedup
+import graft.operators.{Curation, Dedup, TextAnalysis}
 import graft.pipeline.{EtlJob, TweetPipeline}
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
@@ -86,6 +86,32 @@ class PropertySpec extends AnyFunSuite {
         .collect().map(_.getSeq[Long](0))
       assert(sigs.forall(_.length == 16))
       assert(sigs.forall(_.forall(v => v >= 0)))
+    }
+  }
+
+  test("tfidf conservation: sum of tf per doc == the doc's token count; df <= N") {
+    forSamples(docsGen) { docs =>
+      val df = docs.toDF("id", "text")
+      val out = TextAnalysis.tfidf(df, "id", "text")
+        .select($"id", $"tf", $"df").as[(Long, Long, Long)].collect()
+      val tfSums = out.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      for ((id, t) <- docs) {
+        val expect = t.split("\\s+").count(_.nonEmpty).toLong
+        assert(tfSums.getOrElse(id, 0L) == expect, s"doc $id")
+      }
+      assert(out.forall(r => r._3 >= 1 && r._3 <= docs.size))
+    }
+  }
+
+  test("packSequences conservation: every doc packed exactly once, offsets within capacity rules") {
+    forSamples(docsGen) { docs =>
+      val df = docs.toDF("id", "text")
+      val packed = Curation.packSequences(df, "id", "text",
+          capacity = 5L, salt = "prop", shardHexChars = 1)
+        .as[(Long, String, Long, Long, Long)].collect()
+      assert(packed.map(_._1).sorted.sameElements(docs.map(_._1).sorted))
+      // a doc starting at a nonzero offset never overflows the capacity
+      assert(packed.forall(r => r._4 == 0L || r._4 + r._5 <= 5L))
     }
   }
 }
