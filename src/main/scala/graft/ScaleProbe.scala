@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe (dev tool, like [[Profile]]): materializes a 10× copy of
+  * the sf0.1 corpus under /tmp and times the linear-family queries on
+  * both sizes, to measure how the shapes actually scale beyond the
+  * provided SFs. Copies get a per-copy suffix token so exact/fingerprint
+  * dedup stays honest; near-dup (MinHash/LSH) queries are EXCLUDED —
+  * textual replication inflates their true pair structure, which would
+  * measure a different workload, and their band-join shapes are already
+  * plan-pinned. Embeddings are replicated verbatim (per-vector ops only).
+  */
+object ScaleProbe {
+  private val bigDir = "/tmp/graft_scale"
+
+  private val probeQueries = Seq(
+    "q29_text_quality", "q60_repetition", "q61_decontamination",
+    "q63_curation_pipeline", "q64_line_dedup", "q66_embedding_quantize",
+    "q67_embedding_dim_stats", "q68_pii_redaction", "q71_tfidf",
+    "q74_token_budget", "q75_seq_pack")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val srcDir = "/root/testdata/sf0.1"
+
+    val docs = Tables.documents(spark, srcDir)
+    (0 until 10).map { c =>
+      docs.select((col("doc_id") * 10 + c).as("doc_id"),
+        concat(col("text"), lit(s" copytok$c")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+
+    val emb = Tables.embeddings(spark, srcDir)
+    (0 until 10).map { c =>
+      emb.select((col("vec_id") * 10 + c).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+
+    def time(fn: => DataFrame): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn.queryExecution.toRdd.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        dt
+      }.sorted
+      ts(1)
+    }
+
+    // warmup
+    spark.read.parquet(s"$srcDir/region.parquet")
+      .groupBy("r_name").count().queryExecution.toRdd.count()
+
+    probeQueries.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val small = time(fn(spark, srcDir))
+      val big = time(fn(spark, bigDir))
+      println(f"[scale] $name%-26s sf0.1=${small}%6.2fs 10x=${big}%6.2fs ratio=${big / small}%5.2f")
+    }
+    spark.stop()
+  }
+}
