@@ -61,7 +61,12 @@ object EmbeddingQuantStatsEval {
     val x = new Array[Double](n)
     var i = 0
     while (i < n) {
-      x(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      // null slots read as 0.0 (ArrayData.getFloat on a null slot is
+      // undefined); embedding arrays are expected null-free
+      x(i) =
+        if (arr.isNullAt(i)) 0.0
+        else if (isFloat) arr.getFloat(i).toDouble
+        else arr.getDouble(i)
       i += 1
     }
     // pass 1: norm (sequential element-order sum, like the declarative

@@ -178,6 +178,10 @@ object Curation {
                     capacity: Long, salt: String,
                     shardHexChars: Int = 2): DataFrame = {
     require(capacity > 0 && shardHexChars >= 1 && shardHexChars <= 8)
+    // an id cast would turn non-numeric ids into silent nulls — refuse
+    val idType = df.schema(idCol).dataType.typeName
+    require(Set("long", "integer", "short", "byte").contains(idType),
+      s"packSequences requires an integral id column, $idCol is $idType")
     import df.sparkSession.implicits._
     val keyed = df.select(col(idCol).cast("long").as("id"),
         graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")
