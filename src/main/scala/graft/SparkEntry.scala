@@ -753,7 +753,15 @@ object SparkEntry {
         .select(col("source"), col("quality"),
           operators.Curation.hashSplit(col("doc_id"), "split:42").as("split"))
         .groupBy(col("split"), col("source"))
-        .agg(count(lit(1)).as("n_docs"), r4(avg(col("quality"))).as("avg_quality"))
+        // avg over exact scaled integers, not doubles: quality sits on a
+        // 1e-4 grid, so a group mean can land EXACTLY on the r4 floor
+        // boundary — there Spark's partition-order sum and the oracle's
+        // sum differ by an ulp and round opposite ways (bit sf0.1).
+        // round(quality*1e4) is an exact long in both engines; dividing
+        // identical exact sums makes the r4 input bit-identical.
+        .agg(count(lit(1)).as("n_docs"),
+          r4(sum(round(col("quality") * 10000).cast("long")) /
+            (count(lit(1)) * 10000.0)).as("avg_quality"))
         .orderBy(col("split"), col("source"))
     }),
 
@@ -890,17 +898,20 @@ object SparkEntry {
 
     // Per-source quality-quantile pruning: keep each source's top-half
     // by quality score, report retention. Cross-engine determinism: the
-    // interpolated median only equals a data point when it lands ON one
-    // (see Curation.quantilePrune), so the >= cut keeps identical rows;
-    // the reported median and kept-average absorb ulp spread via r4.
+    // whole computation runs in exact scaled-integer space —
+    // round(quality*1e4) is an exact long in both engines, so the
+    // median interpolation (k or k+0.5, exact in doubles), the >= cut,
+    // and the kept-average division all see bit-identical inputs (the
+    // same grid-boundary trap q63 hit at sf0.1).
     "q72_quality_prune" -> ((s, d) => {
       val scored = t(s, d, "documents").select(col("source"),
-        TextAnalysis.qualityScore(col("text")).as("quality"))
+        round(TextAnalysis.qualityScore(col("text")) * 10000).cast("long")
+          .as("quality"))
       operators.Curation.quantilePrune(scored, "source", "quality", 0.5)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), max(col("q_total")).as("n_total"),
-          r4(max(col("q_cut"))).as("med_q"),
-          r4(avg(col("quality"))).as("kept_avg_q"))
+          r4(max(col("q_cut")) / 10000.0).as("med_q"),
+          r4(sum(col("quality")) / (count(lit(1)) * 10000.0)).as("kept_avg_q"))
         .orderBy(col("source"))
     }),
 
@@ -1578,7 +1589,9 @@ object SparkEntry {
          |         WHEN substring(sha256(CAST(doc_id AS VARCHAR) || ':split:42'), 1, 2) < 'f3' THEN 'val'
          |         ELSE 'test' END AS split
          |  FROM dedup)
-         |SELECT split, source, count(*) AS n_docs, r4(avg(quality)) AS avg_quality
+         |SELECT split, source, count(*) AS n_docs,
+         |  r4(sum(CAST(round(quality * 10000) AS BIGINT)) / (count(*) * 10000.0))
+         |    AS avg_quality
          |FROM labeled GROUP BY split, source ORDER BY split, source""".stripMargin,
 
     "q64_line_dedup" ->
@@ -1740,16 +1753,18 @@ object SparkEntry {
          |  FROM scored),
          |qual AS (
          |  SELECT doc_id, source,
-         |    round(length_ok * 0.3 + punct_ok * 0.25 +
+         |    CAST(round(round(length_ok * 0.3 + punct_ok * 0.25 +
          |      (CASE WHEN mwl >= 2.5 AND mwl <= 12.0 THEN 1.0 ELSE 0.4 END) * 0.25 +
-         |      (CASE WHEN stop_ratio > 0.05 THEN 1.0 ELSE 0.6 END) * 0.2, 4) AS quality
+         |      (CASE WHEN stop_ratio > 0.05 THEN 1.0 ELSE 0.6 END) * 0.2, 4)
+         |      * 10000) AS BIGINT) AS quality
          |  FROM feat),
          |cuts AS (
          |  SELECT source, quantile_cont(quality, 0.5) AS q_cut,
          |    count(*) AS n_total
          |  FROM qual GROUP BY source)
          |SELECT source, count(*) AS n_kept, max(n_total) AS n_total,
-         |  r4(max(q_cut)) AS med_q, r4(avg(quality)) AS kept_avg_q
+         |  r4(max(q_cut) / 10000.0) AS med_q,
+         |  r4(sum(quality) / (count(*) * 10000.0)) AS kept_avg_q
          |FROM qual JOIN cuts USING (source)
          |WHERE quality >= q_cut
          |GROUP BY source ORDER BY source""".stripMargin,
