@@ -69,7 +69,8 @@ object Bench {
     val qsMax = field(_.last)
     val total = results.map { case (_, ts) => ts(ts.length / 2) }.sum
     val detail = s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
-      s""""queries_min":$qsMin,"queries_max":$qsMax,"runs":$runs,"sf":"$sfDir"}"""
+      s""""queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,""" +
+      s""""runs":$runs,"sf":"$sfDir"}"""
     System.err.println(s"[bench-detail] $detail")
     try {
       val p = java.nio.file.Paths.get("target/bench_detail.json")

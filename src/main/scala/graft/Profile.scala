@@ -32,7 +32,12 @@ object Profile {
         println(f"[profile] $name run$i rows=$n plan=${(t1 - t0) / 1e9}%.2fs exec=${(t2 - t1) / 1e9}%.2fs")
         if (i == 1 && sys.env.contains("SPARK_GRAFT_EXPLAIN"))
           println(s"[plan] $name\n${qe.executedPlan}")
+        // same cleanup contract as Bench: clearCache misses RDD-level
+        // persists (localCheckpoint), and broadcasts free only on GC
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
       }
     }
     spark.stop()

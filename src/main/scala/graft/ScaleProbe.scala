@@ -33,9 +33,10 @@ object ScaleProbe {
 
     val docs = Tables.documents(spark, srcDir)
     (0 until 10).map { c =>
-      docs.select((col("doc_id") * 10 + c).as("doc_id"),
-        concat(col("text"), lit(s" copytok$c")).as("text"),
-        col("lang"), col("source"), col("n_chars"))
+      val text = concat(col("text"), lit(s" copytok$c"))
+      docs.select((col("doc_id") * 10 + c).as("doc_id"), text.as("text"),
+        col("lang"), col("source"),
+        length(text).cast("long").as("n_chars")) // keep metadata consistent with the suffixed text
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
 

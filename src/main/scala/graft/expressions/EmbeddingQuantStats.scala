@@ -15,11 +15,17 @@ import org.apache.spark.sql.types._
   * struct<norm double, scale double, q array<int>, max_err double>.
   *
   * Semantics replicate the declarative recipe in
-  * [[graft.operators.Embeddings]] bit-for-bit (equivalence pinned by
-  * tests): doubles accumulate in element order, floats widen exactly,
-  * q_i = floor(x_i / scale * 127 + 0.5) (half-up — reproducible across
-  * engines, unlike rint's half-even), the zero vector quantizes to zeros
-  * with scale 0 and err 0.
+  * [[graft.operators.Embeddings]] bit-for-bit on well-formed inputs
+  * (equivalence pinned by tests): doubles accumulate in element order,
+  * floats widen exactly, q_i = floor(x_i / scale * 127 + 0.5) (half-up —
+  * reproducible across engines, unlike rint's half-even), the zero
+  * vector quantizes to zeros with scale 0 and err 0. Degenerate inputs
+  * DIVERGE from the declarative chain by design, trading its
+  * null-poisoning for totality: an EMPTY array yields
+  * (0, 0, [], 0) where array_max-based recipes yield nulls, and a null
+  * SLOT reads as 0.0 where the declarative chain nulls the row — both
+  * shapes are pinned in EmbeddingsSpec; embedding columns are expected
+  * non-empty and null-free.
   *
   * The declarative formulation pays for itself four times over: Catalyst
   * collapses the projection so the `transform`/`zip_with`/`aggregate`

@@ -110,16 +110,16 @@ object TextFunctions {
     * phone-like digit runs replaced with fixed tags. Order matters —
     * emails first (so phone matching can't eat an address's digits),
     * then IPs (whose dotted quads would otherwise match the phone
-    * pattern), then phones. Conservative patterns: phone-like runs of 7+
-    * characters (digits plus separators, so 7-digit bare forms like
-    * 5551234 and separated forms like 555-0100 both redact); shorter
-    * numbers pass through.
+    * pattern), then phones. Conservative patterns: a phone is 7+ DIGITS
+    * with optional separators between them (so 5551234 and 555-0100 both
+    * redact), counted on digits rather than total span so benign 5-6
+    * digit spans like '100-200' or '2024-08' pass through.
     * Pure regexp_replace chain — codegen'd, map-side, no dictionary. */
   def redactPii(c: Column): Column = {
     val email = regexp_replace(c,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
     val ip = regexp_replace(email,
       "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
-    regexp_replace(ip, "\\+?\\d[\\d ()\\-]{5,}\\d", "<PHONE>")
+    regexp_replace(ip, "\\+?\\d(?:[ ()\\-]*\\d){6,}", "<PHONE>")
   }
 }

@@ -229,9 +229,11 @@ object Curation {
     * same rows everywhere. */
   def quantilePrune(df: DataFrame, groupCol: String, scoreCol: String,
                     p: Double, accuracy: Int = 0): DataFrame = {
+    require(!df.columns.contains("q_cut") && !df.columns.contains("q_total"),
+      "quantilePrune adds q_cut/q_total; input must not already have them")
     val cut =
-      if (accuracy > 0) expr(s"approx_percentile($scoreCol, $p, $accuracy)")
-      else expr(s"percentile($scoreCol, $p)")
+      if (accuracy > 0) percentile_approx(col(scoreCol), lit(p), lit(accuracy))
+      else percentile(col(scoreCol), lit(p))
     val cuts = df.groupBy(col(groupCol))
       .agg(cut.as("q_cut"), count(lit(1)).as("q_total"))
     df.join(broadcast(cuts), Seq(groupCol))

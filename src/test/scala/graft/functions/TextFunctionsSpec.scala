@@ -82,6 +82,8 @@ class TextFunctionsSpec extends SparkSpec {
       ("a@b.io 10.0.0.1 +44 20 7946 0958", "<EMAIL> <IP> <PHONE>"),
       // 7-digit local forms, bare and separated
       ("reach 555-0100 or 5551234 now", "reach <PHONE> or <PHONE> now"),
+      // 5-6 digit spans are NOT phones: digit count decides, not span length
+      ("pages 100-200 of 2024-08", "pages 100-200 of 2024-08"),
       ("just words, and the year 2024 alone", "just words, and the year 2024 alone"),
       ("", ""),
     ).toDF("in", "want")

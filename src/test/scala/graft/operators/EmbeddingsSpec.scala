@@ -62,6 +62,14 @@ class EmbeddingsSpec extends SparkSpec {
     assert(native.exceptAll(decl).isEmpty && decl.exceptAll(native).isEmpty)
   }
 
+  test("quantStats degenerate inputs: empty array is total (zeros), unlike the null-poisoning declarative chain") {
+    val got = Seq((1L, Seq.empty[Float])).toDF("vec_id", "embedding")
+      .select(Embeddings.quantStats($"embedding").as("qs"))
+      .select($"qs.norm", $"qs.scale", $"qs.q", $"qs.max_err")
+      .as[(Double, Double, Seq[Int], Double)].head()
+    assert(got == ((0.0, 0.0, Seq.empty[Int], 0.0)))
+  }
+
   test("dimStats: mean/std/min/max per dimension") {
     val df = Seq(
       (1L, Seq(1.0f, 10.0f)),
