@@ -962,6 +962,24 @@ object SparkEntry {
           r4(col("n_agree").cast("double") / col("n")).as("agree_rate"))
         .orderBy(col("label"))
     }),
+
+    // Bloom-prefiltered decontamination — the scale path for q61's
+    // semantics once the benchmark outgrows a broadcast hash table: the
+    // benchmark gram set collapses to a ~10-bit/gram Bloom sketch probed
+    // by a codegen'd might_contain inside the corpus scan's map stage,
+    // and the exact verify semi-join sees only the surviving candidate
+    // grams. No false negatives + exact verification ⇒ result identical
+    // to the exact path, so the same string-gram DuckDB oracle hash-gates
+    // this approximate-prefilter pipeline end to end.
+    "q76_bloom_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val split = operators.Curation.hashSplit(col("doc_id"), "split:42")
+      operators.Curation.bloomDecontaminate(
+          docs.filter(split === "train"), docs.filter(split === "test"),
+          "doc_id", "text", n = 3)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1831,5 +1849,31 @@ object SparkEntry {
         |  r4(CAST(count(*) FILTER (WHERE ql = nl) AS DOUBLE) / count(*))
         |    AS agree_rate
         |FROM knn WHERE rk = 1 GROUP BY ql ORDER BY ql""".stripMargin,
+
+    // q61's CTE family, anti-joined: train docs sharing no 3-gram with
+    // the test split. The Bloom prefilter is invisible to the oracle by
+    // construction (no false negatives; verify join strips the rest).
+    "q76_bloom_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, lang,
+        |    CASE WHEN substring(sha256(CAST(doc_id AS VARCHAR) || ':split:42'), 1, 2) < 'e6' THEN 'train'
+        |         WHEN substring(sha256(CAST(doc_id AS VARCHAR) || ':split:42'), 1, 2) < 'f3' THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source, lang, split,
+        |    list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT unnest(g) AS bg FROM grams WHERE split = 'test'),
+        |dirty AS (
+        |  SELECT DISTINCT tr.doc_id
+        |  FROM (SELECT doc_id, unnest(g) AS tg FROM grams WHERE split = 'train') tr
+        |  JOIN bench b ON tr.tg = b.bg)
+        |SELECT g.doc_id, g.source, g.lang FROM grams g
+        |WHERE g.split = 'train' AND g.doc_id NOT IN (SELECT doc_id FROM dirty)
+        |ORDER BY g.doc_id""".stripMargin,
   )
 }

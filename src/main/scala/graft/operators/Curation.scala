@@ -129,12 +129,6 @@ object Curation {
       .withColumn("contaminated", col("n_hits") > 0L)
   }
 
-  /** Benchmark decontamination: corpus rows sharing NO word `n`-gram with
-    * the benchmark set, all columns preserved. Dirty ids come from the
-    * same broadcast-join shape as [[contaminationStats]] (semi join, so a
-    * document short-circuits on its first hit); the final anti-join is on
-    * the id — AQE broadcasts it when the dirty set is small, which for a
-    * curated corpus vs an eval set it always is. */
   /** Token-budgeted source sampling: keep a uniform random-looking (but
     * fully deterministic) subset of each source totalling at most
     * `budget` tokens — how real data mixtures are specified ("50 B
@@ -240,12 +234,76 @@ object Curation {
       .filter(col(scoreCol) >= col("q_cut"))
   }
 
+  /** Benchmark decontamination: corpus rows sharing NO word `n`-gram with
+    * the benchmark set, all columns preserved. Dirty ids come from the
+    * same broadcast-join shape as [[contaminationStats]] (semi join, so a
+    * document short-circuits on its first hit); the final anti-join is on
+    * the id — AQE broadcasts it when the dirty set is small, which for a
+    * curated corpus vs an eval set it always is. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, n: Int = 3,
                     hashed: Boolean = true): DataFrame = {
     val dirty = corpus
       .select(col(idCol), explode(ngramSet(col(textCol), n, hashed)).as("g"))
       .join(benchGrams(benchmark, textCol, n, hashed), Seq("g"), "left_semi")
+      .select(col(idCol)).distinct()
+    corpus.join(dirty, Seq(idCol), "left_anti")
+  }
+
+  /** Bloom-prefiltered decontamination: the SAME rows as [[decontaminate]]
+    * for the scale where the benchmark's gram set no longer fits a
+    * broadcast hash table (leak-scanning against a whole eval battery, or
+    * corpus-vs-corpus overlap checks).
+    *
+    * [[decontaminate]] broadcasts the benchmark's distinct grams and
+    * probes a per-task hash table; past a few hundred million grams the
+    * broadcast build fails first. Here the benchmark side collapses to a
+    * Bloom sketch (~10 bits/gram at the default 1% fpp, ~2 orders of
+    * magnitude under a hash table of 8-byte keys), shipped once as a
+    * binary literal into Spark's codegen'd `might_contain` — the same
+    * expression pair Catalyst's runtime row-level filtering injects — so
+    * the prefilter runs INSIDE the corpus scan's map stage. Only grams
+    * that might hit (true overlaps plus the fpp tail) reach the exact
+    * verification semi-join, shrinking that shuffle from "every gram in
+    * the corpus" to "candidate grams only"; no broadcast hint there, so
+    * an oversized benchmark sort-merges against the already-thinned
+    * candidates instead of dying in a broadcast. Bloom filters admit no
+    * false negatives and the verify join removes the false positives, so
+    * the output is bit-identical to the exact path (pinned in
+    * CurationSpec; q76's DuckDB oracle is the q61 SQL family).
+    *
+    * `expectedGrams` sizes the sketch; 0 (default) counts the benchmark
+    * gram set first — one extra pass over the SMALL side. Collecting the
+    * one-row sketch to the driver is the sketch-exchange design (exactly
+    * how a broadcast variable moves), not a driver-side compute loop.
+    * Sketches above ~8 MiB need
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` raised. */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int = 3,
+                         fpp: Double = 0.01,
+                         expectedGrams: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.util.sketch.BloomFilter
+
+    val bench = benchmark
+      .select(explode(ngramSet(col(textCol), n, hashed = true)).as("g"))
+      .distinct()
+    val items = math.max(
+      if (expectedGrams > 0) expectedGrams else bench.count(), 1L)
+    val numBits = BloomFilter.optimalNumOfBits(items, fpp)
+    val agg = new BloomFilterAggregate(ColumnBridge.expression(col("g")),
+      Literal(items), Literal(numBits)).toAggregateExpression()
+    val sketch = bench.select(ColumnBridge.column(agg).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    if (sketch == null) return corpus // empty benchmark: nothing to strip
+    val mightHit = ColumnBridge.column(BloomFilterMightContain(
+      Literal(sketch), ColumnBridge.expression(col("g"))))
+    val dirty = corpus
+      .select(col(idCol), explode(ngramSet(col(textCol), n, hashed = true)).as("g"))
+      .filter(mightHit)
+      .join(bench, Seq("g"), "left_semi")
       .select(col(idCol)).distinct()
     corpus.join(dirty, Seq(idCol), "left_anti")
   }

@@ -165,6 +165,40 @@ class CurationSpec extends SparkSpec {
     assert(kept.count() == corpus.count())
   }
 
+  test("bloomDecontaminate matches the exact path on the planted fixture") {
+    val (corpus, bench) = contaminationFixture
+    val got = Curation.bloomDecontaminate(corpus, bench, "doc_id", "text", n = 3)
+    assert(got.columns.toSeq == Seq("doc_id", "text"))
+    assert(got.select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 3L, 5L))
+  }
+
+  test("bloomDecontaminate is bit-identical to decontaminate on real data, even at absurd fpp") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val exact = Curation.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .select("doc_id")
+    // fpp 0.5 floods the verify join with false positives; the result must
+    // not move (no false negatives + exact verification)
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloom = Curation.bloomDecontaminate(corpus, bench, "doc_id", "text",
+        n = 3, fpp = fpp).select("doc_id")
+      assert(bloom.except(exact).isEmpty && exact.except(bloom).isEmpty,
+        s"fpp=$fpp membership diverged")
+    }
+  }
+
+  test("bloomDecontaminate: empty benchmark keeps everything; undersized expectedGrams stays exact") {
+    val (corpus, bench) = contaminationFixture
+    val empty = Curation.bloomDecontaminate(corpus, bench.filter(lit(false)),
+      "doc_id", "text", n = 3)
+    assert(empty.count() == corpus.count())
+    // a wrong size hint degrades fpp, never correctness
+    val tiny = Curation.bloomDecontaminate(corpus, bench, "doc_id", "text",
+      n = 3, expectedGrams = 1L)
+    assert(tiny.select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 3L, 5L))
+  }
+
   test("tokenBudgetSample: per-source running token sum stops at the budget") {
     val df = Seq(
       (1L, "s1", "a b c"), (2L, "s1", "d e"), (3L, "s1", "f g h i"),
