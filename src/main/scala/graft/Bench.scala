@@ -65,6 +65,14 @@ object Bench {
     def field(f: Seq[Double] => Double): String = results
       .map { case (k, ts) => s"\"" + k + "\":" + r2(f(ts)) }.mkString("{", ",", "}")
     val qs = field(ts => ts(ts.length / 2)) // median
+    // stdout keys truncate to the unambiguous qNN prefix: at ~27 chars per
+    // full-name entry the contract line overflows the harness's ~1.9k
+    // visible-tail budget past 76 queries; the qNN<->full-name map is the
+    // query id itself (every name starts with its qNN), and full names
+    // remain on the stderr/file detail record.
+    val qsShort = results
+      .map { case (k, ts) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(ts(ts.length / 2)) }
+      .mkString("{", ",", "}")
     val qsMin = field(_.head)
     val qsMax = field(_.last)
     val total = results.map { case (_, ts) => ts(ts.length / 2) }.sum
@@ -77,12 +85,12 @@ object Bench {
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    // basename only and no "runs" on stdout: with 75 queries the line
+    // basename only and no "runs" on stdout: with 75+ queries the line
     // must stay under the harness's ~1.9k visible-tail budget; the full
     // paths/spread live in the stderr + file detail record.
     val sfName = new java.io.File(sfDir).getName
     println(s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
-      s""""queries":$qs,"sf":"$sfName"}""")
+      s""""queries":$qsShort,"sf":"$sfName"}""")
     spark.stop()
   }
 }
