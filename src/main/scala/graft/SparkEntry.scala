@@ -980,6 +980,30 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("lang"))
         .orderBy(col("doc_id"))
     }),
+
+    // SCD type-2 history from a CDC change log: per-key no-op compaction
+    // (lag struct compare), then versioned [effective_from, effective_to)
+    // ranges. All integer/passthrough columns — deterministic in both
+    // engines; (us, event_id) is a total order (event_id unique).
+    "q77_scd_history" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      operators.Scd.scdHistory(ev, Seq("user_id"), "us", "event_id",
+          Seq("event_type"))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("effective_from"), col("effective_to"), col("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    }),
+
+    // CDC latest-state compaction: newest row per key via max_by over the
+    // packed payload — a hash aggregate (map-side combine), not a window,
+    // so only one candidate row per key per task crosses the shuffle.
+    "q78_cdc_latest" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+      operators.Scd.latestByKey(ev, Seq("user_id"), "us", "event_id")
+        .orderBy(col("user_id"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1875,5 +1899,37 @@ object SparkEntry {
         |SELECT g.doc_id, g.source, g.lang FROM grams g
         |WHERE g.split = 'train' AND g.doc_id NOT IN (SELECT doc_id FROM dirty)
         |ORDER BY g.doc_id""".stripMargin,
+
+    // Compaction + versioning replayed with lag/lead windows; every
+    // output column is integer or passthrough.
+    "q77_scd_history" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+        |c AS (
+        |  SELECT user_id, event_id, us, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS prev
+        |  FROM e),
+        |k AS (
+        |  SELECT user_id, event_id, us, event_type FROM c
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |v AS (
+        |  SELECT user_id, event_type, row_number() OVER w AS version,
+        |    us AS effective_from, lead(us) OVER w AS effective_to
+        |  FROM k WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT user_id, version, event_type, effective_from, effective_to,
+        |  (effective_to IS NULL) AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+
+    "q78_cdc_latest" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, us, event_type, value, row_number()
+        |    OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM e)
+        |SELECT user_id, event_id, us, event_type, value FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
   )
 }
