@@ -1004,6 +1004,56 @@ object SparkEntry {
       operators.Scd.latestByKey(ev, Seq("user_id"), "us", "event_id")
         .orderBy(col("user_id"))
     }),
+
+    // One-pass column profile (data-quality audit) in exact mode — the
+    // mode a SQL oracle can gate bit-exactly; flag_nn synthesizes a
+    // null-bearing column (the corpus has none) so the null-count path is
+    // exercised. All outputs are counts or passthrough min/max.
+    "q79_profile" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .withColumn("flag_nn", nullif(col("l_returnflag"), lit("N")))
+      operators.Profiling.profile(li,
+          Seq("l_quantity", "l_extendedprice", "l_returnflag", "flag_nn"),
+          exact = true)
+        .orderBy(col("col_name"))
+    }),
+
+    // Dedup survivors: pairs → connected components → keep the
+    // best-quality doc per cluster (ties to smallest id), singletons
+    // survive. Quality compares in exact scaled-long space (the q72
+    // technique), so the winner choice is engine-independent.
+    "q80_dedup_survivors" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text")
+      val clusters = Dedup.connectedComponents(pairs)
+      Dedup.keepBestPerCluster(docs, clusters, "doc_id",
+          round(TextAnalysis.qualityScore(col("text")) * 10000).cast("long"))
+        .select(col("doc_id"), col("cluster_label"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token-length distribution per source: integer bucketing + counts
+    // (exact in both engines); the share is one double division of exact
+    // longs, r4'd on both sides.
+    "q81_token_histogram" -> ((s, d) => {
+      TextAnalysis.tokenHistogram(t(s, d, "documents"), "text", "source", 100)
+        .select(col("source"), col("bin_lo"), col("n_docs"),
+          r4(col("share")).as("share"))
+        .orderBy(col("source"), col("bin_lo"))
+    }),
+
+    // Markup stripping over planted HTML (the corpus itself is
+    // markup-free prose): tags → spaces, script block dropped, entities
+    // unescaped, whitespace collapsed. The oracle replays the identical
+    // RE2-safe regex/replace chain, so the gate is exact strings.
+    "q82_strip_markup" -> ((s, d) => {
+      val raw = concat(lit("<p id=\"1\">"), col("text"),
+        lit("</p><div>Q&amp;A &lt;tags&gt; &quot;quoted&quot;</div>" +
+          "<script type=\"text/js\">var x = 1 < 2;</script><br/>end"))
+      t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.stripMarkup(raw).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1931,5 +1981,137 @@ object SparkEntry {
         |  FROM e)
         |SELECT user_id, event_id, us, event_type, value FROM r WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
+
+    "q79_profile" ->
+      """WITH li AS (
+        |  SELECT *, nullif(l_returnflag, 'N') AS flag_nn FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'l_quantity' AS col_name, count(*) AS n,
+        |    count(*) - count(l_quantity) AS n_null,
+        |    count(DISTINCT l_quantity) AS n_distinct,
+        |    CAST(min(l_quantity) AS DOUBLE) AS min_num,
+        |    CAST(max(l_quantity) AS DOUBLE) AS max_num,
+        |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |  FROM li
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+        |    count(DISTINCT l_extendedprice),
+        |    CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |  FROM li
+        |  UNION ALL
+        |  SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+        |    count(DISTINCT l_returnflag), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |    min(l_returnflag), max(l_returnflag)
+        |  FROM li
+        |  UNION ALL
+        |  SELECT 'flag_nn', count(*), count(*) - count(flag_nn),
+        |    count(DISTINCT flag_nn), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |    min(flag_nn), max(flag_nn)
+        |  FROM li)
+        |ORDER BY col_name""".stripMargin,
+
+    // q65's exact-Jaccard transitive closure + q72's scaled-long quality,
+    // composed: one winner per cluster by (quality DESC, doc_id ASC),
+    // singletons (docs outside every cluster) survive as their own label.
+    "q80_dedup_survivors" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct([substr(t, i, 5) for i in generate_series(1, length(t)-4)]) AS s
+         |  FROM docs WHERE length(t) >= 5),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b
+         |    ON a.doc_id < b.doc_id
+         |   AND least(len(a.s), len(b.s))::DOUBLE >= 0.8 * greatest(len(a.s), len(b.s))
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |labels AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS label FROM reach GROUP BY a),
+         |toks AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt,
+         |    list_filter(string_split_regex(
+         |      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+         |      x -> x <> '') AS tk
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(len(nt) AS DOUBLE) AS nchars,
+         |    CAST(len(tk) AS DOUBLE) AS ntoks,
+         |    CAST(len(regexp_extract_all(nt, '[[:punct:]]')) AS DOUBLE) AS punct,
+         |    CAST(len(list_filter(tk, t -> list_contains($allStopsList, t))) AS DOUBLE) AS stophits
+         |  FROM toks),
+         |feat AS (
+         |  SELECT doc_id,
+         |    CASE WHEN nchars >= 50 AND nchars <= 20000 THEN 1.0 ELSE 0.3 END AS length_ok,
+         |    CASE WHEN nchars = 0 THEN 0.0
+         |         WHEN punct / nchars < 0.2 THEN 1.0 ELSE 0.4 END AS punct_ok,
+         |    CASE WHEN ntoks = 0 THEN 0.0
+         |         ELSE (nchars - (ntoks - 1)) / ntoks END AS mwl,
+         |    CASE WHEN ntoks = 0 THEN 0.0 ELSE stophits / ntoks END AS stop_ratio
+         |  FROM scored),
+         |qual AS (
+         |  SELECT doc_id,
+         |    CAST(round(round(length_ok * 0.3 + punct_ok * 0.25 +
+         |      (CASE WHEN mwl >= 2.5 AND mwl <= 12.0 THEN 1.0 ELSE 0.4 END) * 0.25 +
+         |      (CASE WHEN stop_ratio > 0.05 THEN 1.0 ELSE 0.6 END) * 0.2, 4)
+         |      * 10000) AS BIGINT) AS quality
+         |  FROM feat),
+         |lab AS (
+         |  SELECT q.doc_id, coalesce(l.label, q.doc_id) AS cluster_label, q.quality
+         |  FROM qual q LEFT JOIN labels l USING (doc_id)),
+         |win AS (
+         |  SELECT doc_id, cluster_label FROM (
+         |    SELECT doc_id, cluster_label, row_number() OVER (
+         |      PARTITION BY cluster_label ORDER BY quality DESC, doc_id) AS rk
+         |    FROM lab) WHERE rk = 1)
+         |SELECT w.doc_id, w.cluster_label, d.source
+         |FROM win w JOIN documents d USING (doc_id)
+         |ORDER BY w.doc_id""".stripMargin,
+
+    "q81_token_histogram" ->
+      """WITH t AS (
+        |  SELECT source, CAST(len(list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT)
+        |    AS n_tok
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, (n_tok // 100) * 100 AS bin_lo, count(*) AS n_docs
+        |  FROM t GROUP BY 1, 2)
+        |SELECT source, bin_lo, n_docs,
+        |  r4(n_docs / sum(n_docs) OVER (PARTITION BY source)) AS share
+        |FROM g ORDER BY source, bin_lo""".stripMargin,
+
+    // The identical strip chain: script block, then tags → space, then
+    // entity replaces (&amp; last), then whitespace collapse.
+    "q82_strip_markup" ->
+      """WITH raw AS (
+        |  SELECT doc_id, '<p id="1">' || text ||
+        |    '</p><div>Q&amp;A &lt;tags&gt; &quot;quoted&quot;</div>' ||
+        |    '<script type="text/js">var x = 1 < 2;</script><br/>end' AS r
+        |  FROM documents),
+        |steps AS (
+        |  SELECT doc_id, replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(r, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<[^>]*>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&') AS u
+        |  FROM raw)
+        |SELECT doc_id, trim(regexp_replace(u, '\s+', ' ', 'g')) AS clean
+        |FROM steps ORDER BY doc_id""".stripMargin,
   )
 }

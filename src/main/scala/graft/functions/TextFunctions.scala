@@ -122,4 +122,21 @@ object TextFunctions {
       "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
     regexp_replace(ip, "\\+?\\d(?:[ ()\\-]*\\d){6,}", "<PHONE>")
   }
+
+  /** HTML/markup stripping for web-crawl corpora: script/style blocks
+    * dropped whole (their text is code, not prose), remaining tags become
+    * spaces (so `a<br>b` stays two words), the five standard entities
+    * unescape — `&amp;` LAST so a freshly produced `&` cannot re-trigger
+    * an earlier entity — then whitespace collapses. Case preserved.
+    * Every step is an RE2-compatible regex or a literal replace, so a SQL
+    * oracle can mirror the chain exactly; pure codegen'd map work. */
+  def stripMarkup(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (e, r)) => replace(acc, lit(e), lit(r)) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
 }

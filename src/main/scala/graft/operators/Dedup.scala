@@ -283,6 +283,28 @@ object Dedup {
     labels
   }
 
+  /** Canonical-survivor selection — the step after clustering: keep
+    * exactly one doc per dup cluster (the highest `score`, ties to the
+    * smallest id); docs absent from `clusters` are singletons and survive
+    * unchanged. Returns the surviving docs' full rows plus their
+    * `cluster_label`.
+    *
+    * Scale shape: winner selection is a max_by AGGREGATE keyed on the
+    * cluster label — map-side combine leaves one (label, id) row per
+    * cluster per task through the shuffle — and the final inner join
+    * restores full payloads, so document bodies never travel through the
+    * winner shuffle. `idCol` must be numeric (ties break via negation). */
+  def keepBestPerCluster(docs: DataFrame, clusters: DataFrame, idCol: String,
+                         score: Column): DataFrame = {
+    val labeled = docs.select(col(idCol), score.as("__score"))
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("__score"),
+        coalesce(col("label"), col(idCol)).as("cluster_label"))
+    val winners = labeled.groupBy(col("cluster_label"))
+      .agg(max_by(col(idCol), struct(col("__score"), -col(idCol))).as(idCol))
+    docs.join(winners, Seq(idCol))
+  }
+
   /** Frees the storage blocks behind a `localCheckpoint`ed frame (plain
     * `Dataset.unpersist` only talks to the cache manager, not to the
     * checkpointed RDD). Safe to call once the successor round is

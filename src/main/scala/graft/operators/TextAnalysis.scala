@@ -221,6 +221,24 @@ object TextAnalysis {
           .as("weight"))
   }
 
+  /** Token-length histogram per group: docs bucketed by
+    * floor(n_tok / binWidth) * binWidth, with counts and the within-group
+    * share. Distribution reporting stays ONE hash-aggregate pass at any
+    * corpus size (bins × groups output rows); the share window runs over
+    * that tiny aggregate, not the corpus. */
+  def tokenHistogram(df: DataFrame, textCol: String, groupCol: String,
+                     binWidth: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(binWidth > 0, "binWidth must be positive")
+    val nTok = TextFunctions.tokenCount(col(textCol)).cast("long")
+    df.select(col(groupCol),
+        (floor(nTok / lit(binWidth)) * binWidth).cast("long").as("bin_lo"))
+      .groupBy(col(groupCol), col("bin_lo"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share",
+        col("n_docs") / sum(col("n_docs")).over(Window.partitionBy(col(groupCol))))
+  }
+
   /** Convenience: annotate a document frame with the full analysis set. */
   def annotate(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_pred", languageId(col(textCol)))

@@ -91,4 +91,25 @@ class TextFunctionsSpec extends SparkSpec {
       .select(TextFunctions.redactPii($"in"), $"want")
     assert(bad.count() == 0, bad.collect().mkString("\n"))
   }
+
+  test("stripMarkup: tags to spaces, script/style dropped, entities unescaped, ws collapsed") {
+    val cases = Seq(
+      ("<p>Hello <b>world</b></p>", "Hello world"),
+      // tag as separator: a<br>b must stay two words
+      ("a<br>b", "a b"),
+      // script/style bodies are code, not prose — dropped whole, even
+      // with '<' inside and mixed case
+      ("x<SCRIPT type=\"a\">if (1 < 2) alert('y')</script>z", "x z"),
+      ("x<style>p { color: red; }</style>z", "x z"),
+      ("Q&amp;A &lt;tag&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b", "Q&A <tag> \"q\" 's' a b"),
+      // &amp; unescapes LAST: '&amp;lt;' is literal '&lt;', not '<'
+      ("&amp;lt;", "&lt;"),
+      // markup-free prose passes through (modulo ws collapse)
+      ("plain  text", "plain text"),
+      ("", ""),
+    ).toDF("in", "want")
+    val bad = cases.filter(TextFunctions.stripMarkup($"in") =!= $"want")
+      .select(TextFunctions.stripMarkup($"in"), $"want")
+    assert(bad.count() == 0, bad.collect().mkString("\n"))
+  }
 }

@@ -129,6 +129,21 @@ class DedupSpec extends SparkSpec {
     assert(planDepth <= 5, s"plan depth $planDepth — lineage not truncated")
   }
 
+  test("keepBestPerCluster keeps the top-score doc per cluster, singletons survive") {
+    import org.apache.spark.sql.functions.col
+    // clusters: {1,2,3} labeled 1, {7,8} labeled 7; 5 is a singleton
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (5L, 1L), (7L, 5L), (8L, 4L))
+      .toDF("doc_id", "score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("id", "label")
+    val out = Dedup.keepBestPerCluster(docs, clusters, "doc_id", col("score"))
+      .orderBy("doc_id")
+      .select("doc_id", "cluster_label").as[(Long, Long)].collect().toSeq
+    // cluster 1: 2 and 3 tie on score 30 → smaller id 2 wins; cluster 7:
+    // higher score 7 wins; singleton 5 survives as its own label
+    assert(out === Seq((2L, 1L), (5L, 5L), (7L, 7L)))
+  }
+
   test("dedup is idempotent: f(f(x)) == f(x)") {
     val once = Dedup.minhashDedup(corpus, "doc_id", "text", threshold = 0.6)
     val twice = Dedup.minhashDedup(once, "doc_id", "text", threshold = 0.6)

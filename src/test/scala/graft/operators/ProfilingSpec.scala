@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = Seq(
+    (1L, Some(2.0), Some("a")),
+    (2L, Some(4.0), None),
+    (3L, None, Some("b")),
+    (4L, Some(4.0), Some("a"))
+  ).toDF("id", "x", "s")
+
+  test("exact profile: counts, nulls, distinct, typed min/max") {
+    val p = Profiling.profile(fixture, Seq("x", "s"), exact = true)
+      .orderBy("col_name").collect()
+    val x = p(1)
+    assert(x.getAs[String]("col_name") === "x")
+    assert(x.getAs[Long]("n") === 4L && x.getAs[Long]("n_null") === 1L)
+    assert(x.getAs[Long]("n_distinct") === 2L)
+    assert(x.getAs[Double]("min_num") === 2.0 && x.getAs[Double]("max_num") === 4.0)
+    assert(x.isNullAt(x.fieldIndex("min_str")))
+    val s = p(0)
+    assert(s.getAs[String]("col_name") === "s")
+    assert(s.getAs[Long]("n_null") === 1L && s.getAs[Long]("n_distinct") === 2L)
+    assert(s.getAs[String]("min_str") === "a" && s.getAs[String]("max_str") === "b")
+    assert(s.isNullAt(s.fieldIndex("min_num")))
+  }
+
+  test("approx profile plans one pass: no Expand, single scan, HLL sketches") {
+    val plan = Profiling.profile(fixture, Seq("id", "x", "s"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"approx mode must not expand:\n$plan")
+    assert(plan.contains("approx_count_distinct"))
+    // exact mode accepts the Expand cost explicitly
+    val exactPlan = Profiling.profile(fixture, Seq("id", "x"), exact = true)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"))
+  }
+
+  test("approx distinct counts land within HLL tolerance on real cardinalities") {
+    val n = 5000
+    val df = spark.range(n).select(col("id"),
+      (col("id") % 97).as("m"), concat(lit("v"), col("id") % 1000).as("s"))
+    val p = Profiling.profile(df, Seq("m", "s")).orderBy("col_name").collect()
+    val m = p(0).getAs[Long]("n_distinct").toDouble
+    val s = p(1).getAs[Long]("n_distinct").toDouble
+    assert(math.abs(m - 97) / 97 < 0.1 && math.abs(s - 1000) / 1000 < 0.1)
+  }
+}

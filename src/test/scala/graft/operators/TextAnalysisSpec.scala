@@ -146,4 +146,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got((2L, "c")) == ((1L, 1L, math.log(2.0))))
     assert(got.size == 4)
   }
+
+  test("tokenHistogram: correct bins, counts conserve docs, shares sum to 1 per group") {
+    // 2, 3, 150, and 250 tokens → bins 0, 0, 100, 200 at width 100
+    val df = Seq(
+      ("s1", "a b"), ("s1", "a b c"),
+      ("s1", Seq.fill(150)("t").mkString(" ")),
+      ("s2", Seq.fill(250)("t").mkString(" "))
+    ).toDF("source", "text")
+    val h = TextAnalysis.tokenHistogram(df, "text", "source", 100)
+    val got = h.select("source", "bin_lo", "n_docs")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("s1", 0L, 2L), ("s1", 100L, 1L), ("s2", 200L, 1L)))
+    val shares = h.groupBy("source").agg(sum("share").as("s"))
+      .as[(String, Double)].collect().toMap
+    assert(shares.values.forall(s => math.abs(s - 1.0) < 1e-12))
+  }
 }
