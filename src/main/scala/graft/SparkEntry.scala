@@ -1054,6 +1054,16 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.stripMarkup(raw).as("clean"))
         .orderBy(col("doc_id"))
     }),
+
+    // Stratified eval-set draw: exactly 20 docs per source in
+    // (sha256 content-hash, id) order — pure integer/hash determinism,
+    // identical membership in any engine or partition layout.
+    "q83_stratified_sample" -> ((s, d) => {
+      operators.Curation.stratifiedSample(t(s, d, "documents"),
+          "source", "doc_id", k = 20, salt = "strat:42")
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2113,5 +2123,15 @@ object SparkEntry {
         |  FROM raw)
         |SELECT doc_id, trim(regexp_replace(u, '\s+', ' ', 'g')) AS clean
         |FROM steps ORDER BY doc_id""".stripMargin,
+
+    "q83_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, lang, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY sha256(CAST(doc_id AS VARCHAR) || ':strat:42'), doc_id)
+        |    AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, lang FROM r WHERE rn <= 20
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -47,6 +47,23 @@ object Curation {
   def shuffleKey(key: Column, salt: String): Column =
     sha2(concat(key.cast("string"), lit(":" + salt)), 256)
 
+  /** Deterministic stratified sample: exactly min(k, |stratum|) rows per
+    * group, admitted in (content-hash, id) order — the same draw on any
+    * partition layout, retry, or engine. One window shuffle on the group
+    * key; rank-limit windows rewrite to WindowGroupLimit, so each task
+    * forwards at most k rows per group to the shuffle rather than sorting
+    * whole strata. */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+                       k: Int, salt: String): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__sk"), col(idCol))
+    df.withColumn("__sk", shuffleKey(col(idCol), salt))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__sk", "__rn")
+  }
+
   /** Split each document into fixed-size whitespace-token windows for
     * context-length packing: one output row per (doc, window) with
     * half-open token offsets [tok_start, tok_end). Documents with zero

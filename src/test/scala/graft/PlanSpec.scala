@@ -178,4 +178,33 @@ class PlanSpec extends SparkSpec {
     val projLine = p.linesIterator.find(_.contains("repetition_stats"))
     assert(projLine.exists(_.contains("*(")), s"project not codegen'd:\n$p")
   }
+
+  test("q77: scd history shares one hash exchange across compaction + versioning windows") {
+    val p = executedPlanOf("q77_scd_history").split("== Initial Plan ==").head
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx\n$p")
+  }
+
+  test("q78: cdc latest is a partial-aggregating max_by, not a window sort") {
+    val p = executedPlanOf("q78_cdc_latest").split("== Initial Plan ==").head
+    assert(!p.contains("Window"), s"latestByKey must not plan a window:\n$p")
+    // partial + final aggregate: only one candidate row per key per task
+    // crosses the shuffle
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r
+      .findAllIn(p).size >= 2, p)
+  }
+
+  test("q79: profile is one scan — a single aggregate pass over lineitem") {
+    val p = executedPlanOf("q79_profile").split("== Initial Plan ==").head
+    val scans = "FileScan|Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"profile must scan once, got $scans\n$p")
+  }
+
+  test("q82: markup stripping is map-only, sole exchange is the final sort") {
+    val p = executedPlanOf("q82_strip_markup").split("== Initial Plan ==").head
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+      s"expected only the sort exchange, got $exchanges\n$p")
+    assert(hasCodegen(p), s"lost whole-stage codegen\n$p")
+  }
 }

@@ -256,4 +256,23 @@ class CurationSpec extends SparkSpec {
     val approx = Curation.quantilePrune(df, "grp", "score", 0.5, accuracy = 10000)
     assert(exact.count() == approx.count())
   }
+
+  test("stratifiedSample: exact k per stratum, layout-invariant, WindowGroupLimit plan") {
+    val df = spark.range(500).select(col("id"),
+      concat(lit("s"), pmod(col("id"), lit(3))).as("src"))
+    val sampled = Curation.stratifiedSample(df, "src", "id", k = 7, salt = "t:1")
+    val sizes = sampled.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.toSet === Set(7L) && sizes.size === 3)
+    // small strata are taken whole
+    val tiny = Curation.stratifiedSample(df.filter(col("id") < 2), "src", "id", 7, "t:1")
+    assert(tiny.count() === 2)
+    // membership is partition-layout invariant
+    val re = Curation.stratifiedSample(df.repartition(11), "src", "id", 7, "t:1")
+    val a = sampled.select("id").as[Long].collect().sorted.toSeq
+    val b = re.select("id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+    // rank-limit rewrites to WindowGroupLimit: tasks forward ≤k rows per
+    // group instead of sorting whole strata through the window
+    assert(sampled.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
 }
