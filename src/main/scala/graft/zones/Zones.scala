@@ -104,6 +104,27 @@ object Zones {
   def readAnalytical(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(Schemas.analytical).orc(path)
 
+  /** Curated-corpus parquet sink with the three knobs that decide whether
+    * a 100 TB table is readable afterwards:
+    *  - `partitionCols`: coarse pruning dimensions (source, date, split);
+    *  - `sortCols`: `sortWithinPartitions` BEFORE the write, so each file
+    *    covers a narrow range and parquet min/max row-group stats turn
+    *    point/range reads into file skips (zone-map pruning);
+    *  - `maxRecordsPerFile`: caps file size without an extra
+    *    repartition job — a small-file-storm (or 10 GB monolith) is an
+    *    operational failure at scale even when the data is correct.
+    * Plain `df.write.parquet` defaults are the wrong shape for all three.
+    */
+  def writeCurated(df: DataFrame, path: String, partitionCols: Seq[String],
+                   sortCols: Seq[String], maxRecordsPerFile: Long): Unit = {
+    require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
+    df.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write.mode(SaveMode.Append)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
   /** S12: post-load refresh hook — the engine-side analogue of the
     * reference's BI dataset refresh (UpdateQuicksight state,
     * update-quicksight-dataset.py:21-56). In Spark the consumers that can
