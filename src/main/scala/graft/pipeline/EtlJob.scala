@@ -73,10 +73,13 @@ object EtlJob {
 
     val landing = Zones.readLandingDay(spark, landingRoot, year, month, day)
     val staged = stagingTransform(landing)
-    Zones.writeStaging(staged, stagingPath)
+    // the staging row count rides the write's own execution (observe →
+    // CollectMetrics) instead of a second pass over the transform
+    val nStaged = Observe.countedAction(spark, staged, "graft_staging_write") {
+      Zones.writeStaging(_, stagingPath)
+    }
 
     val stagedBack = Zones.readStaging(spark, stagingPath)
-    val nStaged = stagedBack.count()
     Zones.appendLog(spark, logPath, runTime, "staging.hashtags_proc",
       nStaged.toInt, year, month, day)
     val stagingLog = LogRecord(runTime, "staging.hashtags_proc", nStaged, year, month, day)
@@ -90,8 +93,11 @@ object EtlJob {
             .select(col("hash_id"))
           stagedBack.join(existing, Seq("hash_id"), "left_anti")
         } else stagedBack
-      val n = toLoad.count()
-      Zones.appendAnalytical(toLoad, analyticalPath)
+      // count the anti-joined load set inside the append itself — the
+      // idempotency anti-join (and the CSV re-read under it) runs once
+      val n = Observe.countedAction(spark, toLoad, "graft_analytical_load") {
+        Zones.appendAnalytical(_, analyticalPath)
+      }
       // S12: invalidate cached plans/listings over the table we just
       // appended to (the reference's UpdateQuicksight BI-refresh slot)
       Zones.refreshAnalytical(spark, analyticalPath)
