@@ -1055,6 +1055,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Forward as-of: earliest purchase at-or-after each error, per user —
+    // the union+window technique run in the opposite direction.
+    "q84_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      operators.AsOfJoin.forward(errors, purchases, Seq("user_id"),
+          "ts", "ts", Seq("purchase_id"))
+        .select(col("event_id"), col("user_id"), col("purchase_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Nearest as-of: closest purchase in either direction, distance ties
+    // (and equal timestamps) resolve backward. Distances compare as exact
+    // microsecond longs — engine-independent.
+    "q85_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      operators.AsOfJoin.nearest(errors, purchases, Seq("user_id"),
+          "ts", "ts", Seq("purchase_id"))
+        .select(col("event_id"), col("user_id"), col("purchase_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // Stratified eval-set draw: exactly 20 docs per source in
     // (sha256 content-hash, id) order — pure integer/hash determinism,
     // identical membership in any engine or partition layout.
@@ -2123,6 +2152,36 @@ object SparkEntry {
         |  FROM raw)
         |SELECT doc_id, trim(regexp_replace(u, '\s+', ' ', 'g')) AS clean
         |FROM steps ORDER BY doc_id""".stripMargin,
+
+    "q84_asof_forward" ->
+      """SELECT e.event_id, e.user_id, p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND p.ts >= e.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    // Two directional ASOF probes resolved by exact microsecond distance;
+    // ties prefer backward (matching AsOfJoin.nearest).
+    "q85_asof_nearest" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |p AS (
+        |  SELECT event_id AS pid, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT e.event_id, e.user_id, e.ts, p.pid AS b_pid, p.ts AS b_ts
+        |  FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND p.ts <= e.ts),
+        |f AS (
+        |  SELECT e.event_id, p.pid AS f_pid, p.ts AS f_ts
+        |  FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND p.ts >= e.ts)
+        |SELECT b.event_id, b.user_id,
+        |  CASE WHEN b_pid IS NULL THEN f_pid
+        |       WHEN f_pid IS NULL THEN b_pid
+        |       WHEN epoch_us(b.ts) - epoch_us(b_ts)
+        |         <= epoch_us(f_ts) - epoch_us(b.ts) THEN b_pid
+        |       ELSE f_pid END AS purchase_id
+        |FROM b JOIN f USING (event_id)
+        |ORDER BY b.event_id""".stripMargin,
 
     "q83_stratified_sample" ->
       """WITH r AS (

@@ -4,35 +4,38 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join: for each left row, the most recent right row with
-  * `rightTs <= leftTs` among rows sharing the equality keys (J2 gap
-  * exemplar — Spark has no built-in as-of join).
+/** As-of joins — backward (most recent right row with `rightTs <=
+  * leftTs`), forward (earliest right row with `rightTs >= leftTs`), and
+  * nearest (whichever side is closer in time, ties to backward) — per
+  * equality-key group (J2 gap exemplar — Spark has no built-in as-of
+  * join; the direction trio mirrors pandas `merge_asof`).
   *
-  * Implementation is the union + sort + running-`last` technique rather
-  * than a range join: both sides are tagged and unioned on
-  * (keys, ts, side), one shuffle partitions by key, and a running
-  * `last(right_payload, ignoreNulls)` over (ts, side) ordering makes the
-  * latest right payload visible to every subsequent left row. At equal
-  * timestamps the right row sorts first, so the match is inclusive —
-  * identical to DuckDB/pandas `ASOF JOIN ... ON r.ts <= l.ts` semantics.
+  * Implementation is the union + sort + running-match technique rather
+  * than a range join: both sides are tagged and unioned, one shuffle
+  * partitions by key, and a running `last` (backward) / `first` (forward)
+  * with `ignoreNulls` over (ts, side) ordering makes the matching right
+  * payload visible to every left row. At equal timestamps the right row
+  * sorts inside the frame, so both directions are inclusive — identical
+  * to DuckDB `ASOF JOIN ... ON r.ts <= l.ts` / `>= l.ts` semantics.
+  * [[nearest]] evaluates both windows over the SAME keyed union — one
+  * Exchange, two sorts — and resolves by microsecond distance.
   *
-  * Scale shape: cost is one shuffle of (keys + ts + payload) and a
-  * per-key sort — linear in |L|+|R|, immune to the candidate blow-up a
+  * Scale shape: cost is one shuffle of (keys + ts + payload) and per-key
+  * sorts — linear in |L|+|R|, immune to the candidate blow-up a
   * theta/range join would risk. Skewed keys behave like any window
   * partition (AQE cannot split a window partition; salt the key upstream
   * if one key dominates).
   */
 object AsOfJoin {
 
-  /** @param rightValueCols right columns to surface (suffixed with
-    *                       `rightSuffix` on name collisions with left) */
-  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
-               leftTs: String, rightTs: String,
-               rightValueCols: Seq[String],
-               rightSuffix: String = "_right"): DataFrame = {
-    val leftCols = left.columns.toSeq
-    val rv = struct(rightValueCols.map(col): _*)
-    val lrow = struct(leftCols.map(col): _*)
+  /** Tagged union of both sides: keys, __ts, __side (right=0, left=1),
+    * __rv = struct(__rts, right values), __lrow = full left row. */
+  private def tagged(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTs: String, rightTs: String,
+                     rightValueCols: Seq[String]): DataFrame = {
+    val rv = struct(col(rightTs).cast("timestamp").as("__rts") +:
+      rightValueCols.map(col): _*)
+    val lrow = struct(left.columns.toSeq.map(col): _*)
     val rvType = right.select(rv.as("v")).schema("v").dataType
     val lrowType = left.select(lrow.as("v")).schema("v").dataType
 
@@ -47,21 +50,78 @@ object AsOfJoin {
       :+ lit(1).as("__side")
       :+ lit(null).cast(rvType).as("__rv")
       :+ lrow.as("__lrow"): _*)
+    r2.unionByName(l2)
+  }
 
-    val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  /** Backward window: right rows sort before an equal-ts left row, so the
+    * running `last` over (ts asc, side asc) is inclusive. */
+  private def backWindow(keys: Seq[String]) = Window
+    .partitionBy(keys.map(col): _*)
+    .orderBy(col("__ts").asc, col("__side").asc)
+    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val outLeft: Seq[Column] = leftCols.map(c => col(s"__lrow.$c").as(c))
+  /** Forward window: side DESC puts an equal-ts right row AFTER the left
+    * row, so the running `first` over the following frame is inclusive. */
+  private def fwdWindow(keys: Seq[String]) = Window
+    .partitionBy(keys.map(col): _*)
+    .orderBy(col("__ts").asc, col("__side").desc)
+    .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+  private def project(left: DataFrame, keys: Seq[String],
+                      rightValueCols: Seq[String], rightSuffix: String,
+                      matched: DataFrame): DataFrame = {
+    val leftCols = left.columns.toSeq
     val usedNames = leftCols.toSet ++ keys
+    val outLeft: Seq[Column] = leftCols.map(c => col(s"__lrow.`$c`").as(c))
     val outRight: Seq[Column] = rightValueCols.map { c =>
       val name = if (usedNames.contains(c)) c + rightSuffix else c
-      col(s"__match.$c").as(name)
+      col(s"__match.`$c`").as(name)
     }
+    matched.filter(col("__side") === 1).select(outLeft ++ outRight: _*)
+  }
 
-    r2.unionByName(l2)
-      .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .select(outLeft ++ outRight: _*)
+  /** @param rightValueCols right columns to surface (suffixed with
+    *                       `rightSuffix` on name collisions with left) */
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               rightValueCols: Seq[String],
+               rightSuffix: String = "_right"): DataFrame = {
+    val u = tagged(left, right, keys, leftTs, rightTs, rightValueCols)
+      .withColumn("__match", last(col("__rv"), ignoreNulls = true)
+        .over(backWindow(keys)))
+    project(left, keys, rightValueCols, rightSuffix, u)
+  }
+
+  /** Earliest right row with `rightTs >= leftTs` (inclusive). */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTs: String, rightTs: String,
+              rightValueCols: Seq[String],
+              rightSuffix: String = "_right"): DataFrame = {
+    val u = tagged(left, right, keys, leftTs, rightTs, rightValueCols)
+      .withColumn("__match", first(col("__rv"), ignoreNulls = true)
+        .over(fwdWindow(keys)))
+    project(left, keys, rightValueCols, rightSuffix, u)
+  }
+
+  /** Closest right row in either direction; equal distances (and
+    * equal-ts matches) resolve BACKWARD. Both directional matches ride
+    * the same keyed union — one shuffle, two sorts. */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTs: String, rightTs: String,
+              rightValueCols: Seq[String],
+              rightSuffix: String = "_right"): DataFrame = {
+    val u = tagged(left, right, keys, leftTs, rightTs, rightValueCols)
+      .withColumn("__b", last(col("__rv"), ignoreNulls = true)
+        .over(backWindow(keys)))
+      .withColumn("__f", first(col("__rv"), ignoreNulls = true)
+        .over(fwdWindow(keys)))
+      .withColumn("__match",
+        when(col("__b").isNull, col("__f"))
+          .when(col("__f").isNull, col("__b"))
+          .when(unix_micros(col("__ts")) - unix_micros(col("__b.__rts")) <=
+                unix_micros(col("__f.__rts")) - unix_micros(col("__ts")),
+            col("__b"))
+          .otherwise(col("__f")))
+    project(left, keys, rightValueCols, rightSuffix, u)
   }
 }

@@ -33,6 +33,63 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("t5").isEmpty)
   }
 
+  test("forward as-of join picks the earliest right row at or after left ts, per key") {
+    val quotes = Seq(
+      (1, ts("2024-01-01 10:00:00"), 100.0),
+      (1, ts("2024-01-01 10:05:00"), 101.0),
+      (1, ts("2024-01-01 10:10:00"), 102.0),
+      (2, ts("2024-01-01 10:00:00"), 200.0),
+    ).toDF("k", "ts", "price")
+    val trades = Seq(
+      (1, ts("2024-01-01 10:02:00"), "t1"),   // -> 101.0 (10:05 next)
+      (1, ts("2024-01-01 10:05:00"), "t2"),   // -> 101.0 (equal ts inclusive)
+      (1, ts("2024-01-01 11:00:00"), "t3"),   // nothing after -> null
+      (2, ts("2024-01-01 09:00:00"), "t4"),   // -> 200.0
+      (3, ts("2024-01-01 10:00:00"), "t5"),   // key with no quotes -> null
+    ).toDF("k", "ts", "trade_id")
+
+    val out = AsOfJoin.forward(trades, quotes, Seq("k"), "ts", "ts", Seq("price"))
+      .select($"trade_id", $"price").as[(String, Option[Double])]
+      .collect().toMap
+    assert(out("t1").contains(101.0))
+    assert(out("t2").contains(101.0))
+    assert(out("t3").isEmpty)
+    assert(out("t4").contains(200.0))
+    assert(out("t5").isEmpty)
+  }
+
+  test("nearest as-of join resolves by distance, ties backward, one-sided gaps to the other side") {
+    val quotes = Seq(
+      (1, ts("2024-01-01 10:00:00"), 100.0),
+      (1, ts("2024-01-01 10:10:00"), 101.0),
+    ).toDF("k", "ts", "price")
+    val trades = Seq(
+      (1, ts("2024-01-01 10:03:00"), "t1"),   // 3 min back vs 7 fwd -> 100.0
+      (1, ts("2024-01-01 10:08:00"), "t2"),   // 8 back vs 2 fwd -> 101.0
+      (1, ts("2024-01-01 10:05:00"), "t3"),   // exact tie -> backward 100.0
+      (1, ts("2024-01-01 09:00:00"), "t4"),   // only forward exists -> 100.0
+      (1, ts("2024-01-01 12:00:00"), "t5"),   // only backward exists -> 101.0
+    ).toDF("k", "ts", "trade_id")
+
+    val out = AsOfJoin.nearest(trades, quotes, Seq("k"), "ts", "ts", Seq("price"))
+      .select($"trade_id", $"price").as[(String, Option[Double])]
+      .collect().toMap
+    assert(out("t1").contains(100.0))
+    assert(out("t2").contains(101.0))
+    assert(out("t3").contains(100.0))
+    assert(out("t4").contains(100.0))
+    assert(out("t5").contains(101.0))
+  }
+
+  test("nearest plans a single exchange for both directional windows") {
+    val l = Seq((1, ts("2024-01-01 10:00:00"), "x")).toDF("k", "ts", "v")
+    val r = Seq((1, ts("2024-01-01 09:00:00"), "y")).toDF("k", "ts", "p")
+    val plan = AsOfJoin.nearest(l, r, Seq("k"), "ts", "ts", Seq("p"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected 1 hash exchange, plan:\n$plan")
+  }
+
   test("name collision on right value column gets suffixed") {
     val l = Seq((1, ts("2024-01-01 10:00:00"), "x")).toDF("k", "ts", "v")
     val r = Seq((1, ts("2024-01-01 09:00:00"), "y")).toDF("k", "ts", "v")
