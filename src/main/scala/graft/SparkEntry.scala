@@ -1055,6 +1055,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Gap-based time-window dedup (alarm dampening): a (user, type)
+    // repeat within 10 minutes of its predecessor is suppressed. Pure
+    // integer lag comparison — deterministic in both engines.
+    "q86_window_dedup" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      operators.Scd.windowDedup(ev, Seq("user_id", "event_type"), "us",
+          "event_id", windowMicros = 600L * 1000000L)
+        .orderBy(col("event_id"))
+    }),
+
+    // Trailing RANGE-frame rolling aggregates (q09 pins ROWS frames; the
+    // interval frame is separate machinery): per user, events + value sum
+    // over the trailing 30 minutes at every event. Equal-us peers are in
+    // the frame by SQL range semantics in both engines.
+    "q87_rolling_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-1800L * 1000000L, 0L)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .withColumn("n_30m", count(lit(1)).over(w))
+        .withColumn("sum_30m", r4(sum(col("value")).over(w)))
+        .drop("value")
+        .orderBy(col("event_id"))
+    }),
+
     // Forward as-of: earliest purchase at-or-after each error, per user —
     // the union+window technique run in the opposite direction.
     "q84_asof_forward" -> ((s, d) => {
@@ -2152,6 +2179,29 @@ object SparkEntry {
         |  FROM raw)
         |SELECT doc_id, trim(regexp_replace(u, '\s+', ' ', 'g')) AS clean
         |FROM steps ORDER BY doc_id""".stripMargin,
+
+    "q86_window_dedup" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, us, event_type,
+        |    lag(us) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY us, event_id) AS prev
+        |  FROM e)
+        |SELECT user_id, event_id, us, event_type FROM l
+        |WHERE prev IS NULL OR us - prev > 600000000
+        |ORDER BY event_id""".stripMargin,
+
+    "q87_rolling_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events)
+        |SELECT user_id, event_id, us,
+        |  count(*) OVER w AS n_30m,
+        |  r4(sum(value) OVER w) AS sum_30m
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q84_asof_forward" ->
       """SELECT e.event_id, e.user_id, p.event_id AS purchase_id

@@ -64,6 +64,25 @@ object Scd {
       .withColumn("is_current", col("effective_to").isNull)
   }
 
+  /** Time-window dedup (alarm dampening): keep a row only if its
+    * IMMEDIATE predecessor for the same key is more than `windowMicros`
+    * older — i.e. suppress repeats that arrive within the window of the
+    * previous occurrence (gap semantics, the same boundary rule as
+    * sessionization: any burst closer-spaced than the window collapses to
+    * its first row). A single lag() pass, one shuffle on the key — no
+    * iterative "first per fixed window" state needed.
+    */
+  def windowDedup(df: DataFrame, keys: Seq[String], tsMicrosCol: String,
+                  tieBreak: String, windowMicros: Long): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsMicrosCol), col(tieBreak))
+    val prev = lag(col(tsMicrosCol), 1).over(w)
+    df.withColumn("__prev_ts", prev)
+      .filter(col("__prev_ts").isNull ||
+        col(tsMicrosCol) - col("__prev_ts") > windowMicros)
+      .drop("__prev_ts")
+  }
+
   /** Idempotent SCD2 merge: existing history rows ARE a change log (each
     * version is a change at its `effective_from`), so merging = unioning
     * that log with the new batch and re-deriving [[scdHistory]]. Inserts,

@@ -65,6 +65,18 @@ class ScdSpec extends SparkSpec {
       .exceptAll(fullProj).isEmpty)
   }
 
+  test("windowDedup suppresses repeats inside the gap window, first of each burst survives") {
+    val ev = Seq(
+      // key "a": burst at 0/5/9 (collapse to 0), then 25 (gap 16 > 10)
+      ("a", 1L, 0L), ("a", 2L, 5L), ("a", 3L, 9L), ("a", 4L, 25L),
+      // key "b": evenly spaced beyond the window — all survive
+      ("b", 5L, 0L), ("b", 6L, 11L), ("b", 7L, 22L)
+    ).toDF("k", "eid", "us")
+    val kept = Scd.windowDedup(ev, Seq("k"), "us", "eid", windowMicros = 10L)
+      .select("eid").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 4L, 5L, 6L, 7L))
+  }
+
   test("scdHistory plans a single exchange: compaction + both windows share it") {
     val h = Scd.scdHistory(log(), Seq("k"), "ts", "eid", Seq("attr"))
     val plan = h.queryExecution.executedPlan.toString
