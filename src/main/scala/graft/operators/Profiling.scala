@@ -9,32 +9,62 @@ import org.apache.spark.sql.types.NumericType
   * ranges). The reference's only audit is a row-count insert (SURVEY §2.1
   * S9); this generalizes it to per-column statistics.
   *
-  * Scale shape: ONE aggregation over the scan producing a single row of
-  * packed statistics (every stat is algebraic / sketch-mergeable, so
-  * partial aggregation runs map-side), then a driver-free explode of that
-  * row into the long (column, stats) format. With `exact = false`
-  * (the 100 TB default) distinct counts come from approx_count_distinct
-  * (HLL++) and the plan contains no Expand — one pass over the data, a
-  * few KB through the shuffle. `exact = true` switches to count(DISTINCT),
-  * which Catalyst rewrites via Expand into rows × profiled-columns
-  * aggregation input — acceptable for a handful of columns, and the mode
-  * the DuckDB oracle gates bit-exactly.
+  * Two modes with deliberately different 100 TB shapes:
+  *
+  *  - `exact = false` (the scale default): ONE aggregation over one scan;
+  *    every stat is algebraic or a mergeable HLL++ sketch
+  *    (approx_count_distinct), all buffers are mutable primitives, so the
+  *    plan is a partial+final HashAggregate with no Expand — a few KB
+  *    cross the shuffle.
+  *  - `exact = true`: exact distinct counts. A single-pass formulation
+  *    would pay twice: multiple count(DISTINCT) rewrite via Expand
+  *    (rows × columns through the aggregate) AND string min/max buffers
+  *    (immutable → SortAggregate, sorting the expanded rows). Instead the
+  *    profile unions one narrow aggregate per column, each scanning ONLY
+  *    its column (parquet pruning) — the same total bytes as the one-scan
+  *    variant, no Expand, no wide sorts, and the per-column subplans run
+  *    as independent stages. This is the mode the DuckDB oracle gates
+  *    bit-exactly.
   */
 object Profiling {
 
-  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame = {
-    val schema = df.schema
-    def isNum(c: String) = schema(c).dataType.isInstanceOf[NumericType]
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame =
+    if (exact) cols.map(profileOne(df, _)).reduce(_.unionByName(_))
+    else approxProfile(df, cols)
+
+  private def isNum(df: DataFrame, c: String) =
+    df.schema(c).dataType.isInstanceOf[NumericType]
+
+  /** Narrow exact profile of one column: the subplan prunes the scan to
+    * this column alone, and the single-distinct aggregate plans as a
+    * two-phase grouped aggregate — no Expand. */
+  private def profileOne(df: DataFrame, c: String): DataFrame = {
+    val (mnN, mxN, mnS, mxS) = minMax(df, c)
+    df.select(col(c))
+      .agg(count(lit(1)).as("n"), count(col(c)).as("n_nonnull"),
+        countDistinct(col(c)).as("n_distinct"),
+        mnN.as("min_num"), mxN.as("max_num"),
+        mnS.as("min_str"), mxS.as("max_str"))
+      .select(lit(c).as("col_name"), col("n"),
+        (col("n") - col("n_nonnull")).as("n_null"), col("n_distinct"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+  }
+
+  private def minMax(df: DataFrame, c: String): (Column, Column, Column, Column) =
+    if (isNum(df, c))
+      (min(col(c)).cast("double"), max(col(c)).cast("double"),
+        first(lit(null).cast("string")), first(lit(null).cast("string")))
+    else
+      (first(lit(null).cast("double")), first(lit(null).cast("double")),
+        min(col(c)).cast("string"), max(col(c)).cast("string"))
+
+  /** One-pass sketch profile: single scan, HashAggregate, no Expand. */
+  private def approxProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs: Seq[Column] =
       count(lit(1)).as("__n") +: cols.flatMap { c =>
-        val nd = if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
-        val (mnN, mxN) =
-          if (isNum(c)) (min(col(c)).cast("double"), max(col(c)).cast("double"))
-          else (first(lit(null).cast("double")), first(lit(null).cast("double")))
-        val (mnS, mxS) =
-          if (isNum(c)) (first(lit(null).cast("string")), first(lit(null).cast("string")))
-          else (min(col(c)).cast("string"), max(col(c)).cast("string"))
-        Seq(count(col(c)).as(s"__nn_$c"), nd.as(s"__nd_$c"),
+        val (mnN, mxN, mnS, mxS) = minMax(df, c)
+        Seq(count(col(c)).as(s"__nn_$c"),
+          approx_count_distinct(col(c)).as(s"__nd_$c"),
           mnN.as(s"__mnn_$c"), mxN.as(s"__mxn_$c"),
           mnS.as(s"__mns_$c"), mxS.as(s"__mxs_$c"))
       }

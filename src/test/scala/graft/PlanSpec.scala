@@ -194,10 +194,16 @@ class PlanSpec extends SparkSpec {
       .findAllIn(p).size >= 2, p)
   }
 
-  test("q79: profile is one scan — a single aggregate pass over lineitem") {
-    val p = executedPlanOf("q79_profile").split("== Initial Plan ==").head
-    val scans = "FileScan|Scan parquet".r.findAllIn(p).size
-    assert(scans == 1, s"profile must scan once, got $scans\n$p")
+  test("q79: exact profile is column-pruned narrow scans with no Expand") {
+    val p = planOf("q79_profile")
+    // one scan per profiled column, each reading at most that column
+    // (same total bytes as a single wide scan, none of the Expand cost)
+    assert(!p.contains("Expand"), p)
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(schemas.size == 4, s"expected 4 pruned scans:\n$p")
+    assert(schemas.forall(s => s.split(",").length <= 1),
+      s"scans must be single-column: $schemas")
   }
 
   test("q82: markup stripping is map-only, sole exchange is the final sort") {

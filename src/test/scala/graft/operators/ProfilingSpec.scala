@@ -34,10 +34,14 @@ class ProfilingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), s"approx mode must not expand:\n$plan")
     assert(plan.contains("approx_count_distinct"))
-    // exact mode accepts the Expand cost explicitly
+  }
+
+  test("exact profile: per-column pruned subplans, no Expand anywhere") {
     val exactPlan = Profiling.profile(fixture, Seq("id", "x"), exact = true)
       .queryExecution.executedPlan.toString
-    assert(exactPlan.contains("Expand"))
+    // the multi-count(DISTINCT) single-pass formulation would Expand
+    // rows x columns; the union-of-narrow-aggregates shape must not
+    assert(!exactPlan.contains("Expand"), exactPlan)
   }
 
   test("approx distinct counts land within HLL tolerance on real cardinalities") {
