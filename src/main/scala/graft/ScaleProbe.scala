@@ -19,7 +19,14 @@ object ScaleProbe {
     "q29_text_quality", "q60_repetition", "q61_decontamination",
     "q63_curation_pipeline", "q64_line_dedup", "q66_embedding_quantize",
     "q67_embedding_dim_stats", "q68_pii_redaction", "q71_tfidf",
-    "q74_token_budget", "q75_seq_pack")
+    "q74_token_budget", "q75_seq_pack",
+    // round-4 second-half linear family: document-side curation/analysis
+    "q72_quality_prune", "q76_bloom_decontaminate", "q81_token_histogram",
+    "q82_strip_markup", "q83_stratified_sample",
+    // events-side window/agg machinery — replication keeps user_id, so
+    // per-key partitions deepen 10x (the part that actually has to scale)
+    "q77_scd_history", "q78_cdc_latest", "q84_asof_forward",
+    "q85_asof_nearest", "q86_window_dedup", "q87_rolling_window")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -46,6 +53,19 @@ object ScaleProbe {
         col("embedding"), col("label"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+
+    // events replicate with ts kept as the RAW int64 nanos column (no
+    // Tables.events rebuild), so the copy round-trips through the same
+    // nanosAsLong read path as the original. user_id is deliberately NOT
+    // remapped: 10x rows per key is the dimension the window/as-of
+    // machinery has to survive.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val evRaw = spark.read.parquet(s"$srcDir/events.parquet")
+    (0 until 10).map { c =>
+      evRaw.select((col("event_id") * 10 + c).as("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
 
     def time(fn: => DataFrame): Double = {
       val ts = (1 to 3).map { _ =>
