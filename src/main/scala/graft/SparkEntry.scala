@@ -1111,6 +1111,26 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Per-source unigram entropy: tf counts are exact ints; the stable
+    // form ln(N) - sum(tf*ln tf)/N keeps fp to the last step, and the
+    // cross-engine summation-order spread (~1e-11 abs) sits far inside
+    // the r4 grid.
+    "q88_source_entropy" -> ((s, d) => {
+      TextAnalysis.tokenEntropy(t(s, d, "documents"), "text", "source")
+        .select(col("source"), col("n_tok"), col("n_vocab"),
+          r4(col("entropy")).as("entropy"))
+        .orderBy(col("source"))
+    }),
+
+    // Pairwise vocabulary Jaccard between sources: all counts exact ints,
+    // one double division, r4'd both sides.
+    "q89_vocab_overlap" -> ((s, d) => {
+      TextAnalysis.vocabOverlap(t(s, d, "documents"), "text", "source")
+        .select(col("g_a").as("source_a"), col("g_b").as("source_b"),
+          col("n_common"), r4(col("jaccard")).as("jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // Stratified eval-set draw: exactly 20 docs per source in
     // (sha256 content-hash, id) order — pure integer/hash determinism,
     // identical membership in any engine or partition layout.
@@ -2232,6 +2252,40 @@ object SparkEntry {
         |       ELSE f_pid END AS purchase_id
         |FROM b JOIN f USING (event_id)
         |ORDER BY b.event_id""".stripMargin,
+
+    "q88_source_entropy" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT source, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |g AS (
+        |  SELECT source, CAST(sum(tf) AS BIGINT) AS n_tok,
+        |    count(*) AS n_vocab,
+        |    sum(tf * ln(tf::DOUBLE)) AS s
+        |  FROM tf GROUP BY source)
+        |SELECT source, n_tok, n_vocab,
+        |  r4(ln(n_tok::DOUBLE) - s / n_tok) AS entropy
+        |FROM g ORDER BY source""".stripMargin,
+
+    "q89_vocab_overlap" ->
+      """WITH raw AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |toks AS (SELECT DISTINCT source, tok FROM raw),
+        |sizes AS (SELECT source, count(*) AS n FROM toks GROUP BY source),
+        |common AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS n_common
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_common,
+        |  r4(n_common / (sa.n + sb.n - n_common)) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.source = source_a
+        |JOIN sizes sb ON sb.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
 
     "q83_stratified_sample" ->
       """WITH r AS (

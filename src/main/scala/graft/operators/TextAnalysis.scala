@@ -239,6 +239,47 @@ object TextAnalysis {
         col("n_docs") / sum(col("n_docs")).over(Window.partitionBy(col(groupCol))))
   }
 
+  /** Per-group unigram token entropy in nats, in the algebraically stable
+    * form H = ln(N) − Σ tf·ln(tf) / N (tf are exact longs; only the final
+    * ln/divide touch floating point). The standard mixture diagnostic —
+    * low entropy flags templated/boilerplate-heavy sources. One explode
+    * feeding two partial-aggregating hash aggregations; output is one row
+    * per group. */
+  def tokenEntropy(df: DataFrame, textCol: String, groupCol: String): DataFrame =
+    df.select(col(groupCol),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
+      .groupBy(col(groupCol), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("tf")).as("n_tok"), count(lit(1)).as("n_vocab"),
+        sum(col("tf").cast("double") * log(col("tf").cast("double"))).as("__s"))
+      .select(col(groupCol), col("n_tok"), col("n_vocab"),
+        (log(col("n_tok").cast("double")) - col("__s") / col("n_tok"))
+          .as("entropy"))
+
+  /** Pairwise vocabulary overlap between groups: Jaccard of the groups'
+    * distinct lower-cased token sets. No cross join — the pair counts
+    * come from a self-equi-join on the token (each token contributes its
+    * group-pair combinations, bounded by groups², not rows), then two
+    * broadcast-size joins attach the per-group vocabulary sizes. */
+  def vocabOverlap(df: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val toks = df.select(col(groupCol).as("g"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
+      .distinct()
+    val sizes = toks.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val common = toks.toDF("g_a", "tok")
+      .join(toks.toDF("g_b", "tok"), Seq("tok"))
+      .filter(col("g_a") < col("g_b"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.toDF("g_a", "n_a")), Seq("g_a"))
+      .join(broadcast(sizes.toDF("g_b", "n_b")), Seq("g_b"))
+      .select(col("g_a"), col("g_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+  }
+
   /** Convenience: annotate a document frame with the full analysis set. */
   def annotate(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_pred", languageId(col(textCol)))

@@ -147,6 +147,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("tokenEntropy: uniform distribution hits ln(V); single-token source hits 0") {
+    val df = Seq(
+      ("u", "a b c d"),       // 4 distinct tokens, tf=1 each -> H = ln 4
+      ("z", "x x x x")        // one token -> H = 0
+    ).toDF("source", "text")
+    val got = TextAnalysis.tokenEntropy(df, "text", "source")
+      .select("source", "n_tok", "n_vocab", "entropy")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("u")._2 === 4L && got("u")._3 === 4L)
+    assert(math.abs(got("u")._4 - math.log(4.0)) < 1e-12)
+    assert(got("z")._3 === 1L && math.abs(got("z")._4) < 1e-12)
+  }
+
+  test("vocabOverlap: known Jaccard between small vocabularies") {
+    val df = Seq(
+      ("s1", "a b c"), ("s2", "b c d"), ("s3", "x")
+    ).toDF("source", "text")
+    val got = TextAnalysis.vocabOverlap(df, "text", "source")
+      .select("g_a", "g_b", "n_common", "jaccard")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // {a,b,c} vs {b,c,d}: common 2 of 4 -> 0.5; s3 is disjoint (no row)
+    assert(got((("s1"), ("s2"))) === ((2L, 0.5)))
+    assert(!got.contains(("s1", "s3")) && !got.contains(("s2", "s3")))
+  }
+
   test("tokenHistogram: correct bins, counts conserve docs, shares sum to 1 per group") {
     // 2, 3, 150, and 250 tokens → bins 0, 0, 100, 200 at width 100
     val df = Seq(
