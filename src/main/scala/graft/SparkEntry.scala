@@ -1111,6 +1111,15 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Strided overlapping chunks (RAG layout): window 32, stride 16 —
+    // adjacent chunks share 16 tokens (docs run 10-99 tokens, so most
+    // emit several overlapping chunks). Pure integer arithmetic.
+    "q90_strided_chunks" -> ((s, d) => {
+      operators.Curation.stridedChunks(t(s, d, "documents"),
+          "doc_id", "text", windowTokens = 32, stride = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Per-source unigram entropy: tf counts are exact ints; the stable
     // form ln(N) - sum(tf*ln tf)/N keeps fp to the last step, and the
     // cross-engine summation-order spread (~1e-11 abs) sits far inside
@@ -2252,6 +2261,25 @@ object SparkEntry {
         |       ELSE f_pid END AS purchase_id
         |FROM b JOIN f USING (event_id)
         |ORDER BY b.event_id""".stripMargin,
+
+    "q90_strided_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT)
+        |    AS n_tok
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, n_tok,
+        |    greatest(0, CAST(ceil((n_tok - 32)::DOUBLE / 16) AS BIGINT))
+        |      AS last_idx
+        |  FROM t WHERE n_tok > 0),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    unnest(generate_series(0, last_idx)) AS chunk_idx
+        |  FROM d)
+        |SELECT doc_id, chunk_idx, chunk_idx * 16 AS tok_start,
+        |  least(chunk_idx * 16 + 32, n_tok) AS tok_end
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q88_source_entropy" ->
       """WITH toks AS (

@@ -85,6 +85,35 @@ object Curation {
         least(col("chunk_idx") * w + w, col("n_tok")).as("tok_end"))
   }
 
+  /** Strided (overlapping) token windows — the RAG/pretraining layout
+    * where consecutive chunks share `windowTokens - stride` tokens of
+    * context. Chunk i covers [i·stride, i·stride + windowTokens), clipped
+    * to the document; generation stops at the last window that starts
+    * inside the document, and every token is covered. Same narrow
+    * map-side explode shape as [[tokenChunks]] (which is the
+    * stride == windowTokens special case). */
+  def stridedChunks(df: DataFrame, idCol: String, textCol: String,
+                    windowTokens: Int, stride: Int): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
+    require(stride > 0 && stride <= windowTokens,
+      s"stride must be in (0, windowTokens]: $stride")
+    val w = lit(windowTokens.toLong)
+    val st = lit(stride.toLong)
+    df.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      // last chunk index: the smallest i with i*stride + window >= n_tok,
+      // i.e. ceil((n_tok - window) / stride), floored at 0
+      .select(col(idCol), col("n_tok"),
+        greatest(lit(0L), ceil((col("n_tok") - w).cast("double") / st)
+          .cast("long")).as("last_idx"))
+      .select(col(idCol), col("n_tok"),
+        explode(sequence(lit(0L), col("last_idx"))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * st).as("tok_start"),
+        least(col("chunk_idx") * st + w, col("n_tok")).as("tok_end"))
+  }
+
   /** Weighted source mixture: keep a deterministic per-row fraction given
     * by `weightHex` — a (possibly per-row, e.g. CASE on a source column)
     * threshold in 1/256ths as two lowercase hex chars ("40" = 25%,

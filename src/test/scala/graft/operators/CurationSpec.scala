@@ -257,6 +257,28 @@ class CurationSpec extends SparkSpec {
     assert(exact.count() == approx.count())
   }
 
+  test("stridedChunks: overlap coverage, clipping, and the non-overlap special case") {
+    // 10 tokens, window 4, stride 2 -> starts 0,2,4,6; last ends exactly at 10
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c"),   // shorter than the window -> one clipped chunk
+      (3L, "")         // zero tokens -> no rows
+    ).toDF("doc_id", "text")
+    val got = Curation.stridedChunks(df, "doc_id", "text", 4, 2)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0L, 0L, 4L), (1L, 1L, 2L, 6L), (1L, 2L, 4L, 8L), (1L, 3L, 6L, 10L),
+      (2L, 0L, 0L, 3L)))
+    // stride == window degenerates to tokenChunks' disjoint layout
+    val disjoint = Curation.stridedChunks(df, "doc_id", "text", 4, 4)
+      .select("doc_id", "chunk_idx", "tok_start", "tok_end")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val plain = Curation.tokenChunks(df, "doc_id", "text", 4)
+      .select("doc_id", "chunk_idx", "tok_start", "tok_end")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(disjoint === plain)
+  }
+
   test("stratifiedSample: exact k per stratum, layout-invariant, WindowGroupLimit plan") {
     val df = spark.range(500).select(col("id"),
       concat(lit("s"), pmod(col("id"), lit(3))).as("src"))
