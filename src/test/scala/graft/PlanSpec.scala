@@ -179,6 +179,25 @@ class PlanSpec extends SparkSpec {
     assert(projLine.exists(_.contains("*(")), s"project not codegen'd:\n$p")
   }
 
+  test("global join lint: no cartesian products; nested loops only in intended broadcast patterns") {
+    // empirical allowlist (graft.PlanLint sweep): scalar-subquery join,
+    // the brute-force cosine baselines, IVF's broadcast centroids, and
+    // tfidf's one-row corpus-size broadcast — each a small-side
+    // BroadcastNestedLoopJoin by construction
+    val nlAllowed = Set("q25_scalar_subquery", "q26_cosine_topk",
+      "q46_ivf_topk", "q71_tfidf", "q73_knn_labels")
+    // iterative queries execute jobs at plan-build (connected components
+    // materializes rounds); their shapes are pinned by their own tests
+    val excluded = Set("q65_dup_clusters", "q80_dedup_survivors")
+    for (q <- SparkEntry.queries.keys.toSeq.sorted if !excluded(q)) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      if (!nlAllowed(q))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$q plans an unexpected nested-loop join")
+    }
+  }
+
   test("q77: scd history shares one hash exchange across compaction + versioning windows") {
     val p = executedPlanOf("q77_scd_history").split("== Initial Plan ==").head
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
