@@ -1111,6 +1111,26 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Snapshot diff over a deterministic second version of orders
+    // (every 7th key deleted, every 5th repriced, every 11th re-inserted
+    // under a negated key): per-key classification via a full outer join
+    // on fixed-width payload hashes, aggregated to a change report. The
+    // oracle classifies by actual column equality — identical up to an
+    // xxhash64 collision (~n·2⁻⁶⁴).
+    "q91_snapshot_diff" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val current = o.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(5)) === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.filter(pmod(col("o_orderkey"), lit(11)) === 0)
+          .select((-col("o_orderkey")).as("o_orderkey"),
+            col("o_totalprice"), col("o_orderstatus")))
+      operators.Diff.diffSummary(o, current, Seq("o_orderkey"))
+        .orderBy(col("change_type"))
+    }),
+
     // Strided overlapping chunks (RAG layout): window 32, stride 16 —
     // adjacent chunks share 16 tokens (docs run 10-99 tokens, so most
     // emit several overlapping chunks). Pure integer arithmetic.
@@ -2261,6 +2281,28 @@ object SparkEntry {
         |       ELSE f_pid END AS purchase_id
         |FROM b JOIN f USING (event_id)
         |ORDER BY b.event_id""".stripMargin,
+
+    "q91_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |n AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM o WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT -o_orderkey, o_totalprice, o_orderstatus FROM o
+        |  WHERE o_orderkey % 11 = 0),
+        |j AS (
+        |  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+        |              WHEN n.o_orderkey IS NULL THEN 'deleted'
+        |              WHEN o.o_totalprice = n.o_totalprice
+        |               AND o.o_orderstatus = n.o_orderstatus THEN 'unchanged'
+        |              ELSE 'changed' END AS change_type
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT change_type, count(*) AS n FROM j
+        |GROUP BY change_type ORDER BY change_type""".stripMargin,
 
     "q90_strided_chunks" ->
       """WITH t AS (
