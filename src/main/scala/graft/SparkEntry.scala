@@ -1111,6 +1111,20 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Left outer join with null-side aggregation: every customer with
+    // their order stats, order-less customers kept with zero counts —
+    // completes the outer-join family (q07 anti, q91 full outer).
+    "q92_left_join" -> ((s, d) => {
+      val ords = t(s, d, "orders")
+        .select(col("o_custkey"), col("o_totalprice"))
+      t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+        .join(ords, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(col("o_totalprice")).as("n_orders"),
+          r2(coalesce(sum(col("o_totalprice")), lit(0.0))).as("total_spend"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Snapshot diff over a deterministic second version of orders
     // (every 7th key deleted, every 5th repriced, every 11th re-inserted
     // under a negated key): per-key classification via a full outer join
@@ -2281,6 +2295,14 @@ object SparkEntry {
         |       ELSE f_pid END AS purchase_id
         |FROM b JOIN f USING (event_id)
         |ORDER BY b.event_id""".stripMargin,
+
+    "q92_left_join" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  count(o_totalprice) AS n_orders,
+        |  r2(coalesce(sum(o_totalprice), 0.0)) AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_mktsegment
+        |ORDER BY c_custkey""".stripMargin,
 
     "q91_snapshot_diff" ->
       """WITH o AS (
