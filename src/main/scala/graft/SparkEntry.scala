@@ -1111,6 +1111,24 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Distribution-rank window family (ntile / percent_rank / cume_dist)
+    // — q08/q09 pin rank/lag; these are the remaining standard-SQL
+    // ranking functions, identical semantics in both engines. Ordering
+    // key (o_totalprice, o_orderkey) is total, so every rank is
+    // deterministic; percent_rank/cume_dist are exact small-int ratios
+    // r4'd on both sides.
+    "q93_rank_distribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .withColumn("pct_rank", r4(percent_rank().over(w)))
+        .withColumn("cume", r4(cume_dist().over(w)))
+        .drop("o_totalprice")
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Left outer join with null-side aggregation: every customer with
     // their order stats, order-less customers kept with zero counts —
     // completes the outer-join family (q07 anti, q91 full outer).
@@ -2295,6 +2313,16 @@ object SparkEntry {
         |       ELSE f_pid END AS purchase_id
         |FROM b JOIN f USING (event_id)
         |ORDER BY b.event_id""".stripMargin,
+
+    "q93_rank_distribution" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(ntile(10) OVER w AS BIGINT) AS decile,
+        |  r4(percent_rank() OVER w) AS pct_rank,
+        |  r4(cume_dist() OVER w) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q92_left_join" ->
       """SELECT c_custkey, c_mktsegment,

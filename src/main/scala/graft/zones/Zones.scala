@@ -104,6 +104,30 @@ object Zones {
   def readAnalytical(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(Schemas.analytical).orc(path)
 
+  /** Lenient landing read for malformed drops: PERMISSIVE parsing routes
+    * unparseable lines (wrong arity, type mismatches like a non-numeric
+    * rt_count) into a `_corrupt_record` column instead of failing the
+    * job — the engine-side analogue of the reference consumer's
+    * per-record try/except (kinesis-consumer-s3.py's record loop). The
+    * caller gets (clean rows, corrupt raw lines) and decides whether to
+    * quarantine or fail on a threshold. The parsed frame is cached:
+    * Spark refuses to filter on the corrupt column of an unmaterialized
+    * lazy parse (internal-corrupt-record limitation), and the quarantine
+    * split reads it twice anyway. */
+  def readLandingLenient(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val withCorrupt = org.apache.spark.sql.types.StructType(
+      Schemas.landing.fields :+ org.apache.spark.sql.types.StructField(
+        "_corrupt_record", org.apache.spark.sql.types.StringType))
+    val raw = spark.read.schema(withCorrupt)
+      .option("header", "false")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+      .cache()
+    (raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      raw.filter(col("_corrupt_record").isNotNull).select(col("_corrupt_record")))
+  }
+
   /** Curated-corpus parquet sink with the three knobs that decide whether
     * a 100 TB table is readable afterwards:
     *  - `partitionCols`: coarse pruning dimensions (source, date, split);
