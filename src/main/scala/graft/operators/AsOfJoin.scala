@@ -54,17 +54,22 @@ object AsOfJoin {
   }
 
   /** Backward window: right rows sort before an equal-ts left row, so the
-    * running `last` over (ts asc, side asc) is inclusive. */
+    * running `last` over (ts asc, side asc) is inclusive. `__rv` as the
+    * final sort key makes the pick among right rows sharing (keys, ts)
+    * deterministic (struct ordering over (rts, values)) — without it the
+    * frame edge lands on whichever tied row the unstable sort left last,
+    * varying with partition layout and retries. */
   private def backWindow(keys: Seq[String]) = Window
     .partitionBy(keys.map(col): _*)
-    .orderBy(col("__ts").asc, col("__side").asc)
+    .orderBy(col("__ts").asc, col("__side").asc, col("__rv").asc)
     .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
   /** Forward window: side DESC puts an equal-ts right row AFTER the left
-    * row, so the running `first` over the following frame is inclusive. */
+    * row, so the running `first` over the following frame is inclusive;
+    * `__rv` deterministically orders tied right rows (see backWindow). */
   private def fwdWindow(keys: Seq[String]) = Window
     .partitionBy(keys.map(col): _*)
-    .orderBy(col("__ts").asc, col("__side").desc)
+    .orderBy(col("__ts").asc, col("__side").desc, col("__rv").asc)
     .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
   private def project(left: DataFrame, keys: Seq[String],

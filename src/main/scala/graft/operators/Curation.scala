@@ -189,6 +189,12 @@ object Curation {
     * sub-buckets and sample per bucket. */
   def tokenBudgetSample(df: DataFrame, idCol: String, textCol: String,
                         srcCol: String, budget: Long, salt: String): DataFrame = {
+    // withColumn would silently OVERWRITE these if the caller's frame
+    // already carries them (e.g. tokenChunks output has n_tok) — refuse,
+    // as quantilePrune does for its added columns
+    for (c <- Seq("sample_key", "n_tok", "cum_tok"))
+      require(!df.columns.contains(c),
+        s"tokenBudgetSample adds column '$c' but the input already has it")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(srcCol))
       .orderBy(col("sample_key"), col(idCol))
@@ -324,18 +330,29 @@ object Curation {
     * how a broadcast variable moves), not a driver-side compute loop.
     * Sketches above ~8 MiB need
     * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` raised. */
+  /** @param persistBench cache the distinct benchmark-gram frame for the
+    *        duration of the job: it is consumed up to three times (the
+    *        sizing count, the sketch aggregate, and the exact verify
+    *        semi-join in the returned plan), and at the operator's design
+    *        point — a benchmark too large to broadcast — each re-derive
+    *        is a full shuffle. Caller owns cleanup (unpersist/clearCache)
+    *        in long-lived sessions, as with minhashDupPairs/lineDedup. */
   def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String, n: Int = 3,
                          fpp: Double = 0.01,
-                         expectedGrams: Long = 0L): DataFrame = {
+                         expectedGrams: Long = 0L,
+                         persistBench: Boolean = true): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.apache.spark.util.sketch.BloomFilter
 
-    val bench = benchmark
+    val bench0 = benchmark
       .select(explode(ngramSet(col(textCol), n, hashed = true)).as("g"))
       .distinct()
+    val bench = if (persistBench)
+      bench0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else bench0
     val items = math.max(
       if (expectedGrams > 0) expectedGrams else bench.count(), 1L)
     val numBits = BloomFilter.optimalNumOfBits(items, fpp)

@@ -296,6 +296,11 @@ object Dedup {
     * winner shuffle. `idCol` must be numeric (ties break via negation). */
   def keepBestPerCluster(docs: DataFrame, clusters: DataFrame, idCol: String,
                          score: Column): DataFrame = {
+    // negation of a non-numeric id would cast to double and yield silent
+    // nulls — making the tie-break arbitrary instead of smallest-id
+    val idType = docs.schema(idCol).dataType.typeName
+    require(Set("long", "integer", "short", "byte").contains(idType),
+      s"keepBestPerCluster requires an integral id column, $idCol is $idType")
     val labeled = docs.select(col(idCol), score.as("__score"))
       .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), col("__score"),

@@ -28,9 +28,11 @@ import org.apache.spark.sql.types.NumericType
   */
 object Profiling {
 
-  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame =
+  def profile(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile requires at least one column")
     if (exact) cols.map(profileOne(df, _)).reduce(_.unionByName(_))
     else approxProfile(df, cols)
+  }
 
   private def isNum(df: DataFrame, c: String) =
     df.schema(c).dataType.isInstanceOf[NumericType]

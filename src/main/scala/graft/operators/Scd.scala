@@ -94,6 +94,11 @@ object Scd {
   def scdMerge(history: DataFrame, updates: DataFrame, keys: Seq[String],
                orderCol: String, tieBreak: String, attrs: Seq[String]): DataFrame = {
     val logCols = (keys ++ Seq(tieBreak) ++ attrs).distinct
+    // effective_from is re-aliased AS orderCol below; a name collision
+    // would build a select with two identically-named columns and fail
+    // (or mis-bind) at analysis — refuse with a clear message instead
+    require(!logCols.contains(orderCol),
+      s"scdMerge: orderCol '$orderCol' must not also appear in keys/tieBreak/attrs")
     val asLog = history
       .select((logCols.map(col) :+ col("effective_from").as(orderCol)): _*)
     scdHistory(asLog.unionByName(updates.select((logCols :+ orderCol).map(col): _*)),

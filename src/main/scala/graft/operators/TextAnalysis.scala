@@ -206,9 +206,10 @@ object TextAnalysis {
     * filter is the remedy at corpus scale. */
   def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the engine-wide canonical tokenization (TextFunctions.tokens), not
+    // an inline re-implementation — the oracles mirror exactly one split
     val toks = df.select(col(idCol),
-        explode(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
-      .filter(col("tok") =!= "")
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
     val tf = toks.groupBy(col(idCol), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val withDf = tf.withColumn("df",

@@ -49,13 +49,19 @@ object Observe {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  private val captureSeq = new java.util.concurrent.atomic.AtomicLong()
+
   /** [[withRowCount]] + [[capture]] around a write: returns the number of
     * rows the action consumed, falling back to a counted second pass only
-    * if the metric was not delivered. */
+    * if the metric was not delivered. The metric name is suffixed with a
+    * per-call sequence number so concurrent captures on the same session
+    * (another thread, a running stream) cannot satisfy each other's
+    * listener with the wrong execution's row. */
   def countedAction(spark: SparkSession, df: DataFrame, name: String)
                    (action: DataFrame => Unit): Long = {
-    val tagged = withRowCount(df, name)
-    capture(spark, name)(action(tagged))
+    val unique = s"${name}_${captureSeq.incrementAndGet()}"
+    val tagged = withRowCount(df, unique)
+    capture(spark, unique)(action(tagged))
       .map(_.getAs[Long]("n_rows"))
       .getOrElse(df.count())
   }

@@ -113,8 +113,14 @@ object Zones {
     * quarantine or fail on a threshold. The parsed frame is cached:
     * Spark refuses to filter on the corrupt column of an unmaterialized
     * lazy parse (internal-corrupt-record limitation), and the quarantine
-    * split reads it twice anyway. */
-  def readLandingLenient(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    * split reads it twice anyway. Call `release()` once both frames are
+    * consumed — the cache belongs to the shared parse, so unpersisting a
+    * child frame would not free it, and a per-day pipeline that never
+    * releases pins every day's parse for the session lifetime. */
+  final case class LenientLanding(clean: DataFrame, corrupt: DataFrame,
+                                  release: () => Unit)
+
+  def readLandingLenient(spark: SparkSession, path: String): LenientLanding = {
     val withCorrupt = org.apache.spark.sql.types.StructType(
       Schemas.landing.fields :+ org.apache.spark.sql.types.StructField(
         "_corrupt_record", org.apache.spark.sql.types.StringType))
@@ -124,25 +130,39 @@ object Zones {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(path)
       .cache()
-    (raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
-      raw.filter(col("_corrupt_record").isNotNull).select(col("_corrupt_record")))
+    LenientLanding(
+      raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      raw.filter(col("_corrupt_record").isNotNull).select(col("_corrupt_record")),
+      () => { raw.unpersist(); () })
   }
 
   /** Curated-corpus parquet sink with the three knobs that decide whether
     * a 100 TB table is readable afterwards:
     *  - `partitionCols`: coarse pruning dimensions (source, date, split);
-    *  - `sortCols`: `sortWithinPartitions` BEFORE the write, so each file
-    *    covers a narrow range and parquet min/max row-group stats turn
+    *  - `sortCols`: rows are sorted BEFORE the write, so each file covers
+    *    a narrow range and parquet min/max row-group stats turn
     *    point/range reads into file skips (zone-map pruning);
-    *  - `maxRecordsPerFile`: caps file size without an extra
-    *    repartition job — a small-file-storm (or 10 GB monolith) is an
-    *    operational failure at scale even when the data is correct.
-    * Plain `df.write.parquet` defaults are the wrong shape for all three.
+    *  - `maxRecordsPerFile`: caps file size — a small-file-storm (or a
+    *    10 GB monolith) is an operational failure at scale even when the
+    *    data is correct.
+    * With `cluster = true` (default) rows are first hash-clustered on
+    * `partitionCols`: each partition value is written by ONE task, so a
+    * partition directory holds a single sorted run of capped files with
+    * globally non-overlapping ranges — without clustering, a 1000-task
+    * input writing 50 partition values emits up to 50,000 files whose
+    * ranges overlap across tasks. The clustering shuffle is the price; a
+    * heavily skewed partition value serializes into one task, so pass
+    * `cluster = false` (sort-within-existing-partitions only) when the
+    * upstream layout is already partition-aligned or skew dominates.
     */
   def writeCurated(df: DataFrame, path: String, partitionCols: Seq[String],
-                   sortCols: Seq[String], maxRecordsPerFile: Long): Unit = {
+                   sortCols: Seq[String], maxRecordsPerFile: Long,
+                   cluster: Boolean = true): Unit = {
     require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
-    df.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+    val placed = if (cluster && partitionCols.nonEmpty)
+      df.repartition(partitionCols.map(col): _*)
+    else df
+    placed.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
       .write.mode(SaveMode.Append)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)

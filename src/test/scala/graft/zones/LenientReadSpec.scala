@@ -13,7 +13,8 @@ class LenientReadSpec extends SparkSpec {
     java.nio.file.Files.write(dir.resolve("part-0.csv"),
       Seq(good1, good2, badType, badArity).mkString("\n").getBytes("UTF-8"))
 
-    val (clean, corrupt) = Zones.readLandingLenient(spark, dir.toString)
+    val lenient = Zones.readLandingLenient(spark, dir.toString)
+    val (clean, corrupt) = (lenient.clean, lenient.corrupt)
     val cleanRows = clean.collect()
     assert(cleanRows.length === 2, cleanRows.mkString("\n"))
     assert(cleanRows.map(_.getAs[String]("record_id")).toSet === Set("r1", "r2"))
@@ -22,5 +23,11 @@ class LenientReadSpec extends SparkSpec {
 
     val corruptLines = corrupt.collect().map(_.getString(0)).toSet
     assert(corruptLines === Set(badType, badArity), corruptLines)
+
+    // release frees the shared parse's cached blocks
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    lenient.release()
+    assert(spark.sparkContext.getPersistentRDDs.size < cachedBefore ||
+      cachedBefore == 0)
   }
 }

@@ -30,18 +30,15 @@ class WriteCuratedSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
       .as[(String, Long, Long, Long)].collect()
     assert(perFile.forall(_._2 <= 100), perFile.map(_._2).mkString(","))
-    // sortWithinPartitions means a writer task emits its partition-dir
-    // files as consecutive sorted runs: within each (source, task) group
-    // the [lo, hi] ranges must not overlap — that's what makes parquet
-    // min/max stats prune point/range reads (zone maps)
-    val taskOf = "part-(\\d+)-".r
-    perFile.groupBy { case (f, _, _, _) =>
-      (f.split("/").init.last, taskOf.findFirstMatchIn(f).get.group(1))
-    }.foreach { case (grp, files) =>
+    // clustering + sortWithinPartitions: each partition DIRECTORY is one
+    // sorted run of capped files, so its [lo, hi] ranges must not
+    // overlap AT ALL — that's what makes parquet min/max stats prune
+    // point/range reads (zone maps)
+    perFile.groupBy(_._1.split("/").init.last).foreach { case (dir, files) =>
       val runs = files.sortBy(_._3).toSeq
       runs.sliding(2).foreach {
         case Seq((_, _, _, hiA), (_, _, loB, _)) =>
-          assert(hiA < loB, s"$grp file ranges overlap:\n${runs.mkString("\n")}")
+          assert(hiA < loB, s"$dir file ranges overlap:\n${runs.mkString("\n")}")
         case _ => ()
       }
     }
