@@ -28,7 +28,7 @@ object Scd {
   def latestByKey(df: DataFrame, keys: Seq[String], orderCol: String,
                   tieBreak: String): DataFrame = {
     val rest = df.columns.filterNot(keys.contains)
-    val payload = struct(rest.map(col): _*)
+    val payload = struct(rest.toSeq.map(col): _*)
     df.groupBy(keys.map(col): _*)
       .agg(max_by(payload, struct(col(orderCol), col(tieBreak))).as("__latest"))
       .select(keys.map(col) ++ rest.map(c => col(s"__latest.`$c`").as(c)): _*)

@@ -23,7 +23,7 @@ object Skew {
       aggs: (Seq[(Column, String)], Seq[(Column, String)])): DataFrame = {
     val (phase1, phase2) = aggs
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(saltBuckets.toLong)))
+      pmod(xxhash64(struct(df.columns.toSeq.map(col): _*)), lit(saltBuckets.toLong)))
     val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(phase1.head._1.as(phase1.head._2),
         phase1.tail.map { case (c, n) => c.as(n) }: _*)
@@ -52,7 +52,7 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltBuckets: Int = 8): DataFrame = {
     val bigS = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(saltBuckets.toLong)))
+      pmod(xxhash64(struct(big.columns.toSeq.map(col): _*)), lit(saltBuckets.toLong)))
     val smallS = small.withColumn("__salt",
       explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")

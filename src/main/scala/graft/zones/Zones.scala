@@ -74,7 +74,7 @@ object Zones {
   /** S7: landing sink — header-less CSV under the date prefix. */
   def writeLandingDay(df: DataFrame, root: String,
                       year: Int, month: Int, day: Int): Unit =
-    df.select(Schemas.landing.fieldNames.map(col): _*)
+    df.select(Schemas.landing.fieldNames.toSeq.map(col): _*)
       .write.mode(SaveMode.Append).option("header", "false")
       .csv(f"$root/$year%04d/$month%02d/$day%02d")
 
@@ -82,7 +82,7 @@ object Zones {
     * "ProcessDataToStaging" states, LandingAnalyticalStateMachine.json:5-39
     * — old staging data is purged before each load). */
   def writeStaging(df: DataFrame, path: String): Unit =
-    df.select(Schemas.staging.fieldNames.map(col): _*)
+    df.select(Schemas.staging.fieldNames.toSeq.map(col): _*)
       .write.mode(SaveMode.Overwrite).option("header", "false").csv(path)
 
   def readStaging(spark: SparkSession, path: String): DataFrame =
@@ -95,7 +95,7 @@ object Zones {
     * `text_clean`. We keep the contract but make it visible — an explicit
     * positional rename, then a partitioned append. */
   def appendAnalytical(staged: DataFrame, path: String): Unit = {
-    val renamed = staged.toDF(Schemas.analytical.fieldNames: _*)
+    val renamed = staged.toDF(Schemas.analytical.fieldNames.toSeq: _*)
     renamed.write.mode(SaveMode.Append)
       .partitionBy("year", "month", "day")
       .orc(path)
