@@ -2314,6 +2314,47 @@ object SparkEntry {
         |FROM b JOIN f USING (event_id)
         |ORDER BY b.event_id""".stripMargin,
 
+    // The FULL IVF index replayed in SQL: sha256-hex centroid sample
+    // (identical ordering in any engine), top-nprobe probe cells per
+    // vector, rank-1 assignment, candidate join, exact rescoring, top-k.
+    // Possible only because every stage of ivfTopK is deterministic —
+    // cosine rank gaps on this corpus are ~1e-2, far beyond the engines'
+    // summation-order ulps (the q26/q73 precedent).
+    "q46_ivf_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT id AS cell_id, vec AS cv FROM v
+        |  ORDER BY sha256(CAST(id AS VARCHAR) || ':ivf'), id LIMIT 16),
+        |scored AS (
+        |  SELECT v.id, c.cell_id,
+        |    list_cosine_similarity(v.vec, c.cv) AS ccos,
+        |    row_number() OVER (PARTITION BY v.id
+        |      ORDER BY list_cosine_similarity(v.vec, c.cv) DESC, c.cell_id)
+        |      AS crank
+        |  FROM v CROSS JOIN cent c),
+        |probed AS (SELECT id, cell_id FROM scored WHERE crank <= 2),
+        |assigned AS (SELECT id AS neighbor_id, cell_id FROM scored WHERE crank = 1),
+        |cand AS (
+        |  SELECT DISTINCT p.id AS query_id, a.neighbor_id
+        |  FROM probed p JOIN assigned a USING (cell_id)
+        |  WHERE p.id <> a.neighbor_id),
+        |resc AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_cosine_similarity(q.vec, n.vec) AS cos
+        |  FROM cand
+        |  JOIN v q ON q.id = query_id
+        |  JOIN v n ON n.id = neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM resc)
+        |SELECT query_id, neighbor_id, r6(cos) AS cos,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
     "q93_rank_distribution" ->
       """SELECT o_orderkey, o_orderpriority,
         |  CAST(ntile(10) OVER w AS BIGINT) AS decile,
