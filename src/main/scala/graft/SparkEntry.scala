@@ -346,8 +346,14 @@ object SparkEntry {
     }),
 
     // Dedup extension: SimHash near-duplicate pairs (rows-only check)
+    // SimHash near-dup pairs in sha-hash mode: every stage — sha256 token
+    // hash, 64-slot voting, 4x16-bit pigeonhole banding, exact Hamming
+    // verify — is integer arithmetic an ANSI engine can replay, so the
+    // oracle reproduces the operator INCLUDING its candidate generation.
+    // (The murmur default keeps its native<->declarative ScalaTest gate.)
     "q28_simhash_pairs" -> ((s, d) => {
-      Dedup.simhashDupPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 8)
+      Dedup.simhashDupPairs(t(s, d, "documents"), "doc_id", "text",
+          maxHamming = 8, shaHash = true)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -2313,6 +2319,57 @@ object SparkEntry {
         |       ELSE f_pid END AS purchase_id
         |FROM b JOIN f USING (event_id)
         |ORDER BY b.event_id""".stripMargin,
+
+    // The FULL SimHash pipeline replayed in SQL: per-token 64-bit hash =
+    // first 16 hex chars of sha256 (bit b = bit (b%4) of hex digit
+    // (15 - b/4)), +-1 voting per bit, two-halves assembly into a signed
+    // 64-bit value, 4x16-bit pigeonhole bands for candidate generation,
+    // exact bit_count(xor) verification. Pure integer arithmetic end to
+    // end — the operator's exact row set at any maxHamming.
+    "q28_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |th AS (SELECT doc_id, substr(sha256(tok), 1, 16) AS hx FROM toks),
+        |bits AS (
+        |  SELECT doc_id, g.b AS b,
+        |    2 * sum(((instr('0123456789abcdef',
+        |        substr(hx, CAST(16 - g.b // 4 AS INTEGER), 1)) - 1)
+        |      >> CAST(g.b % 4 AS INTEGER)) & 1) - count(*) AS tally
+        |  FROM th, generate_series(0, 63) AS g(b)
+        |  GROUP BY doc_id, g.b),
+        |halves AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN tally > 0 AND b < 32
+        |             THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS lo,
+        |    sum(CASE WHEN tally > 0 AND b >= 32
+        |             THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INTEGER)) ELSE 0 END) AS hi
+        |  FROM bits GROUP BY doc_id),
+        |sh AS (
+        |  SELECT doc_id,
+        |    hi * CAST(4294967296 AS HUGEINT) + lo AS hu,
+        |    CAST(CASE WHEN hi >= 2147483648
+        |         THEN hi * CAST(4294967296 AS HUGEINT) + lo - CAST('18446744073709551616' AS HUGEINT)
+        |         ELSE hi * CAST(4294967296 AS HUGEINT) + lo END AS BIGINT) AS h
+        |  FROM halves),
+        |banded AS (
+        |  SELECT doc_id, h, g.i AS band_idx,
+        |    CAST((hu // (CASE g.i WHEN 0 THEN CAST(1 AS HUGEINT)
+        |                          WHEN 1 THEN CAST(65536 AS HUGEINT)
+        |                          WHEN 2 THEN CAST(4294967296 AS HUGEINT)
+        |                          ELSE CAST(281474976710656 AS HUGEINT) END))
+        |      % 65536 AS BIGINT) AS band
+        |  FROM sh, generate_series(0, 3) AS g(i)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.h AS ha, b.h AS hb
+        |  FROM banded a JOIN banded b
+        |    ON a.band_idx = b.band_idx AND a.band = b.band
+        |   AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // The FULL IVF index replayed in SQL: sha256-hex centroid sample
     // (identical ordering in any engine), top-nprobe probe cells per

@@ -164,11 +164,15 @@ object Dedup {
   /** SimHash near-dup pairs: 64-bit fingerprints bucketed by band
     * (4 × 16-bit bands ⇒ any pair within Hamming distance 3 shares at
     * least one band — pigeonhole), verified by exact Hamming distance. */
+  /** @param shaHash use the SQL-replicable sha256 token hash (see
+    *        [[graft.expressions.SimHash64]]) — the mode the q28 oracle
+    *        replays end to end; default stays the fast murmur hash. */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, shaHash: Boolean = false): DataFrame = {
     import graft.expressions.SimHash64
     val hashed = df.select(col(idCol).as("id"),
-      SimHash64.simhash64(TextFunctions.tokens(TextFunctions.normalizeWs(col(textCol)))).as("sh"))
+      SimHash64.simhash64(TextFunctions.tokens(TextFunctions.normalizeWs(col(textCol))),
+        shaHash).as("sh"))
     // 4 bands of 16 bits each
     val bandCols = (0 until 4).map { bi =>
       struct(lit(bi).as("band_idx"),
