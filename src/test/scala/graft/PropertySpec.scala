@@ -103,6 +103,56 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("stridedChunks coverage: every token of every doc is inside at least one chunk") {
+    forSamples(docsGen, n = 12) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val nTok = docs.map { case (id, t) =>
+        id -> t.split("\\s+").count(_.nonEmpty).toLong }.toMap
+      val chunks = Curation.stridedChunks(df, "doc_id", "text", 4, 2)
+        .select("doc_id", "tok_start", "tok_end")
+        .as[(Long, Long, Long)].collect().groupBy(_._1)
+      for ((id, n) <- nTok if n > 0) {
+        val ranges = chunks(id).map(c => (c._2, c._3)).sortBy(_._1)
+        // contiguous coverage of [0, n): first starts at 0, last ends at n,
+        // and each next chunk starts at or before the previous end
+        assert(ranges.head._1 == 0L && ranges.last._2 == n, (id, ranges.toSeq, n))
+        ranges.sliding(2).foreach {
+          case Array((_, endA), (startB, _)) => assert(startB <= endA, (id, ranges.toSeq))
+          case _ => ()
+        }
+        // every chunk is non-empty and within bounds
+        assert(ranges.forall { case (s, e) => s < e && e <= n })
+      }
+      for ((id, n) <- nTok if n == 0) assert(!chunks.contains(id))
+    }
+  }
+
+  test("scdHistory tiling: per key, ranges abut exactly and exactly one version is current") {
+    val logGen = Gen.chooseNum(1, 15).flatMap { n =>
+      Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b", "c")
+        ts <- Gen.chooseNum(0L, 20L)
+        attr <- Gen.oneOf("x", "y", "z")
+      } yield (k, ts, attr))
+    }.map(_.zipWithIndex.map { case ((k, ts, a), i) => (k, i.toLong, ts, a) })
+    forSamples(logGen, n = 12) { log =>
+      val df = log.toDF("k", "eid", "ts", "attr")
+      val h = operators.Scd.scdHistory(df, Seq("k"), "ts", "eid", Seq("attr"))
+        .select("k", "version", "effective_from", "effective_to", "is_current")
+        .as[(String, Long, Long, Option[Long], Boolean)].collect()
+      h.groupBy(_._1).foreach { case (k, rows) =>
+        val sorted = rows.sortBy(_._2)
+        assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, (k, sorted.toSeq))
+        // ranges abut: each version's effective_to equals the next's from
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._4.contains(b._3), (k, a, b))
+          case _ => ()
+        }
+        assert(sorted.count(_._5) == 1 && sorted.last._5, (k, sorted.toSeq))
+      }
+    }
+  }
+
   test("packSequences conservation: every doc packed exactly once, offsets within capacity rules") {
     forSamples(docsGen) { docs =>
       val df = docs.toDF("id", "text")

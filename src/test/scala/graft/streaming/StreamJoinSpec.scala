@@ -78,4 +78,30 @@ class StreamJoinSpec extends SparkSpec {
     assert(got.contains((10L, 100L)), got)    // matched pair
     assert(got.contains((20L, -1L)), got)     // unmatched left, null right
   }
+
+  test("stream-static enrichment join: broadcast dimension lookup per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.broadcast
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val events = MemoryStream[View]
+    events.addData(
+      View(1, 10, ts("2024-03-05 10:00:00")),
+      View(2, 20, ts("2024-03-05 10:01:00")),
+      View(9, 90, ts("2024-03-05 10:02:00")))  // not in the dimension
+    // the canonical streaming enrichment shape: static side broadcast,
+    // left outer so unknown keys survive with a null segment
+    val enriched = events.toDF()
+      .join(broadcast(dim), Seq("user_id"), "left")
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q = enriched.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("view_id", "segment").collect().foreach(r =>
+          sink.add((r.getLong(0), if (r.isNullAt(1)) "none" else r.getString(1))))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(sink.toArray(Array.empty[(Long, String)]).toSet ===
+      Set((10L, "gold"), (20L, "silver"), (90L, "none")))
+  }
 }
