@@ -1117,6 +1117,51 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Ordered funnel (view → click → purchase): each stage's timestamp
+    // must follow the previous stage's FIRST occurrence per user. All
+    // min/count over exact microsecond longs. Joins and aggregations all
+    // key on user_id — one partitioning reused down the pipeline.
+    "q94_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .join(views, Seq("user_id"))
+        .filter(col("us") >= col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_click"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .join(clicks, Seq("user_id"))
+        .filter(col("us") >= col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_purchase"))
+      views.agg(count(lit(1)).as("n")).select(lit("1_view").as("stage"), col("n"))
+        .unionByName(clicks.agg(count(lit(1)).as("n"))
+          .select(lit("2_click").as("stage"), col("n")))
+        .unionByName(purchases.agg(count(lit(1)).as("n"))
+          .select(lit("3_purchase").as("stage"), col("n")))
+        .orderBy(col("stage"))
+    }),
+
+    // Retention cohorts: users grouped by first-active day, distinct
+    // active users at day offsets 0/1/7/14/28. Dates derive from the
+    // UTC session timezone on both sides (q16 precedent); counts exact.
+    "q95_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+      ev.join(first, Seq("user_id"))
+        .select(col("user_id"), col("cohort_day"),
+          datediff(col("d"), col("cohort_day")).as("day_offset"))
+        .filter(col("day_offset").isin(0, 1, 7, 14, 28))
+        // ISO string, not DATE: the harness canonicalizes date columns
+        // differently per engine (python date objects vs datetime64)
+        .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .withColumn("day_offset", col("day_offset").cast("long"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // Distribution-rank window family (ntile / percent_rank / cume_dist)
     // — q08/q09 pin rank/lag; these are the remaining standard-SQL
     // ranking functions, identical semantics in both engines. Ordering
@@ -2411,6 +2456,40 @@ object SparkEntry {
         |  CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q94_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (
+        |  SELECT user_id, min(us) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(us) AS t_click
+        |  FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND us >= t_view GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(us) AS t_purchase
+        |  FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND us >= t_click GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, count(*) AS n FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM c
+        |UNION ALL SELECT '3_purchase', count(*) FROM p
+        |ORDER BY stage""".stripMargin,
+
+    "q95_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id),
+        |o AS (
+        |  SELECT e.user_id, cohort_day,
+        |    date_diff('day', cohort_day, d) AS day_offset
+        |  FROM e JOIN f USING (user_id))
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(day_offset AS BIGINT) AS day_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM o WHERE day_offset IN (0, 1, 7, 14, 28)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_day, day_offset""".stripMargin,
 
     "q93_rank_distribution" ->
       """SELECT o_orderkey, o_orderpriority,
