@@ -1117,6 +1117,42 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Rolling 7-day distinct active users per day. Exact formulation:
+    // dedup to (day, user) grain first (the big shuffle), then each
+    // target day joins its trailing window — the join fan-out is bounded
+    // by 7 × daily-active rows, NOT raw events. At 100 TB the same query
+    // drops the join for a per-day hll_sketch_agg + 7-way hll_union_agg
+    // rollup (mergeable-sketch pattern, bounds pinned in SketchSpec);
+    // day-grain exactness is what a SQL oracle can gate.
+    "q96_rolling_active" -> ((s, d) => {
+      val dayUsers = Tables.events(s, d)
+        .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+          to_date(col("ts")).as("dt"), col("user_id"))
+        .distinct()
+      val days = dayUsers.select(col("day"), col("dt")).distinct()
+      days.join(dayUsers.select(col("dt").as("adt"), col("user_id")),
+          datediff(col("dt"), col("adt")).between(0, 6))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("active_7d"))
+        .orderBy(col("day"))
+    }),
+
+    // rank vs dense_rank on a tie-heavy ordering (integer quantities):
+    // the two must diverge exactly where ties occur.
+    "q97_dense_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity").desc)
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"))
+        .withColumn("rk", rank().over(w).cast("long"))
+        .withColumn("drk", dense_rank().over(w).cast("long"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("rk")).as("max_rank"),
+          max(col("drk")).as("max_dense_rank"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Ordered funnel (view → click → purchase): each stage's timestamp
     // must follow the previous stage's FIRST occurrence per user. All
     // min/count over exact microsecond longs. Joins and aggregations all
@@ -2456,6 +2492,26 @@ object SparkEntry {
         |  CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q96_rolling_active" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS dt, user_id FROM events),
+        |days AS (SELECT DISTINCT dt FROM du)
+        |SELECT strftime(d.dt, '%Y-%m-%d') AS day,
+        |  count(DISTINCT a.user_id) AS active_7d
+        |FROM days d JOIN du a
+        |  ON date_diff('day', a.dt, d.dt) BETWEEN 0 AND 6
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q97_dense_rank" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |    rank() OVER w AS rk, dense_rank() OVER w AS drk
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity DESC))
+        |SELECT l_returnflag, max(rk) AS max_rank,
+        |  max(drk) AS max_dense_rank, count(*) AS n
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q94_funnel" ->
       """WITH e AS (
