@@ -181,11 +181,12 @@ class PlanSpec extends SparkSpec {
 
   test("global join lint: no cartesian products; nested loops only in intended broadcast patterns") {
     // empirical allowlist (graft.PlanLint sweep): scalar-subquery join,
-    // the brute-force cosine baselines, IVF's broadcast centroids, and
-    // tfidf's one-row corpus-size broadcast — each a small-side
-    // BroadcastNestedLoopJoin by construction
+    // the brute-force cosine baselines, IVF's broadcast centroids,
+    // tfidf's one-row corpus-size broadcast, and the rolling-actives
+    // theta join (a ~30-row day dimension against day-grain distinct
+    // users) — each a small-side BroadcastNestedLoopJoin by construction
     val nlAllowed = Set("q25_scalar_subquery", "q26_cosine_topk",
-      "q46_ivf_topk", "q71_tfidf", "q73_knn_labels")
+      "q46_ivf_topk", "q71_tfidf", "q73_knn_labels", "q96_rolling_active")
     // iterative queries execute jobs at plan-build (connected components
     // materializes rounds); their shapes are pinned by their own tests
     val excluded = Set("q65_dup_clusters", "q80_dedup_survivors")
