@@ -1125,15 +1125,17 @@ object SparkEntry {
     // rollup (mergeable-sketch pattern, bounds pinned in SketchSpec);
     // day-grain exactness is what a SQL oracle can gate.
     "q96_rolling_active" -> ((s, d) => {
+      // only (dt, user_id) cross the big distinct shuffle; the display
+      // string derives from the 30-row aggregate
       val dayUsers = Tables.events(s, d)
-        .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
-          to_date(col("ts")).as("dt"), col("user_id"))
+        .select(to_date(col("ts")).as("dt"), col("user_id"))
         .distinct()
-      val days = dayUsers.select(col("day"), col("dt")).distinct()
+      val days = dayUsers.select(col("dt")).distinct()
       days.join(dayUsers.select(col("dt").as("adt"), col("user_id")),
           datediff(col("dt"), col("adt")).between(0, 6))
-        .groupBy(col("day"))
+        .groupBy(col("dt"))
         .agg(countDistinct(col("user_id")).as("active_7d"))
+        .select(date_format(col("dt"), "yyyy-MM-dd").as("day"), col("active_7d"))
         .orderBy(col("day"))
     }),
 
@@ -2427,13 +2429,19 @@ object SparkEntry {
         |    sum(CASE WHEN tally > 0 AND b >= 32
         |             THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INTEGER)) ELSE 0 END) AS hi
         |  FROM bits GROUP BY doc_id),
-        |sh AS (
+        |sh0 AS (
         |  SELECT doc_id,
         |    hi * CAST(4294967296 AS HUGEINT) + lo AS hu,
         |    CAST(CASE WHEN hi >= 2147483648
         |         THEN hi * CAST(4294967296 AS HUGEINT) + lo - CAST('18446744073709551616' AS HUGEINT)
         |         ELSE hi * CAST(4294967296 AS HUGEINT) + lo END AS BIGINT) AS h
         |  FROM halves),
+        |sh AS (
+        |  -- token-less docs never reach toks but DO get simhash 0 from the
+        |  -- operator (empty tally), banding them together — mirror that
+        |  SELECT d.doc_id, coalesce(s.hu, CAST(0 AS HUGEINT)) AS hu,
+        |    coalesce(s.h, 0) AS h
+        |  FROM documents d LEFT JOIN sh0 s USING (doc_id)),
         |banded AS (
         |  SELECT doc_id, h, g.i AS band_idx,
         |    CAST((hu // (CASE g.i WHEN 0 THEN CAST(1 AS HUGEINT)

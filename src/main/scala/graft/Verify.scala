@@ -21,6 +21,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same per-query hygiene as Bench: operators that persist
+      // intermediates (minhash shingles, bloom bench grams, lineDedup,
+      // connectedComponents checkpoints) would otherwise pin blocks for
+      // the remaining ~100 queries of the run
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

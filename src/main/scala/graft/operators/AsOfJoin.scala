@@ -53,23 +53,43 @@ object AsOfJoin {
     r2.unionByName(l2)
   }
 
+  /** True when the packed right-payload struct admits SQL ordering — the
+    * precondition for using it as a deterministic tie-break key. Payloads
+    * containing unorderable types (maps) fall back to (ts, side) ordering
+    * alone: correct, but the pick among right rows that share BOTH keys
+    * and timestamp is then sort-unstable (document rows must be
+    * distinguishable by ts for full determinism in that case). */
+  private def rvOrderable(right: DataFrame, rightTs: String,
+                          rightValueCols: Seq[String]): Boolean = {
+    val rv = struct(col(rightTs).cast("timestamp").as("__rts") +:
+      rightValueCols.map(col): _*)
+    org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+      right.select(rv.as("v")).schema("v").dataType)
+  }
+
+  private def orderCols(forward: Boolean, tieBreak: Boolean) = {
+    val side = if (forward) col("__side").desc else col("__side").asc
+    if (tieBreak) Seq(col("__ts").asc, side, col("__rv").asc)
+    else Seq(col("__ts").asc, side)
+  }
+
   /** Backward window: right rows sort before an equal-ts left row, so the
     * running `last` over (ts asc, side asc) is inclusive. `__rv` as the
-    * final sort key makes the pick among right rows sharing (keys, ts)
-    * deterministic (struct ordering over (rts, values)) — without it the
-    * frame edge lands on whichever tied row the unstable sort left last,
-    * varying with partition layout and retries. */
-  private def backWindow(keys: Seq[String]) = Window
+    * final sort key (when orderable) makes the pick among right rows
+    * sharing (keys, ts) deterministic — without it the frame edge lands
+    * on whichever tied row the unstable sort left last, varying with
+    * partition layout and retries. */
+  private def backWindow(keys: Seq[String], tieBreak: Boolean) = Window
     .partitionBy(keys.map(col): _*)
-    .orderBy(col("__ts").asc, col("__side").asc, col("__rv").asc)
+    .orderBy(orderCols(forward = false, tieBreak): _*)
     .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
   /** Forward window: side DESC puts an equal-ts right row AFTER the left
     * row, so the running `first` over the following frame is inclusive;
     * `__rv` deterministically orders tied right rows (see backWindow). */
-  private def fwdWindow(keys: Seq[String]) = Window
+  private def fwdWindow(keys: Seq[String], tieBreak: Boolean) = Window
     .partitionBy(keys.map(col): _*)
-    .orderBy(col("__ts").asc, col("__side").desc, col("__rv").asc)
+    .orderBy(orderCols(forward = true, tieBreak): _*)
     .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
   private def project(left: DataFrame, keys: Seq[String],
@@ -91,9 +111,10 @@ object AsOfJoin {
                leftTs: String, rightTs: String,
                rightValueCols: Seq[String],
                rightSuffix: String = "_right"): DataFrame = {
+    val tb = rvOrderable(right, rightTs, rightValueCols)
     val u = tagged(left, right, keys, leftTs, rightTs, rightValueCols)
       .withColumn("__match", last(col("__rv"), ignoreNulls = true)
-        .over(backWindow(keys)))
+        .over(backWindow(keys, tb)))
     project(left, keys, rightValueCols, rightSuffix, u)
   }
 
@@ -102,9 +123,10 @@ object AsOfJoin {
               leftTs: String, rightTs: String,
               rightValueCols: Seq[String],
               rightSuffix: String = "_right"): DataFrame = {
+    val tb = rvOrderable(right, rightTs, rightValueCols)
     val u = tagged(left, right, keys, leftTs, rightTs, rightValueCols)
       .withColumn("__match", first(col("__rv"), ignoreNulls = true)
-        .over(fwdWindow(keys)))
+        .over(fwdWindow(keys, tb)))
     project(left, keys, rightValueCols, rightSuffix, u)
   }
 
@@ -115,11 +137,12 @@ object AsOfJoin {
               leftTs: String, rightTs: String,
               rightValueCols: Seq[String],
               rightSuffix: String = "_right"): DataFrame = {
+    val tb = rvOrderable(right, rightTs, rightValueCols)
     val u = tagged(left, right, keys, leftTs, rightTs, rightValueCols)
       .withColumn("__b", last(col("__rv"), ignoreNulls = true)
-        .over(backWindow(keys)))
+        .over(backWindow(keys, tb)))
       .withColumn("__f", first(col("__rv"), ignoreNulls = true)
-        .over(fwdWindow(keys)))
+        .over(fwdWindow(keys, tb)))
       .withColumn("__match",
         when(col("__b").isNull, col("__f"))
           .when(col("__f").isNull, col("__b"))

@@ -360,7 +360,12 @@ object Curation {
       Literal(items), Literal(numBits)).toAggregateExpression()
     val sketch = bench.select(ColumnBridge.column(agg).as("bf"))
       .head().getAs[Array[Byte]]("bf")
-    if (sketch == null) return corpus // empty benchmark: nothing to strip
+    if (sketch == null) {
+      // empty benchmark: nothing to strip — and the just-materialized
+      // cache has no remaining consumer, so free it rather than leak it
+      bench.unpersist(blocking = false)
+      return corpus
+    }
     val mightHit = ColumnBridge.column(BloomFilterMightContain(
       Literal(sketch), ColumnBridge.expression(col("g"))))
     val dirty = corpus

@@ -90,6 +90,36 @@ class AsOfJoinSpec extends SparkSpec {
     assert(exchanges === 1, s"expected 1 hash exchange, plan:\n$plan")
   }
 
+  test("tied right rows at one (key, ts): backward picks max payload, forward min — layout-invariant") {
+    val quotes = Seq(
+      (1, ts("2024-01-01 10:00:00"), 100.0),
+      (1, ts("2024-01-01 10:00:00"), 101.0),  // same key AND ts
+    ).toDF("k", "ts", "price")
+    val trades = Seq((1, ts("2024-01-01 10:30:00"), "t1"),
+      (1, ts("2024-01-01 09:30:00"), "t2")).toDF("k", "ts", "trade_id")
+    for (parts <- Seq(1, 7)) {
+      val q = quotes.repartition(parts)
+      val back = AsOfJoin.backward(trades, q, Seq("k"), "ts", "ts", Seq("price"))
+        .select($"trade_id", $"price").as[(String, Option[Double])].collect().toMap
+      // running `last` over __rv-ascending order lands on the max payload
+      assert(back("t1").contains(101.0), s"parts=$parts got $back")
+      val fwd = AsOfJoin.forward(trades, q, Seq("k"), "ts", "ts", Seq("price"))
+        .select($"trade_id", $"price").as[(String, Option[Double])].collect().toMap
+      // running `first` lands on the min payload
+      assert(fwd("t2").contains(100.0), s"parts=$parts got $fwd")
+    }
+  }
+
+  test("unorderable (map) right payloads fall back to ts/side ordering instead of failing analysis") {
+    import org.apache.spark.sql.functions.{lit, map}
+    val r = Seq((1, ts("2024-01-01 09:00:00"), "y"))
+      .toDF("k", "ts", "v")
+      .select($"k", $"ts", map(lit("a"), $"v").as("attrs"))
+    val l = Seq((1, ts("2024-01-01 10:00:00"), "x")).toDF("k", "ts", "w")
+    val out = AsOfJoin.backward(l, r, Seq("k"), "ts", "ts", Seq("attrs"))
+    assert(out.select("attrs").head().getMap[String, String](0).get("a").contains("y"))
+  }
+
   test("name collision on right value column gets suffixed") {
     val l = Seq((1, ts("2024-01-01 10:00:00"), "x")).toDF("k", "ts", "v")
     val r = Seq((1, ts("2024-01-01 09:00:00"), "y")).toDF("k", "ts", "v")

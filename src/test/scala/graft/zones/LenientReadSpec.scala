@@ -24,10 +24,11 @@ class LenientReadSpec extends SparkSpec {
     val corruptLines = corrupt.collect().map(_.getString(0)).toSet
     assert(corruptLines === Set(badType, badArity), corruptLines)
 
-    // release frees the shared parse's cached blocks
+    // release frees the shared parse's cached blocks — the collects above
+    // materialized the cache, so it MUST be registered before release
     val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    assert(cachedBefore > 0, "expected the lenient parse to be cached")
     lenient.release()
-    assert(spark.sparkContext.getPersistentRDDs.size < cachedBefore ||
-      cachedBefore == 0)
+    assert(spark.sparkContext.getPersistentRDDs.size < cachedBefore)
   }
 }
