@@ -26,7 +26,10 @@ object ScaleProbe {
     // events-side window/agg machinery — replication keeps user_id, so
     // per-key partitions deepen 10x (the part that actually has to scale)
     "q77_scd_history", "q78_cdc_latest", "q84_asof_forward",
-    "q85_asof_nearest", "q86_window_dedup", "q87_rolling_window")
+    "q85_asof_nearest", "q86_window_dedup", "q87_rolling_window",
+    // corpus diagnostics + events analytics added late in round 4
+    "q88_source_entropy", "q89_vocab_overlap", "q94_funnel",
+    "q95_retention", "q96_rolling_active")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
