@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional write layout: Z-order (Morton) clustering, the
+  * lakehouse `OPTIMIZE ZORDER BY` technique. Sorting a write by the
+  * interleaved bits of per-column quantile ranks places rows that are
+  * close in EVERY dimension into the same files, so parquet min/max
+  * stats prune multi-predicate scans — a single-column sort only prunes
+  * its leading column.
+  *
+  * Scale shape: one approx_percentile pass computes 2^bits quantile cuts
+  * per column (a driver-side collect of cols × 2^bits doubles — an
+  * index-build step, like IVF's centroid broadcast; this is a write-time
+  * layout JOB, eagerness is inherent and documented). Rank assignment is
+  * then a map-side scan against the broadcast cut arrays, and the final
+  * range-partitioned sort on the z-key is the only shuffle — never a
+  * global percent_rank, which would serialize the corpus through one
+  * task.
+  */
+object Layout {
+
+  /** Adds `zCol` with the Morton interleave of the columns' quantile
+    * ranks. `bits` per dimension (default 8 = 256 buckets; bits × number
+    * of columns must stay ≤ 63). Column types must be numeric. */
+  def withZOrderKey(df: DataFrame, cols: Seq[String], bits: Int = 8,
+                    zCol: String = "__z"): DataFrame = {
+    require(cols.nonEmpty, "z-order needs at least one column")
+    require(bits > 0 && bits * cols.size <= 63,
+      s"bits($bits) x cols(${cols.size}) must fit a signed long")
+    val n = 1 << bits
+    val qs = (1 until n).map(q => q.toDouble / n)
+    // one pass: every column's cut points from the same mergeable sketch
+    val cutExprs = cols.map(c =>
+      expr(s"approx_percentile(CAST(`$c` AS DOUBLE), array(${qs.mkString(",")}), 10000)")
+        .as(s"__cuts_$c"))
+    val cutRow = df.agg(cutExprs.head, cutExprs.tail: _*).head()
+    val ranked = cols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+      val cuts = cutRow.getSeq[Double](i)
+      // rank = number of cuts STRICTLY below the value (counting the
+      // value's own cut would push the top bucket to 2^bits, overflowing
+      // the per-dimension bit budget) — a codegen'd scan of the broadcast
+      // (2^bits - 1)-element literal array, map-side
+      val cutsLit = array(cuts.map(lit): _*)
+      acc.withColumn(s"__zr_$i",
+        aggregate(cutsLit, lit(0L),
+          (a, cut) => a + when(col(c).cast("double") > cut, 1L).otherwise(0L)))
+    }
+    // Morton interleave: bit b of rank i lands at position b*dims + i
+    val dims = cols.size
+    val z = (0 until bits).flatMap { b =>
+      (0 until dims).map { i =>
+        shiftleft(shiftright(col(s"__zr_$i"), b).bitwiseAND(lit(1L)),
+          b * dims + i)
+      }
+    }.reduce((a, c) => a.bitwiseOR(c))
+    ranked.withColumn(zCol, z).drop((0 until dims).map(i => s"__zr_$i"): _*)
+  }
+}
