@@ -56,6 +56,12 @@ object Curation {
   def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
                        k: Int, salt: String): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    // withColumn would silently OVERWRITE caller columns of the same name
+    // before we drop them — refuse, as tokenBudgetSample does for its
+    // added columns
+    for (c <- Seq("__sk", "__rn"))
+      require(!df.columns.contains(c),
+        s"stratifiedSample uses internal column '$c' but the input has it")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("__sk"), col(idCol))
     df.withColumn("__sk", shuffleKey(col(idCol), salt))
@@ -183,28 +189,69 @@ object Curation {
     * order until the source's running token sum crosses the budget;
     * adds (sample_key, n_tok, cum_tok).
     *
-    * Scale shape: one window shuffle partitioned by source. A source's
-    * documents form one window partition, so a handful of giant sources
-    * serialize — at that shape, split the budget across `hashSplit`-style
-    * sub-buckets and sample per bucket. */
+    * Scale shape: with `subBuckets = 1` (the engine-exact default), one
+    * window shuffle partitioned by source — a source's documents form ONE
+    * window partition, so a handful of giant sources serialize through
+    * single tasks. At that shape pass `subBuckets = N` (2..256): each
+    * source's budget splits across N deterministic hash sub-buckets
+    * (bucket = first sample-key byte mod N; per-bucket budget =
+    * budget/N, the first budget%N buckets taking one extra token), the
+    * window partitions by (source, sub_bucket), and the N windows run as
+    * independent tasks — per-source parallelism ×N while the admitted
+    * set stays deterministic, budget-bounded (Σ per-bucket budgets =
+    * budget exactly) and engine-replayable. The draw stays uniform:
+    * sample-key bytes are i.i.d. uniform, so bucketing by byte then
+    * admitting in-bucket in hash order is a stratified version of the
+    * same random-looking order. */
   def tokenBudgetSample(df: DataFrame, idCol: String, textCol: String,
-                        srcCol: String, budget: Long, salt: String): DataFrame = {
+                        srcCol: String, budget: Long, salt: String,
+                        subBuckets: Int = 1): DataFrame = {
+    require(subBuckets >= 1 && subBuckets <= 256,
+      s"subBuckets must be in 1..256: $subBuckets")
     // withColumn would silently OVERWRITE these if the caller's frame
     // already carries them (e.g. tokenChunks output has n_tok) — refuse,
     // as quantilePrune does for its added columns
-    for (c <- Seq("sample_key", "n_tok", "cum_tok"))
+    val added = Seq("sample_key", "n_tok", "cum_tok") ++
+      (if (subBuckets > 1) Seq("sub_bucket") else Nil)
+    for (c <- added)
       require(!df.columns.contains(c),
         s"tokenBudgetSample adds column '$c' but the input already has it")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(srcCol))
-      .orderBy(col("sample_key"), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("sample_key", shuffleKey(col(idCol), salt))
+    val keyed = df
+      .withColumn("sample_key", shuffleKey(col(idCol), salt))
       .withColumn("n_tok",
         graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long"))
-      .withColumn("cum_tok", sum(col("n_tok")).over(w))
-      .filter(col("cum_tok") <= budget)
+    if (subBuckets == 1) {
+      val w = Window.partitionBy(col(srcCol))
+        .orderBy(col("sample_key"), col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      keyed.withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .filter(col("cum_tok") <= budget)
+    } else {
+      // first hash byte via hex-digit positions — pure string ops that
+      // replay identically in any ANSI engine (no hex-to-int builtin
+      // needed): locate() is 1-based, so each digit maps to 0..15
+      val digits = "0123456789abcdef"
+      def hexDigit(i: Int): Column =
+        locate_(substring(col("sample_key"), i, 1), digits) - 1
+      val bucket = (hexDigit(1) * 16 + hexDigit(2)) % subBuckets
+      val w = Window.partitionBy(col(srcCol), col("sub_bucket"))
+        .orderBy(col("sample_key"), col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // integer split of the budget: buckets 0..(budget%N - 1) get one
+      // extra token so the per-bucket budgets sum to `budget` exactly
+      val perBucket = lit(budget / subBuckets) +
+        when(col("sub_bucket") < lit(budget % subBuckets), 1L).otherwise(0L)
+      keyed.withColumn("sub_bucket", bucket.cast("int"))
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .filter(col("cum_tok") <= perBucket)
+    }
   }
+
+  /** `locate` with Column haystack fixed as a literal (functions.locate
+    * wants String substr, so wrap expr-free). */
+  private def locate_(substr: Column, str: String): Column =
+    call_function("locate", substr, lit(str))
 
   /** Greedy sequence packing: concatenate documents into fixed-capacity
     * token sequences (pretraining batch layout). Documents are assigned

@@ -216,6 +216,49 @@ class CurationSpec extends SparkSpec {
     assert(kept.nonEmpty && kept.subsetOf(Set(1L, 2L, 3L)))
   }
 
+  test("tokenBudgetSample sub-buckets: per-bucket budgets sum to the budget, admitted set is bucket-bounded and layout-independent") {
+    val docs = (0L until 300L)
+      .map(i => (i, if (i % 3 == 0) "s1" else "s2", "tok " * (1 + (i % 9).toInt)))
+      .toDF("doc_id", "source", "text")
+    val n = 8
+    val budget = 100L
+    val got = Curation.tokenBudgetSample(docs, "doc_id", "text", "source",
+      budget, salt = "tb", subBuckets = n)
+    val rows = got.select("doc_id", "source", "sub_bucket", "n_tok", "cum_tok")
+      .as[(Long, String, Int, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // bucket ids are in range and the per-bucket running sum respects the
+    // integer split: budget/n, with the first budget%n buckets one larger
+    for ((_, _, b, _, cum) <- rows) {
+      assert(b >= 0 && b < n)
+      val perBucket = budget / n + (if (b < budget % n) 1L else 0L)
+      assert(cum <= perBucket, s"bucket $b cum $cum over $perBucket")
+    }
+    // per-source admitted totals never exceed the full budget
+    for ((_, grp) <- rows.groupBy(_._2))
+      assert(grp.map(_._4).sum <= budget)
+    // deterministic under a different partition layout
+    val re = Curation.tokenBudgetSample(docs.repartition(7), "doc_id",
+      "text", "source", budget, salt = "tb", subBuckets = n)
+    assert(got.exceptAll(re).isEmpty && re.exceptAll(got).isEmpty)
+    // the scale property itself: the window partitions by (source,
+    // sub_bucket) — a single giant source fans out over n window tasks
+    // instead of serializing through one
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("sub_bucket"), plan.take(2000))
+    val winPart = "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(plan)
+      .map(_.group(1)).filter(_.contains("sub_bucket"))
+    assert(winPart.nonEmpty && winPart.forall(_.contains("source")),
+      s"window exchange not partitioned by (source, sub_bucket): ${plan.take(2000)}")
+    // subBuckets = 1 preserves the original single-window semantics
+    val one = Curation.tokenBudgetSample(docs, "doc_id", "text", "source",
+      budget, salt = "tb")
+    val legacy = Curation.tokenBudgetSample(docs, "doc_id", "text", "source",
+      budget, salt = "tb", subBuckets = 1)
+    assert(one.exceptAll(legacy).isEmpty && legacy.exceptAll(one).isEmpty)
+    assert(!one.columns.contains("sub_bucket"))
+  }
+
   test("packSequences: capacity respected, offsets contiguous, membership total, layout-independent") {
     val docs = (0L until 60L).map(i => (i, "tok " * (1 + (i % 7).toInt)))
       .toDF("doc_id", "text")
