@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale probe (dev tool, like [[Profile]]): materializes a 10× copy of
@@ -30,6 +30,33 @@ object ScaleProbe {
     // corpus diagnostics + events analytics added late in round 4
     "q88_source_entropy", "q89_vocab_overlap", "q94_funnel",
     "q95_retention", "q96_rolling_active")
+
+  /** Structure-preserving synthetic dup corpus for the ITERATIVE family
+    * (q65 clusters / q80 survivors), which plain replication cannot
+    * probe: near-identical copies of every doc would merge clusters
+    * across copies and inflate the true pair count quadratically. Here
+    * the dup-graph structure is planted and scales linearly: docs come
+    * in clusters of exactly 3 (cluster g = id div 3) sharing a
+    * sha256-derived base text (~640 chars), members 1 and 2 appending a
+    * 32-char member-specific suffix — within-cluster char-5-shingle
+    * Jaccard ~0.9 (above minhashDupPairs' 0.8 cut), cross-cluster
+    * overlap ~0. 10x the docs = 10x the clusters of the SAME size — the
+    * workload the iterative label propagation must scale against. */
+  private def dupCorpus(spark: SparkSession, n: Long): DataFrame = {
+    val g = expr("id div 3")
+    val m = col("id") % 3
+    def sha(tag: Column) =
+      sha2(concat(lit("dup:"), g.cast("string"), lit(":"), tag), 256)
+    val base = concat_ws(" ", (0 until 10).map(c => sha(lit(c.toString))): _*)
+    val text = when(m === 0, base).otherwise(concat(base, lit(" "),
+      substring(sha(concat(lit("m"), m.cast("string"))), 1, 32)))
+    spark.range(n).select(
+      col("id").as("doc_id"), text.as("text"), lit("en").as("lang"),
+      concat(lit("src"), (g % 5).cast("string")).as("source"),
+      length(text).cast("long").as("n_chars"))
+  }
+
+  private val dupQueries = Seq("q65_dup_clusters", "q80_dedup_survivors")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -92,6 +119,20 @@ object ScaleProbe {
       val small = time(fn(spark, srcDir))
       val big = time(fn(spark, bigDir))
       println(f"[scale] $name%-26s sf0.1=${small}%6.2fs 10x=${big}%6.2fs ratio=${big / small}%5.2f")
+    }
+
+    // iterative family on the planted dup graph (6k docs / 2k clusters
+    // vs 60k docs / 20k clusters — same cluster-size distribution, so
+    // the ratio measures the algorithm, not an inflated pair structure)
+    dupCorpus(spark, 6000L).write.mode("overwrite")
+      .parquet(s"$bigDir/dup_small/documents.parquet")
+    dupCorpus(spark, 60000L).write.mode("overwrite")
+      .parquet(s"$bigDir/dup_big/documents.parquet")
+    dupQueries.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val small = time(fn(spark, s"$bigDir/dup_small"))
+      val big = time(fn(spark, s"$bigDir/dup_big"))
+      println(f"[scale-dup] $name%-26s 6k=${small}%6.2fs 60k=${big}%6.2fs ratio=${big / small}%5.2f")
     }
     spark.stop()
   }

@@ -439,16 +439,17 @@ object SparkEntry {
         .orderBy(col("l_linestatus"))
     }),
 
-    // Multimodal: synthesize media -> per-partition feature extraction,
-    // meta-only pruning (rows-only: binary pipeline, no SQL equivalent).
-    // Features are projected to scalar f0..f7 columns — the harness
-    // compare sorts rows by every column and cannot sort an array column;
+    // Multimodal: synthesize media -> per-partition feature extraction.
+    // Hash-gated: bytes are sha256 chains and the decode stub is
+    // integer-exact, so the oracle replays generation AND decode in a
+    // recursive CTE (mediaFeatCte). Features project to scalar f0..f7 —
+    // integer-valued, so the doubles hash identically in both engines;
     // the array-shaped variant stays covered by MultimodalSpec.
     "q37_media_features" -> ((s, d) => {
       val media = operators.Multimodal.synthesizeMedia(s, 200)
       val feats = operators.Multimodal.extractFeatures(media).toDF()
       val fcols = (0 until 8).map(i =>
-        r6(element_at(col("features"), i + 1).cast("double")).as(s"f$i"))
+        element_at(col("features"), i + 1).cast("double").as(s"f$i"))
       feats.select(col("media_id") +: col("kind") +: fcols: _*)
         .orderBy(col("media_id"))
     }),
@@ -629,9 +630,12 @@ object SparkEntry {
     }),
 
     // Multimodal + vector dedup composed: near-identical media via
-    // feature extraction then LSH-bucketed cosine (rows-only: the
-    // feature "codec" is the disclosed stub, not SQL-expressible;
-    // MultimodalSpec covers the operator)
+    // feature extraction then LSH-bucketed cosine. Hash-gated: the
+    // oracle replays features via mediaFeatCte and brute-forces the
+    // cosine threshold — equal to the LSH path because every >= 0.99
+    // pair here is a planted near-dup at cos ~ 1-2e-7 (identical band
+    // signatures), and the exact rescoring filter discards everything
+    // else on both sides.
     "q56_media_neardup" -> ((s, d) => {
       val media = operators.Multimodal.synthesizeMedia(s, 200)
       operators.Multimodal.mediaNearDupPairs(media, threshold = 0.99)
@@ -1155,6 +1159,20 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // tokenBudgetSample's 100-TB shape: the per-source budget splits
+    // across 8 hash sub-buckets (first sample-key byte mod 8; buckets
+    // 0..3 take the 500%8=4 remainder tokens), so one giant source runs
+    // as 8 parallel window tasks instead of serializing through one.
+    // Same salt as q74 — the two admitted sets are directly comparable.
+    "q98_token_budget_buckets" -> ((s, d) => {
+      operators.Curation.tokenBudgetSample(t(s, d, "documents"),
+          "doc_id", "text", "source", budget = 500L, salt = "tb:42",
+          subBuckets = 8)
+        .select(col("doc_id"), col("source"), col("sub_bucket"),
+          col("n_tok"), col("cum_tok"))
+        .orderBy(col("source"), col("sub_bucket"), col("doc_id"))
+    }),
+
     // Ordered funnel (view → click → purchase): each stage's timestamp
     // must follow the previous stage's FIRST occurrence per user. All
     // min/count over exact microsecond longs. Joins and aggregations all
@@ -1336,6 +1354,58 @@ object SparkEntry {
       |  '\b(RT|amp)\b', ' ', 'g'),
       |  '[^\w\s]+', ' ', 'g'),
       |  '\s+', ' ', 'g'))""".stripMargin
+
+  /** The q37/q56 media pipeline as a recursive-CTE preamble: replays
+    * Multimodal.synthesizeMedia (sha256-chained bytes, planted near-dup
+    * low-bit flip via a translate alphabet) and decodeStub (unsigned-byte
+    * rolling hash wrapping mod 2^64 — HUGEINT arithmetic reduced each
+    * step — with mean-centered integer lane accumulators). Ends with
+    * feat(media_id, kind, s0..s7); s* are the exact integer features.
+    * Byte values come from hex-pair strpos over the alphabet, so no
+    * hex-to-int builtin is assumed. */
+  private lazy val mediaFeatCte: String = {
+    val alpha = "'0123456789abcdef'"
+    // value of the 0-based byte j of hx (chars 2j+1, 2j+2)
+    val byteJ =
+      s"(strpos($alpha, substr(hx, 2 * j + 1, 1)) - 1) * 16 " +
+      s"+ (strpos($alpha, substr(hx, 2 * j + 2, 1)) - 1)"
+    val hNext = s"(h * 31 + $byteJ) % CAST('18446744073709551616' AS HUGEINT)"
+    // single line: a "\n || " join would lose its leading | to stripMargin
+    val shaChunks = (0 to 7)
+      .map(k => s"sha256('42:' || CAST(src AS VARCHAR) || ':$k')")
+      .mkString(" || ")
+    val lanes = (0 to 7).map(k =>
+      s"    s$k + CASE WHEN j % 8 = $k THEN CAST(($hNext) % 1000 AS BIGINT) - 500 ELSE 0 END").mkString(",\n")
+    val zeroes = (0 to 7).map(k => s"CAST(0 AS BIGINT) AS s$k").mkString(", ")
+    val ss = (0 to 7).map(k => s"s$k").mkString(", ")
+    s"""WITH RECURSIVE base AS (
+       |  SELECT i, CASE WHEN i % 10 = 9 AND i >= 3 THEN i - 3 ELSE i END AS src
+       |  FROM range(200) t(i)),
+       |keyed AS (
+       |  SELECT i, src,
+       |    64 + ((strpos($alpha, substr(sha256('42:' || CAST(src AS VARCHAR) || ':len'), 1, 1)) - 1) * 16
+       |        + (strpos($alpha, substr(sha256('42:' || CAST(src AS VARCHAR) || ':len'), 2, 1)) - 1)) % 192 AS len,
+       |    $shaChunks AS hexfull
+       |  FROM base),
+       |cut AS (
+       |  SELECT i, src, len,
+       |    CASE WHEN i <> src THEN substr(hexfull, 1, 2 * len - 1)
+       |        || translate(substr(hexfull, 2 * len, 1), '0123456789abcdef', '1032547698badcfe')
+       |      ELSE substr(hexfull, 1, 2 * len) END AS hx
+       |  FROM keyed),
+       |roll AS (
+       |  SELECT i, src, len, hx, 0 AS j, CAST(1125899906842597 AS HUGEINT) AS h, $zeroes
+       |  FROM cut
+       |  UNION ALL
+       |  SELECT i, src, len, hx, j + 1, $hNext,
+       |$lanes
+       |  FROM roll WHERE j < len),
+       |feat AS (
+       |  SELECT i AS media_id,
+       |    CASE WHEN src % 3 = 0 THEN 'image' WHEN src % 3 = 1 THEN 'audio'
+       |      ELSE 'video' END AS kind, $ss
+       |  FROM roll WHERE j = len)""".stripMargin
+  }
 
   /** Stopword profiles (graft.operators.TextAnalysis.stopwordProfiles) as
     * DuckDB list literals, for the q29 language-ID / quality oracle. */
@@ -1569,6 +1639,45 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n, max(o_totalprice) AS max_price
         |FROM orders WHERE o_totalprice > 50000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // The full media pipeline — sha256 byte synthesis, planted near-dup
+    // bit flip, rolling-hash decode — replayed as a recursive CTE; the
+    // integer lane accumulators ARE the feature floats (exactly
+    // representable), so the double projection hashes identically.
+    "q37_media_features" ->
+      (mediaFeatCte +
+        """
+          |SELECT media_id, kind,
+          |  CAST(s0 AS DOUBLE) AS f0, CAST(s1 AS DOUBLE) AS f1,
+          |  CAST(s2 AS DOUBLE) AS f2, CAST(s3 AS DOUBLE) AS f3,
+          |  CAST(s4 AS DOUBLE) AS f4, CAST(s5 AS DOUBLE) AS f5,
+          |  CAST(s6 AS DOUBLE) AS f6, CAST(s7 AS DOUBLE) AS f7
+          |FROM feat ORDER BY media_id""".stripMargin),
+
+    // Brute-force cosine over the replayed features. Products and sums
+    // are integer-exact in doubles (< 2^53); sqrt / multiply / divide in
+    // the same order as the engine's CosineSimilarity — bit-identical
+    // cos, so the threshold admits the same pairs.
+    "q56_media_neardup" ->
+      (mediaFeatCte +
+        """
+          |SELECT a.media_id AS id_a, b.media_id AS id_b,
+          |  r6(CAST(a.s0*b.s0 + a.s1*b.s1 + a.s2*b.s2 + a.s3*b.s3
+          |        + a.s4*b.s4 + a.s5*b.s5 + a.s6*b.s6 + a.s7*b.s7 AS DOUBLE)
+          |    / (sqrt(CAST(a.s0*a.s0 + a.s1*a.s1 + a.s2*a.s2 + a.s3*a.s3
+          |        + a.s4*a.s4 + a.s5*a.s5 + a.s6*a.s6 + a.s7*a.s7 AS DOUBLE))
+          |     * sqrt(CAST(b.s0*b.s0 + b.s1*b.s1 + b.s2*b.s2 + b.s3*b.s3
+          |        + b.s4*b.s4 + b.s5*b.s5 + b.s6*b.s6 + b.s7*b.s7 AS DOUBLE))))
+          |    AS cos
+          |FROM feat a JOIN feat b ON a.media_id < b.media_id
+          |WHERE CAST(a.s0*b.s0 + a.s1*b.s1 + a.s2*b.s2 + a.s3*b.s3
+          |        + a.s4*b.s4 + a.s5*b.s5 + a.s6*b.s6 + a.s7*b.s7 AS DOUBLE)
+          |    / (sqrt(CAST(a.s0*a.s0 + a.s1*a.s1 + a.s2*a.s2 + a.s3*a.s3
+          |        + a.s4*a.s4 + a.s5*a.s5 + a.s6*a.s6 + a.s7*a.s7 AS DOUBLE))
+          |     * sqrt(CAST(b.s0*b.s0 + b.s1*b.s1 + b.s2*b.s2 + b.s3*b.s3
+          |        + b.s4*b.s4 + b.s5*b.s5 + b.s6*b.s6 + b.s7*b.s7 AS DOUBLE)))
+          |    >= 0.99
+          |ORDER BY id_a, id_b""".stripMargin),
 
     "q39_string_extras" ->
       """SELECT p_partkey, lpad(p_brand, 12, '*') AS brand_pad,
@@ -2106,8 +2215,8 @@ object SparkEntry {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, source, n_tok,
-        |    sum(n_tok) OVER (PARTITION BY source ORDER BY sk, doc_id
-        |      ROWS UNBOUNDED PRECEDING) AS cum_tok
+        |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY sk, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
         |  FROM t)
         |SELECT doc_id, source, n_tok, cum_tok FROM c
         |WHERE cum_tok <= 500 ORDER BY source, doc_id""".stripMargin,
@@ -2198,7 +2307,9 @@ object SparkEntry {
         |  FROM e),
         |k AS (
         |  SELECT user_id, event_id, us, event_type FROM c
-        |  WHERE prev IS NULL OR prev <> event_type),
+        |  -- IS DISTINCT FROM mirrors the operator's null-safe <=> compare:
+        |  -- value->null and null->value transitions are real changes
+        |  WHERE prev IS DISTINCT FROM event_type),
         |v AS (
         |  SELECT user_id, event_type, row_number() OVER w AS version,
         |    us AS effective_from, lead(us) OVER w AS effective_to
@@ -2520,6 +2631,34 @@ object SparkEntry {
         |SELECT l_returnflag, max(rk) AS max_rank,
         |  max(drk) AS max_dense_rank, count(*) AS n
         |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Sub-bucket assignment replays with pure string ops (strpos over the
+    // hex alphabet) — no hex-to-int builtin needed in either engine. The
+    // window sum is CAST BIGINT: DuckDB types it HUGEINT, which lands in
+    // pandas as float64 and breaks the driver's value hash (the q74
+    // round-4 lesson).
+    "q98_token_budget_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tok,
+        |    sha256(CAST(doc_id AS VARCHAR) || ':tb:42') AS sk
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, source, n_tok, sk,
+        |    CAST(((strpos('0123456789abcdef', substr(sk, 1, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef', substr(sk, 2, 1)) - 1)) % 8
+        |      AS INT) AS sub_bucket
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, source, sub_bucket, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY source, sub_bucket
+        |      ORDER BY sk, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS cum_tok
+        |  FROM b)
+        |SELECT doc_id, source, sub_bucket, n_tok, cum_tok FROM c
+        |WHERE cum_tok <= 62 + CASE WHEN sub_bucket < 4 THEN 1 ELSE 0 END
+        |ORDER BY source, sub_bucket, doc_id""".stripMargin,
 
     "q94_funnel" ->
       """WITH e AS (

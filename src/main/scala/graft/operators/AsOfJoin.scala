@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   * [[nearest]] evaluates both windows over the SAME keyed union — one
   * Exchange, two sorts — and resolves by microsecond distance.
   *
+  * Null timestamps match nothing, matching pandas `merge_asof` and
+  * DuckDB ASOF: right rows with a null timestamp are dropped from the
+  * union, and a left row with a null timestamp survives (left-outer)
+  * with null right columns. Among right rows tied on (keys, ts), all
+  * three directions deterministically pick the smallest packed payload
+  * struct (see [[orderCols]]).
+  *
   * Scale shape: cost is one shuffle of (keys + ts + payload) and per-key
   * sorts — linear in |L|+|R|, immune to the candidate blow-up a
   * theta/range join would risk. Skewed keys behave like any window
@@ -40,11 +47,16 @@ object AsOfJoin {
     val lrowType = left.select(lrow.as("v")).schema("v").dataType
 
     val keyCols = keys.map(col)
+    // A null rightTs can never satisfy either inequality: drop those rows
+    // before the union (pandas merge_asof and DuckDB ASOF likewise never
+    // match null timestamps — unfiltered, nulls sort first and a
+    // forward/nearest first() would wrongly bind them).
     val r2 = right.select(keyCols
       :+ col(rightTs).cast("timestamp").as("__ts")
       :+ lit(0).as("__side")
       :+ rv.as("__rv")
       :+ lit(null).cast(lrowType).as("__lrow"): _*)
+      .filter(col("__ts").isNotNull)
     val l2 = left.select(keyCols
       :+ col(leftTs).cast("timestamp").as("__ts")
       :+ lit(1).as("__side")
@@ -52,6 +64,13 @@ object AsOfJoin {
       :+ lrow.as("__lrow"): _*)
     r2.unionByName(l2)
   }
+
+  /** A left row with a null timestamp is incomparable to every right
+    * timestamp: it survives in the output (as-of is left-outer) but must
+    * match nothing — without this guard it sorts first and the forward
+    * frame's first() would bind it to the earliest right row. */
+  private def nullSafeMatch(m: Column): Column =
+    when(col("__ts").isNotNull, m)
 
   /** True when the packed right-payload struct admits SQL ordering — the
     * precondition for using it as a deterministic tie-break key. Payloads
@@ -67,10 +86,18 @@ object AsOfJoin {
       right.select(rv.as("v")).schema("v").dataType)
   }
 
+  /** Both directions resolve ties among right rows sharing (keys, ts) to
+    * the SAME row: the smallest packed payload struct. forward's first()
+    * reads tied rows in __rv ASC order; backward's last() reads them in
+    * __rv DESC order so the frame edge also lands on the minimum. One
+    * convention means backward/forward/nearest — and any SQL oracle
+    * replay pinned to min-payload — agree even on colliding timestamps. */
   private def orderCols(forward: Boolean, tieBreak: Boolean) = {
     val side = if (forward) col("__side").desc else col("__side").asc
-    if (tieBreak) Seq(col("__ts").asc, side, col("__rv").asc)
-    else Seq(col("__ts").asc, side)
+    if (tieBreak) {
+      val rv = if (forward) col("__rv").asc else col("__rv").desc_nulls_last
+      Seq(col("__ts").asc, side, rv)
+    } else Seq(col("__ts").asc, side)
   }
 
   /** Backward window: right rows sort before an equal-ts left row, so the
@@ -113,8 +140,8 @@ object AsOfJoin {
                rightSuffix: String = "_right"): DataFrame = {
     val tb = rvOrderable(right, rightTs, rightValueCols)
     val u = tagged(left, right, keys, leftTs, rightTs, rightValueCols)
-      .withColumn("__match", last(col("__rv"), ignoreNulls = true)
-        .over(backWindow(keys, tb)))
+      .withColumn("__match", nullSafeMatch(last(col("__rv"), ignoreNulls = true)
+        .over(backWindow(keys, tb))))
     project(left, keys, rightValueCols, rightSuffix, u)
   }
 
@@ -125,8 +152,8 @@ object AsOfJoin {
               rightSuffix: String = "_right"): DataFrame = {
     val tb = rvOrderable(right, rightTs, rightValueCols)
     val u = tagged(left, right, keys, leftTs, rightTs, rightValueCols)
-      .withColumn("__match", first(col("__rv"), ignoreNulls = true)
-        .over(fwdWindow(keys, tb)))
+      .withColumn("__match", nullSafeMatch(first(col("__rv"), ignoreNulls = true)
+        .over(fwdWindow(keys, tb))))
     project(left, keys, rightValueCols, rightSuffix, u)
   }
 
@@ -139,10 +166,10 @@ object AsOfJoin {
               rightSuffix: String = "_right"): DataFrame = {
     val tb = rvOrderable(right, rightTs, rightValueCols)
     val u = tagged(left, right, keys, leftTs, rightTs, rightValueCols)
-      .withColumn("__b", last(col("__rv"), ignoreNulls = true)
-        .over(backWindow(keys, tb)))
-      .withColumn("__f", first(col("__rv"), ignoreNulls = true)
-        .over(fwdWindow(keys, tb)))
+      .withColumn("__b", nullSafeMatch(last(col("__rv"), ignoreNulls = true)
+        .over(backWindow(keys, tb))))
+      .withColumn("__f", nullSafeMatch(first(col("__rv"), ignoreNulls = true)
+        .over(fwdWindow(keys, tb))))
       .withColumn("__match",
         when(col("__b").isNull, col("__f"))
           .when(col("__f").isNull, col("__b"))

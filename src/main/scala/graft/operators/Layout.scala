@@ -29,6 +29,13 @@ object Layout {
     require(cols.nonEmpty, "z-order needs at least one column")
     require(bits > 0 && bits * cols.size <= 63,
       s"bits($bits) x cols(${cols.size}) must fit a signed long")
+    // a non-numeric column would cast to all-null doubles and silently
+    // z-rank every row 0 in that dimension — refuse up front
+    for (c <- cols) {
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"z-order column '$c' must be numeric, found ${dt.simpleString}")
+    }
     val n = 1 << bits
     val qs = (1 until n).map(q => q.toDouble / n)
     // one pass: every column's cut points from the same mergeable sketch
@@ -37,15 +44,21 @@ object Layout {
         .as(s"__cuts_$c"))
     val cutRow = df.agg(cutExprs.head, cutExprs.tail: _*).head()
     val ranked = cols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
-      val cuts = cutRow.getSeq[Double](i)
+      // approx_percentile over zero non-null values returns SQL NULL;
+      // getSeq would then NPE inside the lit() mapping below. An
+      // all-null dimension carries no clustering signal — rank it 0
+      // everywhere explicitly.
+      val cuts =
+        if (cutRow.isNullAt(i)) Seq.empty[Double] else cutRow.getSeq[Double](i)
       // rank = number of cuts STRICTLY below the value (counting the
       // value's own cut would push the top bucket to 2^bits, overflowing
       // the per-dimension bit budget) — a codegen'd scan of the broadcast
       // (2^bits - 1)-element literal array, map-side
-      val cutsLit = array(cuts.map(lit): _*)
-      acc.withColumn(s"__zr_$i",
-        aggregate(cutsLit, lit(0L),
-          (a, cut) => a + when(col(c).cast("double") > cut, 1L).otherwise(0L)))
+      val rank =
+        if (cuts.isEmpty) lit(0L)
+        else aggregate(array(cuts.map(lit): _*), lit(0L),
+          (a, cut) => a + when(col(c).cast("double") > cut, 1L).otherwise(0L))
+      acc.withColumn(s"__zr_$i", rank)
     }
     // Morton interleave: bit b of rank i lands at position b*dims + i
     val dims = cols.size

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -53,51 +53,84 @@ object Multimodal {
   /** Deterministic synthetic media table (stands in for a real binary
     * source; seed-stable so tests and oracles are reproducible). Every
     * 10th row is a planted near-duplicate: it reuses the bytes of row
-    * i-3 (same `kind` — kinds cycle mod 3) with the final byte shifted
-    * by ±1, which moves the rolling-hash feature vector by ~1/(1000·n)
-    * in one dimension — so near-dup detection over this table has a
-    * stable non-empty answer instead of vacuously finding nothing in
-    * uniform random noise. */
+    * i-3 (same `kind` — kinds cycle mod 3) with the final byte's low bit
+    * flipped, which perturbs exactly one lane of the rolling-hash feature
+    * vector — so near-dup detection over this table has a stable
+    * non-empty answer instead of vacuously finding nothing in uniform
+    * random noise.
+    *
+    * Generation is `spark.range`-based (scales with the probe fixtures;
+    * no driver-materialized rows) and derives every byte from sha256 of
+    * "seed:src:chunk" — lowercase-hex chains any ANSI engine reproduces,
+    * which is what lets the q37/q56 oracles replay the whole media
+    * pipeline (bytes included) in SQL, the same trick that put the IVF
+    * index under the hash gate. */
   def synthesizeMedia(spark: SparkSession, n: Int, seed: Long = 42L): DataFrame = {
-    import spark.implicits._
-    val kinds = Array("image", "audio", "video")
-    val rows = new scala.collection.mutable.ArrayBuffer[MediaRow](n)
-    (0L until n.toLong).foreach { i =>
-      val rnd = new scala.util.Random(seed + i)
-      val kind = kinds((i % 3).toInt)
-      val len = 64 + rnd.nextInt(192)
-      val bytes = Array.fill[Byte](len)(rnd.nextInt(256).toByte)
-      val meta = kind match {
-        case "image" => MediaMeta(32 + rnd.nextInt(96), 32 + rnd.nextInt(96), 3, "png", 0, 0)
-        case "audio" => MediaMeta(0, 0, 1, "wav", 1000 + rnd.nextInt(9000), 16000)
-        case _       => MediaMeta(64, 64, 3, "mp4", 2000 + rnd.nextInt(8000), 0)
-      }
-      rows += (if (i % 10 == 9 && i >= 3) {
-        val src = rows((i - 3).toInt)
-        val nb = src.bytes.clone()
-        nb(nb.length - 1) = (nb(nb.length - 1) ^ 0x01).toByte
-        MediaRow(i, src.kind, nb, src.meta)
-      } else MediaRow(i, kind, bytes, meta))
-    }
-    rows.toSeq.toDF()
+    val hexDigits = "0123456789abcdef"
+    // low-bit flip of one hex digit: position-wise xor-1 alphabet
+    val hexFlip = "1032547698badcfe"
+    val i = col("id")
+    val src = when(i % 10 === 9 && i >= 3, i - 3).otherwise(i)
+    def shaK(tag: Column): Column =
+      sha2(concat(lit(seed.toString + ":"), src.cast("string"), lit(":"), tag), 256)
+    // value of the 2-hex-char byte at 1-based char `pos` (conv is fine on
+    // the Spark side; the SQL oracle uses the strpos-over-alphabet trick)
+    def hexByte(h: Column, pos: Int): Column =
+      conv(substring(h, pos, 2), 16, 10).cast("int")
+    val len = (lit(64) + hexByte(shaK(lit("len")), 1) % 192).cast("int")
+    val hexFull = concat((0 until 8).map(k => shaK(lit(k.toString))): _*)
+    val hexCut = hexFull.substr(lit(1), len * 2)
+    val lastFlipped = concat(
+      hexFull.substr(lit(1), len * 2 - 1),
+      translate(hexFull.substr(len * 2, lit(1)), hexDigits, hexFlip))
+    val bytesHex = when(i =!= src, lastFlipped).otherwise(hexCut)
+    val kind = element_at(
+      array(lit("image"), lit("audio"), lit("video")), (src % 3).cast("int") + 1)
+    val mh = shaK(lit("meta"))
+    val isImage = kind === "image"
+    val isAudio = kind === "audio"
+    val meta = struct(
+      when(isImage, lit(32) + hexByte(mh, 1) % 96)
+        .when(isAudio, 0).otherwise(64).cast("int").as("width"),
+      when(isImage, lit(32) + hexByte(mh, 3) % 96)
+        .when(isAudio, 0).otherwise(64).cast("int").as("height"),
+      when(isAudio, 1).otherwise(3).cast("int").as("channels"),
+      when(isImage, "png").when(isAudio, "wav").otherwise("mp4").as("format"),
+      when(isAudio, lit(1000) + (hexByte(mh, 5) * 256 + hexByte(mh, 7)) % 9000)
+        .when(isImage, 0)
+        .otherwise(lit(2000) + (hexByte(mh, 5) * 256 + hexByte(mh, 7)) % 8000)
+        .cast("int").as("duration_ms"),
+      when(isAudio, 16000).otherwise(0).cast("int").as("sample_rate"))
+    spark.range(n.toLong)
+      .select(i.as("media_id"), kind.as("kind"),
+        unhex(bytesHex).as("bytes"), meta.as("meta"))
   }
 
   /** STUB decode: a real implementation would run an image/audio codec
     * here; this derives an 8-float "feature vector" from a rolling hash
     * of the bytes — deterministic, branch-free, shaped exactly like the
-    * real thing so the pipeline around it is fully exercised. */
+    * real thing so the pipeline around it is fully exercised.
+    *
+    * The math is integer-exact on purpose: unsigned-byte rolling hash
+    * (wrapping mod 2^64), unsigned remainder, integer lane accumulators
+    * emitted as exactly-representable floats (|acc| ≤ 16k < 2^24). Zero
+    * float accumulation means a SQL engine can replay it verbatim
+    * (HUGEINT arithmetic reduced mod 2^64 per step — see the q37
+    * oracle), and centering each term on 0 (rem − 500) keeps feature
+    * vectors mean-zero so cosine geometry separates planted near-dups
+    * (cos ≈ 1) from random pairs (|cos| ≪ 1). */
   private[operators] def decodeStub(bytes: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](8)
+    val acc = new Array[Long](8)
     var h = 1125899906842597L
     var i = 0
     while (i < bytes.length) {
-      h = h * 31 + bytes(i)
-      out(i % 8) += (h % 1000L).toFloat / 1000f
+      h = h * 31 + (bytes(i) & 0xff)
+      acc(i % 8) += java.lang.Long.remainderUnsigned(h, 1000L) - 500L
       i += 1
     }
-    val n = math.max(bytes.length / 8, 1)
+    val out = new Array[Float](8)
     var j = 0
-    while (j < 8) { out(j) /= n; j += 1 }
+    while (j < 8) { out(j) = acc(j).toFloat; j += 1 }
     out
   }
 

@@ -90,7 +90,7 @@ class AsOfJoinSpec extends SparkSpec {
     assert(exchanges === 1, s"expected 1 hash exchange, plan:\n$plan")
   }
 
-  test("tied right rows at one (key, ts): backward picks max payload, forward min — layout-invariant") {
+  test("tied right rows at one (key, ts): both directions pick the min payload — layout-invariant") {
     val quotes = Seq(
       (1, ts("2024-01-01 10:00:00"), 100.0),
       (1, ts("2024-01-01 10:00:00"), 101.0),  // same key AND ts
@@ -99,13 +99,14 @@ class AsOfJoinSpec extends SparkSpec {
       (1, ts("2024-01-01 09:30:00"), "t2")).toDF("k", "ts", "trade_id")
     for (parts <- Seq(1, 7)) {
       val q = quotes.repartition(parts)
+      // one tie convention for every direction: the frame edge lands on
+      // the SMALLEST payload struct whether read by last() (backward,
+      // __rv desc) or first() (forward, __rv asc)
       val back = AsOfJoin.backward(trades, q, Seq("k"), "ts", "ts", Seq("price"))
         .select($"trade_id", $"price").as[(String, Option[Double])].collect().toMap
-      // running `last` over __rv-ascending order lands on the max payload
-      assert(back("t1").contains(101.0), s"parts=$parts got $back")
+      assert(back("t1").contains(100.0), s"parts=$parts got $back")
       val fwd = AsOfJoin.forward(trades, q, Seq("k"), "ts", "ts", Seq("price"))
         .select($"trade_id", $"price").as[(String, Option[Double])].collect().toMap
-      // running `first` lands on the min payload
       assert(fwd("t2").contains(100.0), s"parts=$parts got $fwd")
     }
   }
@@ -126,5 +127,37 @@ class AsOfJoinSpec extends SparkSpec {
     val out = AsOfJoin.backward(l, r, Seq("k"), "ts", "ts", Seq("v"))
     assert(out.columns.toSeq == Seq("k", "ts", "v", "v_right"))
     assert(out.select("v_right").as[String].head() == "y")
+  }
+
+  test("null timestamps match nothing: null-ts left rows survive unmatched, null-ts right rows never match") {
+    val quotes = Seq(
+      (1, Option(ts("2024-01-01 10:00:00")), 100.0),
+      (1, Option.empty[Timestamp], 999.0),      // must never be picked
+    ).toDF("k", "ts", "price")
+    val trades = Seq(
+      (1, Option(ts("2024-01-01 09:00:00")), "t_fwd"),  // forward -> 100.0
+      (1, Option(ts("2024-01-01 11:00:00")), "t_back"), // backward -> 100.0
+      (1, Option.empty[Timestamp], "t_null"),           // no match, any direction
+    ).toDF("k", "ts", "trade_id")
+    for (dir <- Seq(AsOfJoin.backward _, AsOfJoin.forward _, AsOfJoin.nearest _)) {
+      val out = dir(trades, quotes, Seq("k"), "ts", "ts", Seq("price"), "_right")
+        .select($"trade_id", $"price").as[(String, Option[Double])]
+        .collect().toMap
+      assert(out.size == 3, "left-outer: every trade survives")
+      assert(out("t_null").isEmpty, "null left ts must not match")
+      assert(!out.values.flatten.exists(_ == 999.0), "null right ts must not be picked")
+    }
+  }
+
+  test("right rows tied on (key, ts): every direction picks the same smallest payload") {
+    val t0 = ts("2024-01-01 10:00:00")
+    val quotes = Seq((1, t0, 100.0), (1, t0, 101.0), (1, t0, 102.0))
+      .toDF("k", "ts", "price")
+    val trades = Seq((1, t0, "t_eq")).toDF("k", "ts", "trade_id")
+    for (dir <- Seq(AsOfJoin.backward _, AsOfJoin.forward _, AsOfJoin.nearest _)) {
+      val out = dir(trades, quotes, Seq("k"), "ts", "ts", Seq("price"), "_right")
+        .select($"price").as[Double].collect().toSeq
+      assert(out == Seq(100.0), s"expected min-payload pick, got $out")
+    }
   }
 }

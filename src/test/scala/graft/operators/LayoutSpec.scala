@@ -56,4 +56,21 @@ class LayoutSpec extends SparkSpec {
     val xBox = filesTouched(s"$root/x", (24, 31), (24, 31))
     assert(zBox < xBox, s"z-order touched $zBox files vs $xBox for the box")
   }
+
+  test("zOrderKey refuses non-numeric columns and ranks an all-null dimension 0") {
+    val bad = Seq((1L, "a"), (2L, "b")).toDF("x", "s")
+    val e = intercept[IllegalArgumentException] {
+      Layout.withZOrderKey(bad, Seq("x", "s"), bits = 2)
+    }
+    assert(e.getMessage.contains("must be numeric"))
+    // all-null column: approx_percentile returns SQL NULL cuts; every row
+    // ranks 0 in that dimension instead of NPEing
+    val nulls = Seq((0L, Option.empty[Double]), (1L, Option.empty[Double]),
+      (2L, Option.empty[Double]), (3L, Option.empty[Double]))
+      .toDF("x", "y")
+    val z = Layout.withZOrderKey(nulls, Seq("x", "y"), bits = 2)
+      .select("x", "__z").as[(Long, Long)].collect().toMap
+    // y contributes nothing: z = interleave(rank(x), 0) — monotone in x
+    assert(z.toSeq.sortBy(_._1).map(_._2) == z.values.toSeq.sorted)
+  }
 }
