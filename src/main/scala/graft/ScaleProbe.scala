@@ -68,6 +68,11 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val srcDir = "/root/testdata/sf0.1"
 
+    // `dup` arg: rerun only the planted-dup-graph probe (iterating on
+    // the iterative family without the ~15 min linear battery)
+    val dupOnly = args.contains("dup")
+
+    if (!dupOnly) {
     val docs = Tables.documents(spark, srcDir)
     (0 until 10).map { c =>
       val text = concat(col("text"), lit(s" copytok$c"))
@@ -96,6 +101,7 @@ object ScaleProbe {
         col("user_id"), col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
+    }
 
     def time(fn: => DataFrame): Double = {
       val ts = (1 to 3).map { _ =>
@@ -105,6 +111,11 @@ object ScaleProbe {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        // same lesson as Bench: ContextCleaner frees broadcast blocks
+        // only when the driver GCs their references — without this the
+        // first heavy iterative query after the battery pays the
+        // accumulated GC bill and measures heap pressure, not its plan
+        System.gc()
         dt
       }.sorted
       ts(1)
@@ -114,7 +125,7 @@ object ScaleProbe {
     spark.read.parquet(s"$srcDir/region.parquet")
       .groupBy("r_name").count().queryExecution.toRdd.count()
 
-    probeQueries.foreach { name =>
+    (if (dupOnly) Seq.empty[String] else probeQueries).foreach { name =>
       val fn = SparkEntry.queries(name)
       val small = time(fn(spark, srcDir))
       val big = time(fn(spark, bigDir))

@@ -1173,6 +1173,21 @@ object SparkEntry {
         .orderBy(col("source"), col("sub_bucket"), col("doc_id"))
     }),
 
+    // Z-order key construction on explicit cuts (the deterministic half
+    // of the write-clustering operator — withZOrderKey adds only the
+    // sketch-estimated cuts on top): rank-per-dimension + Morton
+    // interleave is integer bit math, replayed verbatim by the oracle.
+    // File-skip superiority stays measured in LayoutSpec.
+    "q99_zorder_key" -> ((s, d) => {
+      operators.Layout.zOrderKeyFromCuts(
+          t(s, d, "lineitem"),
+          Seq("l_quantity" -> zQtyCuts, "l_extendedprice" -> zPriceCuts),
+          bits = 4, zCol = "zkey")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("zkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // Ordered funnel (view → click → purchase): each stage's timestamp
     // must follow the previous stage's FIRST occurrence per user. All
     // min/count over exact microsecond longs. Joins and aggregations all
@@ -1405,6 +1420,25 @@ object SparkEntry {
        |    CASE WHEN src % 3 = 0 THEN 'image' WHEN src % 3 = 1 THEN 'audio'
        |      ELSE 'video' END AS kind, $ss
        |  FROM roll WHERE j = len)""".stripMargin
+  }
+
+  /** q99 fixed z-order cuts: 15 cuts = 16 buckets per dimension (bits=4),
+    * spanning l_quantity's 1..50 grid and l_extendedprice's range. */
+  private val zQtyCuts: Seq[Double] = (1 to 15).map(_ * 3.0)
+  private val zPriceCuts: Seq[Double] = (1 to 15).map(_ * 4000.0)
+
+  /** The q99 rank + Morton interleave as DuckDB SQL (mirrors
+    * Layout.zOrderKeyFromCuts: rank = cuts strictly below the value; bit
+    * b of rank i lands at z position b*dims + i; disjoint bits sum). */
+  private def zOrderOracleExpr: String = {
+    def rank(c: String, cuts: Seq[Double]): String =
+      cuts.map(cut => s"(CASE WHEN $c > $cut THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", ")")
+    val rq = rank("l_quantity", zQtyCuts)
+    val rp = rank("l_extendedprice", zPriceCuts)
+    val terms = for (b <- 0 until 4; (r, i) <- Seq(rq -> 0, rp -> 1))
+      yield s"((($r >> $b) & 1) << ${b * 2 + i})"
+    s"CAST(${terms.mkString(" + ")} AS BIGINT)"
   }
 
   /** Stopword profiles (graft.operators.TextAnalysis.stopwordProfiles) as
@@ -2659,6 +2693,11 @@ object SparkEntry {
         |SELECT doc_id, source, sub_bucket, n_tok, cum_tok FROM c
         |WHERE cum_tok <= 62 + CASE WHEN sub_bucket < 4 THEN 1 ELSE 0 END
         |ORDER BY source, sub_bucket, doc_id""".stripMargin,
+
+    "q99_zorder_key" ->
+      s"""SELECT l_orderkey, l_linenumber, l_quantity,
+         |  $zOrderOracleExpr AS zkey
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q94_funnel" ->
       """WITH e AS (

@@ -29,8 +29,8 @@ object Layout {
     require(cols.nonEmpty, "z-order needs at least one column")
     require(bits > 0 && bits * cols.size <= 63,
       s"bits($bits) x cols(${cols.size}) must fit a signed long")
-    // a non-numeric column would cast to all-null doubles and silently
-    // z-rank every row 0 in that dimension — refuse up front
+    // validate BEFORE the sketch pass: an ANSI cast failure inside the
+    // agg would otherwise surface as an opaque runtime error
     for (c <- cols) {
       val dt = df.schema(c).dataType
       require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
@@ -43,13 +43,40 @@ object Layout {
       expr(s"approx_percentile(CAST(`$c` AS DOUBLE), array(${qs.mkString(",")}), 10000)")
         .as(s"__cuts_$c"))
     val cutRow = df.agg(cutExprs.head, cutExprs.tail: _*).head()
-    val ranked = cols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+    val colCuts = cols.zipWithIndex.map { case (c, i) =>
       // approx_percentile over zero non-null values returns SQL NULL;
       // getSeq would then NPE inside the lit() mapping below. An
       // all-null dimension carries no clustering signal — rank it 0
-      // everywhere explicitly.
-      val cuts =
-        if (cutRow.isNullAt(i)) Seq.empty[Double] else cutRow.getSeq[Double](i)
+      // everywhere explicitly (empty cut list).
+      c -> (if (cutRow.isNullAt(i)) Seq.empty[Double]
+            else cutRow.getSeq[Double](i).toSeq)
+    }
+    zOrderKeyFromCuts(df, colCuts, bits, zCol)
+  }
+
+  /** The deterministic half of [[withZOrderKey]]: rank each column
+    * against EXPLICIT cut points and Morton-interleave the ranks —
+    * integer bit math with no sketch involved, which is what lets the
+    * q99 oracle replay key construction in SQL (only the sketch-cut
+    * estimation above stays engine-specific). Callers with precomputed
+    * or domain-known cuts (e.g. a stable production layout spec) use
+    * this directly. */
+  def zOrderKeyFromCuts(df: DataFrame, colCuts: Seq[(String, Seq[Double])],
+                        bits: Int = 8, zCol: String = "__z"): DataFrame = {
+    require(colCuts.nonEmpty, "z-order needs at least one column")
+    require(bits > 0 && bits * colCuts.size <= 63,
+      s"bits($bits) x cols(${colCuts.size}) must fit a signed long")
+    val maxCuts = (1 << bits) - 1
+    // a non-numeric column would cast to all-null doubles and silently
+    // z-rank every row 0 in that dimension — refuse up front
+    for ((c, cuts) <- colCuts) {
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"z-order column '$c' must be numeric, found ${dt.simpleString}")
+      require(cuts.size <= maxCuts,
+        s"column '$c': ${cuts.size} cuts exceed 2^$bits - 1 = $maxCuts buckets")
+    }
+    val ranked = colCuts.zipWithIndex.foldLeft(df) { case (acc, ((c, cuts), i)) =>
       // rank = number of cuts STRICTLY below the value (counting the
       // value's own cut would push the top bucket to 2^bits, overflowing
       // the per-dimension bit budget) — a codegen'd scan of the broadcast
@@ -61,7 +88,7 @@ object Layout {
       acc.withColumn(s"__zr_$i", rank)
     }
     // Morton interleave: bit b of rank i lands at position b*dims + i
-    val dims = cols.size
+    val dims = colCuts.size
     val z = (0 until bits).flatMap { b =>
       (0 until dims).map { i =>
         shiftleft(shiftright(col(s"__zr_$i"), b).bitwiseAND(lit(1L)),
