@@ -22,7 +22,7 @@ object ScaleProbe {
     "q74_token_budget", "q75_seq_pack",
     // round-4 second-half linear family: document-side curation/analysis
     "q72_quality_prune", "q76_bloom_decontaminate", "q81_token_histogram",
-    "q82_strip_markup", "q83_stratified_sample",
+    "q82_strip_markup", "q83_stratified_sample", "q98_token_budget_buckets",
     // events-side window/agg machinery — replication keeps user_id, so
     // per-key partitions deepen 10x (the part that actually has to scale)
     "q77_scd_history", "q78_cdc_latest", "q84_asof_forward",
