@@ -164,4 +164,33 @@ class PropertySpec extends AnyFunSuite {
       assert(packed.forall(r => r._4 == 0L || r._4 + r._5 <= 5L))
     }
   }
+
+  test("tokenBudgetSample: for any (budget, subBuckets) the admitted set is per-bucket-bounded and a subset of the single-window admissions per bucket") {
+    val cfg = for {
+      budget <- Gen.chooseNum(1L, 40L)
+      n <- Gen.oneOf(1, 2, 3, 8, 16)
+    } yield (budget, n)
+    val docs = (0L until 60L)
+      .map(i => (i, if (i % 2 == 0) "a" else "b", "t " * (1 + (i % 5).toInt)))
+      .toDF("doc_id", "source", "text")
+    forSamples(cfg, n = 12) { case (budget, n) =>
+      val got = Curation.tokenBudgetSample(docs, "doc_id", "text", "source",
+        budget, salt = "prop", subBuckets = n)
+      if (n == 1) {
+        val rows = got.select("cum_tok").as[Long].collect()
+        assert(rows.forall(_ <= budget))
+      } else {
+        val rows = got.select("source", "sub_bucket", "n_tok", "cum_tok")
+          .as[(String, Int, Long, Long)].collect()
+        // per-bucket running bound, and the bucket budgets sum to budget
+        val perBucket = (0 until n)
+          .map(b => b -> (budget / n + (if (b < budget % n) 1L else 0L))).toMap
+        assert(perBucket.values.sum == budget)
+        for ((_, b, _, cum) <- rows) assert(cum <= perBucket(b))
+        // source totals never exceed the full budget
+        for ((_, grp) <- rows.groupBy(_._1))
+          assert(grp.map(_._3).sum <= budget)
+      }
+    }
+  }
 }
