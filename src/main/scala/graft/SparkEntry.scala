@@ -1641,12 +1641,23 @@ object SparkEntry {
         |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // Explicit window replay instead of DuckDB ASOF: ASOF's pick among
+    // right rows tied on (key, ts) is unspecified, while the operator
+    // pins ties to the smallest payload struct — (ts DESC, event_id ASC)
+    // reproduces that rule on any data, collision-bearing or not.
     "q32_asof_join" ->
-      """SELECT e.event_id, e.user_id, p.event_id AS purchase_id
-        |FROM (SELECT * FROM events WHERE event_type = 'error') e
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-        |  ON e.user_id = p.user_id AND p.ts <= e.ts
-        |ORDER BY e.event_id""".stripMargin,
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |p AS (
+        |  SELECT event_id AS pid, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT e.event_id, e.user_id, p.pid,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY p.ts DESC, p.pid ASC) AS rn
+        |  FROM e LEFT JOIN p ON e.user_id = p.user_id AND p.ts <= e.ts)
+        |SELECT event_id, user_id, pid AS purchase_id
+        |FROM m WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "q33_topk_agg" ->
       """SELECT c_mktsegment, rank, o_totalprice FROM (
@@ -2518,15 +2529,25 @@ object SparkEntry {
         |  RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 
+    // Explicit window replay (see q32): forward ties pin to
+    // (ts ASC, event_id ASC), the operator's smallest-payload rule.
     "q84_asof_forward" ->
-      """SELECT e.event_id, e.user_id, p.event_id AS purchase_id
-        |FROM (SELECT * FROM events WHERE event_type = 'error') e
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-        |  ON e.user_id = p.user_id AND p.ts >= e.ts
-        |ORDER BY e.event_id""".stripMargin,
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |p AS (
+        |  SELECT event_id AS pid, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT e.event_id, e.user_id, p.pid,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY p.ts ASC, p.pid ASC) AS rn
+        |  FROM e LEFT JOIN p ON e.user_id = p.user_id AND p.ts >= e.ts)
+        |SELECT event_id, user_id, pid AS purchase_id
+        |FROM m WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
-    // Two directional ASOF probes resolved by exact microsecond distance;
-    // ties prefer backward (matching AsOfJoin.nearest).
+    // Two directional probes resolved by exact microsecond distance;
+    // ties prefer backward (matching AsOfJoin.nearest), and each
+    // direction pins tied right rows to min event_id like q32/q84.
     "q85_asof_nearest" ->
       """WITH e AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
@@ -2534,11 +2555,19 @@ object SparkEntry {
         |  SELECT event_id AS pid, user_id, ts FROM events
         |  WHERE event_type = 'purchase'),
         |b AS (
-        |  SELECT e.event_id, e.user_id, e.ts, p.pid AS b_pid, p.ts AS b_ts
-        |  FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND p.ts <= e.ts),
+        |  SELECT event_id, user_id, ts, b_pid, b_ts FROM (
+        |    SELECT e.event_id, e.user_id, e.ts, p.pid AS b_pid, p.ts AS b_ts,
+        |      row_number() OVER (PARTITION BY e.event_id
+        |        ORDER BY p.ts DESC, p.pid ASC) AS rn
+        |    FROM e LEFT JOIN p ON e.user_id = p.user_id AND p.ts <= e.ts)
+        |  WHERE rn = 1),
         |f AS (
-        |  SELECT e.event_id, p.pid AS f_pid, p.ts AS f_ts
-        |  FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND p.ts >= e.ts)
+        |  SELECT event_id, f_pid, f_ts FROM (
+        |    SELECT e.event_id, p.pid AS f_pid, p.ts AS f_ts,
+        |      row_number() OVER (PARTITION BY e.event_id
+        |        ORDER BY p.ts ASC, p.pid ASC) AS rn
+        |    FROM e LEFT JOIN p ON e.user_id = p.user_id AND p.ts >= e.ts)
+        |  WHERE rn = 1)
         |SELECT b.event_id, b.user_id,
         |  CASE WHEN b_pid IS NULL THEN f_pid
         |       WHEN f_pid IS NULL THEN b_pid
