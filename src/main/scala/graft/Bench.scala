@@ -27,7 +27,13 @@ object Bench {
     // across builds). Timing materializes the final physical plan's rows
     // via toRdd — a bare df.count() lets Catalyst prune every column and
     // would measure a scan, not the operator.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated query-name filter for local iteration
+    // (unset in the driver's per-round run, which times the full suite).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() }

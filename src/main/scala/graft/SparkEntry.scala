@@ -637,7 +637,11 @@ object SparkEntry {
     // signatures), and the exact rescoring filter discards everything
     // else on both sides.
     "q56_media_neardup" -> ((s, d) => {
-      val media = operators.Multimodal.synthesizeMedia(s, 200)
+      // The near-dup plan references the vector side three times (band
+      // signatures + one re-join per pair side); materialize the
+      // synthetic fixture once so the sha256-chain generation tree is
+      // planned and codegen'd once, not per branch.
+      val media = operators.Multimodal.synthesizeMedia(s, 200).localCheckpoint()
       operators.Multimodal.mediaNearDupPairs(media, threshold = 0.99)
         .select(col("id_a"), col("id_b"), r6(col("cos")).as("cos"))
         .orderBy(col("id_a"), col("id_b"))

@@ -180,9 +180,20 @@ object Multimodal {
         col("meta.height").as("height"))
 
   /** Embedding-style near-dup over media: extract features, then reuse
-    * the vector dedup machinery — bytes never reach the join. */
-  def mediaNearDupPairs(media: DataFrame, threshold: Double = 0.999): DataFrame =
+    * the vector dedup machinery — bytes never reach the join.
+    *
+    * The near-dup plan references the vector side three times (band
+    * signatures + one exact-rescore join per pair side). For generic
+    * embeddings a re-scan per branch is fine, but here each reference
+    * would re-run the codec over every media file — the dominant cost at
+    * scale. Materialize the decoded features once instead: at ~36 B/row
+    * the feature table is orders of magnitude smaller than the media it
+    * came from, so checkpointing it is the right 100 TB trade. */
+  def mediaNearDupPairs(media: DataFrame, threshold: Double = 0.999): DataFrame = {
+    val feats = extractFeatures(media).toDF()
+      .withColumnRenamed("features", "embedding")
+      .localCheckpoint()
     Similarity.embeddingNearDupPairs(
-      extractFeatures(media).toDF().withColumnRenamed("features", "embedding"),
-      "media_id", "embedding", threshold, bands = 4, bitsPerBand = 4, dim = 8)
+      feats, "media_id", "embedding", threshold, bands = 4, bitsPerBand = 4, dim = 8)
+  }
 }
