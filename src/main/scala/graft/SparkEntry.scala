@@ -1327,6 +1327,38 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("lang"))
         .orderBy(col("doc_id"))
     }),
+
+    // Incremental dedup, pairs view: an arriving batch (doc_id % 10 < 2)
+    // joined against the standing corpus's precomputed MinHash signature
+    // table — corpus text is never re-read. Same q27 geometry
+    // (k=128/b=16/r=8) and the same oracle-equivalence argument: the
+    // brute-force exact-Jaccard oracle agrees because in-data near-dup
+    // pairs sit well above the 0.8 threshold where LSH recall is ~1 (the
+    // cross-split pair set here is a SUBSET of q27's gated unordered
+    // pairs).
+    "q100_incremental_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpus = Dedup.minhashSignatures(
+        docs.filter(pmod(col("doc_id"), lit(10)) >= 2), "doc_id", "text")
+      Dedup.incrementalDupPairs(
+          docs.filter(pmod(col("doc_id"), lit(10)) < 2), "doc_id", "text", corpus)
+        .select(col("id_new"), col("id_corpus"), r4(col("jaccard")).as("jaccard"))
+        .orderBy(col("id_new"), col("id_corpus"))
+    }),
+
+    // Incremental dedup, survivor view: the batch minus every doc with a
+    // >= 0.8 corpus match. Docs too short to shingle (< 5 normalized
+    // chars) have empty shingle sets, match nothing, and survive — on
+    // both sides.
+    "q101_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpus = Dedup.minhashSignatures(
+        docs.filter(pmod(col("doc_id"), lit(10)) >= 2), "doc_id", "text")
+      Dedup.incrementalDedup(
+          docs.filter(pmod(col("doc_id"), lit(10)) < 2), "doc_id", "text", corpus)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2868,5 +2900,48 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, lang FROM r WHERE rn <= 20
         |ORDER BY doc_id""".stripMargin,
+
+    // q27's brute-force exact-Jaccard replay, restricted to batch x
+    // corpus cross pairs (batch = doc_id % 10 < 2). The size-ratio prune
+    // is sound: j >= 0.8 forces |smaller| >= 0.8 * |larger|.
+    "q100_incremental_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(t, i, 5) for i in generate_series(1, length(t)-4)]) AS s
+        |  FROM docs WHERE length(t) >= 5),
+        |pairs AS (
+        |  SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
+        |    len(list_intersect(n.s, c.s))::DOUBLE
+        |      / (len(n.s) + len(c.s) - len(list_intersect(n.s, c.s))) AS j
+        |  FROM sh n JOIN sh c
+        |    ON n.doc_id % 10 < 2 AND c.doc_id % 10 >= 2
+        |   AND least(len(n.s), len(c.s))::DOUBLE >= 0.8 * greatest(len(n.s), len(c.s)))
+        |SELECT id_new, id_corpus, r4(j) AS jaccard FROM pairs
+        |WHERE j >= 0.8 ORDER BY id_new, id_corpus""".stripMargin,
+
+    // Survivors: batch docs with no >= 0.8 corpus match. Docs shorter
+    // than one shingle are absent from sh, match nothing, and survive.
+    "q101_incremental_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(t, i, 5) for i in generate_series(1, length(t)-4)]) AS s
+        |  FROM docs WHERE length(t) >= 5),
+        |matched AS (
+        |  SELECT DISTINCT n.doc_id
+        |  FROM sh n JOIN sh c
+        |    ON n.doc_id % 10 < 2 AND c.doc_id % 10 >= 2
+        |   AND least(len(n.s), len(c.s))::DOUBLE >= 0.8 * greatest(len(n.s), len(c.s))
+        |   AND len(list_intersect(n.s, c.s))::DOUBLE
+        |      / (len(n.s) + len(c.s) - len(list_intersect(n.s, c.s))) >= 0.8)
+        |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+        |WHERE d.doc_id % 10 < 2
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM matched)
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

@@ -159,6 +159,73 @@ object Dedup {
     df.join(dupes, Seq(idCol), "left_anti")
   }
 
+  // ----------------------------------------------------- Incremental dedup
+
+  /** Standing-corpus MinHash signature table: `(id, sh, sig)` — the
+    * hashed-shingle set and its k-slot minhash signature. Compute ONCE
+    * over the corpus and write to storage; [[incrementalDupPairs]] /
+    * [[incrementalDedup]] then dedup arriving batches against it without
+    * ever re-reading corpus text — the standing 100 TB corpus costs one
+    * signature pass total, not one per batch. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 5, k: Int = 128): DataFrame = {
+    import graft.expressions.MinHash
+    df.select(col(idCol).as("id"),
+        MinHash.hashedCharShingles(
+          TextFunctions.normalizeWs(col(textCol)), shingleSize).as("sh"))
+      .withColumn("sig", MinHash.minhashSignature(col("sh"), k))
+  }
+
+  /** Near-dup pairs between an arriving batch and a standing corpus's
+    * precomputed [[minhashSignatures]] table: `(id_new, id_corpus,
+    * jaccard)` for every cross pair at or above `threshold`.
+    *
+    * Scale shape: the corpus side ships `(id, band)` pairs into the
+    * candidate join (bands derive from `sig`, 8 bytes × bands/doc — the
+    * shingle arrays stay columnar-pruned until the verify join, which
+    * only the candidate ids reach). `k`/`bands`/`shingleSize` must match
+    * the values the corpus table was built with; the batch side is
+    * signed with the same parameters here. Batch-internal duplicates are
+    * out of scope by design — compose with [[minhashDedup]] on the batch
+    * first, mirroring the standing-corpus workflow (new data dedups
+    * against itself, then against history). */
+  def incrementalDupPairs(batch: DataFrame, idCol: String, textCol: String,
+                          corpusSigs: DataFrame, shingleSize: Int = 5,
+                          k: Int = 128, bands: Int = 16,
+                          threshold: Double = 0.8): DataFrame = {
+    // the batch projection is referenced twice (banding + verify); it is
+    // the small side, so persist it rather than re-scan batch text
+    val newSigs = minhashSignatures(batch, idCol, textCol, shingleSize, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bandsOf(sigs: DataFrame, outId: String) = sigs
+      .select(col("id").as(outId), posexplode(bandKeys(col("sig"), k, bands)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
+    val candidates = bandsOf(newSigs, "id_new")
+      .join(bandsOf(corpusSigs, "id_corpus"), Seq("band_idx", "band"))
+      .select(col("id_new"), col("id_corpus"))
+      .distinct()
+    candidates
+      .join(newSigs.select(col("id").as("id_new"), col("sh").as("sh_n")), Seq("id_new"))
+      .join(corpusSigs.select(col("id").as("id_corpus"), col("sh").as("sh_c")),
+        Seq("id_corpus"))
+      .select(col("id_new"), col("id_corpus"),
+        graft.expressions.SortedArrayJaccard(col("sh_n"), col("sh_c")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental dedup: the arriving batch minus every doc that
+    * near-duplicates the standing corpus (any [[incrementalDupPairs]]
+    * match at `threshold`). Batch schema passes through unchanged. */
+  def incrementalDedup(batch: DataFrame, idCol: String, textCol: String,
+                       corpusSigs: DataFrame, shingleSize: Int = 5,
+                       k: Int = 128, bands: Int = 16,
+                       threshold: Double = 0.8): DataFrame = {
+    val matched = incrementalDupPairs(batch, idCol, textCol, corpusSigs,
+        shingleSize, k, bands, threshold)
+      .select(col("id_new").as(idCol)).distinct()
+    batch.join(matched, Seq(idCol), "left_anti")
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** SimHash near-dup pairs: 64-bit fingerprints bucketed by band

@@ -60,6 +60,40 @@ class DedupSpec extends SparkSpec {
     assert(kept.size == 8)
   }
 
+  test("incrementalDupPairs/incrementalDedup: batch vs standing-corpus signatures") {
+    // corpus = docs 0,2,4..9; batch = near-dup of 0, copy of 2, novel doc
+    val corpusDocs = corpus.filter($"doc_id" =!= 1L && $"doc_id" =!= 3L)
+    val sigs = Dedup.minhashSignatures(corpusDocs, "doc_id", "text")
+    val batch = Seq(
+      (100L, base + " today"),                    // near-dup of corpus 0
+      (101L, "completely different content about spark query engines and shuffles"),
+      (102L, "a genuinely novel document that matches nothing in the corpus"),
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.incrementalDupPairs(batch, "doc_id", "text", sigs,
+        threshold = 0.6)
+      .select($"id_new", $"id_corpus").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 0L), (101L, 2L)), s"got $pairs")
+    val kept = Dedup.incrementalDedup(batch, "doc_id", "text", sigs,
+        threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(102L), s"got $kept")
+    // batch schema passes through unchanged
+    val out = Dedup.incrementalDedup(batch, "doc_id", "text", sigs, threshold = 0.6)
+    assert(out.columns.toSeq == batch.columns.toSeq)
+  }
+
+  test("incrementalDedup does not dedup the batch against itself") {
+    val sigs = Dedup.minhashSignatures(
+      Seq((0L, "standing corpus content entirely unlike the arriving batch docs"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val twin = base + " twice over"
+    val batch = Seq((10L, twin), (11L, twin)).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(batch, "doc_id", "text", sigs, threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    // both batch-internal twins survive: vs-corpus only, by contract
+    assert(kept == Set(10L, 11L), s"got $kept")
+  }
+
   test("minhash jaccard estimate is exact for identical docs") {
     val j = Dedup.minhashDupPairs(corpus, "doc_id", "text", threshold = 0.99)
       .filter($"id_a" === 2 && $"id_b" === 3)
