@@ -56,7 +56,11 @@ object ScaleProbe {
       length(text).cast("long").as("n_chars"))
   }
 
-  private val dupQueries = Seq("q65_dup_clusters", "q80_dedup_survivors")
+  // q100/q101 ride the same corpus: the mod-10 batch/corpus split cuts
+  // through every 3-doc cluster (ids 3g..3g+2), so cross-split near-dup
+  // matches exist and scale linearly with the cluster count
+  private val dupQueries = Seq("q65_dup_clusters", "q80_dedup_survivors",
+    "q100_incremental_pairs", "q101_incremental_dedup")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

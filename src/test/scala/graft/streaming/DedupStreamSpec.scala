@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Dedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.file.Files
+
+class DedupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill in the afternoon sun"
+  private val other =
+    "completely different content about spark query engines shuffles and the art of distributed deduplication"
+
+  test("streaming dedup: within-batch, vs-corpus, and corpus growth across drains") {
+    val root = Files.createTempDirectory("graft-dstream").toString
+    val (sigPath, outPath) = (s"$root/sigs", s"$root/out")
+
+    // standing corpus: one doc, signatures precomputed (the batch path)
+    Dedup.minhashSignatures(
+        Seq((0L, base)).toDF("doc_id", "text"), "doc_id", "text")
+      .write.parquet(sigPath)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+
+    // drain 1: corpus dup dropped, within-batch twins collapse to one,
+    // novel doc survives
+    mem.addData(
+      (10L, base + " today"),        // near-dup of corpus doc 0
+      (11L, other), (12L, other),    // within-batch twins -> keep 11
+      (13L, "a genuinely novel document that matches nothing else at all"))
+    DedupStream.run(spark, docs, sigPath, outPath, s"$root/ckpt",
+      threshold = 0.6).awaitTermination(120000)
+
+    val kept1 = spark.read.parquet(outPath)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept1 == Set(11L, 13L), s"got $kept1")
+
+    // drain 2: a near-dup of drain-1 survivor 11 must now be dropped
+    // (the corpus grew), a replay of 13 is dropped by idempotency, and
+    // a new novel doc survives
+    mem.addData(
+      (20L, other + " addendum"),    // near-dup of accepted doc 11
+      (13L, "a genuinely novel document that matches nothing else at all"),
+      (21L, "yet another unrelated document closing out the second batch"))
+    DedupStream.run(spark, docs, sigPath, outPath, s"$root/ckpt",
+      threshold = 0.6).awaitTermination(120000)
+
+    val kept2 = spark.read.parquet(outPath)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(11L, 13L, 21L), s"got $kept2")
+
+    // signature table carries corpus + all accepted docs exactly once
+    val sigIds = spark.read.parquet(sigPath)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(sigIds == Seq(0L, 11L, 13L, 21L), s"got $sigIds")
+  }
+
+  test("streaming dedup bootstraps with no pre-existing signature table") {
+    val root = Files.createTempDirectory("graft-dstream-boot").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, base), (2L, base + " again"))
+    DedupStream.run(spark, mem.toDF().toDF("doc_id", "text"),
+      s"$root/sigs", s"$root/out", s"$root/ckpt",
+      threshold = 0.6).awaitTermination(120000)
+    val kept = spark.read.parquet(s"$root/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"got $kept")
+    assert(spark.read.parquet(s"$root/sigs").count() == 1)
+  }
+}
