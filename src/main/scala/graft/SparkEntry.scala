@@ -1359,6 +1359,28 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+
+    // Approximate distinct via the KMV sketch — q35's mergeable-sketch
+    // shape (bounded map-side state, sorted-merge combine) but with a
+    // deterministic sha256-prefix hash, so the DuckDB oracle replays the
+    // sketch EXACTLY: distinct 48-bit hashes, k-th order statistic,
+    // (k-1)/v_k estimate. Below capacity the sketch is the distinct set
+    // (exact count) — sf0.001 exercises that branch, larger SFs the
+    // estimator branch.
+    "q102_kmv_distinct" -> ((s, d) => {
+      import graft.functions.KmvAggregator._
+      val k = 256
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey"),
+          kmvHash(col("l_partkey")).as("h"))
+        .groupBy(col("l_returnflag"))
+        .agg(kmv(k)(col("h")).as("mins"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"),
+          r4(kmvEstimate(col("mins"), k)).as("est_distinct"),
+          col("exact_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2943,5 +2965,37 @@ object SparkEntry {
         |WHERE d.doc_id % 10 < 2
         |  AND d.doc_id NOT IN (SELECT doc_id FROM matched)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Full KMV sketch replay: 48-bit sha256-prefix hash via per-digit
+    // strpos arithmetic (every term and sum exactly representable as
+    // DOUBLE), distinct hashes, k-th smallest per group, the same
+    // (k-1)/v_k estimate. Below-capacity groups fall back to the exact
+    // distinct-hash count — in both engines.
+    "q102_kmv_distinct" ->
+      """WITH hv AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    list_sum([(strpos('0123456789abcdef', substr(s, i, 1)) - 1)
+        |              * pow(16.0, 12 - i) for i in generate_series(1, 12)]) AS h
+        |  FROM (SELECT l_returnflag,
+        |          sha256(CAST(l_partkey AS VARCHAR)) AS s
+        |        FROM lineitem)),
+        |r AS (
+        |  SELECT l_returnflag, h,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS nd
+        |  FROM hv),
+        |e AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN max(nd) < 256 THEN CAST(max(nd) AS DOUBLE)
+        |         ELSE 255.0 / (max(CASE WHEN rn = 256 THEN h END)
+        |                       / 281474976710656.0) END AS est
+        |  FROM r GROUP BY l_returnflag),
+        |x AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT e.l_returnflag, r4(e.est) AS est_distinct, x.exact_parts
+        |FROM e JOIN x USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) distinct sketch: the per-group state is the k
+  * SMALLEST DISTINCT hash values seen, so the partial (map-side)
+  * aggregate is bounded at k longs per group and merge is a sorted
+  * merge — the same mergeable-sketch scale shape as HLL
+  * (`approx_count_distinct`, q35), with one property HLL lacks: fed a
+  * deterministic public hash (sha256 prefix, see [[KmvAggregator.kmvHash]])
+  * the whole sketch is REPLAYABLE by any ANSI engine — distinct hashes,
+  * k-th order statistic, estimate arithmetic — which is what puts the
+  * q102 gate's approximate distinct count under the DuckDB value hash
+  * while q35's HLL internals stay engine-specific by construction.
+  *
+  * Estimator: with fewer than k distinct hashes the sketch IS the
+  * distinct set (exact count); at capacity, E[distinct] = (k-1)/v_k
+  * where v_k is the k-th smallest hash normalized to [0,1)
+  * (Bar-Yossef et al. 2002, the standard KMV estimator).
+  */
+class KmvAggregator(k: Int) extends Aggregator[Long, List[Long], Seq[Long]] {
+  require(k > 0, s"k must be positive: $k")
+
+  override def zero: List[Long] = Nil
+
+  override def reduce(buf: List[Long], v: Long): List[Long] = insert(buf, v)
+
+  override def merge(b1: List[Long], b2: List[Long]): List[Long] =
+    b2.foldLeft(b1)(insert)
+
+  override def finish(buf: List[Long]): Seq[Long] = buf
+
+  /** sorted ascending, distinct, bounded at k — insertion keeps the k
+    * smallest (a value beyond the current k-th largest falls off) */
+  private def insert(sorted: List[Long], v: Long): List[Long] =
+    if (sorted.contains(v)) sorted
+    else {
+      val (lo, hi) = sorted.span(_ < v)
+      (lo ::: v :: hi).take(k)
+    }
+
+  override def bufferEncoder: Encoder[List[Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}
+
+object KmvAggregator {
+  /** Column form: `kmv(256)(hashCol)` usable in `agg(...)`; input must be
+    * non-null (filter or coalesce first — [[kmvHash]] of a non-null
+    * column is non-null). */
+  def kmv(k: Int): Column => Column = {
+    val fn = udaf(new KmvAggregator(k))
+    (c: Column) => fn(c)
+  }
+
+  /** Deterministic 48-bit uniform hash for the sketch: value of the
+    * first 12 hex digits of sha256(value-as-string). 48 bits keeps every
+    * hash (and every downstream double) exactly representable, and the
+    * construction replays in ANSI SQL via per-digit strpos arithmetic —
+    * the same trick the IVF/media/Z-order oracles use. */
+  def kmvHash(c: Column): Column =
+    conv(substring(sha2(c.cast("string"), 256), 1, 12), 16, 10).cast("long")
+
+  /** The KMV estimate from a finished sketch column: exact size below
+    * capacity, (k-1)/v_k above it. Pure double arithmetic — one
+    * division per group — identical in any IEEE engine. */
+  def kmvEstimate(mins: Column, k: Int): Column = {
+    val vk = element_at(mins, k).cast("double") / lit(281474976710656.0) // 2^48
+    when(size(mins) < k, size(mins).cast("double"))
+      .otherwise(lit((k - 1).toDouble) / vk)
+  }
+}
