@@ -233,4 +233,12 @@ class PlanSpec extends SparkSpec {
       s"expected only the sort exchange, got $exchanges\n$p")
     assert(hasCodegen(p), s"lost whole-stage codegen\n$p")
   }
+
+  test("q102: KMV sketch aggregates partially (bounded map-side state)") {
+    val p = executedPlanOf("q102_kmv_distinct")
+    // typed-Aggregator UDAFs plan as ObjectHashAggregate; a partial +
+    // final pair proves the sketch merges map-side (k longs per group
+    // cross the wire, not the raw hash stream)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }

@@ -82,6 +82,43 @@ class DedupSpec extends SparkSpec {
     assert(out.columns.toSeq == batch.columns.toSeq)
   }
 
+  test("incremental band exchanges carry ids only, never shingle arrays") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.types.ArrayType
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val corpusDocs = corpus.filter($"doc_id" =!= 1L && $"doc_id" =!= 3L)
+      val sigs = Dedup.minhashSignatures(corpusDocs, "doc_id", "text")
+      val batch = Seq((100L, base + " today")).toDF("doc_id", "text")
+      val df = Dedup.incrementalDupPairs(batch, "doc_id", "text", sigs,
+        threshold = 0.6)
+      df.collect()
+      def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = {
+        val here = p match { case s: ShuffleExchangeExec => Seq(s); case _ => Nil }
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        here ++ kids.flatMap(shuffles)
+      }
+      val bandShuffles = shuffles(df.queryExecution.executedPlan)
+        .filter(_.outputPartitioning match {
+          case h: HashPartitioning =>
+            h.expressions.exists(_.references.exists(_.name == "band"))
+          case _ => false
+        })
+      assert(bandShuffles.nonEmpty, "expected a shuffle on the band key")
+      for (e <- bandShuffles)
+        assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          s"band exchange ships an array column: ${e.output}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("incrementalDedup does not dedup the batch against itself") {
     val sigs = Dedup.minhashSignatures(
       Seq((0L, "standing corpus content entirely unlike the arriving batch docs"))
