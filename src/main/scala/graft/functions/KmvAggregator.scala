@@ -21,28 +21,40 @@ import org.apache.spark.sql.functions._
   * where v_k is the k-th smallest hash normalized to [0,1)
   * (Bar-Yossef et al. 2002, the standard KMV estimator).
   */
-class KmvAggregator(k: Int) extends Aggregator[Long, List[Long], Seq[Long]] {
+class KmvAggregator(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
   require(k > 0, s"k must be positive: $k")
 
-  override def zero: List[Long] = Nil
+  override def zero: Array[Long] = Array.emptyLongArray
 
-  override def reduce(buf: List[Long], v: Long): List[Long] = insert(buf, v)
-
-  override def merge(b1: List[Long], b2: List[Long]): List[Long] =
-    b2.foldLeft(b1)(insert)
-
-  override def finish(buf: List[Long]): Seq[Long] = buf
-
-  /** sorted ascending, distinct, bounded at k — insertion keeps the k
-    * smallest (a value beyond the current k-th largest falls off) */
-  private def insert(sorted: List[Long], v: Long): List[Long] =
-    if (sorted.contains(v)) sorted
+  /** The buffer is a sorted ascending primitive array of ≤ k distinct
+    * values. The hot path is O(1): once the sketch is saturated, any
+    * value at or beyond the current k-th smallest is rejected before the
+    * binary search — on a stream with d distinct values only ~k/d of
+    * rows ever probe further, so per-row cost is a compare, not an O(k)
+    * scan. */
+  override def reduce(buf: Array[Long], v: Long): Array[Long] =
+    if (buf.length == k && v >= buf(k - 1)) buf
     else {
-      val (lo, hi) = sorted.span(_ < v)
-      (lo ::: v :: hi).take(k)
+      val i = java.util.Arrays.binarySearch(buf, v)
+      if (i >= 0) buf // already present
+      else {
+        val at = -i - 1
+        val n = math.min(buf.length + 1, k)
+        val out = new Array[Long](n)
+        System.arraycopy(buf, 0, out, 0, at)
+        out(at) = v
+        System.arraycopy(buf, at, out, at + 1, n - at - 1)
+        out
+      }
     }
 
-  override def bufferEncoder: Encoder[List[Long]] = ExpressionEncoder()
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+    b2.foldLeft(b1)(reduce)
+
+  override def finish(buf: Array[Long]): Seq[Long] =
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(buf)
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
 }
 
