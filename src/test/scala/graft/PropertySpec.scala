@@ -193,4 +193,25 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("KMV sketch: merge-associativity and k-smallest-distinct contract for any input split") {
+    import graft.functions.KmvAggregator
+    val valuesGen = for {
+      n <- Gen.chooseNum(0, 60)
+      vs <- Gen.listOfN(n, Gen.chooseNum(-50L, 50L))
+      k <- Gen.chooseNum(1, 12)
+      cut <- Gen.chooseNum(0, n)
+    } yield (vs, k, cut)
+    forSamples(valuesGen, n = 40) { case (vs, k, cut) =>
+      val agg = new KmvAggregator(k)
+      def sketch(xs: Seq[Long]) = xs.foldLeft(agg.zero)(agg.reduce)
+      // contract: the sketch IS the k smallest distinct values, sorted
+      val whole = sketch(vs)
+      assert(whole.toSeq == vs.distinct.sorted.take(k))
+      // any split merges to the same sketch (partition-layout freedom)
+      val (a, b) = vs.splitAt(cut)
+      assert(agg.merge(sketch(a), sketch(b)).toSeq == whole.toSeq)
+      assert(agg.merge(sketch(b), sketch(a)).toSeq == whole.toSeq)
+    }
+  }
 }
