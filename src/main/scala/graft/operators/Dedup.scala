@@ -189,14 +189,19 @@ object Dedup {
     * out of scope by design — compose with [[minhashDedup]] on the batch
     * first, mirroring the standing-corpus workflow (new data dedups
     * against itself, then against history). */
+  /** @param persistBatch cache the batch's signature projection: the plan
+    *        references it twice (banding + verify) and the batch is the
+    *        small side. Pass false to keep the operator side-effect free
+    *        (same contract as [[minhashDupPairs]]'s persistShingles). */
   def incrementalDupPairs(batch: DataFrame, idCol: String, textCol: String,
                           corpusSigs: DataFrame, shingleSize: Int = 5,
                           k: Int = 128, bands: Int = 16,
-                          threshold: Double = 0.8): DataFrame = {
-    // the batch projection is referenced twice (banding + verify); it is
-    // the small side, so persist it rather than re-scan batch text
-    val newSigs = minhashSignatures(batch, idCol, textCol, shingleSize, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                          threshold: Double = 0.8,
+                          persistBatch: Boolean = true): DataFrame = {
+    val newSigs0 = minhashSignatures(batch, idCol, textCol, shingleSize, k)
+    val newSigs = if (persistBatch)
+      newSigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else newSigs0
     def bandsOf(sigs: DataFrame, outId: String) = sigs
       .select(col("id").as(outId), posexplode(bandKeys(col("sig"), k, bands)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
@@ -219,9 +224,10 @@ object Dedup {
   def incrementalDedup(batch: DataFrame, idCol: String, textCol: String,
                        corpusSigs: DataFrame, shingleSize: Int = 5,
                        k: Int = 128, bands: Int = 16,
-                       threshold: Double = 0.8): DataFrame = {
+                       threshold: Double = 0.8,
+                       persistBatch: Boolean = true): DataFrame = {
     val matched = incrementalDupPairs(batch, idCol, textCol, corpusSigs,
-        shingleSize, k, bands, threshold)
+        shingleSize, k, bands, threshold, persistBatch)
       .select(col("id_new").as(idCol)).distinct()
     batch.join(matched, Seq(idCol), "left_anti")
   }
