@@ -71,7 +71,13 @@ object KmvAggregator {
     * first 12 hex digits of sha256(value-as-string). 48 bits keeps every
     * hash (and every downstream double) exactly representable, and the
     * construction replays in ANSI SQL via per-digit strpos arithmetic —
-    * the same trick the IVF/media/Z-order oracles use. */
+    * the same trick the IVF/media/Z-order oracles use.
+    *
+    * Hash integer/string keys only: string-casting floating-point values
+    * is ENGINE-SPECIFIC formatting ("1.0" vs "1.0E0" vs "1"), so a
+    * double-typed key would hash differently across engines and silently
+    * break oracle replay — normalize such keys to a canonical string (or
+    * scaled integer) first. */
   def kmvHash(c: Column): Column =
     conv(substring(sha2(c.cast("string"), 256), 1, 12), 16, 10).cast("long")
 
