@@ -23,6 +23,7 @@ object ScaleProbe {
     // round-4 second-half linear family: document-side curation/analysis
     "q72_quality_prune", "q76_bloom_decontaminate", "q81_token_histogram",
     "q82_strip_markup", "q83_stratified_sample", "q98_token_budget_buckets",
+    "q103_temperature_mixture",
     // events-side window/agg machinery — replication keeps user_id, so
     // per-key partitions deepen 10x (the part that actually has to scale)
     "q77_scd_history", "q78_cdc_latest", "q84_asof_forward",

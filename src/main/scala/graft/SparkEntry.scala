@@ -1360,6 +1360,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Temperature (alpha = 1/2) source rebalance: per-source targets are
+    // floor(scale * sqrt(n)) — sqrt is IEEE-exact, so set membership is
+    // engine-identical. scale=3 downsamples at every SF (25-doc sources
+    // keep 15; 250-doc keep 47); the keep-all branch is CurationSpec's.
+    "q103_temperature_mixture" -> ((s, d) => {
+      operators.Curation.temperatureMixture(t(s, d, "documents"),
+          "source", "doc_id", scale = 3.0, salt = "temp:42")
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Approximate distinct via the KMV sketch — q35's mergeable-sketch
     // shape (bounded map-side state, sorted-merge combine) but with a
     // deterministic sha256-prefix hash, so the DuckDB oracle replays the
@@ -2965,6 +2976,22 @@ object SparkEntry {
         |WHERE d.doc_id % 10 < 2
         |  AND d.doc_id NOT IN (SELECT doc_id FROM matched)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Per-source floor(scale*sqrt(count)) targets, admission in the same
+    // (sha256, id) order q83 replays; sqrt/floor identical in both engines.
+    "q103_temperature_mixture" ->
+      """WITH tgt AS (
+        |  SELECT source,
+        |    CAST(floor(3.0 * sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS t
+        |  FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT doc_id, source, lang, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY sha256(CAST(doc_id AS VARCHAR) || ':temp:42'), doc_id)
+        |    AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, r.lang FROM r JOIN tgt USING (source)
+        |WHERE r.rn <= tgt.t ORDER BY r.doc_id""".stripMargin,
 
     // Full KMV sketch replay: 48-bit sha256-prefix hash via per-digit
     // strpos arithmetic (every term and sum exactly representable as

@@ -130,6 +130,45 @@ object Curation {
                       salt: String): DataFrame =
     df.filter(hexByte(key, salt) < weightHex)
 
+  /** Temperature (α = 1/2) source mixture: rebalance sources by keeping
+    * `floor(scale · sqrt(n_s))` docs from each source `s`, admitted in
+    * deterministic (content-hash, id) order — the standard alpha-sampling
+    * rebalance where a source 100× larger contributes only 10× the docs.
+    * Unlike [[weightedMixture]] (caller-fixed per-row rates), the rates
+    * here derive from the observed source sizes.
+    *
+    * α is fixed at 1/2 on purpose: sqrt is the one power IEEE 754
+    * specifies exactly rounded, so the per-source targets — and therefore
+    * the admitted SET, not just its size — are bit-reproducible on any
+    * engine and replayable by the q103 oracle; an arbitrary-α `pow` would
+    * make target boundaries depend on last-ulp library behavior.
+    *
+    * Scale shape: one tiny per-source count aggregate broadcast back, then
+    * one window shuffle partitioned by source. The rank limit is
+    * data-dependent (a column, not a literal), so WindowGroupLimit cannot
+    * prune map-side as it does for [[stratifiedSample]] — a giant source
+    * sorts in one window partition, the same shape (and the same
+    * sub-bucket mitigation path) as [[tokenBudgetSample]]. */
+  def temperatureMixture(df: DataFrame, srcCol: String, idCol: String,
+                         scale: Double, salt: String): DataFrame = {
+    require(scale > 0, s"scale must be positive: $scale")
+    for (c <- Seq("__sk", "__rn", "__tgt"))
+      require(!df.columns.contains(c),
+        s"temperatureMixture uses internal column '$c' but the input has it")
+    val targets = df.groupBy(col(srcCol)).agg(
+      floor(lit(scale) * sqrt(count(lit(1)).cast("double")))
+        .cast("long").as("__tgt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol)).orderBy(col("__sk"), col(idCol))
+    df.join(broadcast(targets), Seq(srcCol))
+      .withColumn("__sk", shuffleKey(col(idCol), salt))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__tgt"))
+      // the join put the source key first — restore the caller's column
+      // order (and shed the internals) in one projection
+      .select(df.columns.map(col): _*)
+  }
+
   /** Distinct word n-grams of a text column — native single-pass
     * expressions (graft.expressions.WordNgrams); the string variant is
     * equivalence-tested against the declarative

@@ -340,4 +340,25 @@ class CurationSpec extends SparkSpec {
     // group instead of sorting whole strata through the window
     assert(sampled.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
+
+  test("temperatureMixture: floor(scale*sqrt(n)) per source, keep-all for tiny sources, layout-invariant") {
+    // sources of 400 / 100 / 9 docs: targets 2*sqrt -> 40 / 20 / 6
+    val df = spark.range(509).select(col("id"),
+      when(col("id") < 400, "big").when(col("id") < 500, "mid")
+        .otherwise("tiny").as("src"))
+    val out = Curation.temperatureMixture(df, "src", "id", scale = 2.0, salt = "t:2")
+    val sizes = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    // alpha=1/2: a 4x bigger source contributes only 2x the docs
+    assert(sizes === Map("big" -> 40L, "mid" -> 20L, "tiny" -> 6L), sizes.toString)
+    // schema passthrough, no internal columns leak
+    assert(out.columns.toSeq === df.columns.toSeq)
+    // membership (not just counts) is partition-layout invariant
+    val re = Curation.temperatureMixture(df.repartition(13), "src", "id", 2.0, "t:2")
+    assert(out.select("id").as[Long].collect().sorted.toSeq ===
+      re.select("id").as[Long].collect().sorted.toSeq)
+    // a target beyond the source size keeps the whole source
+    val all = Curation.temperatureMixture(df.filter(col("src") === "tiny"),
+      "src", "id", scale = 100.0, salt = "t:2")
+    assert(all.count() === 9)
+  }
 }
