@@ -55,6 +55,12 @@ object GraftExtensions {
         case Literal(v: Int, _) => v
         case other => throw new IllegalArgumentException(s"n must be a literal, got $other")
       }), "scala_udf")
+    // typed-Aggregator UDAFs register through the udf interface (k is
+    // baked into the registered name — SQL has no ctor parameters):
+    //   SELECT kmv_sketch_256(h) ... GROUP BY g
+    spark.udf.register("kmv_sketch_256",
+      org.apache.spark.sql.functions.udaf(
+        new graft.functions.KmvAggregator(256)))
   }
 }
 

@@ -53,5 +53,15 @@ class TopKAggregatorSpec extends SparkSpec {
     assert(row2.getString(2) == "en")
     assert(row2.getSeq[String](3) == Seq("a b c", "b c d"))
     assert(row2.getInt(4) == 2)
+
+    // UDAF surface: the KMV sketch from pure SQL (3 distinct of 4 rows,
+    // below capacity -> the sketch IS the sorted distinct hash set)
+    val row3 = spark.sql(
+      """SELECT kmv_sketch_256(h) AS mins FROM (
+        |  SELECT CAST(conv(substring(sha2(CAST(v AS STRING), 256), 1, 12),
+        |                   16, 10) AS BIGINT) AS h
+        |  FROM VALUES (1), (2), (2), (3) AS t(v))""".stripMargin).head()
+    val mins = row3.getSeq[Long](0)
+    assert(mins.length == 3 && mins == mins.sorted)
   }
 }
