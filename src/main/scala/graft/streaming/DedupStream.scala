@@ -24,6 +24,9 @@ import graft.zones.Zones
   * survivors' signatures; duplicate signature rows are harmless for
   * correctness (a doc matching one copy matches all copies) and the
   * survivor sink stays exact when `idempotent` anti-joins replayed ids.
+  * That anti-join scans the sink's id column per batch (column-pruned —
+  * a narrow parquet read, not the payloads); for very long sink
+  * histories swap it for a bounded replay ledger keyed on batch id.
   */
 object DedupStream {
 
