@@ -19,6 +19,17 @@ class SparkEntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("every query carries an oracle, except the explicit no-oracle allowlist") {
+    // q35: HLL sketch internals are engine-specific by construction
+    // (SketchSpec pins its contract); anything else without an oracle
+    // silently downgrades the driver's gate to rows-only — fail loudly
+    // here instead.
+    val allowNoOracle = Set("q35_approx_distinct")
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled == allowNoOracle,
+      s"queries without oracles beyond the allowlist: ${unoracled -- allowNoOracle}")
+  }
+
   test("oracle SQL contains no unexpanded rN markers") {
     for ((k, sql) <- SparkEntry.oracleSql)
       assert(!sql.matches("(?s).*\\br[246]\\(.*"), s"unexpanded marker in $k")
