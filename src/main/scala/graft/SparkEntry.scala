@@ -1371,6 +1371,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // temperatureMixture's 100-TB shape: the per-source target
+    // floor(3*sqrt(n)) splits integrally across 8 hash sub-buckets
+    // (first sample-key byte mod 8; buckets 0..(tgt%8 - 1) take one
+    // extra doc, so the per-bucket targets sum to the source target
+    // exactly) and the window partitions by (source, sub_bucket) — one
+    // giant source admits through 8 parallel tasks instead of
+    // serializing through one. Same salt/scale as q103 — the two
+    // admitted sets are directly comparable.
+    "q105_temperature_buckets" -> ((s, d) => {
+      operators.Curation.temperatureMixture(t(s, d, "documents"),
+          "source", "doc_id", scale = 3.0, salt = "temp:42", subBuckets = 8)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Approximate distinct via the KMV sketch — q35's mergeable-sketch
     // shape (bounded map-side state, sorted-merge combine) but with a
     // deterministic sha256-prefix hash, so the DuckDB oracle replays the
@@ -2992,6 +3007,35 @@ object SparkEntry {
         |  FROM documents)
         |SELECT r.doc_id, r.source, r.lang FROM r JOIN tgt USING (source)
         |WHERE r.rn <= tgt.t ORDER BY r.doc_id""".stripMargin,
+
+    // q103's target arithmetic + q98's hex-digit sub-bucket replay: the
+    // per-source target floor(3*sqrt(n)) splits as floor(t/8) per bucket
+    // with buckets 0..(t%8 - 1) taking one extra; admission is in-bucket
+    // (sha256, id) order. floor/sqrt/double-division are IEEE-identical
+    // in both engines, so the admitted set matches bit-for-bit.
+    "q105_temperature_buckets" ->
+      """WITH tgt AS (
+        |  SELECT source,
+        |    CAST(floor(3.0 * sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS t
+        |  FROM documents GROUP BY source),
+        |b AS (
+        |  SELECT doc_id, source, lang,
+        |    sha256(CAST(doc_id AS VARCHAR) || ':temp:42') AS sk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, lang, sk,
+        |    ((strpos('0123456789abcdef', substr(sk, 1, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(sk, 2, 1)) - 1)) % 8
+        |      AS sub_bucket
+        |  FROM b),
+        |r AS (
+        |  SELECT doc_id, source, lang, sub_bucket, row_number() OVER (
+        |    PARTITION BY source, sub_bucket ORDER BY sk, doc_id) AS rn
+        |  FROM c)
+        |SELECT r.doc_id, r.source, r.lang FROM r JOIN tgt USING (source)
+        |WHERE r.rn <= CAST(floor(t / 8.0) AS BIGINT)
+        |  + CASE WHEN sub_bucket < t % 8 THEN 1 ELSE 0 END
+        |ORDER BY r.doc_id""".stripMargin,
 
     // Full KMV sketch replay: 48-bit sha256-prefix hash via per-digit
     // strpos arithmetic (every term and sum exactly representable as

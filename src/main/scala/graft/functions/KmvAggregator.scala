@@ -48,8 +48,26 @@ class KmvAggregator(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
       }
     }
 
+  /** Single-pass two-pointer merge of the two sorted-distinct buffers,
+    * keeping the k smallest distinct values: one allocation per merge
+    * (element-wise reduce would re-copy a fresh ≤k array per inserted
+    * element — O(k²) in the map-side-combine path this class exists to
+    * keep cheap). */
   override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
-    b2.foldLeft(b1)(reduce)
+    if (b1.isEmpty) b2
+    else if (b2.isEmpty) b1
+    else {
+      val out = new Array[Long](math.min(b1.length + b2.length, k))
+      var i = 0; var j = 0; var n = 0
+      while (n < out.length && (i < b1.length || j < b2.length)) {
+        val v =
+          if (j >= b2.length || (i < b1.length && b1(i) <= b2(j))) {
+            val x = b1(i); i += 1; x
+          } else { val x = b2(j); j += 1; x }
+        if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
 
   override def finish(buf: Array[Long]): Seq[Long] =
     scala.collection.immutable.ArraySeq.unsafeWrapArray(buf)

@@ -144,29 +144,70 @@ object Curation {
     * make target boundaries depend on last-ulp library behavior.
     *
     * Scale shape: one tiny per-source count aggregate broadcast back, then
-    * one window shuffle partitioned by source. The rank limit is
+    * one window shuffle. With `subBuckets = 1` (the engine-exact default)
+    * the window partitions by source alone; the rank limit is
     * data-dependent (a column, not a literal), so WindowGroupLimit cannot
     * prune map-side as it does for [[stratifiedSample]] — a giant source
-    * sorts in one window partition, the same shape (and the same
-    * sub-bucket mitigation path) as [[tokenBudgetSample]]. */
+    * sorts in one window partition. At that shape pass `subBuckets = N`
+    * (2..256), the same mitigation [[tokenBudgetSample]] uses: each
+    * source's target splits integrally across N deterministic hash
+    * sub-buckets (bucket = first sample-key byte mod N; per-bucket target
+    * = floor(tgt/N), the first tgt%N buckets taking one extra doc — the
+    * per-bucket targets sum to the source target EXACTLY), and the window
+    * partitions by (source, sub_bucket) so a giant source admits through
+    * N independent tasks. The draw stays uniform and engine-replayable:
+    * sample-key bytes are i.i.d. uniform, so bucketing by byte then
+    * admitting in-bucket in hash order is a stratified version of the
+    * same random-looking order (the admitted SET differs from
+    * subBuckets = 1, as with any stratification — both sets are
+    * deterministic and oracle-gated: q103 / q105).
+    *
+    * Rows with a NULL source are DROPPED (the targets equi-join never
+    * matches a null key): a doc that cannot be attributed to a source has
+    * no defined per-source rate. Filter or coalesce upstream to keep them. */
   def temperatureMixture(df: DataFrame, srcCol: String, idCol: String,
-                         scale: Double, salt: String): DataFrame = {
+                         scale: Double, salt: String,
+                         subBuckets: Int = 1): DataFrame = {
     require(scale > 0, s"scale must be positive: $scale")
-    for (c <- Seq("__sk", "__rn", "__tgt"))
+    require(subBuckets >= 1 && subBuckets <= 256,
+      s"subBuckets must be in 1..256: $subBuckets")
+    for (c <- Seq("__sk", "__rn", "__tgt", "__sb"))
       require(!df.columns.contains(c),
         s"temperatureMixture uses internal column '$c' but the input has it")
     val targets = df.groupBy(col(srcCol)).agg(
       floor(lit(scale) * sqrt(count(lit(1)).cast("double")))
         .cast("long").as("__tgt"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(srcCol)).orderBy(col("__sk"), col(idCol))
-    df.join(broadcast(targets), Seq(srcCol))
+    val keyed = df.join(broadcast(targets), Seq(srcCol))
       .withColumn("__sk", shuffleKey(col(idCol), salt))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= col("__tgt"))
-      // the join put the source key first — restore the caller's column
-      // order (and shed the internals) in one projection
-      .select(df.columns.map(col): _*)
+    val admitted = if (subBuckets == 1) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(srcCol)).orderBy(col("__sk"), col(idCol))
+      keyed.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= col("__tgt"))
+    } else {
+      // first hash byte via hex-digit positions — pure string ops that
+      // replay identically in any ANSI engine (same trick as
+      // tokenBudgetSample's sub_bucket)
+      val digits = "0123456789abcdef"
+      def hexDigit(i: Int): Column =
+        locate_(substring(col("__sk"), i, 1), digits) - 1
+      val bucket = (hexDigit(1) * 16 + hexDigit(2)) % subBuckets
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(srcCol), col("__sb")).orderBy(col("__sk"), col(idCol))
+      // integer split of the data-dependent target: floor(tgt/N) each,
+      // buckets 0..(tgt%N - 1) one extra — sums to tgt exactly. tgt is a
+      // row count < 2^52, so the double division is exact enough for
+      // floor (and matches the oracle's floor(t / N) replay).
+      val perBucket = floor(col("__tgt") / lit(subBuckets)).cast("long") +
+        when(col("__sb") < pmod(col("__tgt"), lit(subBuckets.toLong)), 1L)
+          .otherwise(0L)
+      keyed.withColumn("__sb", bucket.cast("int"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= perBucket)
+    }
+    // the join put the source key first — restore the caller's column
+    // order (and shed the internals) in one projection
+    admitted.select(df.columns.map(col): _*)
   }
 
   /** Distinct word n-grams of a text column — native single-pass

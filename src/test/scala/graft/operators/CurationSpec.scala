@@ -361,4 +361,51 @@ class CurationSpec extends SparkSpec {
       "src", "id", scale = 100.0, salt = "t:2")
     assert(all.count() === 9)
   }
+
+  test("temperatureMixture sub-buckets: split targets sum to the source target, window partitions by (source, sub_bucket)") {
+    // dense sources so every hash bucket holds more rows than its split
+    // target: s1 1600 docs -> target floor(2*sqrt(1600)) = 80 (8*10, no
+    // remainder); s2 4800 -> 138 = 8*17 + 2 (buckets 0-1 take 18). Bucket
+    // populations are ~200/~600 >> the per-bucket targets, so every
+    // bucket fills and the admitted totals hit the FULL source targets —
+    // the integer split Σ(floor(t/N) + [b < t%N]) = t, end to end.
+    val df = spark.range(6400).select(col("id"),
+      when(pmod(col("id"), lit(4)) === 0, "s1").otherwise("s2").as("src"))
+    val out = Curation.temperatureMixture(df, "src", "id", scale = 2.0,
+      salt = "t:3", subBuckets = 8)
+    val sizes = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(sizes === Map("s1" -> 80L, "s2" -> 138L), sizes.toString)
+    // schema passthrough, no internal columns leak
+    assert(out.columns.toSeq === df.columns.toSeq)
+    // membership is partition-layout invariant
+    val re = Curation.temperatureMixture(df.repartition(13), "src", "id",
+      2.0, "t:3", subBuckets = 8)
+    assert(out.select("id").as[Long].collect().sorted.toSeq ===
+      re.select("id").as[Long].collect().sorted.toSeq)
+    // the scale property itself: the window exchange partitions by
+    // (source, sub_bucket) — a giant source admits through N parallel
+    // window tasks instead of serializing through one
+    val plan = out.queryExecution.executedPlan.toString
+    val winPart = "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(plan)
+      .map(_.group(1)).filter(_.contains("__sb")).toSeq
+    assert(winPart.nonEmpty && winPart.forall(_.contains("src")),
+      s"window exchange not partitioned by (source, sub_bucket): ${plan.take(2000)}")
+    // subBuckets = 1 (the default) is the original single-window path
+    val one = Curation.temperatureMixture(df, "src", "id", 2.0, "t:3")
+    val legacy = Curation.temperatureMixture(df, "src", "id", 2.0, "t:3",
+      subBuckets = 1)
+    assert(one.exceptAll(legacy).isEmpty && legacy.exceptAll(one).isEmpty)
+  }
+
+  test("temperatureMixture: NULL-source rows are dropped in both paths (documented contract)") {
+    val df = spark.range(100).select(col("id"),
+      when(col("id") < 50, "s").otherwise(lit(null)).as("src"))
+    // scale large enough to keep every attributable row
+    for (n <- Seq(1, 8)) {
+      val out = Curation.temperatureMixture(df, "src", "id", scale = 100.0,
+        salt = "t:4", subBuckets = n)
+      assert(out.count() === 50, s"subBuckets=$n")
+      assert(out.filter(col("src").isNull).count() === 0)
+    }
+  }
 }
