@@ -23,7 +23,7 @@ object ScaleProbe {
     // round-4 second-half linear family: document-side curation/analysis
     "q72_quality_prune", "q76_bloom_decontaminate", "q81_token_histogram",
     "q82_strip_markup", "q83_stratified_sample", "q98_token_budget_buckets",
-    "q103_temperature_mixture",
+    "q103_temperature_mixture", "q105_temperature_buckets",
     // events-side window/agg machinery — replication keeps user_id, so
     // per-key partitions deepen 10x (the part that actually has to scale)
     "q77_scd_history", "q78_cdc_latest", "q84_asof_forward",
@@ -73,11 +73,13 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val srcDir = "/root/testdata/sf0.1"
 
-    // `dup` arg: rerun only the planted-dup-graph probe (iterating on
-    // the iterative family without the ~15 min linear battery)
+    // `dup` arg: rerun only the planted-dup-graph probe; `inc` arg: only
+    // the batch-cost-vs-corpus-size probe (iterating on one family
+    // without the ~15 min linear battery)
     val dupOnly = args.contains("dup")
+    val incOnly = args.contains("inc")
 
-    if (!dupOnly) {
+    if (!dupOnly && !incOnly) {
     val docs = Tables.documents(spark, srcDir)
     (0 until 10).map { c =>
       val text = concat(col("text"), lit(s" copytok$c"))
@@ -130,7 +132,7 @@ object ScaleProbe {
     spark.read.parquet(s"$srcDir/region.parquet")
       .groupBy("r_name").count().queryExecution.toRdd.count()
 
-    (if (dupOnly) Seq.empty[String] else probeQueries).foreach { name =>
+    (if (dupOnly || incOnly) Seq.empty[String] else probeQueries).foreach { name =>
       val fn = SparkEntry.queries(name)
       val small = time(fn(spark, srcDir))
       val big = time(fn(spark, bigDir))
@@ -144,11 +146,39 @@ object ScaleProbe {
       .parquet(s"$bigDir/dup_small/documents.parquet")
     dupCorpus(spark, 60000L).write.mode("overwrite")
       .parquet(s"$bigDir/dup_big/documents.parquet")
-    dupQueries.foreach { name =>
+    (if (incOnly) Seq.empty[String] else dupQueries).foreach { name =>
       val fn = SparkEntry.queries(name)
       val small = time(fn(spark, s"$bigDir/dup_small"))
       val big = time(fn(spark, s"$bigDir/dup_big"))
       println(f"[scale-dup] $name%-26s 6k=${small}%6.2fs 60k=${big}%6.2fs ratio=${big / small}%5.2f")
+    }
+
+    // Batch-cost-vs-corpus-size: the number that matters for the
+    // incremental-dedup path is that PER-BATCH wall tracks the batch,
+    // not the corpus. A FIXED ~1k-doc batch (ids 0..5k, mod-10 < 2 —
+    // same clusters at every corpus size) probes standing corpora of
+    // 20k / 200k / 2M docs through the materialized band + signature
+    // tables (built once, untimed — the standing-table workflow). The
+    // legacy path (re-derive + shuffle the corpus band set per batch)
+    // is timed alongside: its wall should track the CORPUS, the banded
+    // probe's should not.
+    if (!dupOnly) {
+      import graft.operators.Dedup
+      val batchDocs = dupCorpus(spark, 5000L).filter(col("doc_id") % 10 < 2)
+      for (n <- Seq(20000L, 200000L, 2000000L)) {
+        val corpusDocs = dupCorpus(spark, n).filter(col("doc_id") % 10 >= 2)
+        val sigPath = s"$bigDir/inc_sigs_$n"
+        val bandPath = s"$bigDir/inc_band_$n"
+        Dedup.minhashSignatures(corpusDocs, "doc_id", "text")
+          .write.mode("overwrite").parquet(sigPath)
+        Dedup.writeBandTable(spark.read.parquet(sigPath), bandPath)
+        val banded = time(Dedup.incrementalDupPairsBanded(batchDocs,
+          "doc_id", "text", spark.read.parquet(bandPath),
+          spark.read.parquet(sigPath)))
+        val legacy = time(Dedup.incrementalDupPairs(batchDocs,
+          "doc_id", "text", spark.read.parquet(sigPath)))
+        println(f"[scale-inc] corpus=$n%-8d banded=${banded}%6.2fs legacy=${legacy}%6.2fs")
+      }
     }
     spark.stop()
   }

@@ -421,12 +421,23 @@ object SparkEntry {
       a.unionByName(b).orderBy(col("src"), col("id"))
     }),
 
-    // A5: HLL sketch vs exact distinct (rows-only: sketch values are
-    // engine-specific by design)
+    // A5: HLL approx distinct under a TOLERANCE oracle. The sketch value
+    // is engine-specific by design, so the estimate itself can never
+    // hash-match an independent engine — but the contract an engine CAN
+    // promise (estimate within 10% of exact at rsd=0.05; HLL's 2-sigma
+    // band is ~10%) is oracle-checkable: the boolean goes under the
+    // DuckDB value hash, so an HLL regression drifting past tolerance
+    // turns the gate red. The engine's REPLAYABLE approx-distinct
+    // surface is the KMV sketch (q102 / SQL `kmv_sketch_256`), which
+    // hash-gates the estimate arithmetic itself; approx_count_distinct
+    // (HLL) is the mergeable interop alias with this tolerance contract.
     "q35_approx_distinct" -> ((s, d) => {
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts").cast("double") - col("exact_parts").cast("double"))
+            <= lit(0.1) * col("exact_parts").cast("double")).as("hll_within_tol"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -1360,6 +1371,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental dedup over the MATERIALIZED band table — the
+    // O(batch)-per-batch probe path. The corpus's signature and band
+    // tables are written to parquet (the standing-table workflow this
+    // operator exists for: built once, probed per batch) and the batch
+    // broadcast-probes them with no corpus-side exchange — the plan
+    // invariant DedupSpec/PlanSpec pin. Same split, geometry, and output
+    // as q100: the two paths must produce the identical pair set.
+    "q104_incremental_banded" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sigPath = s"/tmp/graft_q104_sigs_${new java.io.File(d).getName}"
+      val bandPath = s"/tmp/graft_q104_band_${new java.io.File(d).getName}"
+      val corpusSigs = Dedup.minhashSignatures(
+        docs.filter(pmod(col("doc_id"), lit(10)) >= 2), "doc_id", "text")
+      corpusSigs.write.mode("overwrite").parquet(sigPath)
+      Dedup.writeBandTable(s.read.parquet(sigPath), bandPath)
+      Dedup.incrementalDupPairsBanded(
+          docs.filter(pmod(col("doc_id"), lit(10)) < 2), "doc_id", "text",
+          s.read.parquet(bandPath), s.read.parquet(sigPath))
+        .select(col("id_new"), col("id_corpus"), r4(col("jaccard")).as("jaccard"))
+        .orderBy(col("id_new"), col("id_corpus"))
+    }),
+
     // Temperature (alpha = 1/2) source rebalance: per-source targets are
     // floor(scale * sqrt(n)) — sqrt is IEEE-exact, so set membership is
     // engine-identical. scale=3 downsamples at every SF (25-doc sources
@@ -1756,6 +1789,18 @@ object SparkEntry {
         |UNION ALL
         |SELECT s_suppkey AS id, 'supplier' AS src FROM supplier
         |ORDER BY src, id""".stripMargin,
+
+    // The HLL tolerance contract: the oracle asserts the estimate lands
+    // within 10% of exact by expecting TRUE per group — if Spark's
+    // approx_count_distinct drifts past tolerance the boolean flips and
+    // the value hash goes red. (The estimate itself is engine-specific;
+    // the replayable estimate gate is q102's KMV sketch.)
+    "q35_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  TRUE AS hll_within_tol
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q36_pivot" ->
       """SELECT l_linestatus,
@@ -2953,6 +2998,26 @@ object SparkEntry {
     // corpus cross pairs (batch = doc_id % 10 < 2). The size-ratio prune
     // is sound: j >= 0.8 forces |smaller| >= 0.8 * |larger|.
     "q100_incremental_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([substr(t, i, 5) for i in generate_series(1, length(t)-4)]) AS s
+        |  FROM docs WHERE length(t) >= 5),
+        |pairs AS (
+        |  SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
+        |    len(list_intersect(n.s, c.s))::DOUBLE
+        |      / (len(n.s) + len(c.s) - len(list_intersect(n.s, c.s))) AS j
+        |  FROM sh n JOIN sh c
+        |    ON n.doc_id % 10 < 2 AND c.doc_id % 10 >= 2
+        |   AND least(len(n.s), len(c.s))::DOUBLE >= 0.8 * greatest(len(n.s), len(c.s)))
+        |SELECT id_new, id_corpus, r4(j) AS jaccard FROM pairs
+        |WHERE j >= 0.8 ORDER BY id_new, id_corpus""".stripMargin,
+
+    // The banded probe path must produce exactly q100's pair set — the
+    // oracle is q100's brute-force exact-Jaccard replay, verbatim.
+    "q104_incremental_banded" ->
       """WITH docs AS (
         |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
         |  FROM documents),

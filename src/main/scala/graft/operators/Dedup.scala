@@ -218,6 +218,100 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Materialize the standing corpus's LSH band table ONCE:
+    * `(band_idx, band, id)` rows partitioned on disk by
+    * `band_pt = band mod fileBuckets`. [[incrementalDupPairsBanded]]
+    * probes this table instead of re-deriving (and re-shuffling) the
+    * corpus band set from `sig` on every arriving batch — the per-batch
+    * corpus cost drops from a full signature pass + band exchange to a
+    * narrow 3-column scan streamed through a broadcast-hash-join probe
+    * (and, when the batch's bands hit few partitions, partition pruning
+    * cuts the scan itself).
+    *
+    * Build cost is one corpus shuffle on `band_pt` (so each disk
+    * partition is one clean file run, not one file per task), paid once
+    * per corpus build — the probe side pays nothing per batch. Append
+    * new batches' bands (same schema, same `fileBuckets`) as they are
+    * accepted; rewrite through the curated sink when small files
+    * accumulate. `k`/`bands` must match the values `corpusSigs` was
+    * built with. */
+  def writeBandTable(corpusSigs: DataFrame, path: String, k: Int = 128,
+                     bands: Int = 16, fileBuckets: Int = 64): Unit = {
+    require(fileBuckets >= 1, s"fileBuckets must be positive: $fileBuckets")
+    corpusSigs
+      .select(col("id"), posexplode(bandKeys(col("sig"), k, bands)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
+      .withColumn("band_pt", pmod(col("band"), lit(fileBuckets.toLong)).cast("int"))
+      .repartition(col("band_pt"))
+      .write.mode("overwrite").partitionBy("band_pt").parquet(path)
+  }
+
+  /** Near-dup pairs between an arriving batch and a standing corpus,
+    * probing a pre-materialized [[writeBandTable]] band table — the
+    * O(batch)-per-batch path. Output contract is identical to
+    * [[incrementalDupPairs]]: `(id_new, id_corpus, jaccard)` at or above
+    * `threshold`.
+    *
+    * Scale shape — the batch is small by contract (a micro-batch against
+    * a standing 100 TB corpus), so BOTH corpus-side joins are broadcast
+    * probes with the corpus as the streamed side:
+    *  1. candidate generation: the batch's band keys broadcast into the
+    *     band-table scan (3 narrow columns; no corpus exchange, no
+    *     per-batch band derivation, partition pruning on `band_pt` when
+    *     the batch hits few buckets);
+    *  2. verification: the candidate id pairs broadcast into the
+    *     signature-table scan to collect corpus shingle sets — only
+    *     matched rows survive the probe, and the corpus side again never
+    *     shuffles or sorts.
+    * Every shuffle in the plan carries candidate PAIR IDS only (the
+    * `distinct`), so exchange volume is batch-proportional by the LSH
+    * candidate bound, never corpus-proportional — the invariant
+    * PlanSpec pins. For batches too large to broadcast, fall back to
+    * [[incrementalDupPairs]], whose symmetric shuffle shape is the right
+    * one when both sides are big. */
+  def incrementalDupPairsBanded(batch: DataFrame, idCol: String,
+                                textCol: String, bandTable: DataFrame,
+                                corpusSigs: DataFrame, shingleSize: Int = 5,
+                                k: Int = 128, bands: Int = 16,
+                                threshold: Double = 0.8,
+                                fileBuckets: Int = 64,
+                                persistBatch: Boolean = true): DataFrame = {
+    val newSigs0 = minhashSignatures(batch, idCol, textCol, shingleSize, k)
+    val newSigs = if (persistBatch)
+      newSigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else newSigs0
+    val batchBands = newSigs
+      .select(col("id").as("id_new"), posexplode(bandKeys(col("sig"), k, bands)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
+      .withColumn("band_pt", pmod(col("band"), lit(fileBuckets.toLong)).cast("int"))
+    val candidates = bandTable
+      .join(broadcast(batchBands), Seq("band_pt", "band_idx", "band"))
+      .select(col("id_new"), col("id").as("id_corpus"))
+      .distinct()
+    corpusSigs.select(col("id").as("id_corpus"), col("sh").as("sh_c"))
+      .join(broadcast(candidates), Seq("id_corpus"))
+      .join(broadcast(newSigs.select(col("id").as("id_new"), col("sh").as("sh_n"))),
+        Seq("id_new"))
+      .select(col("id_new"), col("id_corpus"),
+        graft.expressions.SortedArrayJaccard(col("sh_n"), col("sh_c")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental dedup over the [[writeBandTable]] probe path: the batch
+    * minus every doc with a corpus match at `threshold` — the banded
+    * analog of [[incrementalDedup]], same pass-through contract. */
+  def incrementalDedupBanded(batch: DataFrame, idCol: String, textCol: String,
+                             bandTable: DataFrame, corpusSigs: DataFrame,
+                             shingleSize: Int = 5, k: Int = 128,
+                             bands: Int = 16, threshold: Double = 0.8,
+                             fileBuckets: Int = 64,
+                             persistBatch: Boolean = true): DataFrame = {
+    val matched = incrementalDupPairsBanded(batch, idCol, textCol, bandTable,
+        corpusSigs, shingleSize, k, bands, threshold, fileBuckets, persistBatch)
+      .select(col("id_new").as(idCol)).distinct()
+    batch.join(matched, Seq(idCol), "left_anti")
+  }
+
   /** Incremental dedup: the arriving batch minus every doc that
     * near-duplicates the standing corpus (any [[incrementalDupPairs]]
     * match at `threshold`). Batch schema passes through unchanged. */

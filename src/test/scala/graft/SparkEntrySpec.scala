@@ -19,15 +19,15 @@ class SparkEntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("every query carries an oracle, except the explicit no-oracle allowlist") {
-    // q35: HLL sketch internals are engine-specific by construction
-    // (SketchSpec pins its contract); anything else without an oracle
-    // silently downgrades the driver's gate to rows-only — fail loudly
-    // here instead.
-    val allowNoOracle = Set("q35_approx_distinct")
+  test("every query carries an oracle — no exceptions") {
+    // Since round 6 the allowlist is EMPTY: even q35's HLL (whose sketch
+    // values are engine-specific by construction) gates through a
+    // tolerance oracle — the estimate-within-10%-of-exact boolean sits
+    // under the value hash, and the replayable-estimate gate is q102's
+    // KMV sketch. A query without an oracle silently downgrades the
+    // driver's gate to rows-only — fail loudly here instead.
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(unoracled == allowNoOracle,
-      s"queries without oracles beyond the allowlist: ${unoracled -- allowNoOracle}")
+    assert(unoracled.isEmpty, s"queries without oracles: $unoracled")
   }
 
   test("oracle SQL contains no unexpanded rN markers") {

@@ -119,6 +119,62 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("banded probe: matches the legacy path, corpus never shuffles, exchanges carry pair ids only") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val dir = java.nio.file.Files.createTempDirectory("graft_band").toString
+    val corpusDocs = corpus.filter($"doc_id" =!= 1L && $"doc_id" =!= 3L)
+    // the standing-table workflow: signatures + band table materialized
+    // once, probed per batch
+    Dedup.minhashSignatures(corpusDocs, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/sigs")
+    val sigs = spark.read.parquet(s"$dir/sigs")
+    Dedup.writeBandTable(sigs, s"$dir/band")
+    val bandTable = spark.read.parquet(s"$dir/band")
+    val batch = Seq(
+      (100L, base + " today"),
+      (101L, "completely different content about spark query engines and shuffles"),
+      (102L, "a genuinely novel document that matches nothing in the corpus"),
+    ).toDF("doc_id", "text")
+    val banded = Dedup.incrementalDupPairsBanded(batch, "doc_id", "text",
+      bandTable, sigs, threshold = 0.6)
+    val legacy = Dedup.incrementalDupPairs(batch, "doc_id", "text", sigs,
+      threshold = 0.6)
+    // identical pair set (ids AND jaccard values) to the legacy path
+    assert(banded.exceptAll(legacy).isEmpty && legacy.exceptAll(banded).isEmpty)
+    banded.collect()
+    // plan pin — the O(batch) shape: both corpus-side joins are broadcast
+    // probes (corpus streamed, batch/candidates built), nothing sorts or
+    // sort-merge-joins, and every shuffle carries candidate PAIR IDS only
+    // — exchange volume is batch-proportional, never corpus-proportional
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = {
+      val here = p match { case s: ShuffleExchangeExec => Seq(s); case _ => Nil }
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(shuffles)
+    }
+    val plan = banded.queryExecution.executedPlan
+    val planStr = plan.toString
+    assert(!planStr.contains("SortMergeJoin"), planStr)
+    assert("BroadcastHashJoin".r.findAllIn(planStr).size >= 3, planStr)
+    for (e <- shuffles(plan)) {
+      assert(e.output.forall(a => Set("id_new", "id_corpus").contains(a.name)),
+        s"exchange carries non-pair columns: ${e.output}")
+      assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"exchange ships an array column: ${e.output}")
+    }
+    // the dedup wrapper rides the same probe
+    val kept = Dedup.incrementalDedupBanded(batch, "doc_id", "text",
+        bandTable, sigs, threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(102L), s"got $kept")
+  }
+
   test("incrementalDedup does not dedup the batch against itself") {
     val sigs = Dedup.minhashSignatures(
       Seq((0L, "standing corpus content entirely unlike the arriving batch docs"))

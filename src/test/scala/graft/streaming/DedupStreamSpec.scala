@@ -59,6 +59,74 @@ class DedupStreamSpec extends SparkSpec {
     assert(sigIds == Seq(0L, 11L, 13L, 21L), s"got $sigIds")
   }
 
+  test("compaction boundary: dedup results identical, signature files rewritten") {
+    // two identical runs, one compacting after every append (threshold 1)
+    def drainAll(root: String, compactAfter: Int): Unit = {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, String)]
+      val docs = mem.toDF().toDF("doc_id", "text")
+      // drain 1 accepts 11 and 13; drain 2 must dedup 20 against the
+      // ACCEPTED-and-then-compacted signature of 11 — the boundary the
+      // test exists to cross — and accept 21
+      mem.addData((11L, other),
+        (13L, "a genuinely novel document that matches nothing else at all"))
+      DedupStream.run(spark, docs, s"$root/sigs", s"$root/out",
+        s"$root/ckpt", threshold = 0.6,
+        compactSigsAfterFiles = compactAfter).awaitTermination(120000)
+      mem.addData((20L, other + " addendum"),
+        (21L, "yet another unrelated document closing out the second batch"))
+      DedupStream.run(spark, docs, s"$root/sigs", s"$root/out",
+        s"$root/ckpt", threshold = 0.6,
+        compactSigsAfterFiles = compactAfter).awaitTermination(120000)
+    }
+    val plain = Files.createTempDirectory("graft-dstream-plain").toString
+    val compacted = Files.createTempDirectory("graft-dstream-compact").toString
+    drainAll(plain, compactAfter = 0)
+    drainAll(compacted, compactAfter = 1)
+    def state(root: String) = (
+      spark.read.parquet(s"$root/out").select("doc_id").as[Long].collect().toSet,
+      spark.read.parquet(s"$root/sigs").select("id").as[Long].collect().sorted.toSeq)
+    assert(state(plain) == state(compacted),
+      s"${state(plain)} vs ${state(compacted)}")
+    assert(state(compacted)._1 == Set(11L, 13L, 21L))
+    // the compacted table was actually rewritten: a curated single run of
+    // files, not one append per batch
+    def files(root: String) = new java.io.File(s"$root/sigs").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(files(compacted) < files(plain),
+      s"compacted=${files(compacted)} plain=${files(plain)}")
+  }
+
+  test("startup backfill closes the survivors-committed/signatures-missing crash window") {
+    val root = Files.createTempDirectory("graft-dstream-crash").toString
+    val (sigPath, outPath) = (s"$root/sigs", s"$root/out")
+    // simulate the crash: doc 11 committed to the survivor sink, but the
+    // process died before its signature append — the signature table
+    // only carries the original corpus doc 0
+    Dedup.minhashSignatures(
+        Seq((0L, base)).toDF("doc_id", "text"), "doc_id", "text")
+      .write.parquet(sigPath)
+    Seq((11L, other)).toDF("doc_id", "text").write.parquet(outPath)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    // without the backfill, 20 (near-dup of sink doc 11) would pass
+    // dedup forever; 21 is novel and must still survive
+    mem.addData((20L, other + " addendum"),
+      (21L, "yet another unrelated document closing out the second batch"))
+    DedupStream.run(spark, mem.toDF().toDF("doc_id", "text"),
+      sigPath, outPath, s"$root/ckpt",
+      threshold = 0.6).awaitTermination(120000)
+
+    val kept = spark.read.parquet(outPath)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 21L), s"got $kept")
+    // the repaired signature table covers the sink exactly
+    val sigIds = spark.read.parquet(sigPath)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(sigIds == Seq(0L, 11L, 21L), s"got $sigIds")
+  }
+
   test("streaming dedup bootstraps with no pre-existing signature table") {
     val root = Files.createTempDirectory("graft-dstream-boot").toString
     implicit val sqlCtx = spark.sqlContext
