@@ -75,11 +75,13 @@ object ScaleProbe {
 
     // `dup` arg: rerun only the planted-dup-graph probe; `inc` arg: only
     // the batch-cost-vs-corpus-size probe (iterating on one family
-    // without the ~15 min linear battery)
+    // without the ~15 min linear battery); `x100` arg: only the
+    // 100x-row two-point curve for the document/embedding linear family
     val dupOnly = args.contains("dup")
     val incOnly = args.contains("inc")
+    val x100Only = args.contains("x100")
 
-    if (!dupOnly && !incOnly) {
+    if (!dupOnly && !incOnly && !x100Only) {
     val docs = Tables.documents(spark, srcDir)
     (0 until 10).map { c =>
       val text = concat(col("text"), lit(s" copytok$c"))
@@ -132,7 +134,8 @@ object ScaleProbe {
     spark.read.parquet(s"$srcDir/region.parquet")
       .groupBy("r_name").count().queryExecution.toRdd.count()
 
-    (if (dupOnly || incOnly) Seq.empty[String] else probeQueries).foreach { name =>
+    (if (dupOnly || incOnly || x100Only) Seq.empty[String] else probeQueries)
+      .foreach { name =>
       val fn = SparkEntry.queries(name)
       val small = time(fn(spark, srcDir))
       val big = time(fn(spark, bigDir))
@@ -146,11 +149,51 @@ object ScaleProbe {
       .parquet(s"$bigDir/dup_small/documents.parquet")
     dupCorpus(spark, 60000L).write.mode("overwrite")
       .parquet(s"$bigDir/dup_big/documents.parquet")
-    (if (incOnly) Seq.empty[String] else dupQueries).foreach { name =>
+    (if (incOnly || x100Only) Seq.empty[String] else dupQueries).foreach { name =>
       val fn = SparkEntry.queries(name)
       val small = time(fn(spark, s"$bigDir/dup_small"))
       val big = time(fn(spark, s"$bigDir/dup_big"))
       println(f"[scale-dup] $name%-26s 6k=${small}%6.2fs 60k=${big}%6.2fs ratio=${big / small}%5.2f")
+    }
+
+    // 100x two-point scaling curve for the document/embedding linear
+    // family: 6M docs / 1.5M vectors (sf ~1 scale). Together with the
+    // 10x battery this turns each query's single ratio into a curve —
+    // a shape that is secretly O(n log n) or worse shows a growing
+    // per-decade ratio. Budget-gated (SPARK_GRAFT_PROBE_BUDGET seconds,
+    // default 900) so the probe cannot eat a round; queries past the
+    // budget are reported as skipped, never silently dropped.
+    if (x100Only) {
+      val dir = s"$bigDir/x100"
+      val docs = Tables.documents(spark, srcDir)
+      (0 until 100).map { c =>
+        val text = concat(col("text"), lit(s" copytok$c"))
+        docs.select((col("doc_id") * 100 + c).as("doc_id"), text.as("text"),
+          col("lang"), col("source"),
+          length(text).cast("long").as("n_chars"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val emb = Tables.embeddings(spark, srcDir)
+      (0 until 100).map { c =>
+        emb.select((col("vec_id") * 100 + c).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val x100Queries = Seq("q29_text_quality", "q60_repetition",
+        "q66_embedding_quantize", "q68_pii_redaction",
+        "q81_token_histogram", "q82_strip_markup")
+      val budgetSec = sys.env.getOrElse("SPARK_GRAFT_PROBE_BUDGET", "900").toDouble
+      val t0 = System.nanoTime()
+      x100Queries.foreach { name =>
+        if ((System.nanoTime() - t0) / 1e9 > budgetSec)
+          println(s"[scale-x100] $name SKIPPED (probe budget exhausted)")
+        else {
+          val fn = SparkEntry.queries(name)
+          val small = time(fn(spark, srcDir))
+          val big = time(fn(spark, dir))
+          println(f"[scale-x100] $name%-26s sf0.1=${small}%6.2fs 100x=${big}%7.2fs ratio=${big / small}%6.2f")
+        }
+      }
     }
 
     // Batch-cost-vs-corpus-size: the number that matters for the

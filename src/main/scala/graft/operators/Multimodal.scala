@@ -135,11 +135,22 @@ object Multimodal {
   }
 
   /** Per-partition feature extraction: Dataset[MediaRow] → features.
-    * One shuffle-free map stage; bytes are dropped on the spot. */
-  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    * One shuffle-free map stage; bytes are dropped on the spot.
+    *
+    * `codec` is the real-implementation seam: a serializable
+    * bytes→features function (an actual image/audio decoder in a
+    * container that has one; the deterministic [[decodeStub]] here).
+    * Whatever is injected runs inside the same mapPartitions batch
+    * boundary — one iterator pass per partition, codec invoked exactly
+    * once per row — so swapping the stub for a real codec changes no
+    * plan shape (MultimodalSpec proves the contract with an injected
+    * counting codec). */
+  def extractFeatures(media: DataFrame,
+                      codec: Array[Byte] => Array[Float] = decodeStub)
+      : Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.as[MediaRow].mapPartitions { it =>
-      it.map(m => MediaFeatures(m.media_id, m.kind, decodeStub(m.bytes)))
+      it.map(m => MediaFeatures(m.media_id, m.kind, codec(m.bytes)))
     }
   }
 
@@ -188,9 +199,20 @@ object Multimodal {
     * would re-run the codec over every media file — the dominant cost at
     * scale. Materialize the decoded features once instead: at ~36 B/row
     * the feature table is orders of magnitude smaller than the media it
-    * came from, so checkpointing it is the right 100 TB trade. */
-  def mediaNearDupPairs(media: DataFrame, threshold: Double = 0.999): DataFrame = {
-    val feats = extractFeatures(media).toDF()
+    * came from, so checkpointing it is the right 100 TB trade.
+    *
+    * NOTE: the localCheckpoint is EAGER — calling this runs the full
+    * decode job immediately (not at first downstream action) and pins
+    * the feature blocks to the executors that computed them
+    * (non-reliable storage: a decommissioned executor loses its blocks
+    * and the truncated lineage cannot recompute them). Callers composing
+    * lazy plans, or running under executor decommissioning, should
+    * extract features themselves and manage materialization — the
+    * same opt-out contract as incrementalDupPairs' persistBatch. */
+  def mediaNearDupPairs(media: DataFrame, threshold: Double = 0.999,
+                        codec: Array[Byte] => Array[Float] = decodeStub)
+      : DataFrame = {
+    val feats = extractFeatures(media, codec).toDF()
       .withColumnRenamed("features", "embedding")
       .localCheckpoint()
     Similarity.embeddingNearDupPairs(

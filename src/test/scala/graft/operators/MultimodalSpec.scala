@@ -49,6 +49,33 @@ class MultimodalSpec extends SparkSpec {
       assert(counts(id) == math.max(d / 1000, 1), s"video $id")
   }
 
+  test("injected codec: real-implementation seam honors the batch boundary and checkpoint-once contract") {
+    // a "real" codec stand-in injected through the decode interface: it
+    // counts every invocation via an accumulator (executor-side, so the
+    // count is exact across partitions) and produces a non-stub feature
+    // mapping — proving the plumbing is codec-agnostic, not stub-shaped
+    val media = Multimodal.synthesizeMedia(spark, 60).repartition(4)
+    val calls = spark.sparkContext.longAccumulator("codec_calls")
+    val codec: Array[Byte] => Array[Float] = { bytes =>
+      calls.add(1)
+      Array.tabulate(8)(j => (bytes(j % bytes.length) & 0xff).toFloat)
+    }
+    // extractFeatures: codec runs exactly once per row, inside the
+    // mapPartitions pass (no per-row jobs, no recompute)
+    val feats = Multimodal.extractFeatures(media, codec).collect()
+    assert(feats.length == 60)
+    assert(calls.value == 60, s"codec ran ${calls.value} times for 60 rows")
+    assert(feats.forall(_.features.length == 8))
+    // checkpoint-once: mediaNearDupPairs references the feature table
+    // three times (bands + two rescore sides) but the injected codec
+    // still decodes each media row exactly once — the localCheckpoint
+    // contract a real (expensive) codec depends on
+    calls.reset()
+    Multimodal.mediaNearDupPairs(media, threshold = 0.9, codec = codec).collect()
+    assert(calls.value == 60,
+      s"codec ran ${calls.value} times through mediaNearDupPairs; want 60 (checkpoint-once)")
+  }
+
   test("mediaNearDupPairs flags byte-identical media") {
     import Multimodal._
     val rows = Seq(
