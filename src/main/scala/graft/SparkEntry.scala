@@ -1419,6 +1419,45 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ANN LSH under the hash gate (q46's treatment for the other ANN
+    // tier): sha256-derived integer hyperplanes + 2^20 fixed-point
+    // quantized sign bits make every signature — and therefore the
+    // candidate set itself — bit-exact integer arithmetic both engines
+    // replay, with no float-summation hazard at the sign knife-edge.
+    // The oracle rebuilds planes, signatures, bands, candidates, exact
+    // rescoring, and top-k. Rank stability: min adjacent-cos gap within
+    // any query's top-4 is 1.5e-5 at sf0.01 (measured) — ten orders
+    // above cross-engine summation ulps.
+    "q106_lsh_topk" -> ((s, d) => {
+      Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 3, bands = 8, bitsPerBand = 8, dim = 64)
+        .select(col("query_id"), col("neighbor_id"),
+          r6(col("cos")).as("cos"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Embedding near-dup pairs under the hash gate. The corpus has no
+    // natural near-dups (max pairwise cos 0.51), so the query plants
+    // them: a double-precision copy of every vector with +0.001 on
+    // coordinate 0 (IEEE-exact in both engines) unioned at id+1e6 —
+    // cos(v, v') ~ 1-1e-7, three decades above the 0.999 threshold,
+    // while natural pairs sit three decades below. The oracle replays
+    // the full band structure (not a brute-force recall assumption), so
+    // the candidate set — hits AND misses — is the gated artifact.
+    "q107_embedding_neardup" -> ((s, d) => {
+      val vecs = t(s, d, "embeddings").select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("embedding"))
+      val planted = vecs.select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.001)).otherwise(x)).as("embedding"))
+      Similarity.embeddingNearDupPairs(vecs.unionByName(planted),
+          "vec_id", "embedding", threshold = 0.999,
+          bands = 8, bitsPerBand = 8, dim = 64)
+        .select(col("id_a"), col("id_b"), r6(col("cos")).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Approximate distinct via the KMV sketch — q35's mergeable-sketch
     // shape (bounded map-side state, sorted-merge combine) but with a
     // deterministic sha256-prefix hash, so the DuckDB oracle replays the
@@ -1486,6 +1525,37 @@ object SparkEntry {
       |  '\b(RT|amp)\b', ' ', 'g'),
       |  '[^\w\s]+', ' ', 'g'),
       |  '\s+', ' ', 'g'))""".stripMargin
+
+  /** The q106/q107 LSH band machinery as a CTE fragment: given a prior
+    * CTE `v(id, vec DOUBLE[64])`, rebuilds Similarity.shaPlanes (centered
+    * first-byte of sha256("p:d:lshp")), the 2^20 fixed-point quantized
+    * vectors, the 64 integer sign-bit dots, and the 8×8-bit band values —
+    * every step exact integer arithmetic, so `banded(id, band_idx, band)`
+    * is bit-identical to the Spark side by construction. */
+  private lazy val lshBandCte: String = {
+    val alpha = "'0123456789abcdef'"
+    s"""pd AS (
+       |  SELECT pp.g AS p, dd.g AS d,
+       |    sha256(CAST(pp.g AS VARCHAR) || ':' || CAST(dd.g AS VARCHAR) || ':lshp') AS h
+       |  FROM generate_series(0, 63) pp(g), generate_series(0, 63) dd(g)),
+       |planes AS (
+       |  SELECT p, d,
+       |    CAST((strpos($alpha, substr(h, 1, 1)) - 1) * 16
+       |       + (strpos($alpha, substr(h, 2, 1)) - 1) - 128 AS BIGINT) AS w
+       |  FROM pd),
+       |qv AS (
+       |  SELECT id, dd.g AS d,
+       |    CAST(floor(vec[dd.g + 1] * 1048576.0 + 0.5) AS BIGINT) AS q
+       |  FROM v, generate_series(0, 63) dd(g)),
+       |dots AS (
+       |  SELECT qv.id, pl.p, sum(qv.q * pl.w) AS dot
+       |  FROM qv JOIN planes pl ON pl.d = qv.d GROUP BY qv.id, pl.p),
+       |banded AS (
+       |  SELECT id, CAST(p // 8 AS BIGINT) AS band_idx,
+       |    sum(CASE WHEN dot >= 0 THEN 1::BIGINT ELSE 0 END
+       |        * (1::BIGINT << (p % 8))) AS band
+       |  FROM dots GROUP BY id, p // 8)""".stripMargin
+  }
 
   /** The q37/q56 media pipeline as a recursive-CTE preamble: replays
     * Multimodal.synthesizeMedia (sha256-chained bytes, planted near-dup
@@ -3101,6 +3171,64 @@ object SparkEntry {
         |WHERE r.rn <= CAST(floor(t / 8.0) AS BIGINT)
         |  + CASE WHEN sub_bucket < t % 8 THEN 1 ELSE 0 END
         |ORDER BY r.doc_id""".stripMargin,
+
+    // The FULL random-hyperplane LSH index replayed in SQL (q46's
+    // treatment for the second ANN tier): sha-derived integer planes,
+    // fixed-point sign bits, band collision candidates, exact rescore,
+    // top-k. Signatures are integer-exact in both engines; rescored-cos
+    // rank gaps (min 1.5e-5 within top-4 at sf0.01) dwarf summation ulps.
+    "q106_lsh_topk" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+         |  FROM embeddings),
+         |$lshBandCte,
+         |cand AS (
+         |  SELECT DISTINCT a.id AS query_id, b.id AS neighbor_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band = b.band
+         |  WHERE a.id <> b.id),
+         |resc AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_cosine_similarity(q.vec, n.vec) AS cos
+         |  FROM cand
+         |  JOIN v q ON q.id = query_id
+         |  JOIN v n ON n.id = neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM resc)
+         |SELECT query_id, neighbor_id, r6(cos) AS cos,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Near-dup pairs over the planted corpus: the +0.001-on-coord-0
+    // double perturbation replays exactly (IEEE multiply/add), the band
+    // structure replays exactly (integer arithmetic), and the 0.999
+    // threshold sits three decades from both populations (planted cos
+    // ~ 1-1e-7, natural max 0.51) — no knife-edge anywhere.
+    "q107_embedding_neardup" ->
+      s"""WITH v0 AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+         |  FROM embeddings),
+         |v AS (
+         |  SELECT id, vec FROM v0
+         |  UNION ALL
+         |  SELECT id + 1000000,
+         |    [CASE WHEN i = 1 THEN vec[i] + 0.001 ELSE vec[i] END
+         |     for i in generate_series(1, 64)]
+         |  FROM v0),
+         |$lshBandCte,
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band = b.band
+         |  WHERE a.id < b.id),
+         |resc AS (
+         |  SELECT id_a, id_b, list_cosine_similarity(x.vec, y.vec) AS cos
+         |  FROM cand JOIN v x ON x.id = id_a JOIN v y ON y.id = id_b)
+         |SELECT id_a, id_b, r6(cos) AS cos FROM resc
+         |WHERE cos >= 0.999 ORDER BY id_a, id_b""".stripMargin,
 
     // Full KMV sketch replay: 48-bit sha256-prefix hash via per-digit
     // strpos arithmetic (every term and sum exactly representable as

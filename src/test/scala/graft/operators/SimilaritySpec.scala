@@ -92,6 +92,50 @@ class SimilaritySpec extends SparkSpec {
     assert(ranks.toSeq == Seq(1, 2, 3))
   }
 
+  test("shaPlanes known vectors: centered first byte of sha256(p:d:lshp)") {
+    // the cross-engine contract behind the q106/q107 oracles: weight(p,d)
+    // is (first byte of sha256("p:d:lshp")) - 128, computable by any
+    // engine with sha256. Pin a few hand-derived values so a silent
+    // change to the tag or centering breaks loudly here, not at the gate.
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    for ((p, d) <- Seq((0, 0), (3, 17), (63, 63))) {
+      val expect = (md.digest(s"$p:$d:lshp".getBytes("UTF-8"))(0) & 0xff) - 128
+      assert(Similarity.shaPlanes(64, 64)(p)(d) == expect.toLong)
+    }
+    // weights span both signs (a degenerate all-positive plane set would
+    // hash every vector near the all-ones signature)
+    val flat = Similarity.shaPlanes(64, 64).flatten
+    assert(flat.exists(_ < 0) && flat.exists(_ > 0))
+    assert(flat.forall(w => w >= -128 && w <= 127))
+  }
+
+  test("quantize is floor(v*2^20 + 0.5) exactly, as longs") {
+    val df = Seq((1L, Array(0.5f, -0.25f, 0.0f, 1.0f))).toDF("id", "v")
+    val out = df.select(Similarity.quantize(
+        Similarity.asDouble($"v")).as("q"))
+      .as[Seq[Long]].head()
+    assert(out == Seq(524288L, -262144L, 0L, 1048576L))
+  }
+
+  test("native LshBands == declarative quantize+lshSignature, element-wise") {
+    // the fused expression the operators actually run must be the exact
+    // function the declarative reference (and therefore the q106/q107
+    // SQL oracles) define — on varied vectors including sign boundaries
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(16)(j =>
+        (math.sin(i * 16 + j) * (if ((i + j) % 3 == 0) -0.7 else 0.4)).toFloat))
+    }.toDF("id", "v")
+    val planes = Similarity.shaPlanes(12, 16)
+    val both = vecs.select($"id",
+      graft.expressions.LshBands.lshBands(
+        Similarity.asDouble($"v"), bands = 3, bitsPerBand = 4, dim = 16).as("native"),
+      Similarity.lshSignature(
+        Similarity.quantize(Similarity.asDouble($"v")), planes, 4).as("decl"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    assert(both.length == 40)
+    for ((id, n, dcl) <- both) assert(n == dcl, s"vector $id: $n != $dcl")
+  }
+
   test("lshTopK recovers the true nearest neighbor for clustered vectors") {
     // 64-dim: two tight clusters around e1 and e2
     def e(i: Int, eps: Float): Array[Float] = {

@@ -115,16 +115,18 @@ def main(sf_dir: str, out_dir: str) -> int:
         oracles = json.load(f)
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
-        try:
-            oracle = con.execute(sql).df()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: oracle SQL error: {e}")
-            n_fail += 1
-            continue
+        # Spark result first: a partial run (SPARK_GRAFT_VERIFY_ONLY)
+        # must not pay every other query's oracle SQL before skipping it
         try:
             spark = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: no spark result: {e}")
+            n_fail += 1
+            continue
+        try:
+            oracle = con.execute(sql).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
         o, s = canon(oracle), canon(spark)
