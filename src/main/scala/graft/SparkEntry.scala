@@ -1458,6 +1458,31 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // The flagship standing-corpus probe (q104) in the embedding
+    // modality: the corpus's LSH band table is MATERIALIZED once
+    // (writeEmbBandTable) and an arriving batch — q107's planted
+    // +0.001-coord-0 perturbation of every tenth vector, each with
+    // exactly one corpus near-dup at cos ~ 1-1e-7 — broadcast-probes it
+    // with no corpus-side exchange (the plan invariant SimilaritySpec
+    // pins). The oracle replays the full band structure over corpus and
+    // batch and keeps only cross pairs, so the candidate set — hits AND
+    // misses — is the gated artifact, same as q107.
+    "q108_incremental_embdup" -> ((s, d) => {
+      val corpus = t(s, d, "embeddings").select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("embedding"))
+      val batch = corpus.filter(pmod(col("vec_id"), lit(10)) === 0).select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.001)).otherwise(x)).as("embedding"))
+      val bandPath = s"/tmp/graft_q108_band_${new java.io.File(d).getName}"
+      Similarity.writeEmbBandTable(corpus, "vec_id", "embedding", bandPath)
+      Similarity.incrementalEmbNearDups(batch, "vec_id", "embedding",
+          s.read.parquet(bandPath), corpus, threshold = 0.999,
+          bands = 8, bitsPerBand = 8, dim = 64)
+        .select(col("id_new"), col("id_corpus"), r6(col("cos")).as("cos"))
+        .orderBy(col("id_new"), col("id_corpus"))
+    }),
+
     // Approximate distinct via the KMV sketch — q35's mergeable-sketch
     // shape (bounded map-side state, sorted-merge combine) but with a
     // deterministic sha256-prefix hash, so the DuckDB oracle replays the
@@ -3229,6 +3254,34 @@ object SparkEntry {
          |  FROM cand JOIN v x ON x.id = id_a JOIN v y ON y.id = id_b)
          |SELECT id_a, id_b, r6(cos) AS cos FROM resc
          |WHERE cos >= 0.999 ORDER BY id_a, id_b""".stripMargin,
+
+    // Standing-corpus probe, embedding modality: the band-table path must
+    // produce exactly the pairs the replayed band structure produces over
+    // (corpus UNION planted batch) restricted to cross pairs — band
+    // membership is integer arithmetic end to end, so the materialized
+    // table adds nothing the oracle can't recompute.
+    "q108_incremental_embdup" ->
+      s"""WITH c AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+         |  FROM embeddings),
+         |nb AS (
+         |  SELECT id + 1000000 AS id,
+         |    [CASE WHEN i = 1 THEN vec[i] + 0.001 ELSE vec[i] END
+         |     for i in generate_series(1, 64)] AS vec
+         |  FROM c WHERE id % 10 = 0),
+         |v AS (SELECT id, vec FROM c UNION ALL SELECT id, vec FROM nb),
+         |$lshBandCte,
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_new, b.id AS id_corpus
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band = b.band
+         |  WHERE a.id >= 1000000 AND b.id < 1000000),
+         |resc AS (
+         |  SELECT id_new, id_corpus,
+         |    list_cosine_similarity(x.vec, y.vec) AS cos
+         |  FROM cand JOIN v x ON x.id = id_new JOIN v y ON y.id = id_corpus)
+         |SELECT id_new, id_corpus, r6(cos) AS cos FROM resc
+         |WHERE cos >= 0.999 ORDER BY id_new, id_corpus""".stripMargin,
 
     // Full KMV sketch replay: 48-bit sha256-prefix hash via per-digit
     // strpos arithmetic (every term and sum exactly representable as

@@ -221,4 +221,48 @@ class SimilaritySpec extends SparkSpec {
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("incrementalEmbNearDups over the band table == symmetric path; " +
+       "O(batch) plan shape") {
+    // deterministic varied corpus; batch = perturbed copies of the even
+    // ids (each with exactly one corpus near-dup) + one unrelated vector
+    val corpus = (0L until 20L).map(i =>
+      (i, Array.tabulate(64)(j => math.sin(i * 64.0 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val batch = (0L until 20L by 2).map(i =>
+      (i + 1000L, Array.tabulate(64)(j =>
+        (math.sin(i * 64.0 + j) + (if (j == 0) 0.001 else 0.0)).toFloat)))
+      .:+((2000L, Array.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_embband").toString
+    Similarity.writeEmbBandTable(corpus, "vec_id", "embedding", dir)
+    val banded = Similarity.incrementalEmbNearDups(batch, "vec_id", "embedding",
+      spark.read.parquet(dir), corpus, threshold = 0.999)
+    // identical cross-pair set (ids AND cosines) to the symmetric path
+    // over the union — the band table adds nothing the in-flight band
+    // derivation doesn't compute
+    val symmetric = Similarity.embeddingNearDupPairs(
+        corpus.unionByName(batch), "vec_id", "embedding", threshold = 0.999)
+      .filter($"id_a" < 1000L && $"id_b" >= 1000L)
+      .select($"id_b".as("id_new"), $"id_a".as("id_corpus"), $"cos")
+    assert(banded.exceptAll(symmetric).isEmpty &&
+      symmetric.exceptAll(banded).isEmpty)
+    val got = banded.select($"id_new", $"id_corpus").as[(Long, Long)]
+      .collect().toSet
+    assert(got == (0L until 20L by 2).map(i => (i + 1000L, i)).toSet, s"got $got")
+    banded.collect()
+    // plan pin — the O(batch) shape: both corpus-side joins are broadcast
+    // probes (corpus streamed, batch/candidates built), nothing sorts or
+    // sort-merge-joins, and every shuffle carries candidate PAIR IDS only
+    val plan = banded.queryExecution.executedPlan
+    val planStr = plan.toString
+    assert(!planStr.contains("SortMergeJoin"), planStr)
+    assert("BroadcastHashJoin".r.findAllIn(planStr).size >= 3, planStr)
+    for (e <- collectShuffles(plan)) {
+      assert(e.output.forall(a => Set("id_new", "id_corpus").contains(a.name)),
+        s"exchange carries non-pair columns: ${e.output}")
+      assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"exchange ships an array column: ${e.output}")
+    }
+  }
 }
