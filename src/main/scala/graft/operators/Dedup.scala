@@ -238,12 +238,34 @@ object Dedup {
   def writeBandTable(corpusSigs: DataFrame, path: String, k: Int = 128,
                      bands: Int = 16, fileBuckets: Int = 64): Unit = {
     require(fileBuckets >= 1, s"fileBuckets must be positive: $fileBuckets")
-    corpusSigs
-      .select(col("id"), posexplode(bandKeys(col("sig"), k, bands)))
-      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
-      .withColumn("band_pt", pmod(col("band"), lit(fileBuckets.toLong)).cast("int"))
+    bandRows(corpusSigs, k, bands, fileBuckets)
       .repartition(col("band_pt"))
       .write.mode("overwrite").partitionBy("band_pt").parquet(path)
+  }
+
+  /** The `(id, band_idx, band, band_pt)` projection shared by the bulk
+    * build and the incremental append — band derivation must be
+    * byte-identical between the two or probes miss. */
+  private def bandRows(sigs: DataFrame, k: Int, bands: Int,
+                       fileBuckets: Int): DataFrame =
+    sigs.select(col("id"), posexplode(bandKeys(col("sig"), k, bands)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
+      .withColumn("band_pt", pmod(col("band"), lit(fileBuckets.toLong)).cast("int"))
+
+  /** Append newly-accepted signatures' bands to an existing
+    * [[writeBandTable]] table — the per-batch growth path of the
+    * standing-corpus workflow (accept survivors → append their
+    * signatures → append their bands). The batch is small by contract,
+    * so no repartition: each append lands one small file run per touched
+    * `band_pt` partition; rewrite through [[writeBandTable]] when small
+    * files accumulate (DedupStream does this on its signature-compaction
+    * trigger). `k`/`bands`/`fileBuckets` must match the table's build
+    * values. */
+  def appendBandTable(sigs: DataFrame, path: String, k: Int = 128,
+                      bands: Int = 16, fileBuckets: Int = 64): Unit = {
+    require(fileBuckets >= 1, s"fileBuckets must be positive: $fileBuckets")
+    bandRows(sigs, k, bands, fileBuckets)
+      .write.mode("append").partitionBy("band_pt").parquet(path)
   }
 
   /** Near-dup pairs between an arriving batch and a standing corpus,

@@ -16,6 +16,16 @@ import graft.zones.Zones
   * corpus TEXT is read zero times per batch, which is what makes the
   * loop viable against a 100 TB history.
   *
+  * With `bandPath` set the probe goes one step further: the corpus LSH
+  * band set is materialized once ([[Dedup.writeBandTable]]) and each
+  * batch broadcast-probes it ([[Dedup.incrementalDedupBanded]]) — no
+  * per-batch corpus band derivation or exchange at all, the measured
+  * O(batch) shape from the batch workflow (q104), now kept in sync by
+  * the stream itself: survivors' bands append after every signature
+  * append, the signature-compaction trigger rebuilds the band table,
+  * and startup repairs every crash window because bands are derived
+  * data (the signature table is the source of truth).
+  *
   * Same `foreachBatch` integration as [[StreamingEtl]]: inside the batch
   * the exact batch-mode operators (and their oracles/tests) run
   * unchanged — one dedup definition, two execution modes.
@@ -69,6 +79,32 @@ object DedupStream {
     else fs.listStatus(p).count(_.getPath.getName.startsWith("part-"))
   }
 
+  /** Bring the band table in sync with the signature table at startup:
+    * builds it wholesale from the signatures when absent (bootstrap, or
+    * a crash mid-rebuild), else appends bands for any signature id the
+    * band table is missing — the sig-appended/band-append-died crash
+    * window, which replay cannot close for the same reason as the
+    * signature gap (the idempotent anti-join hides replayed survivors).
+    * Cost is one narrow id-column scan of the band table, paid once at
+    * startup, never per batch. */
+  private def backfillBands(spark: SparkSession, sigPath: String,
+                            bandPath: String, k: Int, bands: Int,
+                            fileBuckets: Int): Unit = {
+    if (!Zones.pathExists(spark, sigPath)) return
+    val sigs = spark.read.parquet(sigPath)
+    if (!Zones.pathExists(spark, bandPath)) {
+      Dedup.writeBandTable(sigs, bandPath, k, bands, fileBuckets)
+    } else {
+      // eager checkpoint: the missing-id plan reads bandPath, which the
+      // append below writes
+      val missing = sigs.join(
+          spark.read.parquet(bandPath).select(col("id")).distinct(),
+          Seq("id"), "left_anti").localCheckpoint()
+      if (missing.count() > 0)
+        Dedup.appendBandTable(missing, bandPath, k, bands, fileBuckets)
+    }
+  }
+
   /** Rewrite the signature table through the curated sink: per-batch
     * appends accumulate one small file per micro-batch, and a year of
     * micro-batches is millions of files — an ever-slower corpus scan.
@@ -92,6 +128,27 @@ object DedupStream {
     spark.catalog.refreshByPath(sigPath)
   }
 
+  /** Rebuild the band table from the (just-compacted) signature table,
+    * through the same temp-dir + rename swap. Crash-safe at every point:
+    * dying before the rename leaves the old table intact; dying between
+    * the delete and the rename leaves no band table, which the startup
+    * [[backfillBands]] rebuilds wholesale from the signatures (bands are
+    * derived data — the signature table is the source of truth). */
+  private def rebuildBandTable(spark: SparkSession, sigPath: String,
+                               bandPath: String, k: Int, bands: Int,
+                               fileBuckets: Int): Unit = {
+    val hc = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(bandPath)
+    val fs = p.getFileSystem(hc)
+    val tmp = new org.apache.hadoop.fs.Path(bandPath + "__compacting")
+    fs.delete(tmp, true)
+    Dedup.writeBandTable(spark.read.parquet(sigPath), tmp.toString,
+      k, bands, fileBuckets)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    spark.catalog.refreshByPath(bandPath)
+  }
+
   /** @param docStream streaming DF carrying `idCol` + `textCol`
     * @param sigPath   parquet dir of [[Dedup.minhashSignatures]] rows —
     *                  may not exist yet (bootstraps on first batch)
@@ -101,7 +158,26 @@ object DedupStream {
     *                  reaches this threshold (checked after each batch's
     *                  append); 0 disables. Compaction changes file
     *                  layout only — dedup results are identical across
-    *                  the boundary (DedupStreamSpec proves it).
+    *                  the boundary (DedupStreamSpec proves it). In
+    *                  banded mode the same trigger also rebuilds the
+    *                  band table from the compacted signatures (its
+    *                  per-batch appends accumulate small files at the
+    *                  same rate, so one trigger serves both).
+    * @param bandPath  when set, the corpus probe runs against a
+    *                  materialized [[Dedup.writeBandTable]] band table
+    *                  at this path instead of re-deriving (and
+    *                  re-shuffling) the corpus band set from `sigPath`
+    *                  every batch — per-batch corpus cost drops from
+    *                  O(corpus) to the banded probe's O(batch) shape,
+    *                  which is what survives a standing 100 TB corpus
+    *                  with micro-batch arrivals. The table is built from
+    *                  the signature table at startup if absent and kept
+    *                  in sync per batch ([[Dedup.appendBandTable]] after
+    *                  each signature append); every crash window is
+    *                  repaired at startup because bands are derived
+    *                  data — signatures remain the source of truth.
+    * @param fileBuckets band-table disk-partition count (banded mode
+    *                  only); must match across runs on the same table.
     * @return the started query (AvailableNow: drains and stops) */
   def run(spark: SparkSession, docStream: DataFrame, sigPath: String,
           outPath: String, checkpoint: String,
@@ -109,15 +185,20 @@ object DedupStream {
           shingleSize: Int = 5, k: Int = 128, bands: Int = 16,
           threshold: Double = 0.8, growCorpus: Boolean = true,
           idempotent: Boolean = true,
-          compactSigsAfterFiles: Int = 0): StreamingQuery = {
+          compactSigsAfterFiles: Int = 0,
+          bandPath: Option[String] = None,
+          fileBuckets: Int = 64): StreamingQuery = {
     require(compactSigsAfterFiles >= 0,
       s"compactSigsAfterFiles must be >= 0: $compactSigsAfterFiles")
     // repair the survivors-committed / signatures-missing crash window
     // before any batch runs (replay cannot: the idempotent anti-join
-    // hides replayed survivors from the signature append)
+    // hides replayed survivors from the signature append), then bring
+    // the band table in sync with the repaired signatures
     if (growCorpus)
       backfillSignatures(spark, sigPath, outPath, idCol, textCol,
         shingleSize, k)
+    bandPath.foreach(bp =>
+      backfillBands(spark, sigPath, bp, k, bands, fileBuckets))
     docStream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -130,8 +211,15 @@ object DedupStream {
         val vsCorpus =
           if (Zones.pathExists(spark, sigPath)) {
             val sigs = spark.read.parquet(sigPath)
-            Dedup.incrementalDedup(within, idCol, textCol, sigs,
-              shingleSize, k, bands, threshold)
+            bandPath match {
+              case Some(bp) if Zones.pathExists(spark, bp) =>
+                Dedup.incrementalDedupBanded(within, idCol, textCol,
+                  spark.read.parquet(bp), sigs, shingleSize, k, bands,
+                  threshold, fileBuckets)
+              case _ =>
+                Dedup.incrementalDedup(within, idCol, textCol, sigs,
+                  shingleSize, k, bands, threshold)
+            }
           } else within
         val survivors0 =
           if (idempotent && Zones.pathExists(spark, outPath)) {
@@ -152,12 +240,21 @@ object DedupStream {
           if (survivors.count() > 0) {
             survivors.write.mode("append").parquet(outPath)
             if (growCorpus) {
-              Dedup.minhashSignatures(survivors, idCol, textCol, shingleSize, k)
-                .write.mode("append").parquet(sigPath)
+              // survivors is checkpointed, so deriving signatures twice
+              // (sig append + band append) re-runs only the minhash
+              // projection over the small batch, never upstream reads
+              val newSigs = Dedup.minhashSignatures(survivors, idCol,
+                textCol, shingleSize, k)
+              newSigs.write.mode("append").parquet(sigPath)
+              bandPath.foreach(bp =>
+                Dedup.appendBandTable(newSigs, bp, k, bands, fileBuckets))
               if (compactSigsAfterFiles > 0 &&
-                  dataFileCount(spark, sigPath) >= compactSigsAfterFiles)
+                  dataFileCount(spark, sigPath) >= compactSigsAfterFiles) {
                 compactSignatures(spark, sigPath,
                   targetFiles = spark.sparkContext.defaultParallelism)
+                bandPath.foreach(bp =>
+                  rebuildBandTable(spark, sigPath, bp, k, bands, fileBuckets))
+              }
             }
           }
         } finally cached.unpersist()

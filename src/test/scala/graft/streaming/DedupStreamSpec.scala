@@ -127,6 +127,128 @@ class DedupStreamSpec extends SparkSpec {
     assert(sigIds == Seq(0L, 11L, 21L), s"got $sigIds")
   }
 
+  test("banded mode: same results as the legacy probe across drains; " +
+       "band table tracks the signature table") {
+    val root = Files.createTempDirectory("graft-dstream-band").toString
+    val (sigPath, outPath) = (s"$root/sigs", s"$root/out")
+    val bandPath = s"$root/bands"
+    // corpus signatures exist but no band table: startup must build it
+    Dedup.minhashSignatures(
+        Seq((0L, base)).toDF("doc_id", "text"), "doc_id", "text")
+      .write.parquet(sigPath)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    // same two-drain scenario as the legacy test — results must match
+    mem.addData(
+      (10L, base + " today"),
+      (11L, other), (12L, other),
+      (13L, "a genuinely novel document that matches nothing else at all"))
+    DedupStream.run(spark, docs, sigPath, outPath, s"$root/ckpt",
+      threshold = 0.6, bandPath = Some(bandPath)).awaitTermination(120000)
+    mem.addData(
+      (20L, other + " addendum"),
+      (13L, "a genuinely novel document that matches nothing else at all"),
+      (21L, "yet another unrelated document closing out the second batch"))
+    DedupStream.run(spark, docs, sigPath, outPath, s"$root/ckpt",
+      threshold = 0.6, bandPath = Some(bandPath)).awaitTermination(120000)
+
+    val kept = spark.read.parquet(outPath)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 13L, 21L), s"got $kept")
+    // the band table carries exactly the signature ids, each with one
+    // row per band — the per-batch appends kept it in sync
+    val sigIds = spark.read.parquet(sigPath)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(sigIds == Seq(0L, 11L, 13L, 21L), s"got $sigIds")
+    val bandCounts = spark.read.parquet(bandPath)
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(bandCounts.keySet == sigIds.toSet, s"got ${bandCounts.keySet}")
+    assert(bandCounts.values.forall(_ == 16L), s"got $bandCounts")
+  }
+
+  test("banded startup backfill repairs the sink->sig and sig->band " +
+       "crash windows together") {
+    val root = Files.createTempDirectory("graft-dstream-bandcrash").toString
+    val (sigPath, outPath) = (s"$root/sigs", s"$root/out")
+    val bandPath = s"$root/bands"
+    // crash state: signatures carry docs 0 and 5, but the band table was
+    // built before 5's append (sig->band gap); the sink carries doc 11
+    // whose signature append never ran (sink->sig gap)
+    Dedup.minhashSignatures(
+        Seq((0L, base)).toDF("doc_id", "text"), "doc_id", "text")
+      .write.parquet(sigPath)
+    Dedup.writeBandTable(spark.read.parquet(sigPath), bandPath)
+    Dedup.minhashSignatures(
+        Seq((5L, "an older accepted document about distributed systems and storage engines")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .write.mode("append").parquet(sigPath)
+    Seq((11L, other)).toDF("doc_id", "text").write.parquet(outPath)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    // 30 near-dups band-missing doc 5; 31 near-dups sig-missing sink doc
+    // 11; 32 is novel — only 32 may survive, and only if BOTH windows
+    // were repaired before the batch ran
+    mem.addData(
+      (30L, "an older accepted document about distributed systems and storage engines indeed"),
+      (31L, other + " addendum"),
+      (32L, "yet another unrelated document closing out the second batch"))
+    DedupStream.run(spark, mem.toDF().toDF("doc_id", "text"),
+      sigPath, outPath, s"$root/ckpt",
+      threshold = 0.6, bandPath = Some(bandPath)).awaitTermination(120000)
+
+    val kept = spark.read.parquet(outPath)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 32L), s"got $kept")
+    val sigIds = spark.read.parquet(sigPath)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(sigIds == Seq(0L, 5L, 11L, 32L), s"got $sigIds")
+    val bandIds = spark.read.parquet(bandPath)
+      .select("id").distinct().as[Long].collect().sorted.toSeq
+    assert(bandIds == sigIds, s"got $bandIds")
+  }
+
+  test("banded compaction boundary: results identical, band table rebuilt") {
+    def drainAll(root: String, compactAfter: Int): Unit = {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, String)]
+      val docs = mem.toDF().toDF("doc_id", "text")
+      mem.addData((11L, other),
+        (13L, "a genuinely novel document that matches nothing else at all"))
+      DedupStream.run(spark, docs, s"$root/sigs", s"$root/out",
+        s"$root/ckpt", threshold = 0.6, compactSigsAfterFiles = compactAfter,
+        bandPath = Some(s"$root/bands")).awaitTermination(120000)
+      mem.addData((20L, other + " addendum"),
+        (21L, "yet another unrelated document closing out the second batch"))
+      DedupStream.run(spark, docs, s"$root/sigs", s"$root/out",
+        s"$root/ckpt", threshold = 0.6, compactSigsAfterFiles = compactAfter,
+        bandPath = Some(s"$root/bands")).awaitTermination(120000)
+    }
+    val plain = Files.createTempDirectory("graft-dstream-bplain").toString
+    val compacted = Files.createTempDirectory("graft-dstream-bcompact").toString
+    drainAll(plain, compactAfter = 0)
+    drainAll(compacted, compactAfter = 1)
+    def state(root: String) = (
+      spark.read.parquet(s"$root/out").select("doc_id").as[Long].collect().toSet,
+      spark.read.parquet(s"$root/sigs").select("id").as[Long].collect().sorted.toSeq,
+      spark.read.parquet(s"$root/bands").select("id").distinct()
+        .as[Long].collect().sorted.toSeq)
+    assert(state(plain) == state(compacted),
+      s"${state(plain)} vs ${state(compacted)}")
+    assert(state(compacted)._1 == Set(11L, 13L, 21L))
+    // the band table was actually rebuilt into a clean run of files
+    def bandFiles(root: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.startsWith("part-")) 1 else 0
+      walk(new java.io.File(s"$root/bands"))
+    }
+    assert(bandFiles(compacted) < bandFiles(plain),
+      s"compacted=${bandFiles(compacted)} plain=${bandFiles(plain)}")
+  }
+
   test("streaming dedup bootstraps with no pre-existing signature table") {
     val root = Files.createTempDirectory("graft-dstream-boot").toString
     implicit val sqlCtx = spark.sqlContext
