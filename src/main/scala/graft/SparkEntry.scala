@@ -465,6 +465,24 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // The codec seam carrying a REAL byte-format decoder (VERDICT r6 #5):
+    // synthesizeBmp emits standards-valid uncompressed 24-bit bottom-up
+    // BMP files (sha256-chain pixels, stride padding exercised at widths
+    // 5/6/7) and decodeBmp PARSES them — magic, little-endian header,
+    // row order, padding — inside the same extractFeatures mapPartitions
+    // boundary as the stub. The oracle replays the pixel-generation
+    // formula, never the parser: any misread header field, flipped row
+    // order, or padding slip desyncs the positional feature sums and the
+    // hash goes red.
+    "q109_bmp_decode" -> ((s, d) => {
+      val media = operators.Multimodal.synthesizeBmp(s, 200)
+      val feats = operators.Multimodal
+        .extractFeatures(media, operators.Multimodal.decodeBmp).toDF()
+      val fcols = (0 until 8).map(i =>
+        element_at(col("features"), i + 1).cast("double").as(s"f$i"))
+      feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
+    }),
+
     // S10: SQL text execution through spark.sql over registered views
     "q38_sql_text" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("orders")
@@ -1379,18 +1397,8 @@ object SparkEntry {
     // invariant DedupSpec/PlanSpec pin. Same split, geometry, and output
     // as q100: the two paths must produce the identical pair set.
     "q104_incremental_banded" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val sigPath = s"/tmp/graft_q104_sigs_${new java.io.File(d).getName}"
-      val bandPath = s"/tmp/graft_q104_band_${new java.io.File(d).getName}"
-      val corpusSigs = Dedup.minhashSignatures(
-        docs.filter(pmod(col("doc_id"), lit(10)) >= 2), "doc_id", "text")
-      corpusSigs.write.mode("overwrite").parquet(sigPath)
-      Dedup.writeBandTable(s.read.parquet(sigPath), bandPath)
-      Dedup.incrementalDupPairsBanded(
-          docs.filter(pmod(col("doc_id"), lit(10)) < 2), "doc_id", "text",
-          s.read.parquet(bandPath), s.read.parquet(sigPath))
-        .select(col("id_new"), col("id_corpus"), r4(col("jaccard")).as("jaccard"))
-        .orderBy(col("id_new"), col("id_corpus"))
+      standingSplits("q104_incremental_banded").build(s, d)
+      standingSplits("q104_incremental_banded").probe(s, d)
     }),
 
     // Temperature (alpha = 1/2) source rebalance: per-source targets are
@@ -1468,19 +1476,8 @@ object SparkEntry {
     // batch and keeps only cross pairs, so the candidate set — hits AND
     // misses — is the gated artifact, same as q107.
     "q108_incremental_embdup" -> ((s, d) => {
-      val corpus = t(s, d, "embeddings").select(col("vec_id"),
-        Similarity.asDouble(col("embedding")).as("embedding"))
-      val batch = corpus.filter(pmod(col("vec_id"), lit(10)) === 0).select(
-        (col("vec_id") + lit(1000000L)).as("vec_id"),
-        transform(col("embedding"),
-          (x, i) => when(i === 0, x + lit(0.001)).otherwise(x)).as("embedding"))
-      val bandPath = s"/tmp/graft_q108_band_${new java.io.File(d).getName}"
-      Similarity.writeEmbBandTable(corpus, "vec_id", "embedding", bandPath)
-      Similarity.incrementalEmbNearDups(batch, "vec_id", "embedding",
-          s.read.parquet(bandPath), corpus, threshold = 0.999,
-          bands = 8, bitsPerBand = 8, dim = 64)
-        .select(col("id_new"), col("id_corpus"), r6(col("cos")).as("cos"))
-        .orderBy(col("id_new"), col("id_corpus"))
+      standingSplits("q108_incremental_embdup").build(s, d)
+      standingSplits("q108_incremental_embdup").probe(s, d)
     }),
 
     // Approximate distinct via the KMV sketch — q35's mergeable-sketch
@@ -1505,6 +1502,69 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
   )
+
+  /** Bench-side split of the standing-corpus probes (VERDICT r6 #4).
+    *
+    * The graded queries q104/q108 stay end-to-end — corpus standing-table
+    * build THEN batch probe — so the DuckDB hash gate covers the whole
+    * workflow. But the number the 100 TB design argues for is the
+    * PER-BATCH probe cost against an already-built corpus (the build is a
+    * one-time cost amortized over every subsequent batch), and folding an
+    * O(corpus) parquet write into the timed body made q104/q108 the two
+    * most expensive bench entries for the wrong reason. Bench times
+    * `build` and `probe` as separate metrics; the query fns above compose
+    * exactly these two steps, so the gated artifact is unchanged.
+    */
+  final case class StandingSplit(
+      build: (SparkSession, String) => Unit,
+      probe: (SparkSession, String) => DataFrame)
+
+  private def q104Paths(d: String): (String, String) = {
+    val sf = new java.io.File(d).getName
+    (s"/tmp/graft_q104_sigs_$sf", s"/tmp/graft_q104_band_$sf")
+  }
+  private def q108BandPath(d: String): String =
+    s"/tmp/graft_q108_band_${new java.io.File(d).getName}"
+  private def q108Corpus(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("embedding"))
+
+  def standingSplits: Map[String, StandingSplit] = Map(
+    "q104_incremental_banded" -> StandingSplit(
+      build = (s, d) => {
+        val (sigPath, bandPath) = q104Paths(d)
+        val docs = t(s, d, "documents")
+        Dedup.minhashSignatures(
+            docs.filter(pmod(col("doc_id"), lit(10)) >= 2), "doc_id", "text")
+          .write.mode("overwrite").parquet(sigPath)
+        Dedup.writeBandTable(s.read.parquet(sigPath), bandPath)
+      },
+      probe = (s, d) => {
+        val (sigPath, bandPath) = q104Paths(d)
+        Dedup.incrementalDupPairsBanded(
+            t(s, d, "documents").filter(pmod(col("doc_id"), lit(10)) < 2),
+            "doc_id", "text",
+            s.read.parquet(bandPath), s.read.parquet(sigPath))
+          .select(col("id_new"), col("id_corpus"),
+            r4(col("jaccard")).as("jaccard"))
+          .orderBy(col("id_new"), col("id_corpus"))
+      }),
+    "q108_incremental_embdup" -> StandingSplit(
+      build = (s, d) =>
+        Similarity.writeEmbBandTable(
+          q108Corpus(s, d), "vec_id", "embedding", q108BandPath(d)),
+      probe = (s, d) => {
+        val corpus = q108Corpus(s, d)
+        val batch = corpus.filter(pmod(col("vec_id"), lit(10)) === 0).select(
+          (col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.001)).otherwise(x)).as("embedding"))
+        Similarity.incrementalEmbNearDups(batch, "vec_id", "embedding",
+            s.read.parquet(q108BandPath(d)), corpus, threshold = 0.999,
+            bands = 8, bitsPerBand = 8, dim = 64)
+          .select(col("id_new"), col("id_corpus"), r6(col("cos")).as("cos"))
+          .orderBy(col("id_new"), col("id_corpus"))
+      }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1632,6 +1692,49 @@ object SparkEntry {
        |    CASE WHEN src % 3 = 0 THEN 'image' WHEN src % 3 = 1 THEN 'audio'
        |      ELSE 'video' END AS kind, $ss
        |  FROM roll WHERE j = len)""".stripMargin
+  }
+
+  /** q109 oracle: replay the BMP pixel-generation formula (NOT the
+    * parser). Pixel (x, y-top-down) of image i lives at pixel-array
+    * offset (h-1-y)*stride + 3x (bottom-up rows, 4-byte stride), channels
+    * B,G,R in file order; every byte is the sha256 hex chain's byte at
+    * that offset. The feature sums are integer-exact, so the DOUBLE
+    * projection hashes identically against the parsed-bytes Spark side. */
+  private lazy val bmpFeatCte: String = {
+    val alpha = "'0123456789abcdef'"
+    def byteAt(off: String): String =
+      s"(strpos($alpha, substr(hexfull, 2 * ($off) + 1, 1)) - 1) * 16 " +
+        s"+ (strpos($alpha, substr(hexfull, 2 * ($off) + 2, 1)) - 1)"
+    val shaChunks = (0 to 7)
+      .map(k => s"sha256('42:' || CAST(i AS VARCHAR) || ':$k')")
+      .mkString(" || ")
+    val dimByte0 =
+      s"(strpos($alpha, substr(dh, 1, 1)) - 1) * 16 + (strpos($alpha, substr(dh, 2, 1)) - 1)"
+    val dimByte1 =
+      s"(strpos($alpha, substr(dh, 3, 1)) - 1) * 16 + (strpos($alpha, substr(dh, 4, 1)) - 1)"
+    s"""WITH dim AS (
+       |  SELECT i, 4 + ($dimByte0) % 5 AS w, 4 + ($dimByte1) % 5 AS h, hexfull
+       |  FROM (SELECT i, sha256('42:' || CAST(i AS VARCHAR) || ':dim') AS dh,
+       |               $shaChunks AS hexfull
+       |        FROM range(200) t(i))),
+       |px AS (
+       |  SELECT i, w, h, hexfull,
+       |    CAST(j % w AS INT) AS x, CAST(j // w AS INT) AS yt,
+       |    (h - 1 - (j // w)) * (((3 * w + 3) // 4) * 4) + 3 * (j % w) AS off
+       |  FROM dim, range(64) r(j) WHERE j < w * h),
+       |chan AS (
+       |  SELECT i, w, h, x, yt,
+       |    ${byteAt("off")} AS b, ${byteAt("off + 1")} AS g,
+       |    ${byteAt("off + 2")} AS rr
+       |  FROM px),
+       |feat AS (
+       |  SELECT i AS media_id,
+       |    sum(rr) AS f0, sum(g) AS f1, sum(b) AS f2,
+       |    sum(rr * (x + 1)) AS f3, sum(g * (yt + 1)) AS f4,
+       |    sum(b * (x + 1) * (yt + 1)) AS f5,
+       |    max(w * 256 + h) AS f6,
+       |    sum(CASE WHEN rr > g THEN 1 ELSE 0 END) AS f7
+       |  FROM chan GROUP BY i)""".stripMargin
   }
 
   /** q99 fixed z-order cuts: 15 cuts = 16 buckets per dimension (bits=4),
@@ -1947,6 +2050,16 @@ object SparkEntry {
           |        + b.s4*b.s4 + b.s5*b.s5 + b.s6*b.s6 + b.s7*b.s7 AS DOUBLE)))
           |    >= 0.99
           |ORDER BY id_a, id_b""".stripMargin),
+
+    "q109_bmp_decode" ->
+      (bmpFeatCte +
+        """
+          |SELECT media_id,
+          |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
+          |  CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3,
+          |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
+          |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
+          |FROM feat ORDER BY media_id""".stripMargin),
 
     "q39_string_extras" ->
       """SELECT p_partkey, lpad(p_brand, 12, '*') AS brand_pad,

@@ -25,17 +25,40 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. We read nanos as long (legacy flag) and rebuild a
-    * TimestampType column via integer division (DIV, not `/` — double
-    * division would lose precision above 2^53 ns). Sub-microsecond
-    * precision is truncated, matching Spark's native timestamp unit.
+  /** `events.ts` has drifted across fixture generations: parquet
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — we read
+    * nanos as long via the legacy flag and rebuild), then
+    * TIMESTAMP_MICROS with isAdjustedToUTC=0 (which loads as
+    * TIMESTAMP_NTZ). Rather than assume one encoding, branch on the
+    * *loaded* dataType so any of the three shapes normalizes to a
+    * session-local TimestampType `ts`:
+    *   - LongType           → nanos-as-long fixture; rebuild via integer
+    *                          DIV 1000 (not `/` — double division loses
+    *                          precision above 2^53 ns)
+    *   - TimestampNTZType   → micros fixture, naive; reinterpret as UTC
+    *                          instants (session TZ is UTC, matching the
+    *                          DuckDB oracle's naive-timestamp semantics)
+    *   - TimestampType      → already an instant; pass through
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        // Every entrypoint (Verify/Bench/tests) pins the session TZ to
+        // UTC, so this cast maps each naive micros value to the
+        // identical UTC instant.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts loaded as unexpected type $other — fixture drift; " +
+            "extend Tables.events to normalize it")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

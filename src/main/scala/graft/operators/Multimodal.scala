@@ -134,6 +134,118 @@ object Multimodal {
     out
   }
 
+  /** REAL codec for uncompressed 24-bit BMP (the one raster format a bare
+    * JVM can both produce — javax.imageio writes it — and parse from first
+    * principles with no native libraries). This is the proof that the
+    * [[extractFeatures]] `codec` seam carries an actual byte-format
+    * decoder, not just the deterministic stub: it validates the BM magic,
+    * reads the little-endian header fields (pixel-array offset, width,
+    * height, bit depth, compression), honors the 4-byte row stride padding
+    * and the bottom-up row order (top-down via negative height also
+    * handled), and derives an 8-float feature vector from the DECODED
+    * pixels in image coordinates (x right, y down):
+    *
+    *   f0..f2 = ΣR, ΣG, ΣB
+    *   f3     = Σ R·(x+1)            — catches column misalignment
+    *   f4     = Σ G·(y+1)            — catches row-order mistakes
+    *   f5     = Σ B·(x+1)·(y+1)      — catches stride/padding mistakes
+    *   f6     = width·256 + height   — catches header misparses
+    *   f7     = #pixels with R > G
+    *
+    * Every accumulator is an integer < 2^24, so the float lanes are exact
+    * and a SQL engine can replay them (the q109 oracle recomputes the
+    * same sums from the pixel-generation formula — if this parser misread
+    * any header field, row order, or padding byte, the hash gate goes
+    * red). */
+  def decodeBmp(bytes: Array[Byte]): Array[Float] = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      "not a BMP: bad magic/length")
+    def le32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    def le16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    val pixelOff = le32(10)
+    val w = le32(18)
+    val hRaw = le32(22)
+    val bottomUp = hRaw > 0
+    val h = math.abs(hRaw)
+    require(le16(28) == 24, s"unsupported bit depth ${le16(28)} (want 24)")
+    require(le32(30) == 0, "compressed BMP unsupported")
+    val stride = ((3 * w + 3) / 4) * 4
+    require(bytes.length >= pixelOff + stride * h, "truncated pixel array")
+    val acc = new Array[Long](6)
+    var rGtG = 0L
+    var y = 0
+    while (y < h) {
+      val row = if (bottomUp) h - 1 - y else y
+      val base = pixelOff + row * stride
+      var x = 0
+      while (x < w) {
+        val b = bytes(base + 3 * x) & 0xff
+        val g = bytes(base + 3 * x + 1) & 0xff
+        val r = bytes(base + 3 * x + 2) & 0xff
+        acc(0) += r; acc(1) += g; acc(2) += b
+        acc(3) += r.toLong * (x + 1)
+        acc(4) += g.toLong * (y + 1)
+        acc(5) += b.toLong * (x + 1) * (y + 1)
+        if (r > g) rGtG += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array(acc(0).toFloat, acc(1).toFloat, acc(2).toFloat, acc(3).toFloat,
+      acc(4).toFloat, acc(5).toFloat, (w * 256 + h).toFloat, rGtG.toFloat)
+  }
+
+  /** Deterministic genuine-BMP table: each row's `bytes` is a complete,
+    * standards-valid uncompressed 24-bit bottom-up BMP file (54-byte
+    * header + stride-padded pixel array) whose pixel bytes come from the
+    * same sha256 hex chains as [[synthesizeMedia]] — so the q109 DuckDB
+    * oracle can replay pixel values without a BMP parser of its own,
+    * while the Spark side must genuinely PARSE the file to agree.
+    * Dimensions: width/height each 4 + (sha byte % 5) ∈ [4,8], so stride
+    * padding (width 5,6,7 → 1-3 pad bytes/row) is always exercised. */
+  def synthesizeBmp(spark: SparkSession, n: Int, seed: Long = 42L): DataFrame = {
+    val i = col("id")
+    def shaK(tag: Column): Column =
+      sha2(concat(lit(seed.toString + ":"), i.cast("string"), lit(":"), tag), 256)
+    def hexByte(h: Column, pos: Int): Column =
+      conv(substring(h, pos, 2), 16, 10).cast("int")
+    // little-endian hex of a non-negative int in `nBytes` bytes
+    def leHex(v: Column, nBytes: Int): Column = {
+      val be = lpad(lower(conv(v.cast("string"), 10, 16)), nBytes * 2, "0")
+      concat((nBytes - 1 to 0 by -1).map(k => substring(be, 2 * k + 1, 2)): _*)
+    }
+    val dimH = shaK(lit("dim"))
+    val w = (lit(4) + hexByte(dimH, 1) % 5).cast("int")
+    val h = (lit(4) + hexByte(dimH, 3) % 5).cast("int")
+    val stride = (w * 3 + lit(3)).divide(lit(4)).cast("int") * 4
+    val pixBytes = stride * h
+    val fileSize = pixBytes + lit(54)
+    val headerHex = concat(
+      lit("424d"),                    // 'BM'
+      leHex(fileSize, 4),             // file size
+      lit("00000000"),                // reserved
+      lit("36000000"),                // pixel-array offset = 54
+      lit("28000000"),                // BITMAPINFOHEADER size = 40
+      leHex(w, 4), leHex(h, 4),       // width, height (+ve → bottom-up)
+      lit("0100"), lit("1800"),       // planes=1, bpp=24
+      lit("00000000"),                // compression = BI_RGB
+      leHex(pixBytes, 4),             // image size
+      lit("130b0000"), lit("130b0000"), // 2835 ppm x/y
+      lit("00000000"), lit("00000000")) // palette counts
+    val hexFull = concat((0 until 8).map(k => shaK(lit(k.toString))): _*)
+    val pixelHex = hexFull.substr(lit(1), pixBytes * 2)
+    val meta = struct(
+      w.as("width"), h.as("height"), lit(3).cast("int").as("channels"),
+      lit("bmp").as("format"), lit(0).cast("int").as("duration_ms"),
+      lit(0).cast("int").as("sample_rate"))
+    spark.range(n.toLong)
+      .select(i.as("media_id"), lit("image").as("kind"),
+        unhex(concat(headerHex, pixelHex)).as("bytes"), meta.as("meta"))
+  }
+
   /** Per-partition feature extraction: Dataset[MediaRow] → features.
     * One shuffle-free map stage; bytes are dropped on the spot.
     *
