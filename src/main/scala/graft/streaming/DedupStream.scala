@@ -71,14 +71,6 @@ object DedupStream {
     if (sigs.count() > 0) sigs.write.mode("append").parquet(sigPath)
   }
 
-  /** Number of data files currently under a parquet table path. */
-  private def dataFileCount(spark: SparkSession, path: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) 0
-    else fs.listStatus(p).count(_.getPath.getName.startsWith("part-"))
-  }
-
   /** Bring the band table in sync with the signature table at startup:
     * builds it wholesale from the signatures when absent (bootstrap, or
     * a crash mid-rebuild), else appends bands for any signature id the
@@ -113,20 +105,13 @@ object DedupStream {
     * table intact (the half-written temp dir is deleted on the next
     * attempt). */
   private def compactSignatures(spark: SparkSession, sigPath: String,
-                                targetFiles: Int): Unit = {
-    val hc = spark.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(sigPath)
-    val fs = p.getFileSystem(hc)
-    val tmp = new org.apache.hadoop.fs.Path(sigPath + "__compacting")
-    fs.delete(tmp, true)
-    Zones.writeCurated(
-      spark.read.parquet(sigPath).repartition(targetFiles),
-      tmp.toString, partitionCols = Seq.empty, sortCols = Seq("id"),
-      maxRecordsPerFile = 10000000L, cluster = false)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
-    spark.catalog.refreshByPath(sigPath)
-  }
+                                targetFiles: Int): Unit =
+    Zones.replaceAtomically(spark, sigPath) { tmp =>
+      Zones.writeCurated(
+        spark.read.parquet(sigPath).repartition(targetFiles),
+        tmp, partitionCols = Seq.empty, sortCols = Seq("id"),
+        maxRecordsPerFile = 10000000L, cluster = false)
+    }
 
   /** Rebuild the band table from the (just-compacted) signature table,
     * through the same temp-dir + rename swap. Crash-safe at every point:
@@ -136,18 +121,11 @@ object DedupStream {
     * derived data — the signature table is the source of truth). */
   private def rebuildBandTable(spark: SparkSession, sigPath: String,
                                bandPath: String, k: Int, bands: Int,
-                               fileBuckets: Int): Unit = {
-    val hc = spark.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(bandPath)
-    val fs = p.getFileSystem(hc)
-    val tmp = new org.apache.hadoop.fs.Path(bandPath + "__compacting")
-    fs.delete(tmp, true)
-    Dedup.writeBandTable(spark.read.parquet(sigPath), tmp.toString,
-      k, bands, fileBuckets)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
-    spark.catalog.refreshByPath(bandPath)
-  }
+                               fileBuckets: Int): Unit =
+    Zones.replaceAtomically(spark, bandPath) { tmp =>
+      Dedup.writeBandTable(spark.read.parquet(sigPath), tmp,
+        k, bands, fileBuckets)
+    }
 
   /** @param docStream streaming DF carrying `idCol` + `textCol`
     * @param sigPath   parquet dir of [[Dedup.minhashSignatures]] rows —
@@ -249,7 +227,7 @@ object DedupStream {
               bandPath.foreach(bp =>
                 Dedup.appendBandTable(newSigs, bp, k, bands, fileBuckets))
               if (compactSigsAfterFiles > 0 &&
-                  dataFileCount(spark, sigPath) >= compactSigsAfterFiles) {
+                  Zones.dataFileCount(spark, sigPath) >= compactSigsAfterFiles) {
                 compactSignatures(spark, sigPath,
                   targetFiles = spark.sparkContext.defaultParallelism)
                 bandPath.foreach(bp =>

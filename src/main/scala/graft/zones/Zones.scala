@@ -47,6 +47,36 @@ object Zones {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Number of data files currently under a parquet table path — the
+    * compaction-trigger metric for per-batch-append tables. */
+  def dataFileCount(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(_.getPath.getName.startsWith("part-"))
+  }
+
+  /** Crash-safe full-table rewrite: `write` lands the new contents in a
+    * sibling temp dir, which then swaps in via delete + directory rename.
+    * Dying before the rename leaves the original intact (the half-written
+    * temp dir is deleted on the next attempt); dying between delete and
+    * rename leaves no table — callers whose table is DERIVED data (band
+    * tables) rebuild it from the source of truth at startup, which is why
+    * the delete-then-rename window is acceptable there. Used by the
+    * streaming dedup compaction triggers (text and embedding modality). */
+  def replaceAtomically(spark: SparkSession, path: String)
+                       (write: String => Unit): Unit = {
+    val hc = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hc)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    fs.delete(tmp, true)
+    write(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    spark.catalog.refreshByPath(path)
+  }
+
   /** Compact a landing day's files to ~`targetFileBytes` outputs.
     * Streaming ingest produces one small file per micro-batch per
     * partition; at 100 TB that turns every downstream scan into a
