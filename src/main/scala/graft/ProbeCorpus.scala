@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pinned-seed fixture builders for the scale probes (VERDICT r6 #7).
+  *
+  * Every corpus [[ScaleProbe]] measures against is derived here, from
+  * exactly two deterministic sources: the driver's seed-42 testdata
+  * (replication with per-copy suffix tokens) and sha256 chains over row
+  * ids (the planted dup graph). Nothing samples a clock or a PRNG, so two
+  * invocations produce byte-identical corpora — which is what lets
+  * 10×/100×/batch-vs-corpus curves be compared ACROSS rounds instead of
+  * only within a run. [[fingerprint]] is the proof hook: ProbeCorpusSpec
+  * pins count + order-independent content hash across double builds.
+  */
+object ProbeCorpus {
+
+  /** `copies`× the documents table: copy c appends " copytok<c>" to the
+    * text (so exact/fingerprint dedup stays honest — no two rows are
+    * byte-equal) and remaps doc_id to id*copies+c (disjoint, stable).
+    * Near-dup (MinHash/LSH) queries must NOT run on replicated text —
+    * replication inflates their true pair structure; use [[dupCorpus]]
+    * for that family. */
+  def replicateDocuments(spark: SparkSession, srcDir: String,
+                         copies: Int): DataFrame = {
+    val docs = Tables.documents(spark, srcDir)
+    (0 until copies).map { c =>
+      val text = concat(col("text"), lit(s" copytok$c"))
+      docs.select((col("doc_id") * copies + c).as("doc_id"), text.as("text"),
+        col("lang"), col("source"),
+        length(text).cast("long").as("n_chars"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** `copies`× the embeddings table, vectors replicated verbatim
+    * (per-vector ops only probe this corpus), ids remapped disjointly. */
+  def replicateEmbeddings(spark: SparkSession, srcDir: String,
+                          copies: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, srcDir)
+    (0 until copies).map { c =>
+      emb.select((col("vec_id") * copies + c).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** `copies`× the events table through the schema-adaptive
+    * [[Tables.events]] read (normalized TimestampType ts, round-trips
+    * whatever encoding the driver regenerates next). user_id is
+    * deliberately NOT remapped: `copies`× rows per key is the dimension
+    * the window/as-of machinery has to survive. */
+  def replicateEvents(spark: SparkSession, srcDir: String,
+                      copies: Int): DataFrame = {
+    val ev = Tables.events(spark, srcDir)
+    (0 until copies).map { c =>
+      ev.select((col("event_id") * copies + c).as("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Structure-preserving synthetic dup corpus for the ITERATIVE family
+    * (q65 clusters / q80 survivors), which plain replication cannot
+    * probe: near-identical copies of every doc would merge clusters
+    * across copies and inflate the true pair count quadratically. Docs
+    * come in clusters of exactly 3 (cluster g = id div 3) sharing a
+    * sha256-derived base text (~640 chars), members 1 and 2 appending a
+    * 32-char member-specific suffix — within-cluster char-5-shingle
+    * Jaccard ~0.9 (above minhashDupPairs' 0.8 cut), cross-cluster
+    * overlap ~0. N× the docs = N× the clusters of the SAME size — the
+    * workload iterative label propagation must scale against. `seed`
+    * salts the sha chain; the default is the pinned probe seed. */
+  def dupCorpus(spark: SparkSession, n: Long,
+                seed: String = "dup"): DataFrame = {
+    val g = expr("id div 3")
+    val m = col("id") % 3
+    def sha(tag: Column) =
+      sha2(concat(lit(seed + ":"), g.cast("string"), lit(":"), tag), 256)
+    val base = concat_ws(" ", (0 until 10).map(c => sha(lit(c.toString))): _*)
+    val text = when(m === 0, base).otherwise(concat(base, lit(" "),
+      substring(sha(concat(lit("m"), m.cast("string"))), 1, 32)))
+    spark.range(n).select(
+      col("id").as("doc_id"), text.as("text"), lit("en").as("lang"),
+      concat(lit("src"), (g % 5).cast("string")).as("source"),
+      length(text).cast("long").as("n_chars"))
+  }
+
+  /** Order-independent corpus digest: (row count, XOR of per-row
+    * xxhash64 over the canonical column-name-sorted JSON projection).
+    * Two corpora with equal fingerprints are content-identical up to row
+    * order — the reproducibility contract ProbeCorpusSpec pins. XOR, not
+    * sum: ANSI mode is on and summing 64-bit hashes overflows. */
+  def fingerprint(df: DataFrame): (Long, Long) = {
+    val row = df.agg(
+      count(lit(1)).as("n"),
+      expr("bit_xor(" +
+        "xxhash64(to_json(struct(" +
+        df.columns.sorted.map(c => s"`$c`").mkString(", ") +
+        "))))").as("h"))
+      .head()
+    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+  }
+}

@@ -32,30 +32,11 @@ object ScaleProbe {
     "q88_source_entropy", "q89_vocab_overlap", "q94_funnel",
     "q95_retention", "q96_rolling_active")
 
-  /** Structure-preserving synthetic dup corpus for the ITERATIVE family
-    * (q65 clusters / q80 survivors), which plain replication cannot
-    * probe: near-identical copies of every doc would merge clusters
-    * across copies and inflate the true pair count quadratically. Here
-    * the dup-graph structure is planted and scales linearly: docs come
-    * in clusters of exactly 3 (cluster g = id div 3) sharing a
-    * sha256-derived base text (~640 chars), members 1 and 2 appending a
-    * 32-char member-specific suffix — within-cluster char-5-shingle
-    * Jaccard ~0.9 (above minhashDupPairs' 0.8 cut), cross-cluster
-    * overlap ~0. 10x the docs = 10x the clusters of the SAME size — the
-    * workload the iterative label propagation must scale against. */
-  private def dupCorpus(spark: SparkSession, n: Long): DataFrame = {
-    val g = expr("id div 3")
-    val m = col("id") % 3
-    def sha(tag: Column) =
-      sha2(concat(lit("dup:"), g.cast("string"), lit(":"), tag), 256)
-    val base = concat_ws(" ", (0 until 10).map(c => sha(lit(c.toString))): _*)
-    val text = when(m === 0, base).otherwise(concat(base, lit(" "),
-      substring(sha(concat(lit("m"), m.cast("string"))), 1, 32)))
-    spark.range(n).select(
-      col("id").as("doc_id"), text.as("text"), lit("en").as("lang"),
-      concat(lit("src"), (g % 5).cast("string")).as("source"),
-      length(text).cast("long").as("n_chars"))
-  }
+  // Corpus construction lives in ProbeCorpus (pinned-seed, reproducible
+  // across invocations — ProbeCorpusSpec pins count+hash); this main only
+  // materializes and times.
+  private def dupCorpus(spark: SparkSession, n: Long): DataFrame =
+    ProbeCorpus.dupCorpus(spark, n)
 
   // q100/q101 ride the same corpus: the mod-10 batch/corpus split cuts
   // through every 3-doc cluster (ids 3g..3g+2), so cross-split near-dup
@@ -82,34 +63,16 @@ object ScaleProbe {
     val x100Only = args.contains("x100")
 
     if (!dupOnly && !incOnly && !x100Only) {
-    val docs = Tables.documents(spark, srcDir)
-    (0 until 10).map { c =>
-      val text = concat(col("text"), lit(s" copytok$c"))
-      docs.select((col("doc_id") * 10 + c).as("doc_id"), text.as("text"),
-        col("lang"), col("source"),
-        length(text).cast("long").as("n_chars")) // keep metadata consistent with the suffixed text
-    }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
-
-    val emb = Tables.embeddings(spark, srcDir)
-    (0 until 10).map { c =>
-      emb.select((col("vec_id") * 10 + c).as("vec_id"),
-        col("embedding"), col("label"))
-    }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
-
-    // events replicate with ts kept as the RAW int64 nanos column (no
-    // Tables.events rebuild), so the copy round-trips through the same
-    // nanosAsLong read path as the original. user_id is deliberately NOT
-    // remapped: 10x rows per key is the dimension the window/as-of
-    // machinery has to survive.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val evRaw = spark.read.parquet(s"$srcDir/events.parquet")
-    (0 until 10).map { c =>
-      evRaw.select((col("event_id") * 10 + c).as("event_id"), col("ts"),
-        col("user_id"), col("event_type"), col("value"), col("props"))
-    }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
+      ProbeCorpus.replicateDocuments(spark, srcDir, 10)
+        .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+      ProbeCorpus.replicateEmbeddings(spark, srcDir, 10)
+        .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+      // events round-trip through the schema-adaptive Tables.events read
+      // (normalized TimestampType ts, immune to the driver's encoding
+      // regenerations); user_id deliberately NOT remapped — 10x rows per
+      // key is the dimension the window/as-of machinery has to survive
+      ProbeCorpus.replicateEvents(spark, srcDir, 10)
+        .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
     }
 
     def time(fn: => DataFrame): Double = {
@@ -165,19 +128,9 @@ object ScaleProbe {
     // budget are reported as skipped, never silently dropped.
     if (x100Only) {
       val dir = s"$bigDir/x100"
-      val docs = Tables.documents(spark, srcDir)
-      (0 until 100).map { c =>
-        val text = concat(col("text"), lit(s" copytok$c"))
-        docs.select((col("doc_id") * 100 + c).as("doc_id"), text.as("text"),
-          col("lang"), col("source"),
-          length(text).cast("long").as("n_chars"))
-      }.reduce(_ unionByName _)
+      ProbeCorpus.replicateDocuments(spark, srcDir, 100)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      val emb = Tables.embeddings(spark, srcDir)
-      (0 until 100).map { c =>
-        emb.select((col("vec_id") * 100 + c).as("vec_id"),
-          col("embedding"), col("label"))
-      }.reduce(_ unionByName _)
+      ProbeCorpus.replicateEmbeddings(spark, srcDir, 100)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       val x100Queries = Seq("q29_text_quality", "q60_repetition",
         "q66_embedding_quantize", "q68_pii_redaction",
