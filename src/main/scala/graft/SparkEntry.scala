@@ -483,6 +483,22 @@ object SparkEntry {
       feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
     }),
 
+    // The audio-modality counterpart of q109: synthesizeWav emits
+    // standards-valid RIFF/WAV PCM files (sha256-chain samples, sha-
+    // derived per-row sample counts and rates so header fields vary) and
+    // decodeWav PARSES the chunk list — RIFF magic, fmt validation, data
+    // chunk, 16-bit LE sample decode. The oracle replays the sample-
+    // generation formula; any chunk-walk, sample-width, or byte-order
+    // mistake desyncs the signed/positional sums and the hash goes red.
+    "q110_wav_decode" -> ((s, d) => {
+      val media = operators.Multimodal.synthesizeWav(s, 200)
+      val feats = operators.Multimodal
+        .extractFeatures(media, operators.Multimodal.decodeWav).toDF()
+      val fcols = (0 until 8).map(i =>
+        element_at(col("features"), i + 1).cast("double").as(s"f$i"))
+      feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
+    }),
+
     // S10: SQL text execution through spark.sql over registered views
     "q38_sql_text" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("orders")
@@ -1737,6 +1753,51 @@ object SparkEntry {
        |  FROM chan GROUP BY i)""".stripMargin
   }
 
+  /** q110 oracle: replay the WAV sample-generation formula (NOT the
+    * parser). Sample j of file i is the 16-bit signed LE value at chain
+    * bytes (2j, 2j+1); sample count and rate come from the "len" sha
+    * bytes. Zero crossings via a lag window; every aggregate is
+    * integer-exact so the DOUBLE projection hashes identically against
+    * the parsed-bytes Spark side. */
+  private lazy val wavFeatCte: String = {
+    val alpha = "'0123456789abcdef'"
+    def byteAt(off: String): String =
+      s"(strpos($alpha, substr(hexfull, 2 * ($off) + 1, 1)) - 1) * 16 " +
+        s"+ (strpos($alpha, substr(hexfull, 2 * ($off) + 2, 1)) - 1)"
+    val shaChunks = (0 to 7)
+      .map(k => s"sha256('42:' || CAST(i AS VARCHAR) || ':$k')")
+      .mkString(" || ")
+    val lenByte0 =
+      s"(strpos($alpha, substr(lh, 1, 1)) - 1) * 16 + (strpos($alpha, substr(lh, 2, 1)) - 1)"
+    val lenByte1 =
+      s"(strpos($alpha, substr(lh, 3, 1)) - 1) * 16 + (strpos($alpha, substr(lh, 4, 1)) - 1)"
+    s"""WITH dim AS (
+       |  SELECT i, 32 + ($lenByte0) % 64 AS ns, 8000 + ($lenByte1) * 16 AS rate,
+       |         hexfull
+       |  FROM (SELECT i, sha256('42:' || CAST(i AS VARCHAR) || ':len') AS lh,
+       |               $shaChunks AS hexfull
+       |        FROM range(200) t(i))),
+       |smp AS (
+       |  SELECT i, ns, rate, j,
+       |    ${byteAt("2 * j")} AS b0,
+       |    (${byteAt("2 * j")}) + 256 * (${byteAt("2 * j + 1")})
+       |      - CASE WHEN (${byteAt("2 * j")}) + 256 * (${byteAt("2 * j + 1")})
+       |             >= 32768 THEN 65536 ELSE 0 END AS s
+       |  FROM dim, range(96) r(j) WHERE j < ns),
+       |sgn AS (
+       |  SELECT i, ns, rate, j, s, b0,
+       |    CASE WHEN j > 0 AND ((s >= 0) <>
+       |        (lag(s) OVER (PARTITION BY i ORDER BY j) >= 0))
+       |      THEN 1 ELSE 0 END AS zc
+       |  FROM smp),
+       |feat AS (
+       |  SELECT i AS media_id,
+       |    sum(s) AS f0, sum(abs(s)) AS f1, max(s) AS f2, min(s) AS f3,
+       |    sum(zc) AS f4, sum(b0 * (j + 1)) AS f5,
+       |    max(rate) AS f6, max(ns) AS f7
+       |  FROM sgn GROUP BY i)""".stripMargin
+  }
+
   /** q99 fixed z-order cuts: 15 cuts = 16 buckets per dimension (bits=4),
     * spanning l_quantity's 1..50 grid and l_extendedprice's range. */
   private val zQtyCuts: Seq[Double] = (1 to 15).map(_ * 3.0)
@@ -2053,6 +2114,16 @@ object SparkEntry {
 
     "q109_bmp_decode" ->
       (bmpFeatCte +
+        """
+          |SELECT media_id,
+          |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
+          |  CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3,
+          |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
+          |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
+          |FROM feat ORDER BY media_id""".stripMargin),
+
+    "q110_wav_decode" ->
+      (wavFeatCte +
         """
           |SELECT media_id,
           |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,

@@ -246,6 +246,122 @@ object Multimodal {
         unhex(concat(headerHex, pixelHex)).as("bytes"), meta.as("meta"))
   }
 
+  /** REAL codec for RIFF/WAV PCM (16-bit signed little-endian mono) —
+    * the audio-modality counterpart of [[decodeBmp]], and the second
+    * proof the codec seam carries actual byte-format decoders. Walks the
+    * RIFF chunk list generically (word-aligned, order-independent, extra
+    * chunks skipped), validates the `fmt ` chunk (PCM, mono, 16-bit),
+    * and derives 8 integer-exact feature lanes from the DECODED samples:
+    *
+    *   f0 = Σ s               f1 = Σ |s|
+    *   f2 = max s             f3 = min s
+    *   f4 = zero crossings (sign(s)= s≥0, adjacent samples)
+    *   f5 = Σ lowbyte(s)·(j+1)   — catches sample-order/width mistakes
+    *   f6 = sample rate          — catches fmt-chunk misparses
+    *   f7 = sample count         — catches data-chunk size misparses
+    *
+    * |f1| ≤ 32768·96 and f5 ≤ 255·96·97/2 stay far under 2^24, so every
+    * lane is exactly representable and the q110 oracle replays them from
+    * the sample-generation formula in SQL. */
+  def decodeWav(bytes: Array[Byte]): Array[Float] = {
+    require(bytes.length >= 44, "not a WAV: too short")
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def le32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    def le16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    require(fourcc(0) == "RIFF" && fourcc(8) == "WAVE",
+      "not a WAV: bad RIFF/WAVE magic")
+    var pos = 12
+    var sampleRate = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (pos + 8 <= bytes.length && (sampleRate < 0 || dataOff < 0)) {
+      val id = fourcc(pos)
+      val size = le32(pos + 4)
+      require(size >= 0 && pos + 8 + size <= bytes.length,
+        s"truncated chunk $id at $pos")
+      id match {
+        case "fmt " =>
+          require(le16(pos + 8) == 1, "non-PCM WAV unsupported")
+          require(le16(pos + 10) == 1, "only mono WAV supported")
+          require(le16(pos + 22) == 16, "only 16-bit WAV supported")
+          sampleRate = le32(pos + 12)
+        case "data" => dataOff = pos + 8; dataLen = size
+        case _ => () // LIST/fact/etc — skip
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    require(sampleRate > 0, "missing fmt chunk")
+    require(dataOff >= 0, "missing data chunk")
+    val n = dataLen / 2
+    var sum, absSum, posWeighted, crossings = 0L
+    var mx = Int.MinValue
+    var mn = Int.MaxValue
+    var prevNonNeg = false
+    var j = 0
+    while (j < n) {
+      val lo = bytes(dataOff + 2 * j) & 0xff
+      val raw = lo | ((bytes(dataOff + 2 * j + 1) & 0xff) << 8)
+      val s = if (raw >= 32768) raw - 65536 else raw
+      sum += s; absSum += math.abs(s)
+      if (s > mx) mx = s
+      if (s < mn) mn = s
+      val nonNeg = s >= 0
+      if (j > 0 && nonNeg != prevNonNeg) crossings += 1
+      prevNonNeg = nonNeg
+      posWeighted += lo.toLong * (j + 1)
+      j += 1
+    }
+    Array(sum.toFloat, absSum.toFloat, mx.toFloat, mn.toFloat,
+      crossings.toFloat, posWeighted.toFloat, sampleRate.toFloat, n.toFloat)
+  }
+
+  /** Deterministic genuine-WAV table: each row's `bytes` is a complete,
+    * standards-valid RIFF/WAV file (PCM, mono, 16-bit LE) whose sample
+    * bytes come from the same sha256 hex chains as [[synthesizeBmp]]'s
+    * pixels — the q110 oracle replays samples without a WAV parser,
+    * while the Spark side must genuinely PARSE the chunk list. 32–95
+    * samples and an 8000–12080 Hz rate per row, both sha-derived, so the
+    * fmt/data header fields vary row to row. */
+  def synthesizeWav(spark: SparkSession, n: Int, seed: Long = 42L): DataFrame = {
+    val i = col("id")
+    def shaK(tag: Column): Column =
+      sha2(concat(lit(seed.toString + ":"), i.cast("string"), lit(":"), tag), 256)
+    def hexByte(h: Column, pos: Int): Column =
+      conv(substring(h, pos, 2), 16, 10).cast("int")
+    def leHex(v: Column, nBytes: Int): Column = {
+      val be = lpad(lower(conv(v.cast("string"), 10, 16)), nBytes * 2, "0")
+      concat((nBytes - 1 to 0 by -1).map(k => substring(be, 2 * k + 1, 2)): _*)
+    }
+    val lh = shaK(lit("len"))
+    val nSamples = (lit(32) + hexByte(lh, 1) % 64).cast("int")
+    val rate = (lit(8000) + hexByte(lh, 3) * 16).cast("int")
+    val dataSize = nSamples * 2
+    val headerHex = concat(
+      lit("52494646"),                 // 'RIFF'
+      leHex(dataSize + lit(36), 4),    // chunk size
+      lit("57415645"),                 // 'WAVE'
+      lit("666d7420"), lit("10000000"), // 'fmt ', 16
+      lit("0100"), lit("0100"),        // PCM, mono
+      leHex(rate, 4), leHex(rate * 2, 4), // sample rate, byte rate
+      lit("0200"), lit("1000"),        // block align 2, 16 bits
+      lit("64617461"),                 // 'data'
+      leHex(dataSize, 4))
+    val hexFull = concat((0 until 8).map(k => shaK(lit(k.toString))): _*)
+    val sampleHex = hexFull.substr(lit(1), dataSize * 2)
+    val meta = struct(
+      lit(0).cast("int").as("width"), lit(0).cast("int").as("height"),
+      lit(1).cast("int").as("channels"), lit("wav").as("format"),
+      (nSamples * 1000 / rate).cast("int").as("duration_ms"),
+      rate.as("sample_rate"))
+    spark.range(n.toLong)
+      .select(i.as("media_id"), lit("audio").as("kind"),
+        unhex(concat(headerHex, sampleHex)).as("bytes"), meta.as("meta"))
+  }
+
   /** Per-partition feature extraction: Dataset[MediaRow] → features.
     * One shuffle-free map stage; bytes are dropped on the spot.
     *

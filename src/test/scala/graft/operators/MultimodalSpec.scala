@@ -151,6 +151,96 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodeBmp(truncated))
   }
 
+  private def wavFeaturesOf(samples: Array[Short], rate: Int): Seq[Float] = {
+    var f0, f1, f4, f5 = 0L
+    var mx = Int.MinValue; var mn = Int.MaxValue
+    for (j <- samples.indices) {
+      val s = samples(j).toInt
+      f0 += s; f1 += math.abs(s)
+      if (s > mx) mx = s
+      if (s < mn) mn = s
+      if (j > 0 && ((s >= 0) != (samples(j - 1) >= 0))) f4 += 1
+      f5 += (s & 0xff).toLong * (j + 1)
+    }
+    Seq(f0, f1, mx, mn, f4, f5, rate, samples.length).map(_.toFloat)
+  }
+
+  private def jdkWavBytes(samples: Array[Short], rate: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate.toFloat,
+      16, 1, 2, rate.toFloat, false) // false = little-endian
+    val raw = new Array[Byte](samples.length * 2)
+    for (j <- samples.indices) {
+      raw(2 * j) = (samples(j) & 0xff).toByte
+      raw(2 * j + 1) = ((samples(j) >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeWav parses a WAV written by the JDK's own encoder (javax.sound cross-check)") {
+    // deterministic asymmetric samples spanning negatives, zero
+    // crossings, and the full byte range
+    val rate = 11025
+    val samples = Array.tabulate[Short](73)(j =>
+      ((j * 1103 + 251) % 65536 - 32768).toShort)
+    val feats = Multimodal.decodeWav(jdkWavBytes(samples, rate))
+    assert(feats.toSeq == wavFeaturesOf(samples, rate),
+      s"parsed ${feats.toSeq} disagrees with sample-truth")
+  }
+
+  test("synthesizeWav bytes are standards-valid: the JDK's decoder reads them back sample-identically") {
+    import javax.sound.sampled._
+    val rows = Multimodal.synthesizeWav(spark, 25)
+      .select($"media_id", $"bytes", $"meta.sample_rate")
+      .collect()
+    assert(rows.length == 25)
+    for (row <- rows) {
+      val bytes = row.getAs[Array[Byte]]("bytes")
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      assert(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16 &&
+        !fmt.isBigEndian,
+        s"media ${row.getLong(0)}: JDK read unexpected format $fmt")
+      assert(fmt.getSampleRate.toInt == row.getInt(2))
+      val raw = ais.readAllBytes()
+      val samples = Array.tabulate[Short](raw.length / 2)(j =>
+        ((raw(2 * j) & 0xff) | (raw(2 * j + 1) << 8)).toShort)
+      assert(Multimodal.decodeWav(bytes).toSeq ==
+        wavFeaturesOf(samples, fmt.getSampleRate.toInt),
+        s"media ${row.getLong(0)}: decodeWav disagrees with JDK samples")
+    }
+  }
+
+  test("decodeWav walks chunk lists generically and rejects malformed input") {
+    // a LIST chunk between fmt and data must be skipped, not tripped on
+    val rate = 8000
+    val samples = Array[Short](100, -200, 300, -400, 0, 32767, -32768)
+    val std = jdkWavBytes(samples, rate)
+    // splice an 11-byte (odd → word-aligned to 12) LIST chunk after fmt:
+    // find the 'data' fourcc and insert before it
+    val dataIdx = std.indices.find(k => k + 4 <= std.length &&
+      std(k) == 'd' && std(k + 1) == 'a' && std(k + 2) == 't' && std(k + 3) == 'a').get
+    val junk = "LIST".getBytes ++ Array[Byte](11, 0, 0, 0) ++
+      Array.fill[Byte](12)(0x5a)
+    val spliced = std.take(dataIdx) ++ junk ++ std.drop(dataIdx)
+    // fix the RIFF size field (bytes 4-7, little-endian)
+    val total = spliced.length - 8
+    for (k <- 0 until 4) spliced(4 + k) = ((total >> (8 * k)) & 0xff).toByte
+    assert(Multimodal.decodeWav(spliced).toSeq == wavFeaturesOf(samples, rate))
+
+    intercept[IllegalArgumentException](Multimodal.decodeWav(Array[Byte](1, 2, 3)))
+    val notWav = std.clone(); notWav(0) = 'X'
+    intercept[IllegalArgumentException](Multimodal.decodeWav(notWav))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeWav(java.util.Arrays.copyOf(std, std.length - 3)))
+  }
+
   test("mediaNearDupPairs flags byte-identical media") {
     import Multimodal._
     val rows = Seq(
