@@ -100,6 +100,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q109/q110: codec queries are map-only — decode runs in the scan stage, sole exchange is the final sort") {
+    for (q <- Seq("q109_bmp_decode", "q110_wav_decode")) {
+      val p = executedPlanOf(q).split("== Initial Plan ==").head
+      // one pass: synthesize → mapPartitions decode → project, then the
+      // ordered output's range exchange; a second exchange would mean
+      // media bytes crossed a shuffle
+      val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+      assert(exchanges.size == 1, s"$q expected 1 exchange, got $exchanges\n$p")
+      assert(exchanges.head.contains("rangepartitioning"),
+        s"$q sole exchange should be the final sort: $exchanges")
+      assert(p.contains("MapPartitions"), s"$q lost the batch decode stage\n$p")
+    }
+  }
+
   test("q61: bench grams broadcast; only shuffles are the hit-count agg + final sort") {
     val p = executedPlanOf("q61_decontamination").split("== Initial Plan ==").head
     // the gram join must be a broadcast hash join (bench side built once
