@@ -499,6 +499,24 @@ object SparkEntry {
       feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
     }),
 
+    // The first COMPRESSED format through the codec seam: synthesizePng
+    // emits CRC-valid 8-bit RGB PNG files (sha256-chain pixels, row
+    // filter type r mod 5 so all five PNG filters are in-gate) and
+    // decodePng does the full decode — chunk walk + CRC32, IHDR
+    // validation, multi-IDAT zlib inflate, and Sub/Up/Average/Paeth
+    // scanline reconstruction. The oracle replays the pixel formula:
+    // decoded pixels are independent of the deflate representation, so
+    // the compressed layer is round-trip-transparent to the hash gate —
+    // any filter-inversion or inflate mistake desyncs the sums.
+    "q111_png_decode" -> ((s, d) => {
+      val media = operators.Multimodal.synthesizePng(s, 200)
+      val feats = operators.Multimodal
+        .extractFeatures(media, operators.Multimodal.decodePng).toDF()
+      val fcols = (0 until 8).map(i =>
+        element_at(col("features"), i + 1).cast("double").as(s"f$i"))
+      feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
+    }),
+
     // S10: SQL text execution through spark.sql over registered views
     "q38_sql_text" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("orders")
@@ -1798,6 +1816,49 @@ object SparkEntry {
        |  FROM sgn GROUP BY i)""".stripMargin
   }
 
+  /** q111 oracle: replay the PNG pixel-generation formula (NOT the
+    * parser — and NOT the deflate layer, which decoded pixels are
+    * independent of). Pixel (x, y) of image i is the "png"-tagged chain
+    * bytes at offset 3(y·w + x) + {0,1,2} (RGB, row-major top-down, no
+    * stride padding); dimensions from the "png dim" sha bytes. Feature
+    * lanes are identical to q109's. */
+  private lazy val pngFeatCte: String = {
+    val alpha = "'0123456789abcdef'"
+    def byteAt(off: String): String =
+      s"(strpos($alpha, substr(hexfull, 2 * ($off) + 1, 1)) - 1) * 16 " +
+        s"+ (strpos($alpha, substr(hexfull, 2 * ($off) + 2, 1)) - 1)"
+    val shaChunks = (0 to 7)
+      .map(k => s"sha256('42:png:' || CAST(i AS VARCHAR) || ':$k')")
+      .mkString(" || ")
+    val dimByte0 =
+      s"(strpos($alpha, substr(dh, 1, 1)) - 1) * 16 + (strpos($alpha, substr(dh, 2, 1)) - 1)"
+    val dimByte1 =
+      s"(strpos($alpha, substr(dh, 3, 1)) - 1) * 16 + (strpos($alpha, substr(dh, 4, 1)) - 1)"
+    s"""WITH dim AS (
+       |  SELECT i, 4 + ($dimByte0) % 5 AS w, 4 + ($dimByte1) % 5 AS h, hexfull
+       |  FROM (SELECT i, sha256('42:png:' || CAST(i AS VARCHAR) || ':dim') AS dh,
+       |               $shaChunks AS hexfull
+       |        FROM range(200) t(i))),
+       |px AS (
+       |  SELECT i, w, h, hexfull,
+       |    CAST(j % w AS INT) AS x, CAST(j // w AS INT) AS yt,
+       |    3 * j AS off
+       |  FROM dim, range(64) r(j) WHERE j < w * h),
+       |chan AS (
+       |  SELECT i, w, h, x, yt,
+       |    ${byteAt("off")} AS rr, ${byteAt("off + 1")} AS g,
+       |    ${byteAt("off + 2")} AS b
+       |  FROM px),
+       |feat AS (
+       |  SELECT i AS media_id,
+       |    sum(rr) AS f0, sum(g) AS f1, sum(b) AS f2,
+       |    sum(rr * (x + 1)) AS f3, sum(g * (yt + 1)) AS f4,
+       |    sum(b * (x + 1) * (yt + 1)) AS f5,
+       |    max(w * 256 + h) AS f6,
+       |    sum(CASE WHEN rr > g THEN 1 ELSE 0 END) AS f7
+       |  FROM chan GROUP BY i)""".stripMargin
+  }
+
   /** q99 fixed z-order cuts: 15 cuts = 16 buckets per dimension (bits=4),
     * spanning l_quantity's 1..50 grid and l_extendedprice's range. */
   private val zQtyCuts: Seq[Double] = (1 to 15).map(_ * 3.0)
@@ -2124,6 +2185,16 @@ object SparkEntry {
 
     "q110_wav_decode" ->
       (wavFeatCte +
+        """
+          |SELECT media_id,
+          |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
+          |  CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3,
+          |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
+          |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
+          |FROM feat ORDER BY media_id""".stripMargin),
+
+    "q111_png_decode" ->
+      (pngFeatCte +
         """
           |SELECT media_id,
           |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,

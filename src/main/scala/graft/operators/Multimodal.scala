@@ -362,6 +362,193 @@ object Multimodal {
         unhex(concat(headerHex, sampleHex)).as("bytes"), meta.as("meta"))
   }
 
+  /** REAL codec for PNG (8-bit RGB, non-interlaced) — the first
+    * COMPRESSED format behind the codec seam, possible with zero
+    * external libraries because DEFLATE ships in the JDK
+    * (java.util.zip.Inflater). Full first-principles decode: 8-byte
+    * signature, chunk walk with CRC32 validation, IHDR validation
+    * (8-bit, color type 2, no interlace), multi-IDAT concatenation,
+    * zlib inflate, and per-scanline filter reconstruction — None, Sub,
+    * Up, Average, and Paeth predictors per the PNG spec. Features are
+    * [[decodeBmp]]'s 8 integer-exact lanes over the decoded pixels in
+    * image coordinates, so the q111 oracle replays the same
+    * pixel-formula sums: the compressed layer is round-trip-transparent
+    * (decoded pixels never depend on which deflate bytes encoded them),
+    * which is exactly what lets a SQL oracle gate a DEFLATE codec. */
+  def decodePng(bytes: Array[Byte]): Array[Float] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    require(bytes.length > 8 && bytes.take(8).sameElements(sig),
+      "not a PNG: bad signature")
+    def be32(off: Int): Int =
+      ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+        ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+    var pos = 8
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd) {
+      require(pos + 8 <= bytes.length, "truncated chunk header")
+      val len = be32(pos)
+      val ctype = new String(bytes, pos + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      require(len >= 0 && pos + 12 + len <= bytes.length,
+        s"truncated $ctype chunk")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      require(crc.getValue.toInt == be32(pos + 8 + len),
+        s"CRC mismatch in $ctype chunk")
+      ctype match {
+        case "IHDR" =>
+          w = be32(pos + 8); h = be32(pos + 12)
+          require((bytes(pos + 16) & 0xff) == 8, "only 8-bit PNG supported")
+          require((bytes(pos + 17) & 0xff) == 2, "only RGB (color type 2) supported")
+          require((bytes(pos + 20) & 0xff) == 0, "interlaced PNG unsupported")
+        case "IDAT" => idat.write(bytes, pos + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunks skipped (CRC still checked)
+      }
+      pos += 12 + len
+    }
+    require(w > 0 && h > 0, "missing IHDR")
+    // zlib inflate of the concatenated IDAT stream
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val stride = 3 * w
+    val raw = new Array[Byte]((stride + 1) * h)
+    var got = 0
+    while (got < raw.length && !inflater.finished()) {
+      val n = inflater.inflate(raw, got, raw.length - got)
+      require(n > 0 || inflater.finished(), "bad IDAT stream")
+      got += n
+    }
+    inflater.end()
+    require(got == raw.length, s"short pixel data: $got of ${raw.length}")
+    // scanline filter reconstruction (bpp = 3)
+    val px = new Array[Int](stride * h) // recon bytes as unsigned ints
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (stride + 1)) & 0xff
+      require(ft <= 4, s"unknown filter type $ft in row $y")
+      var k = 0
+      while (k < stride) {
+        val x = raw(y * (stride + 1) + 1 + k) & 0xff
+        val left = if (k >= 3) px(y * stride + k - 3) else 0
+        val up = if (y > 0) px((y - 1) * stride + k) else 0
+        val ul = if (y > 0 && k >= 3) px((y - 1) * stride + k - 3) else 0
+        val recon = ft match {
+          case 0 => x
+          case 1 => x + left
+          case 2 => x + up
+          case 3 => x + (left + up) / 2
+          case 4 => // Paeth predictor
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            x + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+        }
+        px(y * stride + k) = recon & 0xff
+        k += 1
+      }
+      y += 1
+    }
+    // decodeBmp's feature lanes over top-down RGB pixels
+    val acc = new Array[Long](6)
+    var rGtG = 0L
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = px(y * stride + 3 * x)
+        val g = px(y * stride + 3 * x + 1)
+        val b = px(y * stride + 3 * x + 2)
+        acc(0) += r; acc(1) += g; acc(2) += b
+        acc(3) += r.toLong * (x + 1)
+        acc(4) += g.toLong * (y + 1)
+        acc(5) += b.toLong * (x + 1) * (y + 1)
+        if (r > g) rGtG += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array(acc(0).toFloat, acc(1).toFloat, acc(2).toFloat, acc(3).toFloat,
+      acc(4).toFloat, acc(5).toFloat, (w * 256 + h).toFloat, rGtG.toFloat)
+  }
+
+  /** Deterministic genuine-PNG table: each row's `bytes` is a complete,
+    * CRC-valid PNG file (8-bit RGB, non-interlaced) whose DECODED pixels
+    * come from sha256 hex chains ("png"-tagged, so content differs from
+    * the BMP table) in row-major top-down order. Scanline r is encoded
+    * with filter type r mod 5, so every one of the five PNG filters is
+    * exercised in-gate (heights are ≥5 for four of five width draws).
+    * Compression itself is JDK Deflater output — NOT part of the gated
+    * artifact: the oracle replays pixels, and decoded pixels are
+    * independent of which deflate representation carried them.
+    *
+    * Encoding runs distributed (mapPartitions over spark.range) — the
+    * sha chains are recomputed per row with MessageDigest, matching the
+    * SQL oracle's sha256 over the same strings byte for byte. */
+  def synthesizePng(spark: SparkSession, n: Int, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).map { id =>
+      def sha(tag: String): Array[Byte] =
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s"$seed:png:$id:$tag".getBytes("UTF-8"))
+      val dim = sha("dim")
+      val w = 4 + (dim(0) & 0xff) % 5
+      val h = 4 + (dim(1) & 0xff) % 5
+      val chain = (0 until 8).flatMap(k => sha(k.toString)).toArray
+      val stride = 3 * w
+      // raw scanlines with per-row filter type (r mod 5) applied
+      val recon = Array.tabulate(h * stride)(i => chain(i) & 0xff)
+      val filtered = new Array[Byte]((stride + 1) * h)
+      for (y <- 0 until h) {
+        val ft = y % 5
+        filtered(y * (stride + 1)) = ft.toByte
+        for (k <- 0 until stride) {
+          val x = recon(y * stride + k)
+          val left = if (k >= 3) recon(y * stride + k - 3) else 0
+          val up = if (y > 0) recon((y - 1) * stride + k) else 0
+          val ul = if (y > 0 && k >= 3) recon((y - 1) * stride + k - 3) else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up)
+              val pc = math.abs(p - ul)
+              if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+          }
+          filtered(y * (stride + 1) + 1 + k) = ((x - pred) & 0xff).toByte
+        }
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(filtered); deflater.finish()
+      val zbuf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
+      deflater.end()
+      def chunk(ctype: String, payload: Array[Byte]): Array[Byte] = {
+        val out = java.nio.ByteBuffer.allocate(12 + payload.length)
+        out.putInt(payload.length)
+        out.put(ctype.getBytes("US-ASCII")); out.put(payload)
+        val crc = new java.util.zip.CRC32()
+        crc.update(ctype.getBytes("US-ASCII")); crc.update(payload)
+        out.putInt(crc.getValue.toInt)
+        out.array()
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+        chunk("IHDR", ihdr) ++ chunk("IDAT", zbuf.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+      MediaRow(id, "image", png,
+        MediaMeta(w, h, 3, "png", 0, 0))
+    }.toDF()
+  }
+
   /** Per-partition feature extraction: Dataset[MediaRow] → features.
     * One shuffle-free map stage; bytes are dropped on the spot.
     *

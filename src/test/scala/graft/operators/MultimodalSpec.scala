@@ -241,6 +241,78 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeWav(java.util.Arrays.copyOf(std, std.length - 3)))
   }
 
+  test("decodePng parses a PNG written by the JDK's own encoder (ImageIO cross-check)") {
+    // ImageIO's PNG writer picks its own scanline filters — parsing its
+    // output exercises the filter reconstruction against an independent
+    // encoder's choices, not just our own r-mod-5 schedule
+    import java.awt.image.BufferedImage
+    val w = 19; val h = 13
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    def px(x: Int, y: Int): (Int, Int, Int) =
+      (((x * 67 + y * 31 + 5) % 256), ((x * 11 + y * 89 + 140) % 256),
+        ((x * 43 + y * 7 + 77) % 256))
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos), "JDK PNG writer missing")
+    val feats = Multimodal.decodePng(bos.toByteArray)
+    var f0, f1, f2, f3, f4, f5, f7 = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      f0 += r; f1 += g; f2 += b
+      f3 += r * (x + 1); f4 += g * (y + 1); f5 += b.toLong * (x + 1) * (y + 1)
+      if (r > g) f7 += 1
+    }
+    assert(feats.toSeq == Seq(f0, f1, f2, f3, f4, f5, w * 256 + h, f7).map(_.toFloat),
+      s"parsed features ${feats.toSeq} disagree with pixel-truth")
+  }
+
+  test("synthesizePng bytes are standards-valid and exercise all five filters: JDK reads them back pixel-identically") {
+    val rows = Multimodal.synthesizePng(spark, 25)
+      .select($"media_id", $"bytes", $"meta.width", $"meta.height")
+      .collect()
+    assert(rows.length == 25)
+    // heights ≥5 carry a Paeth (type 4) row under the r-mod-5 schedule
+    assert(rows.exists(_.getInt(3) >= 5), "no image tall enough for all 5 filters")
+    for (row <- rows) {
+      val bytes = row.getAs[Array[Byte]]("bytes")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected synthesized PNG ${row.getLong(0)}")
+      assert(img.getWidth == row.getInt(2) && img.getHeight == row.getInt(3))
+      var f0, f1, f2, f3, f4, f5, f7 = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        f0 += r; f1 += g; f2 += b
+        f3 += r * (x + 1); f4 += g * (y + 1); f5 += b.toLong * (x + 1) * (y + 1)
+        if (r > g) f7 += 1
+      }
+      val expected = Seq(f0, f1, f2, f3, f4, f5,
+        img.getWidth * 256 + img.getHeight, f7).map(_.toFloat)
+      assert(Multimodal.decodePng(bytes).toSeq == expected,
+        s"media ${row.getLong(0)}: decodePng disagrees with ImageIO pixels")
+    }
+  }
+
+  test("decodePng validates CRCs and rejects malformed input") {
+    val good = {
+      val img = new java.awt.image.BufferedImage(6, 6,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    intercept[IllegalArgumentException](Multimodal.decodePng(Array[Byte](1, 2)))
+    val badSig = good.clone(); badSig(1) = 'X'
+    intercept[IllegalArgumentException](Multimodal.decodePng(badSig))
+    // flip one byte inside the IHDR payload: the CRC check must trip
+    val badCrc = good.clone(); badCrc(17) = (badCrc(17) ^ 0x01).toByte
+    intercept[IllegalArgumentException](Multimodal.decodePng(badCrc))
+    intercept[IllegalArgumentException](
+      Multimodal.decodePng(java.util.Arrays.copyOf(good, good.length - 6)))
+  }
+
   test("mediaNearDupPairs flags byte-identical media") {
     import Multimodal._
     val rows = Seq(
