@@ -172,8 +172,17 @@ object Multimodal {
     val h = math.abs(hRaw)
     require(le16(28) == 24, s"unsupported bit depth ${le16(28)} (want 24)")
     require(le32(30) == 0, "compressed BMP unsupported")
-    val stride = ((3 * w + 3) / 4) * 4
-    require(bytes.length >= pixelOff + stride * h, "truncated pixel array")
+    // bounds math in Long: a malformed header with huge w/h would
+    // overflow Int stride*h (possibly to negative), pass an Int-typed
+    // check, and turn the intended loud reject into an
+    // ArrayIndexOutOfBounds (or a silent wrong read on partial overflow)
+    require(w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20),
+      s"implausible BMP dimensions ${w}x$hRaw")
+    require(pixelOff >= 54, s"pixel offset $pixelOff inside header")
+    val strideL = ((3L * w + 3) / 4) * 4
+    require(bytes.length.toLong >= pixelOff.toLong + strideL * h,
+      "truncated pixel array")
+    val stride = strideL.toInt // fits: strideL * h <= bytes.length (Int)
     val acc = new Array[Long](6)
     var rGtG = 0L
     var y = 0

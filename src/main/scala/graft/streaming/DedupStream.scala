@@ -100,13 +100,15 @@ object DedupStream {
   /** Rewrite the signature table through the curated sink: per-batch
     * appends accumulate one small file per micro-batch, and a year of
     * micro-batches is millions of files — an ever-slower corpus scan.
-    * The rewrite lands in a sibling temp dir first and swaps in with a
-    * directory rename, so a crash mid-compaction leaves the original
-    * table intact (the half-written temp dir is deleted on the next
-    * attempt). */
+    * The signature table is the SOURCE OF TRUTH (backfill re-derives
+    * signatures only for ids present in the sink; a pre-seeded corpus
+    * never emitted to the sink could not be rebuilt), so the swap keeps
+    * a backup copy alive at every instant ([[Zones.replaceKeepingBackup]])
+    * and [[run]] closes the mid-swap crash window with
+    * [[Zones.recoverBackup]] at startup. */
   private def compactSignatures(spark: SparkSession, sigPath: String,
                                 targetFiles: Int): Unit =
-    Zones.replaceAtomically(spark, sigPath) { tmp =>
+    Zones.replaceKeepingBackup(spark, sigPath) { tmp =>
       Zones.writeCurated(
         spark.read.parquet(sigPath).repartition(targetFiles),
         tmp, partitionCols = Seq.empty, sortCols = Seq("id"),
@@ -168,6 +170,10 @@ object DedupStream {
           fileBuckets: Int = 64): StreamingQuery = {
     require(compactSigsAfterFiles >= 0,
       s"compactSigsAfterFiles must be >= 0: $compactSigsAfterFiles")
+    // restore the signature table first if a compaction swap died between
+    // its two renames (source-of-truth table: backup swap, not
+    // delete-then-rename), then repair the derived/sink gaps below
+    Zones.recoverBackup(spark, sigPath)
     // repair the survivors-committed / signatures-missing crash window
     // before any batch runs (replay cannot: the idempotent anti-join
     // hides replayed survivors from the signature append), then bring

@@ -118,6 +118,11 @@ object EmbDedupStream {
           fileBuckets: Int = 64): StreamingQuery = {
     require(compactVecsAfterFiles >= 0,
       s"compactVecsAfterFiles must be >= 0: $compactVecsAfterFiles")
+    // vecPath is the SOURCE OF TRUTH (backfillVectors can only rebuild
+    // rows present in the sink — a pre-seeded standing corpus could not
+    // be recovered): restore an interrupted compaction swap before any
+    // repair logic reads the table
+    Zones.recoverBackup(spark, vecPath)
     if (growCorpus)
       backfillVectors(spark, vecPath, outPath, idCol, vecCol)
     bandPath.foreach(bp => backfillBands(spark, vecPath, bp, idCol, vecCol,
@@ -142,9 +147,12 @@ object EmbDedupStream {
                 Similarity.embBandRows(corpus, idCol, vecCol,
                   bands, bitsPerBand, dim, fileBuckets)
             }
+            // persistBatch = false: the batch is already persisted as
+            // `cached` above; the operator's own persist would register a
+            // cached projection per micro-batch that nothing unpersists
             Similarity.incrementalEmbDedup(within, idCol, vecCol,
               bandTable, corpus, threshold, bands, bitsPerBand, dim,
-              fileBuckets)
+              fileBuckets, persistBatch = false)
           } else within
         val survivors0 =
           if (idempotent && Zones.pathExists(spark, outPath)) {
@@ -168,7 +176,8 @@ object EmbDedupStream {
                   bands, bitsPerBand, dim, fileBuckets))
               if (compactVecsAfterFiles > 0 &&
                   Zones.dataFileCount(spark, vecPath) >= compactVecsAfterFiles) {
-                Zones.replaceAtomically(spark, vecPath) { tmp =>
+                // source of truth → backup-keeping swap (never zero copies)
+                Zones.replaceKeepingBackup(spark, vecPath) { tmp =>
                   Zones.writeCurated(
                     spark.read.parquet(vecPath)
                       .repartition(spark.sparkContext.defaultParallelism),

@@ -60,10 +60,11 @@ object Zones {
     * sibling temp dir, which then swaps in via delete + directory rename.
     * Dying before the rename leaves the original intact (the half-written
     * temp dir is deleted on the next attempt); dying between delete and
-    * rename leaves no table — callers whose table is DERIVED data (band
-    * tables) rebuild it from the source of truth at startup, which is why
-    * the delete-then-rename window is acceptable there. Used by the
-    * streaming dedup compaction triggers (text and embedding modality). */
+    * rename leaves no table — ONLY callers whose table is DERIVED data
+    * (band tables) may use this, because they rebuild it from the source
+    * of truth at startup. Source-of-truth tables (signature/vector
+    * tables) must use [[replaceKeepingBackup]], which never leaves zero
+    * copies on disk. */
   def replaceAtomically(spark: SparkSession, path: String)
                        (write: String => Unit): Unit = {
     val hc = spark.sessionState.newHadoopConf()
@@ -73,8 +74,58 @@ object Zones {
     fs.delete(tmp, true)
     write(tmp.toString)
     fs.delete(p, true)
-    fs.rename(tmp, p)
+    if (!fs.rename(tmp, p))
+      sys.error(s"replaceAtomically: rename $tmp -> $p failed")
     spark.catalog.refreshByPath(path)
+  }
+
+  /** Source-of-truth-safe full-table rewrite: unlike [[replaceAtomically]]
+    * there is NO instant at which zero copies of the table exist on disk.
+    * Sequence: write tmp → rename current to `path__old` → rename tmp to
+    * `path` → delete `path__old`. Every crash window leaves either the
+    * old table (at `path` or at `__old`) or the complete new one; callers
+    * run [[recoverBackup]] at startup to close the mid-swap window.
+    * Rename results are checked — a failed rename aborts loudly rather
+    * than proceeding into data loss. */
+  def replaceKeepingBackup(spark: SparkSession, path: String)
+                          (write: String => Unit): Unit = {
+    val hc = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hc)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    fs.delete(tmp, true)
+    write(tmp.toString)
+    // a stale __old can only be the remnant of a COMPLETED prior swap
+    // (recoverBackup restores an interrupted one before we get here)
+    fs.delete(old, true)
+    if (fs.exists(p) && !fs.rename(p, old))
+      sys.error(s"replaceKeepingBackup: rename $p -> $old failed")
+    if (!fs.rename(tmp, p))
+      sys.error(s"replaceKeepingBackup: rename $tmp -> $p failed")
+    fs.delete(old, true)
+    spark.catalog.refreshByPath(path)
+  }
+
+  /** Startup recovery for [[replaceKeepingBackup]]'s mid-swap crash
+    * window. If `path` is missing but `path__old` exists, the process
+    * died between the two renames — restore the backup. If both exist,
+    * the swap completed but the cleanup delete didn't — drop the stale
+    * backup. A half-written `path__compacting` is deleted either way
+    * (the next rewrite starts fresh). */
+  def recoverBackup(spark: SparkSession, path: String): Unit = {
+    val hc = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hc)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    fs.delete(new org.apache.hadoop.fs.Path(path + "__compacting"), true)
+    if (fs.exists(old)) {
+      if (!fs.exists(p)) {
+        if (!fs.rename(old, p))
+          sys.error(s"recoverBackup: rename $old -> $p failed")
+        spark.catalog.refreshByPath(path)
+      } else fs.delete(old, true)
+    }
   }
 
   /** Compact a landing day's files to ~`targetFileBytes` outputs.

@@ -100,7 +100,7 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q109/q110: codec queries are map-only — decode runs in the scan stage, sole exchange is the final sort") {
+  test("q109/q110/q111: codec queries are map-only — decode runs in the scan stage, sole exchange is the final sort") {
     for (q <- Seq("q109_bmp_decode", "q110_wav_decode", "q111_png_decode")) {
       val p = executedPlanOf(q).split("== Initial Plan ==").head
       // one pass: synthesize → mapPartitions decode → project, then the
