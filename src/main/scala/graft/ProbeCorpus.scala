@@ -84,6 +84,75 @@ object ProbeCorpus {
       length(text).cast("long").as("n_chars"))
   }
 
+  /** `copies`× the events table along the KEY-CARDINALITY axis (VERDICT
+    * r7 #4): user_id IS remapped disjointly (uid*copies+c), so the corpus
+    * gains `copies`× the users at the ORIGINAL per-key depth — the
+    * production growth axis for the window/as-of machinery (more users,
+    * same history per user), complementing [[replicateEvents]]'s
+    * per-key-depth axis (same users, deeper history). Timestamps pass
+    * through unchanged: per-key event sequences are exact copies of a
+    * real user's, so per-key work is identical by construction and any
+    * super-linear wall growth is attributable to the key dimension. */
+  def replicateEventsCardinality(spark: SparkSession, srcDir: String,
+                                 copies: Int): DataFrame = {
+    val ev = Tables.events(spark, srcDir)
+    (0 until copies).map { c =>
+      ev.select((col("event_id") * copies + c).as("event_id"), col("ts"),
+        (col("user_id") * copies + c).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Boilerplate-skew corpus for the hot-band probes (VERDICT r7 #1):
+    * `hotPerMille`‰ of docs (id % 1000 < hotPerMille) share one
+    * seed-derived ~640-char template and differ only in a 16-char
+    * per-doc suffix — pairwise char-5-shingle Jaccard ≈ 0.95, so they
+    * are TRUE near-dups that collide in essentially every LSH band
+    * (the templated-boilerplate corpus shape that survives exact dedup
+    * and breaks naive banding); the rest get per-doc unique sha-chain
+    * text. Same pinned-seed contract as [[dupCorpus]]: no clock, no
+    * PRNG. Batch/corpus splits use the usual mod-10 convention. */
+  def boilerplateCorpus(spark: SparkSession, n: Long, hotPerMille: Int = 80,
+                        seed: String = "boil"): DataFrame = {
+    val isHot = col("id") % 1000 < hotPerMille
+    val template = concat_ws(" ",
+      (0 until 10).map(c => sha2(lit(s"$seed:tmpl:$c"), 256)): _*)
+    val suffix = substring(
+      sha2(concat(lit(s"$seed:h:"), col("id").cast("string")), 256), 1, 16)
+    val coldText = concat_ws(" ", (0 until 10).map(c =>
+      sha2(concat(lit(s"$seed:c:$c:"), col("id").cast("string")), 256)): _*)
+    val text = when(isHot, concat(template, lit(" "), suffix)).otherwise(coldText)
+    spark.range(n).select(
+      col("id").as("doc_id"), text.as("text"), lit("en").as("lang"),
+      when(isHot, lit("boiler")).otherwise(
+        concat(lit("src"), (col("id") % 5).cast("string"))).as("source"),
+      length(text).cast("long").as("n_chars"))
+  }
+
+  /** Embedding analog of [[boilerplateCorpus]]: hot vectors are one
+    * seed-derived base vector plus a tiny (1e-4-scale) per-id single-
+    * coordinate perturbation — pairwise cosine ≈ 1, identical LSH sign
+    * bits, so they pile into the same band values; cold vectors are
+    * per-id xxhash64-derived noise (probe-only corpus — in-engine
+    * determinism suffices, no SQL replay needed). */
+  def boilerplateEmbeddings(spark: SparkSession, n: Long, dim: Int = 64,
+                            hotPerMille: Int = 80,
+                            seed: String = "boilvec"): DataFrame = {
+    val isHot = col("id") % 1000 < hotPerMille
+    def unit(h: Column) = (pmod(h, lit(1000L)) - lit(500L)).cast("double") / 500.0
+    val dims = sequence(lit(0), lit(dim - 1))
+    val base = transform(dims, d => unit(xxhash64(concat(lit(s"$seed:b:"), d))))
+    val hotVec = transform(base, (x, i) =>
+      when(i === pmod(col("id"), lit(dim.toLong)).cast("int"),
+        x + (pmod(col("id"), lit(7L)) + 1).cast("double") * 1e-4).otherwise(x))
+    val coldVec = transform(dims, d => unit(
+      xxhash64(concat(col("id").cast("string"), lit(s":$seed:"), d))))
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      when(isHot, hotVec).otherwise(coldVec).as("embedding"),
+      when(isHot, lit("boiler")).otherwise(lit("noise")).as("label"))
+  }
+
   /** Order-independent corpus digest: (row count, XOR of per-row
     * xxhash64 over the canonical column-name-sorted JSON projection).
     * Two corpora with equal fingerprints are content-identical up to row

@@ -268,6 +268,70 @@ object Dedup {
       .write.mode("append").partitionBy("band_pt").parquet(path)
   }
 
+  /** Hot-band statistics + representatives over a [[writeBandTable]]
+    * table: one row per band value whose corpus occupancy exceeds `cap`,
+    * with `(band_idx, band, freq, reps)` where `reps` is the `reps`
+    * smallest member ids — the skew escape hatch
+    * [[incrementalDupPairsBanded]] consumes.
+    *
+    * Why this exists: candidate generation through a band value is linear
+    * in the value's corpus occupancy, so a boilerplate-heavy corpus
+    * (templated near-identical docs that survive exact dedup) makes the
+    * per-batch probe cost track the CORPUS, not the batch — the exact
+    * property the banded probe exists to avoid. Docs sharing a band value
+    * at high occupancy are overwhelmingly near-identical to EACH OTHER
+    * (r = k/bands matching minhash slots at r=8 is vanishingly unlikely
+    * for dissimilar text), so verifying a batch doc against a bounded
+    * sample of members loses essentially nothing for match-exists
+    * semantics: if the doc near-duplicates any member it near-duplicates
+    * the representatives too. Pair-completeness on hot bands is traded
+    * away explicitly — a probe hitting a hot band reports at most `reps`
+    * corpus partners through it (cold bands stay exact).
+    *
+    * Build cost: one narrow partial-agg count over the band table, plus a
+    * windowed pass restricted to the hot rows. The result is tiny by
+    * construction (each surviving row represents > `cap` corpus docs), so
+    * probes broadcast it. Rebuild whenever the band table is rebuilt. */
+  def hotBands(bandTable: DataFrame, cap: Int = 1024, reps: Int = 16): DataFrame = {
+    require(cap >= 1 && reps >= 1, s"cap=$cap and reps=$reps must be positive")
+    val freqs = bandTable.groupBy(col("band_idx"), col("band"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > cap)
+    val w = Window.partitionBy(col("band_idx"), col("band")).orderBy(col("id"))
+    bandTable.join(broadcast(freqs), Seq("band_idx", "band"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= reps)
+      .groupBy(col("band_idx"), col("band"), col("freq"))
+      .agg(sort_array(collect_list(col("id"))).as("reps"))
+  }
+
+  /** Candidate `(id_new, id_corpus)` pairs for a banded probe, split by
+    * band temperature when a [[hotBands]] table is supplied: cold bands
+    * probe the band table exactly (broadcast-hash, corpus streamed); hot
+    * bands skip the band table entirely and pair the batch doc with the
+    * band's bounded representative set. With `hot = None` (or an empty
+    * hot table) the output is exactly the uncapped candidate set. */
+  private[operators] def bandedCandidates(batchBands: DataFrame,
+                                          bandTable: DataFrame,
+                                          hot: Option[DataFrame]): DataFrame = {
+    val cold = hot match {
+      case None => batchBands
+      case Some(h) => batchBands.join(
+        broadcast(h.select(col("band_idx"), col("band"))),
+        Seq("band_idx", "band"), "left_anti")
+    }
+    val coldCands = bandTable
+      .join(broadcast(cold), Seq("band_pt", "band_idx", "band"))
+      .select(col("id_new"), col("id").as("id_corpus"))
+    val all = hot match {
+      case None => coldCands
+      case Some(h) => coldCands.union(
+        batchBands.join(broadcast(h), Seq("band_idx", "band"))
+          .select(col("id_new"), explode(col("reps")).as("id_corpus")))
+    }
+    all.distinct()
+  }
+
   /** Near-dup pairs between an arriving batch and a standing corpus,
     * probing a pre-materialized [[writeBandTable]] band table — the
     * O(batch)-per-batch path. Output contract is identical to
@@ -290,14 +354,22 @@ object Dedup {
     * candidate bound, never corpus-proportional — the invariant
     * PlanSpec pins. For batches too large to broadcast, fall back to
     * [[incrementalDupPairs]], whose symmetric shuffle shape is the right
-    * one when both sides are big. */
+    * one when both sides are big.
+    *
+    * @param hot optional [[hotBands]] table for the same band table: band
+    *        values above the build-time occupancy cap probe a bounded
+    *        representative set instead of the full bucket, keeping the
+    *        candidate volume batch-proportional even on boilerplate-heavy
+    *        corpora (see [[hotBands]] for the recall trade). An empty hot
+    *        table reproduces the uncapped pair set exactly. */
   def incrementalDupPairsBanded(batch: DataFrame, idCol: String,
                                 textCol: String, bandTable: DataFrame,
                                 corpusSigs: DataFrame, shingleSize: Int = 5,
                                 k: Int = 128, bands: Int = 16,
                                 threshold: Double = 0.8,
                                 fileBuckets: Int = 64,
-                                persistBatch: Boolean = true): DataFrame = {
+                                persistBatch: Boolean = true,
+                                hot: Option[DataFrame] = None): DataFrame = {
     val newSigs0 = minhashSignatures(batch, idCol, textCol, shingleSize, k)
     val newSigs = if (persistBatch)
       newSigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -306,10 +378,7 @@ object Dedup {
       .select(col("id").as("id_new"), posexplode(bandKeys(col("sig"), k, bands)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
       .withColumn("band_pt", pmod(col("band"), lit(fileBuckets.toLong)).cast("int"))
-    val candidates = bandTable
-      .join(broadcast(batchBands), Seq("band_pt", "band_idx", "band"))
-      .select(col("id_new"), col("id").as("id_corpus"))
-      .distinct()
+    val candidates = bandedCandidates(batchBands, bandTable, hot)
     corpusSigs.select(col("id").as("id_corpus"), col("sh").as("sh_c"))
       .join(broadcast(candidates), Seq("id_corpus"))
       .join(broadcast(newSigs.select(col("id").as("id_new"), col("sh").as("sh_n"))),
@@ -327,9 +396,11 @@ object Dedup {
                              shingleSize: Int = 5, k: Int = 128,
                              bands: Int = 16, threshold: Double = 0.8,
                              fileBuckets: Int = 64,
-                             persistBatch: Boolean = true): DataFrame = {
+                             persistBatch: Boolean = true,
+                             hot: Option[DataFrame] = None): DataFrame = {
     val matched = incrementalDupPairsBanded(batch, idCol, textCol, bandTable,
-        corpusSigs, shingleSize, k, bands, threshold, fileBuckets, persistBatch)
+        corpusSigs, shingleSize, k, bands, threshold, fileBuckets, persistBatch,
+        hot)
       .select(col("id_new").as(idCol)).distinct()
     batch.join(matched, Seq(idCol), "left_anti")
   }
