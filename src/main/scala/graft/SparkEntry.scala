@@ -517,6 +517,24 @@ object SparkEntry {
       feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
     }),
 
+    // The second compressed format through the codec seam: synthesizeGif
+    // emits standards-valid GIF89a files (sha256-chain pixel indices AND
+    // palette bytes, sha-derived dimensions) and decodeGif does the full
+    // decode — descriptors, global color table, extension skip, and the
+    // variable-width LZW stream. The oracle replays pixel indices and
+    // palette lookups: decoded indices are independent of the LZW code
+    // sequence that carried them (the q111 round-trip-transparency
+    // property), so any bit-unpack, dictionary, or palette mistake
+    // desyncs the sums and the hash goes red.
+    "q112_gif_decode" -> ((s, d) => {
+      val media = operators.Multimodal.synthesizeGif(s, 200)
+      val feats = operators.Multimodal
+        .extractFeatures(media, operators.Multimodal.decodeGif).toDF()
+      val fcols = (0 until 8).map(i =>
+        element_at(col("features"), i + 1).cast("double").as(s"f$i"))
+      feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
+    }),
+
     // S10: SQL text execution through spark.sql over registered views
     "q38_sql_text" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("orders")
@@ -1192,9 +1210,9 @@ object SparkEntry {
     // dedup to (day, user) grain first (the big shuffle), then each
     // target day joins its trailing window — the join fan-out is bounded
     // by 7 × daily-active rows, NOT raw events. At 100 TB the same query
-    // drops the join for a per-day hll_sketch_agg + 7-way hll_union_agg
-    // rollup (mergeable-sketch pattern, bounds pinned in SketchSpec);
-    // day-grain exactness is what a SQL oracle can gate.
+    // drops the join for merged per-day sketches — IMPLEMENTED as
+    // q113_rolling_kmv (per-day KMV partials, window-merged, fully
+    // hash-gated); day-grain exactness is what THIS oracle gates.
     "q96_rolling_active" -> ((s, d) => {
       // only (dt, user_id) cross the big distinct shuffle; the display
       // string derives from the 30-row aggregate
@@ -1535,6 +1553,40 @@ object SparkEntry {
           col("exact_parts"))
         .orderBy(col("l_returnflag"))
     }),
+
+    // q96's 100 TB shape (VERDICT r7 #2): rolling 7-day distinct actives
+    // via MERGED per-day KMV sketches instead of the day×user join. The
+    // raw events stream crosses exactly ONE aggregation keyed by day —
+    // the exchange after the partial carries one bounded ≤k-long sketch
+    // row per (task, day), never (day, user) pairs — and the 7-day merge
+    // then runs on ~30 sketch rows (explode + re-aggregate through the
+    // same kmv aggregator: per-day k-minima are lossless for the union's
+    // k-minima, the standard KMV merge property). Same deterministic
+    // sha256-prefix hash as q102, so DuckDB replays the per-day
+    // sketches, the window merge, and the (k-1)/v_k estimate exactly.
+    "q113_rolling_kmv" -> ((s, d) => {
+      import graft.functions.KmvAggregator._
+      val k = 256
+      // persisted (≤ ~30 bounded sketch rows): the join references the
+      // frame twice, and without the pin the raw events would be
+      // aggregated once per reference — at 100 TB the equivalent is
+      // materializing the per-day sketch table to storage (the band-table
+      // pattern), so one scan of raw events is the modeled shape
+      val daySketch = Tables.events(s, d)
+        .select(to_date(col("ts")).as("dt"), kmvHash(col("user_id")).as("h"))
+        .groupBy(col("dt"))
+        .agg(kmv(k)(col("h")).as("mins"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val days = daySketch.select(col("dt"))
+      days.join(daySketch.select(col("dt").as("adt"), col("mins")),
+          datediff(col("dt"), col("adt")).between(0, 6))
+        .select(col("dt"), explode(col("mins")).as("h"))
+        .groupBy(col("dt"))
+        .agg(kmv(k)(col("h")).as("mins"))
+        .select(date_format(col("dt"), "yyyy-MM-dd").as("day"),
+          r4(kmvEstimate(col("mins"), k)).as("active_7d_est"))
+        .orderBy(col("day"))
+    }),
   )
 
   /** Bench-side split of the standing-corpus probes (VERDICT r6 #4).
@@ -1557,6 +1609,13 @@ object SparkEntry {
     val sf = new java.io.File(d).getName
     (s"/tmp/graft_q104_sigs_$sf", s"/tmp/graft_q104_band_$sf")
   }
+  // Both standing probes run the CAPPED path in production shape: the
+  // build writes the hotBands sidecar next to the band table, the probe
+  // consumes it. On the gated corpora no band value exceeds the default
+  // occupancy cap (SkewSpec pins this), so the sidecar is empty and the
+  // pair set is byte-identical to the uncapped oracle replay — the cap
+  // binds only on boilerplate-skewed corpora (ScaleProbe `skew` mode).
+  private def hotPath(bandPath: String): String = bandPath + "_hot"
   private def q108BandPath(d: String): String =
     s"/tmp/graft_q108_band_${new java.io.File(d).getName}"
   private def q108Corpus(s: SparkSession, d: String): DataFrame =
@@ -1572,21 +1631,27 @@ object SparkEntry {
             docs.filter(pmod(col("doc_id"), lit(10)) >= 2), "doc_id", "text")
           .write.mode("overwrite").parquet(sigPath)
         Dedup.writeBandTable(s.read.parquet(sigPath), bandPath)
+        Dedup.hotBands(s.read.parquet(bandPath))
+          .write.mode("overwrite").parquet(hotPath(bandPath))
       },
       probe = (s, d) => {
         val (sigPath, bandPath) = q104Paths(d)
         Dedup.incrementalDupPairsBanded(
             t(s, d, "documents").filter(pmod(col("doc_id"), lit(10)) < 2),
             "doc_id", "text",
-            s.read.parquet(bandPath), s.read.parquet(sigPath))
+            s.read.parquet(bandPath), s.read.parquet(sigPath),
+            hot = Some(s.read.parquet(hotPath(bandPath))))
           .select(col("id_new"), col("id_corpus"),
             r4(col("jaccard")).as("jaccard"))
           .orderBy(col("id_new"), col("id_corpus"))
       }),
     "q108_incremental_embdup" -> StandingSplit(
-      build = (s, d) =>
+      build = (s, d) => {
         Similarity.writeEmbBandTable(
-          q108Corpus(s, d), "vec_id", "embedding", q108BandPath(d)),
+          q108Corpus(s, d), "vec_id", "embedding", q108BandPath(d))
+        Dedup.hotBands(s.read.parquet(q108BandPath(d)))
+          .write.mode("overwrite").parquet(hotPath(q108BandPath(d)))
+      },
       probe = (s, d) => {
         val corpus = q108Corpus(s, d)
         val batch = corpus.filter(pmod(col("vec_id"), lit(10)) === 0).select(
@@ -1595,7 +1660,8 @@ object SparkEntry {
             (x, i) => when(i === 0, x + lit(0.001)).otherwise(x)).as("embedding"))
         Similarity.incrementalEmbNearDups(batch, "vec_id", "embedding",
             s.read.parquet(q108BandPath(d)), corpus, threshold = 0.999,
-            bands = 8, bitsPerBand = 8, dim = 64)
+            bands = 8, bitsPerBand = 8, dim = 64,
+            hot = Some(s.read.parquet(hotPath(q108BandPath(d)))))
           .select(col("id_new"), col("id_corpus"), r6(col("cos")).as("cos"))
           .orderBy(col("id_new"), col("id_corpus"))
       }))
@@ -1848,6 +1914,53 @@ object SparkEntry {
        |  SELECT i, w, h, x, yt,
        |    ${byteAt("off")} AS rr, ${byteAt("off + 1")} AS g,
        |    ${byteAt("off + 2")} AS b
+       |  FROM px),
+       |feat AS (
+       |  SELECT i AS media_id,
+       |    sum(rr) AS f0, sum(g) AS f1, sum(b) AS f2,
+       |    sum(rr * (x + 1)) AS f3, sum(g * (yt + 1)) AS f4,
+       |    sum(b * (x + 1) * (yt + 1)) AS f5,
+       |    max(w * 256 + h) AS f6,
+       |    sum(CASE WHEN rr > g THEN 1 ELSE 0 END) AS f7
+       |  FROM chan GROUP BY i)""".stripMargin
+  }
+
+  /** q112 oracle: replay the GIF pixel-index and palette formulas (NOT
+    * the parser — and NOT the LZW layer, which decoded indices are
+    * independent of). Pixel (x, y) of image i is palette entry
+    * chainbyte(y·w + x); palette entry e's R,G,B are the "gifpal" chain
+    * bytes at 3e..3e+2. Feature lanes are identical to q109's. */
+  private lazy val gifFeatCte: String = {
+    val alpha = "'0123456789abcdef'"
+    def byteAt(src: String, off: String): String =
+      s"(strpos($alpha, substr($src, 2 * ($off) + 1, 1)) - 1) * 16 " +
+        s"+ (strpos($alpha, substr($src, 2 * ($off) + 2, 1)) - 1)"
+    val pixChunks = (0 to 7)
+      .map(k => s"sha256('42:gif:' || CAST(i AS VARCHAR) || ':$k')")
+      .mkString(" || ")
+    val palChunks = (0 to 23)
+      .map(k => s"sha256('42:gifpal:' || CAST(i AS VARCHAR) || ':$k')")
+      .mkString(" || ")
+    val dimByte0 =
+      s"(strpos($alpha, substr(dh, 1, 1)) - 1) * 16 + (strpos($alpha, substr(dh, 2, 1)) - 1)"
+    val dimByte1 =
+      s"(strpos($alpha, substr(dh, 3, 1)) - 1) * 16 + (strpos($alpha, substr(dh, 4, 1)) - 1)"
+    s"""WITH dim AS (
+       |  SELECT i, 4 + ($dimByte0) % 5 AS w, 4 + ($dimByte1) % 5 AS h,
+       |         pixhex, palhex
+       |  FROM (SELECT i, sha256('42:gifdim:' || CAST(i AS VARCHAR)) AS dh,
+       |               $pixChunks AS pixhex, $palChunks AS palhex
+       |        FROM range(200) t(i))),
+       |px AS (
+       |  SELECT i, w, h, palhex,
+       |    CAST(j % w AS INT) AS x, CAST(j // w AS INT) AS yt,
+       |    ${byteAt("pixhex", "j")} AS idx
+       |  FROM dim, range(64) r(j) WHERE j < w * h),
+       |chan AS (
+       |  SELECT i, w, h, x, yt,
+       |    ${byteAt("palhex", "3 * idx")} AS rr,
+       |    ${byteAt("palhex", "3 * idx + 1")} AS g,
+       |    ${byteAt("palhex", "3 * idx + 2")} AS b
        |  FROM px),
        |feat AS (
        |  SELECT i AS media_id,
@@ -2195,6 +2308,16 @@ object SparkEntry {
 
     "q111_png_decode" ->
       (pngFeatCte +
+        """
+          |SELECT media_id,
+          |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
+          |  CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3,
+          |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
+          |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
+          |FROM feat ORDER BY media_id""".stripMargin),
+
+    "q112_gif_decode" ->
+      (gifFeatCte +
         """
           |SELECT media_id,
           |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
@@ -3569,5 +3692,41 @@ object SparkEntry {
         |SELECT e.l_returnflag, r4(e.est) AS est_distinct, x.exact_parts
         |FROM e JOIN x USING (l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    // Rolling-KMV replay: per-day distinct 48-bit hashes cut to each
+    // day's k smallest (the per-day sketch), the 7-day window union of
+    // those sketches deduped and re-cut to k (lossless for the union's
+    // k-minima — the KMV merge property), then the same estimate
+    // arithmetic as q102 in the same operation order.
+    "q113_rolling_kmv" ->
+      """WITH hv AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS dt,
+        |    list_sum([(strpos('0123456789abcdef', substr(s, i, 1)) - 1)
+        |              * pow(16.0, 12 - i) for i in generate_series(1, 12)]) AS h
+        |  FROM (SELECT ts, sha256(CAST(user_id AS VARCHAR)) AS s
+        |        FROM events)),
+        |day_k AS (
+        |  SELECT dt, h FROM (
+        |    SELECT dt, h, row_number() OVER (PARTITION BY dt ORDER BY h) AS rn
+        |    FROM hv)
+        |  WHERE rn <= 256),
+        |merged AS (
+        |  SELECT d.dt, a.h
+        |  FROM (SELECT DISTINCT dt FROM day_k) d
+        |  JOIN day_k a ON date_diff('day', a.dt, d.dt) BETWEEN 0 AND 6
+        |  GROUP BY d.dt, a.h),
+        |r AS (
+        |  SELECT dt, h,
+        |    row_number() OVER (PARTITION BY dt ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY dt) AS nd
+        |  FROM merged),
+        |e AS (
+        |  SELECT dt,
+        |    CASE WHEN max(nd) < 256 THEN CAST(max(nd) AS DOUBLE)
+        |         ELSE 255.0 / (max(CASE WHEN rn = 256 THEN h END)
+        |                       / 281474976710656.0) END AS est
+        |  FROM r GROUP BY dt)
+        |SELECT strftime(dt, '%Y-%m-%d') AS day, r4(est) AS active_7d_est
+        |FROM e ORDER BY day""".stripMargin,
   )
 }

@@ -558,6 +558,235 @@ object Multimodal {
     }.toDF()
   }
 
+  /** REAL codec for GIF (87a/89a, 8-bit palette) — the second COMPRESSED
+    * format behind the codec seam, again with zero external libraries:
+    * GIF's LZW is small enough to decode from first principles. Full
+    * parse: header + logical screen descriptor, global color table,
+    * extension blocks skipped generically (sub-block chain walk), image
+    * descriptor (local color table and four-pass interlacing honored
+    * when present), and the
+    * variable-width LZW stream — LSB-first bit packing, clear/end codes,
+    * dictionary growth with code-width bumps at 2^width up to 12 bits,
+    * and the K-omega-K special case (code == next unassigned entry).
+    * Features are [[decodeBmp]]'s 8 integer-exact lanes over the decoded
+    * palette-RGB pixels, so the q112 oracle replays the pixel-index and
+    * palette formulas: the LZW layer is round-trip-transparent (decoded
+    * indices never depend on which LZW codes encoded them) — the same
+    * property that let the q111 oracle gate a DEFLATE codec. */
+  def decodeGif(bytes: Array[Byte]): Array[Float] = {
+    require(bytes.length > 13, "not a GIF: too short")
+    val magic = new String(bytes, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    require(magic == "GIF87a" || magic == "GIF89a", s"not a GIF: magic '$magic'")
+    def le16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    val packed = bytes(10) & 0xff
+    var pos = 13
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val sz = 3 * (1 << ((packed & 7) + 1))
+      require(pos + sz <= bytes.length, "truncated global color table")
+      gct = java.util.Arrays.copyOfRange(bytes, pos, pos + sz)
+      pos += sz
+    }
+    // walk blocks to the first image descriptor, skipping extensions
+    def skipSubBlocks(p0: Int): Int = {
+      var p = p0
+      while ({ require(p < bytes.length, "truncated sub-block chain")
+               (bytes(p) & 0xff) != 0 }) p += 1 + (bytes(p) & 0xff)
+      p + 1
+    }
+    while ((bytes(pos) & 0xff) == 0x21) // extension: label + sub-blocks
+      pos = skipSubBlocks(pos + 2)
+    require((bytes(pos) & 0xff) == 0x2c, s"expected image descriptor at $pos")
+    val w = le16(pos + 5)
+    val h = le16(pos + 7)
+    require(w > 0 && h > 0 && w <= (1 << 12) && h <= (1 << 12),
+      s"implausible GIF dimensions ${w}x$h")
+    val ipacked = bytes(pos + 9) & 0xff
+    val interlaced = (ipacked & 0x40) != 0
+    pos += 10
+    var palette = gct
+    if ((ipacked & 0x80) != 0) {
+      val sz = 3 * (1 << ((ipacked & 7) + 1))
+      require(pos + sz <= bytes.length, "truncated local color table")
+      palette = java.util.Arrays.copyOfRange(bytes, pos, pos + sz)
+      pos += sz
+    }
+    require(palette != null, "no color table")
+    val minCode = bytes(pos) & 0xff
+    require(minCode >= 2 && minCode <= 8, s"bad LZW minimum code size $minCode")
+    pos += 1
+    // concatenate the image-data sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    while ({ require(pos < bytes.length, "truncated image data")
+             (bytes(pos) & 0xff) != 0 }) {
+      val blen = bytes(pos) & 0xff
+      require(pos + 1 + blen <= bytes.length, "truncated image sub-block")
+      data.write(bytes, pos + 1, blen)
+      pos += 1 + blen
+    }
+    val code = data.toByteArray
+    // LZW decode (GIF variant): prefix-table form — entry e is
+    // (prefix(e), last byte); emitting walks the chain. Bounded arrays,
+    // no per-entry byte copies.
+    val clear = 1 << minCode
+    val end = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val out = new Array[Byte](w * h)
+    var nOut = 0
+    var next = end + 1
+    var width = minCode + 1
+    var prev = -1
+    var acc = 0L; var nbits = 0; var bi = 0
+    val emitBuf = new Array[Byte](4096)
+    def emit(c0: Int): Byte = { // writes entry c0's bytes, returns first byte
+      var c = c0; var n = 0
+      while (c >= clear) { emitBuf(n) = suffix(c); n += 1; c = prefix(c) }
+      val first = c.toByte
+      require(nOut + n + 1 <= out.length, "LZW output overruns pixel count")
+      out(nOut) = first; nOut += 1
+      var k = n - 1
+      while (k >= 0) { out(nOut) = emitBuf(k); nOut += 1; k -= 1 }
+      first
+    }
+    var done = false
+    while (!done) {
+      while (nbits < width && bi < code.length) {
+        acc |= (code(bi) & 0xffL) << nbits; nbits += 8; bi += 1
+      }
+      require(nbits >= width, "truncated LZW stream")
+      val c = (acc & ((1L << width) - 1)).toInt
+      acc >>>= width; nbits -= width
+      if (c == clear) { next = end + 1; width = minCode + 1; prev = -1 }
+      else if (c == end) done = true
+      else if (prev < 0) {
+        require(c < clear, s"first code $c not a literal")
+        out(nOut) = c.toByte; nOut += 1; prev = c
+      } else {
+        require(c <= next && (c < next || prev >= 0), s"bad LZW code $c")
+        val first =
+          if (c < next) emit(c)
+          else { // K-omega-K: emit prev ++ first(prev)
+            val f = emit(prev)
+            require(nOut < out.length, "LZW output overruns pixel count")
+            out(nOut) = f; nOut += 1
+            f
+          }
+        if (next < 4096) {
+          prefix(next) = prev; suffix(next) = first; next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = c
+      }
+      if (nOut == out.length && !done) {
+        // all pixels decoded; consume the end code if present, else stop
+        done = true
+      }
+    }
+    require(nOut == w * h, s"decoded $nOut of ${w * h} pixels")
+    // interlaced images store rows in four-pass order (8/8 from 0, 8/8
+    // from 4, 4/4 from 2, 2/2 from 1) — permute back to top-down
+    val pixels =
+      if (!interlaced) out
+      else {
+        val deint = new Array[Byte](out.length)
+        var r = 0
+        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+             y <- start until h by step) {
+          System.arraycopy(out, r * w, deint, y * w, w)
+          r += 1
+        }
+        deint
+      }
+    // decodeBmp's feature lanes over palette-RGB pixels (top-down)
+    val accs = new Array[Long](6)
+    var rGtG = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val idx = (pixels(y * w + x) & 0xff) * 3
+        require(idx + 2 < palette.length, s"pixel index ${idx / 3} outside palette")
+        val r = palette(idx) & 0xff
+        val g = palette(idx + 1) & 0xff
+        val b = palette(idx + 2) & 0xff
+        accs(0) += r; accs(1) += g; accs(2) += b
+        accs(3) += r.toLong * (x + 1)
+        accs(4) += g.toLong * (y + 1)
+        accs(5) += b.toLong * (x + 1) * (y + 1)
+        if (r > g) rGtG += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array(accs(0).toFloat, accs(1).toFloat, accs(2).toFloat, accs(3).toFloat,
+      accs(4).toFloat, accs(5).toFloat, (w * 256 + h).toFloat, rGtG.toFloat)
+  }
+
+  /** Deterministic genuine-GIF table: each row's `bytes` is a complete,
+    * standards-valid GIF89a file (global 256-entry color table, one
+    * non-interlaced image) whose DECODED pixel indices come from
+    * "gif"-tagged sha256 hex chains and whose palette bytes come from
+    * "gifpal"-tagged chains — so the q112 DuckDB oracle replays indices
+    * AND palette lookups without a GIF parser, while the Spark side must
+    * genuinely parse the file (descriptors, color table, LZW stream).
+    * The LZW layer here is the trivially-valid encoding — CLEAR, one
+    * 9-bit literal per pixel, END (≤64 pixels keeps the dictionary far
+    * from a width bump) — NOT part of the gated artifact: decoded
+    * indices are independent of the code sequence that carried them, and
+    * MultimodalSpec's ImageIO round-trip exercises real compressed
+    * streams (dictionary hits, width growth) through the same decoder. */
+  def synthesizeGif(spark: SparkSession, n: Int, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).map { id =>
+      def sha(tag: String): Array[Byte] =
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s"$seed:$tag:$id".getBytes("UTF-8"))
+      def shaK(tag: String, k: Int): Array[Byte] =
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s"$seed:$tag:$id:$k".getBytes("UTF-8"))
+      val dim = sha("gifdim")
+      val w = 4 + (dim(0) & 0xff) % 5
+      val h = 4 + (dim(1) & 0xff) % 5
+      val pixels = (0 until 8).flatMap(k => shaK("gif", k)).toArray // 256 bytes
+      val palette = (0 until 24).flatMap(k => shaK("gifpal", k)).toArray // 768
+      val outBytes = new java.io.ByteArrayOutputStream()
+      outBytes.write("GIF89a".getBytes("US-ASCII"))
+      def le16(v: Int): Unit = { outBytes.write(v & 0xff); outBytes.write((v >> 8) & 0xff) }
+      le16(w); le16(h)
+      outBytes.write(0xf7)            // GCT present, 256 entries
+      outBytes.write(0); outBytes.write(0)
+      outBytes.write(palette, 0, 768)
+      outBytes.write(0x2c)            // image descriptor
+      le16(0); le16(0); le16(w); le16(h)
+      outBytes.write(0)               // no LCT, not interlaced
+      outBytes.write(8)               // LZW minimum code size
+      // literal-only 9-bit stream: CLEAR, pixels, END (LSB-first packing)
+      var acc = 0L; var nbits = 0
+      val lzw = new java.io.ByteArrayOutputStream()
+      def put(code: Int): Unit = {
+        acc |= (code.toLong & 0x1ff) << nbits; nbits += 9
+        while (nbits >= 8) { lzw.write((acc & 0xff).toInt); acc >>>= 8; nbits -= 8 }
+      }
+      put(256)
+      var j = 0
+      while (j < w * h) { put(pixels(j) & 0xff); j += 1 }
+      put(257)
+      if (nbits > 0) lzw.write((acc & 0xff).toInt)
+      val lz = lzw.toByteArray
+      var off = 0
+      while (off < lz.length) { // sub-blocks (≤255 each)
+        val blen = math.min(255, lz.length - off)
+        outBytes.write(blen); outBytes.write(lz, off, blen)
+        off += blen
+      }
+      outBytes.write(0)               // block terminator
+      outBytes.write(0x3b)            // trailer
+      MediaRow(id, "image", outBytes.toByteArray,
+        MediaMeta(w, h, 3, "gif", 0, 0))
+    }.toDF()
+  }
+
   /** Per-partition feature extraction: Dataset[MediaRow] → features.
     * One shuffle-free map stage; bytes are dropped on the spot.
     *

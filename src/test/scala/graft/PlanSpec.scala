@@ -197,10 +197,12 @@ class PlanSpec extends SparkSpec {
     // empirical allowlist (graft.PlanLint sweep): scalar-subquery join,
     // the brute-force cosine baselines, IVF's broadcast centroids,
     // tfidf's one-row corpus-size broadcast, and the rolling-actives
-    // theta join (a ~30-row day dimension against day-grain distinct
-    // users) — each a small-side BroadcastNestedLoopJoin by construction
+    // theta joins (a ~30-row day dimension against day-grain distinct
+    // users / per-day KMV sketch rows) — each a small-side
+    // BroadcastNestedLoopJoin by construction
     val nlAllowed = Set("q25_scalar_subquery", "q26_cosine_topk",
-      "q46_ivf_topk", "q71_tfidf", "q73_knn_labels", "q96_rolling_active")
+      "q46_ivf_topk", "q71_tfidf", "q73_knn_labels", "q96_rolling_active",
+      "q113_rolling_kmv")
     // iterative queries execute jobs at plan-build (connected components
     // materializes rounds); their shapes are pinned by their own tests
     val excluded = Set("q65_dup_clusters", "q80_dedup_survivors")
@@ -254,5 +256,28 @@ class PlanSpec extends SparkSpec {
     // final pair proves the sketch merges map-side (k longs per group
     // cross the wire, not the raw hash stream)
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q113: per-day partial sketches aggregate BEFORE the rolling window merge") {
+    val df = SparkEntry.queries("q113_rolling_kmv")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    try {
+      // two ObjectHashAggregate stages, each partial+final: the per-day
+      // sketch over raw events (the only pass that sees event rows) and
+      // the 7-day re-aggregation over exploded sketch values (~30 rows)
+      assert("ObjectHashAggregate".r.findAllIn(p).size >= 4, p)
+      // the raw events scan feeds the day-grain aggregate exactly once —
+      // the second plan reference reads the persisted sketch rows, so no
+      // query shape re-scans (or re-aggregates) the 100 TB side. Final
+      // plans only: AQE repeats the tree under "== Initial Plan ==".
+      val finalOnly = p.split("== Initial Plan ==").head
+      assert("Scan parquet".r.findAllIn(finalOnly).size == 1, p)
+      assert(p.contains("InMemoryTableScan"), p)
+      // (dt, user) pairs never cross an exchange: no aggregate is keyed
+      // by user_id (the q96 exact formulation's big distinct shuffle) —
+      // user_id exists only inside the scan-side kmvHash projection
+      assert(!"keys=\\[[^\\]]*user_id".r.findFirstIn(p).isDefined, p)
+    } finally spark.catalog.clearCache()
   }
 }

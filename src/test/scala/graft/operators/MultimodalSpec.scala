@@ -313,6 +313,85 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodePng(java.util.Arrays.copyOf(good, good.length - 6)))
   }
 
+  /** Deterministic 256-entry palette for the GIF cross-checks. */
+  private def gifPalette: (Array[Byte], Array[Byte], Array[Byte]) = {
+    val r = Array.tabulate[Byte](256)(i => ((i * 37 + 11) % 256).toByte)
+    val g = Array.tabulate[Byte](256)(i => ((i * 73 + 190) % 256).toByte)
+    val b = Array.tabulate[Byte](256)(i => ((i * 151 + 3) % 256).toByte)
+    (r, g, b)
+  }
+
+  test("decodeGif parses a GIF written by the JDK's own encoder (ImageIO cross-check, real LZW)") {
+    // ImageIO's GIF writer emits genuinely COMPRESSED LZW (dictionary
+    // hits, code-width growth past 9 bits on a 64x64 image) — parsing
+    // its output exercises the decoder paths our literal-only synthetic
+    // encoding never reaches. An indexed-color source keeps the
+    // round-trip lossless, so pixel truth is exact.
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    val (pr, pg, pb) = gifPalette
+    val icm = new IndexColorModel(8, 256, pr, pg, pb)
+    val w = 64; val h = 64
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+    def idxAt(x: Int, y: Int): Int = (x * x + y * 3 + (x * y) % 7) % 256
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, idxAt(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos), "JDK GIF writer missing")
+    val feats = Multimodal.decodeGif(bos.toByteArray)
+    var f0, f1, f2, f3, f4, f5, f7 = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = idxAt(x, y)
+      val r = pr(i) & 0xff; val g = pg(i) & 0xff; val b = pb(i) & 0xff
+      f0 += r; f1 += g; f2 += b
+      f3 += r * (x + 1); f4 += g * (y + 1); f5 += b.toLong * (x + 1) * (y + 1)
+      if (r > g) f7 += 1
+    }
+    assert(feats.toSeq == Seq(f0, f1, f2, f3, f4, f5, w * 256 + h, f7).map(_.toFloat),
+      s"parsed features ${feats.toSeq} disagree with pixel-truth")
+  }
+
+  test("synthesizeGif bytes are standards-valid: JDK reads them back pixel-identically") {
+    val rows = Multimodal.synthesizeGif(spark, 25)
+      .select($"media_id", $"bytes", $"meta.width", $"meta.height")
+      .collect()
+    assert(rows.length == 25)
+    for (row <- rows) {
+      val bytes = row.getAs[Array[Byte]]("bytes")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected synthesized GIF ${row.getLong(0)}")
+      assert(img.getWidth == row.getInt(2) && img.getHeight == row.getInt(3))
+      var f0, f1, f2, f3, f4, f5, f7 = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        f0 += r; f1 += g; f2 += b
+        f3 += r * (x + 1); f4 += g * (y + 1); f5 += b.toLong * (x + 1) * (y + 1)
+        if (r > g) f7 += 1
+      }
+      val expected = Seq(f0, f1, f2, f3, f4, f5,
+        img.getWidth * 256 + img.getHeight, f7).map(_.toFloat)
+      assert(Multimodal.decodeGif(bytes).toSeq == expected,
+        s"media ${row.getLong(0)}: decodeGif disagrees with ImageIO pixels")
+    }
+  }
+
+  test("decodeGif rejects malformed input") {
+    val good = {
+      val (pr, pg, pb) = gifPalette
+      val icm = new java.awt.image.IndexColorModel(8, 256, pr, pg, pb)
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "gif", bos); bos.toByteArray
+    }
+    intercept[IllegalArgumentException](Multimodal.decodeGif(Array[Byte](1, 2)))
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    intercept[IllegalArgumentException](Multimodal.decodeGif(badMagic))
+    // truncation mid-stream: the sub-block walk or LZW refill must trip
+    intercept[Exception](
+      Multimodal.decodeGif(java.util.Arrays.copyOf(good, good.length / 2)))
+  }
+
   test("mediaNearDupPairs flags byte-identical media") {
     import Multimodal._
     val rows = Seq(
