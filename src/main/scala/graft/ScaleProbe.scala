@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.zones.Zones
 
 /** Scale probe (dev tool, like [[Profile]]): materializes a 10× copy of
   * the sf0.1 corpus under /tmp and times the linear-family queries on
@@ -54,15 +55,38 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val srcDir = "/root/testdata/sf0.1"
 
-    // `dup` arg: rerun only the planted-dup-graph probe; `inc` arg: only
-    // the batch-cost-vs-corpus-size probe (iterating on one family
-    // without the ~15 min linear battery); `x100` arg: only the
-    // 100x-row two-point curve for the document/embedding linear family
-    val dupOnly = args.contains("dup")
+    // Family modes — each meant to run in its OWN sbt `runMain`
+    // invocation (sbt forks a fresh JVM per run), which is what keeps
+    // one family's heap/code-cache history out of another's timings
+    // (VERDICT r7 #5: q80 read 11x in the shared-JVM battery vs 2.1x
+    // isolated — cross-query JVM state, not the algorithm):
+    //   gen           materialize the 10x corpora only, no timings
+    //   linear        the linear-family battery (assumes `gen` ran)
+    //   only:<name>   one query from the linear battery, fresh JVM
+    //   dup           planted-dup-graph probe (iterative family)
+    //   dup:<name>    one query from the dup family, fresh JVM
+    //   inc           batch-cost-vs-corpus-size probe
+    //   x100          100x two-point curve
+    //   skew          hot-band boilerplate probe (VERDICT r7 #1)
+    //   asof          as-of both-axes probe (VERDICT r7 #4)
+    // tools/scale_battery.sh drives the full process-isolated battery.
+    // No args = the legacy shared-JVM battery (gen + linear + dup + inc).
+    val dupOnly = args.exists(_.startsWith("dup"))
     val incOnly = args.contains("inc")
     val x100Only = args.contains("x100")
+    val skewOnly = args.contains("skew")
+    val asofOnly = args.contains("asof")
+    val genOnly = args.contains("gen")
+    val linearOnly = args.contains("linear")
+    val onlyQuery = args.collectFirst { case a if a.startsWith("only:") =>
+      a.stripPrefix("only:") }
+    val dupQuery = args.collectFirst { case a if a.startsWith("dup:") =>
+      a.stripPrefix("dup:") }
 
-    if (!dupOnly && !incOnly && !x100Only) {
+    if (skewOnly) { skewProbe(spark, srcDir); spark.stop(); return }
+    if (asofOnly) { asofProbe(spark, srcDir); spark.stop(); return }
+
+    if (genOnly || (args.isEmpty && !dupOnly && !incOnly && !x100Only)) {
       ProbeCorpus.replicateDocuments(spark, srcDir, 10)
         .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
       ProbeCorpus.replicateEmbeddings(spark, srcDir, 10)
@@ -73,6 +97,13 @@ object ScaleProbe {
       // key is the dimension the window/as-of machinery has to survive
       ProbeCorpus.replicateEvents(spark, srcDir, 10)
         .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
+      // the dup corpora are cheap; generate alongside so isolated dup
+      // runs need no generation pass of their own
+      dupCorpus(spark, 6000L).write.mode("overwrite")
+        .parquet(s"$bigDir/dup_small/documents.parquet")
+      dupCorpus(spark, 60000L).write.mode("overwrite")
+        .parquet(s"$bigDir/dup_big/documents.parquet")
+      if (genOnly) { spark.stop(); return }
     }
 
     def time(fn: => DataFrame): Double = {
@@ -97,8 +128,16 @@ object ScaleProbe {
     spark.read.parquet(s"$srcDir/region.parquet")
       .groupBy("r_name").count().queryExecution.toRdd.count()
 
-    (if (dupOnly || incOnly || x100Only) Seq.empty[String] else probeQueries)
-      .foreach { name =>
+    val linearSelected =
+      if (dupOnly || incOnly || x100Only) Seq.empty[String]
+      else onlyQuery match {
+        case Some(q) =>
+          require(probeQueries.contains(q), s"unknown linear probe query $q")
+          Seq(q)
+        case None if linearOnly || args.isEmpty => probeQueries
+        case None => Seq.empty[String]
+      }
+    linearSelected.foreach { name =>
       val fn = SparkEntry.queries(name)
       val small = time(fn(spark, srcDir))
       val big = time(fn(spark, bigDir))
@@ -107,12 +146,26 @@ object ScaleProbe {
 
     // iterative family on the planted dup graph (6k docs / 2k clusters
     // vs 60k docs / 20k clusters — same cluster-size distribution, so
-    // the ratio measures the algorithm, not an inflated pair structure)
-    dupCorpus(spark, 6000L).write.mode("overwrite")
-      .parquet(s"$bigDir/dup_small/documents.parquet")
-    dupCorpus(spark, 60000L).write.mode("overwrite")
-      .parquet(s"$bigDir/dup_big/documents.parquet")
-    (if (incOnly || x100Only) Seq.empty[String] else dupQueries).foreach { name =>
+    // the ratio measures the algorithm, not an inflated pair structure).
+    // Corpora come from the `gen` pass (or the legacy no-args run above).
+    val dupSelected =
+      if (incOnly || x100Only || linearOnly || onlyQuery.isDefined)
+        Seq.empty[String]
+      else dupQuery match {
+        case Some(q) =>
+          require(dupQueries.contains(q), s"unknown dup probe query $q")
+          Seq(q)
+        case None if dupOnly || args.isEmpty => dupQueries
+        case None => Seq.empty[String]
+      }
+    if (dupSelected.nonEmpty &&
+        !Zones.pathExists(spark, s"$bigDir/dup_small/documents.parquet")) {
+      dupCorpus(spark, 6000L).write.mode("overwrite")
+        .parquet(s"$bigDir/dup_small/documents.parquet")
+      dupCorpus(spark, 60000L).write.mode("overwrite")
+        .parquet(s"$bigDir/dup_big/documents.parquet")
+    }
+    dupSelected.foreach { name =>
       val fn = SparkEntry.queries(name)
       val small = time(fn(spark, s"$bigDir/dup_small"))
       val big = time(fn(spark, s"$bigDir/dup_big"))
@@ -158,7 +211,7 @@ object ScaleProbe {
     // legacy path (re-derive + shuffle the corpus band set per batch)
     // is timed alongside: its wall should track the CORPUS, the banded
     // probe's should not.
-    if (!dupOnly) {
+    if (incOnly || args.isEmpty) {
       import graft.operators.Dedup
       val batchDocs = dupCorpus(spark, 5000L).filter(col("doc_id") % 10 < 2)
       for (n <- Seq(20000L, 200000L, 2000000L)) {
@@ -177,5 +230,158 @@ object ScaleProbe {
       }
     }
     spark.stop()
+  }
+
+  /** As-of / window probe on BOTH growth axes (VERDICT r7 #4): the r7
+    * battery replicated events with user_id fixed, deepening every key's
+    * history 10× — the stress axis, measured 3.9-4.3× on q84/q85. The
+    * production axis is the other one: 10× the USERS at the original
+    * per-key depth ([[ProbeCorpus.replicateEventsCardinality]]). Both
+    * corpora carry 10× the rows; the per-key work profile differs. An
+    * as-of join whose per-key scan is sane should be ~linear (ratio ≤ 2×
+    * per decade at fixed parallelism) on the cardinality axis. */
+  private def asofProbe(spark: SparkSession, srcDir: String): Unit = {
+    val asofQueries = Seq("q32_asof_join", "q84_asof_forward",
+      "q85_asof_nearest", "q86_window_dedup", "q87_rolling_window",
+      "q96_rolling_active", "q113_rolling_kmv")
+    def time(fn: => DataFrame): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn.queryExecution.toRdd.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
+        dt
+      }.sorted
+      ts(1)
+    }
+    ProbeCorpus.replicateEvents(spark, srcDir, 10)
+      .write.mode("overwrite").parquet(s"$bigDir/depth/events.parquet")
+    ProbeCorpus.replicateEventsCardinality(spark, srcDir, 10)
+      .write.mode("overwrite").parquet(s"$bigDir/card/events.parquet")
+    // warmup
+    spark.read.parquet(s"$srcDir/region.parquet")
+      .groupBy("r_name").count().queryExecution.toRdd.count()
+    asofQueries.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        val small = time(fn(spark, srcDir))
+        val depth = time(fn(spark, s"$bigDir/depth"))
+        val card = time(fn(spark, s"$bigDir/card"))
+        println(f"[scale-asof] $name%-22s sf0.1=${small}%6.2fs " +
+          f"depth10x=${depth}%6.2fs (${depth / small}%5.2fx) " +
+          f"card10x=${card}%6.2fs (${card / small}%5.2fx)")
+      }
+    }
+  }
+
+  /** Hot-band skew probe (VERDICT r7 #1). Three measurements:
+    *  1. gated-corpus safety: max band occupancy on the actual q104/q108
+    *     corpora at sf0.01/sf0.1 — must stay far below the default cap
+    *     (1024) for the capped path to be a byte-identical no-op there;
+    *  2. text boilerplate curve: a FIXED ~1k-doc batch (8% hot) probes
+    *     standing corpora of 20k/200k/2M boilerplate docs (8% sharing a
+    *     template). The uncapped probe's candidate volume and wall should
+    *     track the CORPUS hot-cluster size; the capped probe's should
+    *     stay flat (batch-proportional) — the property that makes the
+    *     banded probe survive templated corpora at 100 TB;
+    *  3. the embedding analog (near-identical vector cluster).
+    * The uncapped full probe is skipped at 2M docs once past the budget
+    * (SPARK_GRAFT_PROBE_BUDGET, default 900 s) — candidate counts, which
+    * show the blowup, are always measured. */
+  private def skewProbe(spark: SparkSession, srcDir: String): Unit = {
+    import graft.operators.{Dedup, Similarity}
+
+    def timed[A](fn: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = fn
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // 1. gated-corpus occupancy (the q104/q108 no-op guarantee)
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val d = s"/root/testdata/$sf"
+      val docs = Tables.documents(spark, d).filter(pmod(col("doc_id"), lit(10)) >= 2)
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      val bt = sigs.select(col("id"), posexplode(Dedup.bandKeys(col("sig"), 128, 16)))
+      val m = bt.groupBy("pos", "col").count().agg(max("count")).head().getLong(0)
+      val ebt = Similarity.embBandRows(Tables.embeddings(spark, d),
+        "vec_id", "embedding", 8, 8, 64, 64)
+      val me = ebt.groupBy("band_idx", "band").count().agg(max("count")).head().getLong(0)
+      println(s"[skew-gated] $sf max_text_band_occ=$m max_emb_band_occ=$me cap=1024")
+    }
+
+    // 2. text boilerplate curve
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_PROBE_BUDGET", "900").toDouble
+    val t0 = System.nanoTime()
+    def budgetLeft: Boolean = (System.nanoTime() - t0) / 1e9 < budgetSec
+    val batch = ProbeCorpus.boilerplateCorpus(spark, 5000L)
+      .filter(col("doc_id") % 10 < 2)
+    for (n <- Seq(20000L, 200000L, 2000000L)) {
+      val corpus = ProbeCorpus.boilerplateCorpus(spark, n)
+        .filter(col("doc_id") % 10 >= 2)
+      val sigPath = s"$bigDir/skew_sigs_$n"
+      val bandPath = s"$bigDir/skew_band_$n"
+      Dedup.minhashSignatures(corpus, "doc_id", "text")
+        .write.mode("overwrite").parquet(sigPath)
+      Dedup.writeBandTable(spark.read.parquet(sigPath), bandPath)
+      val (_, hotT) = timed {
+        Dedup.hotBands(spark.read.parquet(bandPath))
+          .write.mode("overwrite").parquet(bandPath + "_hot")
+      }
+      val sigs = spark.read.parquet(sigPath)
+      val bandTable = spark.read.parquet(bandPath)
+      val hot = spark.read.parquet(bandPath + "_hot")
+      val nHot = hot.count()
+      val (cPairs, cT) = timed(Dedup.incrementalDupPairsBanded(
+        batch, "doc_id", "text", bandTable, sigs, hot = Some(hot)).count())
+      val (uPairs, uT) = if (budgetLeft) {
+        // the uncapped probe can die outright on a skewed corpus — its
+        // candidate set is corpus-proportional and the probe plan
+        // broadcasts candidates — which is itself the measurement
+        try {
+          val (p, t) = timed(Dedup.incrementalDupPairsBanded(
+            batch, "doc_id", "text", bandTable, sigs).count())
+          (p.toString, f"$t%6.2fs")
+        } catch { case e: Exception =>
+          ("-", s"FAILED(${e.getClass.getSimpleName})")
+        }
+      } else ("-", "SKIPPED(budget)")
+      println(f"[skew-text] corpus=$n%-8d hot_bands=$nHot hot_build=${hotT}%5.2fs " +
+        f"capped=${cT}%6.2fs pairs=$cPairs uncapped=$uT pairs=$uPairs")
+    }
+
+    // 3. embedding analog
+    val ebatch = ProbeCorpus.boilerplateEmbeddings(spark, 5000L)
+      .filter(col("vec_id") % 10 < 2)
+    for (n <- Seq(200000L, 2000000L)) {
+      val corpus = ProbeCorpus.boilerplateEmbeddings(spark, n)
+        .filter(col("vec_id") % 10 >= 2)
+      val vecPath = s"$bigDir/skew_vecs_$n"
+      corpus.write.mode("overwrite").parquet(vecPath)
+      val cvecs = spark.read.parquet(vecPath)
+      val bandPath = s"$bigDir/skew_emb_band_$n"
+      Similarity.writeEmbBandTable(cvecs, "vec_id", "embedding", bandPath)
+      Dedup.hotBands(spark.read.parquet(bandPath))
+        .write.mode("overwrite").parquet(bandPath + "_hot")
+      val bandTable = spark.read.parquet(bandPath)
+      val hot = spark.read.parquet(bandPath + "_hot")
+      val nHot = hot.count()
+      val (cPairs, cT) = timed(Similarity.incrementalEmbNearDups(
+        ebatch, "vec_id", "embedding", bandTable, cvecs,
+        threshold = 0.999, hot = Some(hot)).count())
+      val (uPairs, uT) = if (budgetLeft) {
+        try {
+          val (p, t) = timed(Similarity.incrementalEmbNearDups(
+            ebatch, "vec_id", "embedding", bandTable, cvecs,
+            threshold = 0.999).count())
+          (p.toString, f"$t%6.2fs")
+        } catch { case e: Exception =>
+          ("-", s"FAILED(${e.getClass.getSimpleName})")
+        }
+      } else ("-", "SKIPPED(budget)")
+      println(f"[skew-emb] corpus=$n%-8d hot_bands=$nHot " +
+        f"capped=${cT}%6.2fs pairs=$cPairs uncapped=$uT pairs=$uPairs")
+    }
   }
 }
