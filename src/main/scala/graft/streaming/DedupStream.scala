@@ -143,6 +143,19 @@ object DedupStream {
     *                  band table from the compacted signatures (its
     *                  per-batch appends accumulate small files at the
     *                  same rate, so one trigger serves both).
+    * @param compactSinkAfterFiles when > 0, rewrite the survivor sink
+    *                  (sorted by id, curated file sizes) whenever its
+    *                  file count reaches this threshold — the per-batch
+    *                  appends otherwise grow the sink's file count
+    *                  without bound at production cadence (the next
+    *                  small-files problem after the signature table).
+    *                  The sink is primary output (nothing else holds the
+    *                  survivor payloads), so the swap keeps a backup
+    *                  copy alive at every instant and [[run]] repairs a
+    *                  mid-swap crash at startup. Layout-only: sink
+    *                  content, idempotent replay decisions, and dedup
+    *                  results are identical across the boundary
+    *                  (DedupStreamSpec proves it). 0 disables.
     * @param bandPath  when set, the corpus probe runs against a
     *                  materialized [[Dedup.writeBandTable]] band table
     *                  at this path instead of re-deriving (and
@@ -166,14 +179,19 @@ object DedupStream {
           threshold: Double = 0.8, growCorpus: Boolean = true,
           idempotent: Boolean = true,
           compactSigsAfterFiles: Int = 0,
+          compactSinkAfterFiles: Int = 0,
           bandPath: Option[String] = None,
           fileBuckets: Int = 64): StreamingQuery = {
     require(compactSigsAfterFiles >= 0,
       s"compactSigsAfterFiles must be >= 0: $compactSigsAfterFiles")
+    require(compactSinkAfterFiles >= 0,
+      s"compactSinkAfterFiles must be >= 0: $compactSinkAfterFiles")
     // restore the signature table first if a compaction swap died between
     // its two renames (source-of-truth table: backup swap, not
-    // delete-then-rename), then repair the derived/sink gaps below
+    // delete-then-rename), then repair the derived/sink gaps below;
+    // the sink gets the same treatment BEFORE the backfills read it
     Zones.recoverBackup(spark, sigPath)
+    Zones.recoverBackup(spark, outPath)
     // repair the survivors-committed / signatures-missing crash window
     // before any batch runs (replay cannot: the idempotent anti-join
     // hides replayed survivors from the signature append), then bring
@@ -240,6 +258,18 @@ object DedupStream {
                   rebuildBandTable(spark, sigPath, bp, k, bands, fileBuckets))
               }
             }
+            // survivor-sink compaction rides its own trigger: the sink
+            // gains exactly one file run per batch regardless of
+            // growCorpus, and nothing downstream derives from layout
+            if (compactSinkAfterFiles > 0 &&
+                Zones.dataFileCount(spark, outPath) >= compactSinkAfterFiles)
+              Zones.replaceKeepingBackup(spark, outPath) { tmp =>
+                Zones.writeCurated(
+                  spark.read.parquet(outPath)
+                    .repartition(spark.sparkContext.defaultParallelism),
+                  tmp, partitionCols = Seq.empty, sortCols = Seq(idCol),
+                  maxRecordsPerFile = 10000000L, cluster = false)
+              }
           }
         } finally cached.unpersist()
         ()

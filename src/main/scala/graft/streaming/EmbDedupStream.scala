@@ -99,6 +99,12 @@ object EmbDedupStream {
     *                  trigger rebuilds the band table from the compacted
     *                  vectors. 0 disables. Layout-only — dedup results
     *                  are identical across the boundary.
+    * @param compactSinkAfterFiles when > 0, rewrite the survivor sink
+    *                  (sorted by id, curated file sizes) whenever its
+    *                  file count reaches this threshold — per-batch
+    *                  appends otherwise grow the sink without bound.
+    *                  Primary output → backup-keeping swap, mid-swap
+    *                  crash repaired at startup. Layout-only. 0 disables.
     * @param bandPath  when set, the corpus probe broadcast-probes a
     *                  materialized [[Similarity.writeEmbBandTable]] at
     *                  this path (O(batch) per batch); built from
@@ -114,15 +120,19 @@ object EmbDedupStream {
           dim: Int = 64, growCorpus: Boolean = true,
           idempotent: Boolean = true,
           compactVecsAfterFiles: Int = 0,
+          compactSinkAfterFiles: Int = 0,
           bandPath: Option[String] = None,
           fileBuckets: Int = 64): StreamingQuery = {
     require(compactVecsAfterFiles >= 0,
       s"compactVecsAfterFiles must be >= 0: $compactVecsAfterFiles")
+    require(compactSinkAfterFiles >= 0,
+      s"compactSinkAfterFiles must be >= 0: $compactSinkAfterFiles")
     // vecPath is the SOURCE OF TRUTH (backfillVectors can only rebuild
     // rows present in the sink — a pre-seeded standing corpus could not
     // be recovered): restore an interrupted compaction swap before any
-    // repair logic reads the table
+    // repair logic reads the table; the sink likewise, BEFORE backfills
     Zones.recoverBackup(spark, vecPath)
+    Zones.recoverBackup(spark, outPath)
     if (growCorpus)
       backfillVectors(spark, vecPath, outPath, idCol, vecCol)
     bandPath.foreach(bp => backfillBands(spark, vecPath, bp, idCol, vecCol,
@@ -192,6 +202,17 @@ object EmbDedupStream {
                   })
               }
             }
+            // survivor-sink compaction (one file run added per batch
+            // regardless of growCorpus; layout-only rewrite)
+            if (compactSinkAfterFiles > 0 &&
+                Zones.dataFileCount(spark, outPath) >= compactSinkAfterFiles)
+              Zones.replaceKeepingBackup(spark, outPath) { tmp =>
+                Zones.writeCurated(
+                  spark.read.parquet(outPath)
+                    .repartition(spark.sparkContext.defaultParallelism),
+                  tmp, partitionCols = Seq.empty, sortCols = Seq(idCol),
+                  maxRecordsPerFile = 10000000L, cluster = false)
+              }
           }
         } finally cached.unpersist()
         ()

@@ -97,6 +97,53 @@ class DedupStreamSpec extends SparkSpec {
       s"compacted=${files(compacted)} plain=${files(plain)}")
   }
 
+  test("sink compaction boundary: idempotent replay preserved, sink rewritten to curated files") {
+    // growCorpus = false isolates the property under test: with no
+    // signature growth, the idempotent anti-join against the sink is the
+    // ONLY thing standing between a replayed micro-batch and duplicate
+    // survivor rows — so the replay in drain 2 crosses the
+    // compacted-sink boundary with nothing else to save it
+    def drainAll(root: String, compactSink: Int): Unit = {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, String)]
+      val docs = mem.toDF().toDF("doc_id", "text")
+      mem.addData((11L, other),
+        (13L, "a genuinely novel document that matches nothing else at all"))
+      DedupStream.run(spark, docs, s"$root/sigs", s"$root/out",
+        s"$root/ckpt", threshold = 0.6, growCorpus = false,
+        compactSinkAfterFiles = compactSink).awaitTermination(120000)
+      // drain 2 REPLAYS survivor 11 and offers novel 30
+      mem.addData((11L, other),
+        (30L, "yet another unrelated document closing out the replay run"))
+      DedupStream.run(spark, docs, s"$root/sigs", s"$root/out",
+        s"$root/ckpt", threshold = 0.6, growCorpus = false,
+        compactSinkAfterFiles = compactSink).awaitTermination(120000)
+      // drain 3 replays across ANOTHER compaction boundary (and gives the
+      // plain run a third append, so the file-count delta is observable)
+      mem.addData((13L, "a genuinely novel document that matches nothing else at all"),
+        (31L, "one final novel document for the third and final drain"))
+      DedupStream.run(spark, docs, s"$root/sigs", s"$root/out",
+        s"$root/ckpt", threshold = 0.6, growCorpus = false,
+        compactSinkAfterFiles = compactSink).awaitTermination(120000)
+    }
+    val plain = Files.createTempDirectory("graft-dsink-plain").toString
+    val compacted = Files.createTempDirectory("graft-dsink-compact").toString
+    drainAll(plain, compactSink = 0)
+    drainAll(compacted, compactSink = 1)
+    // multiset compare: the replayed 11 must appear exactly ONCE — a
+    // compaction that broke the anti-join would duplicate it
+    def rows(root: String) = spark.read.parquet(s"$root/out")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(rows(plain) == rows(compacted),
+      s"${rows(plain)} vs ${rows(compacted)}")
+    assert(rows(compacted) == Seq(11L, 13L, 30L, 31L), s"got ${rows(compacted)}")
+    // and the sink really was rewritten to fewer files
+    def files(root: String) = new java.io.File(s"$root/out").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(files(compacted) < files(plain),
+      s"compacted=${files(compacted)} plain=${files(plain)}")
+  }
+
   test("startup backfill closes the survivors-committed/signatures-missing crash window") {
     val root = Files.createTempDirectory("graft-dstream-crash").toString
     val (sigPath, outPath) = (s"$root/sigs", s"$root/out")

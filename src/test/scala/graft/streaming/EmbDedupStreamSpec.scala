@@ -27,11 +27,14 @@ class EmbDedupStreamSpec extends SparkSpec {
 
   private def run(mem: MemoryStream[(Long, Array[Float])], root: String,
                   bandPath: Option[String] = None,
-                  compactAfter: Int = 0): Unit =
+                  compactAfter: Int = 0,
+                  compactSink: Int = 0,
+                  growCorpus: Boolean = true): Unit =
     EmbDedupStream.run(spark, mem.toDF().toDF("vec_id", "embedding"),
       s"$root/vecs", s"$root/out", s"$root/ckpt",
       threshold = threshold, bands = bands, bitsPerBand = bits, dim = dim,
-      compactVecsAfterFiles = compactAfter, bandPath = bandPath)
+      growCorpus = growCorpus, compactVecsAfterFiles = compactAfter,
+      compactSinkAfterFiles = compactSink, bandPath = bandPath)
       .awaitTermination(120000)
 
   private def sinkIds(root: String): Set[Long] =
@@ -153,6 +156,34 @@ class EmbDedupStreamSpec extends SparkSpec {
       s"vecs compacted=${files(s"$compacted/vecs")} plain=${files(s"$plain/vecs")}")
     assert(files(s"$compacted/bands") < files(s"$plain/bands"),
       s"bands compacted=${files(s"$compacted/bands")} plain=${files(s"$plain/bands")}")
+  }
+
+  test("sink compaction boundary: idempotent replay preserved (embedding modality)") {
+    // growCorpus = false: the sink anti-join is the only replay defense,
+    // so the drain-2 replay crosses the compacted-sink boundary bare
+    def drainAll(root: String, compactSink: Int): Unit = {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Array[Float])]
+      mem.addData((11L, v2), (13L, v3))
+      run(mem, root, compactSink = compactSink, growCorpus = false)
+      mem.addData((11L, v2), (30L, v5)) // replay 11 + novel 30
+      run(mem, root, compactSink = compactSink, growCorpus = false)
+      mem.addData((13L, v3), (31L, v6)) // replay 13 + novel 31, third append
+      run(mem, root, compactSink = compactSink, growCorpus = false)
+    }
+    val plain = Files.createTempDirectory("graft-esink-plain").toString
+    val compacted = Files.createTempDirectory("graft-esink-compact").toString
+    drainAll(plain, compactSink = 0)
+    drainAll(compacted, compactSink = 1)
+    def rows(root: String) = spark.read.parquet(s"$root/out")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(rows(plain) == rows(compacted),
+      s"${rows(plain)} vs ${rows(compacted)}")
+    assert(rows(compacted) == Seq(11L, 13L, 30L, 31L), s"got ${rows(compacted)}")
+    def files(root: String) = new java.io.File(s"$root/out").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(files(compacted) < files(plain),
+      s"compacted=${files(compacted)} plain=${files(plain)}")
   }
 
   test("bootstraps with no pre-existing tables (legacy mode)") {
