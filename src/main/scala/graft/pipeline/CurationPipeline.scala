@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Dedup, Layout, TextAnalysis}
+import graft.zones.Zones
+
+/** End-to-end LLM training-data curation: the proven single-purpose
+  * operators chained into one driver (VERDICT r7 #8) —
+  *
+  *   quality/language gate → exact (fingerprint) dedup → MinHash-LSH
+  *   near-dup dedup → benchmark decontamination → temperature mixture
+  *   rebalance → greedy sequence packing → z-ordered curated sink
+  *
+  * Every stage materializes to `outRoot/<stage>` through the curated
+  * writer and its row count rides the stage's OWN write via
+  * `Dataset.observe` ([[Observe.countedAction]] — zero extra passes),
+  * which is also the production shape for a multi-day 100 TB curation
+  * run: stage outputs are restart points, and the audit trail is the
+  * per-stage row ledger a data-governance review asks for first.
+  * Each stage is one of the independently-oracled operators (q29/q19/
+  * q27/q61/q103/q75/q99 families), so this driver adds composition, not
+  * new correctness surface — CurationPipelineSpec gates the composition
+  * on a pinned corpus.
+  */
+object CurationPipeline {
+
+  final case class StageAudit(stage: String, rows: Long)
+  final case class Result(audits: Seq[StageAudit], outPath: String) {
+    def rowsOf(stage: String): Long =
+      audits.find(_.stage == stage).map(_.rows)
+        .getOrElse(throw new NoSuchElementException(stage))
+  }
+
+  /** @param docs       input corpus carrying `idCol`, `textCol`, `srcCol`
+    * @param benchmark  eval set to decontaminate against (`textCol`)
+    * @param outRoot    stage outputs land at `outRoot/<stage>`
+    * @param minQuality stage-1 quality cut ([[TextAnalysis.qualityScore]])
+    * @param keepLangs  stage-1 language allowlist ([[TextAnalysis.languageId]])
+    * @param nearDupThreshold MinHash-LSH Jaccard cut (stage 3)
+    * @param mixtureScale temperature-mixture sqrt scale (stage 5):
+    *                   per-source target = floor(scale * sqrt(n))
+    * @param packCapacity token capacity per packed sequence (stage 6) */
+  def run(spark: SparkSession, docs: DataFrame, benchmark: DataFrame,
+          outRoot: String, idCol: String = "doc_id",
+          textCol: String = "text", srcCol: String = "source",
+          minQuality: Double = 0.2, keepLangs: Seq[String] = Seq("en"),
+          nearDupThreshold: Double = 0.8, mixtureScale: Double = 8.0,
+          packCapacity: Long = 512L, salt: String = "curation"): Result = {
+    val audits = scala.collection.mutable.ArrayBuffer.empty[StageAudit]
+    def stage(name: String, df: DataFrame,
+              sortCols: Seq[String] = Seq(idCol)): DataFrame = {
+      val path = s"$outRoot/$name"
+      val n = Observe.countedAction(spark, df, name)(d =>
+        Zones.writeCurated(d, path, partitionCols = Seq.empty,
+          sortCols = sortCols, maxRecordsPerFile = 10000000L,
+          cluster = false))
+      audits += StageAudit(name, n)
+      spark.read.parquet(path)
+    }
+
+    // 1. quality/language gate — one codegen pass over text (TextStats),
+    // quality carried forward for the z-ordered layout at the end
+    val gated = stage("s1_quality", docs
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("lang_pred", TextAnalysis.languageId(col(textCol)))
+      .filter(col("quality") >= minQuality &&
+        col("lang_pred").isin(keepLangs: _*)))
+
+    // 2. exact dedup on the normalized-text fingerprint (map-side
+    // aggregate winners, smallest id survives)
+    val exact = stage("s2_exact_dedup",
+      Dedup.byFingerprint(gated, idCol, textCol))
+
+    // 3. near-dup dedup: MinHash-LSH banding, id-only candidate joins
+    val near = stage("s3_near_dedup",
+      Dedup.minhashDedup(exact, idCol, textCol,
+        threshold = nearDupThreshold))
+
+    // 4. benchmark decontamination: broadcast gram semi-join
+    val clean = stage("s4_decontaminated",
+      Curation.decontaminate(near, benchmark, idCol, textCol))
+
+    // 5. temperature mixture: per-source sqrt targets, hash-ordered
+    // admission (deterministic, engine-replayable)
+    val mixed = stage("s5_mixture",
+      Curation.temperatureMixture(clean, srcCol, idCol,
+        scale = mixtureScale, salt = salt))
+
+    // 6. greedy sequence packing: shard-parallel, content-hash order;
+    // packing METADATA joins back onto the docs so the final table
+    // carries both payload and (shard, seq_id, tok_start)
+    val packed = stage("s6_packed", mixed.join(
+      Curation.packSequences(mixed, idCol, textCol,
+        capacity = packCapacity, salt = salt),
+      Seq(idCol)))
+
+    // 7. curated z-ordered sink: interleave (n_tok, scaled quality) so
+    // scans pruning on either token-length or quality ranges skip files
+    val path = s"$outRoot/s7_curated"
+    val zkeyed = Layout.withZOrderKey(
+      packed.withColumn("q1000", (col("quality") * 1000).cast("long")),
+      Seq("n_tok", "q1000"), bits = 8)
+    val n = Observe.countedAction(spark, zkeyed, "s7_curated")(d =>
+      Zones.writeCurated(d, path, partitionCols = Seq.empty,
+        sortCols = Seq("__z"), maxRecordsPerFile = 10000000L,
+        cluster = false))
+    audits += StageAudit("s7_curated", n)
+    Result(audits.toSeq, path)
+  }
+}

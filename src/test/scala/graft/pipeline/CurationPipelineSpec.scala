@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** [[CurationPipeline]] — composition gate over a pinned corpus where
+  * every stage has exactly one planted victim, so the audit ledger is
+  * fully predictable and a regression in any stage shifts a specific
+  * count. The operators themselves are oracled individually (q29/q19/
+  * q27/q61/q103/q75/q99 families); this spec gates the CHAIN.
+  */
+class CurationPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val a1 =
+    "the quick brown fox jumps over the lazy dog and the cat sits on the warm mat in the sun"
+  private val a2 =
+    "distributed query engines shuffle and partition the data while the optimizer prunes every scan"
+  private val a3 =
+    "a library of operators for training data curation should compose without new correctness surface"
+  private val a4 =
+    "the stream drains into the landing zone and the batch job conforms it to the analytical schema"
+  private val b1 =
+    "sketches and samples keep the working set bounded while the estimates stay within tolerance"
+
+  private def corpus = Seq(
+    (1L, a1, "a"),
+    (2L, a2, "a"),
+    (3L, a3, "a"),
+    (4L, a4, "a"),
+    (10L, b1, "b"),
+    (20L, "???? !!!! .... %%%% @@@@", "a"),            // s1 victim: junk
+    (21L, "  THE quick   Brown fox JUMPS over the lazy dog and the cat sits on the warm mat in the sun ", "a"), // s2 victim: case/ws variant of 1
+    (22L, a2 + " indeed", "a"),                         // s3 victim: near-dup of 2
+    (23L, "this answer leaks the capital of france question verbatim", "a"), // s4 victim
+  ).toDF("doc_id", "text", "source")
+
+  private def benchmark =
+    Seq("what is the capital of france paris").toDF("text")
+
+  test("every stage removes exactly its planted victim; audits ride the writes") {
+    val root = Files.createTempDirectory("graft-curation").toString
+    val res = CurationPipeline.run(spark, corpus, benchmark, root,
+      mixtureScale = 1.0, packCapacity = 30L)
+
+    assert(res.rowsOf("s1_quality") == 8, res.audits)        // junk 20 out
+    assert(res.rowsOf("s2_exact_dedup") == 7, res.audits)    // 21 collapsed into 1
+    assert(res.rowsOf("s3_near_dedup") == 6, res.audits)     // 22 collapsed into 2
+    assert(res.rowsOf("s4_decontaminated") == 5, res.audits) // 23 leaked a gram
+    // temperature targets at scale 1.0: floor(sqrt(4))=2 of source a,
+    // floor(sqrt(1))=1 of source b
+    assert(res.rowsOf("s5_mixture") == 3, res.audits)
+    assert(res.rowsOf("s6_packed") == 3, res.audits)
+    assert(res.rowsOf("s7_curated") == 3, res.audits)
+
+    // the right docs survived the dedup/contamination stages
+    val s4 = spark.read.parquet(s"$root/s4_decontaminated")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s4 == Set(1L, 2L, 3L, 4L, 10L), s"got $s4")
+    // mixture keeps per-source counts, not specific hash-ordered ids
+    val s5 = spark.read.parquet(s"$root/s5_mixture")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(s5 == Map("a" -> 2L, "b" -> 1L), s"got $s5")
+
+    // the audit ledger matches what actually landed on disk (the observe
+    // metric rode the write, so a divergence means the count measured a
+    // different execution)
+    for (sa <- res.audits) {
+      val stagePath =
+        if (sa.stage == "s7_curated") res.outPath else s"$root/${sa.stage}"
+      assert(spark.read.parquet(stagePath).count() == sa.rows,
+        s"${sa.stage}: ledger ${sa.rows} vs disk")
+    }
+
+    // final table carries payload + packing metadata + the z-key
+    val cols = spark.read.parquet(res.outPath).columns.toSet
+    for (c <- Seq("doc_id", "text", "source", "shard", "seq_id",
+        "tok_start", "n_tok", "__z"))
+      assert(cols.contains(c), s"missing $c in $cols")
+    // packing respected capacity: no sequence exceeds 30 tokens
+    import org.apache.spark.sql.functions.{sum, count, lit}
+    val overfull = spark.read.parquet(res.outPath)
+      .groupBy($"shard", $"seq_id")
+      .agg(sum($"n_tok").as("tok"), count(lit(1)).as("n"))
+      // a single doc longer than capacity legitimately overflows alone
+      .filter($"tok" > 30 && $"n" > 1)
+      .count()
+    assert(overfull == 0, "a packed sequence exceeds capacity")
+  }
+
+  test("pipeline is deterministic: two runs produce identical curated tables") {
+    val r1 = Files.createTempDirectory("graft-cur1").toString
+    val r2 = Files.createTempDirectory("graft-cur2").toString
+    val res1 = CurationPipeline.run(spark, corpus, benchmark, r1,
+      mixtureScale = 1.0, packCapacity = 30L)
+    val res2 = CurationPipeline.run(spark, corpus, benchmark, r2,
+      mixtureScale = 1.0, packCapacity = 30L)
+    val t1 = spark.read.parquet(res1.outPath)
+    val t2 = spark.read.parquet(res2.outPath)
+    assert(t1.exceptAll(t2).isEmpty && t2.exceptAll(t1).isEmpty)
+    assert(res1.audits == res2.audits)
+  }
+}
