@@ -112,6 +112,18 @@ object EtlDemo {
     println(s"[demo] empty-day probe: staging=${res3.stagingLog.recordsInserted} " +
       s"analytical=${res3.analyticalLog} (expect 0 / None)")
 
+    // --- 4. LLM curation pipeline over the testdata documents table:
+    // gate -> exact dedup -> near-dup -> decontaminate -> mixture ->
+    // pack -> z-ordered sink, audit counts riding each stage's write
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val benchmark = docs.orderBy("doc_id").limit(3).select("text")
+    val cur = graft.pipeline.CurationPipeline.run(spark, docs, benchmark,
+      s"$root/curation", mixtureScale = 4.0, packCapacity = 2048L)
+    println("[demo] curation audit ledger:")
+    cur.audits.foreach(a => println(f"[demo]   ${a.stage}%-18s ${a.rows}%6d rows"))
+    println(s"[demo] curated table at ${cur.outPath}: " +
+      s"${spark.read.parquet(cur.outPath).count()} rows")
+
     spark.stop()
     println("[demo] DONE")
   }

@@ -19,7 +19,7 @@ OUT="${1:-/tmp/scale_battery.log}"
 run() {
   echo "=== ScaleProbe $* (fresh JVM) ===" >> "$OUT"
   sbt -batch "runMain graft.ScaleProbe $*" 2>&1 \
-    | grep -E '^\[info\] \[scale' | sed 's/^\[info\] //' >> "$OUT"
+    | grep -E '^\[info\] \[(scale|skew)' | sed 's/^\[info\] //' >> "$OUT"
 }
 
 sbt -batch compile > /dev/null 2>&1 || { echo "compile failed"; exit 1; }
