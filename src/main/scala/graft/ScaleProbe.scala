@@ -351,6 +351,34 @@ object ScaleProbe {
         f"capped=${cT}%6.2fs pairs=$cPairs uncapped=$uT pairs=$uPairs")
     }
 
+    // 2b. WITHIN-CORPUS self-join under the same boilerplate skew: the
+    // hot cluster contributes O(hot²) candidate pairs uncapped (1.6k hot
+    // docs at 20k corpus -> ~1.3M pairs; 16k at 200k -> ~128M, which is
+    // why uncapped isn't attempted there), the star cap bounds it at
+    // O(hot × reps). The corpus is materialized to parquet first — a
+    // range-derived frame carries a bytes-per-row size estimate that
+    // makes the planner broadcast the multi-GB shingle projection
+    // (real corpora come from storage with real stats).
+    for (n <- Seq(20000L, 200000L)) {
+      val docPath = s"$bigDir/skew_self_docs_$n"
+      ProbeCorpus.boilerplateCorpus(spark, n)
+        .write.mode("overwrite").parquet(docPath)
+      val corpus = spark.read.parquet(docPath)
+      val (cPairs, cT) = timed(Dedup.minhashDupPairs(corpus, "doc_id",
+        "text", hotCap = 1024).count())
+      val (uPairs, uT) = if (n <= 20000L && budgetLeft) {
+        try {
+          val (p, t) = timed(Dedup.minhashDupPairs(corpus, "doc_id",
+            "text").count())
+          (p.toString, f"$t%6.2fs")
+        } catch { case e: Exception =>
+          ("-", s"FAILED(${e.getClass.getSimpleName})")
+        }
+      } else ("-", "SKIPPED(quadratic)")
+      println(f"[skew-self] corpus=$n%-8d capped=${cT}%6.2fs pairs=$cPairs " +
+        f"uncapped=$uT pairs=$uPairs")
+    }
+
     // 3. embedding analog
     val ebatch = ProbeCorpus.boilerplateEmbeddings(spark, 5000L)
       .filter(col("vec_id") % 10 < 2)

@@ -106,8 +106,10 @@ object Dedup {
     *     The k=128/bands=16 default (r=8) keeps sub-threshold pairs rare
     *     even on low-entropy text where random docs share many shingles;
     *     permissive geometry (r≤4) degenerates to O(n²) candidates.
-    * Hot band buckets (boilerplate) remain the skew risk; AQE skew join
-    * splits them at runtime.
+    * Hot band buckets (boilerplate) are the skew risk: AQE's skew join
+    * splits oversized TASKS at runtime but cannot reduce the O(m²) PAIR
+    * volume a hot bucket emits — `hotCap` can (star candidates, see
+    * [[selfJoinCandidates]]).
     */
   /** @param persistShingles cache the hashed-shingle projection for the
     *        duration of the job: the plan references it three times
@@ -115,10 +117,17 @@ object Dedup {
     *        the dominant map cost. At cluster scale the equivalent is
     *        materializing signatures to storage between stages; callers
     *        can pass false to keep the operator side-effect free. */
+  /** @param hotCap when > 0, band values with more than `hotCap` members
+    *        generate star candidates (each member vs the band's 16
+    *        smallest ids) instead of all-pairs — see
+    *        [[selfJoinCandidates]] for what the cap trades and why dedup
+    *        and clustering survive it. 0 (default) keeps the exact
+    *        all-pairs candidate set the q27 oracle gates. */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 5, k: Int = 128, bands: Int = 16,
                       threshold: Double = 0.8,
-                      persistShingles: Boolean = true): DataFrame = {
+                      persistShingles: Boolean = true,
+                      hotCap: Int = 0): DataFrame = {
     import graft.expressions.MinHash
     val hashed0 = df.select(col(idCol).as("id"),
         MinHash.hashedCharShingles(
@@ -132,12 +141,7 @@ object Dedup {
       .select(col("id"), posexplode(bandKeys(col("sig"), k, bands)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
 
-    val candidates = banded.select(col("band_idx"), col("band"), col("id").as("id_a"))
-      .join(banded.select(col("band_idx"), col("band"), col("id").as("id_b")),
-        Seq("band_idx", "band"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    val candidates = selfJoinCandidates(banded, hotCap)
 
     candidates
       .join(hashed.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -153,8 +157,9 @@ object Dedup {
     * connected components, provided by [[connectedComponents]]). */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 5, k: Int = 128, bands: Int = 16,
-                   threshold: Double = 0.8): DataFrame = {
-    val dupes = minhashDupPairs(df, idCol, textCol, shingleSize, k, bands, threshold)
+                   threshold: Double = 0.8, hotCap: Int = 0): DataFrame = {
+    val dupes = minhashDupPairs(df, idCol, textCol, shingleSize, k, bands,
+        threshold, hotCap = hotCap)
       .select(col("id_b").as(idCol)).distinct()
     df.join(dupes, Seq(idCol), "left_anti")
   }
@@ -266,6 +271,70 @@ object Dedup {
     require(fileBuckets >= 1, s"fileBuckets must be positive: $fileBuckets")
     bandRows(sigs, k, bands, fileBuckets)
       .write.mode("append").partitionBy("band_pt").parquet(path)
+  }
+
+  /** Candidate pairs for a WITHIN-CORPUS banded self-join, with the hot
+    * bands capped to a star pattern when `hotCap > 0` — the self-join
+    * analog of the standing-probe escape hatch ([[hotBands]]): all-pairs
+    * inside a band value is quadratic in its occupancy, so one
+    * boilerplate cluster of 100k docs contributes 10^10 candidate pairs
+    * before verification can reject a single one. Capped, a band value
+    * above `hotCap` occupancy pairs every member with the band's `reps`
+    * smallest ids only — m×reps pairs instead of m².
+    *
+    * What the star trades away: non-representative hot-band members are
+    * no longer paired with EACH OTHER through that band (they may still
+    * pair through a cold band). For the consumers that matter the trade
+    * is sound by structure, not luck:
+    *  - dedup ([[minhashDedup]]'s drop-if-dup-of-lower-id): the band's
+    *    smallest id is always a representative, so every member still
+    *    meets the pair that kills it — provided rep-member verification
+    *    passes, which is exactly the near-identical-boilerplate regime
+    *    that makes a band hot in the first place;
+    *  - clustering ([[connectedComponents]]): a star keeps the band's
+    *    members in one component — same labels as the clique when the
+    *    star edges verify.
+    * Pair COMPLETENESS (every qualifying pair listed) is reduced on hot
+    * bands by design; with `hotCap = 0` (or occupancy below the cap)
+    * the output is exactly the uncapped candidate set. `banded` must
+    * carry (band_idx, band, id). */
+  private[operators] def selfJoinCandidates(banded: DataFrame, hotCap: Int,
+                                            reps: Int = 16): DataFrame = {
+    val allPairs = (l: DataFrame, r: DataFrame) =>
+      l.join(r, Seq("band_idx", "band"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+    val pairs =
+      if (hotCap <= 0) {
+        allPairs(
+          banded.select(col("band_idx"), col("band"), col("id").as("id_a")),
+          banded.select(col("band_idx"), col("band"), col("id").as("id_b")))
+      } else {
+        // one partial-agg pass finds the hot band values (tiny result:
+        // each row represents > hotCap docs)
+        val hot = broadcast(banded.groupBy(col("band_idx"), col("band"))
+          .agg(count(lit(1)).as("__freq")).filter(col("__freq") > hotCap)
+          .select(col("band_idx"), col("band")))
+        val cold = banded.join(hot, Seq("band_idx", "band"), "left_anti")
+        val hotRows = banded.join(hot, Seq("band_idx", "band"))
+        val w = Window.partitionBy(col("band_idx"), col("band")).orderBy(col("id"))
+        val hotReps = hotRows.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= reps).drop("__rn")
+        val coldPairs = allPairs(
+          cold.select(col("band_idx"), col("band"), col("id").as("id_a")),
+          cold.select(col("band_idx"), col("band"), col("id").as("id_b")))
+        // star: reps × all members of the same hot band (reps are the
+        // smallest ids, so orient rep -> member and keep id_a < id_b;
+        // rep-rep pairs are included since reps are members too)
+        val starPairs = broadcast(
+            hotReps.select(col("band_idx"), col("band"), col("id").as("id_a")))
+          .join(hotRows.select(col("band_idx"), col("band"), col("id").as("id_b")),
+            Seq("band_idx", "band"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+        coldPairs.union(starPairs)
+      }
+    pairs.distinct()
   }
 
   /** Hot-band statistics + representatives over a [[writeBandTable]]
@@ -455,7 +524,8 @@ object Dedup {
     * Jaccard" dedup variant. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
-                        k: Int = 64, bands: Int = 8): DataFrame = {
+                        k: Int = 64, bands: Int = 8,
+                        hotCap: Int = 0): DataFrame = {
     // native single-pass gram hashing + signature (same hot-path shape as
     // minhashDupPairs): Jaccard over hashed gram sets is hash-invariant,
     // so WordNgramHashes' internal hash is as good as xxhash64-of-string
@@ -468,12 +538,7 @@ object Dedup {
       .withColumn("sig", graft.expressions.MinHash.minhashSignature(col("sh"), k))
       .select(col("id"), posexplode(bandKeys(col("sig"), k, bands)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band")
-    val candidates = banded.select(col("band_idx"), col("band"), col("id").as("id_a"))
-      .join(banded.select(col("band_idx"), col("band"), col("id").as("id_b")),
-        Seq("band_idx", "band"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    val candidates = selfJoinCandidates(banded, hotCap)
     candidates
       .join(hashed.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(hashed.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

@@ -38,6 +38,11 @@ object CurationPipeline {
     * @param minQuality stage-1 quality cut ([[TextAnalysis.qualityScore]])
     * @param keepLangs  stage-1 language allowlist ([[TextAnalysis.languageId]])
     * @param nearDupThreshold MinHash-LSH Jaccard cut (stage 3)
+    * @param nearDupHotCap stage-3 hot-band occupancy cap (star
+    *                   candidates above it — the boilerplate-skew
+    *                   escape hatch; a no-op below the cap, which a
+    *                   post-exact-dedup corpus usually is, but exactly
+    *                   the guard a templated web corpus needs)
     * @param mixtureScale temperature-mixture sqrt scale (stage 5):
     *                   per-source target = floor(scale * sqrt(n))
     * @param packCapacity token capacity per packed sequence (stage 6) */
@@ -45,7 +50,8 @@ object CurationPipeline {
           outRoot: String, idCol: String = "doc_id",
           textCol: String = "text", srcCol: String = "source",
           minQuality: Double = 0.2, keepLangs: Seq[String] = Seq("en"),
-          nearDupThreshold: Double = 0.8, mixtureScale: Double = 8.0,
+          nearDupThreshold: Double = 0.8, nearDupHotCap: Int = 1024,
+          mixtureScale: Double = 8.0,
           packCapacity: Long = 512L, salt: String = "curation"): Result = {
     val audits = scala.collection.mutable.ArrayBuffer.empty[StageAudit]
     def stage(name: String, df: DataFrame,
@@ -75,7 +81,7 @@ object CurationPipeline {
     // 3. near-dup dedup: MinHash-LSH banding, id-only candidate joins
     val near = stage("s3_near_dedup",
       Dedup.minhashDedup(exact, idCol, textCol,
-        threshold = nearDupThreshold))
+        threshold = nearDupThreshold, hotCap = nearDupHotCap))
 
     // 4. benchmark decontamination: broadcast gram semi-join
     val clean = stage("s4_decontaminated",

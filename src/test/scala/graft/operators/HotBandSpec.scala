@@ -122,6 +122,53 @@ class HotBandSpec extends SparkSpec {
       "capping changed which batch vectors match the corpus")
   }
 
+  test("self-join hotCap: no-op below occupancy, bounded star above it, survivor set preserved") {
+    val corpus = ProbeCorpus.boilerplateCorpus(spark, 300L, hotPerMille = 300)
+    // cap far above any occupancy: candidate/pair sets byte-identical
+    val uncapped = Dedup.minhashDupPairs(corpus, "doc_id", "text")
+    val noop = Dedup.minhashDupPairs(corpus, "doc_id", "text", hotCap = 1000000)
+    assert(noop.exceptAll(uncapped).isEmpty && uncapped.exceptAll(noop).isEmpty,
+      "hotCap above occupancy changed the pair set")
+    // binding cap: pair volume bounded, dedup survivors unchanged (the
+    // band minimum is always a representative, and hot-band members are
+    // near-identical, so every member still meets the pair that kills it)
+    val capped = Dedup.minhashDupPairs(corpus, "doc_id", "text", hotCap = 8)
+    assert(capped.count() < uncapped.count(),
+      "binding hotCap did not reduce pair volume")
+    val keptCapped = Dedup.minhashDedup(corpus, "doc_id", "text", hotCap = 8)
+      .select($"doc_id").as[Long].collect().toSet
+    val keptUncapped = Dedup.minhashDedup(corpus, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptCapped == keptUncapped,
+      s"capped survivors $keptCapped != uncapped $keptUncapped")
+    // clustering survives the star: same connected components
+    val cc = Dedup.connectedComponents(
+      capped.select($"id_a", $"id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ccU = Dedup.connectedComponents(
+      uncapped.select($"id_a", $"id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc == ccU, "star candidates changed the cluster labels")
+  }
+
+  test("self-join hotCap: embedding modality no-op and survivor preservation") {
+    val corpus = ProbeCorpus.boilerplateEmbeddings(spark, 300L, dim = 16,
+      hotPerMille = 300)
+    val uncapped = Similarity.embeddingNearDupPairs(corpus, "vec_id",
+      "embedding", threshold = 0.999, bands = 4, bitsPerBand = 8, dim = 16)
+    val capped = Similarity.embeddingNearDupPairs(corpus, "vec_id",
+      "embedding", threshold = 0.999, bands = 4, bitsPerBand = 8, dim = 16,
+      hotCap = 8)
+    assert(capped.count() < uncapped.count(), "cap never bound")
+    val keptCapped = Similarity.embeddingNearDupDedup(corpus, "vec_id",
+        "embedding", threshold = 0.999, bands = 4, bitsPerBand = 8, dim = 16,
+        hotCap = 8)
+      .select($"vec_id").as[Long].collect().toSet
+    val keptUncapped = Similarity.embeddingNearDupDedup(corpus, "vec_id",
+        "embedding", threshold = 0.999, bands = 4, bitsPerBand = 8, dim = 16)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(keptCapped == keptUncapped,
+      s"capped survivors differ: $keptCapped vs $keptUncapped")
+  }
+
   test("capped probe plan keeps the corpus un-shuffled (broadcast probes only)") {
     val all = ProbeCorpus.boilerplateCorpus(spark, 400L, hotPerMille = 250)
     val batch = all.filter(pmod($"doc_id", lit(10)) < 2)
