@@ -114,7 +114,12 @@ object ProbeCorpus {
     * PRNG. Batch/corpus splits use the usual mod-10 convention. */
   def boilerplateCorpus(spark: SparkSession, n: Long, hotPerMille: Int = 80,
                         seed: String = "boil"): DataFrame = {
-    val isHot = col("id") % 1000 < hotPerMille
+    // block = min(n, 1000): at n >= 1000 this is the original id%1000
+    // predicate (probe corpora unchanged); below it the threshold scales
+    // so hotPerMille stays a RATE instead of degenerating into a
+    // contiguous id-prefix size (n=400 at 250‰ = 100 hot docs, not 250)
+    val block = math.min(n, 1000L)
+    val isHot = col("id") % block < (hotPerMille.toLong * block / 1000L)
     val template = concat_ws(" ",
       (0 until 10).map(c => sha2(lit(s"$seed:tmpl:$c"), 256)): _*)
     val suffix = substring(
@@ -138,7 +143,8 @@ object ProbeCorpus {
   def boilerplateEmbeddings(spark: SparkSession, n: Long, dim: Int = 64,
                             hotPerMille: Int = 80,
                             seed: String = "boilvec"): DataFrame = {
-    val isHot = col("id") % 1000 < hotPerMille
+    val block = math.min(n, 1000L) // same rate-preserving scaling as above
+    val isHot = col("id") % block < (hotPerMille.toLong * block / 1000L)
     def unit(h: Column) = (pmod(h, lit(1000L)) - lit(500L)).cast("double") / 500.0
     val dims = sequence(lit(0), lit(dim - 1))
     val base = transform(dims, d => unit(xxhash64(concat(lit(s"$seed:b:"), d))))

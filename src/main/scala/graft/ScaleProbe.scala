@@ -39,6 +39,27 @@ object ScaleProbe {
   private def dupCorpus(spark: SparkSession, n: Long): DataFrame =
     ProbeCorpus.dupCorpus(spark, n)
 
+  /** The ONE timing discipline every family measures under: median of 3,
+    * cache + persisted-RDD cleanup and an explicit GC between runs
+    * (ContextCleaner frees broadcast/checkpoint blocks only when the
+    * driver GCs their references — without this the first heavy query
+    * after a battery pays the accumulated GC bill and measures heap
+    * pressure, not its plan). Keeping it in one place is the point:
+    * families forked into separate JVMs must still share methodology. */
+  private def timeMedian(spark: SparkSession)(fn: => DataFrame): Double = {
+    val ts = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      fn.queryExecution.toRdd.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+      dt
+    }.sorted
+    ts(1)
+  }
+
   // q100/q101 ride the same corpus: the mod-10 batch/corpus split cuts
   // through every 3-doc cluster (ids 3g..3g+2), so cross-split near-dup
   // matches exist and scale linearly with the cluster count
@@ -71,6 +92,14 @@ object ScaleProbe {
     //   asof          as-of both-axes probe (VERDICT r7 #4)
     // tools/scale_battery.sh drives the full process-isolated battery.
     // No args = the legacy shared-JVM battery (gen + linear + dup + inc).
+    // unknown modes fail loudly: a typo'd family arg would otherwise
+    // select NOTHING and exit cleanly — in a scripted battery an empty
+    // section reads as an intentionally empty family
+    val knownBare = Set("dup", "inc", "x100", "skew", "asof", "gen", "linear")
+    for (a <- args)
+      require(knownBare(a) || a.startsWith("only:") || a.startsWith("dup:"),
+        s"unknown ScaleProbe mode '$a' (known: ${knownBare.mkString("/")}, " +
+          "only:<query>, dup:<query>)")
     val dupOnly = args.exists(_.startsWith("dup"))
     val incOnly = args.contains("inc")
     val x100Only = args.contains("x100")
@@ -106,23 +135,7 @@ object ScaleProbe {
       if (genOnly) { spark.stop(); return }
     }
 
-    def time(fn: => DataFrame): Double = {
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        fn.queryExecution.toRdd.count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        // same lesson as Bench: ContextCleaner frees broadcast blocks
-        // only when the driver GCs their references — without this the
-        // first heavy iterative query after the battery pays the
-        // accumulated GC bill and measures heap pressure, not its plan
-        System.gc()
-        dt
-      }.sorted
-      ts(1)
-    }
+    def time(fn: => DataFrame): Double = timeMedian(spark)(fn)
 
     // warmup
     spark.read.parquet(s"$srcDir/region.parquet")
@@ -158,8 +171,11 @@ object ScaleProbe {
         case None if dupOnly || args.isEmpty => dupQueries
         case None => Seq.empty[String]
       }
+    // regenerate unless BOTH corpora exist — keying on dup_small alone
+    // would silently re-probe a run whose dup_big write was interrupted
     if (dupSelected.nonEmpty &&
-        !Zones.pathExists(spark, s"$bigDir/dup_small/documents.parquet")) {
+        !(Zones.pathExists(spark, s"$bigDir/dup_small/documents.parquet") &&
+          Zones.pathExists(spark, s"$bigDir/dup_big/documents.parquet"))) {
       dupCorpus(spark, 6000L).write.mode("overwrite")
         .parquet(s"$bigDir/dup_small/documents.parquet")
       dupCorpus(spark, 60000L).write.mode("overwrite")
@@ -244,19 +260,7 @@ object ScaleProbe {
     val asofQueries = Seq("q32_asof_join", "q84_asof_forward",
       "q85_asof_nearest", "q86_window_dedup", "q87_rolling_window",
       "q96_rolling_active", "q113_rolling_kmv")
-    def time(fn: => DataFrame): Double = {
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        fn.queryExecution.toRdd.count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        System.gc()
-        dt
-      }.sorted
-      ts(1)
-    }
+    def time(fn: => DataFrame): Double = timeMedian(spark)(fn)
     ProbeCorpus.replicateEvents(spark, srcDir, 10)
       .write.mode("overwrite").parquet(s"$bigDir/depth/events.parquet")
     ProbeCorpus.replicateEventsCardinality(spark, srcDir, 10)

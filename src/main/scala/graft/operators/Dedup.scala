@@ -157,9 +157,10 @@ object Dedup {
     * connected components, provided by [[connectedComponents]]). */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 5, k: Int = 128, bands: Int = 16,
-                   threshold: Double = 0.8, hotCap: Int = 0): DataFrame = {
+                   threshold: Double = 0.8, hotCap: Int = 0,
+                   persistShingles: Boolean = true): DataFrame = {
     val dupes = minhashDupPairs(df, idCol, textCol, shingleSize, k, bands,
-        threshold, hotCap = hotCap)
+        threshold, persistShingles = persistShingles, hotCap = hotCap)
       .select(col("id_b").as(idCol)).distinct()
     df.join(dupes, Seq(idCol), "left_anti")
   }

@@ -587,16 +587,23 @@ object Multimodal {
       gct = java.util.Arrays.copyOfRange(bytes, pos, pos + sz)
       pos += sz
     }
-    // walk blocks to the first image descriptor, skipping extensions
+    // walk blocks to the first image descriptor, skipping extensions.
+    // Every header byte goes through the checked reader: a truncated
+    // file must reject loudly (the decodeBmp contract), never surface
+    // as an ArrayIndexOutOfBounds from an unchecked read.
+    def u8(off: Int): Int = {
+      require(off >= 0 && off < bytes.length, s"truncated GIF at byte $off")
+      bytes(off) & 0xff
+    }
     def skipSubBlocks(p0: Int): Int = {
       var p = p0
-      while ({ require(p < bytes.length, "truncated sub-block chain")
-               (bytes(p) & 0xff) != 0 }) p += 1 + (bytes(p) & 0xff)
+      while (u8(p) != 0) p += 1 + u8(p)
       p + 1
     }
-    while ((bytes(pos) & 0xff) == 0x21) // extension: label + sub-blocks
+    while (u8(pos) == 0x21) // extension: label + sub-blocks
       pos = skipSubBlocks(pos + 2)
-    require((bytes(pos) & 0xff) == 0x2c, s"expected image descriptor at $pos")
+    require(u8(pos) == 0x2c, s"expected image descriptor at $pos")
+    require(pos + 10 <= bytes.length, "truncated image descriptor")
     val w = le16(pos + 5)
     val h = le16(pos + 7)
     require(w > 0 && h > 0 && w <= (1 << 12) && h <= (1 << 12),
@@ -612,7 +619,7 @@ object Multimodal {
       pos += sz
     }
     require(palette != null, "no color table")
-    val minCode = bytes(pos) & 0xff
+    val minCode = u8(pos)
     require(minCode >= 2 && minCode <= 8, s"bad LZW minimum code size $minCode")
     pos += 1
     // concatenate the image-data sub-blocks

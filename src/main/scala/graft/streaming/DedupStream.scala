@@ -208,8 +208,13 @@ object DedupStream {
         // the batch feeds banding + verify + anti-join; cache it so
         // arriving text is scanned once per micro-batch
         val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // persistShingles/persistBatch = false throughout: the batch is
+        // already persisted as `cached`, and the operators' own persists
+        // would register a cached projection per micro-batch that
+        // nothing unpersists (the leak ADVICE r7 flagged on the
+        // embedding stream exists identically here)
         val within = Dedup.minhashDedup(cached, idCol, textCol,
-          shingleSize, k, bands, threshold)
+          shingleSize, k, bands, threshold, persistShingles = false)
         val vsCorpus =
           if (Zones.pathExists(spark, sigPath)) {
             val sigs = spark.read.parquet(sigPath)
@@ -217,10 +222,10 @@ object DedupStream {
               case Some(bp) if Zones.pathExists(spark, bp) =>
                 Dedup.incrementalDedupBanded(within, idCol, textCol,
                   spark.read.parquet(bp), sigs, shingleSize, k, bands,
-                  threshold, fileBuckets)
+                  threshold, fileBuckets, persistBatch = false)
               case _ =>
                 Dedup.incrementalDedup(within, idCol, textCol, sigs,
-                  shingleSize, k, bands, threshold)
+                  shingleSize, k, bands, threshold, persistBatch = false)
             }
           } else within
         val survivors0 =

@@ -100,8 +100,9 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q109/q110/q111: codec queries are map-only — decode runs in the scan stage, sole exchange is the final sort") {
-    for (q <- Seq("q109_bmp_decode", "q110_wav_decode", "q111_png_decode")) {
+  test("q109-q112: codec queries are map-only — decode runs in the scan stage, sole exchange is the final sort") {
+    for (q <- Seq("q109_bmp_decode", "q110_wav_decode", "q111_png_decode",
+        "q112_gif_decode")) {
       val p = executedPlanOf(q).split("== Initial Plan ==").head
       // one pass: synthesize → mapPartitions decode → project, then the
       // ordered output's range exchange; a second exchange would mean

@@ -78,6 +78,13 @@ class DedupStreamSpec extends SparkSpec {
       DedupStream.run(spark, docs, s"$root/sigs", s"$root/out",
         s"$root/ckpt", threshold = 0.6,
         compactSigsAfterFiles = compactAfter).awaitTermination(120000)
+      // drain 3 gives the plain run a third signature append so the
+      // file-count delta below is observable regardless of how many
+      // files each small append happens to produce
+      mem.addData((30L, "one final novel document for the third and final drain"))
+      DedupStream.run(spark, docs, s"$root/sigs", s"$root/out",
+        s"$root/ckpt", threshold = 0.6,
+        compactSigsAfterFiles = compactAfter).awaitTermination(120000)
     }
     val plain = Files.createTempDirectory("graft-dstream-plain").toString
     val compacted = Files.createTempDirectory("graft-dstream-compact").toString
@@ -88,7 +95,7 @@ class DedupStreamSpec extends SparkSpec {
       spark.read.parquet(s"$root/sigs").select("id").as[Long].collect().sorted.toSeq)
     assert(state(plain) == state(compacted),
       s"${state(plain)} vs ${state(compacted)}")
-    assert(state(compacted)._1 == Set(11L, 13L, 21L))
+    assert(state(compacted)._1 == Set(11L, 13L, 21L, 30L))
     // the compacted table was actually rewritten: a curated single run of
     // files, not one append per batch
     def files(root: String) = new java.io.File(s"$root/sigs").listFiles()
