@@ -1587,6 +1587,31 @@ object SparkEntry {
           r4(kmvEstimate(col("mins"), k)).as("active_7d_est"))
         .orderBy(col("day"))
     }),
+
+    // Count-Min frequency sketch — the frequency member of the
+    // mergeable-sketch family (KMV q102/q113 = distinct; this = per-key
+    // counts in FIXED depth×width state regardless of key cardinality).
+    // Same deterministic sha256-prefix hashing, so the oracle replays
+    // bucket assignment, grid counts, and the min-over-depths estimates
+    // exactly — the ESTIMATES ride the value hash, and the structural
+    // never-undershoots guarantee is asserted as a gated boolean.
+    // The token frame is persisted (two consumers: the grid aggregate
+    // and the exact top-k the estimates are judged against).
+    "q114_cms_freq" -> ((s, d) => {
+      import operators.FreqSketch
+      val toks = t(s, d, "documents")
+        .select(explode(TextFunctions.tokens(
+          TextFunctions.normalizeWs(col("text")))).as("token"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sketch = FreqSketch.countMin(toks, col("token"))
+      val top = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token")).limit(15)
+      FreqSketch.estimate(sketch, top, "token")
+        .join(top, Seq("token"))
+        .select(col("token"), col("exact_cnt"), col("est"),
+          (col("est") >= col("exact_cnt")).as("never_undershoots"))
+        .orderBy(col("exact_cnt").desc, col("token"))
+    }),
   )
 
   /** Bench-side split of the standing-corpus probes (VERDICT r6 #4).
@@ -3728,5 +3753,43 @@ object SparkEntry {
         |  FROM r GROUP BY dt)
         |SELECT strftime(dt, '%Y-%m-%d') AS day, r4(est) AS active_7d_est
         |FROM e ORDER BY day""".stripMargin,
+
+    // Count-Min replay: bucket = 48-bit sha256-prefix of "d:token" mod
+    // width (strpos arithmetic — exact in DOUBLE, cast to BIGINT before
+    // the mod), grid = counts per (depth, bucket), estimate = min over
+    // depths of the probed bucket's count. All integers.
+    "q114_cms_freq" ->
+      """WITH toks AS (
+        |  SELECT token FROM (
+        |    SELECT unnest(string_split_regex(
+        |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS token
+        |    FROM documents)
+        |  WHERE token <> ''),
+        |grid AS (
+        |  SELECT r.d, CAST(list_sum(
+        |      [(strpos('0123456789abcdef', substr(
+        |          sha256(CAST(r.d AS VARCHAR) || ':' || token), i, 1)) - 1)
+        |       * pow(16.0, 12 - i) for i in generate_series(1, 12)])
+        |    AS BIGINT) % 1024 AS bucket, count(*) AS cnt
+        |  FROM toks, range(4) r(d)
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT token, count(*) AS exact_cnt FROM toks
+        |  GROUP BY token ORDER BY exact_cnt DESC, token LIMIT 15),
+        |probed AS (
+        |  SELECT t.token, t.exact_cnt, r.d, CAST(list_sum(
+        |      [(strpos('0123456789abcdef', substr(
+        |          sha256(CAST(r.d AS VARCHAR) || ':' || t.token), i, 1)) - 1)
+        |       * pow(16.0, 12 - i) for i in generate_series(1, 12)])
+        |    AS BIGINT) % 1024 AS bucket
+        |  FROM top t CROSS JOIN range(4) r(d)),
+        |est AS (
+        |  SELECT p.token, p.exact_cnt,
+        |    min(coalesce(g.cnt, 0)) AS est
+        |  FROM probed p
+        |  LEFT JOIN grid g ON g.d = p.d AND g.bucket = p.bucket
+        |  GROUP BY 1, 2)
+        |SELECT token, exact_cnt, est, est >= exact_cnt AS never_undershoots
+        |FROM est ORDER BY exact_cnt DESC, token""".stripMargin,
   )
 }

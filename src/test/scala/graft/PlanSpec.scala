@@ -259,6 +259,23 @@ class PlanSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q114: CMS grid aggregates partially (bounded map-side state) and broadcasts into the probe") {
+    val df = SparkEntry.queries("q114_cms_freq")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    try {
+      val finalOnly = p.split("== Initial Plan ==").head
+      // grid build: partial + final HashAggregate keyed (depth, bucket)
+      // — at most depth x width counters per task cross the exchange,
+      // never a per-token row stream
+      assert("HashAggregate\\(keys=\\[depth".r.findAllIn(finalOnly).size >= 2, p)
+      // the grid is sketch-sized: the probe join must be a broadcast,
+      // never a sort-merge of the sketch against the probes
+      assert(!finalOnly.contains("SortMergeJoin"), p)
+      assert(finalOnly.contains("BroadcastHashJoin"), p)
+    } finally spark.catalog.clearCache()
+  }
+
   test("q113: per-day partial sketches aggregate BEFORE the rolling window merge") {
     val df = SparkEntry.queries("q113_rolling_kmv")(spark, d)
     df.collect()
