@@ -1612,6 +1612,39 @@ object SparkEntry {
           (col("est") >= col("exact_cnt")).as("never_undershoots"))
         .orderBy(col("exact_cnt").desc, col("token"))
     }),
+
+    // Quantile sketch via a bottom-k hash sample — the distribution
+    // member of the mergeable-sketch family (KMV = distinct, CMS =
+    // frequency). The sample is the k rows with the smallest sha-prefix
+    // hash of their unique event_id, so unlike t-digest/KLL the sample
+    // — and every quantile computed from it — is deterministic and
+    // engine-replayable: the sample quantiles ride the value hash, and
+    // the estimator's rank-error bound (|F(q̂_p) − p| = O(1/√k)) is
+    // gated as integer-arithmetic booleans against the FULL population
+    // (comparisons use the r4-rounded estimates so both engines count
+    // against bit-identical cut values).
+    "q115_sample_quantiles" -> ((s, d) => {
+      import operators.SampleSketch
+      val k = 512
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .filter(col("value").isNotNull)
+      val est = SampleSketch.bottomK(ev, Seq("event_type"), col("event_id"), k)
+        .groupBy(col("event_type")).agg(
+          r4(expr("percentile(value, 0.5)")).as("p50_est"),
+          r4(expr("percentile(value, 0.9)")).as("p90_est"))
+      ev.join(broadcast(est), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") <= col("p50_est"), 1L).otherwise(0L)).as("c50"),
+          sum(when(col("value") <= col("p90_est"), 1L).otherwise(0L)).as("c90"),
+          max(col("p50_est")).as("p50_est"),
+          max(col("p90_est")).as("p90_est"))
+        .select(col("event_type"), col("n"), col("p50_est"), col("p90_est"),
+          (abs(col("c50") * 10 - col("n") * 5) <= col("n")).as("p50_rank_ok"),
+          (abs(col("c90") * 10 - col("n") * 9) <= col("n")).as("p90_rank_ok"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** Bench-side split of the standing-corpus probes (VERDICT r6 #4).
@@ -3791,5 +3824,44 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT token, exact_cnt, est, est >= exact_cnt AS never_undershoots
         |FROM est ORDER BY exact_cnt DESC, token""".stripMargin,
+
+    // Bottom-k sample replay: the hash order (48-bit sha256 prefix of
+    // the stringified event_id), the rank cut, the interpolated sample
+    // quantiles, and the integer rank-error booleans are all
+    // deterministic — quantile_cont interpolates with the same formula
+    // as Spark's percentile (the q49 equivalence).
+    "q115_sample_quantiles" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, value FROM events
+        |  WHERE value IS NOT NULL),
+        |h AS (
+        |  SELECT event_type, event_id, value,
+        |    list_sum([(strpos('0123456789abcdef', substr(
+        |        sha256(CAST(event_id AS VARCHAR)), i, 1)) - 1)
+        |      * pow(16.0, 12 - i) for i in generate_series(1, 12)]) AS hv
+        |  FROM ev),
+        |samp AS (
+        |  SELECT event_type, value FROM (
+        |    SELECT event_type, value,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY hv, event_id) AS rn
+        |    FROM h)
+        |  WHERE rn <= 512),
+        |est AS (
+        |  SELECT event_type,
+        |    r4(quantile_cont(value, 0.5)) AS p50_est,
+        |    r4(quantile_cont(value, 0.9)) AS p90_est
+        |  FROM samp GROUP BY event_type),
+        |chk AS (
+        |  SELECT e.event_type, count(*) AS n,
+        |    sum(CASE WHEN e.value <= est.p50_est THEN 1 ELSE 0 END) AS c50,
+        |    sum(CASE WHEN e.value <= est.p90_est THEN 1 ELSE 0 END) AS c90,
+        |    max(est.p50_est) AS p50_est, max(est.p90_est) AS p90_est
+        |  FROM ev e JOIN est USING (event_type)
+        |  GROUP BY e.event_type)
+        |SELECT event_type, n, p50_est, p90_est,
+        |  abs(10 * c50 - 5 * n) <= n AS p50_rank_ok,
+        |  abs(10 * c90 - 9 * n) <= n AS p90_rank_ok
+        |FROM chk ORDER BY event_type""".stripMargin,
   )
 }

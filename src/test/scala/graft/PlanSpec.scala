@@ -276,6 +276,13 @@ class PlanSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("q115: bottom-k sample cuts map-side (WindowGroupLimit before the exchange)") {
+    val p = executedPlanOf("q115_sample_quantiles").split("== Initial Plan ==").head
+    // partial + final WindowGroupLimit pair: at most k rows per group
+    // per task cross the shuffle, never the raw event stream
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q113: per-day partial sketches aggregate BEFORE the rolling window merge") {
     val df = SparkEntry.queries("q113_rolling_kmv")(spark, d)
     df.collect()
