@@ -31,7 +31,10 @@ object ScaleProbe {
     "q85_asof_nearest", "q86_window_dedup", "q87_rolling_window",
     // corpus diagnostics + events analytics added late in round 4
     "q88_source_entropy", "q89_vocab_overlap", "q94_funnel",
-    "q95_retention", "q96_rolling_active")
+    "q95_retention", "q96_rolling_active",
+    // round-8 sketch family: bounded-state shapes whose ratios should
+    // approach pure scan cost (the state is constant by construction)
+    "q114_cms_freq", "q115_sample_quantiles")
 
   // Corpus construction lives in ProbeCorpus (pinned-seed, reproducible
   // across invocations — ProbeCorpusSpec pins count+hash); this main only
