@@ -1645,6 +1645,151 @@ object SparkEntry {
           (abs(col("c90") * 10 - col("n") * 9) <= col("n")).as("p90_rank_ok"))
         .orderBy(col("event_type"))
     }),
+
+    // Register-vector HyperLogLog under the hash gate — the engine's
+    // third distinct surface (exact / KMV q102 / THIS), chosen when the
+    // per-group state must be a fixed byte vector with a max-merge (the
+    // cheapest mergeable-sketch merge; idempotent, so streaming replay
+    // collapses for free). The sha256-prefix hash makes bucket, rank,
+    // registers, and the fixed-point harmonic sum S integer-exact, so
+    // the oracle replays the RAW ESTIMATES bit-for-bit; the '__all__'
+    // row additionally proves mergeability under the gate: elementwise
+    // max of the per-type registers must equal the directly-computed
+    // global registers (`merge_ok`). Groups are chosen inside the raw
+    // estimator's range (n ≥ 2.5m at every SF); the small-range linear
+    // counting path is ln-based (not cross-engine exact) and is T-gated
+    // in HllSpec instead.
+    "q116_hll_distinct" -> ((s, d) => {
+      import graft.functions.{Hll, KmvAggregator}
+      val p = 6
+      val hllAgg = Hll.hll(p)
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          KmvAggregator.kmvHash(col("event_id")).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val perType = ev.groupBy("event_type")
+        .agg(hllAgg(col("h")).as("regs"),
+          countDistinct(col("event_id")).as("exact_cnt"))
+      val global = ev
+        .agg(hllAgg(col("h")).as("regs"),
+          countDistinct(col("event_id")).as("exact_cnt"))
+        .select(lit("__all__").as("event_type"), col("regs"),
+          col("exact_cnt"))
+      // mergeability proof: max-of-per-type registers ≡ direct global
+      val merged = perType.select(posexplode(col("regs")))
+        .toDF("pos", "reg")
+        .groupBy("pos").agg(max(col("reg")).as("mreg"))
+      val mergeOk = global.select(posexplode(col("regs"))).toDF("pos", "reg")
+        .join(merged, Seq("pos"))
+        .agg((sum(when(col("reg") === col("mreg"), 0)
+          .otherwise(1)) === 0).as("merge_ok"))
+      perType.unionByName(global)
+        .select(col("event_type"), col("exact_cnt"),
+          Hll.zeros(col("regs")).as("zeros"),
+          Hll.harmonicS(col("regs"), p).as("s"))
+        .withColumn("raw_est", Hll.rawEstimate(col("s"), p))
+        .withColumn("err_ok",
+          abs(col("raw_est") - col("exact_cnt").cast("double")) * lit(2.0) <=
+            col("exact_cnt").cast("double"))
+        .crossJoin(mergeOk) // 1-row broadcast scalar
+        .orderBy(col("event_type"))
+    }),
+
+    // Integer-exact PageRank (power iteration, fixed 3 rounds) over the
+    // symmetrized customer↔supplier co-purchase graph — the
+    // power-iteration member of the iterative-graph family (connected
+    // components q65 / survivors q80 are the pointer-doubling members).
+    // The fixed-point formulation (damping as the exact rational 17/20,
+    // floor divisions, integer contribution sums) makes every iteration
+    // associative-exact, so the DuckDB oracle replays all three rounds
+    // and the final ranks bit-for-bit — a floating PageRank could only
+    // be tolerance-gated. Customers map to even node ids, suppliers to
+    // odd (disjoint by parity). See operators/Graphs.integerPageRank
+    // for the 100 TB shape (edges hashed+persisted once, only the rank
+    // table moves per iteration).
+    "q117_pagerank" -> ((s, d) => {
+      import graft.operators.Graphs
+      val pairs = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      Graphs.integerPageRank(edges, 3)
+        .select(col("nid"),
+          when(col("nid") % 2 === 0, "customer")
+            .otherwise("supplier").as("kind"),
+          col("pr"))
+        .orderBy(col("pr").desc, col("nid")).limit(20)
+    }),
+
+    // Perceptual-hash image near-dup: the codec family (q109–q112)
+    // meets the dedup family. synthesizeDhashBmp emits genuine 18×8 BMP
+    // files in groups sharing a pixel chain, each perturbed in 2
+    // sha-derived bytes; dhashBmpBands PARSES the files and computes an
+    // integer-exact 64-bit difference hash as four 16-bit band values;
+    // dhashNearDupPairs runs the SimHash pigeonhole (band-collision
+    // candidates, xor+bit_count verify at Hamming ≤ 6). The oracle
+    // replays generation formula → grayscale cells → bits → bands →
+    // band join → Hamming, so a parser slip, a bit-packing mistake, or
+    // a banding change all go red. Pairs and misses both ride the gate
+    // (the contract replayed is banded recall, not ground truth).
+    "q118_dhash_neardup" -> ((s, d) => {
+      import graft.operators.Multimodal
+      val media = Multimodal.synthesizeDhashBmp(s, 80, 3)
+      Multimodal.dhashNearDupPairs(Multimodal.dhashBands(media).toDF())
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Heavy hitters with a broadcast-CMS shuffle guard — the q114 grid
+    // used the way a 100 TB token pipeline uses it: the fixed-size
+    // sketch BROADCASTS, each row's estimate is computed MAP-SIDE (one
+    // BroadcastHashJoin per depth row, least() over the lanes), and
+    // rows whose estimate misses the threshold never reach the exact
+    // aggregation's exchange — the long tail is dropped before the
+    // shuffle instead of inside it. CMS never undershoots, so no true
+    // heavy hitter can be dropped (no false negatives by construction;
+    // false positives die in the exact verify). The key stream is a
+    // planted geometric distribution (bit-length of the event-id hash's
+    // low 16 bits — the engine's replayable Zipf stand-in, since the
+    // synthetic corpora are deliberately uniform): ~50% of rows carry
+    // k16, ~25% k15, …, giving 6 true heavies at the 1% threshold at
+    // every SF. Everything — hash, bucket lanes, grid, estimates,
+    // threshold, verify — is integer and rides the value hash.
+    "q119_heavy_hitters" -> ((s, d) => {
+      import graft.functions.KmvAggregator
+      import graft.operators.FreqSketch
+      val keys = Tables.events(s, d)
+        .select(concat(lit("k"), lpad(length(conv(
+          (KmvAggregator.kmvHash(col("event_id")) % 65536 + 1).cast("string"),
+          10, 2)).cast("string"), 2, "0")).as("key"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val grid = FreqSketch.countMin(keys, col("key"))
+      val total = keys.agg(count(lit(1)).as("total"))
+      var probed = keys
+      for (dep <- 0 until 4) {
+        val gd = grid.filter(col("depth") === dep)
+          .select(col("bucket").as(s"bk$dep"), col("cnt").as(s"c$dep"))
+        probed = probed.join(broadcast(gd),
+          FreqSketch.bucketOf(col("key"), dep, 1024) === col(s"bk$dep"),
+          "left").drop(s"bk$dep")
+      }
+      probed
+        .withColumn("est",
+          least((0 until 4).map(dd => coalesce(col(s"c$dd"), lit(0L))): _*))
+        .crossJoin(broadcast(total)) // 1-row scalar
+        .filter(col("est") >= expr("total div 100"))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("exact_cnt"), max(col("est")).as("est"),
+          max(expr("total div 100")).as("t"))
+        .filter(col("exact_cnt") >= col("t"))
+        .select(col("key"), col("exact_cnt"), col("est"),
+          (col("est") >= col("exact_cnt")).as("never_undershoots"))
+        .orderBy(col("exact_cnt").desc, col("key"))
+    }),
   )
 
   /** Bench-side split of the standing-corpus probes (VERDICT r6 #4).
@@ -1850,6 +1995,77 @@ object SparkEntry {
        |    CASE WHEN src % 3 = 0 THEN 'image' WHEN src % 3 = 1 THEN 'audio'
        |      ELSE 'video' END AS kind, $ss
        |  FROM roll WHERE j = len)""".stripMargin
+  }
+
+  /** q118 oracle: replay the dHash pipeline end to end — group pixel
+    * chain with the two per-image byte splices (the p1 CASE arm first:
+    * the Spark side splices p0 then p1, so p1 wins a collision), 18×8
+    * bottom-up stride-56 geometry, 2-pixel grayscale cells, adjacent
+    * compares packed into four 16-bit bands, band-collision candidates,
+    * and the xor+bit_count Hamming verify. Every step is integer, so
+    * pairs AND misses replay exactly (the gated contract is the banded
+    * operator, not ground-truth Hamming). */
+  private lazy val dhashOracleSql: String = {
+    val alpha = "'0123456789abcdef'"
+    def byteAt(src: String, off: String): String =
+      s"(strpos($alpha, substr($src, 2 * ($off) + 1, 1)) - 1) * 16 " +
+        s"+ (strpos($alpha, substr($src, 2 * ($off) + 2, 1)) - 1)"
+    val shaChunks = (0 until 14)
+      .map(k => s"sha256('42:g' || CAST(g AS VARCHAR) || ':dh:$k')")
+      .mkString(" || ")
+    s"""WITH img AS (
+       |  SELECT i, i % 80 AS g FROM range(240) t(i)),
+       |src AS (
+       |  SELECT i, $shaChunks AS hexfull,
+       |    sha256('42:i' || CAST(i AS VARCHAR) || ':pos') AS ph,
+       |    sha256('42:i' || CAST(i AS VARCHAR) || ':pb') AS pbh
+       |  FROM img),
+       |pert AS (
+       |  SELECT i, hexfull,
+       |    ((${byteAt("ph", "0")}) * 256 + (${byteAt("ph", "1")})) % 448 AS p0,
+       |    ((${byteAt("ph", "2")}) * 256 + (${byteAt("ph", "3")})) % 448 AS p1,
+       |    ${byteAt("pbh", "0")} AS pb0, ${byteAt("pbh", "1")} AS pb1
+       |  FROM src),
+       |cell AS (
+       |  SELECT i, gx, gy, sum(CASE
+       |      WHEN off = p1 THEN pb1 WHEN off = p0 THEN pb0
+       |      ELSE ${byteAt("hexfull", "off")} END) AS gsum
+       |  FROM (
+       |    SELECT p.i, p.hexfull, p.p0, p.p1, p.pb0, p.pb1,
+       |      CAST(e // 6 AS INT) AS gx, gy.gy,
+       |      (8 - 1 - gy.gy) * 56
+       |        + 3 * (2 * (e // 6) + (e % 6) // 3) + (e % 3) AS off
+       |    FROM pert p, range(54) r(e), range(8) gy(gy)) q
+       |  GROUP BY 1, 2, 3),
+       |bitrow AS (
+       |  SELECT c1.i, c1.gy * 8 + c1.gx AS k,
+       |    CASE WHEN c2.gsum > c1.gsum THEN 1 ELSE 0 END AS bit
+       |  FROM cell c1 JOIN cell c2 ON c2.i = c1.i AND c2.gy = c1.gy
+       |    AND c2.gx = c1.gx + 1
+       |  WHERE c1.gx < 8),
+       |bands AS (
+       |  SELECT i, CAST(k // 16 AS INT) AS band_idx,
+       |    CAST(sum(bit * (1 << (k % 16))) AS INT) AS band_val
+       |  FROM bitrow GROUP BY 1, 2),
+       |hashes AS (
+       |  SELECT i,
+       |    max(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+       |    max(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+       |    max(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+       |    max(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+       |  FROM bands GROUP BY 1),
+       |cand AS (
+       |  SELECT DISTINCT x.i AS a, y.i AS b
+       |  FROM bands x JOIN bands y ON x.band_idx = y.band_idx
+       |    AND x.band_val = y.band_val AND x.i < y.i),
+       |ver AS (
+       |  SELECT c.a, c.b,
+       |    bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1)) +
+       |    bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) AS hd
+       |  FROM cand c JOIN hashes ha ON ha.i = c.a
+       |  JOIN hashes hb ON hb.i = c.b)
+       |SELECT a, b, CAST(hd AS INT) AS hd FROM ver
+       |WHERE hd <= 6 ORDER BY a, b""".stripMargin
   }
 
   /** q109 oracle: replay the BMP pixel-generation formula (NOT the
@@ -3863,5 +4079,148 @@ object SparkEntry {
         |  abs(10 * c50 - 5 * n) <= n AS p50_rank_ok,
         |  abs(10 * c90 - 9 * n) <= n AS p90_rank_ok
         |FROM chk ORDER BY event_type""".stripMargin,
+
+    // HyperLogLog full replay: bucket = low 6 hash bits, rank = 43 -
+    // bit_length of the remaining 42 bits (bin() length — integer
+    // string logic, no floating log), registers = per-bucket max rank,
+    // S = sum 2^(43 - reg) in exact fixed point (every pow term and the
+    // sum are integers < 2^53, so the double arithmetic never rounds),
+    // raw_est = (alpha_64 * m^2) * 2^43 / S with the identical literal
+    // fold as the Spark side. merge_ok replays the mergeability proof:
+    // elementwise max over per-type registers ≡ direct global registers.
+    // Float literals use e-notation (a bare 0.709 parses as DECIMAL in
+    // DuckDB and overflows the product).
+    "q116_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT event_type, event_id, CAST(list_sum(
+        |      [(strpos('0123456789abcdef', substr(
+        |          sha256(CAST(event_id AS VARCHAR)), i, 1)) - 1)
+        |       * pow(16.0, 12 - i) for i in generate_series(1, 12)])
+        |    AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, event_id, hv % 64 AS bucket,
+        |    CASE WHEN hv // 64 = 0 THEN 43
+        |         ELSE 43 - length(bin(hv // 64)) END AS rank
+        |  FROM h),
+        |regs AS (SELECT event_type, bucket, max(rank) AS reg
+        |         FROM r GROUP BY 1, 2),
+        |gregs AS (SELECT bucket, max(rank) AS reg FROM r GROUP BY 1),
+        |mregs AS (SELECT bucket, max(reg) AS reg FROM regs GROUP BY 1),
+        |mok AS (
+        |  SELECT count(*) FILTER (WHERE g.reg IS DISTINCT FROM m.reg) = 0
+        |    AS merge_ok
+        |  FROM gregs g FULL JOIN mregs m USING (bucket)),
+        |stats AS (
+        |  SELECT event_type, count(*) AS present,
+        |    CAST(sum(pow(2.0, 43 - reg)) AS BIGINT) AS s_present
+        |  FROM regs GROUP BY 1),
+        |ex AS (SELECT event_type, count(DISTINCT event_id) AS exact_cnt
+        |       FROM events GROUP BY 1),
+        |pertype AS (
+        |  SELECT e.event_type, e.exact_cnt, 64 - st.present AS zeros,
+        |    st.s_present + CAST(64 - st.present AS BIGINT)
+        |      * CAST(8796093022208 AS BIGINT) AS s
+        |  FROM ex e JOIN stats st USING (event_type)),
+        |gstats AS (SELECT count(*) AS present,
+        |    CAST(sum(pow(2.0, 43 - reg)) AS BIGINT) AS s_present
+        |  FROM gregs),
+        |gex AS (SELECT count(DISTINCT event_id) AS exact_cnt FROM events),
+        |gl AS (SELECT '__all__' AS event_type, gex.exact_cnt,
+        |    64 - gstats.present AS zeros,
+        |    gstats.s_present + CAST(64 - gstats.present AS BIGINT)
+        |      * CAST(8796093022208 AS BIGINT) AS s
+        |  FROM gex, gstats),
+        |allrows AS (SELECT * FROM pertype UNION ALL SELECT * FROM gl),
+        |est AS (SELECT event_type, exact_cnt, zeros, s,
+        |    ((0.709e0 * 4096.0e0) * 8796093022208.0e0) / CAST(s AS DOUBLE)
+        |      AS raw_est
+        |  FROM allrows)
+        |SELECT event_type, exact_cnt, zeros, s, raw_est,
+        |  abs(raw_est - CAST(exact_cnt AS DOUBLE)) * 2.0e0
+        |    <= CAST(exact_cnt AS DOUBLE) AS err_ok,
+        |  (SELECT merge_ok FROM mok) AS merge_ok
+        |FROM est ORDER BY event_type""".stripMargin,
+
+    // Integer PageRank replay: three unrolled power iterations. All
+    // arithmetic is non-negative integer (floor division replays `div`
+    // exactly), so contribution sums are order-independent and the
+    // ranks match bit-for-bit. DuckDB's sum(BIGINT) widens to HUGEINT —
+    // the per-iteration CAST keeps the dtype contract with Spark's
+    // long.
+    "q117_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION ALL SELECT b, a FROM pairs),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        |pr0 AS (SELECT src AS nid, CAST(1000000000000 AS BIGINT) AS pr
+        |        FROM deg),
+        |it1 AS (
+        |  SELECT e.dst AS nid, CAST(CAST(150000000000 AS BIGINT)
+        |      + sum((p.pr * 17) // (20 * d.deg)) AS BIGINT) AS pr
+        |  FROM edges e JOIN pr0 p ON p.nid = e.src
+        |  JOIN deg d ON d.src = e.src GROUP BY 1),
+        |it2 AS (
+        |  SELECT e.dst AS nid, CAST(CAST(150000000000 AS BIGINT)
+        |      + sum((p.pr * 17) // (20 * d.deg)) AS BIGINT) AS pr
+        |  FROM edges e JOIN it1 p ON p.nid = e.src
+        |  JOIN deg d ON d.src = e.src GROUP BY 1),
+        |it3 AS (
+        |  SELECT e.dst AS nid, CAST(CAST(150000000000 AS BIGINT)
+        |      + sum((p.pr * 17) // (20 * d.deg)) AS BIGINT) AS pr
+        |  FROM edges e JOIN it2 p ON p.nid = e.src
+        |  JOIN deg d ON d.src = e.src GROUP BY 1)
+        |SELECT nid,
+        |  CASE WHEN nid % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+        |  pr
+        |FROM it3 ORDER BY pr DESC, nid LIMIT 20""".stripMargin,
+
+    "q118_dhash_neardup" -> dhashOracleSql,
+
+    // Heavy-hitter replay: the geometric key stream (bit length of the
+    // event-id hash's low 16 bits), the q114-style grid, per-key
+    // min-over-depth estimates, the integer 1% threshold, and the
+    // exact verify. Estimate-filter semantics replay exactly: a key
+    // appears iff its CMS estimate AND its exact count both clear the
+    // threshold.
+    "q119_heavy_hitters" ->
+      """WITH h AS (
+        |  SELECT CAST(list_sum([(strpos('0123456789abcdef', substr(
+        |      sha256(CAST(event_id AS VARCHAR)), i, 1)) - 1)
+        |      * pow(16.0, 12 - i) for i in generate_series(1, 12)])
+        |    AS BIGINT) AS hv
+        |  FROM events),
+        |keys AS (
+        |  SELECT 'k' || lpad(CAST(length(bin(hv % 65536 + 1)) AS VARCHAR),
+        |    2, '0') AS key
+        |  FROM h),
+        |tot AS (SELECT count(*) AS total FROM keys),
+        |grid AS (
+        |  SELECT r.d, CAST(list_sum(
+        |      [(strpos('0123456789abcdef', substr(
+        |          sha256(CAST(r.d AS VARCHAR) || ':' || key), i, 1)) - 1)
+        |       * pow(16.0, 12 - i) for i in generate_series(1, 12)])
+        |    AS BIGINT) % 1024 AS bucket, count(*) AS cnt
+        |  FROM keys, range(4) r(d)
+        |  GROUP BY 1, 2),
+        |dk AS (SELECT key, count(*) AS exact_cnt FROM keys GROUP BY 1),
+        |probe AS (
+        |  SELECT dk.key, dk.exact_cnt, r.d, CAST(list_sum(
+        |      [(strpos('0123456789abcdef', substr(
+        |          sha256(CAST(r.d AS VARCHAR) || ':' || dk.key), i, 1)) - 1)
+        |       * pow(16.0, 12 - i) for i in generate_series(1, 12)])
+        |    AS BIGINT) % 1024 AS bucket
+        |  FROM dk CROSS JOIN range(4) r(d)),
+        |est AS (
+        |  SELECT p.key, p.exact_cnt, min(coalesce(g.cnt, 0)) AS est
+        |  FROM probe p LEFT JOIN grid g ON g.d = p.d AND g.bucket = p.bucket
+        |  GROUP BY 1, 2)
+        |SELECT key, exact_cnt, est, est >= exact_cnt AS never_undershoots
+        |FROM est
+        |WHERE est >= (SELECT total // 100 FROM tot)
+        |  AND exact_cnt >= (SELECT total // 100 FROM tot)
+        |ORDER BY exact_cnt DESC, key""".stripMargin,
   )
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge DataFrames. The engine already
+  * owns one iterative-graph operator family (connected components /
+  * survivor selection in [[Dedup]], pointer-doubling); this adds the
+  * power-iteration family — PageRank — in an INTEGER-EXACT fixed-point
+  * formulation so the whole iteration replays in any ANSI engine
+  * (q117's hash gate): floating PageRank is order-sensitive (a sum of
+  * doubles over in-neighbors), while fixed-point contributions are
+  * integers whose sum is associative and commutative in exact
+  * arithmetic, so ANY partitioning, any engine, any reduce order
+  * produces bit-identical ranks.
+  *
+  * Semantics (the documented spec, chosen for exact replay):
+  *   pr_0(v)   = scale                     (integer mass per node)
+  *   c_i(u→v)  = (pr_i(u) * 17) div (20 * deg(u))   — 0.85 damping as
+  *               the exact rational 17/20, single floor division
+  *   pr_{i+1}(v) = (scale * 3) div 20 + sum over in-edges of c_i(u→v)
+  * Truncation loss from the floor divisions is part of the spec (both
+  * engines floor identically on non-negative operands); with
+  * scale = 10^12 the relative truncation is ~10^-12 per step. Fixed
+  * iteration count, no convergence test — at 100 TB each iteration is
+  * exactly one shuffle, so the caller chooses cost directly.
+  *
+  * 100 TB shape: `edges` joined with degrees is computed once, hashed by
+  * src, and persisted — every iteration reuses that layout; only the
+  * rank table (one long per node — orders of magnitude smaller than the
+  * edge set) moves per iteration. On a real cluster the rank side is
+  * co-partitioned with the edge table's src hash; at the bench scale
+  * Spark broadcasts it (ranks ≪ edges), which is the same
+  * "edges never move" contract.
+  */
+object Graphs {
+
+  /** Fixed-point integer PageRank. `edges` must carry long columns
+    * (`src`, `dst`), pre-deduplicated; for undirected graphs pass both
+    * directions. Every node must have out-degree ≥ 1 (true by
+    * construction for symmetrized edges); isolated nodes are out of the
+    * graph by definition. Returns (`nid`, `pr`). */
+  def integerPageRank(edges: DataFrame, iters: Int,
+                      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+    val spark = edges.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // one hash layout for the whole run: (src, dst, deg), reused by
+    // every iteration's join
+    val ed = edges.join(deg, "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = (scale * 3L) / 20L
+    var pr = deg.select(col("src").as("nid"), lit(scale).as("pr"))
+    for (_ <- 1 to iters) {
+      // explicit aliases: ed and pr share lineage (deg derives from
+      // edges), so unqualified column refs would be ambiguous self-join
+      // references by iteration 2
+      pr = ed.alias("e").join(pr.alias("p"), col("e.src") === col("p.nid"))
+        .select(col("e.dst").as("nid"),
+          expr("(p.pr * 17) div (20 * e.deg)").as("c"))
+        .groupBy("nid")
+        .agg((lit(base) + sum(col("c"))).as("pr"))
+    }
+    pr
+  }
+}

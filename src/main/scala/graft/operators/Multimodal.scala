@@ -878,4 +878,182 @@ object Multimodal {
     Similarity.embeddingNearDupPairs(
       feats, "media_id", "embedding", threshold, bands = 4, bitsPerBand = 4, dim = 8)
   }
+
+  final case class DhashBands(media_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** Difference perceptual hash (dHash) from a PARSED 24-bit BMP — the
+    * image analog of SimHash: visually-identical-up-to-small-edits
+    * images land within a small Hamming distance, so image near-dup
+    * becomes the engine's standard banded-Hamming problem (q28's
+    * pigeonhole machinery). Integer-exact by construction so the whole
+    * hash replays in ANSI SQL (q118's gate):
+    *
+    *   - gray cell (x, y), x < w/2: Σ over the cell's 2 pixels of
+    *     (r + g + b) — an integer sum, no luma weighting, no division;
+    *   - bit k = y·(w/2 − 1) + x set iff cell(x+1, y) > cell(x, y);
+    *   - the 64 bits pack into FOUR 16-BIT BAND VALUES (bit k goes to
+    *     band k div 16 at position k mod 16) — the banded join keys AND
+    *     the hash representation are the same integers, and no signed
+    *     64-bit overflow case exists for a SQL replay to trip on.
+    *
+    * Requires an even width with (w/2 − 1) · h = 64 (the synthesized
+    * q118 corpus is 18×8). Full header parse shared with [[decodeBmp]]'s
+    * contract: magic, 24 bpp, BI_RGB, stride padding, bottom-up rows. */
+  def dhashBmpBands(bytes: Array[Byte]): Array[Int] = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      "not a BMP: bad magic/length")
+    def le32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    def le16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    val pixelOff = le32(10)
+    val w = le32(18)
+    val hRaw = le32(22)
+    val bottomUp = hRaw > 0
+    val h = math.abs(hRaw)
+    require(le16(28) == 24, s"unsupported bit depth ${le16(28)} (want 24)")
+    require(le32(30) == 0, "compressed BMP unsupported")
+    require(w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20),
+      s"implausible BMP dimensions ${w}x$hRaw")
+    require(pixelOff >= 54, s"pixel offset $pixelOff inside header")
+    val strideL = ((3L * w + 3) / 4) * 4
+    require(bytes.length.toLong >= pixelOff.toLong + strideL * h,
+      "truncated pixel array")
+    val stride = strideL.toInt
+    val gcols = w / 2
+    require(w % 2 == 0 && gcols >= 2 && (gcols - 1) * h == 64,
+      s"dhash grid needs even w with (w/2-1)*h = 64, got ${w}x$h")
+    val cells = Array.ofDim[Int](gcols, h)
+    var y = 0
+    while (y < h) {
+      val row = if (bottomUp) h - 1 - y else y
+      val base = pixelOff + row * stride
+      var x = 0
+      while (x < w) {
+        val px = bytes(base + 3 * x) & 0xff
+        val pg = bytes(base + 3 * x + 1) & 0xff
+        val pr = bytes(base + 3 * x + 2) & 0xff
+        cells(x / 2)(y) += px + pg + pr
+        x += 1
+      }
+      y += 1
+    }
+    val bands = new Array[Int](4)
+    var k = 0
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < gcols - 1) {
+        if (cells(x + 1)(y) > cells(x)(y))
+          bands(k / 16) |= 1 << (k % 16)
+        k += 1
+        x += 1
+      }
+      y += 1
+    }
+    bands
+  }
+
+  /** The dHash of every image through the same mapPartitions batch seam
+    * as [[extractFeatures]] — bytes are decoded exactly once and only
+    * the 4 band ints travel on. */
+  def dhashBands(media: DataFrame,
+                 codec: Array[Byte] => Array[Int] = dhashBmpBands)
+      : Dataset[DhashBands] = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { m =>
+        val b = codec(m.bytes)
+        DhashBands(m.media_id, b(0), b(1), b(2), b(3))
+      }
+    }
+  }
+
+  /** Banded-Hamming near-dup pairs over dHash band values: candidates
+    * collide on at least one exact 16-bit band (the SimHash pigeonhole —
+    * any pair within Hamming 3 is guaranteed a shared band; 4–6 may or
+    * may not collide, and the oracle replays exactly this contract),
+    * then verify Hamming ≤ `maxHamming` via xor + bit_count. The band
+    * explode carries only (media_id, band_idx, band_val) — 16 bytes per
+    * row — and the verify joins are on ids against the 4-int hash
+    * table, so image bytes never reach any exchange. */
+  def dhashNearDupPairs(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val b = hashes.select(col("media_id"),
+        posexplode(array((0 until 4).map(j => col(s"b$j")): _*)))
+      .toDF("media_id", "band_idx", "band_val")
+    val cand = b.alias("x").join(b.alias("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a"), col("y.media_id").as("b"))
+      .distinct()
+    val left = hashes.select(col("media_id").as("a"),
+      col("b0").as("a0"), col("b1").as("a1"),
+      col("b2").as("a2"), col("b3").as("a3"))
+    val right = hashes.select(col("media_id").as("b"),
+      col("b0").as("c0"), col("b1").as("c1"),
+      col("b2").as("c2"), col("b3").as("c3"))
+    cand.join(left, "a").join(right, "b")
+      .withColumn("hd", expr(
+        "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)"))
+      .filter(col("hd") <= maxHamming)
+      .select(col("a"), col("b"), col("hd").cast("int").as("hd"))
+  }
+
+  /** Deterministic genuine-BMP corpus for perceptual near-dup: images
+    * come in GROUPS — all members of a group share one sha256 pixel
+    * chain, and each image additionally overwrites TWO pixel-array bytes
+    * at sha-derived positions with sha-derived values. Within a group,
+    * images therefore differ in ≤ 4 bytes (≤ 4 grid cells → small
+    * Hamming distance between dHashes); across groups the chains are
+    * independent (Hamming ≈ 32). Perturbation offsets range over the
+    * whole stride-padded array, so some land on padding bytes —
+    * invisible to decode on BOTH sides of the gate by construction.
+    * Fixed 18×8 geometry: stride 56 (2 pad bytes/row exercised), 448
+    * pixel-array bytes = 14 sha chunks, dHash grid 9×8 → 64 bits.
+    * Row id i belongs to group i mod nGroups, so media-id order
+    * interleaves groups. */
+  def synthesizeDhashBmp(spark: SparkSession, nGroups: Int, perGroup: Int,
+                         seed: Long = 42L): DataFrame = {
+    val i = col("id")
+    val g = (i % nGroups).cast("long")
+    def shaG(tag: Column): Column =
+      sha2(concat(lit(seed.toString + ":g"), g.cast("string"), lit(":dh:"), tag), 256)
+    def shaI(tag: String): Column =
+      sha2(concat(lit(seed.toString + ":i"), i.cast("string"), lit(s":$tag")), 256)
+    def hexByte(h: Column, pos: Int): Column =
+      conv(substring(h, pos, 2), 16, 10).cast("int")
+    def leHex(v: Column, nBytes: Int): Column = {
+      val be = lpad(lower(conv(v.cast("string"), 10, 16)), nBytes * 2, "0")
+      concat((nBytes - 1 to 0 by -1).map(k => substring(be, 2 * k + 1, 2)): _*)
+    }
+    val w = lit(18); val h = lit(8)
+    val pixBytes = lit(448) // stride 56 * 8 rows
+    val headerHex = concat(
+      lit("424d"), leHex(pixBytes + 54, 4), lit("00000000"),
+      lit("36000000"), lit("28000000"),
+      leHex(w, 4), leHex(h, 4),
+      lit("0100"), lit("1800"), lit("00000000"),
+      leHex(pixBytes, 4),
+      lit("130b0000"), lit("130b0000"), lit("00000000"), lit("00000000"))
+    val chainHex = concat((0 until 14).map(k => shaG(lit(k.toString))): _*)
+    val posH = shaI("pos")
+    val p0 = (hexByte(posH, 1) * 256 + hexByte(posH, 3)) % 448
+    val p1 = (hexByte(posH, 5) * 256 + hexByte(posH, 7)) % 448
+    val pbH = shaI("pb")
+    // p0 spliced first, p1 second: on a p0 == p1 collision the p1 value
+    // wins — the oracle's CASE tests p1 first to match
+    val pixelHex = overlay(
+      overlay(chainHex, substring(pbH, 1, 2), p0 * 2 + 1, lit(2)),
+      substring(pbH, 3, 2), p1 * 2 + 1, lit(2))
+    val meta = struct(
+      w.cast("int").as("width"), h.cast("int").as("height"),
+      lit(3).cast("int").as("channels"), lit("bmp").as("format"),
+      lit(0).cast("int").as("duration_ms"), lit(0).cast("int").as("sample_rate"))
+    spark.range((nGroups * perGroup).toLong)
+      .select(i.as("media_id"), lit("image").as("kind"),
+        unhex(concat(headerHex, pixelHex)).as("bytes"), meta.as("meta"))
+  }
 }

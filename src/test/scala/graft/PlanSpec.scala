@@ -203,7 +203,7 @@ class PlanSpec extends SparkSpec {
     // BroadcastNestedLoopJoin by construction
     val nlAllowed = Set("q25_scalar_subquery", "q26_cosine_topk",
       "q46_ivf_topk", "q71_tfidf", "q73_knn_labels", "q96_rolling_active",
-      "q113_rolling_kmv")
+      "q113_rolling_kmv", "q116_hll_distinct", "q119_heavy_hitters")
     // iterative queries execute jobs at plan-build (connected components
     // materializes rounds); their shapes are pinned by their own tests
     val excluded = Set("q65_dup_clusters", "q80_dedup_survivors")
@@ -303,6 +303,73 @@ class PlanSpec extends SparkSpec {
       // by user_id (the q96 exact formulation's big distinct shuffle) —
       // user_id exists only inside the scan-side kmvHash projection
       assert(!"keys=\\[[^\\]]*user_id".r.findFirstIn(p).isDefined, p)
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q116: HLL registers aggregate partially; events scan once, mergeOk joins broadcast") {
+    val df = SparkEntry.queries("q116_hll_distinct")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    try {
+      val finalOnly = p.split("== Initial Plan ==").head
+      // typed-Aggregator UDAF plans as ObjectHashAggregate; partial +
+      // final pairs prove the m-byte register vectors merge map-side
+      // (one fixed-size row per task per group crosses the exchange)
+      assert("ObjectHashAggregate".r.findAllIn(finalOnly).size >= 2, p)
+      // one parquet pass: per-type, global, and both sides of the merge
+      // proof all read the persisted hash projection (every FileScan in
+      // the tree string is the display of the InMemoryRelation's cached
+      // plan, not a live re-scan — the InMemoryTableScan count is the
+      // live-read pin)
+      assert("InMemoryTableScan".r.findAllIn(finalOnly).size >= 4, p)
+      // register-vector frames are sketch-sized: every join in the
+      // merge-proof path broadcasts, nothing sort-merges
+      assert(!finalOnly.contains("SortMergeJoin"), p)
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q117: pagerank edges are persisted once and reused by every iteration; top-k is TakeOrderedAndProject") {
+    val df = SparkEntry.queries("q117_pagerank")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    try {
+      val finalOnly = p.split("== Initial Plan ==").head
+      // the (src, dst, deg) edge layout is persisted and every iteration
+      // reads the cache (AQE's final-plan string only prints the last
+      // query stage's tree, so count over the whole explain output; the
+      // persisted-RDD registry is the ground truth that the cache is live)
+      assert(p.contains("InMemoryTableScan"), p)
+      assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+        "edge table should be persisted")
+      // raw edges are scanned zero times in the final stage — only rank
+      // rows move after the cache is built
+      assert(!finalOnly.contains("Scan parquet [src"), p)
+      // global top-20 must not plan a full sort
+      assert(finalOnly.contains("TakeOrderedAndProject"), p)
+    } finally {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  test("q119: CMS guard probes via broadcast joins and filters BEFORE the exact aggregation's exchange") {
+    val df = SparkEntry.queries("q119_heavy_hitters")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    try {
+      val finalOnly = p.split("== Initial Plan ==").head
+      // the four depth-lane probes are broadcast joins of the
+      // grid-sized sketch — the key stream never sort-merges
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+      assert(!finalOnly.contains("SortMergeJoin"), p)
+      // the threshold filter sits under the partial aggregate: the
+      // exact-count HashAggregate's child subtree must contain the
+      // est-threshold Filter, so dropped rows never reach the exchange
+      val aggIdx = finalOnly.indexOf("HashAggregate(keys=[key")
+      assert(aggIdx >= 0, p)
+      assert(finalOnly.indexOf("Filter", aggIdx) >= 0,
+        s"no map-side filter below the exact aggregate\n$p")
     } finally spark.catalog.clearCache()
   }
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Contracts of the integer-exact PageRank (q117's engine). The oracle
+  * gate replays the full iteration against DuckDB; this spec pins the
+  * in-engine properties: agreement with a straight Scala re-computation
+  * of the recurrence on a small graph, layout invariance (the
+  * exactness argument: integer sums are order-independent), mass
+  * conservation up to documented truncation loss, and ranking sanity. */
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val scale = 1000000000000L
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val df = edges.toDF("src", "dst")
+    Graphs.integerPageRank(df, iters).as[(Long, Long)].collect().toMap
+  }
+
+  /** Reference implementation: the same recurrence, computed serially. */
+  private def serial(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = scale * 3L / 20L
+    var pr = deg.keys.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val contribs = edges.groupBy(_._2).view.mapValues(_.map { case (u, _) =>
+        pr(u) * 17L / (20L * deg(u))
+      }.sum).toMap
+      pr = deg.keys.map(n => n -> (base + contribs.getOrElse(n, 0L))).toMap
+    }
+    pr
+  }
+
+  private def symmetrize(und: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    (und ++ und.map(_.swap)).distinct
+
+  test("distributed ranks equal a serial re-computation of the recurrence") {
+    // star (hub 0) plus a 3-cycle hanging off node 1
+    val und = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L),
+      (1L, 5L), (5L, 6L), (6L, 1L))
+    val edges = symmetrize(und)
+    for (iters <- Seq(1, 3, 5))
+      assert(run(edges, iters) == serial(edges, iters), s"iters=$iters")
+  }
+
+  test("ranks are partition-layout invariant (integer sums are order-independent)") {
+    val und = (0L until 200L).map(i => (i, (i * i + 1) % 97))
+      .filter { case (a, b) => a != b }
+    val edges = symmetrize(und)
+    val a = Graphs.integerPageRank(edges.toDF("src", "dst").repartition(1), 3)
+      .as[(Long, Long)].collect().toMap
+    val b = Graphs.integerPageRank(edges.toDF("src", "dst").repartition(32), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("mass is conserved up to floor-truncation loss") {
+    val und = (0L until 100L).map(i => (i, (i + 1) % 100)) // ring
+    val edges = symmetrize(und)
+    val pr = run(edges, 3)
+    val total = pr.values.sum
+    val n = pr.size
+    // each node loses < 1 unit per incident edge per iteration to the
+    // two floor divisions; with scale = 1e12 the loss is invisible at
+    // the ppm level
+    assert(total <= n * scale)
+    assert(total >= (n * scale * 999999L) / 1000000L, s"total=$total")
+  }
+
+  test("a hub outranks leaves; symmetric nodes tie exactly") {
+    val und = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    val pr = run(symmetrize(und), 3)
+    assert(pr(0L) > pr(1L))
+    // exact ties, not approximate: leaves are automorphic
+    assert(Set(pr(1L), pr(2L), pr(3L), pr(4L)).size == 1)
+  }
+}

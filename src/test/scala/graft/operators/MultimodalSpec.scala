@@ -404,4 +404,93 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  /** Reference dHash straight from (r+g+b) pixel sums — the q118 spec
+    * computed independently of the BMP parser. */
+  private def refDhashBands(gray: (Int, Int) => Int, w: Int, h: Int): Seq[Int] = {
+    val gcols = w / 2
+    val cells = Array.tabulate(gcols, h)((gx, y) =>
+      gray(2 * gx, y) + gray(2 * gx + 1, y))
+    val bands = new Array[Int](4)
+    var k = 0
+    for (y <- 0 until h; x <- 0 until gcols - 1) {
+      if (cells(x + 1)(y) > cells(x)(y)) bands(k / 16) |= 1 << (k % 16)
+      k += 1
+    }
+    bands.toSeq
+  }
+
+  test("dhashBmpBands agrees with a pixel-truth dHash on a JDK-encoded BMP") {
+    import java.awt.image.BufferedImage
+    val w = 18; val h = 8
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    def px(x: Int, y: Int): (Int, Int, Int) =
+      (((x * 53 + y * 17 + 11) % 256), ((x * 29 + y * 71 + 3) % 256),
+        ((x * 13 + y * 97 + 201) % 256))
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", bos), "JDK BMP writer missing")
+    val expected = refDhashBands((x, y) => {
+      val (r, g, b) = px(x, y); r + g + b
+    }, w, h)
+    assert(Multimodal.dhashBmpBands(bos.toByteArray).toSeq == expected)
+  }
+
+  test("synthesizeDhashBmp is standards-valid; groups are near in Hamming, non-groups far") {
+    val rows = Multimodal.synthesizeDhashBmp(spark, 10, 3)
+      .select($"media_id", $"bytes").collect()
+    assert(rows.length == 30)
+    val bands = rows.map { row =>
+      val bytes = row.getAs[Array[Byte]]("bytes")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected synthesized BMP ${row.getLong(0)}")
+      assert(img.getWidth == 18 && img.getHeight == 8)
+      // parser vs independent decoder: dHash from ImageIO pixels must
+      // equal dHash from our own parse of the same file
+      val viaImageIO = refDhashBands((x, y) => {
+        val rgb = img.getRGB(x, y)
+        ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      }, 18, 8)
+      val parsed = Multimodal.dhashBmpBands(bytes).toSeq
+      assert(parsed == viaImageIO,
+        s"media ${row.getLong(0)}: parsed dHash disagrees with ImageIO pixels")
+      row.getLong(0) -> parsed
+    }.toMap
+    def hd(a: Seq[Int], b: Seq[Int]): Int =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    // in-group distances: 2 spliced bytes per image → ≤ 4 affected grid
+    // cells per pair → small Hamming; cross-group chains are independent
+    val inGroup = for (g <- 0L until 10L; v <- 0 until 2)
+      yield hd(bands(g + v * 10), bands(g + (v + 1) * 10))
+    val crossGroup = for (g <- 0L until 9L) yield hd(bands(g), bands(g + 1))
+    assert(inGroup.forall(_ <= 8), s"in-group distances: $inGroup")
+    assert(crossGroup.forall(_ >= 10), s"cross-group distances: $crossGroup")
+  }
+
+  test("dhashNearDupPairs finds every in-group pair on the q118 corpus (banded recall)") {
+    val media = Multimodal.synthesizeDhashBmp(spark, 20, 3)
+    val pairs = Multimodal
+      .dhashNearDupPairs(Multimodal.dhashBands(media).toDF())
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val expectedInGroup = for {
+      g <- 0L until 20L; v1 <- 0 until 3; v2 <- (v1 + 1) until 3
+    } yield (g + v1 * 20, g + v2 * 20)
+    val missing = expectedInGroup.toSet -- pairs
+    assert(missing.isEmpty, s"missed in-group pairs: $missing")
+    // no cross-group pair should survive the Hamming verify
+    assert(pairs.forall { case (a, b) => a % 20 == b % 20 },
+      s"cross-group false positives: ${pairs.filterNot { case (a, b) => a % 20 == b % 20 }}")
+  }
+
+  test("dhashBmpBands rejects geometry that does not yield a 64-bit hash") {
+    // synthesizeBmp's 4-8 px images parse as BMPs but fail the grid
+    // contract loudly instead of silently mis-hashing
+    val small = Multimodal.synthesizeBmp(spark, 1)
+      .select($"bytes").head().getAs[Array[Byte]](0)
+    val e = intercept[IllegalArgumentException](Multimodal.dhashBmpBands(small))
+    assert(e.getMessage.contains("dhash grid"))
+  }
 }
