@@ -34,7 +34,11 @@ object ScaleProbe {
     "q95_retention", "q96_rolling_active",
     // round-8 sketch family: bounded-state shapes whose ratios should
     // approach pure scan cost (the state is constant by construction)
-    "q114_cms_freq", "q115_sample_quantiles")
+    "q114_cms_freq", "q115_sample_quantiles",
+    // round-8 continuation: HLL registers (fixed m-byte state) and the
+    // CMS-guarded heavy hitters (grid + 17-key survivor agg — both
+    // sides of the shuffle guard are bounded)
+    "q116_hll_distinct", "q119_heavy_hitters")
 
   // Corpus construction lives in ProbeCorpus (pinned-seed, reproducible
   // across invocations — ProbeCorpusSpec pins count+hash); this main only
@@ -93,12 +97,15 @@ object ScaleProbe {
     //   x100          100x two-point curve
     //   skew          hot-band boilerplate probe (VERDICT r7 #1)
     //   asof          as-of both-axes probe (VERDICT r7 #4)
+    //   graph         PageRank 10x-disjoint-copies probe (q117)
+    //   dhash         dHash decode+band pipeline probe (q118)
     // tools/scale_battery.sh drives the full process-isolated battery.
     // No args = the legacy shared-JVM battery (gen + linear + dup + inc).
     // unknown modes fail loudly: a typo'd family arg would otherwise
     // select NOTHING and exit cleanly — in a scripted battery an empty
     // section reads as an intentionally empty family
-    val knownBare = Set("dup", "inc", "x100", "skew", "asof", "gen", "linear")
+    val knownBare = Set("dup", "inc", "x100", "skew", "asof", "gen", "linear",
+      "graph", "dhash")
     for (a <- args)
       require(knownBare(a) || a.startsWith("only:") || a.startsWith("dup:"),
         s"unknown ScaleProbe mode '$a' (known: ${knownBare.mkString("/")}, " +
@@ -117,6 +124,8 @@ object ScaleProbe {
 
     if (skewOnly) { skewProbe(spark, srcDir); spark.stop(); return }
     if (asofOnly) { asofProbe(spark, srcDir); spark.stop(); return }
+    if (args.contains("graph")) { graphProbe(spark, srcDir); spark.stop(); return }
+    if (args.contains("dhash")) { dhashProbe(spark); spark.stop(); return }
 
     if (genOnly || (args.isEmpty && !dupOnly && !incOnly && !x100Only)) {
       ProbeCorpus.replicateDocuments(spark, srcDir, 10)
@@ -281,6 +290,64 @@ object ScaleProbe {
           f"card10x=${card}%6.2fs (${card / small}%5.2fx)")
       }
     }
+  }
+
+  /** PageRank graph-size probe: the sf0.1 customer↔supplier graph vs 10
+    * DISJOINT offset copies — node and edge count grow 10× at the
+    * original degree distribution (the production axis; ranks inside
+    * each copy are unchanged, so the probe measures pure scale, not a
+    * different graph). Both corpora materialize to parquet first so the
+    * planner sees storage-backed stats (the skew-probe harness lesson).
+    * 3 iterations = 3 rank shuffles against a persisted edge layout —
+    * the shape should be ~linear in edges. */
+  private def graphProbe(spark: SparkSession, srcDir: String): Unit = {
+    import graft.operators.Graphs
+    def time(fn: => DataFrame): Double = timeMedian(spark)(fn)
+    val pairs = spark.read.parquet(s"$srcDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(spark.read.parquet(s"$srcDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val offset = 10000000L // beyond any sf0.1 nid (custkey*2 < 4e5)
+    val pairs10 = (0 until 10).map(k =>
+      pairs.select((col("a") + k * offset).as("a"),
+        (col("b") + k * offset).as("b")))
+      .reduce(_ unionByName _)
+    pairs.write.mode("overwrite").parquet(s"$bigDir/graph1")
+    pairs10.write.mode("overwrite").parquet(s"$bigDir/graph10")
+    def edgesOf(dir: String): DataFrame = {
+      val p = spark.read.parquet(dir)
+      p.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
+    }
+    spark.read.parquet(s"$srcDir/region.parquet")
+      .groupBy("r_name").count().queryExecution.toRdd.count() // warmup
+    val t1 = time(Graphs.integerPageRank(edgesOf(s"$bigDir/graph1"), 3))
+    val t10 = time(Graphs.integerPageRank(edgesOf(s"$bigDir/graph10"), 3))
+    println(f"[scale-graph] q117_pagerank 1x=${t1}%6.2fs 10x=${t10}%6.2fs " +
+      f"ratio=${t10 / t1}%5.2f")
+  }
+
+  /** dHash pipeline probe: decode + hash + banded join at 2.4k vs 24k
+    * images (fixed 18×8 geometry, same group structure). Decode is
+    * map-side and should dominate; candidate volume grows with in-group
+    * pairs (linear) plus random 16-bit band collisions (quadratic/65536
+    * — ~18k candidate probes at 24k images, all killed by the Hamming
+    * verify). Expected ~linear wall. */
+  private def dhashProbe(spark: SparkSession): Unit = {
+    import graft.operators.Multimodal
+    def time(fn: => DataFrame): Double = timeMedian(spark)(fn)
+    def pipeline(nGroups: Int): DataFrame =
+      Multimodal.dhashNearDupPairs(Multimodal.dhashBands(
+        Multimodal.synthesizeDhashBmp(spark, nGroups, 3)).toDF())
+    spark.range(1000).agg(count(lit(1))).queryExecution.toRdd.count() // warmup
+    val t1 = time(pipeline(800))
+    val t10 = time(pipeline(8000))
+    println(f"[scale-dhash] q118_dhash_neardup 2.4k=${t1}%6.2fs " +
+      f"24k=${t10}%6.2fs ratio=${t10 / t1}%5.2f")
   }
 
   /** Hot-band skew probe (VERDICT r7 #1). Three measurements:

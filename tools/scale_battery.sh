@@ -32,5 +32,7 @@ done
 run inc
 run asof
 run skew
+run graph
+run dhash
 echo "battery complete -> $OUT"
 cat "$OUT"
