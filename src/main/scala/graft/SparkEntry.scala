@@ -1790,6 +1790,19 @@ object SparkEntry {
           (col("est") >= col("exact_cnt")).as("never_undershoots"))
         .orderBy(col("exact_cnt").desc, col("key"))
     }),
+
+    // BPE merge learning — tokenizer training as a distributed op. One
+    // corpus pass builds the distinct-word table; each of the 6 rounds
+    // is a vocabulary-sized pair-count aggregate whose 1-row winner
+    // joins back as a broadcast scalar (the whole 6-round computation is
+    // one lazy plan, no driver collects). Winner order (count desc,
+    // then lexicographic pair) and the single-scan replace-merge are
+    // engine-exact, so the oracle replays all 6 unrolled rounds: chosen
+    // pairs, their counts, and the vocab/corpus symbol totals after
+    // each merge.
+    "q120_bpe_merges" -> ((s, d) => {
+      graft.operators.Bpe.learnMerges(t(s, d, "documents"), "text", 6)
+    }),
   )
 
   /** Bench-side split of the standing-corpus probes (VERDICT r6 #4).
@@ -2066,6 +2079,52 @@ object SparkEntry {
        |  JOIN hashes hb ON hb.i = c.b)
        |SELECT a, b, CAST(hd AS INT) AS hd FROM ver
        |WHERE hd <= 6 ORDER BY a, b""".stripMargin
+  }
+
+  /** q120 oracle: replay all `rounds` BPE merge rounds, unrolled — the
+    * distinct-word table, per-round adjacent-pair counts, the
+    * (count desc, lexicographic) winner, the single-scan replace-merge,
+    * and the post-merge vocab/corpus symbol totals. Everything is
+    * integer/string arithmetic with a total order, so every column
+    * rides the value hash. */
+  private def bpeOracleSql(rounds: Int): String = {
+    def layer(n: Int): String =
+      s"""p$n AS (
+         |  SELECT s[i] AS l, s[i+1] AS r, sum(cnt) AS pc
+         |  FROM (SELECT string_split(trim(word), ' ') AS s, cnt,
+         |          unnest(generate_series(1,
+         |            len(string_split(trim(word), ' ')) - 1)) AS i
+         |        FROM w$n)
+         |  GROUP BY 1, 2),
+         |win$n AS (SELECT l, r, pc FROM p$n ORDER BY pc DESC, l, r LIMIT 1),
+         |w${n + 1} AS (
+         |  SELECT replace(word, ' ' || l || ' ' || r || ' ',
+         |    ' ' || l || r || ' ') AS word, cnt
+         |  FROM w$n, win$n),
+         |st$n AS (
+         |  SELECT sum(len(string_split(trim(word), ' '))) AS vs,
+         |         sum(len(string_split(trim(word), ' ')) * cnt) AS cs
+         |  FROM w${n + 1})""".stripMargin
+    val layers = (1 to rounds).map(layer).mkString(",\n")
+    val finals = (1 to rounds).map(n =>
+      s"""SELECT $n AS round, l AS left_sym, r AS right_sym,
+         |  l || r AS merged, CAST(pc AS BIGINT) AS pair_count,
+         |  CAST(vs AS BIGINT) AS vocab_symbols_after,
+         |  CAST(cs AS BIGINT) AS corpus_symbols_after
+         |FROM win$n, st$n""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+       |    '\\s+')) AS w
+       |  FROM documents),
+       |wc AS (SELECT w, count(*) AS cnt FROM toks WHERE w <> '' GROUP BY 1),
+       |w1 AS (
+       |  SELECT ' ' || list_aggregate(list_transform(
+       |      generate_series(1, len(w)), i -> substr(w, i, 1)),
+       |      'string_agg', ' ') || ' </w> ' AS word, cnt
+       |  FROM wc),
+       |$layers
+       |$finals ORDER BY round""".stripMargin
   }
 
   /** q109 oracle: replay the BMP pixel-generation formula (NOT the
@@ -4222,5 +4281,7 @@ object SparkEntry {
         |WHERE est >= (SELECT total // 100 FROM tot)
         |  AND exact_cnt >= (SELECT total // 100 FROM tot)
         |ORDER BY exact_cnt DESC, key""".stripMargin,
+
+    "q120_bpe_merges" -> bpeOracleSql(6),
   )
 }

@@ -203,7 +203,8 @@ class PlanSpec extends SparkSpec {
     // BroadcastNestedLoopJoin by construction
     val nlAllowed = Set("q25_scalar_subquery", "q26_cosine_topk",
       "q46_ivf_topk", "q71_tfidf", "q73_knn_labels", "q96_rolling_active",
-      "q113_rolling_kmv", "q116_hll_distinct", "q119_heavy_hitters")
+      "q113_rolling_kmv", "q116_hll_distinct", "q119_heavy_hitters",
+      "q120_bpe_merges")
     // iterative queries execute jobs at plan-build (connected components
     // materializes rounds); their shapes are pinned by their own tests
     val excluded = Set("q65_dup_clusters", "q80_dedup_survivors")
@@ -370,6 +371,22 @@ class PlanSpec extends SparkSpec {
       assert(aggIdx >= 0, p)
       assert(finalOnly.indexOf("Filter", aggIdx) >= 0,
         s"no map-side filter below the exact aggregate\n$p")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q120: BPE rounds are vocabulary-sized aggregates with broadcast winners, never sort-merge") {
+    val df = SparkEntry.queries("q120_bpe_merges")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    try {
+      // the corpus pass and every round's word table are persisted; all
+      // six rounds' pair counts and merges read caches, and each
+      // winner/stat row joins back as a 1-row broadcast — nothing in
+      // the 6-round plan sort-merges
+      assert(p.contains("InMemoryTableScan"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+      // pair counting partial-aggregates before its exchange
+      assert("HashAggregate\\(keys=\\[l".r.findAllIn(p).size >= 2, p)
     } finally spark.catalog.clearCache()
   }
 }
