@@ -1803,6 +1803,33 @@ object SparkEntry {
     "q120_bpe_merges" -> ((s, d) => {
       graft.operators.Bpe.learnMerges(t(s, d, "documents"), "text", 6)
     }),
+
+    // Repeated-substring span dedup (Lee et al. 2022) — the dedup mode
+    // the engine did not yet own: exact duplicated TOKEN RUNS across
+    // the whole corpus, not whole-doc or near-doc duplicates. Sliding
+    // 4-gram hashes (48-bit sha256 prefix, computed in the same
+    // projection that builds the gram — the string never shuffles),
+    // corpus-wide canonical-first-copy election, island-merged spans.
+    // The oracle replays tokenization, gram slicing, the hash, the
+    // (doc_id, start)-minimum keeper, and the window-function island
+    // merge, so the gate is representation-exact end to end. See
+    // operators/SpanDedup.spanStats for the 100 TB shape.
+    "q121_substring_spans" -> ((s, d) => {
+      graft.operators.SpanDedup.spanStats(t(s, d, "documents"), "doc_id", "text", 4)
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE ENCODE — the apply side of q120's merge learning: the same 6
+    // merges, applied to every word, rolled up as per-source symbol
+    // counts (the compression the learned vocabulary buys on each
+    // source). One corpus pass (per-(source, word) counts); everything
+    // else — learning AND application — is vocabulary-sized, with the
+    // original word string riding the symbol table so encoded lengths
+    // join back by word. The oracle replays the full chain: tokenize,
+    // learn all 6 winners, apply, re-weight by source.
+    "q122_bpe_encode" -> ((s, d) => {
+      graft.operators.Bpe.encodeStats(t(s, d, "documents"), "text", "source", 6)
+    }),
   )
 
   /** Bench-side split of the standing-corpus probes (VERDICT r6 #4).
@@ -2125,6 +2152,47 @@ object SparkEntry {
        |  FROM wc),
        |$layers
        |$finals ORDER BY round""".stripMargin
+  }
+
+  /** q122 oracle: the bpeOracleSql learning chain with the original word
+    * carried through every merge layer (`orig`), so the encoded symbol
+    * count joins back to the per-(source, word) occurrence table. */
+  private def bpeEncodeOracleSql(rounds: Int): String = {
+    def layer(n: Int): String =
+      s"""p$n AS (
+         |  SELECT s[i] AS l, s[i+1] AS r, sum(cnt) AS pc
+         |  FROM (SELECT string_split(trim(word), ' ') AS s, cnt,
+         |          unnest(generate_series(1,
+         |            len(string_split(trim(word), ' ')) - 1)) AS i
+         |        FROM w$n)
+         |  GROUP BY 1, 2),
+         |win$n AS (SELECT l, r FROM p$n ORDER BY pc DESC, l, r LIMIT 1),
+         |w${n + 1} AS (
+         |  SELECT orig, replace(word, ' ' || l || ' ' || r || ' ',
+         |    ' ' || l || r || ' ') AS word, cnt
+         |  FROM w$n, win$n)""".stripMargin
+    val layers = (1 to rounds).map(layer).mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split_regex(
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+       |    '\\s+')) AS w
+       |  FROM documents),
+       |swc AS (SELECT source, w, count(*) AS c FROM toks
+       |        WHERE w <> '' GROUP BY 1, 2),
+       |wc AS (SELECT w, sum(c) AS cnt FROM swc GROUP BY 1),
+       |w1 AS (
+       |  SELECT w AS orig, ' ' || list_aggregate(list_transform(
+       |      generate_series(1, len(w)), i -> substr(w, i, 1)),
+       |      'string_agg', ' ') || ' </w> ' AS word, cnt
+       |  FROM wc),
+       |$layers,
+       |enc AS (SELECT orig, len(string_split(trim(word), ' ')) AS sym
+       |        FROM w${rounds + 1})
+       |SELECT source, CAST(sum(c) AS BIGINT) AS words,
+       |  CAST(sum(c * (length(w) + 1)) AS BIGINT) AS syms_before,
+       |  CAST(sum(c * sym) AS BIGINT) AS syms_after
+       |FROM swc JOIN enc ON w = orig
+       |GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** q109 oracle: replay the BMP pixel-generation formula (NOT the
@@ -4283,5 +4351,54 @@ object SparkEntry {
         |ORDER BY exact_cnt DESC, key""".stripMargin,
 
     "q120_bpe_merges" -> bpeOracleSql(6),
+
+    // Substring-span replay: tokenization, 4-gram slices, the 48-bit
+    // sha256-prefix gram hash (the q119/q102 formula), canonical-copy
+    // election via window rank, and the gaps-and-islands merge. DuckDB
+    // list slices are 1-based inclusive (s[i:i+3] = 4 elements), and
+    // sum(BIGINT) widens to HUGEINT — hence the explicit casts.
+    "q121_substring_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(
+        |      lower(text), '\s+', ' ', 'g')), '\s+'), x -> x <> '') AS s
+        |  FROM documents),
+        |b2 AS (SELECT doc_id, s, len(s) AS n FROM base),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS st,
+        |    CAST(list_sum([(strpos('0123456789abcdef', substr(sha256(
+        |        list_aggregate(s[i:i+3], 'string_agg', ' ')), j, 1)) - 1)
+        |      * pow(16.0, 12 - j) for j in generate_series(1, 12)])
+        |      AS BIGINT) AS hv
+        |  FROM b2, unnest(generate_series(1, n - 3)) AS t(i)),
+        |mk AS (
+        |  SELECT doc_id, st, st + 3 AS en
+        |  FROM (SELECT doc_id, st,
+        |          count(*) OVER (PARTITION BY hv) AS c,
+        |          row_number() OVER (PARTITION BY hv ORDER BY doc_id, st) AS rn
+        |        FROM grams)
+        |  WHERE c >= 2 AND rn > 1),
+        |isl AS (
+        |  SELECT doc_id, st, en,
+        |    CASE WHEN max(en) OVER (PARTITION BY doc_id ORDER BY st
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR st > max(en) OVER (PARTITION BY doc_id ORDER BY st
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM mk),
+        |isl2 AS (SELECT doc_id, st, en,
+        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY st
+        |      ROWS UNBOUNDED PRECEDING) AS grp FROM isl),
+        |sp AS (SELECT doc_id, grp, min(st) AS sst, max(en) AS sen
+        |       FROM isl2 GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, count(*) AS dup_spans,
+        |         CAST(sum(sen - sst + 1) AS BIGINT) AS dup_tokens
+        |       FROM sp GROUP BY 1)
+        |SELECT b2.doc_id, CAST(b2.n AS BIGINT) AS total_tokens,
+        |  COALESCE(pd.dup_spans, 0) AS dup_spans,
+        |  COALESCE(pd.dup_tokens, 0) AS dup_tokens
+        |FROM b2 LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q122_bpe_encode" -> bpeEncodeOracleSql(6),
   )
 }

@@ -83,4 +83,65 @@ object Bpe {
     }
     perRound.reduce(_ unionByName _).orderBy(col("round"))
   }
+
+  /** BPE ENCODING at corpus scale — the apply side of [[learnMerges]]:
+    * learn `rounds` merges from the corpus, apply them (in learned
+    * order) to every word, and report per-source tokenization stats.
+    * Returns (source, words, syms_before, syms_after): symbol counts
+    * weighted by occurrence, where `before` is the character
+    * tokenization (chars + the `</w>` marker) and `after` is the
+    * symbol count with all merges applied — the compression the
+    * learned vocabulary actually buys on each source.
+    *
+    * 100 TB shape: ONE corpus pass builds per-(source, word) counts;
+    * merge learning and merge application run entirely against the
+    * VOCABULARY-sized distinct-word table (the original word string
+    * rides along as `orig`, so the encoded length joins back by word —
+    * a vocabulary-sized shuffle, not a corpus-sized one). Winners join
+    * as 1-row broadcasts exactly as in [[learnMerges]]; no driver
+    * collect anywhere in the plan. */
+  def encodeStats(docs: DataFrame, textCol: String, sourceCol: String,
+                  rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, s"rounds out of range: $rounds")
+    import org.apache.spark.storage.StorageLevel
+    val sw = docs
+      .select(col(sourceCol).as("source"),
+        explode(TextFunctions.tokens(
+          TextFunctions.normalizeWs(col(textCol)))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // global word table derives from sw — no second corpus pass
+    var words = sw.groupBy(col("w")).agg(sum(col("c")).as("cnt"))
+      .select(col("w").as("orig"),
+        concat(lit(" "),
+          concat_ws(" ", split(col("w"), "")), lit(" </w> ")).as("word"),
+        col("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to rounds) {
+      val syms = split(trim(col("word")), " ")
+      val pairs = words.select(col("cnt"),
+          explode(arrays_zip(
+            slice(syms, lit(1), size(syms) - 1),
+            slice(syms, lit(2), size(syms) - 1))).as("p"))
+        .select(col("p").getField("0").as("l"),
+          col("p").getField("1").as("r"), col("cnt"))
+      val winner = pairs.groupBy(col("l"), col("r"))
+        .agg(sum(col("cnt")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("l"), col("r"))
+        .limit(1)
+      words = words.crossJoin(broadcast(winner.select(col("l"), col("r"))))
+        .select(col("orig"), expr(
+          "replace(word, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ')")
+          .as("word"), col("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val enc = words.select(col("orig"),
+      size(split(trim(col("word")), " ")).cast("long").as("sym"))
+    sw.join(enc, col("w") === col("orig"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("words"),
+        sum(col("c") * (length(col("w")) + 1)).as("syms_before"),
+        sum(col("c") * col("sym")).as("syms_after"))
+      .orderBy(col("source"))
+  }
 }

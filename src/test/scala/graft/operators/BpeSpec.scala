@@ -62,4 +62,47 @@ class BpeSpec extends SparkSpec {
     }
     assert(corpusBefore.nonEmpty)
   }
+
+  test("encodeStats: known-answer per-source compression") {
+    // src a: "aaaa aaaa" — after merges (a,a)→aa then (aa,aa)→aaaa (or
+    // marker merges, depending on counts) symbols shrink; exact values
+    // pinned by hand for 2 rounds: words serialize as
+    // " a a a a </w> " (5 syms each, before = 4 chars + 1 marker)
+    val df = Seq(("a1", "aaaa aaaa"), ("b2", "aaaa bc")).toDF("source", "text")
+    val r = Bpe.encodeStats(df, "text", "source", 2)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toSeq.sortBy(_._1)
+    // round 1 winner: (a,a), pc 9. Single-scan replace consumes the
+    // separator, so " a a a a </w> " merges ONCE per scan:
+    // " aa a a </w> " (4 syms — the documented pair-run semantics).
+    // round 2: pc-3 tie among (a,a), (a,</w>), (aa,a) → lexicographic
+    // winner (a,</w>) ('<' < 'a') → " aa a a</w> " = 3 syms;
+    // " b c </w> " is untouched at 3 syms.
+    // a1: 2×3 = 6 after (before 2×5 = 10); b2: 3 + 3 = 6 (before 8).
+    assert(r == Seq(("a1", 2L, 10L, 6L), ("b2", 2L, 8L, 6L)))
+  }
+
+  test("encodeStats totals agree with learnMerges' corpus accounting") {
+    // the apply side and the learn side compute corpus_symbols_after
+    // independently (per-source weighted join vs global word table) —
+    // they must agree exactly
+    val texts = (0 until 200).map(i =>
+      (s"s${i % 4}", s"alpha beta gamma tok$i alpha beta"))
+    val df = texts.toDF("source", "text")
+    val learn = Bpe.learnMerges(df, "text", 4).collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(6)).toMap
+    val enc = Bpe.encodeStats(df, "text", "source", 4)
+      .agg(org.apache.spark.sql.functions.sum("syms_after")).head.getLong(0)
+    assert(enc == learn(4L),
+      s"encode total $enc != learnMerges round-4 corpus symbols ${learn(4L)}")
+  }
+
+  test("encodeStats is layout invariant") {
+    val texts = (0 until 300).map(i => (s"s${i % 3}", s"tok${i % 11} shared words tok${i % 5}"))
+    val a = Bpe.encodeStats(texts.toDF("source", "text").repartition(1),
+      "text", "source", 3).collect().toSeq.map(_.toSeq)
+    val b = Bpe.encodeStats(texts.toDF("source", "text").repartition(32),
+      "text", "source", 3).collect().toSeq.map(_.toSeq)
+    assert(a == b)
+  }
 }
