@@ -1830,6 +1830,43 @@ object SparkEntry {
     "q122_bpe_encode" -> ((s, d) => {
       graft.operators.Bpe.encodeStats(t(s, d, "documents"), "text", "source", 6)
     }),
+
+    // Exact triangle counting over the parts-co-ordered-together graph
+    // (parts sharing an order, first 3 line numbers to bound the
+    // per-order clique) — the third iterative-graph family member next
+    // to pointer-doubling components (q65) and power-iteration
+    // PageRank (q117). Degree orientation bounds every wedge fan-out
+    // by ~sqrt(2m) on ANY degree distribution — the graph analog of
+    // the hot-band cap. All integer, all joins — the oracle replays
+    // edge build, degrees, orientation, wedges, closure, and the
+    // per-node rollup.
+    "q123_triangles" -> ((s, d) => {
+      import graft.operators.Graphs
+      val li = t(s, d, "lineitem")
+        .filter(col("l_linenumber") <= 3)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val edges = li.alias("a").join(li.alias("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .distinct()
+      Graphs.triangleCounts(edges)
+        .select(col("n").as("part_id"), col("degree"), col("triangles"))
+        .orderBy(col("triangles").desc, col("part_id")).limit(50)
+    }),
+
+    // Integer-exact k-means over quantized embeddings — semantic
+    // clustering for curation, hash-gated the q117 way: power-of-two
+    // quantization makes the double multiply exact, shifted floor
+    // division makes centroid means engine-independent, and integer
+    // distance sums are associative, so THREE full Lloyd iterations
+    // (seeds, every assignment, every centroid update) replay
+    // bit-identically in the oracle. Output: per-(cluster, label)
+    // membership with the centroid checksum riding every row. See
+    // operators/Clustering for the broadcast-argmin 100 TB shape.
+    "q124_kmeans" -> ((s, d) => {
+      graft.operators.Clustering.kmeansLabelProfile(
+        t(s, d, "embeddings"), "vec_id", "embedding", "label", 8, 3)
+    }),
   )
 
   /** Bench-side split of the standing-corpus probes (VERDICT r6 #4).
@@ -2193,6 +2230,65 @@ object SparkEntry {
        |  CAST(sum(c * sym) AS BIGINT) AS syms_after
        |FROM swc JOIN enc ON w = orig
        |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** q124 oracle: unrolled integer Lloyd iterations. Each layer replays
+    * assignment (cross join against the k-row centroid table, list-
+    * comprehension distance, window argmin) and the shifted floor-
+    * division centroid update; DuckDB's sum → HUGEINT widening is
+    * re-cast at every step to keep the BIGINT dtype contract. */
+  private def kmeansOracleSql(k: Int, iters: Int, dims: Int): String = {
+    val hash = "CAST(list_sum([(strpos('0123456789abcdef', substr(sha256(" +
+      "CAST(vec_id AS VARCHAR)), i, 1)) - 1) * pow(16.0, 12 - i) " +
+      "for i in generate_series(1, 12)]) AS BIGINT)"
+    def layer(n: Int): String =
+      s"""d$n AS (
+         |  SELECT v.vec_id, v.label, v.q, c.cid,
+         |    list_sum([(v.q[i] - c.c[i]) * (v.q[i] - c.c[i])
+         |      for i in generate_series(1, $dims)]) AS dist
+         |  FROM v, c${n - 1} c),
+         |a$n AS (
+         |  SELECT vec_id, label, q, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cid) AS rn FROM d$n)
+         |  WHERE rn = 1),
+         |u$n AS (
+         |  SELECT cid, i AS dim, sum(q[i]) AS s, count(*) AS n
+         |  FROM a$n, unnest(generate_series(1, $dims)) t(i) GROUP BY 1, 2),
+         |nc$n AS (
+         |  SELECT cid, list(CAST((s + n * 2097152) // n - 2097152
+         |    AS BIGINT) ORDER BY dim) AS c
+         |  FROM u$n GROUP BY cid),
+         |c$n AS (SELECT p.cid, COALESCE(nc$n.c, p.c) AS c
+         |        FROM c${n - 1} p LEFT JOIN nc$n ON nc$n.cid = p.cid)"""
+        .stripMargin
+    val layers = (1 to iters).map(layer).mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+       |      * 1048576) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |hv AS (SELECT vec_id, q, $hash AS h FROM v),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1
+       |    AS BIGINT) AS cid, q AS c
+       |  FROM (SELECT * FROM hv ORDER BY h, vec_id LIMIT $k)),
+       |$layers,
+       |df AS (
+       |  SELECT v.vec_id, v.label, c.cid,
+       |    list_sum([(v.q[i] - c.c[i]) * (v.q[i] - c.c[i])
+       |      for i in generate_series(1, $dims)]) AS dist
+       |  FROM v, c$iters c),
+       |af AS (
+       |  SELECT vec_id, label, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, cid) AS rn FROM df)
+       |  WHERE rn = 1),
+       |chk AS (SELECT cid, CAST(list_sum(c) AS BIGINT) AS cs FROM c$iters)
+       |SELECT af.cid AS cid, af.label AS label, count(*) AS n,
+       |  chk.cs AS centroid_sum
+       |FROM af JOIN chk ON chk.cid = af.cid
+       |GROUP BY 1, 2, 4 ORDER BY cid, label""".stripMargin
   }
 
   /** q109 oracle: replay the BMP pixel-generation formula (NOT the
@@ -4400,5 +4496,38 @@ object SparkEntry {
         |FROM b2 LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q122_bpe_encode" -> bpeEncodeOracleSql(6),
+
+    // Triangle replay: co-order edges, degrees over the symmetrized
+    // edge set, (degree, id) tuple orientation, the bounded wedge
+    // self-join, the closing edge probe, and the per-corner rollup.
+    // All integer; tuple comparison is lexicographic in both engines.
+    "q123_triangles" ->
+      """WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_linenumber <= 3),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |eu AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |deg AS (SELECT u AS n, count(*) AS d FROM eu GROUP BY 1),
+        |oe AS (
+        |  SELECT CASE WHEN (da.d, e0.u) < (db.d, e0.v)
+        |           THEN e0.u ELSE e0.v END AS s,
+        |         CASE WHEN (da.d, e0.u) < (db.d, e0.v)
+        |           THEN e0.v ELSE e0.u END AS t
+        |  FROM e0 JOIN deg da ON da.n = e0.u JOIN deg db ON db.n = e0.v),
+        |tri AS (
+        |  SELECT w1.s AS a, w1.t AS b, w2.t AS c
+        |  FROM oe w1 JOIN oe w2 ON w1.s = w2.s AND w1.t < w2.t
+        |  JOIN oe e3 ON e3.s = w1.t AND e3.t = w2.t),
+        |pern AS (
+        |  SELECT n, count(*) AS tri_cnt FROM (
+        |    SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY 1)
+        |SELECT deg.n AS part_id, deg.d AS degree,
+        |  COALESCE(pern.tri_cnt, 0) AS triangles
+        |FROM deg LEFT JOIN pern ON pern.n = deg.n
+        |ORDER BY triangles DESC, part_id LIMIT 50""".stripMargin,
+
+    "q124_kmeans" -> kmeansOracleSql(8, 3, 64),
   )
 }

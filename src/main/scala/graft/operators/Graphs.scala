@@ -65,4 +65,53 @@ object Graphs {
     }
     pr
   }
+
+  /** Exact per-node triangle counting by degree orientation — the
+    * standard bounded-wedge scheme (each undirected edge is directed
+    * from its (degree, id)-smaller endpoint to the larger, so every
+    * out-neighborhood has O(sqrt(m)) fan-out on any graph and each
+    * triangle is generated exactly once, at its (degree, id)-minimum
+    * corner). `edges` carries one row per unordered pair as
+    * (`u`, `v`) with u < v, pre-deduplicated. Returns
+    * (n, degree, triangles); triangles/degree give the local
+    * clustering coefficient as an exact rational — no float ever
+    * enters the computation, so the whole run replays in any ANSI
+    * engine (q123's hash gate).
+    *
+    * 100 TB shape: three shuffles total — degrees (hash agg), the
+    * wedge self-join on the oriented source, and the closing join on
+    * the wedge's (b, c) pair. Degree orientation is what makes the
+    * wedge join survive scale: without it a single hub of degree 10^6
+    * yields 10^12 wedges; with it every node's out-degree is bounded
+    * by ~sqrt(2m) regardless of skew. The oriented edge table is
+    * persisted once and feeds both sides of the wedge join and the
+    * closing probe. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val eu = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+    val deg = eu.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+    val oriented = edges
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("u")).otherwise(col("v")).as("s"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("v")).otherwise(col("u")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = oriented.alias("w1")
+      .join(oriented.alias("w2"),
+        col("w1.s") === col("w2.s") && col("w1.t") < col("w2.t"))
+      .select(col("w1.s").as("a"), col("w1.t").as("b"), col("w2.t").as("c"))
+    val tri = wedges.join(oriented.alias("e3"),
+        col("b") === col("e3.s") && col("c") === col("e3.t"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("n"), "left")
+      .na.fill(0L, Seq("triangles"))
+      .select(col("n"), col("d").as("degree"), col("triangles"))
+  }
 }

@@ -76,4 +76,46 @@ class GraphsSpec extends SparkSpec {
     // exact ties, not approximate: leaves are automorphic
     assert(Set(pr(1L), pr(2L), pr(3L), pr(4L)).size == 1)
   }
+
+  private def tris(und: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+    Graphs.triangleCounts(und.toDF("u", "v"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+
+  test("triangleCounts: K4 — every node sits in C(3,2) = 3 triangles") {
+    val k4 = for (u <- 0L to 3L; v <- (u + 1) to 3L) yield (u, v)
+    val m = tris(k4.toSeq)
+    assert(m.keySet === Set(0L, 1L, 2L, 3L))
+    assert(m.values.toSet === Set((3L, 3L)))
+  }
+
+  test("triangleCounts: paths and stars are triangle-free") {
+    // path 0-1-2-3 plus a degree-5 hub star — the star is the skew
+    // case degree orientation defuses (all leaf→hub edges orient INTO
+    // the hub, so the hub generates zero wedges)
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L)) ++
+      (11L to 15L).map(l => (l, 10L))
+    val m = tris(und)
+    assert(m.values.forall(_._2 == 0L))
+    assert(m(10L)._1 == 5L) // hub degree survives
+    assert(m(1L)._1 == 2L)
+  }
+
+  test("triangleCounts: triangle with a pendant counts the corner once") {
+    val m = tris(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    assert(m(1L) === ((2L, 1L)))
+    assert(m(2L) === ((2L, 1L)))
+    assert(m(3L) === ((3L, 1L)))
+    assert(m(4L) === ((1L, 0L)))
+  }
+
+  test("triangleCounts is layout invariant") {
+    val und = (for (u <- 0L until 30L; v <- (u + 1) until 30L
+                    if (u + v) % 3 != 0) yield (u, v)).toSeq
+    val a = tris(und)
+    val b = Graphs.triangleCounts(und.toDF("u", "v").repartition(13))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(a === b)
+  }
 }
