@@ -38,7 +38,12 @@ object ScaleProbe {
     // round-8 continuation: HLL registers (fixed m-byte state) and the
     // CMS-guarded heavy hitters (grid + 17-key survivor agg — both
     // sides of the shuffle guard are bounded)
-    "q116_hll_distinct", "q119_heavy_hitters")
+    "q116_hll_distinct", "q119_heavy_hitters",
+    // round-8 third sitting: BPE encode (corpus pass + vocabulary-sized
+    // rounds — vocab grows only by the per-copy suffix tokens) and
+    // integer k-means (per-vector assignment is map-side against a
+    // broadcast centroid row; update is a k×dim-bounded agg)
+    "q122_bpe_encode", "q124_kmeans")
 
   // Corpus construction lives in ProbeCorpus (pinned-seed, reproducible
   // across invocations — ProbeCorpusSpec pins count+hash); this main only
@@ -71,7 +76,13 @@ object ScaleProbe {
   // through every 3-doc cluster (ids 3g..3g+2), so cross-split near-dup
   // matches exist and scale linearly with the cluster count
   private val dupQueries = Seq("q65_dup_clusters", "q80_dedup_survivors",
-    "q100_incremental_pairs", "q101_incremental_dedup")
+    "q100_incremental_pairs", "q101_incremental_dedup",
+    // substring spans probe on the PLANTED corpus, not the replicated
+    // one: textual replication would inflate the true repeated-gram
+    // structure (every copy shares grams with its original), while the
+    // dup corpus grows cluster COUNT at fixed cluster size — the
+    // production axis for span dedup
+    "q121_substring_spans")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -329,6 +340,28 @@ object ScaleProbe {
     val t10 = time(Graphs.integerPageRank(edgesOf(s"$bigDir/graph10"), 3))
     println(f"[scale-graph] q117_pagerank 1x=${t1}%6.2fs 10x=${t10}%6.2fs " +
       f"ratio=${t10 / t1}%5.2f")
+
+    // triangle counting on the q123 co-order part graph, same disjoint
+    // 10x-copies axis: triangle count grows exactly 10x, degree
+    // distribution is unchanged, so the ratio isolates the wedge-join
+    // machinery (the part of the shape that could go quadratic)
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+      .filter(col("l_linenumber") <= 3)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val triEdges = li.alias("x").join(li.alias("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("u"), col("y.p").as("v"))
+      .distinct()
+    val triEdges10 = (0 until 10).map(k =>
+      triEdges.select((col("u") + k * offset).as("u"),
+        (col("v") + k * offset).as("v")))
+      .reduce(_ unionByName _)
+    triEdges.write.mode("overwrite").parquet(s"$bigDir/tri1")
+    triEdges10.write.mode("overwrite").parquet(s"$bigDir/tri10")
+    val tt1 = time(Graphs.triangleCounts(spark.read.parquet(s"$bigDir/tri1")))
+    val tt10 = time(Graphs.triangleCounts(spark.read.parquet(s"$bigDir/tri10")))
+    println(f"[scale-graph] q123_triangles 1x=${tt1}%6.2fs 10x=${tt10}%6.2fs " +
+      f"ratio=${tt10 / tt1}%5.2f")
   }
 
   /** dHash pipeline probe: decode + hash + banded join at 2.4k vs 24k

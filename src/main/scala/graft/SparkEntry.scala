@@ -1867,6 +1867,45 @@ object SparkEntry {
       graft.operators.Clustering.kmeansLabelProfile(
         t(s, d, "embeddings"), "vec_id", "embedding", "label", 8, 3)
     }),
+
+    // Cluster-balanced diversity sampling — the curation payoff of
+    // q124's clustering: ≤ 5 vectors per semantic cluster by hash-order
+    // admission, so every mode the clustering found is covered instead
+    // of the dominant one swamping a global sample. The per-cluster
+    // rank is a WindowGroupLimit plan (≤ m rows per cluster survive
+    // each task before the exchange).
+    "q125_diverse_sample" -> ((s, d) => {
+      graft.operators.Clustering.diversitySample(
+        t(s, d, "embeddings"), "vec_id", "embedding", "label", 8, 3, 5)
+    }),
+
+    // TrustRank (Gyöngyi et al. 2004) — seeded PageRank for
+    // source-quality propagation: teleport mass flows only to a
+    // trusted seed set (BUILDING-segment customers), so a node's score
+    // is its link-proximity to trust. Same integer-exact fixed-point
+    // machinery as q117; the oracle replays all 3 seeded iterations
+    // including the zero-base non-seed branch.
+    "q126_trustrank" -> ((s, d) => {
+      import graft.operators.Graphs
+      val pairs = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select((col("c_custkey") * 2).as("nid"))
+      Graphs.integerTrustRank(edges, seeds, 3)
+        .select(col("nid"),
+          when(col("nid") % 2 === 0, "customer")
+            .otherwise("supplier").as("kind"),
+          col("tr"))
+        .orderBy(col("tr").desc, col("nid")).limit(20)
+    }),
   )
 
   /** Bench-side split of the standing-corpus probes (VERDICT r6 #4).
@@ -2237,7 +2276,7 @@ object SparkEntry {
     * comprehension distance, window argmin) and the shifted floor-
     * division centroid update; DuckDB's sum → HUGEINT widening is
     * re-cast at every step to keep the BIGINT dtype contract. */
-  private def kmeansOracleSql(k: Int, iters: Int, dims: Int): String = {
+  private def kmeansOracleCore(k: Int, iters: Int, dims: Int): String = {
     val hash = "CAST(list_sum([(strpos('0123456789abcdef', substr(sha256(" +
       "CAST(vec_id AS VARCHAR)), i, 1)) - 1) * pow(16.0, 12 - i) " +
       "for i in generate_series(1, 12)]) AS BIGINT)"
@@ -2283,13 +2322,29 @@ object SparkEntry {
        |  SELECT vec_id, label, cid FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id
        |      ORDER BY dist, cid) AS rn FROM df)
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  private def kmeansOracleSql(k: Int, iters: Int, dims: Int): String =
+    s"""${kmeansOracleCore(k, iters, dims)},
        |chk AS (SELECT cid, CAST(list_sum(c) AS BIGINT) AS cs FROM c$iters)
        |SELECT af.cid AS cid, af.label AS label, count(*) AS n,
        |  chk.cs AS centroid_sum
        |FROM af JOIN chk ON chk.cid = af.cid
        |GROUP BY 1, 2, 4 ORDER BY cid, label""".stripMargin
-  }
+
+  /** q125 oracle: the q124 Lloyd chain, then the per-cluster hash-order
+    * sample (reusing the hv CTE's vec_id hash). */
+  private def diversitySampleOracleSql(k: Int, iters: Int, dims: Int,
+                                       m: Int): String =
+    s"""${kmeansOracleCore(k, iters, dims)},
+       |rk AS (
+       |  SELECT af.cid, af.vec_id, af.label,
+       |    row_number() OVER (PARTITION BY af.cid
+       |      ORDER BY hv.h, af.vec_id) AS rnk
+       |  FROM af JOIN hv ON hv.vec_id = af.vec_id)
+       |SELECT cid, vec_id, label FROM rk WHERE rnk <= $m
+       |ORDER BY cid, vec_id""".stripMargin
 
   /** q109 oracle: replay the BMP pixel-generation formula (NOT the
     * parser). Pixel (x, y-top-down) of image i lives at pixel-array
@@ -4529,5 +4584,51 @@ object SparkEntry {
         |ORDER BY triangles DESC, part_id LIMIT 50""".stripMargin,
 
     "q124_kmeans" -> kmeansOracleSql(8, 3, 64),
+
+    "q125_diverse_sample" -> diversitySampleOracleSql(8, 3, 64, 5),
+
+    // Seeded-PageRank replay: the q117 chain with the teleport term
+    // gated on seed membership (LEFT JOIN keeps zero-inflow nodes —
+    // unlike plain PageRank, a non-seed node's rank can be 0).
+    "q126_trustrank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION ALL SELECT b, a FROM pairs),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        |sd AS (SELECT c_custkey * 2 AS nid FROM customer
+        |       WHERE c_mktsegment = 'BUILDING'),
+        |nodes AS (
+        |  SELECT deg.src AS nid,
+        |    CASE WHEN sd.nid IS NULL THEN 0 ELSE 1 END AS is_seed
+        |  FROM deg LEFT JOIN sd ON sd.nid = deg.src),
+        |tr0 AS (SELECT nid, CAST(is_seed * 1000000000000 AS BIGINT) AS tr
+        |        FROM nodes),
+        |it1 AS (
+        |  SELECT n.nid, CAST(n.is_seed * 150000000000
+        |      + COALESCE(s.inflow, 0) AS BIGINT) AS tr
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS nid, sum((p.tr * 17) // (20 * d.deg)) AS inflow
+        |    FROM edges e JOIN tr0 p ON p.nid = e.src
+        |    JOIN deg d ON d.src = e.src GROUP BY 1) s ON s.nid = n.nid),
+        |it2 AS (
+        |  SELECT n.nid, CAST(n.is_seed * 150000000000
+        |      + COALESCE(s.inflow, 0) AS BIGINT) AS tr
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS nid, sum((p.tr * 17) // (20 * d.deg)) AS inflow
+        |    FROM edges e JOIN it1 p ON p.nid = e.src
+        |    JOIN deg d ON d.src = e.src GROUP BY 1) s ON s.nid = n.nid),
+        |it3 AS (
+        |  SELECT n.nid, CAST(n.is_seed * 150000000000
+        |      + COALESCE(s.inflow, 0) AS BIGINT) AS tr
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS nid, sum((p.tr * 17) // (20 * d.deg)) AS inflow
+        |    FROM edges e JOIN it2 p ON p.nid = e.src
+        |    JOIN deg d ON d.src = e.src GROUP BY 1) s ON s.nid = n.nid)
+        |SELECT nid,
+        |  CASE WHEN nid % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+        |  tr
+        |FROM it3 ORDER BY tr DESC, nid LIMIT 20""".stripMargin,
   )
 }

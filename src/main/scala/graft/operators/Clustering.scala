@@ -120,4 +120,25 @@ object Clustering {
         first(aggregate(col("centroid"), lit(0L), (acc, x) => acc + x))
           .as("centroid_sum"))
       .orderBy(col("cid"), col("label"))
+
+  /** Cluster-balanced DIVERSITY SAMPLING — the curation use of k-means
+    * (q125): take at most `m` vectors per semantic cluster, chosen by
+    * hash order (deterministic, content-independent within the
+    * cluster — the same admission rule as the temperature mixture's).
+    * A plain top-n sample over-represents the dominant mode; capping
+    * per cluster yields coverage of every mode the clustering found.
+    * The per-cluster rank is a WindowGroupLimit plan: only ≤ m rows
+    * per cluster survive each task before the window's exchange. */
+  def diversitySample(embeddings: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String, k: Int, iters: Int,
+                      m: Int): DataFrame = {
+    require(m >= 1, s"m out of range: $m")
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(KmvAggregator.kmvHash(col("vec_id")), col("vec_id"))
+    kmeansAssign(embeddings, idCol, vecCol, labelCol, k, iters)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= m)
+      .select(col("cid"), col("vec_id"), col("label"))
+      .orderBy(col("cid"), col("vec_id"))
+  }
 }

@@ -66,6 +66,50 @@ object Graphs {
     pr
   }
 
+  /** Seeded PageRank — TrustRank (Gyöngyi et al. 2004), the
+    * quality-propagation member of the power-iteration family: teleport
+    * mass flows only to a TRUSTED SEED SET, so a node's score measures
+    * its link-proximity to trusted nodes (the classic web-spam /
+    * data-source-quality signal; in a curation pipeline the seeds are
+    * vetted sources and the scores rank everything they co-occur with).
+    * Same integer-exact fixed-point formulation as [[integerPageRank]]
+    * — only the base term changes:
+    *   tr_0(v)     = seed(v) ? scale : 0
+    *   tr_{i+1}(v) = (seed(v) ? (scale·3) div 20 : 0)
+    *                 + Σ in-edges (tr_i(u) · 17) div (20 · deg(u))
+    * `seeds` carries one `nid` column; non-seed nodes can hold rank
+    * only through inlinks from the trust neighborhood. Same 100 TB
+    * shape as PageRank: edges hashed + persisted once, only the rank
+    * table moves per iteration, the seed flag rides the degree table. */
+  def integerTrustRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+                       scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+    import org.apache.spark.storage.StorageLevel
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .join(seeds.select(col("nid").as("src"), lit(1L).as("is_seed")),
+        Seq("src"), "left")
+      .na.fill(0L, Seq("is_seed"))
+    val ed = edges.join(deg.select(col("src"), col("deg")), "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = deg.select(col("src").as("nid"), col("is_seed"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = (scale * 3L) / 20L
+    var tr = nodes.select(col("nid"), (col("is_seed") * scale).as("tr"))
+    for (_ <- 1 to iters) {
+      val contrib = ed.alias("e").join(tr.alias("p"),
+          col("e.src") === col("p.nid"))
+        .select(col("e.dst").as("nid"),
+          expr("(p.tr * 17) div (20 * e.deg)").as("c"))
+        .groupBy("nid")
+        .agg(sum(col("c")).as("inflow"))
+      tr = nodes.join(contrib, Seq("nid"), "left")
+        .select(col("nid"),
+          (col("is_seed") * base + coalesce(col("inflow"), lit(0L))).as("tr"))
+    }
+    tr
+  }
+
   /** Exact per-node triangle counting by degree orientation — the
     * standard bounded-wedge scheme (each undirected edge is directed
     * from its (degree, id)-smaller endpoint to the larger, so every

@@ -71,7 +71,14 @@ object SpanDedup {
   def spanStats(docs: DataFrame, idCol: String, textCol: String,
                 l: Int): DataFrame = {
     require(l >= 2 && l <= 64, s"gram length out of range: $l")
+    // the occurrence table feeds BOTH the frequency aggregate and the
+    // mark join; persisting the 20-byte rows avoids re-tokenizing and
+    // re-hashing the corpus. At extreme scale where even the hashed
+    // occurrences outgrow cluster storage, dropping this persist trades
+    // a second corpus scan for zero footprint — the plan is correct
+    // either way.
     val occ = gramOccurrences(docs, idCol, textCol, l)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // partial-agg'd frequency + canonical copy per gram; only repeated
     // grams survive to the join
     val repeated = occ

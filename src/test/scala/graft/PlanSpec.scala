@@ -204,7 +204,8 @@ class PlanSpec extends SparkSpec {
     val nlAllowed = Set("q25_scalar_subquery", "q26_cosine_topk",
       "q46_ivf_topk", "q71_tfidf", "q73_knn_labels", "q96_rolling_active",
       "q113_rolling_kmv", "q116_hll_distinct", "q119_heavy_hitters",
-      "q120_bpe_merges", "q122_bpe_encode", "q124_kmeans")
+      "q120_bpe_merges", "q122_bpe_encode", "q124_kmeans",
+      "q125_diverse_sample")
     // iterative queries execute jobs at plan-build (connected components
     // materializes rounds); their shapes are pinned by their own tests
     val excluded = Set("q65_dup_clusters", "q80_dedup_survivors")

@@ -65,6 +65,21 @@ class ClusteringSpec extends SparkSpec {
     assert(sizes.values.toSet == Set(4L))
   }
 
+  test("diversitySample caps every cluster and covers every mode") {
+    // two blobs of very different sizes: a global top-6 sample would be
+    // swamped by the big blob; the cluster cap must cover both
+    val rows = (0L until 20L).map(i => (i, pad(Seq(0.4, 0.4)), 0)) ++
+      (20L until 23L).map(i => (i, pad(Seq(-0.4, -0.4)), 1))
+    val got = Clustering.diversitySample(
+      rows.toDF("vec_id", "embedding", "label"),
+      "vec_id", "embedding", "label", 2, 2, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val perCluster = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perCluster.values.forall(_ <= 3), s"cap violated: $perCluster")
+    assert(got.map(_._3).toSet == Set(0, 1),
+      s"both modes must appear in the sample: ${got.toSeq}")
+  }
+
   test("assignment is invariant to input partitioning") {
     val rows = (0L until 60L).map(i =>
       (i, pad(Seq(math.sin(i.toDouble), math.cos(i.toDouble / 3)).map(_ * 0.4)), (i % 4).toInt))

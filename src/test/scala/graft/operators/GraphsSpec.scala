@@ -77,6 +77,42 @@ class GraphsSpec extends SparkSpec {
     assert(Set(pr(1L), pr(2L), pr(3L), pr(4L)).size == 1)
   }
 
+  test("trustRank with every node seeded equals plain PageRank") {
+    val und = (0L until 40L).map(i => (i, (i + 3) % 40))
+    val edges = symmetrize(und).toDF("src", "dst")
+    val allNodes = edges.select(col("src").as("nid")).distinct()
+    val pr = Graphs.integerPageRank(edges, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tr = Graphs.integerTrustRank(edges, allNodes, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr === tr)
+  }
+
+  test("trustRank equals a serial re-computation; unreachable nodes stay at zero") {
+    // path 0-1-2-3 seeded at 0, plus a disjoint pair 10-11 (no seed)
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L))
+    val dir = symmetrize(und)
+    val seeds = Set(0L)
+    val scale = 1000000000000L
+    // serial recurrence, same spec as the operator
+    val deg = dir.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var ref = deg.keys.map(n =>
+      n -> (if (seeds(n)) scale else 0L)).toMap
+    val base = scale * 3L / 20L
+    for (_ <- 1 to 3) {
+      val inflow = dir.groupBy(_._2).view.mapValues(_.map { case (u, _) =>
+        ref(u) * 17L / (20L * deg(u)) }.sum).toMap
+      ref = deg.keys.map(n =>
+        n -> ((if (seeds(n)) base else 0L) + inflow.getOrElse(n, 0L))).toMap
+    }
+    val tr = Graphs.integerTrustRank(dir.toDF("src", "dst"),
+        Seq(0L).toDF("nid"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tr === ref)
+    assert(tr(10L) == 0L && tr(11L) == 0L,
+      s"nodes unreachable from the seed set must hold zero trust: $tr")
+  }
+
   private def tris(und: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
     Graphs.triangleCounts(und.toDF("u", "v"))
       .collect()

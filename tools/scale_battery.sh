@@ -26,7 +26,8 @@ sbt -batch compile > /dev/null 2>&1 || { echo "compile failed"; exit 1; }
 run gen                      # corpora only, untimed
 run linear                   # linear family, one JVM
 for q in q65_dup_clusters q80_dedup_survivors \
-         q100_incremental_pairs q101_incremental_dedup; do
+         q100_incremental_pairs q101_incremental_dedup \
+         q121_substring_spans; do
   run "dup:$q"               # iterative family: one JVM PER QUERY
 done
 run inc
