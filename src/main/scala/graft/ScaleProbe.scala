@@ -266,6 +266,17 @@ object ScaleProbe {
         val legacy = time(Dedup.incrementalDupPairs(batchDocs,
           "doc_id", "text", spark.read.parquet(sigPath)))
         println(f"[scale-inc] corpus=$n%-8d banded=${banded}%6.2fs legacy=${legacy}%6.2fs")
+        // q127's standing-gram probe on the same corpus/batch split:
+        // per-batch wall should track the batch (the standing table is
+        // filtered by a broadcast of the batch's gram hashes before any
+        // exchange), while the untimed build tracks the corpus
+        import graft.operators.SpanDedup
+        val gramPath = s"$bigDir/inc_grams_$n"
+        SpanDedup.buildGramStats(corpusDocs, "doc_id", "text", 4)
+          .write.mode("overwrite").parquet(gramPath)
+        val spans = time(SpanDedup.incrementalSpanStats(batchDocs,
+          "doc_id", "text", 4, spark.read.parquet(gramPath)))
+        println(f"[scale-inc] corpus=$n%-8d spans=${spans}%6.2fs")
       }
     }
     spark.stop()

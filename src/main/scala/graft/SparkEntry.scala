@@ -1906,6 +1906,30 @@ object SparkEntry {
           col("tr"))
         .orderBy(col("tr").desc, col("nid")).limit(20)
     }),
+
+    // Incremental substring-span probe against a STANDING gram-stats
+    // corpus — the span analog of q104/q108 (build once, probe per
+    // batch; the batch's gram hashes broadcast into the corpus-stats
+    // scan, the corpus is never re-tokenized per batch). Same mod-10
+    // corpus/batch split as q104. The oracle replays the asymmetric
+    // canonical rule: corpus grams always win, batch-internal repeats
+    // keep their batch-first copy.
+    "q127_incremental_spans" -> ((s, d) => {
+      standingSplits("q127_incremental_spans").build(s, d)
+      standingSplits("q127_incremental_spans").probe(s, d)
+    }),
+
+    // Substring-span SCRUBBING — the removal step of Lee et al. 2022
+    // (q121 measures, q128 actually rewrites): every duplicated token
+    // run is dropped, the corpus-wide canonical copy survives, and the
+    // cleaned text is rebuilt in canonical whitespace. The oracle
+    // replays marking, coverage explosion, the (doc, position) equi
+    // anti-join, and the ordered reconstruction — a single token
+    // misplaced anywhere in 5000 documents desyncs the hash.
+    "q128_span_scrub" -> ((s, d) => {
+      graft.operators.SpanDedup.scrubSpans(t(s, d, "documents"), "doc_id", "text", 4)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Bench-side split of the standing-corpus probes (VERDICT r6 #4).
@@ -1983,6 +2007,23 @@ object SparkEntry {
             hot = Some(s.read.parquet(hotPath(q108BandPath(d)))))
           .select(col("id_new"), col("id_corpus"), r6(col("cos")).as("cos"))
           .orderBy(col("id_new"), col("id_corpus"))
+      }),
+
+    "q127_incremental_spans" -> StandingSplit(
+      build = (s, d) => {
+        val sf = new java.io.File(d).getName
+        graft.operators.SpanDedup.buildGramStats(
+            t(s, d, "documents").filter(pmod(col("doc_id"), lit(10)) >= 2),
+            "doc_id", "text", 4)
+          .write.mode("overwrite").parquet(s"/tmp/graft_q127_grams_$sf")
+      },
+      probe = (s, d) => {
+        val sf = new java.io.File(d).getName
+        graft.operators.SpanDedup.incrementalSpanStats(
+            t(s, d, "documents").filter(pmod(col("doc_id"), lit(10)) < 2),
+            "doc_id", "text", 4,
+            s.read.parquet(s"/tmp/graft_q127_grams_$sf"))
+          .orderBy(col("doc_id"))
       }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4630,5 +4671,104 @@ object SparkEntry {
         |  CASE WHEN nid % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
         |  tr
         |FROM it3 ORDER BY tr DESC, nid LIMIT 20""".stripMargin,
+
+    // Incremental-span replay: corpus gram frequencies (mod-10 ≥ 2),
+    // batch gram occurrences (mod-10 < 2), the asymmetric mark rule
+    // (corpus hit always marks; batch-internal repeats keep the batch
+    // (doc, start)-minimum), and the q121 island merge over batch docs.
+    "q127_incremental_spans" ->
+      """WITH corp AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(
+        |      lower(text), '\s+', ' ', 'g')), '\s+'), x -> x <> '') AS s
+        |  FROM documents WHERE doc_id % 10 >= 2),
+        |cb AS (SELECT doc_id, s, len(s) AS n FROM corp),
+        |cg AS (
+        |  SELECT CAST(list_sum([(strpos('0123456789abcdef', substr(sha256(
+        |      list_aggregate(s[i:i+3], 'string_agg', ' ')), j, 1)) - 1)
+        |    * pow(16.0, 12 - j) for j in generate_series(1, 12)])
+        |    AS BIGINT) AS hv
+        |  FROM cb, unnest(generate_series(1, n - 3)) AS t(i)),
+        |cs AS (SELECT hv, count(*) AS cc FROM cg GROUP BY 1),
+        |bat AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(
+        |      lower(text), '\s+', ' ', 'g')), '\s+'), x -> x <> '') AS s
+        |  FROM documents WHERE doc_id % 10 < 2),
+        |bb AS (SELECT doc_id, s, len(s) AS n FROM bat),
+        |bg AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS st,
+        |    CAST(list_sum([(strpos('0123456789abcdef', substr(sha256(
+        |        list_aggregate(s[i:i+3], 'string_agg', ' ')), j, 1)) - 1)
+        |      * pow(16.0, 12 - j) for j in generate_series(1, 12)])
+        |      AS BIGINT) AS hv
+        |  FROM bb, unnest(generate_series(1, n - 3)) AS t(i)),
+        |bs AS (
+        |  SELECT doc_id, st, hv,
+        |    count(*) OVER (PARTITION BY hv) AS bc,
+        |    row_number() OVER (PARTITION BY hv ORDER BY doc_id, st) AS rn
+        |  FROM bg),
+        |mk AS (
+        |  SELECT b.doc_id, b.st, b.st + 3 AS en
+        |  FROM bs b LEFT JOIN cs ON cs.hv = b.hv
+        |  WHERE COALESCE(cs.cc, 0) >= 1 OR (b.bc >= 2 AND b.rn > 1)),
+        |isl AS (
+        |  SELECT doc_id, st, en,
+        |    CASE WHEN max(en) OVER (PARTITION BY doc_id ORDER BY st
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR st > max(en) OVER (PARTITION BY doc_id ORDER BY st
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM mk),
+        |isl2 AS (SELECT doc_id, st, en,
+        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY st
+        |      ROWS UNBOUNDED PRECEDING) AS grp FROM isl),
+        |sp AS (SELECT doc_id, grp, min(st) AS sst, max(en) AS sen
+        |       FROM isl2 GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, count(*) AS dup_spans,
+        |         CAST(sum(sen - sst + 1) AS BIGINT) AS dup_tokens
+        |       FROM sp GROUP BY 1)
+        |SELECT bb.doc_id, CAST(bb.n AS BIGINT) AS total_tokens,
+        |  COALESCE(pd.dup_spans, 0) AS dup_spans,
+        |  COALESCE(pd.dup_tokens, 0) AS dup_tokens
+        |FROM bb LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Span-scrub replay: q121's marking, positions covered by any mark,
+    // kept = anti-join, ordered string_agg reconstruction.
+    "q128_span_scrub" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(
+        |      lower(text), '\s+', ' ', 'g')), '\s+'), x -> x <> '') AS s
+        |  FROM documents),
+        |b2 AS (SELECT doc_id, s, len(s) AS n FROM base),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS st,
+        |    CAST(list_sum([(strpos('0123456789abcdef', substr(sha256(
+        |        list_aggregate(s[i:i+3], 'string_agg', ' ')), j, 1)) - 1)
+        |      * pow(16.0, 12 - j) for j in generate_series(1, 12)])
+        |      AS BIGINT) AS hv
+        |  FROM b2, unnest(generate_series(1, n - 3)) AS t(i)),
+        |mk AS (
+        |  SELECT doc_id, st, st + 3 AS en
+        |  FROM (SELECT doc_id, st,
+        |          count(*) OVER (PARTITION BY hv) AS c,
+        |          row_number() OVER (PARTITION BY hv ORDER BY doc_id, st) AS rn
+        |        FROM grams)
+        |  WHERE c >= 2 AND rn > 1),
+        |cov AS (SELECT DISTINCT doc_id, CAST(u.p AS BIGINT) AS pos
+        |        FROM mk, unnest(generate_series(st, en)) u(p)),
+        |toks AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, s[i] AS tok
+        |         FROM b2, unnest(generate_series(1, n)) t(i)),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok
+        |  FROM toks t LEFT JOIN cov c
+        |    ON c.doc_id = t.doc_id AND c.pos = t.pos
+        |  WHERE c.pos IS NULL),
+        |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |          count(*) AS kept FROM kept GROUP BY 1)
+        |SELECT b2.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+        |  CAST(b2.n - COALESCE(reb.kept, 0) AS BIGINT) AS removed_tokens
+        |FROM b2 LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
   )
 }

@@ -80,15 +80,8 @@ object SpanDedup {
     val occ = gramOccurrences(docs, idCol, textCol, l)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // partial-agg'd frequency + canonical copy per gram; only repeated
-    // grams survive to the join
-    val repeated = occ
-      .groupBy(col("hv"))
-      .agg(count(lit(1)).as("c"), min(struct(col("doc_id"), col("st"))).as("keep"))
-      .filter(col("c") >= 2)
-      .select(col("hv"), col("keep"))
-    val marks = occ.join(repeated, "hv")
-      .filter(struct(col("doc_id"), col("st")) =!= col("keep"))
-      .select(col("doc_id"), col("st"), (col("st") + (l - 1)).as("en"))
+    // grams survive to the join (markedIntervals)
+    val marks = markedIntervals(occ, l)
     val before = Window.partitionBy("doc_id").orderBy("st")
       .rowsBetween(Window.unboundedPreceding, -1)
     val run = Window.partitionBy("doc_id").orderBy("st")
@@ -104,6 +97,124 @@ object SpanDedup {
       .agg(count(lit(1)).as("dup_spans"),
         sum(col("sen") - col("sst") + 1).as("dup_tokens"))
     docs
+      .select(col(idCol).as("doc_id"),
+        size(toks(col(textCol))).cast("long").as("total_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dup_spans", "dup_tokens"))
+  }
+
+  /** The marked intervals behind [[spanStats]], pre-island-merge:
+    * (doc_id, st, en) for every non-canonical repeated-gram occurrence. */
+  private def markedIntervals(occ: DataFrame, l: Int): DataFrame = {
+    val repeated = occ
+      .groupBy(col("hv"))
+      .agg(count(lit(1)).as("c"), min(struct(col("doc_id"), col("st"))).as("keep"))
+      .filter(col("c") >= 2)
+      .select(col("hv"), col("keep"))
+    occ.join(repeated, "hv")
+      .filter(struct(col("doc_id"), col("st")) =!= col("keep"))
+      .select(col("doc_id"), col("st"), (col("st") + (l - 1)).as("en"))
+  }
+
+  /** Substring-span SCRUBBING — the removal step of Lee et al. 2022:
+    * rebuild each document's text with every duplicated token run
+    * (per [[spanStats]]' marking rule) dropped, keeping the corpus-wide
+    * canonical copy untouched. Output is (doc_id, clean_text,
+    * removed_tokens) in canonical single-space whitespace; a document
+    * that was entirely duplicated scrubs to the empty string.
+    *
+    * 100 TB shape: marked intervals explode to their covered positions
+    * (Σ span widths ≤ corpus tokens — never more than the corpus
+    * itself), the kept tokens are an EQUI anti-join on (doc, position)
+    * (no range-join machinery), and reconstruction is one per-doc
+    * sort_array — the same per-doc grouping every window in the family
+    * already shuffles on. */
+  def scrubSpans(docs: DataFrame, idCol: String, textCol: String,
+                 l: Int): DataFrame = {
+    require(l >= 2 && l <= 64, s"gram length out of range: $l")
+    val toksOf = docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("s"))
+    val positions = toksOf
+      .select(col("doc_id"), posexplode(col("s")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+    val occ = gramOccurrences(docs, idCol, textCol, l)
+    val covered = markedIntervals(occ, l)
+      .select(col("doc_id"), explode(sequence(col("st"), col("en"))).as("pos"))
+      .distinct()
+    val kept = positions.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("kept_tokens"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(toks(col(textCol))).cast("long").as("total_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("total_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("removed_tokens"))
+  }
+
+  /** Standing gram-frequency table for [[incrementalSpanStats]]:
+    * (hv, cnt) aggregated over the corpus — gram-VOCABULARY-sized (one
+    * row per distinct gram, not per occurrence), built once and
+    * amortized over every subsequent batch. */
+  def buildGramStats(corpus: DataFrame, idCol: String, textCol: String,
+                     l: Int): DataFrame = {
+    require(l >= 2 && l <= 64, s"gram length out of range: $l")
+    gramOccurrences(corpus, idCol, textCol, l)
+      .groupBy(col("hv")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-batch substring-span stats against a STANDING corpus — the
+    * span analog of the q104/q108 incremental probes. Documented spec
+    * (asymmetric on purpose): the corpus is canonical — a batch
+    * occurrence of any gram the corpus has seen is ALWAYS a duplicate
+    * (cnt ≥ 1 suffices: corpus copy + batch copy ≥ 2 total, and the
+    * canonical copy lives in the corpus); batch-internal repeats keep
+    * their batch-first copy exactly as [[spanStats]] does. Returns the
+    * same (doc_id, total_tokens, dup_spans, dup_tokens) schema,
+    * batch docs only.
+    *
+    * 100 TB shape: the batch's distinct gram hashes BROADCAST into the
+    * corpus-stats scan (a batch is orders of magnitude smaller than
+    * the corpus), so the standing table is filtered to the batch's
+    * grams before any exchange and the corpus is never re-tokenized or
+    * shuffled per batch — per-batch cost tracks the batch, not the
+    * corpus. */
+  def incrementalSpanStats(batch: DataFrame, idCol: String, textCol: String,
+                           l: Int, corpusStats: DataFrame): DataFrame = {
+    require(l >= 2 && l <= 64, s"gram length out of range: $l")
+    val occ = gramOccurrences(batch, idCol, textCol, l)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bstats = occ.groupBy(col("hv"))
+      .agg(count(lit(1)).as("bc"),
+        min(struct(col("doc_id"), col("st"))).as("bkeep"))
+    val hit = corpusStats
+      .join(broadcast(bstats.select(col("hv"))), "hv")
+      .select(col("hv"), col("cnt").as("cc"))
+    val stats = bstats.join(hit, Seq("hv"), "left")
+      .na.fill(0L, Seq("cc"))
+    val marks = occ.join(stats, "hv")
+      .filter(col("cc") >= 1 ||
+        (col("bc") >= 2 && struct(col("doc_id"), col("st")) =!= col("bkeep")))
+      .select(col("doc_id"), col("st"), (col("st") + (l - 1)).as("en"))
+    val before = Window.partitionBy("doc_id").orderBy("st")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy("doc_id").orderBy("st")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val spans = marks
+      .withColumn("pmax", max(col("en")).over(before))
+      .withColumn("nw",
+        when(col("pmax").isNull || col("st") > col("pmax") + 1, 1).otherwise(0))
+      .withColumn("grp", sum(col("nw")).over(run))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("st")).as("sst"), max(col("en")).as("sen"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_spans"),
+        sum(col("sen") - col("sst") + 1).as("dup_tokens"))
+    batch
       .select(col(idCol).as("doc_id"),
         size(toks(col(textCol))).cast("long").as("total_tokens"))
       .join(perDoc, Seq("doc_id"), "left")
