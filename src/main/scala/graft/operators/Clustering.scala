@@ -121,6 +121,69 @@ object Clustering {
           .as("centroid_sum"))
       .orderBy(col("cid"), col("label"))
 
+  /** Semantic deduplication (SemDeDup — Abbas et al. 2023,
+    * arXiv:2303.09540): k-means clusters as similarity BLOCKING, then
+    * within-cluster cosine pruning — the quadratic pair search runs only
+    * inside each semantic cluster, never across the corpus. The third
+    * blocking strategy next to LSH bands (q27/q69/q104) and prefix
+    * filtering (q129), and the one that catches SEMANTIC near-dups
+    * (paraphrases mapped close in embedding space) the lexical families
+    * can't see.
+    *
+    * Integer-exact formulation so the whole decision replays in the
+    * oracle: vectors re-quantized at 2^10 (a power of two — the double
+    * multiply is exact), and cos(a,b) ≥ τ for τ = tauNum/tauDen tested
+    * as dot > 0 ∧ dot²·tauDen² ≥ tauNum²·‖a‖²·‖b‖² — all associative
+    * integer arithmetic (unit-norm inputs keep every term < 2^54).
+    * Survivor rule: within a cluster, a vector is dropped iff some
+    * τ-similar vector precedes it in (sha-hash, id) admission order —
+    * the same deterministic content-independent order the diversity
+    * sampler and temperature mixture use. Like the paper's method, the
+    * drop decision is conditional on the clustering: a τ-similar pair
+    * split across cluster boundaries is NOT dropped (documented recall
+    * property of clustering-as-blocking).
+    *
+    * 100 TB shape: the pair join is keyed by cid, so parallelism equals
+    * the cluster count — production k scales with corpus size (the paper
+    * runs 50k clusters on 5B docs) keeping per-cluster pair volume
+    * bounded and the cid hash partitioning well-spread; each side of the
+    * join moves one (cid, id, hash, 8·dim-byte qvec, norm) row per
+    * vector, and the drop set that leaves the join carries bare ids. */
+  def semDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+               labelCol: String, k: Int, iters: Int,
+               tauNum: Long = 19, tauDen: Long = 20): DataFrame = {
+    require(tauNum > 0 && tauDen >= tauNum,
+      s"tau out of range: $tauNum/$tauDen")
+    import org.apache.spark.storage.StorageLevel
+    val simScale = 1L << 10
+    val assigned = kmeansAssign(embeddings, idCol, vecCol, labelCol, k, iters)
+      .select(col("vec_id"), col("label"), col("cid"))
+    val qv = embeddings.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), x => floor(x.cast("double") * simScale)
+        .cast("long")).as("qs"))
+    val m = assigned.join(qv, Seq("vec_id"))
+      .withColumn("hv", KmvAggregator.kmvHash(col("vec_id")))
+      .withColumn("n2", aggregate(col("qs"), lit(0L), (a, x) => a + x * x))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = m.select(col("cid"), col("vec_id").as("id_a"),
+      col("hv").as("hv_a"), col("qs").as("q_a"), col("n2").as("n2_a"))
+    val b = m.select(col("cid"), col("vec_id").as("id_b"),
+      col("hv").as("hv_b"), col("qs").as("q_b"), col("n2").as("n2_b"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(struct(col("hv_a"), col("id_a")) < struct(col("hv_b"), col("id_b")))
+      .withColumn("dot",
+        aggregate(zip_with(col("q_a"), col("q_b"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(tauDen * tauDen) >=
+          lit(tauNum * tauNum) * col("n2_a") * col("n2_b"))
+      .select(col("id_b").as("vec_id")).distinct()
+    m.select(col("cid"), col("vec_id"), col("label"))
+      .join(dropped.withColumn("dp", lit(true)), Seq("vec_id"), "left")
+      .withColumn("kept", col("dp").isNull)
+      .select(col("cid"), col("vec_id"), col("label"), col("kept"))
+  }
+
   /** Cluster-balanced DIVERSITY SAMPLING — the curation use of k-means
     * (q125): take at most `m` vectors per semantic cluster, chosen by
     * hash order (deterministic, content-independent within the

@@ -110,6 +110,47 @@ object Graphs {
     tr
   }
 
+  /** Synchronous label-propagation community detection (Raghavan,
+    * Albert & Kumara 2007) with a DETERMINISTIC tie-break — the
+    * frequency-argmax member of the iterative-graph family, and a true
+    * community detector distinct from connected components (components
+    * answer "is there any path"; LPA's majority vote finds densely-
+    * linked groups inside one component). The classic algorithm breaks
+    * count ties uniformly at random; here the winner is the
+    * lexicographic minimum of (−count, label) — deterministic,
+    * partition-independent, and replayable in an ANSI engine (q132's
+    * hash gate), the same derandomization the k-means seeds and
+    * admission orders use.
+    *
+    * Semantics: l_0(v) = v; l_{i+1}(v) = argmax over in-neighbors' u of
+    * count(l_i(u)), ties to the smallest label; fixed iteration count
+    * (synchronous updates — on bipartite graphs the fixed count is also
+    * what keeps the known 2-cycle oscillation bounded and replayable).
+    *
+    * 100 TB shape: the edge table is hashed by src and persisted once;
+    * each iteration is one edges⋈labels join (labels co-partitioned or
+    * broadcast — one long per node) plus two label-keyed aggregates
+    * whose exchanges carry (nid, lbl, cnt) triples only. Label volume
+    * per iteration is at most the in-degree sum pre-combine and the
+    * node count post-combine — never edge-quadratic. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters out of range: $iters")
+    import org.apache.spark.storage.StorageLevel
+    val ed = edges.repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lbl = ed.select(col("src").as("nid")).distinct()
+      .select(col("nid"), col("nid").as("lbl"))
+    for (_ <- 1 to iters) {
+      lbl = ed.alias("e").join(lbl.alias("p"), col("e.src") === col("p.nid"))
+        .groupBy(col("e.dst").as("nid"), col("p.lbl").as("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("nid"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("w"))
+        .select(col("nid"), col("w.l").as("lbl"))
+    }
+    lbl
+  }
+
   /** Exact per-node triangle counting by degree orientation — the
     * standard bounded-wedge scheme (each undirected edge is directed
     * from its (degree, id)-smaller endpoint to the larger, so every

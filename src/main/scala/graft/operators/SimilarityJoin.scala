@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.TextFunctions
+
+/** EXACT set-similarity self-join via prefix filtering (the AllPairs /
+  * PPJoin family — Bayardo et al., "Scaling Up All Pairs Similarity
+  * Search", WWW 2007). The third dedup-blocking strategy in the engine,
+  * next to LSH bands (probabilistic recall, q27/q69) and semantic
+  * clustering (q130): prefix filtering is LOSSLESS — the output is
+  * bit-identical to the brute-force all-pairs join — while only
+  * examining candidate pairs that share a RARE set element.
+  *
+  * The filter: order every document's gram set by ascending corpus
+  * document-frequency (rarest first, ties by gram hash). For a Jaccard
+  * threshold t, a document x only needs its first
+  * p(x) = |x| − ⌈t·|x|⌉ + 1 grams as join keys. Proof sketch: J(x,y) ≥ t
+  * implies |x∩y| ≥ t·|x∪y| ≥ ⌈t·max(|x|,|y|)⌉ =: α; the FIRST common
+  * gram in the global order has at least α−1 common grams after it in
+  * both documents' orderings, so it sits within the first |x|−α+1 ≤ p(x)
+  * grams of x AND the first p(y) grams of y. Hence every qualifying pair
+  * collides on a prefix-prefix token, and the verify step (exact merge
+  * Jaccard over the full sorted sets) removes every false candidate.
+  *
+  * 100 TB shape: the gram explode carries 8-byte xxhash64 gram hashes,
+  * never gram strings; document frequency is one partial-agg'd
+  * gram-vocabulary-sized aggregate; the candidate join's inputs are
+  * (gram_hash, id, set_size) triples where each document contributes
+  * only its ~(1−t)·|x| rarest grams — rare-first ordering makes
+  * candidate buckets df-bounded at the rare end of the vocabulary; the
+  * verify join moves sorted hash arrays keyed by id exactly once per
+  * side. Unlike the LSH family there is NO hot-band cap escape hatch:
+  * the operator's contract is exactness, and its candidate volume is
+  * output-sensitive (lower-bounded by the true pair count), so a
+  * boilerplate-saturated corpus where "everything matches everything"
+  * is quadratic in its TRUE duplicate structure — route such corpora
+  * through the approximate banded family first.
+  *
+  * Hash-collision regime matches q69: Jaccard over xxhash64'd gram sets
+  * equals Jaccard over the string sets absent collisions (the oracle
+  * computes the string-set brute force).
+  */
+object SimilarityJoin {
+
+  /** All pairs of documents whose word-n-gram Jaccard similarity is
+    * ≥ `threshold`, computed exactly. Returns (id_a, id_b, jaccard)
+    * with id_a < id_b.
+    */
+  def prefixFilterJoin(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    require(n >= 1 && n <= 8, s"n out of range: $n")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold out of range: $threshold")
+    val grams = df.select(col(idCol).as("id"),
+        array_distinct(transform(
+          TextFunctions.wordShingles(
+            TextFunctions.tokens(lower(col(textCol))), n),
+          g => xxhash64(g))).as("gh"))
+      .filter(size(col("gh")) > 0)
+    val ex = grams.select(col("id"), explode(col("gh")).as("g"))
+    val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // Per-document gram list in global (df asc, gram asc) order plus the
+    // sorted full set for the verify merge — one aggregation, two lanes.
+    val ordered = ex.join(dfreq, Seq("g"))
+      .groupBy(col("id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("df"), col("g")))),
+          s => s.getField("g")).as("ord"),
+        sort_array(collect_list(col("g"))).as("sh"))
+      .withColumn("sz", size(col("ord")))
+      // 1e-9 slack: a float product lying one ulp ABOVE an integral
+      // t·|x| would otherwise ceil one higher and shrink the prefix
+      // below the lossless bound. Slack only ever widens the prefix.
+      .withColumn("p",
+        (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+          .cast("int"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val prefix = ordered.select(col("id"), col("sz"),
+      explode(slice(col("ord"), lit(1), col("p"))).as("g"))
+    val a = prefix.select(col("g"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = prefix.select(col("g"), col("id").as("id_b"), col("sz").as("sz_b"))
+    // Length filter: J ≥ t forces t·max(|x|,|y|) ≤ |x∩y| ≤ min(|x|,|y|);
+    // the slack keeps borderline pairs IN (pruning is conservative-only,
+    // the verify step owns the exact decision).
+    val cand = a.join(b, Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(greatest(col("sz_a"), col("sz_b")) * lit(threshold)
+        <= least(col("sz_a"), col("sz_b")).cast("double") + lit(1e-9))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(ordered.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(ordered.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.expressions.SortedArrayJaccard(col("sh_a"), col("sh_b"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Multi-pass Sorted-Neighborhood near-dup pairs (Hernández & Stolfo,
+    * DMKD 1998) — the FOURTH blocking strategy in the engine, next to
+    * LSH bands, prefix filtering, and semantic clustering: sort the
+    * corpus by a discriminating key and compare only rows whose ranks
+    * fall within a sliding window of `w`. Near-identical documents sort
+    * adjacently, so the candidate volume is w·N — LINEAR, corpus-size-
+    * independent per row, with no hash-bucket skew mode at all (the
+    * window caps every row's candidates at w−1 by construction; the
+    * price is recall, not blowup, when a block is boilerplate-heavy).
+    *
+    * Two passes with independent keys, their candidates unioned:
+    *   1. the whitespace-normalized text (catches shared-prefix edits);
+    *   2. the alphabetically-sorted token sequence (catches reorderings
+    *      pass 1's lexicographic sort scatters).
+    * Windows never span block boundaries — the window runs inside a
+    * key-prefix block (`blockLen` chars), which is exactly what keeps
+    * the sort scale-safe: each block is one window partition, there is
+    * NO global-rank single-partition window anywhere. Boundary misses
+    * are the documented multi-pass trade (each pass's blocks split the
+    * corpus differently). At 100 TB, `blockLen` grows until blocks fit
+    * a task (the prefix is the range-partitioning key); at the gated
+    * corpus 2 chars suffices. Exchanges carry (block, rank, id)
+    * triples; gram arrays move once per side in the verify join.
+    *
+    * Like q118's banded operator, the CONTRACT is the deterministic
+    * blocked candidate set + exact verify — not ground-truth recall;
+    * the oracle replays both passes' windows and the verification, and
+    * the spec measures recall against brute force on the gated corpus.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
+                              n: Int = 3, threshold: Double = 0.6,
+                              window: Int = 4, blockLen: Int = 2): DataFrame = {
+    require(window >= 2 && window <= 64, s"window out of range: $window")
+    require(blockLen >= 1, s"blockLen out of range: $blockLen")
+    import org.apache.spark.sql.expressions.Window
+    val norm = TextFunctions.normalizeWs(col(textCol))
+    val base = df.select(col(idCol).as("id"),
+      norm.as("k1"),
+      concat_ws(" ", array_sort(TextFunctions.tokens(norm))).as("k2"),
+      sort_array(array_distinct(transform(
+        TextFunctions.wordShingles(TextFunctions.tokens(lower(col(textCol))), n),
+        g => xxhash64(g)))).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def passPairs(keyName: String): DataFrame = {
+      val ranked = base.select(col("id"), col(keyName).as("key"))
+        .withColumn("blk", substring(col("key"), 1, blockLen))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("blk")).orderBy(col("key"), col("id"))))
+      val ante = ranked.select(col("blk"), col("rnk"), col("id").as("id_a"))
+      val probe = ranked.select(col("blk"), col("id").as("id_b"),
+          explode(sequence(col("rnk") - lit(window - 1), col("rnk") - 1))
+            .as("rnk"))
+        .filter(col("rnk") >= 1)
+      ante.join(probe, Seq("blk", "rnk"))
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+    }
+    val cand = passPairs("k1").unionByName(passPairs("k2")).distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.expressions.SortedArrayJaccard(col("sh_a"), col("sh_b"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Brute-force reference for the spec: every pair's exact Jaccard via
+    * the same hashed-gram sets, no filtering. Test-support only — the
+    * quadratic join is the semantics being avoided.
+    */
+  def bruteForcePairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, threshold: Double): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+        sort_array(array_distinct(transform(
+          TextFunctions.wordShingles(
+            TextFunctions.tokens(lower(col(textCol))), n),
+          g => xxhash64(g)))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val l = grams.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = grams.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.expressions.SortedArrayJaccard(col("sh_a"), col("sh_b"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -91,4 +91,89 @@ class ClusteringSpec extends SparkSpec {
       "vec_id", "embedding", "label", 4, 3).collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  private def semKept(rows: Seq[(Long, Seq[Float], Int)], k: Int,
+                      tauNum: Long = 19, tauDen: Long = 20): Map[Long, Boolean] =
+    Clustering.semDedup(rows.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label", k, 2, tauNum, tauDen)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+
+  test("semDedup drops exactly the (hash,id)-later member of each τ-pair") {
+    // two angular blobs; inside each, one near-parallel pair (cos > 0.99)
+    // and one member at cos ≈ 0.936 < τ = 0.95 of both pair members
+    val rows = Seq(
+      (1L, pad(Seq(0.4, 0.0)), 0),
+      (2L, pad(Seq(0.4, 0.004)), 0),   // cos(1,2) ≈ 0.99995 → dup pair
+      (3L, pad(Seq(0.4, 0.15)), 0),    // cos ≈ 0.936 → kept
+      (11L, pad(Seq(0.0, -0.4)), 1),
+      (12L, pad(Seq(-0.01, -0.4)), 1), // cos ≈ 0.9997 → dup pair
+      (13L, pad(Seq(0.15, -0.4)), 1))  // cos ≈ 0.936 → kept
+    val kept = semKept(rows, 2)
+    assert(kept(3L) && kept(13L), s"sub-τ members must survive: $kept")
+    assert(kept(1L) ^ kept(2L), s"exactly one of the pair survives: $kept")
+    assert(kept(11L) ^ kept(12L), s"exactly one of the pair survives: $kept")
+    // the survivor is the (kmvHash, id)-smaller member — the same
+    // admission order the diversity sampler uses
+    import graft.functions.KmvAggregator
+    val hv = rows.map(_._1).toDF("vec_id")
+      .select(col("vec_id"), KmvAggregator.kmvHash(col("vec_id")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((a, b) <- Seq((1L, 2L), (11L, 12L))) {
+      val first = if (hv(a) < hv(b) || (hv(a) == hv(b) && a < b)) a else b
+      assert(kept(first), s"admission-order-first $first must survive")
+    }
+  }
+
+  test("semDedup τ boundary: cos exactly at τ is dropped (≥ semantics)") {
+    // q = (3,4) vs (4,3) at 2^10 scale: cos = 24/25 exactly; with
+    // τ = 24/25 the integer test hits equality → dropped; with a higher
+    // τ = 97/100 the same pair survives
+    val rows = Seq(
+      (1L, pad(Seq(3.0 / 1024, 4.0 / 1024)), 0),
+      (2L, pad(Seq(4.0 / 1024, 3.0 / 1024)), 0),
+      (3L, pad(Seq(-0.4, -0.4)), 1))
+    val atTau = semKept(rows, 2, 24, 25)
+    assert(atTau(1L) ^ atTau(2L), s"equality at τ must drop one: $atTau")
+    val aboveTau = semKept(rows, 2, 97, 100)
+    assert(aboveTau(1L) && aboveTau(2L), s"cos < τ must keep both: $aboveTau")
+  }
+
+  test("semDedup matches a brute-force within-cluster reference") {
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 40L).map { i =>
+      val v = Seq.fill(8)(rnd.nextDouble() - 0.5)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i, pad(v.map(_ / n * 0.4)), (i % 3).toInt)
+    }
+    // plant near-dups of every 5th vector (tiny perturbation on dim 7)
+    val planted = base.filter(_._1 % 5 == 0).map { case (i, v, l) =>
+      (100L + i, v.updated(7, v(7) + 0.002f), l)
+    }
+    val corpus = base ++ planted
+    val kept = semKept(corpus, 4)
+    // reference: same assignment, brute-force integer rule in Scala
+    val assigned = Clustering.kmeansAssign(
+      corpus.toDF("vec_id", "embedding", "label"),
+      "vec_id", "embedding", "label", 4, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    import graft.functions.KmvAggregator
+    val hv = corpus.map(_._1).toDF("vec_id")
+      .select(col("vec_id"), KmvAggregator.kmvHash(col("vec_id")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q = corpus.map { case (i, v, _) =>
+      i -> v.map(x => math.floor(x.toDouble * 1024).toLong)
+    }.toMap
+    def dot(a: Seq[Long], b: Seq[Long]) = a.zip(b).map { case (x, y) => x * y }.sum
+    val expectedKept = corpus.map(_._1).map { i =>
+      val dropped = corpus.map(_._1).exists { j =>
+        j != i && assigned(j) == assigned(i) &&
+          (hv(j) < hv(i) || (hv(j) == hv(i) && j < i)) && {
+            val d = dot(q(j), q(i))
+            d > 0 && d * d * 400 >= 361 * dot(q(j), q(j)) * dot(q(i), q(i))
+          }
+      }
+      i -> !dropped
+    }.toMap
+    assert(kept === expectedKept)
+  }
 }

@@ -154,4 +154,53 @@ class GraphsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(a === b)
   }
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graphs.labelPropagation(edges.toDF("src", "dst"), iters)
+      .as[(Long, Long)].collect().toMap
+
+  /** Reference: the same synchronous majority-vote recurrence, serially. */
+  private def serialLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = edges.map(_._1).distinct
+    var lbl = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      lbl = edges.groupBy(_._2).view.mapValues { es =>
+        es.map { case (u, _) => lbl(u) }
+          .groupBy(identity).toSeq
+          .map { case (l, occ) => (-occ.size.toLong, l) }.min._2
+      }.toMap
+    }
+    lbl
+  }
+
+  test("labelPropagation equals a serial re-computation of the majority vote") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (4L, 10L), (5L, 1L), (5L, 2L))
+    val e = symmetrize(und)
+    for (it <- Seq(1, 2, 3)) {
+      assert(lpa(e, it) === serialLpa(e, it), s"divergence at iters=$it")
+    }
+  }
+
+  test("labelPropagation: two cliques with one bridge resolve to two communities") {
+    val cliqueA = for (u <- 1L to 5L; v <- (u + 1) to 5L) yield (u, v)
+    val cliqueB = for (u <- 10L to 14L; v <- (u + 1) to 14L) yield (u, v)
+    val e = symmetrize(cliqueA ++ cliqueB :+ (5L, 10L))
+    val got = lpa(e, 3)
+    val aLabels = (1L to 4L).map(got).toSet
+    val bLabels = (11L to 14L).map(got).toSet
+    assert(aLabels.size == 1, s"clique A must agree: $got")
+    assert(bLabels.size == 1, s"clique B must agree: $got")
+    assert(aLabels != bLabels, s"cliques must differ: $got")
+  }
+
+  test("labelPropagation is layout invariant") {
+    val und = (for (u <- 0L until 24L; v <- (u + 1) until 24L
+                    if (u * 7 + v * 3) % 5 == 0) yield (u, v)).toSeq
+    val e = symmetrize(und)
+    val a = lpa(e, 3)
+    val b = Graphs.labelPropagation(e.toDF("src", "dst").repartition(13), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
 }

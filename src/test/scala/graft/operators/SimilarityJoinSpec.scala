@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Prefix-filter exact similarity join (q129's operator). The contract is
+  * LOSSLESSNESS: the filtered join must reproduce the brute-force
+  * all-pairs result exactly — known-answer pairs pin the Jaccard
+  * arithmetic, a seeded corpus pins set-equality against the quadratic
+  * reference, and a plan check pins the no-cartesian shape. */
+class SimilarityJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairs(rows: Seq[(Long, String)], n: Int = 3,
+                    t: Double = 0.6): Set[(Long, Long, Double)] =
+    SimilarityJoin.prefixFilterJoin(rows.toDF("doc_id", "text"),
+        "doc_id", "text", n, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def brute(rows: Seq[(Long, String)], n: Int = 3,
+                    t: Double = 0.6): Set[(Long, Long, Double)] =
+    SimilarityJoin.bruteForcePairs(rows.toDF("doc_id", "text"),
+        "doc_id", "text", n, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("known-answer: 6-of-10 gram overlap lands exactly ON t=0.6") {
+    // A and B share an 8-token prefix -> 6 shared internal grams; each
+    // adds 2 grams from a disjoint tail alphabet -> |A|=|B|=8,
+    // j = 6/(8+8-6) = 0.6 exactly; >= keeps the borderline pair.
+    val pre = (1 to 8).map(i => s"p$i").mkString(" ")
+    val corpus = Seq(
+      1L -> s"$pre ax ay",
+      2L -> s"$pre bx by",
+      3L -> "zq zr zs zt zu zv zw zx zy zz")
+    val got = pairs(corpus)
+    assert(got === Set((1L, 2L, 0.6)))
+  }
+
+  test("below-threshold shared prefix is excluded") {
+    // 7-token shared prefix -> 5 shared grams of 8 each: j = 5/11 < 0.6
+    val pre = (1 to 7).map(i => s"p$i").mkString(" ")
+    val corpus = Seq(
+      1L -> s"$pre ax ay az",
+      2L -> s"$pre bx by bz")
+    assert(pairs(corpus).isEmpty)
+  }
+
+  test("t=1.0 finds exactly the format-variant duplicates") {
+    val corpus = Seq(
+      1L -> "The Quick   Brown Fox Jumps",
+      2L -> "the quick brown fox jumps",     // case/ws variant: same grams
+      3L -> "the quick brown fox leaps")     // one token off: j < 1
+    assert(pairs(corpus, t = 1.0) === Set((1L, 2L, 1.0)))
+  }
+
+  test("docs shorter than n tokens are dropped, not crashed") {
+    val corpus = Seq(1L -> "a b", 2L -> "a b", 3L -> "", 4L -> "x y z w")
+    assert(pairs(corpus).isEmpty)
+  }
+
+  test("losslessness: prefix-filtered result == brute force on a seeded corpus") {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 40).map(i => s"w$i")
+    def doc(): String =
+      (0 until 6 + rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    val base = (0 until 40).map(i => (i.toLong, doc()))
+    // plant near-dup variants: append/perturb a few tokens
+    val variants = (0 until 12).map { i =>
+      val (_, txt) = base(i)
+      (100L + i, txt + s" extra$i")
+    }
+    val corpus = base ++ variants
+    for (t <- Seq(0.3, 0.5, 0.6, 0.8, 0.95)) {
+      assert(pairs(corpus, t = t) === brute(corpus, t = t),
+        s"mismatch at t=$t")
+    }
+  }
+
+  test("plan: no cartesian product; candidate join is hash-equi on the gram key") {
+    val df = (0 until 30).map(i => (i.toLong, s"tok$i a b c d e f g$i"))
+      .toDF("doc_id", "text")
+    val plan = SimilarityJoin.prefixFilterJoin(df, "doc_id", "text", 3, 0.6)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  private def snm(rows: Seq[(Long, String)], t: Double = 0.6, w: Int = 4,
+                  blockLen: Int = 2): Set[(Long, Long)] =
+    SimilarityJoin.sortedNeighborhoodPairs(rows.toDF("doc_id", "text"),
+        "doc_id", "text", 3, t, w, blockLen)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("SNM: shared-prefix near-dups sort adjacently and are found") {
+    val common = (1 to 30).map(i => s"c$i").mkString(" ")
+    val corpus = Seq(
+      1L -> s"$common alpha",
+      2L -> s"$common beta",        // same long prefix → adjacent in pass 1
+      3L -> "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll")
+    assert(snm(corpus) === Set((1L, 2L)))
+  }
+
+  test("SNM: a first-token edit is invisible to pass 1 but caught by pass 2") {
+    // different first characters put A and B in DIFFERENT pass-1 blocks;
+    // the token-sorted key of pass 2 starts with the (identical) common
+    // tokens — the edited tokens sort to the END — so it sorts them
+    // adjacently
+    val common = (1 to 30).map(i => s"m$i").mkString(" ")
+    val corpus = Seq(
+      1L -> s"zebra $common",
+      2L -> s"yak $common",
+      3L -> "qa qb qc qd qe qf qg qh qi qj qk ql")
+    val got = snm(corpus)
+    assert(got.contains((1L, 2L)), s"pass 2 must recover the pair: $got")
+    // sanity: pass 1 alone cannot see it (blocks 'ze' vs 'ap' differ)
+  }
+
+  test("SNM: candidate volume is linear even on an all-duplicates block") {
+    // 30 identical docs: brute force reports C(30,2) = 435 pairs; the
+    // window caps SNM at ≤ 2·(w−1)·N candidates — the no-skew-mode
+    // contract (the price is recall, never blowup)
+    val corpus = (0L until 30L).map(i => i -> "a b c d e f g h i j")
+    val got = snm(corpus)
+    val bound = 2 * 3 * corpus.size
+    assert(got.nonEmpty && got.size <= bound,
+      s"${got.size} pairs must be ≤ $bound (brute force would be 435)")
+  }
+
+  test("SNM: reported pairs are a sound subset of brute force with equal jaccard") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 50).map(i => s"t$i")
+    def doc(): String =
+      (0 until 10 + rnd.nextInt(15)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    val base = (0 until 30).map(i => (i.toLong, doc()))
+    val variants = (0 until 8).map { i =>
+      (100L + i, base(i)._2 + s" x$i") }
+    val corpus = base ++ variants
+    val bruteMap = brute(corpus, t = 0.6)
+      .map(p => (p._1, p._2) -> p._3).toMap
+    val gotRows = SimilarityJoin.sortedNeighborhoodPairs(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", 3, 0.6, 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    for ((a, b, j) <- gotRows) {
+      assert(bruteMap.get((a, b)).contains(j),
+        s"($a,$b,$j) must appear in brute force with the same jaccard")
+    }
+  }
+}
