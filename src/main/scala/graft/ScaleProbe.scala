@@ -82,7 +82,12 @@ object ScaleProbe {
     // structure (every copy shares grams with its original), while the
     // dup corpus grows cluster COUNT at fixed cluster size — the
     // production axis for span dedup
-    "q121_substring_spans")
+    "q121_substring_spans",
+    // the two round-8 blocking strategies on the same axis: cluster
+    // COUNT grows at fixed cluster size, so exact-join candidate volume
+    // (lower-bounded by true pairs) and SNM window volume (w·N by
+    // construction) should both scale linearly
+    "q129_prefix_join", "q131_sorted_neighborhood")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -116,7 +121,7 @@ object ScaleProbe {
     // select NOTHING and exit cleanly — in a scripted battery an empty
     // section reads as an intentionally empty family
     val knownBare = Set("dup", "inc", "x100", "skew", "asof", "gen", "linear",
-      "graph", "dhash")
+      "graph", "dhash", "semdedup")
     for (a <- args)
       require(knownBare(a) || a.startsWith("only:") || a.startsWith("dup:"),
         s"unknown ScaleProbe mode '$a' (known: ${knownBare.mkString("/")}, " +
@@ -137,6 +142,7 @@ object ScaleProbe {
     if (asofOnly) { asofProbe(spark, srcDir); spark.stop(); return }
     if (args.contains("graph")) { graphProbe(spark, srcDir); spark.stop(); return }
     if (args.contains("dhash")) { dhashProbe(spark); spark.stop(); return }
+    if (args.contains("semdedup")) { semDedupProbe(spark, srcDir); spark.stop(); return }
 
     if (genOnly || (args.isEmpty && !dupOnly && !incOnly && !x100Only)) {
       ProbeCorpus.replicateDocuments(spark, srcDir, 10)
@@ -373,6 +379,38 @@ object ScaleProbe {
     val tt10 = time(Graphs.triangleCounts(spark.read.parquet(s"$bigDir/tri10")))
     println(f"[scale-graph] q123_triangles 1x=${tt1}%6.2fs 10x=${tt10}%6.2fs " +
       f"ratio=${tt10 / tt1}%5.2f")
+
+    // label propagation on the same disjoint-copies axis: per-iteration
+    // cost is one edges-labels join plus two (nid, lbl, cnt) aggregates,
+    // all linear in edges at fixed degree distribution
+    val lp1 = time(Graphs.labelPropagation(edgesOf(s"$bigDir/graph1"), 3))
+    val lp10 = time(Graphs.labelPropagation(edgesOf(s"$bigDir/graph10"), 3))
+    println(f"[scale-graph] q132_label_prop 1x=${lp1}%6.2fs 10x=${lp10}%6.2fs " +
+      f"ratio=${lp10 / lp1}%5.2f")
+  }
+
+  /** SemDeDup probe on BOTH axes of its scale story (assumes `gen` ran:
+    * the 10x embeddings are exact replicas with fresh ids, so every
+    * vector has 9 planted exact dups — the pair join does real work).
+    * Fixed k with 10x vectors grows per-cluster pair volume ~100x — the
+    * documented wrong way to scale it; k scaled with the corpus (the
+    * paper's regime) keeps per-cluster volume roughly constant, at the
+    * cost of more Lloyd centroid state. Both are measured; the gap IS
+    * the design guidance. */
+  private def semDedupProbe(spark: SparkSession, srcDir: String): Unit = {
+    import graft.operators.Clustering
+    def time(fn: => DataFrame): Double = timeMedian(spark)(fn)
+    spark.read.parquet(s"$srcDir/region.parquet")
+      .groupBy("r_name").count().queryExecution.toRdd.count() // warmup
+    def run(dir: String, k: Int): DataFrame =
+      Clustering.semDedup(spark.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", "label", k, 3)
+    val t1 = time(run(srcDir, 8))
+    val tFixed = time(run(bigDir, 8))
+    val tScaled = time(run(bigDir, 64))
+    println(f"[scale-semdedup] q130 k=8 1x=${t1}%6.2fs k=8 10x=${tFixed}%6.2fs " +
+      f"ratio=${tFixed / t1}%5.2f | k=64 10x=${tScaled}%6.2fs " +
+      f"ratio=${tScaled / t1}%5.2f")
   }
 
   /** dHash pipeline probe: decode + hash + banded join at 2.4k vs 24k

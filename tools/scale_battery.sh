@@ -27,7 +27,8 @@ run gen                      # corpora only, untimed
 run linear                   # linear family, one JVM
 for q in q65_dup_clusters q80_dedup_survivors \
          q100_incremental_pairs q101_incremental_dedup \
-         q121_substring_spans; do
+         q121_substring_spans q129_prefix_join \
+         q131_sorted_neighborhood; do
   run "dup:$q"               # iterative family: one JVM PER QUERY
 done
 run inc
@@ -35,5 +36,6 @@ run asof
 run skew
 run graph
 run dhash
+run semdedup
 echo "battery complete -> $OUT"
 cat "$OUT"
