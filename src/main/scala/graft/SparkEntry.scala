@@ -535,6 +535,21 @@ object SparkEntry {
       feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
     }),
 
+    // Fourth real decoder through the codec seam: QOI — the op-stream
+    // compressed format whose coder is implemented end to end here (no
+    // JDK helper exists for it, unlike PNG's Inflater). The synthesized
+    // corpus plants genuine run structure via a replayable copy mask,
+    // so RUN/INDEX ops are exercised in-gate; the oracle replays the
+    // mask rule with one running-max window and the pixel formula.
+    "q133_qoi_decode" -> ((s, d) => {
+      val media = operators.Multimodal.synthesizeQoi(s, 200)
+      val feats = operators.Multimodal
+        .extractFeatures(media, operators.Multimodal.decodeQoi).toDF()
+      val fcols = (0 until 8).map(i =>
+        element_at(col("features"), i + 1).cast("double").as(s"f$i"))
+      feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
+    }),
+
     // S10: SQL text execution through spark.sql over registered views
     "q38_sql_text" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("orders")
@@ -2004,6 +2019,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_members"), sum(col("nid")).as("nid_sum"))
         .orderBy(col("community"))
     }),
+
+    // DSIR importance weighting — data selection for a target domain:
+    // hashed unigram+bigram bag models (replayable sha-prefix buckets,
+    // B = 1024) for the raw pool and the src0 target slice, add-one
+    // smoothing, per-doc log importance weight. The oracle replays
+    // tokenization, bucketing, both count models, and the smoothed
+    // log-ratio sum; r4 absorbs libm-ln ulps and summation order.
+    "q134_importance_weights" -> ((s, d) => {
+      operators.Curation.importanceWeights(t(s, d, "documents"),
+          "doc_id", "text", "source", targetSource = "src0")
+        .select(col("doc_id"), col("source"), col("n_grams"),
+          r4(col("logw")).as("logw"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Bench-side split of the standing-corpus probes (VERDICT r6 #4).
@@ -2708,6 +2737,63 @@ object SparkEntry {
        |  FROM chan GROUP BY i)""".stripMargin
   }
 
+  /** q133 oracle: replay the QOI pixel-generation formula (NOT the
+    * op-stream coder — decoded pixels are op-choice-independent, the
+    * q111 transparency property). Pixel j of image i takes the
+    * "qoi"-tagged chain RGB triple of the nearest non-copy index ≤ j;
+    * j > 0 is a copy iff its "mask"-chain byte ≡ 0 (mod 4) — one
+    * running-max window over anchor indices replays the rule. Feature
+    * lanes identical to q109/q111/q112. */
+  private lazy val qoiFeatCte: String = {
+    val alpha = "'0123456789abcdef'"
+    def byteAt(src: String, off: String): String =
+      s"(strpos($alpha, substr($src, 2 * ($off) + 1, 1)) - 1) * 16 " +
+        s"+ (strpos($alpha, substr($src, 2 * ($off) + 2, 1)) - 1)"
+    val shaChunks = (0 to 7)
+      .map(k => s"sha256('42:qoi:' || CAST(i AS VARCHAR) || ':$k')")
+      .mkString(" || ")
+    val maskChunks = (0 to 1)
+      .map(k => s"sha256('42:qoi:' || CAST(i AS VARCHAR) || ':mask:$k')")
+      .mkString(" || ")
+    val dimByte0 =
+      s"(strpos($alpha, substr(dh, 1, 1)) - 1) * 16 + (strpos($alpha, substr(dh, 2, 1)) - 1)"
+    val dimByte1 =
+      s"(strpos($alpha, substr(dh, 3, 1)) - 1) * 16 + (strpos($alpha, substr(dh, 4, 1)) - 1)"
+    s"""WITH dim AS (
+       |  SELECT i, 4 + ($dimByte0) % 5 AS w, 4 + ($dimByte1) % 5 AS h,
+       |         hexfull, maskfull
+       |  FROM (SELECT i, sha256('42:qoi:' || CAST(i AS VARCHAR) || ':dim') AS dh,
+       |               $shaChunks AS hexfull, $maskChunks AS maskfull
+       |        FROM range(200) t(i))),
+       |px AS (
+       |  SELECT i, w, h, hexfull, maskfull, CAST(j AS INT) AS j,
+       |    CAST(j % w AS INT) AS x, CAST(j // w AS INT) AS yt
+       |  FROM dim, range(64) r(j) WHERE j < w * h),
+       |anc AS (
+       |  SELECT i, w, h, hexfull, j, x, yt,
+       |    CASE WHEN j > 0 AND (${byteAt("maskfull", "j")}) % 4 = 0
+       |      THEN NULL ELSE j END AS anchor
+       |  FROM px),
+       |srcj AS (
+       |  SELECT i, w, h, hexfull, x, yt,
+       |    max(anchor) OVER (PARTITION BY i ORDER BY j) AS sj
+       |  FROM anc),
+       |chan AS (
+       |  SELECT i, w, h, x, yt,
+       |    ${byteAt("hexfull", "3 * sj")} AS rr,
+       |    ${byteAt("hexfull", "3 * sj + 1")} AS g,
+       |    ${byteAt("hexfull", "3 * sj + 2")} AS b
+       |  FROM srcj),
+       |feat AS (
+       |  SELECT i AS media_id,
+       |    sum(rr) AS f0, sum(g) AS f1, sum(b) AS f2,
+       |    sum(rr * (x + 1)) AS f3, sum(g * (yt + 1)) AS f4,
+       |    sum(b * (x + 1) * (yt + 1)) AS f5,
+       |    max(w * 256 + h) AS f6,
+       |    sum(CASE WHEN rr > g THEN 1 ELSE 0 END) AS f7
+       |  FROM chan GROUP BY i)""".stripMargin
+  }
+
   /** q99 fixed z-order cuts: 15 cuts = 16 buckets per dimension (bits=4),
     * spanning l_quantity's 1..50 grid and l_extendedprice's range. */
   private val zQtyCuts: Seq[Double] = (1 to 15).map(_ * 3.0)
@@ -3044,6 +3130,16 @@ object SparkEntry {
 
     "q111_png_decode" ->
       (pngFeatCte +
+        """
+          |SELECT media_id,
+          |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
+          |  CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3,
+          |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
+          |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
+          |FROM feat ORDER BY media_id""".stripMargin),
+
+    "q133_qoi_decode" ->
+      (qoiFeatCte +
         """
           |SELECT media_id,
           |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
@@ -4806,6 +4902,47 @@ object SparkEntry {
         |    JOIN grams b ON b.doc_id = ib)
         |SELECT id_a, id_b, r4(j) AS jaccard FROM jv
         |WHERE j >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+
+    // DSIR replay: unigram+bigram explode, the q102 sha-digit hash mod
+    // 1024, raw + target bucket counts, smoothed log-ratio model, and
+    // the per-doc weight sum. Docs with no grams keep (0, 0.0).
+    "q134_importance_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(trim(regexp_replace(
+        |      lower(text), '\s+', ' ', 'g')), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |uni AS (SELECT doc_id, source, unnest(tk) AS gram FROM toks),
+        |bi AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(generate_series(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1])) AS gram
+        |  FROM toks WHERE len(tk) >= 2),
+        |grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        |hb AS (
+        |  SELECT doc_id, source,
+        |    CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(sha256(gram), i, 1)) - 1) * pow(16.0, 12 - i)
+        |      for i in generate_series(1, 12)]) AS BIGINT) % 1024 AS b
+        |  FROM grams),
+        |raw AS (SELECT b, count(*) AS cr FROM hb GROUP BY 1),
+        |tgt AS (SELECT b, count(*) AS ct FROM hb
+        |        WHERE source = 'src0' GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM hb) AS tr,
+        |               (SELECT count(*) FROM hb WHERE source = 'src0') AS tt),
+        |model AS (
+        |  SELECT raw.b,
+        |    ln((COALESCE(ct, 0) + 1)::DOUBLE / (tt + 1024))
+        |      - ln((cr + 1)::DOUBLE / (tr + 1024)) AS lw
+        |  FROM raw LEFT JOIN tgt ON tgt.b = raw.b, tot),
+        |pw AS (
+        |  SELECT doc_id, count(*) AS n_grams, sum(lw) AS logw
+        |  FROM hb JOIN model USING (b) GROUP BY 1)
+        |SELECT t.doc_id, t.source,
+        |  COALESCE(pw.n_grams, 0) AS n_grams,
+        |  r4(COALESCE(pw.logw, 0.0)) AS logw
+        |FROM toks t LEFT JOIN pw ON pw.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // Three unrolled majority votes: per-(node, label) neighbor counts,
     // the (cnt DESC, lbl) window argmax, then the community rollup.

@@ -502,4 +502,65 @@ object Curation {
       .select(col(idCol)).distinct()
     corpus.join(dirty, Seq(idCol), "left_anti")
   }
+
+  /** DSIR-style importance weighting (Xie et al., NeurIPS 2023 — "Data
+    * Selection via Importance Resampling"): score every raw document by
+    * how much more likely its hashed-n-gram bag is under a TARGET
+    * domain's feature distribution than under the raw pool's, with
+    * add-one smoothing over the bucket vocabulary:
+    *
+    *   logw(x) = Σ_grams [ ln (ct_b + 1)/(Tt + B) − ln (cr_b + 1)/(Tr + B) ]
+    *
+    * over hashed unigram+bigram features (bucket = sha-prefix hash of
+    * the gram mod B — the replayable kmvHash, so the whole model gates
+    * in an ANSI oracle; the per-term lns differ across libms by ≤1 ulp
+    * and the summation-order jitter is absorbed by the caller's r4
+    * rounding, the q71 treatment). Positive logw means "looks like the
+    * target domain"; resampling by weight is the paper's selection step
+    * (the deterministic admission machinery of the temperature mixture
+    * applies unchanged).
+    *
+    * 100 TB shape: gram explode and bucketing are map-side inside the
+    * corpus scan; both count models are B-row aggregates (B = buckets,
+    * default 1024) with map-side partials; the per-bucket log-ratio
+    * table is a broadcast join back into the gram stream; one final
+    * per-doc aggregation. The corpus is scanned twice (model build +
+    * scoring) or once if the caller persists the gram frame — never
+    * more; no shuffle ever carries gram strings, only (doc_id, bucket).
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+                        srcCol: String, targetSource: String,
+                        buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets out of range: $buckets")
+    import org.apache.spark.storage.StorageLevel
+    import graft.functions.{KmvAggregator, TextFunctions}
+    val toks = df.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+      TextFunctions.tokens(TextFunctions.normalizeWs(col(textCol))).as("tk"))
+    val grams = toks.select(col("doc_id"), col("source"),
+        explode(concat(col("tk"), TextFunctions.wordShingles(col("tk"), 2)))
+          .as("gram"))
+      .select(col("doc_id"), col("source"),
+        pmod(KmvAggregator.kmvHash(col("gram")), lit(buckets.toLong)).as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val raw = grams.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = grams.filter(col("source") === targetSource)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val totals = grams.agg(count(lit(1)).as("tr"),
+      count(when(col("source") === targetSource, 1)).as("tt"))
+    val model = raw.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("ct") + 1).cast("double") / (col("tt") + buckets)) -
+          log((col("cr") + 1).cast("double") / (col("tr") + buckets)))
+          .as("lw"))
+    val perDoc = grams.join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("lw")).as("logw"))
+    toks.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_grams"))
+      .na.fill(0.0, Seq("logw"))
+  }
 }

@@ -794,6 +794,187 @@ object Multimodal {
     }.toDF()
   }
 
+  /** REAL codec for QOI ("Quite OK Image", qoiformat.org, public spec
+    * 2022) — the third COMPRESSED format behind the codec seam and the
+    * first whose compression layer is implemented END TO END here (PNG
+    * leaned on the JDK's Inflater; QOI's op-stream coder has no JDK
+    * helper at all): 14-byte header, then a byte-op stream over a
+    * running pixel state — RGB/RGBA literals, a 64-slot recently-seen
+    * color INDEX keyed by (3r+5g+7b+11a) mod 64, two delta encodings
+    * (DIFF: 2-bit channel deltas; LUMA: 6-bit green delta with 4-bit
+    * red/blue offsets from it), and run-length ops — closed by a
+    * 7×0x00 + 0x01 end marker. Features are [[decodeBmp]]'s 8
+    * integer-exact lanes over the decoded RGB pixels, so the q133
+    * oracle replays the pixel formula: decoded pixels are independent
+    * of WHICH ops encoded them (the q111 transparency property), which
+    * is what lets a SQL oracle gate an op-stream codec. */
+  def decodeQoi(bytes: Array[Byte]): Array[Float] = {
+    require(bytes.length >= 22, "not a QOI: too short")
+    require(bytes(0) == 'q' && bytes(1) == 'o' && bytes(2) == 'i' &&
+      bytes(3) == 'f', "not a QOI: bad magic")
+    def be32(off: Int): Int =
+      ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+        ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+    val w = be32(4); val h = be32(8)
+    require(w > 0 && h > 0 && w.toLong * h <= (1L << 24), s"bad dims ${w}x$h")
+    require((bytes(12) & 0xff) == 3, "only 3-channel QOI supported")
+    require((bytes(13) & 0xff) == 0, "only linear-sRGB colorspace 0 supported")
+    val n = w * h
+    val px = new Array[Int](n) // packed 0xRRGGBB
+    val index = new Array[Int](64) // packed 0xAARRGGBB, zero-init
+    var r = 0; var g = 0; var b = 0; var a = 255
+    var pos = 14
+    var j = 0
+    def hash: Int = (r * 3 + g * 5 + b * 7 + a * 11) % 64
+    while (j < n) {
+      require(pos < bytes.length - 8, "truncated QOI op stream")
+      val op = bytes(pos) & 0xff
+      pos += 1
+      var run = 0
+      if (op == 0xfe) { // QOI_OP_RGB
+        r = bytes(pos) & 0xff; g = bytes(pos + 1) & 0xff
+        b = bytes(pos + 2) & 0xff; pos += 3
+      } else if (op == 0xff) { // QOI_OP_RGBA
+        r = bytes(pos) & 0xff; g = bytes(pos + 1) & 0xff
+        b = bytes(pos + 2) & 0xff; a = bytes(pos + 3) & 0xff; pos += 4
+      } else (op >> 6) match {
+        case 0 => // QOI_OP_INDEX
+          val v = index(op & 0x3f)
+          a = (v >>> 24) & 0xff; r = (v >> 16) & 0xff
+          g = (v >> 8) & 0xff; b = v & 0xff
+        case 1 => // QOI_OP_DIFF (2-bit deltas, bias 2, wrapping)
+          r = (r + ((op >> 4) & 3) - 2) & 0xff
+          g = (g + ((op >> 2) & 3) - 2) & 0xff
+          b = (b + (op & 3) - 2) & 0xff
+        case 2 => // QOI_OP_LUMA (6-bit dg bias 32; 4-bit dr-dg / db-dg bias 8)
+          val dg = (op & 0x3f) - 32
+          val rb = bytes(pos) & 0xff; pos += 1
+          r = (r + dg + ((rb >> 4) & 0xf) - 8) & 0xff
+          g = (g + dg) & 0xff
+          b = (b + dg + (rb & 0xf) - 8) & 0xff
+        case _ => // QOI_OP_RUN (bias -1; 63/64 are the RGB/RGBA tags)
+          run = op & 0x3f
+      }
+      index(hash) = (a << 24) | (r << 16) | (g << 8) | b
+      var k = 0
+      while (k <= run) {
+        require(j < n, "QOI op stream overruns pixel count")
+        px(j) = (r << 16) | (g << 8) | b
+        j += 1; k += 1
+      }
+    }
+    require(pos + 8 <= bytes.length, "missing QOI end marker")
+    var e = 0
+    while (e < 7) {
+      require(bytes(pos + e) == 0, "bad QOI end marker"); e += 1
+    }
+    require(bytes(pos + 7) == 1, "bad QOI end marker")
+    // decodeBmp's feature lanes over top-down RGB pixels
+    val acc = new Array[Long](6)
+    var rGtG = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = px(y * w + x)
+        val rr = (v >> 16) & 0xff; val gg = (v >> 8) & 0xff; val bb = v & 0xff
+        acc(0) += rr; acc(1) += gg; acc(2) += bb
+        acc(3) += rr.toLong * (x + 1)
+        acc(4) += gg.toLong * (y + 1)
+        acc(5) += bb.toLong * (x + 1) * (y + 1)
+        if (rr > gg) rGtG += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array(acc(0).toFloat, acc(1).toFloat, acc(2).toFloat, acc(3).toFloat,
+      acc(4).toFloat, acc(5).toFloat, (w * 256 + h).toFloat, rGtG.toFloat)
+  }
+
+  /** Reference QOI encoder (the spec's greedy algorithm: RUN, then
+    * INDEX, then DIFF, then LUMA, else RGB literal) over packed
+    * 0xRRGGBB pixels. Used by [[synthesizeQoi]] and the spec's
+    * round-trip/structure tests; the decode side never depends on
+    * which ops this chose. */
+  def encodeQoi(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+    require(px.length == w * h, "pixel count mismatch")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('q'); out.write('o'); out.write('i'); out.write('f')
+    def be32(v: Int): Unit = {
+      out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    be32(w); be32(h); out.write(3); out.write(0)
+    val index = new Array[Int](64)
+    var pr = 0; var pg = 0; var pb = 0
+    val a = 255
+    var run = 0
+    for (v <- px) {
+      val r = (v >> 16) & 0xff; val g = (v >> 8) & 0xff; val b = v & 0xff
+      if (r == pr && g == pg && b == pb) {
+        run += 1
+        if (run == 62) { out.write(0xc0 | (run - 1)); run = 0 }
+      } else {
+        if (run > 0) { out.write(0xc0 | (run - 1)); run = 0 }
+        val hash = (r * 3 + g * 5 + b * 7 + a * 11) % 64
+        val packed = (a << 24) | (r << 16) | (g << 8) | b
+        if (index(hash) == packed) out.write(hash)
+        else {
+          index(hash) = packed
+          // wrapped signed channel deltas in [-128, 127]
+          def wrap(d: Int): Int = { val m = d & 0xff; if (m > 127) m - 256 else m }
+          val wr = wrap(r - pr); val wg = wrap(g - pg); val wb = wrap(b - pb)
+          if (wr >= -2 && wr <= 1 && wg >= -2 && wg <= 1 && wb >= -2 && wb <= 1)
+            out.write(0x40 | ((wr + 2) << 4) | ((wg + 2) << 2) | (wb + 2))
+          else if (wg >= -32 && wg <= 31 && (wr - wg) >= -8 && (wr - wg) <= 7 &&
+              (wb - wg) >= -8 && (wb - wg) <= 7) {
+            out.write(0x80 | (wg + 32))
+            out.write(((wr - wg + 8) << 4) | (wb - wg + 8))
+          } else {
+            out.write(0xfe); out.write(r); out.write(g); out.write(b)
+          }
+        }
+        pr = r; pg = g; pb = b
+      }
+    }
+    if (run > 0) out.write(0xc0 | (run - 1))
+    for (_ <- 0 until 7) out.write(0)
+    out.write(1)
+    out.toByteArray
+  }
+
+  /** Deterministic genuine-QOI table: each row's `bytes` is a complete
+    * QOI file whose DECODED pixels follow a replayable formula with a
+    * COPY MASK: pixel j takes the sha-chain RGB triple of the nearest
+    * non-copy index ≤ j, where j > 0 is a copy iff its "mask"-chain
+    * byte ≡ 0 (mod 4). The mask plants genuine run structure (expected
+    * geometric runs at rate 1/4), so the greedy encoder emits RUN and
+    * INDEX ops in-gate — not just RGB literals — while the oracle
+    * replays the mask rule with one running-max window over the anchor
+    * indices. Encoding choices remain outside the gated artifact. */
+  def synthesizeQoi(spark: SparkSession, n: Int, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).map { id =>
+      def sha(tag: String): Array[Byte] =
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s"$seed:qoi:$id:$tag".getBytes("UTF-8"))
+      val dim = sha("dim")
+      val w = 4 + (dim(0) & 0xff) % 5
+      val h = 4 + (dim(1) & 0xff) % 5
+      val chain = (0 until 8).flatMap(k => sha(k.toString)).toArray
+      val mask = (0 until 2).flatMap(k => sha(s"mask:$k")).toArray
+      val px = new Array[Int](w * h)
+      var src = 0
+      for (j <- 0 until w * h) {
+        if (j == 0 || (mask(j) & 0xff) % 4 != 0) src = j
+        px(j) = ((chain(3 * src) & 0xff) << 16) |
+          ((chain(3 * src + 1) & 0xff) << 8) | (chain(3 * src + 2) & 0xff)
+      }
+      MediaRow(id, "image", encodeQoi(w, h, px),
+        MediaMeta(w, h, 3, "qoi", 0, 0))
+    }.toDF()
+  }
+
   /** Per-partition feature extraction: Dataset[MediaRow] → features.
     * One shuffle-free map stage; bytes are dropped on the spot.
     *

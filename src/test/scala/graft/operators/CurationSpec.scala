@@ -408,4 +408,68 @@ class CurationSpec extends SparkSpec {
       assert(out.filter(col("src").isNull).count() === 0)
     }
   }
+
+  private def iw(rows: Seq[(Long, String, String)],
+                 target: String, buckets: Int = 1024): Map[Long, (Long, Double)] =
+    Curation.importanceWeights(rows.toDF("doc_id", "text", "source"),
+        "doc_id", "text", "source", target, buckets)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+
+  test("importanceWeights matches a serial replay of the smoothed model") {
+    import java.security.MessageDigest
+    val rows = Seq(
+      (1L, "alpha beta gamma alpha", "tg"),
+      (2L, "beta delta", "tg"),
+      (3L, "alpha beta epsilon zeta", "raw"),
+      (4L, "eta theta iota", "raw"))
+    val b = 64
+    def grams(text: String): Seq[String] = {
+      val tk = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      tk ++ tk.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+    }
+    def bucket(g: String): Long = {
+      val hex = MessageDigest.getInstance("SHA-256")
+        .digest(g.getBytes("UTF-8")).take(6)
+        .map(x => f"${x & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % b
+    }
+    val all = rows.flatMap { case (id, t, s) => grams(t).map(g => (id, s, bucket(g))) }
+    val cr = all.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val ct = all.filter(_._2 == "tg").groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val tr = all.size.toLong; val tt = all.count(_._2 == "tg").toLong
+    def lw(bk: Long): Double =
+      math.log((ct.getOrElse(bk, 0L) + 1).toDouble / (tt + b)) -
+        math.log((cr(bk) + 1).toDouble / (tr + b))
+    val expected = rows.map { case (id, t, _) =>
+      val gs = grams(t).map(bucket)
+      id -> ((gs.size.toLong, gs.map(lw).sum))
+    }.toMap
+    val got = iw(rows, "tg", b)
+    assert(got.keySet === expected.keySet)
+    for ((id, (n, w)) <- expected) {
+      assert(got(id)._1 === n, s"doc $id gram count")
+      assert(math.abs(got(id)._2 - w) < 1e-9, s"doc $id weight: ${got(id)._2} vs $w")
+    }
+  }
+
+  test("importanceWeights: target-vocabulary docs score positive, alien docs negative") {
+    val targetDocs = (0L until 10L).map(i =>
+      (i, "tw1 tw2 tw3 tw4 tw5 tw6 tw7 tw8", "tg"))
+    val rawDocs = (10L until 40L).map(i =>
+      (i, "rw1 rw2 rw3 rw4 rw5 rw6 rw7 rw8", "raw"))
+    // a raw doc written in target vocabulary, and one in raw vocabulary
+    val probes = Seq(
+      (100L, "tw1 tw2 tw3 tw4 tw5 tw6", "raw"),
+      (101L, "rw1 rw2 rw3 rw4 rw5 rw6", "raw"))
+    val got = iw(targetDocs ++ rawDocs ++ probes, "tg")
+    assert(got(100L)._2 > 0, s"target-like doc must score positive: ${got(100L)}")
+    assert(got(101L)._2 < 0, s"raw-only doc must score negative: ${got(101L)}")
+    assert(got(100L)._2 > got(101L)._2)
+  }
+
+  test("importanceWeights: empty documents keep a zero row") {
+    val got = iw(Seq((1L, "", "raw"), (2L, "a b", "tg")), "tg")
+    assert(got(1L) === ((0L, 0.0)))
+    assert(got(2L)._1 === 3L) // 2 unigrams + 1 bigram
+  }
 }

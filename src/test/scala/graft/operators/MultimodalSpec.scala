@@ -392,6 +392,105 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeGif(java.util.Arrays.copyOf(good, good.length / 2)))
   }
 
+  /** Feature lanes over packed 0xRRGGBB pixels — the spec-side reference
+    * shared by every QOI test. */
+  private def qoiFeatures(w: Int, h: Int, px: Array[Int]): Seq[Float] = {
+    var f0, f1, f2, f3, f4, f5, f7 = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = px(y * w + x)
+      val r = (v >> 16) & 0xff; val g = (v >> 8) & 0xff; val b = v & 0xff
+      f0 += r; f1 += g; f2 += b
+      f3 += r * (x + 1); f4 += g * (y + 1); f5 += b.toLong * (x + 1) * (y + 1)
+      if (r > g) f7 += 1
+    }
+    Seq(f0, f1, f2, f3, f4, f5, w * 256 + h, f7).map(_.toFloat)
+  }
+
+  test("decodeQoi: a handcrafted stream exercising every op type decodes exactly") {
+    // 2x3 image: RGB literal, DIFF, LUMA, RUN of 2, INDEX back to px0
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('q'); out.write('o'); out.write('i'); out.write('f')
+    for (v <- Seq(0, 0, 0, 2, 0, 0, 0, 3)) out.write(v) // w=2 h=3 BE
+    out.write(3); out.write(0)
+    out.write(0xfe); out.write(10); out.write(20); out.write(30) // RGB
+    out.write(0x76)                    // DIFF +1,-1,0 -> (11,19,30)
+    out.write(0xaa); out.write(0x6b)   // LUMA dg=+10, dr-dg=-2, db-dg=+3 -> (19,29,43)
+    out.write(0xc0 | 1)                // RUN 2 -> (19,29,43) twice more
+    out.write(0x09)                    // INDEX hash(10,20,30)=9 -> (10,20,30)
+    for (_ <- 0 until 7) out.write(0); out.write(1)
+    val px = Array(
+      0x0a141e,           // (10,20,30)
+      (11 << 16) | (19 << 8) | 30,
+      (19 << 16) | (29 << 8) | 43,
+      (19 << 16) | (29 << 8) | 43,
+      (19 << 16) | (29 << 8) | 43,
+      0x0a141e)
+    assert(Multimodal.decodeQoi(out.toByteArray).toSeq === qoiFeatures(2, 3, px))
+  }
+
+  test("encodeQoi/decodeQoi round-trip on random pixels; runs compress for real") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 0 until 10) {
+      val w = 4 + rnd.nextInt(8); val h = 4 + rnd.nextInt(8)
+      // mix of random pixels and planted runs (prob 1/3 copy-previous)
+      val px = new Array[Int](w * h)
+      for (j <- px.indices) {
+        px(j) = if (j > 0 && rnd.nextInt(3) == 0) px(j - 1)
+          else rnd.nextInt(1 << 24)
+      }
+      val bytes = Multimodal.encodeQoi(w, h, px)
+      assert(Multimodal.decodeQoi(bytes).toSeq === qoiFeatures(w, h, px),
+        s"trial $trial round-trip mismatch")
+    }
+    // a constant-color image must collapse to runs: header 14 + one RGB
+    // op 4 + run ops + end marker 8, far below the 4-bytes/px literal floor
+    val flat = Array.fill(64)(0x123456)
+    val enc = Multimodal.encodeQoi(8, 8, flat)
+    assert(enc.length < 64 * 4 + 22, s"runs not engaged: ${enc.length} bytes")
+    assert(enc.length <= 14 + 4 + 2 + 8, s"expected 2 run ops: ${enc.length}")
+    assert(Multimodal.decodeQoi(enc).toSeq === qoiFeatures(8, 8, flat))
+  }
+
+  test("synthesizeQoi decodes to the documented mask-formula pixels") {
+    val rows = Multimodal.synthesizeQoi(spark, 25)
+      .select($"media_id", $"bytes", $"meta.width", $"meta.height")
+      .collect()
+    assert(rows.length == 25)
+    for (row <- rows) {
+      val id = row.getLong(0)
+      val w = row.getInt(2); val h = row.getInt(3)
+      def sha(tag: String): Array[Byte] =
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s"42:qoi:$id:$tag".getBytes("UTF-8"))
+      val chain = (0 until 8).flatMap(k => sha(k.toString)).toArray
+      val mask = (0 until 2).flatMap(k => sha(s"mask:$k")).toArray
+      val px = new Array[Int](w * h)
+      var src = 0
+      for (j <- 0 until w * h) {
+        if (j == 0 || (mask(j) & 0xff) % 4 != 0) src = j
+        px(j) = ((chain(3 * src) & 0xff) << 16) |
+          ((chain(3 * src + 1) & 0xff) << 8) | (chain(3 * src + 2) & 0xff)
+      }
+      assert(Multimodal.decodeQoi(row.getAs[Array[Byte]]("bytes")).toSeq
+        === qoiFeatures(w, h, px), s"media $id formula mismatch")
+    }
+  }
+
+  test("decodeQoi rejects malformed input") {
+    val good = Multimodal.encodeQoi(4, 4,
+      Array.tabulate(16)(j => j * 0x010203))
+    assert(Multimodal.decodeQoi(good).length == 8)
+    intercept[IllegalArgumentException](Multimodal.decodeQoi(Array[Byte](1)))
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    intercept[IllegalArgumentException](Multimodal.decodeQoi(badMagic))
+    val rgba = good.clone(); rgba(12) = 4 // channels byte
+    intercept[IllegalArgumentException](Multimodal.decodeQoi(rgba))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeQoi(java.util.Arrays.copyOf(good, good.length - 9)))
+    val badEnd = good.clone(); badEnd(badEnd.length - 1) = 0
+    intercept[IllegalArgumentException](Multimodal.decodeQoi(badEnd))
+  }
+
   test("mediaNearDupPairs flags byte-identical media") {
     import Multimodal._
     val rows = Seq(
