@@ -2033,6 +2033,20 @@ object SparkEntry {
           r4(col("logw")).as("logw"))
         .orderBy(col("doc_id"))
     }),
+
+    // EXACT containment join at τ = 4/5 — the asymmetric similarity:
+    // finds docs substantially contained in another (truncations,
+    // excerpts) that symmetric Jaccard misses when the container is
+    // much larger. Directional pairs; the decision is pure integer
+    // arithmetic (τden·overlap ≥ τnum·|x|). Gates against brute force:
+    // prefix filtering on the contained side is lossless.
+    "q135_containment_join" -> ((s, d) => {
+      operators.SimilarityJoin.containmentJoin(t(s, d, "documents"),
+          "doc_id", "text", n = 3, tauNum = 4, tauDen = 5)
+        .select(col("id_a"), col("id_b"),
+          r4(col("containment")).as("containment"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
   )
 
   /** Bench-side split of the standing-corpus probes (VERDICT r6 #4).
@@ -4902,6 +4916,27 @@ object SparkEntry {
         |    JOIN grams b ON b.doc_id = ib)
         |SELECT id_a, id_b, r4(j) AS jaccard FROM jv
         |WHERE j >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+
+    // Containment brute force: every directional pair under the
+    // τden·|y| ≥ τnum·|x| length prefilter, integer overlap decision.
+    "q135_containment_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+        |  FROM toks WHERE len(t) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.g, b.g)) AS ov, len(a.g) AS sa
+        |  FROM grams a JOIN grams b
+        |    ON a.doc_id <> b.doc_id AND 5 * len(b.g) >= 4 * len(a.g))
+        |SELECT id_a, id_b, r4(ov::DOUBLE / sa) AS containment
+        |FROM pairs WHERE 5 * ov >= 4 * sa ORDER BY id_a, id_b""".stripMargin,
 
     // DSIR replay: unigram+bigram explode, the q102 sha-digit hash mod
     // 1024, raw + target bucket counts, smoothed log-ratio model, and

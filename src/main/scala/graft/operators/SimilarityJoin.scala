@@ -168,6 +168,78 @@ object SimilarityJoin {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT set-CONTAINMENT self-join — the asymmetric similarity the
+    * symmetric families can't express: C(x→y) = |x∩y| / |x| ≥ τ finds
+    * documents substantially CONTAINED in another (truncations,
+    * excerpts, quotes) even when |y| ≫ |x| crushes their Jaccard below
+    * any usable threshold. Same prefix-filter machinery as
+    * [[prefixFilterJoin]], adapted to the asymmetric bound:
+    *
+    *   - required overlap α = ⌈τ·|x|⌉ depends only on the CONTAINED
+    *     side, so only the probe role gets a prefix (its |x| − α + 1
+    *     rarest grams, α computed in exact integer arithmetic as
+    *     (τnum·|x| + τden − 1) div τden); the container role indexes
+    *     its FULL gram list — containment puts no upper bound on |y|,
+    *     so no symmetric prefix exists (the classical set-containment
+    *     join asymmetry);
+    *   - length filter: |x∩y| ≤ |y| forces τden·|y| ≥ τnum·|x|;
+    *   - verify: integer overlap count (one merge pass) compared as
+    *     τden·overlap ≥ τnum·|x| — no float anywhere in the decision.
+    *
+    * Every doc plays both roles, pairs are directional (id_a contained
+    * in id_b, both orders possible for mutual near-dups). Lossless by
+    * the same smallest-common-gram argument: the first common gram in
+    * x's rare-first order has ≥ α−1 common grams after it, so it sits
+    * within x's prefix, and it sits SOMEWHERE in y's full list.
+    *
+    * 100 TB shape: identical to prefixFilterJoin except the index side
+    * explodes fully — candidate volume is Σ_x Σ_{g∈prefix(x)} df(g),
+    * still governed by rare-gram df; exchanges carry 8-byte hashes. */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, tauNum: Long = 4, tauDen: Long = 5)
+      : DataFrame = {
+    require(n >= 1 && n <= 8, s"n out of range: $n")
+    require(tauNum > 0 && tauDen >= tauNum, s"tau out of range: $tauNum/$tauDen")
+    val grams = df.select(col(idCol).as("id"),
+        array_distinct(transform(
+          TextFunctions.wordShingles(
+            TextFunctions.tokens(lower(col(textCol))), n),
+          g => xxhash64(g))).as("gh"))
+      .filter(size(col("gh")) > 0)
+    val ex = grams.select(col("id"), explode(col("gh")).as("g"))
+    val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val ordered = ex.join(dfreq, Seq("g"))
+      .groupBy(col("id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("df"), col("g")))),
+          s => s.getField("g")).as("ord"),
+        sort_array(collect_list(col("g"))).as("sh"))
+      .withColumn("sz", size(col("ord")).cast("long"))
+      // α = ceil(τ·sz) in exact integer arithmetic
+      .withColumn("p",
+        (col("sz") - expr(s"($tauNum * sz + ${tauDen - 1}) div $tauDen") + 1)
+          .cast("int"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val probe = ordered.select(col("id").as("id_a"), col("sz").as("sz_a"),
+      explode(slice(col("ord"), lit(1), col("p"))).as("g"))
+    val index = ordered.select(col("id").as("id_b"), col("sz").as("sz_b"),
+      explode(col("ord")).as("g"))
+    val cand = probe.join(index, Seq("g"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(lit(tauDen) * col("sz_b") >= lit(tauNum) * col("sz_a"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(ordered.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("sz").as("sz_a")), Seq("id_a"))
+      .join(ordered.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .withColumn("ov",
+        graft.expressions.SortedArrayOverlap(col("sh_a"), col("sh_b")))
+      .filter(lit(tauDen) * col("ov") >= lit(tauNum) * col("sz_a"))
+      .select(col("id_a"), col("id_b"),
+        (col("ov").cast("double") / col("sz_a")).as("containment"))
+  }
+
   /** Brute-force reference for the spec: every pair's exact Jaccard via
     * the same hashed-gram sets, no filtering. Test-support only — the
     * quadratic join is the semantics being avoided.

@@ -127,6 +127,62 @@ class SimilarityJoinSpec extends SparkSpec {
       s"${got.size} pairs must be ≤ $bound (brute force would be 435)")
   }
 
+  private def contain(rows: Seq[(Long, String)], tauNum: Long = 4,
+                      tauDen: Long = 5): Map[(Long, Long), Double] =
+    SimilarityJoin.containmentJoin(rows.toDF("doc_id", "text"),
+        "doc_id", "text", 3, tauNum, tauDen)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("containment: a truncation is found in one direction only — where Jaccard fails") {
+    val full = (1 to 40).map(i => s"w$i").mkString(" ")
+    val half = (1 to 20).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(1L -> full, 2L -> half,
+      3L -> "zq zr zs zt zu zv zw zx zy zz")
+    val got = contain(corpus)
+    assert(got.keySet === Set((2L, 1L)), s"only half→full qualifies: $got")
+    assert(got((2L, 1L)) === 1.0) // every gram of the truncation is in full
+    // the symmetric join at the same bar misses this pair entirely:
+    // j = 18/38 ≈ 0.47
+    assert(!pairs(corpus, t = 0.8).contains((1L, 2L, 1.0)))
+  }
+
+  test("containment: overlap exactly at τ = 4/5 is kept (integer ≥ semantics)") {
+    // A = 7 tokens -> 5 grams; B shares A's first 4 grams, then diverges
+    val a = (1 to 7).map(i => s"p$i").mkString(" ")
+    val b = (1 to 6).map(i => s"p$i").mkString(" ") + " qx qy qz"
+    val got = contain(Seq(1L -> a, 2L -> b))
+    assert(got.contains((1L, 2L)), s"exact-τ pair must be kept: $got")
+    assert(got((1L, 2L)) === 0.8)
+    assert(!got.contains((2L, 1L)), "the larger doc is not contained")
+  }
+
+  test("containment: lossless vs a brute-force reference on a seeded corpus") {
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 40).map(i => s"v$i")
+    def doc(len: Int): String =
+      (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 30).map(i => (i.toLong, doc(8 + rnd.nextInt(20))))
+    // plant truncations: first 60% of tokens of every 4th doc
+    val truncs = (0 until 8).map { i =>
+      val toks = base(i)._2.split(" ")
+      (200L + i, toks.take(math.max(4, toks.length * 3 / 5)).mkString(" "))
+    }
+    val corpus = base ++ truncs
+    // brute force in plain Scala over string gram sets
+    def gramsOf(t: String): Set[String] =
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        .sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val gm = corpus.map { case (id, t) => id -> gramsOf(t) }
+      .filter(_._2.nonEmpty).toMap
+    val expected = (for {
+      (ia, ga) <- gm.toSeq; (ib, gb) <- gm.toSeq
+      if ia != ib
+      ov = (ga & gb).size
+      if 5L * ov >= 4L * ga.size
+    } yield (ia, ib) -> ov.toDouble / ga.size).toMap
+    assert(contain(corpus) === expected)
+  }
+
   test("SNM: reported pairs are a sound subset of brute force with equal jaccard") {
     val rnd = new scala.util.Random(11)
     val vocab = (0 until 50).map(i => s"t$i")
