@@ -43,7 +43,10 @@ object ScaleProbe {
     // rounds — vocab grows only by the per-copy suffix tokens) and
     // integer k-means (per-vector assignment is map-side against a
     // broadcast centroid row; update is a k×dim-bounded agg)
-    "q122_bpe_encode", "q124_kmeans")
+    "q122_bpe_encode", "q124_kmeans",
+    // round-8 fourth sitting: DSIR weighting (map-side gram bucketing,
+    // B-row models, broadcast log-ratio join — pure linear shape)
+    "q134_importance_weights")
 
   // Corpus construction lives in ProbeCorpus (pinned-seed, reproducible
   // across invocations — ProbeCorpusSpec pins count+hash); this main only
@@ -87,7 +90,9 @@ object ScaleProbe {
     // COUNT grows at fixed cluster size, so exact-join candidate volume
     // (lower-bounded by true pairs) and SNM window volume (w·N by
     // construction) should both scale linearly
-    "q129_prefix_join", "q131_sorted_neighborhood")
+    "q129_prefix_join", "q131_sorted_neighborhood",
+    // containment: directional pairs on the same planted-dup axis
+    "q135_containment_join")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

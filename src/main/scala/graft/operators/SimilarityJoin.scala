@@ -25,7 +25,7 @@ import graft.functions.TextFunctions
   * collides on a prefix-prefix token, and the verify step (exact merge
   * Jaccard over the full sorted sets) removes every false candidate.
   *
-  * 100 TB shape: the gram explode carries 8-byte xxhash64 gram hashes,
+  * 100 TB shape: the gram explode carries 8-byte gram hashes,
   * never gram strings; document frequency is one partial-agg'd
   * gram-vocabulary-sized aggregate; the candidate join's inputs are
   * (gram_hash, id, set_size) triples where each document contributes
@@ -39,7 +39,7 @@ import graft.functions.TextFunctions
   * is quadratic in its TRUE duplicate structure — route such corpora
   * through the approximate banded family first.
   *
-  * Hash-collision regime matches q69: Jaccard over xxhash64'd gram sets
+  * Hash-collision regime matches q69: Jaccard over hashed gram sets
   * equals Jaccard over the string sets absent collisions (the oracle
   * computes the string-set brute force).
   */
@@ -54,11 +54,13 @@ object SimilarityJoin {
     require(n >= 1 && n <= 8, s"n out of range: $n")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold out of range: $threshold")
+    // native single-pass gram hashing (the q69 lesson: the declarative
+    // transform/xxhash64 chain is interpreted per gram and dominates the
+    // corpus scan ~10x; Jaccard, df-ordering, and the prefix theorem are
+    // all hash-invariant, so WordNgramHashes' internal hash is as good)
     val grams = df.select(col(idCol).as("id"),
-        array_distinct(transform(
-          TextFunctions.wordShingles(
-            TextFunctions.tokens(lower(col(textCol))), n),
-          g => xxhash64(g))).as("gh"))
+        graft.expressions.WordNgrams.wordNgramHashes(
+          coalesce(col(textCol), lit("")), n).as("gh"))
       .filter(size(col("gh")) > 0)
     val ex = grams.select(col("id"), explode(col("gh")).as("g"))
     val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -140,9 +142,8 @@ object SimilarityJoin {
     val base = df.select(col(idCol).as("id"),
       norm.as("k1"),
       concat_ws(" ", array_sort(TextFunctions.tokens(norm))).as("k2"),
-      sort_array(array_distinct(transform(
-        TextFunctions.wordShingles(TextFunctions.tokens(lower(col(textCol))), n),
-        g => xxhash64(g)))).as("sh"))
+      graft.expressions.WordNgrams.wordNgramHashes(
+        coalesce(col(textCol), lit("")), n).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     def passPairs(keyName: String): DataFrame = {
       val ranked = base.select(col("id"), col(keyName).as("key"))
@@ -201,10 +202,8 @@ object SimilarityJoin {
     require(n >= 1 && n <= 8, s"n out of range: $n")
     require(tauNum > 0 && tauDen >= tauNum, s"tau out of range: $tauNum/$tauDen")
     val grams = df.select(col(idCol).as("id"),
-        array_distinct(transform(
-          TextFunctions.wordShingles(
-            TextFunctions.tokens(lower(col(textCol))), n),
-          g => xxhash64(g))).as("gh"))
+        graft.expressions.WordNgrams.wordNgramHashes(
+          coalesce(col(textCol), lit("")), n).as("gh"))
       .filter(size(col("gh")) > 0)
     val ex = grams.select(col("id"), explode(col("gh")).as("g"))
     val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -247,10 +246,8 @@ object SimilarityJoin {
   def bruteForcePairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int, threshold: Double): DataFrame = {
     val grams = df.select(col(idCol).as("id"),
-        sort_array(array_distinct(transform(
-          TextFunctions.wordShingles(
-            TextFunctions.tokens(lower(col(textCol))), n),
-          g => xxhash64(g)))).as("sh"))
+        graft.expressions.WordNgrams.wordNgramHashes(
+          coalesce(col(textCol), lit("")), n).as("sh"))
       .filter(size(col("sh")) > 0)
     val l = grams.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val r = grams.select(col("id").as("id_b"), col("sh").as("sh_b"))
