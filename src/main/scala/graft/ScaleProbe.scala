@@ -288,6 +288,20 @@ object ScaleProbe {
         val spans = time(SpanDedup.incrementalSpanStats(batchDocs,
           "doc_id", "text", 4, spark.read.parquet(gramPath)))
         println(f"[scale-inc] corpus=$n%-8d spans=${spans}%6.2fs")
+        // q136's EXACT standing probe on the same split: per-batch wall
+        // is bounded by one columnar scan of the corpus posting index
+        // (batch prefix broadcast into it) — linear-in-corpus scan cost,
+        // vs the banded probe's corpus-free candidate path; the trade is
+        // recall guarantee vs corpus-scan cost, measured side by side
+        import graft.operators.SimilarityJoin
+        val idxPath = s"$bigDir/inc_exact_$n"
+        SimilarityJoin.writeGramIndex(corpusDocs, "doc_id", "text", 3, idxPath)
+        val exact = time(SimilarityJoin.incrementalExactDupPairs(batchDocs,
+          "doc_id", "text", 3, 0.6,
+          spark.read.parquet(s"$idxPath/docs"),
+          spark.read.parquet(s"$idxPath/postings"),
+          spark.read.parquet(s"$idxPath/df")))
+        println(f"[scale-inc] corpus=$n%-8d exact=${exact}%6.2fs")
       }
     }
     spark.stop()

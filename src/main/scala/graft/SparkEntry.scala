@@ -2034,6 +2034,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // EXACT standing-corpus near-dup probe — the lossless member of
+    // the q104/q108/q127 standing-probe family: a batch prefix-probes
+    // the corpus's inverted gram index under corpus-rare-first order;
+    // candidate generation is provably complete, the verify is exact.
+    // Same mod-10 split as q104, so q104's banded pair set is this
+    // query's pair set iff the bands missed nothing (cross-checked in
+    // the spec). The oracle is brute-force cross Jaccard — exactness
+    // IS the gate.
+    "q136_incremental_exact" -> ((s, d) => {
+      standingSplits("q136_incremental_exact").build(s, d)
+      standingSplits("q136_incremental_exact").probe(s, d)
+    }),
+
     // EXACT containment join at τ = 4/5 — the asymmetric similarity:
     // finds docs substantially contained in another (truncations,
     // excerpts) that symmetric Jaccard misses when the container is
@@ -2123,6 +2136,25 @@ object SparkEntry {
             bands = 8, bitsPerBand = 8, dim = 64,
             hot = Some(s.read.parquet(hotPath(q108BandPath(d)))))
           .select(col("id_new"), col("id_corpus"), r6(col("cos")).as("cos"))
+          .orderBy(col("id_new"), col("id_corpus"))
+      }),
+
+    "q136_incremental_exact" -> StandingSplit(
+      build = (s, d) => {
+        val sf = new java.io.File(d).getName
+        operators.SimilarityJoin.writeGramIndex(
+          t(s, d, "documents").filter(pmod(col("doc_id"), lit(10)) >= 2),
+          "doc_id", "text", 3, s"/tmp/graft_q136_idx_$sf")
+      },
+      probe = (s, d) => {
+        val idx = s"/tmp/graft_q136_idx_${new java.io.File(d).getName}"
+        operators.SimilarityJoin.incrementalExactDupPairs(
+            t(s, d, "documents").filter(pmod(col("doc_id"), lit(10)) < 2),
+            "doc_id", "text", 3, 0.6,
+            s.read.parquet(s"$idx/docs"), s.read.parquet(s"$idx/postings"),
+            s.read.parquet(s"$idx/df"))
+          .select(col("id_new"), col("id_corpus"),
+            r4(col("jaccard")).as("jaccard"))
           .orderBy(col("id_new"), col("id_corpus"))
       }),
 
@@ -4916,6 +4948,30 @@ object SparkEntry {
         |    JOIN grams b ON b.doc_id = ib)
         |SELECT id_a, id_b, r4(j) AS jaccard FROM jv
         |WHERE j >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact cross brute force on the mod-10 split: the lossless
+    // standing probe must reproduce ground truth, not a band replay.
+    "q136_incremental_exact" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+        |  FROM toks WHERE len(t) >= 3),
+        |c AS (SELECT * FROM grams WHERE doc_id % 10 >= 2),
+        |b AS (SELECT * FROM grams WHERE doc_id % 10 < 2),
+        |pairs AS (
+        |  SELECT b.doc_id AS id_new, c.doc_id AS id_corpus,
+        |    len(list_intersect(b.g, c.g))::DOUBLE
+        |      / (len(b.g) + len(c.g) - len(list_intersect(b.g, c.g))) AS j
+        |  FROM b JOIN c
+        |    ON least(len(b.g), len(c.g))::DOUBLE >= 0.6 * greatest(len(b.g), len(c.g)))
+        |SELECT id_new, id_corpus, r4(j) AS jaccard FROM pairs
+        |WHERE j >= 0.6 ORDER BY id_new, id_corpus""".stripMargin,
 
     // Containment brute force: every directional pair under the
     // τden·|y| ≥ τnum·|x| length prefilter, integer overlap decision.

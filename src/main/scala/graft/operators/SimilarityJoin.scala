@@ -103,6 +103,18 @@ object SimilarityJoin {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Survivor-selection form of [[prefixFilterJoin]] — the drop rule the
+    * LSH pipeline stage uses (any doc pairing with a smaller id is
+    * dropped, the one-hop approximation), but with EXACT pair discovery:
+    * the curation pipeline's `exactNearDup` mode swaps this in for
+    * MinHash-LSH when lossless dedup is worth the candidate volume. */
+  def prefixFilterDedup(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val dropped = prefixFilterJoin(df, idCol, textCol, n, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Multi-pass Sorted-Neighborhood near-dup pairs (Hernández & Stolfo,
     * DMKD 1998) — the FOURTH blocking strategy in the engine, next to
     * LSH bands, prefix filtering, and semantic clustering: sort the
@@ -237,6 +249,88 @@ object SimilarityJoin {
       .filter(lit(tauDen) * col("ov") >= lit(tauNum) * col("sz_a"))
       .select(col("id_a"), col("id_b"),
         (col("ov").cast("double") / col("sz_a")).as("containment"))
+  }
+
+  /** Build the standing EXACT-dedup gram index for a corpus: three
+    * derived tables under `idxPath` —
+    *   docs/      (id, sh sorted-hash gram set, sz)
+    *   postings/  (id, sz, g) — the full inverted gram index
+    *   df/        (g, df)     — corpus document frequencies
+    * The exact member of the standing-probe family's build step
+    * (q104's banded text / q108's embedding / q127's span builds are
+    * the approximate siblings). */
+  def writeGramIndex(corpus: DataFrame, idCol: String, textCol: String,
+                     n: Int, idxPath: String): Unit = {
+    val spark = corpus.sparkSession
+    val grams = corpus.select(col(idCol).as("id"),
+        graft.expressions.WordNgrams.wordNgramHashes(
+          coalesce(col(textCol), lit("")), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sz", size(col("sh")).cast("long"))
+    grams.write.mode("overwrite").parquet(s"$idxPath/docs")
+    val post = spark.read.parquet(s"$idxPath/docs")
+      .select(col("id"), col("sz"), explode(col("sh")).as("g"))
+    post.write.mode("overwrite").parquet(s"$idxPath/postings")
+    spark.read.parquet(s"$idxPath/postings")
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$idxPath/df")
+  }
+
+  /** EXACT incremental near-dup pairs of a batch against a STANDING
+    * corpus gram index — the lossless member of the q104/q108/q127
+    * standing-probe family: where q104's banded probe trades recall
+    * for candidate volume, this one keeps the prefix-filter guarantee.
+    * The asymmetry does the work: only the BATCH side takes a prefix
+    * (under corpus-rare-first df order — grams absent from the corpus
+    * get df 0 and sort first, correctly: they can produce no corpus
+    * candidate at all), while the corpus side is the full posting
+    * index, so the smallest-common-gram argument needs no order
+    * agreement on the corpus side.
+    *
+    * Plan discipline (the q104 trick, pinned in the spec): every join
+    * broadcasts the batch/candidate side — the batch gram stream into
+    * the df scan, the batch prefix into the postings scan, the
+    * verified-candidate frame into the docs scan. The corpus-sized
+    * tables are scanned, never shuffled; per-batch cost tracks the
+    * batch, not the corpus. */
+  def incrementalExactDupPairs(batch: DataFrame, idCol: String,
+                               textCol: String, n: Int, threshold: Double,
+                               docsTable: DataFrame, postings: DataFrame,
+                               dfTable: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val bg = batch.select(col(idCol).as("id_new"),
+        graft.expressions.WordNgrams.wordNgramHashes(
+          coalesce(col(textCol), lit("")), n).as("gh"))
+      .filter(size(col("gh")) > 0)
+      .withColumn("sz_new", size(col("gh")).cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bex = bg.select(col("id_new"), col("sz_new"), explode(col("gh")).as("g"))
+    val withDf = broadcast(bex).join(dfTable, Seq("g"), "left")
+      .na.fill(0L, Seq("df"))
+    val orderedB = withDf.groupBy(col("id_new"))
+      .agg(max(col("sz_new")).as("sz_new"),
+        transform(array_sort(collect_list(struct(col("df"), col("g")))),
+          s => s.getField("g")).as("ord"))
+      .withColumn("p",
+        (col("sz_new") - ceil(lit(threshold) * col("sz_new") - lit(1e-9)) + 1)
+          .cast("int"))
+    val probe = orderedB.select(col("id_new"), col("sz_new"),
+      explode(slice(col("ord"), lit(1), col("p"))).as("g"))
+    val cand = broadcast(probe)
+      .join(postings.select(col("g"), col("id").as("id_corpus"),
+        col("sz").as("sz_corpus")), Seq("g"))
+      .filter(greatest(col("sz_new"), col("sz_corpus")) * lit(threshold)
+        <= least(col("sz_new"), col("sz_corpus")).cast("double") + lit(1e-9))
+      .select(col("id_new"), col("id_corpus")).distinct()
+    val withNew = cand
+      .join(bg.select(col("id_new"), col("gh").as("sh_new")), Seq("id_new"))
+    broadcast(withNew)
+      .join(docsTable.select(col("id").as("id_corpus"),
+        col("sh").as("sh_corpus")), Seq("id_corpus"))
+      .select(col("id_new"), col("id_corpus"),
+        graft.expressions.SortedArrayJaccard(col("sh_new"), col("sh_corpus"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Brute-force reference for the spec: every pair's exact Jaccard via

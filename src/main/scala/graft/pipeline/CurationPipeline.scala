@@ -51,6 +51,7 @@ object CurationPipeline {
           textCol: String = "text", srcCol: String = "source",
           minQuality: Double = 0.2, keepLangs: Seq[String] = Seq("en"),
           nearDupThreshold: Double = 0.8, nearDupHotCap: Int = 1024,
+          exactNearDup: Boolean = false,
           mixtureScale: Double = 8.0,
           packCapacity: Long = 512L, salt: String = "curation"): Result = {
     val audits = scala.collection.mutable.ArrayBuffer.empty[StageAudit]
@@ -78,10 +79,18 @@ object CurationPipeline {
     val exact = stage("s2_exact_dedup",
       Dedup.byFingerprint(gated, idCol, textCol))
 
-    // 3. near-dup dedup: MinHash-LSH banding, id-only candidate joins
+    // 3. near-dup dedup: MinHash-LSH banding by default (id-only
+    // candidate joins, hot-band capped); `exactNearDup` swaps in the
+    // lossless prefix-filter join (same drop rule, provably complete
+    // pair discovery) when recall guarantees matter more than the
+    // extra candidate volume
     val near = stage("s3_near_dedup",
-      Dedup.minhashDedup(exact, idCol, textCol,
-        threshold = nearDupThreshold, hotCap = nearDupHotCap))
+      if (exactNearDup)
+        graft.operators.SimilarityJoin.prefixFilterDedup(exact, idCol, textCol,
+          threshold = nearDupThreshold)
+      else
+        Dedup.minhashDedup(exact, idCol, textCol,
+          threshold = nearDupThreshold, hotCap = nearDupHotCap))
 
     // 4. benchmark decontamination: broadcast gram semi-join
     val clean = stage("s4_decontaminated",

@@ -183,6 +183,68 @@ class SimilarityJoinSpec extends SparkSpec {
     assert(contain(corpus) === expected)
   }
 
+  private def withIdx(rows: Seq[(Long, String)])(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("q136idx").toString
+    try {
+      SimilarityJoin.writeGramIndex(rows.toDF("doc_id", "text"),
+        "doc_id", "text", 3, dir)
+      f(dir)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("incremental exact probe equals brute-force cross pairs") {
+    val rnd = new scala.util.Random(31)
+    val vocab = (0 until 40).map(i => s"c$i")
+    def doc(): String =
+      (0 until 8 + rnd.nextInt(16)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    val corpus = (0 until 40).map(i => (i.toLong, doc()))
+    // batch: near-dups of some corpus docs, one exact dup, one alien
+    val batch = (0 until 8).map(i => (500L + i, corpus(i)._2 + s" tail$i")) ++
+      Seq((600L, corpus(20)._2), (601L, "zz yy xx ww vv uu tt ss rr"))
+    withIdx(corpus) { dir =>
+      val got = SimilarityJoin.incrementalExactDupPairs(
+          batch.toDF("doc_id", "text"), "doc_id", "text", 3, 0.6,
+          spark.read.parquet(s"$dir/docs"),
+          spark.read.parquet(s"$dir/postings"),
+          spark.read.parquet(s"$dir/df"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // brute force cross in plain Scala
+      def gset(t: String): Set[String] =
+        t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+          .sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+      val expected = (for {
+        (ib, tb) <- batch; (ic, tc) <- corpus
+        gb = gset(tb); gc = gset(tc)
+        if gb.nonEmpty && gc.nonEmpty
+        j = (gb & gc).size.toDouble / (gb | gc).size
+        if j >= 0.6
+      } yield (ib, ic, j)).toSet
+      assert(got === expected)
+      assert(got.exists(_._1 == 600L), "the exact dup must be found at j=1")
+      assert(!got.exists(_._1 == 601L), "the alien doc matches nothing")
+    }
+  }
+
+  test("incremental exact probe: corpus side is scanned, never shuffled") {
+    val corpus = (0 until 30).map(i =>
+      (i.toLong, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+    val batch = Seq((900L, corpus(3)._2))
+    withIdx(corpus) { dir =>
+      val plan = SimilarityJoin.incrementalExactDupPairs(
+          batch.toDF("doc_id", "text"), "doc_id", "text", 3, 0.6,
+          spark.read.parquet(s"$dir/docs"),
+          spark.read.parquet(s"$dir/postings"),
+          spark.read.parquet(s"$dir/df"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"corpus-side sort-merge means the corpus shuffled:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), plan)
+    }
+  }
+
   test("SNM: reported pairs are a sound subset of brute force with equal jaccard") {
     val rnd = new scala.util.Random(11)
     val vocab = (0 until 50).map(i => s"t$i")

@@ -88,6 +88,19 @@ class CurationPipelineSpec extends SparkSpec {
     assert(overfull == 0, "a packed sequence exceeds capacity")
   }
 
+  test("exactNearDup mode removes the same planted victim through the lossless join") {
+    val root = Files.createTempDirectory("graft-cur-exact").toString
+    val res = CurationPipeline.run(spark, corpus, benchmark, root,
+      mixtureScale = 1.0, packCapacity = 30L, exactNearDup = true)
+    // identical stage ledger: on this corpus the LSH bands already
+    // caught the full exact pair set, so the lossless path must agree
+    assert(res.rowsOf("s3_near_dedup") == 6, res.audits)
+    val s3 = spark.read.parquet(s"$root/s3_near_dedup")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!s3.contains(22L), "the near-dup victim must be dropped")
+    assert(s3.contains(2L), "the smaller-id member survives")
+  }
+
   test("pipeline is deterministic: two runs produce identical curated tables") {
     val r1 = Files.createTempDirectory("graft-cur1").toString
     val r2 = Files.createTempDirectory("graft-cur2").toString
