@@ -2034,6 +2034,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Product-quantization ANN — the fourth ANN tier (brute q26, LSH
+    // q106, IVF q46): per-subspace integer codebooks, m-code vectors,
+    // broadcast LUT + ADC ranking. Everything is integer arithmetic —
+    // codebook training, codes, LUT entries, distances, (dist, id)
+    // ranks — so the ENTIRE index lifecycle replays in the oracle with
+    // no rounding marker anywhere.
+    "q137_pq_topk" -> ((s, d) => {
+      graft.operators.Clustering.pqTopK(t(s, d, "embeddings"),
+          "vec_id", "embedding", dims = 64, m = 8, k = 16, iters = 2,
+          topK = 3, queryMod = 50L)
+        .select(col("query_id"), col("neighbor_id"), col("dist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // EXACT standing-corpus near-dup probe — the lossless member of
     // the q104/q108/q127 standing-probe family: a batch prefix-probes
     // the corpus's inverted gram index under corpus-rare-first order;
@@ -2564,6 +2579,88 @@ object SparkEntry {
        |  FROM af JOIN hv ON hv.vec_id = af.vec_id)
        |SELECT cid, vec_id, label FROM rk WHERE rnk <= $m
        |ORDER BY cid, vec_id""".stripMargin
+
+  /** q137 oracle: the full PQ index build and query replayed — per-
+    * subspace integer Lloyd (shared (hash, id) seeds, shifted floor
+    * division), final codes, per-query LUTs, ADC sums, and the
+    * (dist, id) rank — all integer arithmetic, no rounding marker
+    * needed anywhere. */
+  private def pqOracleSql(mSub: Int, k: Int, iters: Int, dims: Int,
+                          topK: Int, queryMod: Int): String = {
+    val sd = dims / mSub
+    val hash = "CAST(list_sum([(strpos('0123456789abcdef', substr(sha256(" +
+      "CAST(vec_id AS VARCHAR)), i, 1)) - 1) * pow(16.0, 12 - i) " +
+      "for i in generate_series(1, 12)]) AS BIGINT)"
+    def layer(n: Int): String =
+      s"""d$n AS (
+         |  SELECT s.vec_id, s.m, c.cid,
+         |    list_sum([(s.qs[i] - c.c[i]) * (s.qs[i] - c.c[i])
+         |      for i in generate_series(1, $sd)]) AS dist
+         |  FROM sub s JOIN c${n - 1} c ON c.m = s.m),
+         |a$n AS (
+         |  SELECT vec_id, m, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY dist, cid) AS rn FROM d$n)
+         |  WHERE rn = 1),
+         |u$n AS (
+         |  SELECT a.m, a.cid, i AS dim, sum(s.qs[i]) AS sv, count(*) AS n
+         |  FROM a$n a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m,
+         |    unnest(generate_series(1, $sd)) t(i) GROUP BY 1, 2, 3),
+         |nc$n AS (
+         |  SELECT m, cid, list(CAST((sv + n * 2097152) // n - 2097152
+         |    AS BIGINT) ORDER BY dim) AS c
+         |  FROM u$n GROUP BY 1, 2),
+         |c$n AS (SELECT p.m, p.cid, COALESCE(nc$n.c, p.c) AS c
+         |        FROM c${n - 1} p LEFT JOIN nc$n
+         |          ON nc$n.m = p.m AND nc$n.cid = p.cid)""".stripMargin
+    val layers = (1 to iters).map(layer).mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+       |      * 1048576) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |hv AS (SELECT vec_id, $hash AS h FROM v),
+       |seeds AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY h, vec_id) - 1
+       |    AS BIGINT) AS cid
+       |  FROM (SELECT * FROM hv ORDER BY h, vec_id LIMIT $k)),
+       |sub AS (
+       |  SELECT vec_id, CAST(m AS BIGINT) AS m,
+       |    [q[m * $sd + i] for i in generate_series(1, $sd)] AS qs
+       |  FROM v, range($mSub) t(m)),
+       |c0 AS (SELECT s.m, se.cid, s.qs AS c
+       |       FROM sub s JOIN seeds se ON se.vec_id = s.vec_id),
+       |$layers,
+       |dfin AS (
+       |  SELECT s.vec_id, s.m, c.cid,
+       |    list_sum([(s.qs[i] - c.c[i]) * (s.qs[i] - c.c[i])
+       |      for i in generate_series(1, $sd)]) AS dist
+       |  FROM sub s JOIN c$iters c ON c.m = s.m),
+       |codes AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dist, cid) AS rn FROM dfin)
+       |  WHERE rn = 1),
+       |qsub AS (SELECT vec_id AS query_id, m, qs FROM sub
+       |         WHERE vec_id % $queryMod = 0),
+       |lut AS (
+       |  SELECT q.query_id, c.m, c.cid,
+       |    CAST(list_sum([(q.qs[i] - c.c[i]) * (q.qs[i] - c.c[i])
+       |      for i in generate_series(1, $sd)]) AS BIGINT) AS dm
+       |  FROM qsub q JOIN c$iters c ON c.m = q.m),
+       |ad AS (
+       |  SELECT l.query_id, co.vec_id AS neighbor_id,
+       |    CAST(sum(l.dm) AS BIGINT) AS dist
+       |  FROM codes co JOIN lut l ON l.m = co.m AND l.cid = co.cid
+       |  GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT query_id, neighbor_id, dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist, neighbor_id) AS rnk
+       |  FROM ad WHERE neighbor_id <> query_id)
+       |SELECT query_id, neighbor_id, dist, CAST(rnk AS BIGINT) AS rank
+       |FROM rk WHERE rnk <= $topK ORDER BY query_id, rank""".stripMargin
+  }
 
   /** q130 oracle: the q124 Lloyd chain over corpus ∪ planted near-dups,
     * then the SemDeDup within-cluster integer cosine pruning — pairwise
@@ -4900,6 +4997,7 @@ object SparkEntry {
 
     "q125_diverse_sample" -> diversitySampleOracleSql(8, 3, 64, 5),
     "q130_semdedup" -> semDedupOracleSql(8, 3, 64),
+    "q137_pq_topk" -> pqOracleSql(8, 16, 2, 64, 3, 50),
 
     // Both SNM passes' block-prefix rank windows replayed, then exact
     // 3-gram Jaccard on the candidate union only. coalesce('') on the

@@ -184,6 +184,110 @@ object Clustering {
       .select(col("cid"), col("vec_id"), col("label"), col("kept"))
   }
 
+  /** Product-quantization ANN (Jégou, Douze & Schmid, TPAMI 2011) — the
+    * fourth ANN tier next to brute force (q26), LSH (q106), and IVF
+    * (q46), and the one production vector stores lean on for memory:
+    * vectors are split into `m` subspaces, each subspace k-means'd into
+    * a tiny codebook, and every vector stored as m small codes; query
+    * distance is the ADC sum of per-subspace lookup-table entries — the
+    * full vector is never touched at query time.
+    *
+    * Integer-exact end to end (the q124 formulation per subspace:
+    * power-of-two quantization, shifted floor-division centroid
+    * updates, (hash, id) seeds shared across subspaces), so codebooks,
+    * codes, LUTs, and ADC distances are all associative integer
+    * arithmetic — the ENTIRE index build and query replay in an ANSI
+    * oracle (q137's hash gate), and ranks tie-break on (dist, id) with
+    * no float anywhere.
+    *
+    * 100 TB shape: the codebook (m·k subvectors) is a ONE-ROW broadcast
+    * for both training assignment and the query LUT; each training
+    * iteration is one scan of the subvector frame plus an (m·k·dims)-
+    * row aggregate; the query phase is one broadcast-LUT join over the
+    * CODE table (m shorts per vector — the point of PQ) with map-side
+    * partial sums. Nothing vector-sized ever shuffles after encoding.
+    */
+  def pqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+             dims: Int, m: Int, k: Int, iters: Int, topK: Int,
+             queryMod: Long): DataFrame = {
+    require(dims % m == 0, s"dims $dims not divisible by m $m")
+    require(k >= 2 && k <= 256 && iters >= 1 && iters <= 10, "bad k/iters")
+    import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.expressions.Window
+    val sd = dims / m
+    val vecs = embeddings.select(col(idCol).as("vec_id"),
+        quantize(col(vecCol)).as("q"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sub = vecs.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sm"), col("q"))
+      .withColumn("qs", expr(s"slice(q, sm * $sd + 1, $sd)"))
+      .select(col("vec_id"), col("sm"), col("qs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seeds = vecs
+      .select(col("vec_id"), KmvAggregator.kmvHash(col("vec_id")).as("hv"))
+      .orderBy(col("hv"), col("vec_id")).limit(k)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col("hv"), col("vec_id"))) - 1)
+          .cast("long"))
+      .select(col("vec_id"), col("cid"))
+    def toRow(cents: DataFrame): DataFrame =
+      cents.agg(sort_array(collect_list(
+        struct(col("sm"), col("cid"), col("c")))).as("cents"))
+    var centRow = toRow(sub.join(seeds, Seq("vec_id"))
+        .select(col("sm"), col("cid"), col("qs").as("c")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def assign(cr: DataFrame): DataFrame =
+      sub.crossJoin(broadcast(cr))
+        .withColumn("best", array_min(transform(
+          filter(col("cents"), c => c.getField("sm") === col("sm")),
+          c => struct(
+            aggregate(zip_with(col("qs"), c.getField("c"),
+              (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+              .as("dist"),
+            c.getField("cid").as("cid")))))
+        .select(col("vec_id"), col("sm"), col("qs"),
+          col("best").getField("cid").as("cid"))
+    for (_ <- 1 to iters) {
+      val sums = assign(centRow)
+        .select(col("sm"), col("cid"), posexplode(col("qs")).as(Seq("dim", "qv")))
+        .groupBy(col("sm"), col("cid"), col("dim"))
+        .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
+        .withColumn("cv", expr(s"(s + n * $Shift) div n - $Shift"))
+      val upd = sums.groupBy(col("sm"), col("cid"))
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("cv")))),
+          x => x.getField("cv")).as("c"))
+      val prev = centRow.select(explode(col("cents")).as("pc"))
+        .select(col("pc.sm").as("sm"), col("pc.cid").as("cid"),
+          col("pc.c").as("c_prev"))
+      val next = prev.join(upd, Seq("sm", "cid"), "left")
+        .select(col("sm"), col("cid"),
+          coalesce(col("c"), col("c_prev")).as("c"))
+      centRow = toRow(next).persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val codes = assign(centRow).select(col("vec_id"), col("sm"), col("cid"))
+    val qsub = sub.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("sm"), col("qs"))
+    // per-query lookup table: distance from each query subvector to
+    // every codebook centroid of its subspace — (queries · m · k) rows
+    val lut = qsub.crossJoin(broadcast(centRow))
+      .select(col("query_id"), col("sm"), col("qs"),
+        explode(filter(col("cents"), c => c.getField("sm") === col("sm")))
+          .as("ce"))
+      .select(col("query_id"), col("sm"), col("ce").getField("cid").as("cid"),
+        aggregate(zip_with(col("qs"), col("ce").getField("c"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+          .as("dm"))
+    val dists = codes.join(broadcast(lut), Seq("sm", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dm")).as("dist"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    dists.filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
   /** Cluster-balanced DIVERSITY SAMPLING — the curation use of k-means
     * (q125): take at most `m` vectors per semantic cluster, chosen by
     * hash order (deterministic, content-independent within the

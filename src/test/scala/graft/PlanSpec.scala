@@ -205,7 +205,7 @@ class PlanSpec extends SparkSpec {
       "q46_ivf_topk", "q71_tfidf", "q73_knn_labels", "q96_rolling_active",
       "q113_rolling_kmv", "q116_hll_distinct", "q119_heavy_hitters",
       "q120_bpe_merges", "q122_bpe_encode", "q124_kmeans",
-      "q125_diverse_sample", "q130_semdedup",
+      "q125_diverse_sample", "q130_semdedup", "q137_pq_topk",
       // q134: the one-row totals frame broadcast into the B-row model
       "q134_importance_weights")
     // iterative queries execute jobs at plan-build (connected components

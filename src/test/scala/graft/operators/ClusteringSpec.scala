@@ -138,6 +138,49 @@ class ClusteringSpec extends SparkSpec {
     assert(aboveTau(1L) && aboveTau(2L), s"cos < τ must keep both: $aboveTau")
   }
 
+  test("pqTopK: an exact duplicate of the query ranks first on a separated corpus") {
+    // two far-apart blobs with within-blob jitter; query 100 has an
+    // exact duplicate at id 7 — identical subvectors → identical codes
+    // → the minimum possible ADC distance
+    val rnd = new scala.util.Random(5)
+    def jit(base: Double) = Seq.fill(16)(base + (rnd.nextDouble() - 0.5) * 0.05)
+    val blobA = (0L until 6L).map(i => (i, pad(jit(0.4)), 0))
+    val blobB = (10L until 16L).map(i => (i, pad(jit(-0.4)), 1))
+    val qvec = pad(jit(0.4))
+    val corpus = blobA ++ blobB ++ Seq((7L, qvec, 0), (100L, qvec, 0))
+    val got = Clustering.pqTopK(corpus.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", dims = 64, m = 8, k = 4, iters = 2,
+        topK = 3, queryMod = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // the dup shares the query's per-subspace argmin codes, so its ADC
+    // distance is the MINIMUM possible; blob-mates that collapse to the
+    // same code vector tie exactly (integer distances) and the (dist,
+    // id) tie-break may outrank it — correct PQ semantics: code
+    // collisions are indistinguishable by construction
+    val q100 = got.filter(_._1 == 100L)
+    val minDist = q100.map(_._3).min
+    val dupRow = q100.find(_._2 == 7L)
+    assert(dupRow.nonEmpty, s"dup must be in the top-3: ${q100.toSeq}")
+    assert(dupRow.get._3 == minDist,
+      s"dup must sit at the minimum ADC distance: ${q100.toSeq}")
+    // all top-3 neighbors come from the query's blob
+    val blobIds = (0L until 8L).toSet
+    assert(q100.forall(t => blobIds.contains(t._2)),
+      s"neighbors must stay in-blob: ${q100.toSeq}")
+  }
+
+  test("pqTopK is invariant to input partitioning") {
+    val rows = (0L until 50L).map(i =>
+      (i, pad(Seq.tabulate(16)(d => 0.3 * math.sin(i + d))), (i % 3).toInt))
+    def run(parts: Int) = Clustering.pqTopK(
+        rows.toDF("vec_id", "embedding", "label").repartition(parts),
+        "vec_id", "embedding", dims = 64, m = 8, k = 8, iters = 2,
+        topK = 3, queryMod = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(run(1) === run(13))
+  }
+
   test("semDedup matches a brute-force within-cluster reference") {
     val rnd = new scala.util.Random(7)
     val base = (0L until 40L).map { i =>
