@@ -164,6 +164,16 @@ object Clustering {
     val m = assigned.join(qv, Seq("vec_id"))
       .withColumn("hv", KmvAggregator.kmvHash(col("vec_id")))
       .withColumn("n2", aggregate(col("qs"), lit(0L), (a, x) => a + x * x))
+      // ‖q‖² ≤ 2^27 (vector norm ≲ 11 at the 2^10 scale) keeps
+      // dot²·tauDen² and tauNum²·n2a·n2b inside Long — the unit-norm
+      // precondition the integer test relies on, made LOUD instead of
+      // an anonymous overflow error (or silent wrap on a non-ANSI
+      // session) when someone feeds unnormalized embeddings
+      .withColumn("n2",
+        when(col("n2") <= lit(1L << 27), col("n2"))
+          .otherwise(raise_error(concat(
+            lit("semDedup: embedding norm too large for the integer "),
+            lit("cosine gate (n2="), col("n2").cast("string"), lit(")")))))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a = m.select(col("cid"), col("vec_id").as("id_a"),
       col("hv").as("hv_a"), col("qs").as("q_a"), col("n2").as("n2_a"))
@@ -206,6 +216,12 @@ object Clustering {
     * row aggregate; the query phase is one broadcast-LUT join over the
     * CODE table (m shorts per vector — the point of PQ) with map-side
     * partial sums. Nothing vector-sized ever shuffles after encoding.
+    * The LUT is (queries · m · k) rows, so the broadcast shape holds
+    * only for a BOUNDED query batch — that is the serving contract
+    * (queries arrive in batches; `queryMod` merely derives a bounded
+    * demo batch from the corpus here). Do not point queryMod at a
+    * corpus-scale query set: the LUT broadcast is the thing that must
+    * stay small, everything corpus-sized stays distributed.
     */
   def pqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
              dims: Int, m: Int, k: Int, iters: Int, topK: Int,

@@ -45,6 +45,31 @@ import graft.functions.TextFunctions
   */
 object SimilarityJoin {
 
+  /** Shared per-document gram frame all three exact-join operators
+    * build on: (id, ord, sh, sz) where `ord` is the gram set in global
+    * (df asc, gram asc) RARE-FIRST order (the order the prefix theorems
+    * quantify over), `sh` the same set sorted by hash for the merge
+    * verify, both from ONE aggregation — extracted so the order-
+    * sensitive tie-break lives in exactly one place. Persisted: every
+    * caller reads it from ≥2 plan branches. */
+  private def orderedGramSets(df: DataFrame, idCol: String, textCol: String,
+                              n: Int): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+        graft.expressions.WordNgrams.wordNgramHashes(
+          coalesce(col(textCol), lit("")), n).as("gh"))
+      .filter(size(col("gh")) > 0)
+    val ex = grams.select(col("id"), explode(col("gh")).as("g"))
+    val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    ex.join(dfreq, Seq("g"))
+      .groupBy(col("id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("df"), col("g")))),
+          s => s.getField("g")).as("ord"),
+        sort_array(collect_list(col("g"))).as("sh"))
+      .withColumn("sz", size(col("ord")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** All pairs of documents whose word-n-gram Jaccard similarity is
     * ≥ `threshold`, computed exactly. Returns (id_a, id_b, jaccard)
     * with id_a < id_b.
@@ -54,32 +79,13 @@ object SimilarityJoin {
     require(n >= 1 && n <= 8, s"n out of range: $n")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold out of range: $threshold")
-    // native single-pass gram hashing (the q69 lesson: the declarative
-    // transform/xxhash64 chain is interpreted per gram and dominates the
-    // corpus scan ~10x; Jaccard, df-ordering, and the prefix theorem are
-    // all hash-invariant, so WordNgramHashes' internal hash is as good)
-    val grams = df.select(col(idCol).as("id"),
-        graft.expressions.WordNgrams.wordNgramHashes(
-          coalesce(col(textCol), lit("")), n).as("gh"))
-      .filter(size(col("gh")) > 0)
-    val ex = grams.select(col("id"), explode(col("gh")).as("g"))
-    val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    // Per-document gram list in global (df asc, gram asc) order plus the
-    // sorted full set for the verify merge — one aggregation, two lanes.
-    val ordered = ex.join(dfreq, Seq("g"))
-      .groupBy(col("id"))
-      .agg(
-        transform(array_sort(collect_list(struct(col("df"), col("g")))),
-          s => s.getField("g")).as("ord"),
-        sort_array(collect_list(col("g"))).as("sh"))
-      .withColumn("sz", size(col("ord")))
-      // 1e-9 slack: a float product lying one ulp ABOVE an integral
-      // t·|x| would otherwise ceil one higher and shrink the prefix
-      // below the lossless bound. Slack only ever widens the prefix.
+    // 1e-9 slack: a float product lying one ulp ABOVE an integral
+    // t·|x| would otherwise ceil one higher and shrink the prefix
+    // below the lossless bound. Slack only ever widens the prefix.
+    val ordered = orderedGramSets(df, idCol, textCol, n)
       .withColumn("p",
         (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
           .cast("int"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val prefix = ordered.select(col("id"), col("sz"),
       explode(slice(col("ord"), lit(1), col("p"))).as("g"))
     val a = prefix.select(col("g"), col("id").as("id_a"), col("sz").as("sz_a"))
@@ -213,24 +219,12 @@ object SimilarityJoin {
       : DataFrame = {
     require(n >= 1 && n <= 8, s"n out of range: $n")
     require(tauNum > 0 && tauDen >= tauNum, s"tau out of range: $tauNum/$tauDen")
-    val grams = df.select(col(idCol).as("id"),
-        graft.expressions.WordNgrams.wordNgramHashes(
-          coalesce(col(textCol), lit("")), n).as("gh"))
-      .filter(size(col("gh")) > 0)
-    val ex = grams.select(col("id"), explode(col("gh")).as("g"))
-    val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val ordered = ex.join(dfreq, Seq("g"))
-      .groupBy(col("id"))
-      .agg(
-        transform(array_sort(collect_list(struct(col("df"), col("g")))),
-          s => s.getField("g")).as("ord"),
-        sort_array(collect_list(col("g"))).as("sh"))
-      .withColumn("sz", size(col("ord")).cast("long"))
-      // α = ceil(τ·sz) in exact integer arithmetic
+    // α = ceil(τ·sz) in exact integer arithmetic
+    val ordered = orderedGramSets(df, idCol, textCol, n)
+      .withColumn("sz", col("sz").cast("long"))
       .withColumn("p",
         (col("sz") - expr(s"($tauNum * sz + ${tauDen - 1}) div $tauDen") + 1)
           .cast("int"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val probe = ordered.select(col("id").as("id_a"), col("sz").as("sz_a"),
       explode(slice(col("ord"), lit(1), col("p"))).as("g"))
     val index = ordered.select(col("id").as("id_b"), col("sz").as("sz_b"),
@@ -305,7 +299,20 @@ object SimilarityJoin {
       .withColumn("sz_new", size(col("gh")).cast("long"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bex = bg.select(col("id_new"), col("sz_new"), explode(col("gh")).as("g"))
-    val withDf = broadcast(bex).join(dfTable, Seq("g"), "left")
+    // The batch-preserving df lookup CANNOT be one broadcast join:
+    // Spark's BroadcastHashJoin never builds on the outer-preserved
+    // side (BuildLeft is only InnerLike/RightOuter, BuildRight only
+    // Left* joins), so `broadcast(bex).join(dfTable, "left")` silently
+    // drops the hint and the planner is free to shuffle — or broadcast!
+    // — the corpus-sized df table. Two supported steps instead: (1) a
+    // LeftSemi (BuildRight ✓) streams the df table once against the
+    // broadcast batch gram set, leaving a batch-sized df subset; (2)
+    // the LeftOuter (BuildRight ✓) joins the batch against THAT tiny
+    // subset. Corpus df rows are scanned, never shuffled; unknown
+    // grams get df 0 (rarest-first, correctly).
+    val dfSmall = dfTable.join(broadcast(bex.select(col("g")).distinct()),
+      Seq("g"), "left_semi")
+    val withDf = bex.join(broadcast(dfSmall), Seq("g"), "left")
       .na.fill(0L, Seq("df"))
     val orderedB = withDf.groupBy(col("id_new"))
       .agg(max(col("sz_new")).as("sz_new"),
