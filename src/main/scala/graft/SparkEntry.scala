@@ -4833,9 +4833,12 @@ object SparkEntry {
     // Integer PageRank replay: three unrolled power iterations. All
     // arithmetic is non-negative integer (floor division replays `div`
     // exactly), so contribution sums are order-independent and the
-    // ranks match bit-for-bit. DuckDB's sum(BIGINT) widens to HUGEINT —
-    // the per-iteration CAST keeps the dtype contract with Spark's
-    // long.
+    // ranks match bit-for-bit. Each iteration LEFT-joins the
+    // contribution aggregate back onto the full node set (deg keys), so
+    // in-degree-0 nodes hold the base term instead of dropping out —
+    // the operator's documented semantics on directed inputs. DuckDB's
+    // sum(BIGINT) widens to HUGEINT — the per-iteration CAST keeps the
+    // dtype contract with Spark's long.
     "q117_pagerank" ->
       """WITH pairs AS (
         |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
@@ -4846,20 +4849,26 @@ object SparkEntry {
         |pr0 AS (SELECT src AS nid, CAST(1000000000000 AS BIGINT) AS pr
         |        FROM deg),
         |it1 AS (
-        |  SELECT e.dst AS nid, CAST(CAST(150000000000 AS BIGINT)
-        |      + sum((p.pr * 17) // (20 * d.deg)) AS BIGINT) AS pr
-        |  FROM edges e JOIN pr0 p ON p.nid = e.src
-        |  JOIN deg d ON d.src = e.src GROUP BY 1),
+        |  SELECT n.src AS nid, CAST(CAST(150000000000 AS BIGINT)
+        |      + COALESCE(s.inflow, 0) AS BIGINT) AS pr
+        |  FROM deg n LEFT JOIN (
+        |    SELECT e.dst AS nid, sum((p.pr * 17) // (20 * d.deg)) AS inflow
+        |    FROM edges e JOIN pr0 p ON p.nid = e.src
+        |    JOIN deg d ON d.src = e.src GROUP BY 1) s ON s.nid = n.src),
         |it2 AS (
-        |  SELECT e.dst AS nid, CAST(CAST(150000000000 AS BIGINT)
-        |      + sum((p.pr * 17) // (20 * d.deg)) AS BIGINT) AS pr
-        |  FROM edges e JOIN it1 p ON p.nid = e.src
-        |  JOIN deg d ON d.src = e.src GROUP BY 1),
+        |  SELECT n.src AS nid, CAST(CAST(150000000000 AS BIGINT)
+        |      + COALESCE(s.inflow, 0) AS BIGINT) AS pr
+        |  FROM deg n LEFT JOIN (
+        |    SELECT e.dst AS nid, sum((p.pr * 17) // (20 * d.deg)) AS inflow
+        |    FROM edges e JOIN it1 p ON p.nid = e.src
+        |    JOIN deg d ON d.src = e.src GROUP BY 1) s ON s.nid = n.src),
         |it3 AS (
-        |  SELECT e.dst AS nid, CAST(CAST(150000000000 AS BIGINT)
-        |      + sum((p.pr * 17) // (20 * d.deg)) AS BIGINT) AS pr
-        |  FROM edges e JOIN it2 p ON p.nid = e.src
-        |  JOIN deg d ON d.src = e.src GROUP BY 1)
+        |  SELECT n.src AS nid, CAST(CAST(150000000000 AS BIGINT)
+        |      + COALESCE(s.inflow, 0) AS BIGINT) AS pr
+        |  FROM deg n LEFT JOIN (
+        |    SELECT e.dst AS nid, sum((p.pr * 17) // (20 * d.deg)) AS inflow
+        |    FROM edges e JOIN it2 p ON p.nid = e.src
+        |    JOIN deg d ON d.src = e.src GROUP BY 1) s ON s.nid = n.src)
         |SELECT nid,
         |  CASE WHEN nid % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
         |  pr
@@ -4964,8 +4973,11 @@ object SparkEntry {
 
     // Triangle replay: co-order edges, degrees over the symmetrized
     // edge set, (degree, id) tuple orientation, the bounded wedge
-    // self-join, the closing edge probe, and the per-corner rollup.
-    // All integer; tuple comparison is lexicographic in both engines.
+    // self-join with endpoints ordered by the SAME (degree, id) tuple
+    // (raw-id ordering would probe the closing edge backwards whenever
+    // the corners' id order disagrees with their (degree, id) order),
+    // the closing edge probe, and the per-corner rollup. All integer;
+    // tuple comparison is lexicographic in both engines.
     "q123_triangles" ->
       """WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
         |            FROM lineitem WHERE l_linenumber <= 3),
@@ -4977,11 +4989,14 @@ object SparkEntry {
         |  SELECT CASE WHEN (da.d, e0.u) < (db.d, e0.v)
         |           THEN e0.u ELSE e0.v END AS s,
         |         CASE WHEN (da.d, e0.u) < (db.d, e0.v)
-        |           THEN e0.v ELSE e0.u END AS t
+        |           THEN e0.v ELSE e0.u END AS t,
+        |         CASE WHEN (da.d, e0.u) < (db.d, e0.v)
+        |           THEN db.d ELSE da.d END AS dt
         |  FROM e0 JOIN deg da ON da.n = e0.u JOIN deg db ON db.n = e0.v),
         |tri AS (
         |  SELECT w1.s AS a, w1.t AS b, w2.t AS c
-        |  FROM oe w1 JOIN oe w2 ON w1.s = w2.s AND w1.t < w2.t
+        |  FROM oe w1 JOIN oe w2 ON w1.s = w2.s
+        |    AND (w1.dt, w1.t) < (w2.dt, w2.t)
         |  JOIN oe e3 ON e3.s = w1.t AND e3.t = w2.t),
         |pern AS (
         |  SELECT n, count(*) AS tri_cnt FROM (
@@ -5141,22 +5156,30 @@ object SparkEntry {
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
         |edges AS (SELECT a AS src, b AS dst FROM pairs
         |          UNION ALL SELECT b, a FROM pairs),
-        |l0 AS (SELECT DISTINCT src AS nid, src AS lbl FROM edges),
+        |nodes AS (SELECT DISTINCT src AS nid FROM edges
+        |          UNION SELECT DISTINCT dst FROM edges),
+        |l0 AS (SELECT nid, nid AS lbl FROM nodes),
         |i1 AS (SELECT e.dst AS nid, p.lbl AS lbl, count(*) AS cnt
         |       FROM edges e JOIN l0 p ON p.nid = e.src GROUP BY 1, 2),
-        |l1 AS (SELECT nid, lbl FROM (
+        |w1 AS (SELECT nid, lbl FROM (
         |         SELECT nid, lbl, row_number() OVER (PARTITION BY nid
         |           ORDER BY cnt DESC, lbl) AS rn FROM i1) WHERE rn = 1),
+        |l1 AS (SELECT p.nid, COALESCE(w.lbl, p.lbl) AS lbl
+        |       FROM l0 p LEFT JOIN w1 w ON w.nid = p.nid),
         |i2 AS (SELECT e.dst AS nid, p.lbl AS lbl, count(*) AS cnt
         |       FROM edges e JOIN l1 p ON p.nid = e.src GROUP BY 1, 2),
-        |l2 AS (SELECT nid, lbl FROM (
+        |w2 AS (SELECT nid, lbl FROM (
         |         SELECT nid, lbl, row_number() OVER (PARTITION BY nid
         |           ORDER BY cnt DESC, lbl) AS rn FROM i2) WHERE rn = 1),
+        |l2 AS (SELECT p.nid, COALESCE(w.lbl, p.lbl) AS lbl
+        |       FROM l1 p LEFT JOIN w2 w ON w.nid = p.nid),
         |i3 AS (SELECT e.dst AS nid, p.lbl AS lbl, count(*) AS cnt
         |       FROM edges e JOIN l2 p ON p.nid = e.src GROUP BY 1, 2),
-        |l3 AS (SELECT nid, lbl FROM (
+        |w3 AS (SELECT nid, lbl FROM (
         |         SELECT nid, lbl, row_number() OVER (PARTITION BY nid
-        |           ORDER BY cnt DESC, lbl) AS rn FROM i3) WHERE rn = 1)
+        |           ORDER BY cnt DESC, lbl) AS rn FROM i3) WHERE rn = 1),
+        |l3 AS (SELECT p.nid, COALESCE(w.lbl, p.lbl) AS lbl
+        |       FROM l2 p LEFT JOIN w3 w ON w.nid = p.nid)
         |SELECT lbl AS community, count(*) AS n_members,
         |  CAST(sum(nid) AS BIGINT) AS nid_sum
         |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -154,8 +154,23 @@ object Clustering {
                tauNum: Long = 19, tauDen: Long = 20): DataFrame = {
     require(tauNum > 0 && tauDen >= tauNum,
       s"tau out of range: $tauNum/$tauDen")
+    require(tauDen <= (1L << 15),
+      s"tauDen $tauDen > 2^15: the norm cap √(2^63/tauDen²) would drop " +
+        "below any realistic quantized norm; reduce the fraction by gcd")
     import org.apache.spark.storage.StorageLevel
     val simScale = 1L << 10
+    // Overflow-safety of the integer τ-test: Cauchy–Schwarz bounds
+    // dot² ≤ n2a·n2b and tauNum ≤ tauDen, so BOTH sides of
+    // dot²·tauDen² ≥ tauNum²·n2a·n2b are ≤ tauDen²·n2a·n2b. Capping
+    // each per-row norm at ⌊√(2^63/tauDen²)⌋ therefore keeps every
+    // intermediate inside Long for ANY accepted row — no silent
+    // wraparound is reachable on non-ANSI sessions regardless of the
+    // τ fraction (an unreduced 95/100 just tightens the cap slightly
+    // vs 19/20; unit-norm vectors at the 2^10 scale sit at n2 ≈ 2^20,
+    // far under the cap until tauDen nears 2^15).
+    val n2Cap = math.min(1L << 27,
+      math.floor(math.sqrt((Long.MaxValue / (tauDen * tauDen)).toDouble))
+        .toLong - 1)
     val assigned = kmeansAssign(embeddings, idCol, vecCol, labelCol, k, iters)
       .select(col("vec_id"), col("label"), col("cid"))
     val qv = embeddings.select(col(idCol).as("vec_id"),
@@ -164,13 +179,13 @@ object Clustering {
     val m = assigned.join(qv, Seq("vec_id"))
       .withColumn("hv", KmvAggregator.kmvHash(col("vec_id")))
       .withColumn("n2", aggregate(col("qs"), lit(0L), (a, x) => a + x * x))
-      // ‖q‖² ≤ 2^27 (vector norm ≲ 11 at the 2^10 scale) keeps
-      // dot²·tauDen² and tauNum²·n2a·n2b inside Long — the unit-norm
-      // precondition the integer test relies on, made LOUD instead of
-      // an anonymous overflow error (or silent wrap on a non-ANSI
-      // session) when someone feeds unnormalized embeddings
+      // ‖q‖² ≤ min(2^27, ⌊√(2^63/tauDen²)⌋) keeps dot²·tauDen² and
+      // tauNum²·n2a·n2b inside Long — the unit-norm precondition the
+      // integer test relies on, made LOUD instead of an anonymous
+      // overflow error (or silent wrap on a non-ANSI session) when
+      // someone feeds unnormalized embeddings
       .withColumn("n2",
-        when(col("n2") <= lit(1L << 27), col("n2"))
+        when(col("n2") <= lit(n2Cap), col("n2"))
           .otherwise(raise_error(concat(
             lit("semDedup: embedding norm too large for the integer "),
             lit("cosine gate (n2="), col("n2").cast("string"), lit(")")))))

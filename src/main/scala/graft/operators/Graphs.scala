@@ -39,7 +39,11 @@ object Graphs {
     * (`src`, `dst`), pre-deduplicated; for undirected graphs pass both
     * directions. Every node must have out-degree ≥ 1 (true by
     * construction for symmetrized edges); isolated nodes are out of the
-    * graph by definition. Returns (`nid`, `pr`). */
+    * graph by definition. Nodes with in-degree 0 (legal on directed
+    * inputs) hold exactly the base term every iteration — the
+    * contribution aggregate is left-joined back onto the full node set,
+    * so such nodes never drop out of the rank table (and keep feeding
+    * their out-edges in later iterations). Returns (`nid`, `pr`). */
   def integerPageRank(edges: DataFrame, iters: Int,
                       scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
@@ -51,17 +55,25 @@ object Graphs {
     val ed = edges.join(deg, "src")
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = deg.select(col("src").as("nid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val base = (scale * 3L) / 20L
-    var pr = deg.select(col("src").as("nid"), lit(scale).as("pr"))
+    var pr = nodes.select(col("nid"), lit(scale).as("pr"))
     for (_ <- 1 to iters) {
       // explicit aliases: ed and pr share lineage (deg derives from
       // edges), so unqualified column refs would be ambiguous self-join
       // references by iteration 2
-      pr = ed.alias("e").join(pr.alias("p"), col("e.src") === col("p.nid"))
+      val contrib = ed.alias("e")
+        .join(pr.alias("p"), col("e.src") === col("p.nid"))
         .select(col("e.dst").as("nid"),
           expr("(p.pr * 17) div (20 * e.deg)").as("c"))
         .groupBy("nid")
-        .agg((lit(base) + sum(col("c"))).as("pr"))
+        .agg(sum(col("c")).as("inflow"))
+      // left join onto the full node set: in-degree-0 nodes keep the
+      // base term instead of silently exiting the rank table
+      pr = nodes.join(contrib, Seq("nid"), "left")
+        .select(col("nid"),
+          (lit(base) + coalesce(col("inflow"), lit(0L))).as("pr"))
     }
     pr
   }
@@ -123,9 +135,14 @@ object Graphs {
     * admission orders use.
     *
     * Semantics: l_0(v) = v; l_{i+1}(v) = argmax over in-neighbors' u of
-    * count(l_i(u)), ties to the smallest label; fixed iteration count
-    * (synchronous updates — on bipartite graphs the fixed count is also
-    * what keeps the known 2-cycle oscillation bounded and replayable).
+    * count(l_i(u)), ties to the smallest label; a node with NO
+    * in-neighbors keeps its previous label (the vote winner is
+    * left-joined back onto the full src∪dst node set each iteration, so
+    * directed inputs with pure-source or pure-sink nodes are
+    * well-defined — no node ever exits the label table); fixed
+    * iteration count (synchronous updates — on bipartite graphs the
+    * fixed count is also what keeps the known 2-cycle oscillation
+    * bounded and replayable).
     *
     * 100 TB shape: the edge table is hashed by src and persisted once;
     * each iteration is one edges⋈labels join (labels co-partitioned or
@@ -138,15 +155,23 @@ object Graphs {
     import org.apache.spark.storage.StorageLevel
     val ed = edges.repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var lbl = ed.select(col("src").as("nid")).distinct()
-      .select(col("nid"), col("nid").as("lbl"))
+    val nodes = ed.select(col("src").as("nid"))
+      .unionByName(ed.select(col("dst").as("nid")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lbl = nodes.select(col("nid"), col("nid").as("lbl"))
     for (_ <- 1 to iters) {
-      lbl = ed.alias("e").join(lbl.alias("p"), col("e.src") === col("p.nid"))
+      val votes = ed.alias("e")
+        .join(lbl.alias("p"), col("e.src") === col("p.nid"))
         .groupBy(col("e.dst").as("nid"), col("p.lbl").as("lbl"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("nid"))
         .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("w"))
-        .select(col("nid"), col("w.l").as("lbl"))
+        .select(col("nid"), col("w.l").as("win"))
+      // left join: a node with no in-neighbors keeps its previous label
+      // instead of silently exiting the label table
+      lbl = lbl.join(votes, Seq("nid"), "left")
+        .select(col("nid"), coalesce(col("win"), col("lbl")).as("lbl"))
     }
     lbl
   }
@@ -176,6 +201,12 @@ object Graphs {
     val eu = edges.select(col("u"), col("v"))
       .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
     val deg = eu.groupBy(col("u").as("n")).agg(count(lit(1)).as("d"))
+    // the oriented table carries the TARGET's degree (dt): wedge
+    // endpoints must be ordered by the same (degree, id) struct the
+    // orientation uses — ordering them by raw id alone would probe the
+    // closing edge in the wrong direction whenever the two non-minimum
+    // corners' id order disagrees with their (degree, id) order, and
+    // silently drop that triangle
     val oriented = edges
       .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
@@ -183,11 +214,17 @@ object Graphs {
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
           col("u")).otherwise(col("v")).as("s"),
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-          col("v")).otherwise(col("u")).as("t"))
+          col("v")).otherwise(col("u")).as("t"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("dv")).otherwise(col("du")).as("dt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // with endpoints in (degree, id) order, the closing edge b—c is
+    // ALWAYS oriented b→c (orientation points at the (degree, id)-larger
+    // endpoint), so one probe direction is provably complete
     val wedges = oriented.alias("w1")
       .join(oriented.alias("w2"),
-        col("w1.s") === col("w2.s") && col("w1.t") < col("w2.t"))
+        col("w1.s") === col("w2.s") &&
+          struct(col("w1.dt"), col("w1.t")) < struct(col("w2.dt"), col("w2.t")))
       .select(col("w1.s").as("a"), col("w1.t").as("b"), col("w2.t").as("c"))
     val tri = wedges.join(oriented.alias("e3"),
         col("b") === col("e3.s") && col("c") === col("e3.t"))

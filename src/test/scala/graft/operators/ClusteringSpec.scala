@@ -124,6 +124,37 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("semDedup integer cosine test cannot overflow: dynamic norm cap scales with tauDen") {
+    // both sides of dot²·tauDen² ≥ tauNum²·n2a·n2b are bounded by
+    // tauDen²·n2a·n2b (Cauchy–Schwarz; tauNum ≤ tauDen), so the per-row
+    // norm cap ⌊√(2^63/tauDen²)⌋ makes wraparound unreachable at ANY τ
+    // fraction. An unreduced 95/100 must behave identically to 19/20 —
+    // not be refused, not silently wrap.
+    val rows = Seq(
+      (1L, pad(Seq(0.4, 0.0)), 0),
+      (2L, pad(Seq(0.4, 0.004)), 0),   // cos ≈ 0.99995 → τ-pair
+      (3L, pad(Seq(0.4, 0.15)), 0),    // cos ≈ 0.936 → kept
+      (11L, pad(Seq(0.0, -0.4)), 1),
+      (12L, pad(Seq(-0.01, -0.4)), 1))
+    assert(semKept(rows, 2, 95, 100) == semKept(rows, 2, 19, 20),
+      "unreduced τ fraction must decide identically to its reduced form")
+    // tauDen near 2^15 tightens the cap to ≈ 2^16.5, below the ≈ 2^20
+    // norm of a unit vector at the 2^10 scale → the loud norm error,
+    // never a wrapped comparison
+    val ex = intercept[Exception] {
+      semKept(rows, 2, 32767L, 32768L)
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(ex).contains("norm too large"), msgs(ex))
+    // past 2^15 the cap itself is meaningless → refused up front
+    val ex2 = intercept[IllegalArgumentException] {
+      Clustering.semDedup(rows.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label", 2, 1, 65535L, 65536L)
+    }
+    assert(ex2.getMessage.contains("2^15"), ex2.getMessage)
+  }
+
   test("semDedup τ boundary: cos exactly at τ is dropped (≥ semantics)") {
     // q = (3,4) vs (4,3) at 2^10 scale: cos = 24/25 exactly; with
     // τ = 24/25 the integer test hits equality → dropped; with a higher

@@ -69,6 +69,20 @@ class GraphsSpec extends SparkSpec {
     assert(total >= (n * scale * 999999L) / 1000000L, s"total=$total")
   }
 
+  test("integerPageRank keeps in-degree-0 source nodes at the base term (directed input)") {
+    // node 0 is a pure source: out-degree 2 (legal per the documented
+    // precondition), in-degree 0. Before the left-join fix it dropped
+    // out of the rank table after iteration 1 — losing its base term
+    // AND its outgoing contributions in later iterations.
+    val dir = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 1L))
+    for (iters <- Seq(1, 2, 3, 5)) {
+      val got = run(dir, iters)
+      assert(got == serial(dir, iters), s"iters=$iters")
+      assert(got(0L) == scale * 3L / 20L,
+        s"a source node must hold exactly the base term: $got")
+    }
+  }
+
   test("a hub outranks leaves; symmetric nodes tie exactly") {
     val und = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
     val pr = run(symmetrize(und), 3)
@@ -146,6 +160,45 @@ class GraphsSpec extends SparkSpec {
     assert(m(4L) === ((1L, 0L)))
   }
 
+  /** Brute-force reference: enumerate every triangle {a<b<c} once via
+    * its (a, b) edge and a common neighbor c > b. */
+  private def serialTris(und: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val es = und.map { case (a, b) => if (a < b) (a, b) else (b, a) }.toSet
+    val deg = (und ++ und.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.size.toLong).toMap
+    val cnt = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val nodes = deg.keys.toSeq
+    for ((u, v) <- es; w <- nodes if w > v && es((u, w)) && es((v, w))) {
+      cnt(u) += 1; cnt(v) += 1; cnt(w) += 1
+    }
+    nodes.map(n => n -> ((deg(n), cnt(n)))).toMap
+  }
+
+  test("triangleCounts: heterogeneous corner degrees (oriented-probe direction case)") {
+    // {1,2},{1,3},{2,3},{2,4},{2,5}: triangle {1,2,3}'s closing edge is
+    // stored 3→2 under (degree,id) orientation (deg(2)=4 > deg(3)=2)
+    // while the corners' raw id order is 2 < 3 — a raw-id wedge
+    // ordering probes 2→3 and silently drops the triangle
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (2L, 5L))
+    val m = tris(und)
+    assert(m(1L) === ((2L, 1L)))
+    assert(m(2L) === ((4L, 1L)))
+    assert(m(3L) === ((2L, 1L)))
+    assert(m(4L) === ((1L, 0L)))
+    assert(m(5L) === ((1L, 0L)))
+  }
+
+  test("triangleCounts equals serial brute force on a skew-degree graph") {
+    // hub-heavy: hubs 0–2 connect widely, so triangle corners routinely
+    // have heterogeneous degrees whose id order disagrees with their
+    // (degree, id) order
+    val und = ((for (h <- 0L until 3L; v <- 3L until 40L
+                     if (h + v) % 2 == 0) yield (h, v)) ++
+      (for (u <- 3L until 40L; v <- (u + 1) until 40L
+            if (u * 5 + v * 7) % 11 == 0) yield (u, v))).toSeq.distinct
+    assert(tris(und) === serialTris(und))
+  }
+
   test("triangleCounts is layout invariant") {
     val und = (for (u <- 0L until 30L; v <- (u + 1) until 30L
                     if (u + v) % 3 != 0) yield (u, v)).toSeq
@@ -159,16 +212,20 @@ class GraphsSpec extends SparkSpec {
     Graphs.labelPropagation(edges.toDF("src", "dst"), iters)
       .as[(Long, Long)].collect().toMap
 
-  /** Reference: the same synchronous majority-vote recurrence, serially. */
+  /** Reference: the same synchronous majority-vote recurrence, serially
+    * — over the full src∪dst node set, with no-in-neighbor nodes
+    * keeping their previous label (the operator's documented
+    * directed-input semantics). */
   private def serialLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
-    val nodes = edges.map(_._1).distinct
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
     var lbl = nodes.map(n => n -> n).toMap
     for (_ <- 1 to iters) {
-      lbl = edges.groupBy(_._2).view.mapValues { es =>
+      val votes = edges.groupBy(_._2).view.mapValues { es =>
         es.map { case (u, _) => lbl(u) }
           .groupBy(identity).toSeq
           .map { case (l, occ) => (-occ.size.toLong, l) }.min._2
       }.toMap
+      lbl = nodes.map(n => n -> votes.getOrElse(n, lbl(n))).toMap
     }
     lbl
   }
@@ -192,6 +249,18 @@ class GraphsSpec extends SparkSpec {
     assert(aLabels.size == 1, s"clique A must agree: $got")
     assert(bLabels.size == 1, s"clique B must agree: $got")
     assert(aLabels != bLabels, s"cliques must differ: $got")
+  }
+
+  test("labelPropagation on a directed graph: source nodes persist and match serial") {
+    // 0 and 10 are pure sources (never a dst) — before the left-join
+    // fix they exited the label table after one vote round
+    val dir = Seq((0L, 1L), (10L, 1L), (1L, 2L), (2L, 1L))
+    for (it <- Seq(1, 2, 3)) {
+      assert(lpa(dir, it) === serialLpa(dir, it), s"divergence at iters=$it")
+    }
+    val got = lpa(dir, 3)
+    assert(got(0L) == 0L && got(10L) == 10L,
+      s"pure-source nodes must keep their own labels: $got")
   }
 
   test("labelPropagation is layout invariant") {
