@@ -2049,6 +2049,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Winnowing fingerprint overlap (Schleimer et al. 2003 / MOSS) —
+    // partial-passage detection: document pairs sharing ≥ 2 selected
+    // fingerprints, df-banded [2, 32] to drop boilerplate hashes. The
+    // oracle replays tokenization, 4-gram sha hashing, the w=4
+    // rightmost-min window selection (struct min — lexicographic in
+    // both engines), the df band, and the pair rollup.
+    "q138_winnow_pairs" -> ((s, d) => {
+      graft.operators.Winnow.fingerprintPairs(t(s, d, "documents"),
+          "doc_id", "text", k = 4, w = 4, minShared = 2, maxDf = 32)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // EXACT standing-corpus near-dup probe — the lossless member of
     // the q104/q108/q127 standing-probe family: a batch prefix-probes
     // the corpus's inverted gram index under corpus-rare-first order;
@@ -5013,6 +5025,40 @@ object SparkEntry {
     "q125_diverse_sample" -> diversitySampleOracleSql(8, 3, 64, 5),
     "q130_semdedup" -> semDedupOracleSql(8, 3, 64),
     "q137_pq_topk" -> pqOracleSql(8, 16, 2, 64, 3, 50),
+
+    // Winnowing replay: tokenization, 4-gram 48-bit sha hashes (the
+    // q121 formula), the w=4 rightmost-min selection as a lexicographic
+    // struct min over a ROWS window (−st makes "rightmost" the struct
+    // minimum), fully-populated windows only (st ≤ n_grams − w + 1),
+    // df band [2, 32], shared-count pair rollup.
+    "q138_winnow_pairs" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(
+        |      lower(text), '\s+', ' ', 'g')), '\s+'), x -> x <> '') AS s
+        |  FROM documents),
+        |b2 AS (SELECT doc_id, s, len(s) AS n FROM base),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS st, CAST(n - 3 AS BIGINT) AS ng,
+        |    CAST(list_sum([(strpos('0123456789abcdef', substr(sha256(
+        |        list_aggregate(s[i:i+3], 'string_agg', ' ')), j, 1)) - 1)
+        |      * pow(16.0, 12 - j) for j in generate_series(1, 12)])
+        |      AS BIGINT) AS hv
+        |  FROM b2, unnest(generate_series(1, n - 3)) AS t(i)),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, fp.h AS hv FROM (
+        |    SELECT doc_id, st, ng,
+        |      min({'h': hv, 'p': -st}) OVER (PARTITION BY doc_id ORDER BY st
+        |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |    FROM grams)
+        |  WHERE st <= ng - 3),
+        |dfc AS (SELECT hv, count(*) AS df FROM sel GROUP BY 1),
+        |kept AS (SELECT s.doc_id, s.hv FROM sel s JOIN dfc USING (hv)
+        |         WHERE df BETWEEN 2 AND 32)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS shared
+        |FROM kept a JOIN kept b ON a.hv = b.hv AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin,
 
     // Both SNM passes' block-prefix rank windows replayed, then exact
     // 3-gram Jaccard on the candidate union only. coalesce('') on the
