@@ -2061,6 +2061,32 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // BM25 top-k retrieval (Okapi weighting, Lucene-style non-negative
+    // IDF) — query-by-example: three corpus documents as queries, each
+    // retrieving its top 10 by summed term weight. Ranking is on the
+    // r4-ROUNDED score (then doc_id) so near-ties resolve identically
+    // in both engines; r4 also absorbs libm-ln ulps and float summation
+    // order. The oracle replays tokenization, tf/df/dl/avgdl, the exact
+    // IDF and saturation formulas (constants written as the same folded
+    // IEEE literals), and the ranked cut.
+    "q139_bm25_topk" -> ((s, d) => {
+      import graft.functions.TextFunctions
+      val docs = t(s, d, "documents")
+      val qt = docs.filter(col("doc_id").isin(7L, 20L, 33L))
+        .select(col("doc_id").as("query_id"),
+          explode(TextFunctions.tokens(
+            TextFunctions.normalizeWs(col("text")))).as("term"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+      operators.Retrieval.bm25Scores(docs, "doc_id", "text", qt)
+        .withColumn("score", r4(col("score")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // EXACT standing-corpus near-dup probe — the lossless member of
     // the q104/q108/q127 standing-probe family: a batch prefix-probes
     // the corpus's inverted gram index under corpus-rare-first order;
@@ -5059,6 +5085,45 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS shared
         |FROM kept a JOIN kept b ON a.hv = b.hv AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin,
+
+    // BM25 replay: tokenize, (doc, term, tf, dl) postings, query terms
+    // from the three example docs, df over ALL postings of query terms,
+    // N/avgdl scalars, the exact Okapi sum — constants written as the
+    // same IEEE-folded literals Spark computes ((1.2 + 1), 0.25) — and
+    // the rank-on-rounded-score cut.
+    "q139_bm25_topk" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(
+        |      lower(text), '\s+', ' ', 'g')), '\s+'), x -> x <> '') AS s
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(s)) AS avgdl
+        |          FROM base),
+        |tf AS (
+        |  SELECT doc_id, CAST(len(s) AS BIGINT) AS dl, t.term,
+        |    CAST(count(*) AS BIGINT) AS tf
+        |  FROM base, unnest(s) AS t(term) GROUP BY 1, 2, 3),
+        |qt AS (
+        |  SELECT DISTINCT doc_id AS query_id, t.term
+        |  FROM base, unnest(s) AS t(term) WHERE doc_id IN (7, 20, 33)),
+        |dfc AS (
+        |  SELECT term, count(*) AS df FROM tf
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+        |sc AS (
+        |  SELECT q.query_id, f.doc_id,
+        |    sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+        |      * (f.tf * (1.2 + 1))
+        |      / (f.tf + 1.2 * (0.25 + 0.75 * f.dl / s.avgdl))) AS score
+        |  FROM qt q JOIN tf f USING (term) JOIN dfc d USING (term)
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT query_id, doc_id, r4(score) AS score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY r4(score) DESC, doc_id) AS rank
+        |  FROM sc)
+        |SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // Both SNM passes' block-prefix rank windows replayed, then exact
     // 3-gram Jaccard on the candidate union only. coalesce('') on the

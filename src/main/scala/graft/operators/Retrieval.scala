@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** BM25 ranked retrieval (Robertson et al., the Okapi weighting; the
+  * Lucene-style non-negative IDF variant ln(1 + (N − df + ½)/(df + ½)))
+  * — the lexical retrieval baseline every RAG / dedup-audit / eval
+  * pipeline needs next to the embedding ANN tiers: score =
+  * Σ_{t∈Q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+  *
+  * Tokenization is the corpus-standard whitespace split of lowercased
+  * ws-normalized text (the q121/q138 spec), so the same index serves
+  * the whole text family.
+  *
+  * 100 TB shape: ONE corpus scan builds (doc_id, term, tf, dl) — dl
+  * rides the explode so no second pass per doc; the query-term table is
+  * BROADCAST (queries are human-sized) and semi-filters the term
+  * postings before anything else, so only postings of query terms ever
+  * reach an exchange; df comes from the filtered postings (per-term doc
+  * counts are unchanged by the term filter) under map-side partial
+  * aggregation; N and avgdl are a 1-row broadcast scalar. Scoring is
+  * one (query, doc)-grouped sum over the joined postings; top-k is a
+  * per-query window over scored docs only. Nothing corpus-sized crosses
+  * an exchange except the postings of the query's own terms.
+  */
+object Retrieval {
+
+  /** Per-(query, doc) BM25 scores over the broadcast query-term table
+    * (query_id, term). Only docs containing ≥ 1 query term appear. */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+                 queryTerms: DataFrame, k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    val toks = TextFunctions.tokens(TextFunctions.normalizeWs(col(textCol)))
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("s"))
+    // one scan: dl rides the token explode into the (doc, term) rollup
+    val tf = base
+      .select(col("doc_id"), size(col("s")).cast("long").as("dl"),
+        explode(col("s")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val qt = broadcast(queryTerms.select(col("query_id"), col("term")).distinct())
+    // postings of query terms only — the term filter drops everything
+    // else BEFORE df/score exchanges; df per term is unaffected
+    val qtf = tf.join(qt.select("term").distinct(), Seq("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfc = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = base.agg(count(lit(1)).cast("double").as("n"),
+      avg(size(col("s"))).as("avgdl"))
+    qtf.join(dfc, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .join(qt, Seq("term"))
+      // constant subexpressions (k1 + 1, 1 − b) are folded in Scala so
+      // the oracle can replay the identical IEEE operation order
+      .withColumn("idf",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w", col("idf") * (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).as("score"))
+  }
+
+  /** Top-k docs per query by BM25: (query_id, doc_id, score, rank),
+    * rank by (score desc, doc_id) — the caller rounds the score for
+    * cross-engine comparison; near-ties resolve by doc id. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: DataFrame, topK: Int, k1: Double = 1.2,
+               b: Double = 0.75): DataFrame = {
+    require(topK >= 1, s"bad topK: $topK")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    bm25Scores(docs, idCol, textCol, queryTerms, k1, b)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+}

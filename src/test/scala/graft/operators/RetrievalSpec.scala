@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scores(docs: Seq[(Long, String)], q: Seq[(Long, String)],
+                     k1: Double = 1.2, b: Double = 0.75): Map[(Long, Long), Double] =
+    Retrieval.bm25Scores(docs.toDF("doc_id", "text"), "doc_id", "text",
+        q.toDF("query_id", "term"), k1, b)
+      .as[(Long, Long, Double)].collect()
+      .map { case (qi, di, s) => (qi, di) -> s }.toMap
+
+  /** Serial BM25 with the same formula, token spec, and constant
+    * folding ((k1+1), (1−b) precomputed as doubles). */
+  private def serial(docs: Seq[(Long, String)], terms: Seq[String],
+                     k1: Double, b: Double): Map[Long, Double] = {
+    val toked = docs.map { case (id, tx) =>
+      id -> tx.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    }
+    val n = toked.size.toDouble
+    val avgdl = toked.map(_._2.size).sum.toDouble / n
+    val dfm = terms.map(t => t -> toked.count(_._2.contains(t))).toMap
+    toked.flatMap { case (id, tk) =>
+      val dl = tk.size
+      val s = terms.filter(tk.contains).map { t =>
+        val tf = tk.count(_ == t).toDouble
+        val idf = math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5))
+        idf * (tf * (k1 + 1.0)) /
+          (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+      }.sum
+      if (terms.exists(tk.contains)) Some(id -> s) else None
+    }.toMap
+  }
+
+  test("bm25Scores matches the serial reference to float tolerance") {
+    val docs = Seq(
+      1L -> "apple banana cherry apple date",
+      2L -> "banana banana cherry fig grape honey",
+      3L -> "apple kiwi lemon mango nectarine orange peach quince",
+      4L -> "cherry cherry cherry")
+    val terms = Seq("apple", "cherry")
+    val got = scores(docs, terms.map(0L -> _))
+    val want = serial(docs, terms, 1.2, 0.75)
+    assert(got.keySet == want.keySet.map(0L -> _))
+    for ((k, v) <- want)
+      assert(math.abs(got((0L, k)) - v) < 1e-9, s"doc $k: ${got((0L, k))} vs $v")
+  }
+
+  test("term frequency raises the score; saturation keeps it bounded") {
+    val docs = Seq(
+      1L -> "topic filler filler filler filler",
+      2L -> "topic topic filler filler filler",
+      3L -> "topic topic topic topic filler")
+    val s = scores(docs, Seq(0L -> "topic"))
+    assert(s((0L, 1L)) < s((0L, 2L)) && s((0L, 2L)) < s((0L, 3L)))
+    // saturation: the tf 1→2 gain exceeds the 2→4 per-occurrence gain
+    assert(s((0L, 2L)) - s((0L, 1L)) >
+      (s((0L, 3L)) - s((0L, 2L))) / 2)
+  }
+
+  test("rarer terms weigh more (IDF) and shorter docs win at equal tf (dl norm)") {
+    val docs = Seq(
+      1L -> "rare common pad1 pad2",
+      2L -> "common pad3 pad4 pad5",
+      3L -> "common pad6 pad7 pad8",
+      4L -> "common pad9 padA padB")
+    val s = scores(docs, Seq(0L -> "rare", 1L -> "common"))
+    assert(s((0L, 1L)) > s((1L, 1L)), "df=1 term must outweigh df=4 term")
+    val docs2 = Seq(1L -> "hit a b c", 2L -> "hit a b c d e f g")
+    val s2 = scores(docs2, Seq(0L -> "hit"))
+    assert(s2((0L, 1L)) > s2((0L, 2L)), "shorter doc must score higher")
+    // b = 0 disables length normalization → equal scores
+    val s3 = scores(docs2, Seq(0L -> "hit"), b = 0.0)
+    assert(math.abs(s3((0L, 1L)) - s3((0L, 2L))) < 1e-12)
+  }
+
+  test("bm25TopK ranks by (score desc, doc_id) and cuts at k") {
+    val docs = Seq(
+      1L -> "x x x y",
+      2L -> "x x y y",
+      3L -> "x y y y",
+      4L -> "y y y y")
+    val got = Retrieval.bm25TopK(docs.toDF("doc_id", "text"),
+        "doc_id", "text", Seq(9L -> "x").toDF("query_id", "term"), topK = 2)
+      .select(col("doc_id"), col("rank"))
+      .as[(Long, Int)].collect().toSet
+    assert(got == Set((1L, 1), (2L, 2)))
+  }
+
+  test("scores are invariant to input partitioning") {
+    val rnd = new scala.util.Random(3)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = (1L to 30L).map { i =>
+      i -> Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val q = Seq(0L -> "a", 0L -> "b", 1L -> "c")
+    def go(parts: Int) =
+      Retrieval.bm25Scores(docs.toDF("doc_id", "text").repartition(parts),
+          "doc_id", "text", q.toDF("query_id", "term"))
+        .select(col("query_id"), col("doc_id"),
+          (floor(col("score") * 1e10 + 0.5)).as("s"))
+        .as[(Long, Long, Long)].collect().toSet
+    assert(go(1) == go(7) && go(1).nonEmpty)
+  }
+}
