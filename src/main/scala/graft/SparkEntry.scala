@@ -2087,6 +2087,25 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // k-core decomposition (k = 4) over the SPARSE parts graph (first 2
+    // line numbers → one co-order edge per order) — dense graphs peel
+    // in one round, this one cascades for up to 4 (measured at sf0.1).
+    // The operator early-stops at the monotone fixpoint; the oracle
+    // unrolls 8 synchronous peel rounds, no-ops once converged, so the
+    // two agree whether or not the data used every round.
+    "q140_kcore" -> ((s, d) => {
+      import graft.operators.Graphs
+      val li = t(s, d, "lineitem").filter(col("l_linenumber") <= 2)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = li.alias("a").join(li.alias("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .distinct()
+      val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
+      Graphs.kCore(edges, k = 4, maxRounds = 8).orderBy(col("nid"))
+    }),
+
     // EXACT standing-corpus near-dup probe — the lossless member of
     // the q104/q108/q127 standing-probe family: a batch prefix-probes
     // the corpus's inverted gram index under corpus-rare-first order;
@@ -2983,6 +3002,35 @@ object SparkEntry {
   /** The q99 rank + Morton interleave as DuckDB SQL (mirrors
     * Layout.zOrderKeyFromCuts: rank = cuts strictly below the value; bit
     * b of rank i lands at z position b*dims + i; disjoint bits sum). */
+  /** q140 oracle: `rounds` unrolled synchronous peel rounds over the
+    * sparse parts co-order graph. Peeling is monotone, so rounds after
+    * the fixpoint are no-ops — the unroll count only needs to be ≥ the
+    * measured convergence depth (4 at sf0.1; 8 gives headroom). */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    // every e_i is referenced TWICE by round i+1 (degree count + edge
+    // filter); DuckDB inlines plain CTEs, which would expand the base
+    // scan 2^rounds times (and exhaust file handles on the parquet
+    // view) — MATERIALIZED pins each round to one evaluation
+    val head =
+      """WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+        |            FROM lineitem WHERE l_linenumber <= 2),
+        |pairs AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |          FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
+        |       UNION ALL SELECT v, u FROM pairs)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT src AS n FROM e${i - 1} GROUP BY 1
+         |        HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+         |        JOIN a$i x ON x.n = e.src JOIN a$i y ON y.n = e.dst)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$iters
+       |SELECT src AS nid, CAST(count(*) AS BIGINT) AS deg
+       |FROM e$rounds GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private def zOrderOracleExpr: String = {
     def rank(c: String, cuts: Seq[Double]): String =
       cuts.map(cut => s"(CASE WHEN $c > $cut THEN 1 ELSE 0 END)")
@@ -5124,6 +5172,8 @@ object SparkEntry {
         |  FROM sc)
         |SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
         |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q140_kcore" -> kCoreOracleSql(4, 8),
 
     // Both SNM passes' block-prefix rank windows replayed, then exact
     // 3-gram Jaccard on the candidate union only. coalesce('') on the

@@ -236,4 +236,65 @@ object Graphs {
       .na.fill(0L, Seq("triangles"))
       .select(col("n"), col("d").as("degree"), col("triangles"))
   }
+
+  /** k-core decomposition by iterative peeling (Seidman 1983; the
+    * Batagelj–Zaveršnik peel re-expressed as synchronous rounds): each
+    * round removes every node whose CURRENT degree is < k, together
+    * with its edges, until no node changes — the surviving subgraph is
+    * the k-core, the standard "dense enough to matter" filter for
+    * community mining, spam/bot subgraph extraction, and graph
+    * sparsification before the expensive operators (triangles, LPA).
+    *
+    * Input: symmetrized undirected edges (`src`, `dst`), deduplicated.
+    * Returns (`nid`, `deg`): surviving nodes with their degree inside
+    * the core.
+    *
+    * Rounds are capped at `maxRounds` for replayability; peeling is
+    * MONOTONE (the alive set only shrinks, each round's filter is
+    * determined by the previous round's survivors), so an unchanged
+    * alive-node COUNT implies an unchanged set and the loop early-stops
+    * at the fixpoint — converged rounds are no-ops, which is what makes
+    * a fixed-round oracle replay exact whether or not the data needed
+    * all the rounds.
+    *
+    * 100 TB shape: each round is one partial-agg'd degree count plus
+    * two src-/dst-keyed semi-filters of the edge table — the alive
+    * table carries bare node ids, and the edge table shrinks
+    * monotonically so every round is cheaper than the last. The
+    * per-round count() that powers the early stop is a driver-side
+    * scalar, not a collect. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    require(k >= 1, s"k out of range: $k")
+    require(maxRounds >= 1 && maxRounds <= 30,
+      s"maxRounds out of range: $maxRounds")
+    import org.apache.spark.storage.StorageLevel
+    var e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var nAlive = -1L
+    var done = false
+    for (_ <- 1 to maxRounds if !done) {
+      val alive = e.groupBy(col("src").as("n"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val cnt = alive.count()
+      if (cnt == nAlive) {
+        // monotone shrinkage: same count ⇒ same set ⇒ filtering is a
+        // no-op ⇒ fixpoint
+        alive.unpersist(blocking = false)
+        done = true
+      } else {
+        nAlive = cnt
+        val ne = e
+          .join(alive.withColumnRenamed("n", "src"), Seq("src"))
+          .join(alive.withColumnRenamed("n", "dst"), Seq("dst"))
+          .select(col("src"), col("dst"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        e.unpersist(blocking = false)
+        e = ne
+      }
+    }
+    e.groupBy(col("src").as("nid")).agg(count(lit(1)).as("deg"))
+  }
 }

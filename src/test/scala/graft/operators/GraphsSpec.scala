@@ -272,4 +272,60 @@ class GraphsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(a === b)
   }
+
+  private def core(und: Seq[(Long, Long)], k: Int, rounds: Int = 30) =
+    Graphs.kCore(symmetrize(und).toDF("src", "dst"), k, rounds)
+      .as[(Long, Long)].collect().toMap
+
+  /** Serial synchronous peel to fixpoint. */
+  private def serialCore(und: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var e = symmetrize(und)
+    var changed = true
+    while (changed) {
+      val deg = e.groupBy(_._1).view.mapValues(_.size).toMap
+      val alive = deg.filter(_._2 >= k).keySet
+      val ne = e.filter { case (u, v) => alive(u) && alive(v) }
+      changed = ne.size != e.size
+      e = ne
+    }
+    e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("kCore peels a pendant chain one node per round (cascade) and keeps the clique") {
+    // triangle {0,1,2} with chain 2—3—4—5: the 2-core is the triangle;
+    // the chain must peel via a 3-round cascade (5, then 4, then 3)
+    val und = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val got = core(und, 2)
+    assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 2L), s"$got")
+    assert(got == serialCore(und, 2))
+    // under-capped rounds stop mid-cascade: 1 round only removes the
+    // degree-1 leaf (node 5), leaving 3—4 still standing
+    val partial = core(und, 2, rounds = 1)
+    assert(partial.keySet == Set(0L, 1L, 2L, 3L, 4L), s"$partial")
+  }
+
+  test("kCore matches the serial peel across k on a mixed graph") {
+    // two 4-cliques bridged by an edge plus pendant trees
+    val clique1 = for (u <- 0L to 3L; v <- (u + 1) to 3L) yield (u, v)
+    val clique2 = for (u <- 10L to 13L; v <- (u + 1) to 13L) yield (u, v)
+    val und = (clique1 ++ clique2 ++ Seq((3L, 10L), (0L, 20L), (20L, 21L),
+      (21L, 22L), (13L, 30L), (30L, 31L))).toSeq
+    for (k <- 1 to 4) {
+      assert(core(und, k) == serialCore(und, k), s"k=$k")
+    }
+    // the 3-core is exactly the two cliques (the bridge endpoints keep
+    // degree 4, but bridge edges don't create a larger 3-dense set)
+    assert(core(und, 3).keySet == (0L to 3L).toSet ++ (10L to 13L).toSet)
+  }
+
+  test("kCore is layout invariant and the early stop matches exact-round runs") {
+    val und = (for (u <- 0L until 30L; v <- (u + 1) until 30L
+                    if (u * 3 + v * 11) % 7 == 0) yield (u, v)).toSeq
+    val e = symmetrize(und)
+    val a = Graphs.kCore(e.toDF("src", "dst"), 3, 30)
+      .as[(Long, Long)].collect().toMap
+    val b = Graphs.kCore(e.toDF("src", "dst").repartition(13), 3, 30)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b && a == serialCore(und, 3))
+  }
 }
