@@ -2106,6 +2106,22 @@ object SparkEntry {
       Graphs.kCore(edges, k = 4, maxRounds = 8).orderBy(col("nid"))
     }),
 
+    // Hilbert-curve layout key — q99's Morton sibling on the same
+    // (quantity, price) rank grid: strictly better locality (every
+    // consecutive key step is an adjacent cell; Morton jumps diagonally
+    // at power-of-two boundaries). Pure unrolled integer bit math; the
+    // oracle replays the xy2d recurrence level by level through
+    // MATERIALIZED CTEs.
+    "q141_hilbert_key" -> ((s, d) => {
+      operators.Layout.hilbertKeyFromCuts(
+          t(s, d, "lineitem"),
+          "l_quantity" -> zQtyCuts, "l_extendedprice" -> zPriceCuts,
+          bits = 4, hCol = "hkey")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("hkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // EXACT standing-corpus near-dup probe — the lossless member of
     // the q104/q108/q127 standing-probe family: a batch prefix-probes
     // the corpus's inverted gram index under corpus-rare-first order;
@@ -3029,6 +3045,42 @@ object SparkEntry {
        |$iters
        |SELECT src AS nid, CAST(count(*) AS BIGINT) AS deg
        |FROM e$rounds GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** q141 oracle: the xy2d Hilbert recurrence unrolled level by level.
+    * Each level reads the previous level's (x, y, d) twice, so every
+    * CTE is MATERIALIZED (plain CTEs would inline the rank scan
+    * 2^bits times — the q140 lesson). */
+  private def hilbertOracleSql(bits: Int): String = {
+    def rank(c: String, cuts: Seq[Double]): String =
+      cuts.map(cut => s"(CASE WHEN $c > $cut THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", ")")
+    val n = 1L << bits
+    val levels = (1 to bits).map { i =>
+      val s = 1L << (bits - i)
+      val rx = s"(CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)"
+      s"""h$i AS MATERIALIZED (
+         |  SELECT l_orderkey, l_linenumber, l_quantity,
+         |    CASE WHEN $ry = 0 THEN
+         |      (CASE WHEN $rx = 1 THEN ${n - 1} - y ELSE y END)
+         |    ELSE x END AS x,
+         |    CASE WHEN $ry = 0 THEN
+         |      (CASE WHEN $rx = 1 THEN ${n - 1} - x ELSE x END)
+         |    ELSE y END AS y,
+         |    d + ${s * s} * xor(3 * $rx, $ry) AS d
+         |  FROM h${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h0 AS MATERIALIZED (
+       |  SELECT l_orderkey, l_linenumber, l_quantity,
+       |    CAST(${rank("l_quantity", zQtyCuts)} AS BIGINT) AS x,
+       |    CAST(${rank("l_extendedprice", zPriceCuts)} AS BIGINT) AS y,
+       |    CAST(0 AS BIGINT) AS d
+       |  FROM lineitem),
+       |$levels
+       |SELECT l_orderkey, l_linenumber, l_quantity,
+       |  CAST(d AS BIGINT) AS hkey
+       |FROM h$bits ORDER BY l_orderkey, l_linenumber""".stripMargin
   }
 
   private def zOrderOracleExpr: String = {
@@ -5174,6 +5226,8 @@ object SparkEntry {
         |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q140_kcore" -> kCoreOracleSql(4, 8),
+
+    "q141_hilbert_key" -> hilbertOracleSql(4),
 
     // Both SNM passes' block-prefix rank windows replayed, then exact
     // 3-gram Jaccard on the candidate union only. coalesce('') on the

@@ -77,15 +77,7 @@ object Layout {
         s"column '$c': ${cuts.size} cuts exceed 2^$bits - 1 = $maxCuts buckets")
     }
     val ranked = colCuts.zipWithIndex.foldLeft(df) { case (acc, ((c, cuts), i)) =>
-      // rank = number of cuts STRICTLY below the value (counting the
-      // value's own cut would push the top bucket to 2^bits, overflowing
-      // the per-dimension bit budget) — a codegen'd scan of the broadcast
-      // (2^bits - 1)-element literal array, map-side
-      val rank =
-        if (cuts.isEmpty) lit(0L)
-        else aggregate(array(cuts.map(lit): _*), lit(0L),
-          (a, cut) => a + when(col(c).cast("double") > cut, 1L).otherwise(0L))
-      acc.withColumn(s"__zr_$i", rank)
+      acc.withColumn(s"__zr_$i", rankAgainstCuts(c, cuts))
     }
     // Morton interleave: bit b of rank i lands at position b*dims + i
     val dims = colCuts.size
@@ -96,5 +88,74 @@ object Layout {
       }
     }.reduce((a, c) => a.bitwiseOR(c))
     ranked.withColumn(zCol, z).drop((0 until dims).map(i => s"__zr_$i"): _*)
+  }
+
+  /** rank = number of cuts STRICTLY below the value (counting the
+    * value's own cut would push the top bucket to 2^bits, overflowing
+    * the per-dimension bit budget) — a codegen'd scan of the broadcast
+    * (2^bits − 1)-element literal array, map-side. */
+  private def rankAgainstCuts(c: String, cuts: Seq[Double]): Column =
+    if (cuts.isEmpty) lit(0L)
+    else aggregate(array(cuts.map(lit): _*), lit(0L),
+      (a, cut) => a + when(col(c).cast("double") > cut, 1L).otherwise(0L))
+
+  /** The d = 2 Hilbert index of integer coordinate columns in
+    * [0, 2^bits) — the published xy2d bit recurrence (Hilbert 1891;
+    * the loop form popularized by Warren's Hacker's Delight /
+    * Wikipedia): per level s = 2^(bits−1)…1, quadrant digit
+    * (3·rx) XOR ry weighted by s², then the Gray-code rotation
+    * (reflect at n−1 when rx = 1 ∧ ry = 0, swap when ry = 0). Pure
+    * integer Column arithmetic, fully unrolled — replayable in an ANSI
+    * oracle level by level. `bits` ≤ 8: each unroll level roughly
+    * doubles the expression tree (x references the previous y twice),
+    * so 8 levels is the codegen-friendly ceiling — and 2^8 × 2^8 cells
+    * is already finer than file-level clustering resolves. */
+  def hilbertIndex(xCol: Column, yCol: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 8, s"bits out of range: $bits")
+    val n = 1L << bits
+    var x = xCol
+    var y = yCol
+    var d: Column = lit(0L)
+    for (i <- 0 until bits) {
+      val s = 1L << (bits - 1 - i)
+      val rx = when(x.bitwiseAND(lit(s)) > lit(0L), lit(1L)).otherwise(lit(0L))
+      val ry = when(y.bitwiseAND(lit(s)) > lit(0L), lit(1L)).otherwise(lit(0L))
+      d = d + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)
+      val nx = when(ry === lit(0L),
+          when(rx === lit(1L), lit(n - 1) - y).otherwise(y))
+        .otherwise(x)
+      val ny = when(ry === lit(0L),
+          when(rx === lit(1L), lit(n - 1) - x).otherwise(x))
+        .otherwise(y)
+      x = nx
+      y = ny
+    }
+    d
+  }
+
+  /** Hilbert-curve layout key over two columns ranked against EXPLICIT
+    * cut points — the d = 2 sibling of [[zOrderKeyFromCuts]]. Hilbert
+    * ordering is strictly more local than Morton: every pair of
+    * consecutive key values is an ADJACENT grid cell (Morton takes
+    * diagonal jumps at every power-of-two boundary), so file min/max
+    * ranges under a Hilbert sort are tighter on both dimensions — the
+    * reason lakehouse OPTIMIZE implementations moved from ZORDER to
+    * Hilbert. Same scale shape as z-order: map-side rank against the
+    * broadcast cut arrays, integer bit math, and the final
+    * range-partitioned sort on the key is the only shuffle. */
+  def hilbertKeyFromCuts(df: DataFrame, xSpec: (String, Seq[Double]),
+                         ySpec: (String, Seq[Double]), bits: Int = 4,
+                         hCol: String = "__h"): DataFrame = {
+    val maxCuts = (1 << bits) - 1
+    for ((c, cuts) <- Seq(xSpec, ySpec)) {
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"hilbert column '$c' must be numeric, found ${dt.simpleString}")
+      require(cuts.size <= maxCuts,
+        s"column '$c': ${cuts.size} cuts exceed 2^$bits - 1 = $maxCuts buckets")
+    }
+    df.withColumn(hCol, hilbertIndex(
+      rankAgainstCuts(xSpec._1, xSpec._2),
+      rankAgainstCuts(ySpec._1, ySpec._2), bits))
   }
 }

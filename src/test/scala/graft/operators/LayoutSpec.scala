@@ -73,4 +73,83 @@ class LayoutSpec extends SparkSpec {
     // y contributes nothing: z = interleave(rank(x), 0) — monotone in x
     assert(z.toSeq.sortBy(_._1).map(_._2) == z.values.toSeq.sorted)
   }
+
+  /** Serial xy2d (the published recurrence) for cross-checking. */
+  private def xy2d(bits: Int, x0: Int, y0: Int): Long = {
+    val n = 1 << bits
+    var (x, y, d) = (x0, y0, 0L)
+    var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      d += s.toLong * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  private def hilbertGrid(bits: Int): Map[(Int, Int), Long] = {
+    val n = 1 << bits
+    val df = (for (x <- 0 until n; y <- 0 until n) yield (x, y))
+      .toDF("x", "y")
+    df.select(col("x"), col("y"),
+        Layout.hilbertIndex(col("x").cast("long"), col("y").cast("long"),
+          bits).as("h"))
+      .as[(Int, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+  }
+
+  test("hilbertIndex matches the serial xy2d recurrence and is a bijection") {
+    for (bits <- Seq(2, 3, 4)) {
+      val n = 1 << bits
+      val got = hilbertGrid(bits)
+      for (x <- 0 until n; y <- 0 until n)
+        assert(got((x, y)) == xy2d(bits, x, y), s"bits=$bits ($x,$y)")
+      assert(got.values.toSet == (0L until n.toLong * n).toSet,
+        s"bits=$bits: keys must cover 0..n²−1 exactly once")
+    }
+  }
+
+  test("consecutive Hilbert keys are ADJACENT cells; Morton provably is not") {
+    // the locality property that distinguishes the two curves: walking
+    // the Hilbert key order moves one grid step at a time, while the
+    // Morton order takes diagonal jumps at power-of-two boundaries
+    val bits = 4
+    val inv = hilbertGrid(bits).map(_.swap)
+    val steps = (0L until (1L << (2 * bits)) - 1).map { d =>
+      val (x0, y0) = inv(d); val (x1, y1) = inv(d + 1)
+      math.abs(x0 - x1) + math.abs(y0 - y1)
+    }
+    assert(steps.forall(_ == 1), "every Hilbert step must be distance 1")
+    def morton(x: Int, y: Int): Long =
+      (0 until bits).map(b => (((x >> b) & 1) << (2 * b)) |
+        (((y >> b) & 1) << (2 * b + 1))).sum.toLong
+    val minv = (for (x <- 0 until 16; y <- 0 until 16)
+      yield morton(x, y) -> ((x, y))).toMap
+    val mSteps = (0L until 255L).map { d =>
+      val (x0, y0) = minv(d); val (x1, y1) = minv(d + 1)
+      math.abs(x0 - x1) + math.abs(y0 - y1)
+    }
+    assert(mSteps.exists(_ > 1), "Morton must take non-adjacent jumps")
+  }
+
+  test("hilbertKeyFromCuts ranks against cuts then applies the curve") {
+    // cuts at 10/20/30 → ranks 0..3; key must equal hilbertIndex of the
+    // ranks (2-bit grid)
+    val df = Seq((5.0, 35.0), (15.0, 25.0), (25.0, 15.0), (35.0, 5.0))
+      .toDF("a", "b")
+    val cuts = Seq(10.0, 20.0, 30.0)
+    val got = Layout.hilbertKeyFromCuts(df, "a" -> cuts, "b" -> cuts,
+        bits = 2, hCol = "h")
+      .select("a", "b", "h").as[(Double, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((5.0, 35.0)) == xy2d(2, 0, 3))
+    assert(got((15.0, 25.0)) == xy2d(2, 1, 2))
+    assert(got((25.0, 15.0)) == xy2d(2, 2, 1))
+    assert(got((35.0, 5.0)) == xy2d(2, 3, 0))
+  }
 }
