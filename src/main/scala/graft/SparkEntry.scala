@@ -2122,6 +2122,19 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // CCNet-style LM perplexity buckets (Wenzek et al. 2020): add-one
+    // unigram model trained on the src0 reference slice, every document
+    // scored by cross-entropy, head/middle/tail split by ntile over the
+    // (r4-rounded ppl, doc_id) order. The oracle replays training,
+    // smoothing, the tf-weighted ln-sum, and the tercile assignment.
+    "q142_lm_perplexity" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      operators.Perplexity.perplexityBuckets(docs, "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text",
+          buckets = 3, r4)
+        .orderBy(col("doc_id"))
+    }),
+
     // EXACT standing-corpus near-dup probe — the lossless member of
     // the q104/q108/q127 standing-probe family: a batch prefix-probes
     // the corpus's inverted gram index under corpus-rare-first order;
@@ -5228,6 +5241,36 @@ object SparkEntry {
     "q140_kcore" -> kCoreOracleSql(4, 8),
 
     "q141_hilbert_key" -> hilbertOracleSql(4),
+
+    // Unigram-LM perplexity replay: reference counts from the src0
+    // slice, T/V scalars, add-one smoothing with the shared OOV bucket,
+    // tf-weighted cross-entropy (sum(tf) widens to HUGEINT — hence the
+    // casts), e^H, and the ntile tercile on the rounded score.
+    "q142_lm_perplexity" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(trim(regexp_replace(
+        |      lower(text), '\s+', ' ', 'g')), '\s+'), x -> x <> '') AS s
+        |  FROM documents),
+        |rc AS (
+        |  SELECT t.token, count(*) AS c
+        |  FROM base b, unnest(b.s) AS t(token)
+        |  WHERE b.source = 'src0' GROUP BY 1),
+        |sc AS (SELECT CAST(sum(c) AS DOUBLE) AS t,
+        |              CAST(count(*) AS DOUBLE) AS v FROM rc),
+        |tf AS (
+        |  SELECT doc_id, t.token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM base b, unnest(b.s) AS t(token) GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT f.doc_id, CAST(sum(f.tf) AS BIGINT) AS n_tokens,
+        |    r4(exp(-CAST(sum(f.tf * ln(
+        |        (coalesce(rc.c, 0) + 1.0) / (s.t + s.v + 1.0)))
+        |      AS DOUBLE) / CAST(sum(f.tf) AS DOUBLE))) AS ppl
+        |  FROM tf f LEFT JOIN rc ON rc.token = f.token CROSS JOIN sc s
+        |  GROUP BY 1)
+        |SELECT doc_id, n_tokens, ppl,
+        |  CAST(ntile(3) OVER (ORDER BY ppl, doc_id) AS BIGINT) AS bucket
+        |FROM scored ORDER BY doc_id""".stripMargin,
 
     // Both SNM passes' block-prefix rank windows replayed, then exact
     // 3-gram Jaccard on the candidate union only. coalesce('') on the

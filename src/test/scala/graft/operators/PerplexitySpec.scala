@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PerplexitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ppl(docs: Seq[(Long, String)], ref: Seq[String]): Map[Long, (Long, Double)] =
+    Perplexity.unigramPerplexity(docs.toDF("doc_id", "text"),
+        "doc_id", "text", ref.map(Tuple1(_)).toDF("text"), "text")
+      .select("doc_id", "n_tokens", "ppl")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, p) => id -> ((n, p)) }.toMap
+
+  /** Serial add-one unigram reference. */
+  private def serial(doc: String, ref: Seq[String]): Double = {
+    val rc = ref.flatMap(_.toLowerCase.trim.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val t = rc.values.sum.toDouble
+    val v = rc.size.toDouble
+    val toks = doc.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    val h = -toks.map(w =>
+      math.log((rc.getOrElse(w, 0) + 1.0) / (t + v + 1.0))).sum / toks.length
+    math.exp(h)
+  }
+
+  test("unigramPerplexity matches the serial add-one model") {
+    val ref = Seq("the cat sat on the mat", "the dog sat on the log")
+    val docs = Seq(
+      1L -> "the cat sat",
+      2L -> "the dog ate my homework",
+      3L -> "completely unseen vocabulary everywhere")
+    val got = ppl(docs, ref)
+    for ((id, tx) <- docs) {
+      assert(math.abs(got(id)._2 - serial(tx, ref)) < 1e-9, s"doc $id")
+      assert(got(id)._1 == tx.split("\\s+").length)
+    }
+  }
+
+  test("in-model text scores lower perplexity than OOV text; all-OOV hits the ceiling") {
+    val ref = Seq("alpha beta gamma alpha beta alpha")
+    val got = ppl(Seq(
+      1L -> "alpha alpha beta",
+      2L -> "alpha zz beta",
+      3L -> "xx yy zz"), ref)
+    assert(got(1L)._2 < got(2L)._2 && got(2L)._2 < got(3L)._2, s"$got")
+    // every token of doc 3 is OOV: p = 1/(T+V+1) each, so ppl = T+V+1
+    // exactly (T = 6, V = 3 → 10)
+    assert(math.abs(got(3L)._2 - 10.0) < 1e-9, s"${got(3L)}")
+  }
+
+  test("zero-token documents are dropped, not scored") {
+    val got = ppl(Seq(1L -> "alpha beta", 2L -> "   "),
+      Seq("alpha beta"))
+    assert(got.keySet == Set(1L))
+  }
+
+  test("perplexityBuckets: bucket 1 is the head (lowest ppl), sizes are ntile-even") {
+    val ref = Seq("a b c d e f a b c d")
+    val docs = (1L to 9L).map { i =>
+      // increasing OOV fraction with i → increasing perplexity
+      val known = Seq.fill((9 - i).toInt)("a")
+      val oov = Seq.fill(i.toInt)(s"oov$i")
+      i -> (known ++ oov).mkString(" ")
+    }
+    val got = Perplexity.perplexityBuckets(docs.toDF("doc_id", "text"),
+        "doc_id", "text", ref.map(Tuple1(_)).toDF("text"), "text",
+        buckets = 3, c => c)
+      .select("doc_id", "ppl", "bucket")
+      .as[(Long, Double, Long)].collect()
+    assert(got.groupBy(_._3).view.mapValues(_.length).toMap ==
+      Map(1L -> 3, 2L -> 3, 3L -> 3))
+    val byBucket = got.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket(1L).max <= byBucket(2L).min &&
+      byBucket(2L).max <= byBucket(3L).min)
+  }
+
+  test("scores are invariant to input partitioning") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "oov1", "oov2")
+    val docs = (1L to 25L).map { i =>
+      i -> Seq.fill(15)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val ref = Seq(Tuple1("a b c d e f g a b c"))
+    def go(parts: Int) =
+      Perplexity.unigramPerplexity(
+          docs.toDF("doc_id", "text").repartition(parts),
+          "doc_id", "text", ref.toDF("text"), "text")
+        .select(col("doc_id"), floor(col("ppl") * 1e9 + 0.5).as("p"))
+        .as[(Long, Long)].collect().toSet
+    assert(go(1) == go(11) && go(1).nonEmpty)
+  }
+}
