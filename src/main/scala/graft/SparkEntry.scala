@@ -2135,6 +2135,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Two-sample Kolmogorov–Smirnov drift between data slices — the
+    // distribution-shift alarm for snapshot-over-snapshot pipelines:
+    // exact per-distinct-value D for the bounded-cardinality quantity
+    // column, 1024-bucket binned D for the continuous price column.
+    // The statistic is integer-exact (decimal cross-multiplication,
+    // one final division); the oracle replays binning, cumulative
+    // counts, and the sup.
+    "q143_ks_drift" -> ((s, d) => {
+      import graft.operators.Diff
+      val li = t(s, d, "lineitem")
+      val price = Diff.ksDrift(
+          li.filter(year(col("l_shipdate")) === 1995),
+          li.filter(year(col("l_shipdate")) === 2000),
+          "l_extendedprice", buckets = 1024)
+        .withColumn("metric", lit("price_1995_vs_2000"))
+      val qty = Diff.ksDrift(
+          li.filter(col("l_returnflag") === "A"),
+          li.filter(col("l_returnflag") === "R"),
+          "l_quantity", buckets = 0)
+        .withColumn("metric", lit("qty_A_vs_R"))
+      price.unionByName(qty)
+        .select(col("metric"), r6(col("d")).as("d"),
+          col("n_a"), col("n_b"))
+        .orderBy(col("metric"))
+    }),
+
     // EXACT standing-corpus near-dup probe — the lossless member of
     // the q104/q108/q127 standing-probe family: a batch prefix-probes
     // the corpus's inverted gram index under corpus-rare-first order;
@@ -5271,6 +5297,57 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, ppl,
         |  CAST(ntile(3) OVER (ORDER BY ppl, doc_id) AS BIGINT) AS bucket
         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // KS replay: both comparisons — fixed-width 1024-bucket binning for
+    // the continuous price column (same IEEE op order as the Spark
+    // side), exact distinct-value cumulation for quantity; HUGEINT
+    // cross-products keep the sup integer-exact, one final division.
+    "q143_ks_drift" ->
+      """WITH pa AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v, 1 AS sa, 0 AS sb
+        |  FROM lineitem WHERE year(l_shipdate) = 1995),
+        |pb AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v, 0 AS sa, 1 AS sb
+        |  FROM lineitem WHERE year(l_shipdate) = 2000),
+        |pu AS (SELECT * FROM pa UNION ALL SELECT * FROM pb),
+        |mm AS (SELECT min(v) AS lo, max(v) AS hi FROM pu),
+        |pk AS (
+        |  SELECT CASE WHEN m.hi > m.lo
+        |      THEN CAST(least(floor((u.v - m.lo) / (m.hi - m.lo) * 1024),
+        |                     1023) AS DOUBLE)
+        |      ELSE 0.0 END AS k, u.sa, u.sb
+        |  FROM pu u CROSS JOIN mm m),
+        |pc AS (SELECT k, sum(sa) AS ca, sum(sb) AS cb FROM pk GROUP BY 1),
+        |pcum AS (
+        |  SELECT sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb FROM pc
+        |  WINDOW w AS (ORDER BY k ROWS UNBOUNDED PRECEDING)),
+        |ptot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM pc),
+        |pres AS (
+        |  SELECT 'price_1995_vs_2000' AS metric,
+        |    CAST(max(abs(c.cuma * t.nb - c.cumb * t.na)) AS DOUBLE)
+        |      / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)) AS d,
+        |    CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b
+        |  FROM pcum c CROSS JOIN ptot t GROUP BY t.na, t.nb),
+        |qu AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS k, 1 AS sa, 0 AS sb
+        |  FROM lineitem WHERE l_returnflag = 'A'
+        |  UNION ALL
+        |  SELECT CAST(l_quantity AS DOUBLE), 0, 1
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |qc AS (SELECT k, sum(sa) AS ca, sum(sb) AS cb FROM qu GROUP BY 1),
+        |qcum AS (
+        |  SELECT sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb FROM qc
+        |  WINDOW w AS (ORDER BY k ROWS UNBOUNDED PRECEDING)),
+        |qtot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM qc),
+        |qres AS (
+        |  SELECT 'qty_A_vs_R' AS metric,
+        |    CAST(max(abs(c.cuma * t.nb - c.cumb * t.na)) AS DOUBLE)
+        |      / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)) AS d,
+        |    CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b
+        |  FROM qcum c CROSS JOIN qtot t GROUP BY t.na, t.nb)
+        |SELECT metric, r6(d) AS d, n_a, n_b
+        |FROM (SELECT * FROM pres UNION ALL SELECT * FROM qres)
+        |ORDER BY metric""".stripMargin,
 
     // Both SNM passes' block-prefix rank windows replayed, then exact
     // 3-gram Jaccard on the candidate union only. coalesce('') on the

@@ -35,4 +35,69 @@ class DiffSpec extends SparkSpec {
     assert(!exchangeLines.exists(l => l.contains("s#") || l.contains("v#")),
       s"payload crossed the shuffle:\n$plan")
   }
+
+  import spark.implicits._
+
+  private def ks(a: Seq[Double], b: Seq[Double], buckets: Int = 0): (Double, Long, Long) =
+    Diff.ksDrift(a.toDF("v"), b.toDF("v"), "v", buckets)
+      .as[(Double, Long, Long)].collect().head
+
+  /** Serial exact two-sample KS. */
+  private def serialKs(a: Seq[Double], b: Seq[Double]): Double = {
+    val pts = (a ++ b).distinct.sorted
+    pts.map { x =>
+      math.abs(a.count(_ <= x).toDouble / a.size -
+        b.count(_ <= x).toDouble / b.size)
+    }.max
+  }
+
+  test("ksDrift exact mode matches a serial KS computation") {
+    val rnd = new scala.util.Random(19)
+    val a = Seq.fill(200)((rnd.nextInt(30) + rnd.nextInt(30)).toDouble)
+    val b = Seq.fill(150)((rnd.nextInt(30) + rnd.nextInt(40)).toDouble)
+    val (d, na, nb) = ks(a, b)
+    assert(na == 200 && nb == 150)
+    assert(math.abs(d - serialKs(a, b)) < 1e-12, s"$d vs ${serialKs(a, b)}")
+  }
+
+  test("ksDrift endpoints: identical samples → 0, disjoint ranges → 1") {
+    val a = Seq(1.0, 2.0, 3.0, 4.0)
+    assert(ks(a, a)._1 == 0.0)
+    assert(ks(a, Seq(10.0, 11.0, 12.0))._1 == 1.0)
+    // the same endpoints hold in bucketed mode
+    assert(ks(a, a, buckets = 8)._1 == 0.0)
+    assert(ks(a, Seq(10.0, 11.0, 12.0), buckets = 8)._1 == 1.0)
+  }
+
+  test("bucketed D under-estimates exact D by at most one bucket's mass") {
+    val rnd = new scala.util.Random(23)
+    val a = Seq.fill(300)(rnd.nextGaussian() * 10 + 50)
+    val b = Seq.fill(300)(rnd.nextGaussian() * 10 + 55)
+    val exact = serialKs(a, b)
+    for (bk <- Seq(16, 64, 256)) {
+      val d = ks(a, b, buckets = bk)._1
+      assert(d <= exact + 1e-12, s"buckets=$bk: binned D may not exceed exact")
+      // each sample contributes at most ceil(n/bk)·(spread/bucket) mass
+      // per bucket; with n = 300 the deviation bound 2·(1/bk)·... is
+      // loose — assert the documented qualitative bound instead
+      assert(exact - d <= 2.0 / bk * 300 / 300 + 0.25,
+        s"buckets=$bk: d=$d exact=$exact")
+    }
+    // finer buckets converge toward exact
+    assert(ks(a, b, buckets = 256)._1 >= ks(a, b, buckets = 16)._1 - 1e-12)
+  }
+
+  test("ksDrift is invariant to input partitioning and ignores nulls") {
+    val a = (1 to 100).map(i => (i % 17).toDouble)
+    val b = (1 to 80).map(i => (i % 23).toDouble)
+    val d1 = Diff.ksDrift(a.toDF("v").repartition(1),
+      b.toDF("v").repartition(1), "v", 0).as[(Double, Long, Long)].collect().head
+    val d2 = Diff.ksDrift(a.toDF("v").repartition(9),
+      b.toDF("v").repartition(5), "v", 0).as[(Double, Long, Long)].collect().head
+    assert(d1 == d2)
+    val withNulls = (a.map(Option(_)) ++ Seq(None, None)).toDF("v")
+    val d3 = Diff.ksDrift(withNulls, b.toDF("v"), "v", 0)
+      .as[(Double, Long, Long)].collect().head
+    assert(d3 == d1, "nulls must be ignored, not counted")
+  }
 }
