@@ -2161,6 +2161,47 @@ object SparkEntry {
         .orderBy(col("metric"))
     }),
 
+    // Reciprocal-rank fusion (Cormack et al. 2009) — hybrid retrieval:
+    // the q139 BM25 ranking fused with a brute-force embedding-cosine
+    // ranking for the same three example queries, 1/(60 + rank) each,
+    // top 10 by fused score. Both input rankings rank on ROUNDED scores
+    // (r4 BM25 / r6 cosine) so every rank — and therefore every fused
+    // double — replays identically in the oracle.
+    "q144_rrf_hybrid" -> ((s, d) => {
+      import graft.functions.TextFunctions
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val qt = docs.filter(col("doc_id").isin(7L, 20L, 33L))
+        .select(col("doc_id").as("query_id"),
+          explode(TextFunctions.tokens(
+            TextFunctions.normalizeWs(col("text")))).as("term"))
+        .distinct()
+      val wb = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id"))
+      val bm25 = operators.Retrieval.bm25Scores(docs, "doc_id", "text", qt)
+        .withColumn("score", r4(col("score")))
+        .withColumn("rank", row_number().over(wb))
+        .filter(col("rank") <= 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = t(s, d, "embeddings")
+      val we = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("doc_id"))
+      val embList = emb
+        .select(col("vec_id").as("doc_id"),
+          Similarity.asDouble(col("embedding")).as("cv"))
+        .crossJoin(broadcast(emb.filter(col("vec_id").isin(7L, 20L, 33L))
+          .select(col("vec_id").as("query_id"),
+            Similarity.asDouble(col("embedding")).as("qv"))))
+        .withColumn("cos", r6(Similarity.cosine(col("qv"), col("cv"))))
+        .withColumn("rank", row_number().over(we))
+        .filter(col("rank") <= 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      operators.Retrieval.rrfFuse(Seq(bm25, embList), kConst = 60, topK = 10)
+        .select(col("query_id"), col("doc_id"), r6(col("rrf")).as("rrf"),
+          col("n_lists"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // EXACT standing-corpus near-dup probe — the lossless member of
     // the q104/q108/q127 standing-probe family: a batch prefix-probes
     // the corpus's inverted gram index under corpus-rare-first order;
@@ -3057,6 +3098,38 @@ object SparkEntry {
   /** The q99 rank + Morton interleave as DuckDB SQL (mirrors
     * Layout.zOrderKeyFromCuts: rank = cuts strictly below the value; bit
     * b of rank i lands at z position b*dims + i; disjoint bits sum). */
+  /** Shared q139/q144 BM25 oracle chain: tokenize → postings (tf, dl)
+    * → query terms from the three example docs → df over all postings
+    * of query terms → the exact Okapi sum per (query, doc), with
+    * constants written as the same IEEE-folded literals Spark computes
+    * ((1.2 + 1), 0.25). Ends at CTE `sc` (query_id, doc_id, score). */
+  private val bm25ScoreCtes: String =
+    """base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(regexp_replace(
+      |      lower(text), '\s+', ' ', 'g')), '\s+'), x -> x <> '') AS s
+      |  FROM documents),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(s)) AS avgdl
+      |          FROM base),
+      |tf AS (
+      |  SELECT doc_id, CAST(len(s) AS BIGINT) AS dl, t.term,
+      |    CAST(count(*) AS BIGINT) AS tf
+      |  FROM base, unnest(s) AS t(term) GROUP BY 1, 2, 3),
+      |qt AS (
+      |  SELECT DISTINCT doc_id AS query_id, t.term
+      |  FROM base, unnest(s) AS t(term) WHERE doc_id IN (7, 20, 33)),
+      |dfc AS (
+      |  SELECT term, count(*) AS df FROM tf
+      |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
+      |sc AS (
+      |  SELECT q.query_id, f.doc_id,
+      |    sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+      |      * (f.tf * (1.2 + 1))
+      |      / (f.tf + 1.2 * (0.25 + 0.75 * f.dl / s.avgdl))) AS score
+      |  FROM qt q JOIN tf f USING (term) JOIN dfc d USING (term)
+      |  CROSS JOIN stats s
+      |  GROUP BY 1, 2)""".stripMargin
+
   /** q140 oracle: `rounds` unrolled synchronous peel rounds over the
     * sparse parts co-order graph. Peeling is monotone, so rounds after
     * the fixpoint are no-ops — the unroll count only needs to be ≥ the
@@ -5231,38 +5304,14 @@ object SparkEntry {
     // same IEEE-folded literals Spark computes ((1.2 + 1), 0.25) — and
     // the rank-on-rounded-score cut.
     "q139_bm25_topk" ->
-      """WITH base AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(trim(regexp_replace(
-        |      lower(text), '\s+', ' ', 'g')), '\s+'), x -> x <> '') AS s
-        |  FROM documents),
-        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(s)) AS avgdl
-        |          FROM base),
-        |tf AS (
-        |  SELECT doc_id, CAST(len(s) AS BIGINT) AS dl, t.term,
-        |    CAST(count(*) AS BIGINT) AS tf
-        |  FROM base, unnest(s) AS t(term) GROUP BY 1, 2, 3),
-        |qt AS (
-        |  SELECT DISTINCT doc_id AS query_id, t.term
-        |  FROM base, unnest(s) AS t(term) WHERE doc_id IN (7, 20, 33)),
-        |dfc AS (
-        |  SELECT term, count(*) AS df FROM tf
-        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1),
-        |sc AS (
-        |  SELECT q.query_id, f.doc_id,
-        |    sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-        |      * (f.tf * (1.2 + 1))
-        |      / (f.tf + 1.2 * (0.25 + 0.75 * f.dl / s.avgdl))) AS score
-        |  FROM qt q JOIN tf f USING (term) JOIN dfc d USING (term)
-        |  CROSS JOIN stats s
-        |  GROUP BY 1, 2),
-        |rk AS (
-        |  SELECT query_id, doc_id, r4(score) AS score,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY r4(score) DESC, doc_id) AS rank
-        |  FROM sc)
-        |SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
-        |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      s"""WITH $bm25ScoreCtes,
+         |rk AS (
+         |  SELECT query_id, doc_id, r4(score) AS score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY r4(score) DESC, doc_id) AS rank
+         |  FROM sc)
+         |SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+         |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q140_kcore" -> kCoreOracleSql(4, 8),
 
@@ -5348,6 +5397,42 @@ object SparkEntry {
         |SELECT metric, r6(d) AS d, n_a, n_b
         |FROM (SELECT * FROM pres UNION ALL SELECT * FROM qres)
         |ORDER BY metric""".stripMargin,
+
+    // RRF replay: the shared BM25 chain ranked on r4 scores (top 20),
+    // the brute cosine ranking on r6 scores (top 20), 1/(60 + rank)
+    // contributions, the (query, doc) sum — ≤ 2 addends, a single
+    // commutative IEEE addition, so fused doubles are bit-identical —
+    // and the fused top-10 cut.
+    "q144_rrf_hybrid" ->
+      s"""WITH $bm25ScoreCtes,
+         |bl AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY r4(score) DESC, doc_id) AS rank
+         |    FROM sc) WHERE rank <= 20),
+         |el AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY r6(list_cosine_similarity(
+         |          CAST(q.embedding AS DOUBLE[]),
+         |          CAST(c.embedding AS DOUBLE[]))) DESC, c.vec_id) AS rank
+         |    FROM embeddings q, embeddings c
+         |    WHERE q.vec_id IN (7, 20, 33)) WHERE rank <= 20),
+         |u AS (
+         |  SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c FROM bl
+         |  UNION ALL
+         |  SELECT query_id, doc_id, 1.0 / (60.0 + rank) FROM el),
+         |f AS (
+         |  SELECT query_id, doc_id, sum(c) AS rrf,
+         |    CAST(count(*) AS BIGINT) AS n_lists
+         |  FROM u GROUP BY 1, 2)
+         |SELECT query_id, doc_id, r6(rrf) AS rrf, n_lists,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rrf DESC, doc_id) AS rank FROM f)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // Both SNM passes' block-prefix rank windows replayed, then exact
     // 3-gram Jaccard on the candidate union only. coalesce('') on the

@@ -76,4 +76,36 @@ object Retrieval {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    * the standard hybrid-retrieval combiner: each input ranking
+    * contributes 1 / (kConst + rank) and the fused score is the sum,
+    * which needs no score calibration between heterogeneous retrievers
+    * (BM25's unbounded sums vs cosine's [−1, 1]) because only RANKS
+    * enter. Inputs: (query_id, doc_id, rank) frames. Returns
+    * (query_id, doc_id, rrf, n_lists, rank), top `topK` per query by
+    * (rrf desc, doc_id).
+    *
+    * Determinism: contributions are exact doubles of integer ranks; for
+    * TWO lists the sum is a single commutative addition, bit-identical
+    * cross-engine. For 3+ lists summation order varies — round the
+    * output before comparing engines.
+    *
+    * 100 TB shape: the lists are top-k-per-query — query-batch-sized,
+    * not corpus-sized; fusion is one union + one (query, doc) groupBy
+    * and a per-query window over ≤ Σ k rows. */
+  def rrfFuse(lists: Seq[DataFrame], kConst: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranking")
+    require(kConst >= 1 && topK >= 1, s"bad kConst=$kConst topK=$topK")
+    val u = lists.map(_.select(col("query_id"), col("doc_id"),
+        (lit(1.0) / (lit(kConst.toDouble) + col("rank"))).as("c")))
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    u.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("rrf"), count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
 }

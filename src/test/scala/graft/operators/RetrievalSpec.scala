@@ -90,6 +90,38 @@ class RetrievalSpec extends SparkSpec {
     assert(got == Set((1L, 1), (2L, 2)))
   }
 
+  test("rrfFuse: consensus across lists outranks a single better rank") {
+    // doc 5: rank 3 in BOTH lists → 2/(60+3); doc 9: rank 1 in one list
+    // only → 1/61. 2/63 > 1/61, so consensus wins — the RRF property.
+    val l1 = Seq((0L, 5L, 3L), (0L, 9L, 1L), (0L, 7L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val l2 = Seq((0L, 5L, 3L), (0L, 8L, 1L), (0L, 7L, 50L))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(l1, l2), kConst = 60, topK = 10)
+      .select("doc_id", "rrf", "n_lists", "rank")
+      .as[(Long, Double, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(5L)._3 == 1, s"consensus doc must rank first: $got")
+    assert(got(5L)._2 == 2)
+    assert(math.abs(got(5L)._1 - 2.0 / 63.0) < 1e-15)
+    // doc 7's two middling ranks (1/62 + 1/110) still beat either
+    // single rank-1 (1/61) — consensus again
+    assert(got(7L)._3 == 2)
+    assert(math.abs(got(7L)._1 - (1.0 / 62 + 1.0 / 110)) < 1e-15)
+    assert(got(8L)._3 == 3 && got(9L)._3 == 4,
+      "equal single-list scores (both 1/61) tie-break by doc_id")
+  }
+
+  test("rrfFuse cuts at topK per query independently") {
+    val l = (for (q <- Seq(0L, 1L); r <- 1L to 8L)
+      yield (q, 100L + r, r)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(l), kConst = 60, topK = 3)
+      .select("query_id", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 101L), (0L, 102L), (0L, 103L),
+      (1L, 101L), (1L, 102L), (1L, 103L)))
+  }
+
   test("scores are invariant to input partitioning") {
     val rnd = new scala.util.Random(3)
     val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
