@@ -2202,6 +2202,26 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // HyperBall (Boldi–Vigna 2013): neighborhood function N(t) for
+    // t = 0..3 over the sparse parts graph via per-node HLL counters
+    // (p = 6, the q116 register spec). reg_sum pins the registers
+    // integer-exactly; nf_micro sums per-node estimates pre-rounded to
+    // micro-units so the total is order-independent. The oracle pays
+    // the EXACT cost the sketch avoids: materialized BFS balls (20M
+    // membership rows at sf0.1 by t = 3, vs 64-byte counters here).
+    "q145_hyperball" -> ((s, d) => {
+      import graft.operators.Graphs
+      val li = t(s, d, "lineitem").filter(col("l_linenumber") <= 2)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = li.alias("a").join(li.alias("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .distinct()
+      val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
+      Graphs.hyperBall(edges, rounds = 3, p = 6).orderBy(col("t"))
+    }),
+
     // EXACT standing-corpus near-dup probe — the lossless member of
     // the q104/q108/q127 standing-probe family: a batch prefix-probes
     // the corpus's inverted gram index under corpus-rare-first order;
@@ -3193,6 +3213,56 @@ object SparkEntry {
        |SELECT l_orderkey, l_linenumber, l_quantity,
        |  CAST(d AS BIGINT) AS hkey
        |FROM h$bits ORDER BY l_orderkey, l_linenumber""".stripMargin
+  }
+
+  /** q145 oracle: the EXACT neighborhood function — BFS ball membership
+    * unrolled per round (MATERIALIZED; the t = 3 table is ~20M rows at
+    * sf0.1 — the cost the HyperBall sketch exists to avoid), then the
+    * q116 register formulas per (node, bucket), the harmonic S with the
+    * empty-bucket completion, and per-node estimates floored to
+    * micro-units before the integer sum. */
+  private def hyperBallOracleSql(rounds: Int): String = {
+    val sha =
+      """CAST(list_sum([(strpos('0123456789abcdef', substr(
+        |      sha256(CAST(v AS VARCHAR)), i, 1)) - 1)
+        |      * pow(16.0, 12 - i) for i in generate_series(1, 12)])
+        |    AS BIGINT)""".stripMargin
+    val balls = (1 to rounds).map { t =>
+      s"""b$t AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+         |  SELECT e.src AS v, b.u FROM e JOIN b${t - 1} b ON b.v = e.dst
+         |  UNION ALL SELECT v, u FROM b${t - 1}))""".stripMargin
+    }.mkString(",\n")
+    val stats = (0 to rounds).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS t,
+         |  CAST(sum(regsum) AS BIGINT) AS reg_sum,
+         |  CAST(sum(CAST(floor((((0.709e0 * 4096.0e0) * 8796093022208.0e0)
+         |      / CAST(s AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+         |    AS BIGINT) AS nf_micro
+         |FROM (
+         |  SELECT v, CAST(sum(reg) AS BIGINT) AS regsum,
+         |    CAST(sum(pow(2.0, 43 - reg)) AS BIGINT)
+         |      + CAST(64 - count(*) AS BIGINT)
+         |      * CAST(8796093022208 AS BIGINT) AS s
+         |  FROM (SELECT b.v, r.bucket, max(r.rank) AS reg
+         |        FROM b$t b JOIN rk r ON r.u = b.u GROUP BY 1, 2)
+         |  GROUP BY v)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+       |            FROM lineitem WHERE l_linenumber <= 2),
+       |pairs AS (SELECT DISTINCT a.p AS u, b.p AS v
+       |          FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+       |e AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
+       |     UNION ALL SELECT v, u FROM pairs),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+       |rk AS MATERIALIZED (
+       |  SELECT v AS u, hv % 64 AS bucket,
+       |    CASE WHEN hv // 64 = 0 THEN 43
+       |         ELSE 43 - length(bin(hv // 64)) END AS rank
+       |  FROM (SELECT v, $sha AS hv FROM nodes)),
+       |b0 AS MATERIALIZED (SELECT v, v AS u FROM nodes),
+       |$balls
+       |$stats
+       |ORDER BY t""".stripMargin
   }
 
   private def zOrderOracleExpr: String = {
@@ -5316,6 +5386,8 @@ object SparkEntry {
     "q140_kcore" -> kCoreOracleSql(4, 8),
 
     "q141_hilbert_key" -> hilbertOracleSql(4),
+
+    "q145_hyperball" -> hyperBallOracleSql(3),
 
     // Unigram-LM perplexity replay: reference counts from the src0
     // slice, T/V scalars, add-one smoothing with the shared OOV bucket,

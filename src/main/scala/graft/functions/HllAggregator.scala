@@ -76,12 +76,55 @@ class HllAggregator(p: Int) extends Aggregator[Long, Array[Byte], Seq[Int]] {
   override def outputEncoder: Encoder[Seq[Int]] = ExpressionEncoder()
 }
 
+/** Merge aggregator over FINISHED register vectors (the [[Hll.hll]]
+  * output type): elementwise max of m-entry Seq[Int] rows. This is the
+  * sketch-table side of the HLL family — rolling windows over per-day
+  * partials (the q113 KMV pattern) and iterated-union algorithms like
+  * HyperBall, where each round re-aggregates counter vectors rather
+  * than raw hashes. */
+class HllMergeAggregator(p: Int) extends Aggregator[Seq[Int], Array[Byte], Seq[Int]] {
+  require(p >= 4 && p <= 14, s"precision out of range (4..14): $p")
+  private val m = 1 << p
+
+  override def zero: Array[Byte] = new Array[Byte](m)
+
+  override def reduce(buf: Array[Byte], regs: Seq[Int]): Array[Byte] = {
+    require(regs.size == m, s"register vector size ${regs.size} != $m")
+    var i = 0
+    while (i < m) {
+      val r = regs(i)
+      if (r > buf(i)) buf(i) = r.toByte
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (b2(i) > b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  override def finish(buf: Array[Byte]): Seq[Int] =
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(buf.map(_.toInt))
+
+  override def bufferEncoder: Encoder[Array[Byte]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Int]] = ExpressionEncoder()
+}
+
 object Hll {
   /** Column form: `hll(6)(hashCol)` usable in `agg(...)`; input is a
     * [[KmvAggregator.kmvHash]] long (non-null). Output is the full
     * m-entry register vector (0 = empty bucket). */
   def hll(p: Int): Column => Column = {
     val fn = udaf(new HllAggregator(p))
+    (c: Column) => fn(c)
+  }
+
+  /** Column form of [[HllMergeAggregator]]: `hllMerge(6)(regsCol)`
+    * max-merges finished register vectors in `agg(...)`. */
+  def hllMerge(p: Int): Column => Column = {
+    val fn = udaf(new HllMergeAggregator(p))
     (c: Column) => fn(c)
   }
 

@@ -297,4 +297,76 @@ object Graphs {
     }
     e.groupBy(col("src").as("nid")).agg(count(lit(1)).as("deg"))
   }
+
+  /** HyperBall (Boldi & Vigna 2013): the neighborhood function
+    * N(t) = Σ_v |B(v, t)| estimated with per-node HLL counters —
+    * average distance / effective diameter of graphs whose exact BFS
+    * ball materialization is corpus-infeasible. Round t replaces every
+    * node's counter with the max-merge of its own and its successors'
+    * counters (c_t(v) = c_{t−1}(v) ∪ ⋃_{(v,w)∈E} c_{t−1}(w)), so after
+    * t rounds the counter estimates |{u : dist(v, u) ≤ t}|.
+    *
+    * Returns one row per round t = 0..rounds:
+    * (t, reg_sum, nf_micro) — reg_sum is the INTEGER sum of all
+    * register values across nodes (the exact replay pin), nf_micro the
+    * neighborhood-function estimate Σ_v rawEstimate(c_t(v)) with each
+    * per-node estimate rounded to integer micro-units BEFORE the sum,
+    * which keeps the total order-independent and so exactly replayable
+    * (a float sum over millions of nodes would drift with partitioning;
+    * a sum of longs cannot).
+    *
+    * 100 TB shape: the whole state is |V| rows of m bytes; each round
+    * is one edges⋈counters join plus one max-merge aggregate — compare
+    * the exact alternative, whose ball membership table multiplies by
+    * the average degree EVERY round (the oracle pays that cost at test
+    * scale; at 10× the merge row count grows linearly while exact
+    * membership grows by degree^rounds). Estimates carry standard HLL
+    * error (~1.04/√m); the registers themselves are exact. */
+  def hyperBall(edges: DataFrame, rounds: Int, p: Int = 6): DataFrame = {
+    require(rounds >= 1 && rounds <= 6, s"rounds out of range: $rounds")
+    import org.apache.spark.storage.StorageLevel
+    import graft.functions.{Hll, KmvAggregator}
+    val ed = edges.select(col("src"), col("dst"))
+      .repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("v"))
+      .unionByName(edges.select(col("dst").as("v")))
+      .distinct()
+    var ctr = nodes
+      .groupBy(col("v"))
+      .agg(Hll.hll(p)(KmvAggregator.kmvHash(col("v"))).as("regs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // per-round summaries are 1-row scalars, collected EAGERLY so the
+    // previous round's counter table can be released (a lazy union of
+    // round summaries would recompute every unpersisted round at the
+    // final action)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    def summarize(t: Int, c: DataFrame): Unit = {
+      val r = c.select(
+          aggregate(col("regs"), lit(0L), (a, x) => a + x).as("rsum"),
+          floor(Hll.rawEstimate(Hll.harmonicS(col("regs"), p), p)
+            * 1000000.0 + 0.5).cast("long").as("nfm"))
+        .agg(sum(col("rsum")).as("reg_sum"), sum(col("nfm")).as("nf_micro"))
+        .head()
+      rows += ((t.toLong, r.getLong(0), r.getLong(1)))
+    }
+    summarize(0, ctr)
+    for (t <- 1 to rounds) {
+      val next = ctr
+        .unionByName(ed
+          .join(ctr.withColumnRenamed("v", "dst"), Seq("dst"))
+          .select(col("src").as("v"), col("regs")))
+        .groupBy(col("v"))
+        .agg(Hll.hllMerge(p)(col("regs")).as("regs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      summarize(t, next)
+      ctr.unpersist(blocking = false)
+      ctr = next
+    }
+    ctr.unpersist(blocking = false)
+    ed.unpersist(blocking = false)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    rows.toSeq.toDF("t", "reg_sum", "nf_micro")
+  }
 }
