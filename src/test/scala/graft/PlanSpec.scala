@@ -207,7 +207,13 @@ class PlanSpec extends SparkSpec {
       "q120_bpe_merges", "q122_bpe_encode", "q124_kmeans",
       "q125_diverse_sample", "q130_semdedup", "q137_pq_topk",
       // q134: the one-row totals frame broadcast into the B-row model
-      "q134_importance_weights")
+      "q134_importance_weights",
+      // q139/q142: one-row corpus stats (N/avgdl, T/V) broadcast into
+      // the postings; q143: one-row min/max + totals broadcast into the
+      // bucket assignment; q144: the q139 stats plus the 3-row query-
+      // vector frame broadcast into the cosine scan
+      "q139_bm25_topk", "q142_lm_perplexity", "q143_ks_drift",
+      "q144_rrf_hybrid")
     // iterative queries execute jobs at plan-build (connected components
     // materializes rounds); their shapes are pinned by their own tests
     val excluded = Set("q65_dup_clusters", "q80_dedup_survivors")
