@@ -2248,6 +2248,33 @@ object SparkEntry {
           r4(col("containment")).as("containment"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+
+    // EXACT edit-distance join at k = 2 over 32-char lowercased text
+    // keys — the CHARACTER-level exact similarity join (typos, OCR
+    // noise, near-identical titles) next to the set-level Jaccard /
+    // containment joins. Ed-Join prefix filtering (k·q+1 rare-first
+    // positional grams) + length/position filters + banded Levenshtein
+    // verify; the corpus is the doc_id % 5 slice with deterministic
+    // planted edits (one substitution or one deletion at char 8) so
+    // the pair set is non-trivial at every SF. Gates against DuckDB's
+    // own levenshtein over the brute-force length-banded pair space:
+    // losslessness IS the gate.
+    "q146_edit_join" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("id"),
+          substring(lower(col("text")), 1, 32).as("s"))
+      val planted = base.filter(col("id") % 25 === 0)
+        .select((col("id") + 1000000L).as("id"),
+          when(col("id") % 50 === 0,
+            concat(substring(col("s"), 1, 7), lit("x"),
+              substring(col("s"), 9, 24)))
+          .otherwise(concat(substring(col("s"), 1, 7),
+            substring(col("s"), 9, 24))).as("s"))
+      operators.SimilarityJoin.editDistanceJoin(
+          base.unionByName(planted), "id", "s", k = 2, q = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
   )
 
   /** Bench-side split of the standing-corpus probes (VERDICT r6 #4).
@@ -5598,6 +5625,27 @@ object SparkEntry {
         |    ON a.doc_id <> b.doc_id AND 5 * len(b.g) >= 4 * len(a.g))
         |SELECT id_a, id_b, r4(ov::DOUBLE / sa) AS containment
         |FROM pairs WHERE 5 * ov >= 4 * sa ORDER BY id_a, id_b""".stripMargin,
+
+    // Edit-join brute force: the query's planted-edit corpus rebuilt in
+    // SQL, then every length-banded pair under DuckDB's own levenshtein
+    // — the filter cascade must lose nothing.
+    "q146_edit_join" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, substr(lower(text), 1, 32) AS s
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |planted AS (
+        |  SELECT id + 1000000 AS id,
+        |    CASE WHEN id % 50 = 0
+        |      THEN substr(s, 1, 7) || 'x' || substr(s, 9, 24)
+        |      ELSE substr(s, 1, 7) || substr(s, 9, 24) END AS s
+        |  FROM base WHERE id % 25 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM u a JOIN u b
+        |  ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 2
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // DSIR replay: unigram+bigram explode, the q102 sha-digit hash mod
     // 1024, raw + target bucket counts, smoothed log-ratio model, and

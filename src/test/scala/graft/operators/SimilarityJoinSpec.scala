@@ -265,4 +265,93 @@ class SimilarityJoinSpec extends SparkSpec {
         s"($a,$b,$j) must appear in brute force with the same jaccard")
     }
   }
+
+  // ---- editDistanceJoin (q146's operator) -------------------------------
+
+  private def edPairs(rows: Seq[(Long, String)], k: Int = 2, q: Int = 3)
+      : Set[(Long, Long, Long)] =
+    SimilarityJoin.editDistanceJoin(rows.toDF("id", "s"), "id", "s", k, q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def edBrute(rows: Seq[(Long, String)], k: Int)
+      : Set[(Long, Long, Long)] =
+    SimilarityJoin.bruteForceEditPairs(rows.toDF("id", "s"), "id", "s", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("edit join: distance exactly k kept, k+1 dropped") {
+    val corpus = Seq(
+      1L -> "correct horse battery staple",
+      2L -> "correct horse battery stAple",   // 1 substitution
+      3L -> "correct horse bAttery stAple",   // 2 substitutions
+      4L -> "correct hOrse bAttery stAple",   // 3 substitutions: out
+      5L -> "a completely different sentence")
+    assert(edPairs(corpus) === Set((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 1L),
+      (2L, 4L, 2L), (3L, 4L, 1L)))
+  }
+
+  test("edit join: insertions and deletions count, not just substitutions") {
+    val corpus = Seq(
+      1L -> "abcdefghijkl",
+      2L -> "abcdefghijklXY",   // 2 insertions at the tail
+      3L -> "abcdefghij",       // 2 deletions
+      4L -> "Xabcdefghijkl")    // 1 insertion at the head
+    // (2,4) and (3,4) sit at distance 3 — the head insertion desyncs
+    // every later position — and must be excluded at k=2
+    assert(edPairs(corpus) === Set((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 1L)))
+    assert(edPairs(corpus) === edBrute(corpus, 2))
+  }
+
+  test("edit join: strings below the prefix bound route through the short fallback") {
+    // k=2, q=3: shortMax = 8. Pure-short pairs (len < q has NO grams at
+    // all) and the mixed short(8)xlong(10) pair a short-x-short-only
+    // fallback would silently miss.
+    val corpus = Seq(
+      1L -> "ab",            // no grams
+      2L -> "ad",            // dist 1 to "ab"
+      3L -> "abcdefgh",      // len 8: short (7 grams < kq+1)
+      4L -> "abcdefghXY",    // len 10: long side of a mixed pair, dist 2
+      5L -> "")              // empty: dist 2 to "ab"/"ad"
+    val got = edPairs(corpus)
+    assert(got === edBrute(corpus, 2))
+    assert(got.contains((1L, 2L, 1L)))
+    assert(got.contains((3L, 4L, 2L)), "mixed short x long pair must survive")
+    assert(got.contains((1L, 5L, 2L)) && got.contains((2L, 5L, 2L)))
+  }
+
+  test("edit join: lossless vs brute force on a seeded mixed-length corpus") {
+    val rnd = new scala.util.Random(20260815L)
+    val words = Vector("data", "spark", "table", "row", "scan", "fast",
+      "slow", "key", "agg", "join")
+    // lengths straddle the short boundary; planted edits at varied
+    // positions create true pairs at distances 0, 1, 2, and 3
+    val base = (0 until 80).map { i =>
+      val len = 2 + rnd.nextInt(6)
+      i.toLong -> Seq.fill(len)(words(rnd.nextInt(words.size))).mkString(" ")
+    }
+    val edited = (0 until 80 by 4).map { i =>
+      val s = base(i)._2
+      val p = 1 + rnd.nextInt(math.max(1, s.length - 1))
+      val mutated = rnd.nextInt(3) match {
+        case 0 => s.take(p - 1) + "#" + s.drop(p)            // substitute
+        case 1 => s.take(p - 1) + s.drop(p)                  // delete
+        case _ => s.take(p) + "#" + s.drop(p)                // insert
+      }
+      (1000L + i) -> mutated
+    }
+    val corpus = base ++ edited
+    val got = edPairs(corpus)
+    val want = edBrute(corpus, 2)
+    assert(want.nonEmpty, "seeded corpus must contain true pairs")
+    assert(got === want)
+  }
+
+  test("edit join: result is invariant to input layout") {
+    val corpus = Seq(1L -> "abcdefghijkl", 2L -> "abcdefghijkX",
+      3L -> "zz", 4L -> "zy").toDF("id", "s")
+    val one = SimilarityJoin.editDistanceJoin(corpus.repartition(1),
+      "id", "s").collect().toSet
+    val many = SimilarityJoin.editDistanceJoin(corpus.repartition(7),
+      "id", "s").collect().toSet
+    assert(one === many)
+  }
 }
