@@ -2275,6 +2275,31 @@ object SparkEntry {
           base.unionByName(planted), "id", "s", k = 2, q = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
+
+    // C4-style blocklist filtering: unigram + two-word-phrase entries
+    // matched on the normalized token stream (word-boundary semantics
+    // by construction), per-doc occurrence and distinct-entry counts,
+    // keep = no hits. Pure map stage — the list rides the plan as
+    // codegen literals. The oracle replays tokenization, the bigram
+    // view, and both counters.
+    "q147_blocklist" -> ((s, d) => {
+      operators.TextAnalysis.blocklistFilter(t(s, d, "documents"),
+          "doc_id", "text", Seq("slow", "broken", "fast table", "row scan"))
+        .select(col("doc_id"), col("n_hits"), col("n_terms"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PMI collocations (Church & Hanks): which adjacent word pairs
+    // co-occur beyond chance — the vocabulary-curation signal BPE's raw
+    // frequency misses. Integer unigram/bigram/total counts are exact;
+    // the ln ratio rides r4 (the q71/q134 libm-ulp convention).
+    "q148_pmi" -> ((s, d) => {
+      operators.TextAnalysis.pmiCollocations(t(s, d, "documents"),
+          "text", minCount = 20L)
+        .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+          r4(col("pmi")).as("pmi"))
+        .orderBy(col("w1"), col("w2"))
+    }),
   )
 
   /** Bench-side split of the standing-corpus probes (VERDICT r6 #4).
@@ -5646,6 +5671,54 @@ object SparkEntry {
         |  ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 2
         |WHERE levenshtein(a.s, b.s) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Blocklist replay: same tokenization, adjacent-bigram view, and
+    // both counters (per-occurrence and distinct-entry) in list HOFs.
+    "q147_blocklist" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(
+        |      lower(text), '\s+', ' ', 'g')), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, tk,
+        |    list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+        |      i -> tk[i] || ' ' || tk[i + 1]) AS bg
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(tk, t -> list_contains(['slow', 'broken'], t)))
+        |     + len(list_filter(bg, t -> list_contains(['fast table', 'row scan'], t)))
+        |    AS BIGINT) AS n_hits,
+        |  CAST(len(list_intersect(list_distinct(tk), ['slow', 'broken']))
+        |     + len(list_intersect(list_distinct(bg), ['fast table', 'row scan']))
+        |    AS BIGINT) AS n_terms,
+        |  (len(list_filter(tk, t -> list_contains(['slow', 'broken'], t)))
+        |     + len(list_filter(bg, t -> list_contains(['fast table', 'row scan'], t)))) = 0
+        |    AS keep
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // PMI replay: tokenize, unigram counts + corpus token total,
+    // adjacent-bigram counts at the same min-count cut, ln ratio.
+    "q148_pmi" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(trim(regexp_replace(
+        |      lower(text), '\s+', ' ', 'g')), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |uni AS (SELECT unnest(tk) AS w FROM toks),
+        |uc AS (SELECT w, count(*) AS c_w FROM uni GROUP BY 1),
+        |n AS (SELECT count(*) AS n_tok FROM uni),
+        |bg AS (
+        |  SELECT unnest(list_transform(generate_series(1, greatest(len(tk) - 1, 0)),
+        |    i -> tk[i] || ' ' || tk[i + 1])) AS gq
+        |  FROM toks),
+        |bc AS (SELECT gq, count(*) AS c_ab FROM bg GROUP BY 1
+        |       HAVING count(*) >= 20),
+        |sp AS (SELECT string_split(gq, ' ')[1] AS w1,
+        |              string_split(gq, ' ')[2] AS w2, c_ab FROM bc)
+        |SELECT w1, w2, c_ab, a.c_w AS c_a, b.c_w AS c_b,
+        |  r4(ln(c_ab::DOUBLE * n_tok / (a.c_w::DOUBLE * b.c_w))) AS pmi
+        |FROM sp JOIN uc a ON a.w = sp.w1 JOIN uc b ON b.w = sp.w2, n
+        |ORDER BY w1, w2""".stripMargin,
 
     // DSIR replay: unigram+bigram explode, the q102 sha-digit hash mod
     // 1024, raw + target bucket counts, smoothed log-ratio model, and

@@ -281,6 +281,95 @@ object TextAnalysis {
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
   }
 
+  /** C4-style blocklist filtering (Raffel et al. 2020 drop any page
+    * containing a word from a blocklist; the "bad words" curation
+    * stage). Entries are lower-case unigrams or two-word phrases,
+    * matched against the whitespace-normalized token stream — word-
+    * boundary semantics by construction (no substring false positives:
+    * "ass" never matches "pass"), phrase matches via the adjacent-
+    * bigram view. Returns the input keyed frame plus
+    * (n_hits, n_terms, keep): total match occurrences, distinct
+    * blocklist entries matched, and the drop verdict (keep = no hits).
+    *
+    * 100 TB shape: the blocklist compiles into LITERAL arrays inside
+    * codegen'd array HOFs — a pure map stage, zero shuffle, zero
+    * broadcast (the list rides the plan, not the cluster); real-world
+    * blocklists (100s–1000s of entries) stay well inside literal-array
+    * range. Counting is per-occurrence (overlapping bigrams included),
+    * so the verdict is monotone under document concatenation. */
+  def blocklistFilter(df: DataFrame, idCol: String, textCol: String,
+                      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "blocklist must not be empty")
+    require(terms.forall(t => t == t.toLowerCase && t.trim == t && t.nonEmpty),
+      "blocklist entries must be trimmed lower-case")
+    val (bi, uni) = terms.distinct.partition(_.contains(" "))
+    require(bi.forall(_.split(" ").length == 2),
+      "phrase entries must be exactly two words")
+    val toks = TextFunctions.tokens(TextFunctions.normalizeWs(col(textCol)))
+    val grams = TextFunctions.wordShingles(toks, 2)
+    def hits(arr: Column, list: Seq[String]): Column =
+      if (list.isEmpty) lit(0)
+      else size(filter(arr, t => t.isin(list.map(lit(_)): _*)))
+    def matched(arr: Column, list: Seq[String]): Column =
+      if (list.isEmpty) lit(0)
+      else size(array_intersect(array_distinct(arr),
+        array(list.map(lit(_)): _*)))
+    df.withColumn("n_hits",
+        (hits(toks, uni) + hits(grams, bi)).cast("long"))
+      .withColumn("n_terms",
+        (matched(toks, uni) + matched(grams, bi)).cast("long"))
+      .withColumn("keep", col("n_hits") === 0L)
+  }
+
+  /** Pointwise-mutual-information collocations (Church & Hanks 1990) —
+    * the vocabulary-curation diagnostic between raw counts and a
+    * learned tokenizer: which adjacent word pairs co-occur far more
+    * often than chance? pmi = ln(c_ab · N / (c_a · c_b)) with N the
+    * corpus token count and c_a/c_b/c_ab unigram/adjacent-bigram
+    * occurrence counts over the whitespace-normalized stream (the
+    * Church–Hanks window-1 estimator: unigram probabilities share the
+    * token denominator N, so the ratio needs no separate bigram total).
+    * High-PMI pairs are multi-word units a tokenizer should learn as
+    * one symbol (q120's BPE finds them by raw frequency; PMI finds the
+    * RARE-but-glued pairs frequency misses).
+    *
+    * Returns (w1, w2, c_ab, c_a, c_b, pmi) for pairs with
+    * c_ab ≥ minCount, integer counts exact.
+    *
+    * 100 TB shape: one corpus pass explodes tokens (unigram hash-agg)
+    * and one explodes adjacent pairs (bigram hash-agg), both with
+    * map-side partial aggregation into vocabulary-bounded frames; the
+    * unigram table joins onto the bigram table twice via broadcast
+    * (vocab-sized, the q120 contract); the one-row N frame broadcasts
+    * into the final projection. Nothing row-scale crosses a shuffle
+    * after the two aggregations. */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount out of range: $minCount")
+    val toks = df.select(
+      TextFunctions.tokens(TextFunctions.normalizeWs(col(textCol))).as("tk"))
+    val uniEx = toks.select(explode(col("tk")).as("w"))
+    val uni = uniEx.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val n = uniEx.agg(count(lit(1)).as("n_tok"))
+    val biCounts = toks
+      .select(explode(TextFunctions.wordShingles(col("tk"), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+      .withColumn("w2", split(col("g"), " ").getItem(1))
+    biCounts
+      .join(broadcast(uni.select(col("w").as("w1"), col("c_w").as("c_a"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c_w").as("c_b"))),
+        Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        // doubles BEFORE the products: c_a·c_b in long overflows (and
+        // ANSI-throws) once corpus token counts pass ~3e9
+        log(col("c_ab").cast("double") * col("n_tok").cast("double")
+          / (col("c_a").cast("double") * col("c_b").cast("double"))).as("pmi"))
+  }
+
   /** Convenience: annotate a document frame with the full analysis set. */
   def annotate(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("lang_pred", languageId(col(textCol)))

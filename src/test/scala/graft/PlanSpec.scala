@@ -213,7 +213,10 @@ class PlanSpec extends SparkSpec {
       // bucket assignment; q144: the q139 stats plus the 3-row query-
       // vector frame broadcast into the cosine scan
       "q139_bm25_topk", "q142_lm_perplexity", "q143_ks_drift",
-      "q144_rrf_hybrid")
+      "q144_rrf_hybrid",
+      // q148: the one-row corpus token total broadcast into the
+      // vocabulary-sized PMI projection
+      "q148_pmi")
     // iterative queries execute jobs at plan-build (connected components
     // materializes rounds); their shapes are pinned by their own tests
     val excluded = Set("q65_dup_clusters", "q80_dedup_survivors")

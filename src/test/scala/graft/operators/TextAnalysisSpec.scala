@@ -188,4 +188,83 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     assert(shares.values.forall(s => math.abs(s - 1.0) < 1e-12))
   }
+
+  test("blocklistFilter: word boundaries, phrase entries, occurrence vs distinct counts") {
+    val list = Seq("bad", "worse", "very bad")
+    val df = Seq(
+      (1L, "bad bad things and a very bad day"),  // bad x2(+1 in phrase), very bad x1
+      (2L, "badge and badlands pass"),            // substrings must NOT match
+      (3L, "a perfectly clean document"),
+      (4L, "WORSE,")                               // punct glues: "worse," is not "worse"
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistFilter(df, "doc_id", "text", list)
+      .select("doc_id", "n_hits", "n_terms", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // doc 1: unigram "bad" occurs 3x (incl. inside the phrase span —
+    // occurrence counting is per-view), phrase "very bad" once -> 4 hits,
+    // 2 distinct entries
+    assert(got(1L) === ((1L, 4L, 2L, false)))
+    assert(got(2L) === ((2L, 0L, 0L, true)), "no substring matches")
+    assert(got(3L) === ((3L, 0L, 0L, true)))
+    assert(got(4L) === ((4L, 0L, 0L, true)), "tokenization is whitespace, not punct-aware")
+  }
+
+  test("blocklistFilter: overlapping bigram occurrences each count") {
+    val df = Seq((1L, "row scan row scan")).toDF("doc_id", "text")
+    // bigrams: "row scan", "scan row", "row scan" -> 2 phrase hits
+    val got = TextAnalysis.blocklistFilter(df, "doc_id", "text",
+        Seq("row scan")).select("n_hits", "n_terms")
+      .as[(Long, Long)].head()
+    assert(got === ((2L, 1L)))
+  }
+
+  test("blocklistFilter rejects malformed lists") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistFilter(df, "doc_id", "text", Seq("Upper"))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistFilter(df, "doc_id", "text", Seq("three word phrase"))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistFilter(df, "doc_id", "text", Seq.empty)
+    }
+  }
+
+  test("pmiCollocations: hand-computed counts and ln ratio on a pinned corpus") {
+    // corpus: "a b a b" + "a c" -> tokens N=6: a x3, b x2, c x1
+    // bigrams: (a b) x2, (b a) x1, (a c) x1
+    val df = Seq("a b a b", "a c").toDF("text")
+    val got = TextAnalysis.pmiCollocations(df, "text", minCount = 1L)
+      .select("w1", "w2", "c_ab", "c_a", "c_b", "pmi")
+      .as[(String, String, Long, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got(("a", "b")) === (("a", "b", 2L, 3L, 2L,
+      math.log(2.0 * 6 / (3.0 * 2)))))
+    assert(got(("b", "a")) === (("b", "a", 1L, 2L, 3L,
+      math.log(1.0 * 6 / (2.0 * 3)))))
+    assert(got(("a", "c")) === (("a", "c", 1L, 3L, 1L,
+      math.log(1.0 * 6 / (3.0 * 1)))))
+    assert(got.size === 3)
+  }
+
+  test("pmiCollocations: glued rare pair outranks a frequent-by-chance pair") {
+    // "new york" always together (rare but glued); "of the" frequent but
+    // both words everywhere -> PMI(new york) > PMI(of the)
+    val docs = Seq.fill(5)("new york") ++
+      Seq.fill(10)("of the") ++ Seq.fill(10)("the of") ++
+      Seq.fill(10)("of x") ++ Seq.fill(10)("the y")
+    val got = TextAnalysis.pmiCollocations(docs.toDF("text"), "text", 1L)
+      .select("w1", "w2", "pmi")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("new", "york")) > got(("of", "the")))
+  }
+
+  test("pmiCollocations: minCount cuts below-threshold pairs") {
+    val df = Seq("a b a b a b", "c d").toDF("text")
+    val got = TextAnalysis.pmiCollocations(df, "text", minCount = 3L)
+      .select("w1", "w2").as[(String, String)].collect().toSet
+    assert(got === Set(("a", "b")))
+  }
 }
