@@ -46,7 +46,11 @@ object ScaleProbe {
     "q122_bpe_encode", "q124_kmeans",
     // round-8 fourth sitting: DSIR weighting (map-side gram bucketing,
     // B-row models, broadcast log-ratio join — pure linear shape)
-    "q134_importance_weights")
+    "q134_importance_weights",
+    // round-9: Aho-Corasick scan (pure map stage — ratio should be scan
+    // cost) and URL normalize + per-domain cap (map normalization + one
+    // domain-key shuffle into WindowGroupLimit)
+    "q150_ac_scan", "q151_url_domain_cap")
 
   // Corpus construction lives in ProbeCorpus (pinned-seed, reproducible
   // across invocations — ProbeCorpusSpec pins count+hash); this main only

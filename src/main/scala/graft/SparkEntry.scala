@@ -2300,6 +2300,97 @@ object SparkEntry {
           r4(col("pmi")).as("pmi"))
         .orderBy(col("w1"), col("w2"))
     }),
+
+    // First CONTAINER format through the codec seam: synthesizeZip emits
+    // standards-valid ZIP archives (1-3 members; sha256-chain names,
+    // sizes, and content; stored/deflate alternating by parity) and
+    // decodeZip does the full parse — EOCD backward scan, central
+    // directory walk, local-header cross-check, raw-deflate bodies, and
+    // per-member CRC32 validation — exploding each blob into member ROWS
+    // (the binary explode). The oracle replays the member-content
+    // formula: decoded bytes are independent of the compression
+    // representation, so any offset, inflate, or directory-walk mistake
+    // desyncs the integer lanes and the hash goes red.
+    "q149_zip_members" -> ((s, d) => {
+      val media = operators.Multimodal.synthesizeZip(s, 200)
+      operators.Multimodal.memberFeatures(
+          operators.Multimodal.extractMembers(media, operators.Multimodal.decodeZip))
+        .toDF()
+        .orderBy(col("media_id"), col("member_idx"))
+    }),
+
+    // Aho-Corasick multi-pattern SUBSTRING scan — q147's scale path:
+    // every occurrence (overlaps included) of every pattern in one text
+    // pass, pattern list broadcast as an automaton instead of riding the
+    // plan as literals. The pattern set exercises the automaton's hard
+    // edges in-gate: "le" ends inside "table" (fail-link emission),
+    // "scan" is a prefix of "row scan"-adjacent text, "a a" self-overlaps
+    // in "a a a" runs, "an" fires inside "scan". The oracle is
+    // brute-force substring counting over every (position, pattern) pair:
+    // losslessness IS the gate.
+    "q150_ac_scan" -> ((s, d) => {
+      operators.TextAnalysis.multiPatternScan(t(s, d, "documents"),
+          "doc_id", "text",
+          Seq("table", "le", "a a", "scan", "an", "row scan", "t t"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL canonicalization + per-registered-domain cap — the crawl
+    // curation stage before URL-level dedup. URLs are synthesized from
+    // doc_id by a formula both engines replay (mixed-case scheme/host,
+    // www prefixes, default and non-default ports, unsorted query
+    // params, fragments, trailing slashes — every normalization rule
+    // exercised in-gate, including the http://host:443 trap where the
+    // NON-matching default port must be kept); the gated artifact is the
+    // normalize → registered-domain → top-3-per-domain chain.
+    "q151_url_domain_cap" -> ((s, d) => {
+      val i = col("doc_id")
+      val url = concat(
+        when(i % 5 === 0, lit("HTTP")).otherwise(lit("https")),
+        lit("://"),
+        when(i % 3 === 0, lit("www.")).otherwise(lit("")),
+        when(i % 9 === 0, lit("SiTe")).otherwise(lit("site")),
+        (i % 17).cast("string"), lit("."),
+        element_at(array(lit("com"), lit("org"), lit("co.uk"), lit("io")),
+          (i % 4).cast("int") + 1),
+        when(i % 10 === 0, lit(":80")).when(i % 7 === 0, lit(":8080"))
+          .when(i % 11 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"), (i % 13).cast("string"),
+        when(i % 6 === 0, lit("/")).otherwise(lit("")),
+        when(i % 2 === 0,
+          concat(lit("?b="), (i % 5).cast("string"), lit("&a=1")))
+          .otherwise(lit("")),
+        when(i % 4 === 0, lit("#sec")).otherwise(lit("")))
+      operators.Curation.domainCap(
+          t(s, d, "documents").withColumn("url", url),
+          "url", "n_chars", "doc_id", cap = 3)
+        .select(col("doc_id"), col("url_norm"), col("domain"),
+          col("rk").cast("long").as("rk"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ColBERT-style MaxSim late-interaction retrieval: embeddings become
+    // multi-vector documents (vec_id DIV 8 = doc, vec_id % 8 = token
+    // position), queries are every 20th doc's first 4 token vectors, and
+    // score(q, d) = sum over query tokens of the best-matching doc-token
+    // dot product — all over int8 codes from quantizeInt8, so every dot,
+    // max, sum, and rank replays exactly in the oracle (no rounding
+    // marker). Completes the retrieval column: lexical (q139), fused
+    // (q144), single-vector ANN (q26/q46/q106/q137), late interaction.
+    "q152_maxsim_topk" -> ((s, d) => {
+      val toks = t(s, d, "embeddings").select(
+        expr("vec_id DIV 8").as("doc_id"),
+        expr("vec_id % 8").as("token_idx"),
+        operators.Embeddings.quantizeInt8(col("embedding"))
+          .getField("q").as("q"))
+      val queries = toks
+        .filter(col("doc_id") % 20 === 0 && col("token_idx") < 4)
+        .select(col("doc_id").as("query_id"), col("token_idx"), col("q"))
+      operators.Retrieval.maxSimTopK(toks, queries, topK = 5)
+        .select(col("query_id"), col("doc_id"), col("maxsim"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
   )
 
   /** Bench-side split of the standing-corpus probes (VERDICT r6 #4).
@@ -3112,6 +3203,43 @@ object SparkEntry {
     * j > 0 is a copy iff its "mask"-chain byte ≡ 0 (mod 4) — one
     * running-max window over anchor indices replays the rule. Feature
     * lanes identical to q109/q111/q112. */
+  /** q149 oracle: replay the ZIP member-content formula (NOT the
+    * container — decoded member bytes are independent of how the deflate
+    * layer represented them, the q111 transparency property extended to
+    * archives). Archive i has 1 + dimbyte % 3 members; member k's length
+    * is 16 + lenbyte % 48, its bytes the "zip"/"zipc1"-tagged chain, its
+    * name the literal formula m{k}_{i}.bin, its method (i+k) parity. */
+  private lazy val zipMemberCte: String = {
+    val alpha = "'0123456789abcdef'"
+    def byteAt(src: String, off: String): String =
+      s"(strpos($alpha, substr($src, 2 * ($off) + 1, 1)) - 1) * 16 " +
+        s"+ (strpos($alpha, substr($src, 2 * ($off) + 2, 1)) - 1)"
+    val iv = "CAST(i AS VARCHAR)"
+    val kv = "CAST(k AS VARCHAR)"
+    s"""WITH arc AS (
+       |  SELECT i,
+       |    1 + (${byteAt(s"sha256('42:zipdim:' || $iv)", "0")}) % 3 AS nm
+       |  FROM range(200) t(i)),
+       |mem AS (
+       |  SELECT i, CAST(k AS INT) AS k,
+       |    16 + (${byteAt(s"sha256('42:ziplen:' || $iv || ':' || $kv)", "0")}) % 48 AS len,
+       |    sha256('42:zip:' || $iv || ':' || $kv) ||
+       |      sha256('42:zipc1:' || $iv || ':' || $kv) AS hexfull
+       |  FROM arc, range(3) r(k) WHERE k < nm),
+       |byt AS (
+       |  SELECT i, k, len, CAST(j AS INT) AS j, ${byteAt("hexfull", "j")} AS b
+       |  FROM mem, range(63) r(j) WHERE j < len),
+       |feat AS (
+       |  SELECT i AS media_id, k AS member_idx,
+       |    'm' || CAST(k AS VARCHAR) || '_' || CAST(i AS VARCHAR) || '.bin' AS name,
+       |    CAST(CASE WHEN (i + k) % 2 = 0 THEN 0 ELSE 8 END AS INT) AS method,
+       |    max(len) AS usize,
+       |    sum(b) AS f0, sum(b * (j + 1)) AS f1,
+       |    max(CASE WHEN j = 0 THEN b END) AS f2,
+       |    max(CASE WHEN j = len - 1 THEN b END) AS f3
+       |  FROM byt GROUP BY i, k)""".stripMargin
+  }
+
   private lazy val qoiFeatCte: String = {
     val alpha = "'0123456789abcdef'"
     def byteAt(src: String, off: String): String =
@@ -3652,6 +3780,147 @@ object SparkEntry {
           |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
           |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
           |FROM feat ORDER BY media_id""".stripMargin),
+
+    "q149_zip_members" ->
+      (zipMemberCte +
+        """
+          |SELECT media_id, member_idx, name, method,
+          |  CAST(usize AS BIGINT) AS usize,
+          |  CAST(f0 AS BIGINT) AS f0, CAST(f1 AS BIGINT) AS f1,
+          |  CAST(f2 AS BIGINT) AS f2, CAST(f3 AS BIGINT) AS f3
+          |FROM feat ORDER BY media_id, member_idx""".stripMargin),
+
+    // AC-scan replay: brute-force substring counting — for every doc,
+    // pattern, and start position, does the slice equal the pattern?
+    // Overlaps included by construction (every position tested). The
+    // range bound (1024) exceeds the longest document at every SF.
+    "q150_ac_scan" ->
+      """WITH pats AS (
+        |  SELECT * FROM (VALUES ('table'), ('le'), ('a a'), ('scan'),
+        |                        ('an'), ('row scan'), ('t t')) p(pat)),
+        |d AS (SELECT doc_id, lower(text) AS txt FROM documents),
+        |occ AS (
+        |  SELECT d.doc_id, p.pat
+        |  FROM d, pats p, range(1024) r(j)
+        |  WHERE j + len(pat) <= len(txt)
+        |    AND substr(txt, CAST(j + 1 AS INT), CAST(len(pat) AS INT)) = pat),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_hits,
+        |         count(DISTINCT pat) AS n_patterns
+        |  FROM occ GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(a.n_patterns, 0) AS BIGINT) AS n_patterns,
+        |  coalesce(a.n_hits, 0) = 0 AS keep
+        |FROM d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // URL replay: synthesize the same URL formula, then run the full
+    // normalization chain (fragment strip, scheme/host lowercase, www
+    // strip, default-port drop, query-param sort, trailing-slash strip),
+    // the registered-domain CASE, and the per-domain top-3 window.
+    "q151_url_domain_cap" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    (CASE WHEN doc_id % 5 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 9 = 0 THEN 'SiTe' ELSE 'site' END) ||
+        |    CAST(doc_id % 17 AS VARCHAR) || '.' ||
+        |    (['com', 'org', 'co.uk', 'io'])[CAST(doc_id % 4 AS INT) + 1] ||
+        |    (CASE WHEN doc_id % 10 = 0 THEN ':80'
+        |          WHEN doc_id % 7 = 0 THEN ':8080'
+        |          WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END) ||
+        |    '/p/' || CAST(doc_id % 13 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 2 = 0
+        |          THEN '?b=' || CAST(doc_id % 5 AS VARCHAR) || '&a=1'
+        |          ELSE '' END) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END) AS url
+        |  FROM documents),
+        |p2 AS (
+        |  SELECT doc_id, n_chars,
+        |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://(.*)$', 1) AS rest
+        |  FROM (SELECT doc_id, n_chars,
+        |          regexp_replace(url, '#.*$', '') AS nofrag FROM d)),
+        |p3 AS (
+        |  SELECT doc_id, n_chars, scheme,
+        |    lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+        |    substr(rest, length(regexp_extract(rest, '^([^/?]*)', 1)) + 1) AS pathq
+        |  FROM p2),
+        |p4 AS (
+        |  SELECT doc_id, n_chars, scheme,
+        |    regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''), '^www\.', '') AS host,
+        |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        |    regexp_extract(pathq, '^([^?]*)', 1) AS path,
+        |    regexp_extract(pathq, '\?(.*)$', 1) AS query
+        |  FROM p3),
+        |p5 AS (
+        |  SELECT doc_id, n_chars, host,
+        |    scheme || '://' || host ||
+        |    (CASE WHEN port = '' THEN ''
+        |          WHEN scheme = 'http' AND port = '80' THEN ''
+        |          WHEN scheme = 'https' AND port = '443' THEN ''
+        |          ELSE ':' || port END) ||
+        |    regexp_replace(path, '/+$', '') ||
+        |    (CASE WHEN query = '' THEN ''
+        |          ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&') END)
+        |      AS url_norm
+        |  FROM p4),
+        |dom AS (
+        |  SELECT doc_id, n_chars, url_norm,
+        |    CASE WHEN len(ls) >= 3 AND length(ls[len(ls)]) = 2
+        |              AND list_contains(['co', 'com', 'net', 'org', 'ac', 'gov', 'edu'],
+        |                                ls[len(ls) - 1])
+        |         THEN ls[len(ls) - 2] || '.' || ls[len(ls) - 1] || '.' || ls[len(ls)]
+        |         WHEN len(ls) >= 2 THEN ls[len(ls) - 1] || '.' || ls[len(ls)]
+        |         ELSE host END AS domain
+        |  FROM (SELECT *, string_split(host, '.') AS ls FROM p5)),
+        |ranked AS (
+        |  SELECT doc_id, url_norm, domain, row_number() OVER (
+        |    PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM dom)
+        |SELECT doc_id, url_norm, domain, CAST(rk AS BIGINT) AS rk
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id""".stripMargin,
+
+    // MaxSim replay: the quantizeInt8 formula (scale = max |x|, half-up
+    // rounding), integer dots via list_dot_product over integer-valued
+    // DOUBLE lists (|dot| <= 2^20 << 2^53, exact), per-(query-token, doc)
+    // max, per-(query, doc) sum, rank by (score desc, doc_id).
+    "q152_maxsim_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id // 8 AS doc_id, vec_id % 8 AS token_idx,
+        |    CAST(embedding AS DOUBLE[]) AS vec
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT doc_id, token_idx,
+        |    CASE WHEN s = 0 THEN list_transform(vec, x -> CAST(0 AS DOUBLE))
+        |         ELSE list_transform(vec, x -> floor(x / s * 127 + 0.5))
+        |    END AS q
+        |  FROM (SELECT doc_id, token_idx, vec,
+        |          list_max(list_transform(vec, x -> abs(x))) AS s
+        |        FROM e)),
+        |qs AS (
+        |  SELECT doc_id AS query_id, token_idx AS q_tok, q AS qq
+        |  FROM qz WHERE doc_id % 20 = 0 AND token_idx < 4),
+        |dots AS (
+        |  SELECT qs.query_id, qs.q_tok, c.doc_id,
+        |    list_dot_product(c.q, qs.qq) AS dot
+        |  FROM qz c CROSS JOIN qs
+        |  WHERE c.doc_id <> qs.query_id),
+        |best AS (
+        |  SELECT query_id, q_tok, doc_id, max(dot) AS m
+        |  FROM dots GROUP BY 1, 2, 3),
+        |score AS (
+        |  SELECT query_id, doc_id, CAST(sum(m) AS BIGINT) AS maxsim
+        |  FROM best GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, doc_id, maxsim, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY maxsim DESC, doc_id) AS rank
+        |  FROM score)
+        |SELECT query_id, doc_id, maxsim, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q133_qoi_decode" ->
       (qoiFeatCte +

@@ -563,4 +563,97 @@ object Curation {
       .na.fill(0L, Seq("n_grams"))
       .na.fill(0.0, Seq("logw"))
   }
+
+  /** Canonical URL form for crawl curation — the normalization every
+    * CommonCrawl-scale pipeline runs before URL-level dedup, so that
+    * `HTTP://WWW.Site.COM:80/a/?b=2&a=1#x` and `http://site.com/a?a=1&b=2`
+    * collapse to one key. Rules (each expressible in any SQL engine, so
+    * the q151 oracle replays the chain verbatim):
+    *
+    *  1. fragment stripped (`#...` never reaches the server);
+    *  2. scheme and host[:port] lowercased (path/query stay case-exact);
+    *  3. leading `www.` dropped from the host;
+    *  4. default ports dropped (`:80` for http, `:443` for https) —
+    *     non-default ports kept;
+    *  5. query parameters sorted bytewise (param ORDER is not semantic
+    *     for the overwhelming majority of endpoints; a sorted param
+    *     string is the canonical dedup key);
+    *  6. trailing slashes stripped from the path (`/a/` ≡ `/a`; the
+    *     bare-root URL canonicalizes to no path at all).
+    *
+    * Pure column expression — codegen map stage, no UDF, no shuffle. */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
+    val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.\\-]*://(.*)$", 1)
+    val hostport = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val pathq = rest.substr(length(hostport) + lit(1), length(rest))
+    val host = regexp_replace(regexp_replace(hostport, ":[0-9]+$", ""), "^www\\.", "")
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val portNorm = when(port === "", lit(""))
+      .when(scheme === "http" && port === "80", lit(""))
+      .when(scheme === "https" && port === "443", lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path = regexp_extract(pathq, "^([^?]*)", 1)
+    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    val pathNorm = regexp_replace(path, "/+$", "")
+    val queryNorm = when(query === "", lit(""))
+      .otherwise(concat(lit("?"), array_join(array_sort(split(query, "&")), "&")))
+    concat(scheme, lit("://"), host, portNorm, pathNorm, queryNorm)
+  }
+
+  /** Registered domain (the per-publisher key): last two host labels,
+    * or last THREE when the TLD is a 2-letter country code preceded by a
+    * conventional second-level label (co/com/net/org/ac/gov/edu —
+    * site.co.uk's owner is `site`, not `co`). A deliberately
+    * list-free heuristic: the full public-suffix list is a data file a
+    * production deployment ships alongside; the heuristic covers the
+    * dominant patterns and, unlike the list, replays in one SQL CASE. */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    // clamped indices: ANSI element_at(_, 0) throws, and Spark's And does
+    // not guarantee short-circuit evaluation — a 1-label host must not
+    // evaluate an out-of-range index even on a branch it never takes
+    val tld = element_at(labels, -1)
+    val sld = element_at(labels, greatest(n - 1, lit(1)))
+    when(n >= 3 && length(tld) === 2 &&
+        sld.isin("co", "com", "net", "org", "ac", "gov", "edu"),
+      concat_ws(".", element_at(labels, greatest(n - 2, lit(1))), sld, tld))
+      .when(n >= 2, concat_ws(".", sld, tld))
+      .otherwise(host)
+  }
+
+  /** URL-canonicalize + per-registered-domain document cap: normalize
+    * every URL, key each doc by its registered domain, keep the best
+    * `cap` docs per domain by (quality desc, id asc). The standard
+    * anti-boilerplate guard in crawl curation — template-heavy sites
+    * contribute thousands of near-identical pages; capping per PUBLISHER
+    * (registered domain, not full host) closes the subdomain loophole
+    * (a.spam.com, b.spam.com, ...).
+    *
+    * Returns (id, url_norm, domain, rk ≤ cap), kept rows only.
+    *
+    * 100 TB shape: normalization and domain extraction are codegen map
+    * work; the cap is ONE hash shuffle on the domain key feeding a
+    * WindowGroupLimit (Spark pushes the rank filter into the window —
+    * per-partition top-cap heaps, the q83 contract), carrying
+    * (id, url, domain, quality) only — document text never moves. */
+  def domainCap(df: DataFrame, urlCol: String, qualityCol: String,
+                idCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, s"bad cap: $cap")
+    val hostport = lower(regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)", 1))
+    val host = regexp_replace(
+      regexp_replace(hostport, ":[0-9]+$", ""), "^www\\.", "")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    df.select(col(idCol), col(qualityCol),
+        normalizeUrl(col(urlCol)).as("url_norm"),
+        registeredDomain(host).as("domain"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select(col(idCol), col("url_norm"), col("domain"), col("rk"))
+  }
 }

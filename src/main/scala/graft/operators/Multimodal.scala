@@ -975,6 +975,254 @@ object Multimodal {
     }.toDF()
   }
 
+  /** One parsed archive member. `method` is the ZIP compression method
+    * code (0 = stored, 8 = deflate); `usize` the uncompressed size the
+    * container declared (validated against the decoded bytes). */
+  final case class ParsedMember(member_idx: Int, name: String,
+                                method: Int, usize: Long, content: Array[Byte])
+  final case class ArchiveMember(media_id: Long, member_idx: Int, name: String,
+                                 method: Int, usize: Long, content: Array[Byte])
+
+  /** REAL parser for ZIP (PKWARE APPNOTE) — the first CONTAINER format
+    * behind the codec seam: where the image/audio codecs map one blob to
+    * one feature row, an archive maps one blob to MANY member rows (the
+    * binary analogue of C6's explode). First-principles parse, zero
+    * external libraries:
+    *
+    *  - end-of-central-directory located by the spec's backward scan
+    *    (signature + self-consistent comment length), NOT by assuming a
+    *    fixed tail — archives with comments parse, garbage tails fail;
+    *  - central directory walked entry by entry; member METADATA (method,
+    *    crc, sizes, local offset) is taken from the CD, never the local
+    *    header, so streaming-written archives that set general-purpose
+    *    bit 3 (sizes deferred to a data descriptor — what
+    *    `java.util.zip.ZipOutputStream` emits for DEFLATED entries) parse
+    *    correctly;
+    *  - each local header is still visited and its name cross-checked
+    *    against the CD entry (catches CD/local desync corruption);
+    *  - stored (method 0) and deflate (method 8) bodies supported; raw
+    *    `Inflater(nowrap = true)` for the latter (ZIP frames deflate
+    *    bare, unlike PNG's zlib wrapper);
+    *  - every member's CRC32 and uncompressed size are validated — a
+    *    single flipped content byte fails the parse loudly.
+    *
+    * Decoded member bytes are independent of the compression
+    * representation that carried them (the q111 transparency property),
+    * so the q149 DuckDB oracle replays the member-content formula without
+    * a ZIP parser while this side must genuinely walk the container. */
+  def decodeZip(bytes: Array[Byte]): Seq[ParsedMember] = {
+    require(bytes.length >= 22, "not a ZIP: too short for EOCD")
+    def u16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def u32(off: Int): Long =
+      (u16(off).toLong) | (u16(off + 2).toLong << 16)
+    // EOCD backward scan: signature 0x06054b50 whose comment length
+    // matches the remaining tail exactly (spec-required disambiguation —
+    // the signature bytes can occur inside a comment).
+    var eocd = -1
+    var p = bytes.length - 22
+    val pMin = math.max(0, bytes.length - 22 - 0xffff)
+    while (eocd < 0 && p >= pMin) {
+      if (bytes(p) == 0x50 && bytes(p + 1) == 0x4b &&
+          bytes(p + 2) == 0x05 && bytes(p + 3) == 0x06 &&
+          u16(p + 20) == bytes.length - p - 22) eocd = p
+      p -= 1
+    }
+    require(eocd >= 0, "not a ZIP: no end-of-central-directory record")
+    val nEntries = u16(eocd + 10)
+    require(u16(eocd + 8) == nEntries,
+      "unsupported ZIP: multi-disk archive")
+    val cdSize = u32(eocd + 12)
+    val cdOff = u32(eocd + 16)
+    require(cdOff + cdSize <= eocd,
+      s"corrupt ZIP: central directory [$cdOff, ${cdOff + cdSize}) overruns EOCD at $eocd")
+    val out = Vector.newBuilder[ParsedMember]
+    var cd = cdOff.toInt
+    var k = 0
+    while (k < nEntries) {
+      require(cd + 46 <= eocd && u32(cd) == 0x02014b50L,
+        s"corrupt ZIP: bad central-directory signature at $cd")
+      val method = u16(cd + 10)
+      val crc = u32(cd + 16)
+      val csize = u32(cd + 20)
+      val usize = u32(cd + 24)
+      require(csize != 0xffffffffL && usize != 0xffffffffL,
+        "unsupported ZIP: zip64 sizes (split oversized members upstream)")
+      val nameLen = u16(cd + 28)
+      val extraLen = u16(cd + 30)
+      val commentLen = u16(cd + 32)
+      val localOff = u32(cd + 42).toInt
+      val name = new String(bytes, cd + 46, nameLen,
+        java.nio.charset.StandardCharsets.UTF_8)
+      // local header cross-check (name must agree with the CD entry)
+      require(localOff + 30 <= bytes.length && u32(localOff) == 0x04034b50L,
+        s"corrupt ZIP: bad local-header signature for '$name' at $localOff")
+      val lNameLen = u16(localOff + 26)
+      val lExtraLen = u16(localOff + 28)
+      val lName = new String(bytes, localOff + 30, lNameLen,
+        java.nio.charset.StandardCharsets.UTF_8)
+      require(lName == name,
+        s"corrupt ZIP: central directory says '$name', local header '$lName'")
+      val dataOff = localOff + 30 + lNameLen + lExtraLen
+      require(dataOff + csize <= bytes.length,
+        s"corrupt ZIP: member '$name' body overruns the archive")
+      val content: Array[Byte] = method match {
+        case 0 =>
+          require(csize == usize,
+            s"corrupt ZIP: stored member '$name' has csize $csize != usize $usize")
+          java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + csize.toInt)
+        case 8 =>
+          val inf = new java.util.zip.Inflater(true) // raw deflate, no zlib wrapper
+          inf.setInput(bytes, dataOff, csize.toInt)
+          val buf = new Array[Byte](usize.toInt)
+          var got = 0
+          while (got < usize && !inf.finished()) {
+            val n = inf.inflate(buf, got, buf.length - got)
+            require(n > 0 || !inf.needsInput(),
+              s"corrupt ZIP: deflate stream of '$name' truncated")
+            got += n
+          }
+          inf.end()
+          require(got == usize,
+            s"corrupt ZIP: member '$name' inflated to $got bytes, declared $usize")
+          buf
+        case m =>
+          throw new IllegalArgumentException(
+            s"unsupported ZIP compression method $m for member '$name'")
+      }
+      val c = new java.util.zip.CRC32
+      c.update(content)
+      require(c.getValue == crc,
+        f"corrupt ZIP: member '$name' CRC32 ${c.getValue}%08x != declared $crc%08x")
+      out += ParsedMember(k, name, method, usize, content)
+      cd += 46 + nameLen + extraLen + commentLen
+      k += 1
+    }
+    require(cd == (cdOff + cdSize).toInt,
+      s"corrupt ZIP: central directory ended at $cd, declared ${cdOff + cdSize}")
+    out.result()
+  }
+
+  /** Container explode through the codec seam: one `mapPartitions` pass,
+    * parser invoked exactly once per blob, each member emitted as its own
+    * row — bytes never cross a shuffle (the downstream query carries
+    * member-level columns only). The binary analogue of the C6 explode. */
+  def extractMembers(media: DataFrame,
+                     parser: Array[Byte] => Seq[ParsedMember])
+      : Dataset[ArchiveMember] = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.flatMap { m =>
+        parser(m.bytes).map(e =>
+          ArchiveMember(m.media_id, e.member_idx, e.name, e.method,
+            e.usize, e.content))
+      }
+    }
+  }
+
+  final case class MemberFeatures(media_id: Long, member_idx: Int, name: String,
+                                  method: Int, usize: Long,
+                                  f0: Long, f1: Long, f2: Long, f3: Long)
+
+  /** Integer-exact member lanes (byte sum, position-weighted sum, first
+    * byte, last byte), computed in the same narrow stage that parsed the
+    * container — member bytes die here, only 4 longs travel. Empty
+    * members (directory entries) take −1 in the endpoint lanes. */
+  def memberFeatures(members: Dataset[ArchiveMember]): Dataset[MemberFeatures] = {
+    import members.sparkSession.implicits._
+    members.map { m =>
+      var s0 = 0L; var s1 = 0L; var j = 0
+      while (j < m.content.length) {
+        val b = m.content(j) & 0xff
+        s0 += b; s1 += b.toLong * (j + 1); j += 1
+      }
+      val first = if (m.content.isEmpty) -1L else (m.content(0) & 0xff).toLong
+      val last = if (m.content.isEmpty) -1L
+                 else (m.content(m.content.length - 1) & 0xff).toLong
+      MemberFeatures(m.media_id, m.member_idx, m.name, m.method, m.usize,
+        s0, s1, first, last)
+    }
+  }
+
+  /** Deterministic genuine-ZIP table: each row's `bytes` is a complete,
+    * standards-valid ZIP archive of 1–3 members whose NAMES, SIZES, and
+    * CONTENT bytes come from replayable sha256 chains — member k of
+    * archive i is `m{k}_{i}.bin`, length 16 + chainbyte % 48, content
+    * the "zip"-tagged chain — and whose compression method alternates
+    * stored / deflate by (i + k) parity. The deflate layer is NOT part
+    * of the gated artifact (decoded content is representation-
+    * independent); MultimodalSpec's two-way `java.util.zip` cross-check
+    * exercises real JDK-written archives (including streaming data-
+    * descriptor entries) through the same parser. */
+  def synthesizeZip(spark: SparkSession, n: Int, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).map { id =>
+      def sha(tag: String): Array[Byte] =
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s"$seed:$tag:$id".getBytes("UTF-8"))
+      def shaK(tag: String, k: Int): Array[Byte] =
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s"$seed:$tag:$id:$k".getBytes("UTF-8"))
+      val nm = 1 + (sha("zipdim")(0) & 0xff) % 3
+      val members = (0 until nm).map { k =>
+        val len = 16 + (shaK("ziplen", k)(0) & 0xff) % 48
+        val chain = shaK("zip", k) ++ shaK("zipc1", k) // 64 bytes >= 63
+        val content = java.util.Arrays.copyOf(chain, len)
+        val method = if ((id + k) % 2 == 0) 0 else 8
+        (s"m${k}_$id.bin", method, content)
+      }
+      MediaRow(id, "archive", encodeZip(members),
+        MediaMeta(nm, 0, 0, "zip", 0, 0))
+    }.toDF()
+  }
+
+  /** Minimal correct ZIP writer used by [[synthesizeZip]] and the specs:
+    * local headers with up-front sizes (no data descriptors), a central
+    * directory, one EOCD. NOT the gated artifact — the oracle replays
+    * content, not container bytes. */
+  def encodeZip(members: Seq[(String, Int, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+    val centrals = members.map { case (name, method, content) =>
+      val crc = new java.util.zip.CRC32
+      crc.update(content)
+      val body: Array[Byte] =
+        if (method == 0) content
+        else {
+          val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          d.setInput(content); d.finish()
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](512)
+          while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+          d.end()
+          bos.toByteArray
+        }
+      val nameB = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val localOff = out.size()
+      w32(0x04034b50L); w16(20); w16(0); w16(method)
+      w16(0); w16(0x21)                       // fixed DOS time/date
+      w32(crc.getValue); w32(body.length.toLong); w32(content.length.toLong)
+      w16(nameB.length); w16(0)
+      out.write(nameB); out.write(body)
+      (nameB, method, crc.getValue, body.length.toLong, content.length.toLong, localOff)
+    }
+    val cdOff = out.size()
+    centrals.foreach { case (nameB, method, crc, csize, usize, localOff) =>
+      w32(0x02014b50L); w16(20); w16(20); w16(0); w16(method)
+      w16(0); w16(0x21)
+      w32(crc); w32(csize); w32(usize)
+      w16(nameB.length); w16(0); w16(0); w16(0); w16(0)
+      w32(0); w32(localOff.toLong)
+      out.write(nameB)
+    }
+    val cdSize = out.size() - cdOff
+    w32(0x06054b50L); w16(0); w16(0)
+    w16(centrals.length); w16(centrals.length)
+    w32(cdSize.toLong); w32(cdOff.toLong); w16(0)
+    out.toByteArray
+  }
+
   /** Per-partition feature extraction: Dataset[MediaRow] → features.
     * One shuffle-free map stage; bytes are dropped on the spot.
     *

@@ -108,4 +108,51 @@ object Retrieval {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
   }
+
+  /** ColBERT-style late-interaction retrieval (Khattab & Zaharia, SIGIR
+    * 2020): documents and queries are BAGS of token vectors, and
+    * score(q, d) = Σ_{t ∈ q} max_{u ∈ d} ⟨t, u⟩ — each query token finds
+    * its best-matching document token, matches are summed. Sits between
+    * single-vector ANN (q26/q46/q106/q137 — cheap, loses token-level
+    * nuance) and full cross-encoders (accurate, can't be indexed).
+    *
+    * Inputs are TOKEN tables: corpus (doc_id, token_idx, q: array<int>)
+    * and queries (query_id, token_idx, q) carrying int8 codes from
+    * [[Embeddings.quantizeInt8]] — every dot product, max, and sum is
+    * integer arithmetic (|q_i| ≤ 127, 64 dims → dot ≤ 2^20; bag sums
+    * ≤ 2^26), so scores replay exactly in any engine: no rounding marker
+    * anywhere, the q137 property.
+    *
+    * Returns (query_id, doc_id, maxsim, rank ≤ topK), rank by
+    * (maxsim desc, doc_id).
+    *
+    * 100 TB shape: the QUERY bag is the bounded side (a serving batch —
+    * the q137 LUT contract) and broadcasts into ONE pass over the corpus
+    * token table: per-token dots reduce to per-(query-token, doc) maxes
+    * with map-side partial aggregation, then to per-(query, doc) sums —
+    * exchanges carry (ids, one long) only, corpus vectors never shuffle.
+    * At production scale an ANN tier (q106/q46) preselects candidate
+    * docs and this operator re-ranks the survivors exactly. */
+  def maxSimTopK(corpusTokens: DataFrame, queryTokens: DataFrame,
+                 topK: Int): DataFrame = {
+    require(topK >= 1, s"bad topK: $topK")
+    val dot = aggregate(
+      zip_with(col("cq"), col("qq"), (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val qt = broadcast(queryTokens.select(col("query_id"),
+      col("token_idx").as("q_tok"), col("q").as("qq")))
+    val scores = corpusTokens
+      .select(col("doc_id"), col("q").as("cq"))
+      .crossJoin(qt) // broadcast nested-loop: every query token scores every doc token
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_tok"), col("doc_id"), dot.as("dot"))
+      .groupBy(col("query_id"), col("q_tok"), col("doc_id"))
+      .agg(max(col("dot")).as("m"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("m")).as("maxsim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("maxsim").desc, col("doc_id"))
+    scores.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
 }

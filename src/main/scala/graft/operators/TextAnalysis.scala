@@ -321,6 +321,47 @@ object TextAnalysis {
       .withColumn("keep", col("n_hits") === 0L)
   }
 
+  /** Multi-pattern SUBSTRING scan — [[blocklistFilter]]'s scale path.
+    *
+    * q147 compiles its list into codegen literals: right for tens of
+    * word-boundary entries, but plan size and per-token cost grow with
+    * the list, and token semantics can't catch in-word obfuscations
+    * ("spamXspam" hiding "spam"). This operator matches RAW substrings —
+    * every occurrence, overlaps and self-overlaps included — of an
+    * arbitrary-size pattern list in ONE pass per document via an
+    * Aho–Corasick automaton ([[graft.functions.AhoCorasick]]) built once
+    * on the driver and BROADCAST: O(|text| + matches) per doc regardless
+    * of list size, so a 50k-entry production blocklist costs the same
+    * text pass as a 5-entry one.
+    *
+    * Matching is case-insensitive (text and patterns lowercased). Output:
+    * (id, n_hits, n_patterns, keep = no hits) — one row per input row.
+    *
+    * 100 TB shape: pure map stage (mapPartitions over the id/text
+    * projection; automaton rides the broadcast, not the plan), no
+    * shuffle, no per-row regex compilation. The pattern list is the
+    * small side by definition — it is reviewed by humans. */
+  def multiPatternScan(df: DataFrame, idCol: String, textCol: String,
+                       patterns: Seq[String]): DataFrame = {
+    require(patterns.nonEmpty, "pattern list must not be empty")
+    val sess = df.sparkSession
+    import sess.implicits._
+    val bc = sess.sparkContext.broadcast(
+      graft.functions.AhoCorasick.build(patterns.map(_.toLowerCase)))
+    df.select(col(idCol).cast("long").as("_id"),
+        coalesce(lower(col(textCol)), lit("")).as("_txt"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ac = bc.value
+        it.map { case (id, txt) =>
+          val (hits, np) = ac.scan(txt)
+          (id, hits, np.toLong)
+        }
+      }
+      .toDF(idCol, "n_hits", "n_patterns")
+      .withColumn("keep", col("n_hits") === 0L)
+  }
+
   /** Pointwise-mutual-information collocations (Church & Hanks 1990) —
     * the vocabulary-curation diagnostic between raw counts and a
     * learned tokenizer: which adjacent word pairs co-occur far more

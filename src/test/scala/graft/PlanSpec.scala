@@ -115,6 +115,48 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q149: container explode is map-only — parse+lanes run in the scan stage, sole exchange is the final sort") {
+    val p = executedPlanOf("q149_zip_members").split("== Initial Plan ==").head
+    // synthesize → mapPartitions parse/explode → lanes map, then the
+    // ordered output's range exchange; a second exchange would mean
+    // archive bytes or member contents crossed a shuffle
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+      s"expected only the sort exchange, got $exchanges\n$p")
+    assert(p.contains("MapPartitions"), s"lost the batch parse stage\n$p")
+  }
+
+  test("q150: Aho-Corasick scan is map-only — the automaton rides a broadcast, not the plan") {
+    val p = executedPlanOf("q150_ac_scan").split("== Initial Plan ==").head
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+      s"expected only the sort exchange, got $exchanges\n$p")
+    // the pattern list must NOT appear as plan literals (q147's approach;
+    // the whole point here is the list scales off-plan)
+    assert(!p.contains("row scan"), s"pattern literal leaked into the plan\n$p")
+  }
+
+  test("q151: domain cap plans one domain-key shuffle feeding WindowGroupLimit") {
+    val p = executedPlanOf("q151_url_domain_cap").split("== Initial Plan ==").head
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter not pushed into the window\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).toSeq
+    assert(hashEx.size == 1, s"expected 1 hash exchange (domain key), got $hashEx\n$p")
+  }
+
+  test("q152: MaxSim broadcasts the query bag; exchanges carry ids+score only") {
+    val p = executedPlanOf("q152_maxsim_topk").split("== Initial Plan ==").head
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query token bag should broadcast into the corpus pass\n$p")
+    // corpus token vectors must not appear in any exchange: the partial
+    // max reduces (query_id, q_tok, doc_id, dot) before the shuffle
+    val exchanges = "Exchange [a-z]+partitioning[^\n]*".r.findAllIn(p).toSeq
+    assert(exchanges.forall(!_.contains("cq#")),
+      s"corpus vectors crossed a shuffle: $exchanges")
+    assert(p.contains("partial_max") || p.contains("partial(max"),
+      s"per-(qtok, doc) max must aggregate partially\n$p")
+  }
+
   test("q61: bench grams broadcast; only shuffles are the hit-count agg + final sort") {
     val p = executedPlanOf("q61_decontamination").split("== Initial Plan ==").head
     // the gram join must be a broadcast hash join (bench side built once
@@ -216,7 +258,11 @@ class PlanSpec extends SparkSpec {
       "q144_rrf_hybrid",
       // q148: the one-row corpus token total broadcast into the
       // vocabulary-sized PMI projection
-      "q148_pmi")
+      "q148_pmi",
+      // q152: the bounded query-token bag broadcast into one corpus
+      // token pass (the MaxSim serving contract — every query token
+      // scores every doc token by design)
+      "q152_maxsim_topk")
     // iterative queries execute jobs at plan-build (connected components
     // materializes rounds); their shapes are pinned by their own tests
     val excluded = Set("q65_dup_clusters", "q80_dedup_survivors")

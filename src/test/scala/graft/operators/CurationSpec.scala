@@ -472,4 +472,54 @@ class CurationSpec extends SparkSpec {
     assert(got(1L) === ((0L, 0.0)))
     assert(got(2L)._1 === 3L) // 2 unigrams + 1 bigram
   }
+
+  // ---- URL normalization + per-domain cap (q151) ----
+
+  private def norm(urls: String*): Seq[String] =
+    urls.toSeq.toDF("u")
+      .select(Curation.normalizeUrl(col("u"))).as[String].collect().toSeq
+
+  test("normalizeUrl: every documented rule on known answers") {
+    assert(norm(
+      "HTTP://WWW.Site.COM:80/a/?b=2&a=1#x",  // all rules at once
+      "https://Site.io:443/p",                 // default https port
+      "http://host:443/p",                     // NON-default for http: kept
+      "https://www.x.co.uk:8080/",             // non-default port + root slash
+      "https://a.com/p/?x=1",                  // trailing slash before query
+      "https://a.com/",                        // bare root
+      "https://a.com/A/B?z=1&Y=2",             // path/query case preserved
+    ) == Seq(
+      "http://site.com/a?a=1&b=2",
+      "https://site.io/p",
+      "http://host:443/p",
+      "https://x.co.uk:8080",
+      "https://a.com/p?x=1",
+      "https://a.com",
+      "https://a.com/A/B?Y=2&z=1",
+    ))
+  }
+
+  test("registeredDomain: ccTLD second-level heuristic and short hosts") {
+    val got = Seq("a.b.site.co.uk", "x.site.com", "site.io", "localhost",
+        "deep.sub.ac.jp", "co.uk")
+      .toDF("h").select(Curation.registeredDomain(col("h")))
+      .as[String].collect().toSeq
+    assert(got == Seq("site.co.uk", "site.com", "site.io", "localhost",
+      "sub.ac.jp", "co.uk"))
+  }
+
+  test("domainCap: subdomains share the publisher key; cap ranks by (quality desc, id)") {
+    val rows = Seq(
+      (1L, "https://a.spam.com/x", 10L),
+      (2L, "https://b.spam.com/y", 30L),
+      (3L, "https://www.spam.com/z", 20L),
+      (4L, "https://c.spam.com/w", 5L),
+      (5L, "https://ok.org/", 1L),
+    ).toDF("doc_id", "url", "quality")
+    val got = Curation.domainCap(rows, "url", "quality", "doc_id", cap = 2)
+      .select("doc_id", "domain", "rk").as[(Long, String, Int)]
+      .collect().toSet
+    assert(got == Set((2L, "spam.com", 1), (3L, "spam.com", 2),
+      (5L, "ok.org", 1)))
+  }
 }

@@ -592,4 +592,111 @@ class MultimodalSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Multimodal.dhashBmpBands(small))
     assert(e.getMessage.contains("dhash grid"))
   }
+
+  // ---- ZIP container (q149) ----
+
+  test("decodeZip parses archives written by the JDK's own ZipOutputStream (streaming data descriptors)") {
+    // ZipOutputStream writes DEFLATED entries with general-purpose bit 3
+    // set: local-header sizes are zero, real sizes live in the central
+    // directory and a trailing data descriptor. Our parser reads sizes
+    // from the CD, so these must parse — the path encodeZip never emits.
+    import java.util.zip.{ZipOutputStream, ZipEntry, CRC32}
+    val contents = Seq(
+      "a.txt" -> Array.tabulate[Byte](300)(i => ((i * 7 + 3) % 251).toByte),
+      "dir/b.bin" -> Array.tabulate[Byte](1000)(i => (i % 17).toByte), // compressible
+      "c" -> Array.emptyByteArray)
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    contents.foreach { case (name, data) =>
+      zos.putNextEntry(new ZipEntry(name)); zos.write(data); zos.closeEntry()
+    }
+    zos.close()
+    val members = Multimodal.decodeZip(bos.toByteArray)
+    assert(members.map(_.name) == contents.map(_._1))
+    members.zip(contents).foreach { case (m, (_, data)) =>
+      assert(m.usize == data.length)
+      assert(m.content.sameElements(data), s"content mismatch for ${m.name}")
+    }
+    // STORED entry (preset size + crc, no descriptor) through the same writer
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val zos2 = new ZipOutputStream(bos2)
+    val stored = Array.tabulate[Byte](64)(i => (i * 13).toByte)
+    val e = new ZipEntry("s.raw")
+    e.setMethod(ZipEntry.STORED)
+    e.setSize(stored.length.toLong); e.setCompressedSize(stored.length.toLong)
+    val crc = new CRC32; crc.update(stored); e.setCrc(crc.getValue)
+    zos2.putNextEntry(e); zos2.write(stored); zos2.closeEntry(); zos2.close()
+    val ms = Multimodal.decodeZip(bos2.toByteArray)
+    assert(ms.length == 1 && ms.head.method == 0 && ms.head.content.sameElements(stored))
+  }
+
+  test("synthesizeZip bytes are standards-valid: JDK's ZipInputStream reads them back member-identically") {
+    import java.util.zip.ZipInputStream
+    val rows = Multimodal.synthesizeZip(spark, 25)
+      .select($"media_id", $"bytes").collect()
+    assert(rows.length == 25)
+    for (row <- rows) {
+      val bytes = row.getAs[Array[Byte]]("bytes")
+      val ours = Multimodal.decodeZip(bytes)
+      val zis = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+      val jdk = Iterator.continually(zis.getNextEntry).takeWhile(_ != null).map { e =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        Iterator.continually(zis.read(buf)).takeWhile(_ >= 0)
+          .foreach(n => bos.write(buf, 0, n))
+        (e.getName, bos.toByteArray)
+      }.toVector
+      assert(jdk.map(_._1) == ours.map(_.name).toVector)
+      ours.zip(jdk).foreach { case (m, (_, data)) =>
+        assert(m.content.sameElements(data),
+          s"JDK and first-principles parse disagree on ${m.name} of archive ${row.getLong(0)}")
+      }
+    }
+  }
+
+  test("synthesizeZip members follow the documented replay formulas") {
+    val feats = Multimodal.memberFeatures(
+      Multimodal.extractMembers(Multimodal.synthesizeZip(spark, 10),
+        Multimodal.decodeZip)).collect().sortBy(m => (m.media_id, m.member_idx))
+    def sha(s: String): Array[Byte] =
+      java.security.MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+    val expected = (0 until 10).flatMap { i =>
+      val nm = 1 + (sha(s"42:zipdim:$i")(0) & 0xff) % 3
+      (0 until nm).map { k =>
+        val len = 16 + (sha(s"42:ziplen:$i:$k")(0) & 0xff) % 48
+        val chain = sha(s"42:zip:$i:$k") ++ sha(s"42:zipc1:$i:$k")
+        val content = chain.take(len)
+        val f0 = content.map(_ & 0xff).map(_.toLong).sum
+        val f1 = content.zipWithIndex.map { case (b, j) => (b & 0xff).toLong * (j + 1) }.sum
+        (i.toLong, k, s"m${k}_$i.bin", if ((i + k) % 2 == 0) 0 else 8,
+          len.toLong, f0, f1, (content.head & 0xff).toLong, (content.last & 0xff).toLong)
+      }
+    }
+    assert(feats.length == expected.length)
+    feats.zip(expected).foreach { case (m, (i, k, nm2, meth, len, f0, f1, f2, f3)) =>
+      assert((m.media_id, m.member_idx, m.name, m.method, m.usize,
+        m.f0, m.f1, m.f2, m.f3) == ((i, k, nm2, meth, len, f0, f1, f2, f3)))
+    }
+  }
+
+  test("decodeZip rejects malformed archives loudly") {
+    val good = Multimodal.synthesizeZip(spark, 1)
+      .select($"bytes").head().getAs[Array[Byte]](0)
+    // flipped content byte: CRC must catch it (flip a byte in the first
+    // member's STORED body — archive 0 member 0 is stored, data at
+    // local header 0 + 30 + name length)
+    val nameLen = (good(26) & 0xff) | ((good(27) & 0xff) << 8)
+    val tampered = good.clone()
+    tampered(30 + nameLen) = (tampered(30 + nameLen) ^ 0x01).toByte
+    val e1 = intercept[IllegalArgumentException](Multimodal.decodeZip(tampered))
+    assert(e1.getMessage.contains("CRC32"))
+    // truncated tail: EOCD gone
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.decodeZip(good.dropRight(3)))
+    assert(e2.getMessage.contains("end-of-central-directory"))
+    // garbage: no signature anywhere
+    val e3 = intercept[IllegalArgumentException](
+      Multimodal.decodeZip(Array.fill[Byte](64)(0x41)))
+    assert(e3.getMessage.contains("end-of-central-directory"))
+  }
 }

@@ -137,4 +137,56 @@ class RetrievalSpec extends SparkSpec {
         .as[(Long, Long, Long)].collect().toSet
     assert(go(1) == go(7) && go(1).nonEmpty)
   }
+
+  // ---- MaxSim late interaction (q152) ----
+
+  test("maxSimTopK: hand-computed two-doc example") {
+    // doc 1 tokens: (1,0), (0,1); doc 2 tokens: (2,0), (0,3)
+    // query 9 tokens: (1,1), (2,0)
+    // score(9, 1) = max(1,1) + max(2,0) = 1 + 2 = 3
+    // score(9, 2) = max(2,3) + max(4,0) = 3 + 4 = 7
+    val corpus = Seq(
+      (1L, 0, Seq(1, 0)), (1L, 1, Seq(0, 1)),
+      (2L, 0, Seq(2, 0)), (2L, 1, Seq(0, 3)),
+    ).toDF("doc_id", "token_idx", "q")
+    val queries = Seq(
+      (9L, 0, Seq(1, 1)), (9L, 1, Seq(2, 0)),
+    ).toDF("query_id", "token_idx", "q")
+    val got = Retrieval.maxSimTopK(corpus, queries, topK = 2)
+      .select("query_id", "doc_id", "maxsim", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(got == Set((9L, 2L, 7L, 1), (9L, 1L, 3L, 2)))
+  }
+
+  test("maxSimTopK agrees with a brute-force serial MaxSim on pinned random bags") {
+    val rnd = new scala.util.Random(7)
+    def vec(): Seq[Int] = Seq.fill(8)(rnd.nextInt(255) - 127)
+    val corpus = for (d <- 0L until 12L; t <- 0 until 3) yield (d, t, vec())
+    val queries = for (q <- Seq(100L, 101L); t <- 0 until 2) yield (q, t, vec())
+    val got = Retrieval.maxSimTopK(
+        corpus.toDF("doc_id", "token_idx", "q"),
+        queries.toDF("query_id", "token_idx", "q"), topK = 4)
+      .select("query_id", "doc_id", "maxsim", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    def dot(a: Seq[Int], b: Seq[Int]): Long =
+      a.zip(b).map { case (x, y) => x.toLong * y }.sum
+    val expected = (for (q <- Seq(100L, 101L)) yield {
+      val qtoks = queries.filter(_._1 == q).map(_._3)
+      val scores = (0L until 12L).map { d =>
+        val dtoks = corpus.filter(_._1 == d).map(_._3)
+        d -> qtoks.map(qt => dtoks.map(dt => dot(qt, dt)).max).sum
+      }.sortBy { case (d, s) => (-s, d) }.take(4)
+      scores.zipWithIndex.map { case ((d, s), i) => (q, d, s, i + 1) }
+    }).flatten.toSet
+    assert(got == expected)
+  }
+
+  test("maxSimTopK excludes the query's own doc id from the ranking") {
+    val corpus = Seq((1L, 0, Seq(5, 5)), (2L, 0, Seq(1, 1)))
+      .toDF("doc_id", "token_idx", "q")
+    val queries = Seq((1L, 0, Seq(5, 5))).toDF("query_id", "token_idx", "q")
+    val got = Retrieval.maxSimTopK(corpus, queries, topK = 5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(2L))
+  }
 }

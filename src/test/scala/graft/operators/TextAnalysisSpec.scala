@@ -267,4 +267,52 @@ class TextAnalysisSpec extends SparkSpec {
       .select("w1", "w2").as[(String, String)].collect().toSet
     assert(got === Set(("a", "b")))
   }
+
+  // ---- Aho-Corasick multi-pattern scan (q150) ----
+
+  test("AhoCorasick counts the textbook he/she/his/hers matches in 'ushers'") {
+    val ac = graft.functions.AhoCorasick.build(Seq("he", "she", "his", "hers"))
+    // ushers: "she" ends at 3, "he" ends at 3 (suffix of she), "hers" at 5
+    assert(ac.scan("ushers") == ((3L, 3)))
+    assert(ac.scan("his hers") == ((3L, 3))) // his@0, he@4, hers@4
+  }
+
+  test("AhoCorasick counts overlapping and self-overlapping occurrences") {
+    val ac = graft.functions.AhoCorasick.build(Seq("aa"))
+    assert(ac.scan("aaaa") == ((3L, 1)))
+    val nested = graft.functions.AhoCorasick.build(Seq("a", "aa", "aaa"))
+    assert(nested.scan("aaaa") == ((4L + 3L + 2L, 3)))
+    val spaced = graft.functions.AhoCorasick.build(Seq("a a"))
+    assert(spaced.scan("a a a a") == ((3L, 1)))
+  }
+
+  test("AhoCorasick agrees with brute-force counting on a pinned pseudo-random corpus") {
+    val pats = Seq("ab", "ba", "aab", "bba", "abab", "b", "aaa")
+    val ac = graft.functions.AhoCorasick.build(pats)
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 50) {
+      val txt = Array.fill(200)(if (rnd.nextBoolean()) 'a' else 'b').mkString
+      var brute = 0L
+      val seen = scala.collection.mutable.Set[String]()
+      for (p <- pats; j <- 0 to txt.length - p.length
+           if txt.regionMatches(j, p, 0, p.length)) {
+        brute += 1; seen += p
+      }
+      assert(ac.scan(txt) == ((brute, seen.size)), s"mismatch on $txt")
+    }
+  }
+
+  test("multiPatternScan: keep semantics, case folding, and empty-text safety") {
+    val df = Seq(
+      (1L, "The TABLE has a tablet"),   // 'table' x2 (in tablet too), 'le' x2
+      (2L, "nothing here"),
+      (3L, ""),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.multiPatternScan(df, "doc_id", "text",
+        Seq("table", "le"))
+      .orderBy("doc_id")
+      .select("doc_id", "n_hits", "n_patterns", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((1L, 4L, 2L, false), (2L, 0L, 0L, true), (3L, 0L, 0L, true)))
+  }
 }
