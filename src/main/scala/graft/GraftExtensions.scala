@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.expressions.{CosineSimilarity, EmbeddingQuantStats, HashedCharShingles, MinHashSignature, RepetitionStats, SentimentScore, SimHash64, SortedArrayJaccard, TextStats, WordNgramHashes, WordNgramStrings}
+import graft.expressions.{CosineSimilarity, EmbeddingQuantStats, HashedCharShingles, MinHashSignature, NfcNormalize, RepetitionStats, SentimentScore, SimHash64, SortedArrayJaccard, TextStats, WordNgramHashes, WordNgramStrings}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `spark.sql` users get them too:
@@ -45,6 +45,8 @@ object GraftExtensions {
       exprs => SentimentScore(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("text_stats",
       exprs => TextStats(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      exprs => NfcNormalize(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("word_ngram_strings",
       exprs => WordNgramStrings(exprs.head, exprs(1) match {
         case Literal(v: Int, _) => v
@@ -121,6 +123,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("text_stats"),
       new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
       (args: Seq[Expression]) => TextStats(args.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => NfcNormalize(args.head)))
 
     ext.injectFunction((
       FunctionIdentifier("word_ngram_strings"),

@@ -48,9 +48,16 @@ object ScaleProbe {
     // B-row models, broadcast log-ratio join — pure linear shape)
     "q134_importance_weights",
     // round-9: Aho-Corasick scan (pure map stage — ratio should be scan
-    // cost) and URL normalize + per-domain cap (map normalization + one
-    // domain-key shuffle into WindowGroupLimit)
-    "q150_ac_scan", "q151_url_domain_cap")
+    // cost), URL normalize + per-domain cap (map normalization + one
+    // domain-key shuffle into WindowGroupLimit), robots rule resolution
+    // (broadcast rules + partial-max winner), NFC normalization (pure
+    // codegen map stage)
+    "q150_ac_scan", "q151_url_domain_cap", "q154_robots_rules",
+    "q155_nfc_normalize",
+    // round-9 first sittings: perplexity buckets (token explode + B-row
+    // model + broadcast stats), blocklist literals, PMI (two
+    // vocabulary-bounded aggregates)
+    "q142_lm_perplexity", "q147_blocklist", "q148_pmi")
 
   // Corpus construction lives in ProbeCorpus (pinned-seed, reproducible
   // across invocations — ProbeCorpusSpec pins count+hash); this main only
@@ -96,7 +103,11 @@ object ScaleProbe {
     // construction) should both scale linearly
     "q129_prefix_join", "q131_sorted_neighborhood",
     // containment: directional pairs on the same planted-dup axis
-    "q135_containment_join")
+    "q135_containment_join",
+    // round-9 pair finders on the same axis: winnowing fingerprint
+    // overlap (banded id-only join) and the Ed-Join edit-distance join
+    // (positional-gram prefixes; planted edits scale with cluster count)
+    "q138_winnow_pairs", "q146_edit_join")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -410,6 +421,20 @@ object ScaleProbe {
     val lp10 = time(Graphs.labelPropagation(edgesOf(s"$bigDir/graph10"), 3))
     println(f"[scale-graph] q132_label_prop 1x=${lp1}%6.2fs 10x=${lp10}%6.2fs " +
       f"ratio=${lp10 / lp1}%5.2f")
+
+    // k-core peeling on the same axis: per-round degree agg + semi-join,
+    // both linear in surviving edges; disjoint copies peel identically
+    val kc1 = time(Graphs.kCore(edgesOf(s"$bigDir/graph1"), k = 4, maxRounds = 4))
+    val kc10 = time(Graphs.kCore(edgesOf(s"$bigDir/graph10"), k = 4, maxRounds = 4))
+    println(f"[scale-graph] q140_kcore 1x=${kc1}%6.2fs 10x=${kc10}%6.2fs " +
+      f"ratio=${kc10 / kc1}%5.2f")
+
+    // HyperBall on the same axis: per-round register-union join is
+    // linear in edges; the register payload is fixed (2^p bytes)
+    val hb1 = time(Graphs.hyperBall(edgesOf(s"$bigDir/graph1"), rounds = 3))
+    val hb10 = time(Graphs.hyperBall(edgesOf(s"$bigDir/graph10"), rounds = 3))
+    println(f"[scale-graph] q145_hyperball 1x=${hb1}%6.2fs 10x=${hb10}%6.2fs " +
+      f"ratio=${hb10 / hb1}%5.2f")
   }
 
   /** SemDeDup probe on BOTH axes of its scale story (assumes `gen` ran:

@@ -2369,6 +2369,76 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Second container format through the codec seam: concatenated gzip
+    // members (the crawl-dump shard shape). synthesizeGzip cycles every
+    // RFC 1952 optional header field (FNAME/FEXTRA/FCOMMENT/FHCRC) so
+    // all header paths are in-gate; decodeGzipMembers walks headers,
+    // validates header CRC16 + trailer CRC32 + ISIZE, and explodes
+    // members into rows through the same extractMembers seam as q149.
+    "q153_gzip_members" -> ((s, d) => {
+      val media = operators.Multimodal.synthesizeGzip(s, 200)
+      operators.Multimodal.memberFeatures(
+          operators.Multimodal.extractMembers(media,
+            operators.Multimodal.decodeGzipMembers))
+        .toDF()
+        .orderBy(col("media_id"), col("member_idx"))
+    }),
+
+    // robots.txt rule application (RFC 9309 subset): per-domain
+    // allow/disallow path-prefix rules, longest match wins, allow wins
+    // same-length ties, default allow. The synthesized rule sets (keyed
+    // by domain-length class) plant every semantic branch in-gate: a
+    // shorter disallow overridden by a longer allow, an exact
+    // allow/disallow TIE, a blanket disallow with one carve-out, and
+    // rule-free domains. The rules broadcast; the winner reduces via a
+    // partial-aggregating max(struct), never a second URL-scale join.
+    "q154_robots_rules" -> ((s, d) => {
+      import s.implicits._
+      val i = col("doc_id")
+      val urls = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("site"), (i % 17).cast("string"), lit("."),
+          element_at(array(lit("com"), lit("org"), lit("co.uk"), lit("io")),
+            (i % 4).cast("int") + 1)).as("domain"),
+        concat(lit("/p/"), (i % 13).cast("string")).as("path"))
+      val doms = urls.select("domain").distinct()
+        .withColumn("rs", length(col("domain")) % 3)
+      val ruleDefs = Seq(
+        (0, "disallow", "/p/1"), (0, "allow", "/p/12"),
+        (0, "allow", "/p/3"), (0, "disallow", "/p/3"),
+        (1, "disallow", "/p/"), (1, "allow", "/p/7"),
+      ).toDF("rs", "rtype", "prefix")
+      val rules = doms.join(ruleDefs, "rs").select("domain", "rtype", "prefix")
+      operators.Curation.robotsFilter(urls, "doc_id", "domain", "path", rules)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unicode NFC normalization through the 11th native codegen
+    // expression: real crawls carry "é" both precomposed (U+00E9) and
+    // decomposed (e + U+0301), and every byte-level dedup key treats
+    // them as different documents until someone canonicalizes. Planted
+    // tails exercise Latin combining marks (compose), precomposed text
+    // (already NFC — the fast path), and algorithmic Hangul jamo
+    // composition (LVT → one syllable). The oracle is a genuine TWO-WAY
+    // implementation check, not a replay: DuckDB's nfc_normalize is
+    // utf8proc, the Spark side is java.text.Normalizer — two independent
+    // UAX #15 implementations that must agree byte-for-byte.
+    "q155_nfc_normalize" -> ((s, d) => {
+      val m = col("doc_id") % 5
+      val tail = when(m === 0, lit("e\u0301"))       // e + COMBINING ACUTE
+        .when(m === 1, lit("A\u030A"))               // A + COMBINING RING ABOVE
+        .when(m === 2, lit("\u00E9"))                // precomposed e-acute
+        .when(m === 3, lit("\u1100\u1161\u11A8"))  // Hangul jamo LVT -> U+AC01
+        .otherwise(lit(""))
+      val fl = concat(col("text"), lit(" "), tail)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          length(fl).cast("long").as("raw_len"),
+          length(expressions.NfcNormalizeFn(fl)).cast("long").as("nfc_len"),
+          (expressions.NfcNormalizeFn(fl) =!= fl).as("changed"),
+          expressions.NfcNormalizeFn(tail).as("tail_nfc"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ColBERT-style MaxSim late-interaction retrieval: embeddings become
     // multi-vector documents (vec_id DIV 8 = doc, vec_id % 8 = token
     // position), queries are every 20th doc's first 4 token vectors, and
@@ -3240,6 +3310,42 @@ object SparkEntry {
        |  FROM byt GROUP BY i, k)""".stripMargin
   }
 
+  /** q153 oracle: replay the gzip member-content formula (the zip CTE
+    * with gz tags; decoded bytes are deflate-representation-independent).
+    * Names replay the FNAME rule: present iff (i + k) is even. */
+  private lazy val gzipMemberCte: String = {
+    val alpha = "'0123456789abcdef'"
+    def byteAt(src: String, off: String): String =
+      s"(strpos($alpha, substr($src, 2 * ($off) + 1, 1)) - 1) * 16 " +
+        s"+ (strpos($alpha, substr($src, 2 * ($off) + 2, 1)) - 1)"
+    val iv = "CAST(i AS VARCHAR)"
+    val kv = "CAST(k AS VARCHAR)"
+    s"""WITH arc AS (
+       |  SELECT i,
+       |    1 + (${byteAt(s"sha256('42:gzdim:' || $iv)", "0")}) % 3 AS nm
+       |  FROM range(200) t(i)),
+       |mem AS (
+       |  SELECT i, CAST(k AS INT) AS k,
+       |    16 + (${byteAt(s"sha256('42:gzlen:' || $iv || ':' || $kv)", "0")}) % 48 AS len,
+       |    sha256('42:gz:' || $iv || ':' || $kv) ||
+       |      sha256('42:gzc1:' || $iv || ':' || $kv) AS hexfull
+       |  FROM arc, range(3) r(k) WHERE k < nm),
+       |byt AS (
+       |  SELECT i, k, len, CAST(j AS INT) AS j, ${byteAt("hexfull", "j")} AS b
+       |  FROM mem, range(63) r(j) WHERE j < len),
+       |feat AS (
+       |  SELECT i AS media_id, k AS member_idx,
+       |    CASE WHEN (i + k) % 2 = 0
+       |         THEN 'g' || CAST(k AS VARCHAR) || '_' || CAST(i AS VARCHAR)
+       |         ELSE '' END AS name,
+       |    CAST(8 AS INT) AS method,
+       |    max(len) AS usize,
+       |    sum(b) AS f0, sum(b * (j + 1)) AS f1,
+       |    max(CASE WHEN j = 0 THEN b END) AS f2,
+       |    max(CASE WHEN j = len - 1 THEN b END) AS f3
+       |  FROM byt GROUP BY i, k)""".stripMargin
+  }
+
   private lazy val qoiFeatCte: String = {
     val alpha = "'0123456789abcdef'"
     def byteAt(src: String, off: String): String =
@@ -3781,6 +3887,15 @@ object SparkEntry {
           |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
           |FROM feat ORDER BY media_id""".stripMargin),
 
+    "q153_gzip_members" ->
+      (gzipMemberCte +
+        """
+          |SELECT media_id, member_idx, name, method,
+          |  CAST(usize AS BIGINT) AS usize,
+          |  CAST(f0 AS BIGINT) AS f0, CAST(f1 AS BIGINT) AS f1,
+          |  CAST(f2 AS BIGINT) AS f2, CAST(f3 AS BIGINT) AS f3
+          |FROM feat ORDER BY media_id, member_idx""".stripMargin),
+
     "q149_zip_members" ->
       (zipMemberCte +
         """
@@ -3882,6 +3997,60 @@ object SparkEntry {
         |  FROM dom)
         |SELECT doc_id, url_norm, domain, CAST(rk AS BIGINT) AS rk
         |FROM ranked WHERE rk <= 3 ORDER BY doc_id""".stripMargin,
+
+    // robots replay: same synthesized URL/rule tables, longest-match via
+    // a window ordered by (match length desc, allow-wins-ties desc).
+    "q154_robots_rules" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'site' || CAST(doc_id % 17 AS VARCHAR) || '.' ||
+        |      (['com', 'org', 'co.uk', 'io'])[CAST(doc_id % 4 AS INT) + 1] AS domain,
+        |    '/p/' || CAST(doc_id % 13 AS VARCHAR) AS path
+        |  FROM documents),
+        |rd AS (SELECT * FROM (VALUES
+        |  (0, 'disallow', '/p/1'), (0, 'allow', '/p/12'),
+        |  (0, 'allow', '/p/3'), (0, 'disallow', '/p/3'),
+        |  (1, 'disallow', '/p/'), (1, 'allow', '/p/7')) v(rs, rtype, prefix)),
+        |doms AS (SELECT DISTINCT domain, length(domain) % 3 AS rs FROM u),
+        |rules AS (SELECT domain, rtype, prefix FROM doms JOIN rd USING (rs)),
+        |m AS (
+        |  SELECT u.doc_id, u.domain, u.path, r.rtype, r.prefix
+        |  FROM u LEFT JOIN rules r
+        |    ON r.domain = u.domain AND starts_with(u.path, r.prefix)),
+        |best AS (
+        |  SELECT doc_id, domain, path, rtype, prefix, row_number() OVER (
+        |    PARTITION BY doc_id
+        |    ORDER BY CASE WHEN prefix IS NULL THEN -1
+        |                  ELSE length(prefix) END DESC,
+        |             CASE WHEN rtype IS NULL OR rtype = 'allow'
+        |                  THEN 1 ELSE 0 END DESC) AS rn
+        |  FROM m)
+        |SELECT doc_id, domain, path,
+        |  (prefix IS NULL OR rtype = 'allow') AS allowed,
+        |  coalesce(prefix, '') AS rule
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // NFC two-way check: DuckDB's utf8proc nfc_normalize vs the Spark
+    // side's java.text.Normalizer — independent UAX #15 implementations.
+    // Tails are built from chr() code points (chr is full-Unicode in
+    // DuckDB; the Spark side uses \u literals because Spark's chr is
+    // ASCII-mod-256).
+    "q155_nfc_normalize" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'e' || chr(769)
+        |         WHEN doc_id % 5 = 1 THEN 'A' || chr(778)
+        |         WHEN doc_id % 5 = 2 THEN chr(233)
+        |         WHEN doc_id % 5 = 3 THEN chr(4352) || chr(4449) || chr(4520)
+        |         ELSE '' END AS tail
+        |  FROM documents),
+        |f AS (SELECT doc_id, text || ' ' || tail AS fl, tail FROM t)
+        |SELECT doc_id,
+        |  CAST(length(fl) AS BIGINT) AS raw_len,
+        |  CAST(length(nfc_normalize(fl)) AS BIGINT) AS nfc_len,
+        |  nfc_normalize(fl) <> fl AS changed,
+        |  nfc_normalize(tail) AS tail_nfc
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // MaxSim replay: the quantizeInt8 formula (scale = max |x|, half-up
     // rounding), integer dots via list_dot_product over integer-valued

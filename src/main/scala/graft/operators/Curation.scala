@@ -639,6 +639,49 @@ object Curation {
     * WindowGroupLimit (Spark pushes the rank filter into the window —
     * per-partition top-cap heaps, the q83 contract), carrying
     * (id, url, domain, quality) only — document text never moves. */
+  /** robots.txt rule application (RFC 9309 subset) — the compliance
+    * stage of crawl curation: per-domain allow/disallow PATH-PREFIX
+    * rules, most-specific (longest) matching rule wins, `allow` wins a
+    * same-length tie, no matching rule means allowed. The subset is
+    * plain prefixes (no `*`/`$` wildcards) — the dominant form in real
+    * robots files and the part with exact cross-engine semantics.
+    *
+    * Inputs: urls (id, domain, path) and rules (domain, rtype ∈
+    * {allow, disallow}, prefix). Returns (id, domain, path, allowed,
+    * rule) with `rule` the winning prefix ("" when no rule matched).
+    *
+    * 100 TB shape: the rules table is crawler-memory-resident by nature
+    * (humans write robots files) — it BROADCASTS into the URL scan; the
+    * winning rule reduces via max(struct(len, isallow, prefix)) with
+    * map-side partial aggregation, so the one shuffle carries (id, tiny
+    * struct). The unmatched default rides the same aggregate as a
+    * sentinel (-1, 1, "") row — no second join back to the URL table. */
+  def robotsFilter(urls: DataFrame, idCol: String, domainCol: String,
+                   pathCol: String, rules: DataFrame): DataFrame = {
+    // distinct column names on each side: `rules` is often DERIVED from
+    // `urls` (per-domain rule synthesis), and same-lineage join keys trip
+    // Spark's ambiguous-self-join detection
+    val u = urls.select(col(idCol), col(domainCol).as("_u_dom"), col(pathCol))
+    val r = broadcast(rules.select(col("domain").as("_r_dom"),
+      col("rtype"), col("prefix")).distinct())
+    val matched = u
+      .join(r, col("_u_dom") === col("_r_dom") &&
+        col(pathCol).startsWith(col("prefix")), "left")
+      .select(col(idCol), col("_u_dom").as("domain"), col(pathCol),
+        when(col("prefix").isNull,
+          struct(lit(-1).as("l"), lit(1).as("a"), lit("").as("p")))
+          .otherwise(struct(length(col("prefix")).as("l"),
+            (col("rtype") === "allow").cast("int").as("a"),
+            col("prefix").as("p")))
+          .as("cand"))
+    matched
+      .groupBy(col(idCol), col("domain"), col(pathCol))
+      .agg(max(col("cand")).as("best"))
+      .select(col(idCol), col("domain"), col(pathCol),
+        (col("best.l") === -1 || col("best.a") === 1).as("allowed"),
+        col("best.p").as("rule"))
+  }
+
   def domainCap(df: DataFrame, urlCol: String, qualityCol: String,
                 idCol: String, cap: Int): DataFrame = {
     require(cap >= 1, s"bad cap: $cap")

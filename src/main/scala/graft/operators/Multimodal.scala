@@ -1223,6 +1223,174 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** REAL parser for gzip (RFC 1952), CONCATENATED members — the second
+    * container format behind the codec seam and the standard shape of
+    * crawl-scale text dumps (a .gz per shard, members appended by
+    * independent writers). First-principles header walk, zero external
+    * libraries beyond the JDK's raw `Inflater`:
+    *
+    *  - per member: magic 1f 8b, CM = 8 (deflate), FLG with reserved
+    *    bits REQUIRED zero (RFC 1952 §2.3.1 — garbage headers fail
+    *    loudly, not silently);
+    *  - all four optional fields honored in spec order: FEXTRA (XLEN +
+    *    payload), FNAME and FCOMMENT (zero-terminated), FHCRC (CRC16 =
+    *    low 16 bits of CRC32 over the header bytes so far — validated);
+    *  - raw-deflate body, then the 8-byte trailer: CRC32 over the
+    *    DECODED bytes and ISIZE = length mod 2^32 — both validated;
+    *  - `Inflater.getRemaining` locates the next member's offset, so
+    *    members parse in stream order with no separator scan.
+    *
+    * Member names come from FNAME when present (else ""); `method` is
+    * always 8. Decoded bytes are deflate-representation-independent, so
+    * the q153 oracle replays the content formula without a gzip parser. */
+  def decodeGzipMembers(bytes: Array[Byte]): Seq[ParsedMember] = {
+    def u16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def u32(off: Int): Long = u16(off).toLong | (u16(off + 2).toLong << 16)
+    val out = Vector.newBuilder[ParsedMember]
+    var p = 0
+    var k = 0
+    require(bytes.length >= 18, "not a gzip stream: too short")
+    while (p < bytes.length) {
+      require(p + 10 <= bytes.length, s"truncated gzip header at byte $p")
+      require((bytes(p) & 0xff) == 0x1f && (bytes(p + 1) & 0xff) == 0x8b,
+        f"not a gzip member at byte $p: magic ${bytes(p)}%02x ${bytes(p + 1)}%02x")
+      require((bytes(p + 2) & 0xff) == 8,
+        s"unsupported gzip compression method ${bytes(p + 2)} at byte $p")
+      val flg = bytes(p + 3) & 0xff
+      require((flg & 0xe0) == 0,
+        f"corrupt gzip: reserved FLG bits set ($flg%02x) at byte $p")
+      var q = p + 10
+      def bounded(off: Int): Int = {
+        require(off < bytes.length, s"truncated gzip header fields at byte $off")
+        off
+      }
+      if ((flg & 4) != 0) { // FEXTRA
+        val xlen = u16(bounded(q + 1) - 1); q = bounded(q + 2 + xlen)
+      }
+      var name = ""
+      if ((flg & 8) != 0) { // FNAME (zero-terminated latin-1)
+        val start = q
+        while (bytes(bounded(q)) != 0) q += 1
+        name = new String(bytes, start, q - start,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        q += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT
+        while (bytes(bounded(q)) != 0) q += 1
+        q += 1
+      }
+      if ((flg & 2) != 0) { // FHCRC: CRC16 of header bytes [p, q)
+        val hc = new java.util.zip.CRC32
+        hc.update(bytes, p, q - p)
+        require((hc.getValue & 0xffffL) == u16(q),
+          s"corrupt gzip: header CRC16 mismatch at byte $p")
+        q += 2
+      }
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(bytes, q, bytes.length - q)
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        require(n > 0 || inf.finished() || !inf.needsInput(),
+          s"corrupt gzip: deflate stream of member $k truncated")
+        bos.write(buf, 0, n)
+      }
+      val content = bos.toByteArray
+      val trailerOff = bytes.length - inf.getRemaining
+      inf.end()
+      require(trailerOff + 8 <= bytes.length,
+        s"truncated gzip trailer for member $k")
+      val c = new java.util.zip.CRC32
+      c.update(content)
+      require(c.getValue == u32(trailerOff),
+        f"corrupt gzip: member $k CRC32 ${c.getValue}%08x != declared ${u32(trailerOff)}%08x")
+      require((content.length.toLong & 0xffffffffL) == u32(trailerOff + 4),
+        s"corrupt gzip: member $k ISIZE ${u32(trailerOff + 4)} != ${content.length}")
+      out += ParsedMember(k, name, 8, content.length.toLong, content)
+      p = trailerOff + 8
+      k += 1
+    }
+    out.result()
+  }
+
+  /** Minimal correct gzip writer used by [[synthesizeGzip]] and the
+    * specs: one member per call, optional FEXTRA/FNAME/FCOMMENT/FHCRC
+    * fields. NOT the gated artifact. */
+  def encodeGzipMember(content: Array[Byte], name: Option[String] = None,
+                       extra: Option[Array[Byte]] = None,
+                       comment: Option[String] = None,
+                       headerCrc: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val flg = (if (headerCrc) 2 else 0) | (if (extra.isDefined) 4 else 0) |
+      (if (name.isDefined) 8 else 0) | (if (comment.isDefined) 16 else 0)
+    out.write(0x1f); out.write(0x8b); out.write(8); out.write(flg)
+    out.write(Array[Byte](0, 0, 0, 0)) // MTIME = 0 (determinism)
+    out.write(0); out.write(255)       // XFL, OS = unknown
+    extra.foreach { e =>
+      out.write(e.length & 0xff); out.write((e.length >> 8) & 0xff)
+      out.write(e)
+    }
+    name.foreach { n =>
+      out.write(n.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      out.write(0)
+    }
+    comment.foreach { cm =>
+      out.write(cm.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      out.write(0)
+    }
+    if (headerCrc) {
+      val hc = new java.util.zip.CRC32
+      hc.update(out.toByteArray)
+      val v = (hc.getValue & 0xffffL).toInt
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    }
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(content); d.finish()
+    val buf = new Array[Byte](512)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val c = new java.util.zip.CRC32
+    c.update(content)
+    def w32(v: Long): Unit = (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    w32(c.getValue); w32(content.length.toLong & 0xffffffffL)
+    out.toByteArray
+  }
+
+  /** Deterministic concatenated-gzip table: each row's `bytes` is 1-3
+    * appended gzip members whose lengths and content come from
+    * "gzlen"/"gz"/"gzc1" sha256 chains (the synthesizeZip scheme) and
+    * whose OPTIONAL HEADER FIELDS cycle deterministically — FNAME
+    * `g{k}_{id}` on (id+k) even, FEXTRA on (id+k) % 3 = 0, FCOMMENT on
+    * % 5 = 0, FHCRC on % 4 = 0 — so every RFC 1952 header path is
+    * exercised in-gate. The deflate layer is representation-transparent
+    * to the oracle (the q111 property); MultimodalSpec cross-checks both
+    * directions against `java.util.zip.GZIP{Input,Output}Stream`. */
+  def synthesizeGzip(spark: SparkSession, n: Int, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).map { id =>
+      def sha(tag: String): Array[Byte] =
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s"$seed:$tag:$id".getBytes("UTF-8"))
+      def shaK(tag: String, k: Int): Array[Byte] =
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s"$seed:$tag:$id:$k".getBytes("UTF-8"))
+      val nm = 1 + (sha("gzdim")(0) & 0xff) % 3
+      val out = new java.io.ByteArrayOutputStream()
+      (0 until nm).foreach { k =>
+        val len = 16 + (shaK("gzlen", k)(0) & 0xff) % 48
+        val content = java.util.Arrays.copyOf(shaK("gz", k) ++ shaK("gzc1", k), len)
+        val s = id + k
+        out.write(encodeGzipMember(content,
+          name = if (s % 2 == 0) Some(s"g${k}_$id") else None,
+          extra = if (s % 3 == 0) Some(Array[Byte](1, 2, 3)) else None,
+          comment = if (s % 5 == 0) Some("c") else None,
+          headerCrc = s % 4 == 0))
+      }
+      MediaRow(id, "archive", out.toByteArray, MediaMeta(nm, 0, 0, "gzip", 0, 0))
+    }.toDF()
+  }
+
   /** Per-partition feature extraction: Dataset[MediaRow] → features.
     * One shuffle-free map stage; bytes are dropped on the spot.
     *

@@ -115,15 +115,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q149: container explode is map-only — parse+lanes run in the scan stage, sole exchange is the final sort") {
-    val p = executedPlanOf("q149_zip_members").split("== Initial Plan ==").head
-    // synthesize → mapPartitions parse/explode → lanes map, then the
-    // ordered output's range exchange; a second exchange would mean
-    // archive bytes or member contents crossed a shuffle
-    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
-    assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
-      s"expected only the sort exchange, got $exchanges\n$p")
-    assert(p.contains("MapPartitions"), s"lost the batch parse stage\n$p")
+  test("q149/q153: container explode is map-only — parse+lanes run in the scan stage, sole exchange is the final sort") {
+    for (q <- Seq("q149_zip_members", "q153_gzip_members")) {
+      val p = executedPlanOf(q).split("== Initial Plan ==").head
+      // synthesize → mapPartitions parse/explode → lanes map, then the
+      // ordered output's range exchange; a second exchange would mean
+      // archive bytes or member contents crossed a shuffle
+      val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+      assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+        s"$q expected only the sort exchange, got $exchanges\n$p")
+      assert(p.contains("MapPartitions"), s"$q lost the batch parse stage\n$p")
+    }
   }
 
   test("q150: Aho-Corasick scan is map-only — the automaton rides a broadcast, not the plan") {
@@ -155,6 +157,21 @@ class PlanSpec extends SparkSpec {
       s"corpus vectors crossed a shuffle: $exchanges")
     assert(p.contains("partial_max") || p.contains("partial(max"),
       s"per-(qtok, doc) max must aggregate partially\n$p")
+  }
+
+  test("q154: robots rules broadcast; winner reduces via partial max, one hash exchange") {
+    val p = executedPlanOf("q154_robots_rules").split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"rules should broadcast into the URL scan\n$p")
+    assert(p.contains("partial_max") || p.contains("partial(max"),
+      s"winning rule must aggregate partially\n$p")
+    // two hash exchanges: the rule-SYNTHESIS domain distinct (rule-scale,
+    // feeds the broadcast) and the winner aggregation (URL-scale but
+    // carrying (id, domain, path, small struct) only); a third would mean
+    // a second URL-scale pass
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).toSeq
+    assert(hashEx.size == 2, s"expected 2 hash exchanges, got $hashEx\n$p")
+    assert(!p.contains("SortMergeJoin"), s"rules must not shuffle-join\n$p")
   }
 
   test("q61: bench grams broadcast; only shuffles are the hit-count agg + final sort") {

@@ -508,6 +508,31 @@ class CurationSpec extends SparkSpec {
       "sub.ac.jp", "co.uk"))
   }
 
+  test("robotsFilter: longest match wins, allow wins ties, default allows, empty prefix blankets") {
+    val urls = Seq(
+      (1L, "d.com", "/p/12"),  // longer allow overrides shorter disallow
+      (2L, "d.com", "/p/11"),  // only the disallow prefix matches
+      (3L, "d.com", "/p/1"),   // exact disallow
+      (4L, "d.com", "/a/x"),   // allow/disallow tie at '/a' -> allow
+      (5L, "d.com", "/free"),  // no rule matches -> default allow
+      (6L, "none.com", "/p/1"),// domain without rules -> default allow
+      (7L, "all.com", "/any"), // empty-prefix disallow blankets the domain
+      (8L, "all.com", "/ok/x"),// ...except the longer allow carve-out
+    ).toDF("id", "domain", "path")
+    val rules = Seq(
+      ("d.com", "disallow", "/p/1"), ("d.com", "allow", "/p/12"),
+      ("d.com", "allow", "/a"), ("d.com", "disallow", "/a"),
+      ("all.com", "disallow", ""), ("all.com", "allow", "/ok"),
+    ).toDF("domain", "rtype", "prefix")
+    val got = Curation.robotsFilter(urls, "id", "domain", "path", rules)
+      .select("id", "allowed", "rule").as[(Long, Boolean, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, true, "/p/12"), (2L, false, "/p/1"), (3L, false, "/p/1"),
+      (4L, true, "/a"), (5L, true, ""), (6L, true, ""),
+      (7L, false, ""), (8L, true, "/ok")))
+  }
+
   test("domainCap: subdomains share the publisher key; cap ranks by (quality desc, id)") {
     val rows = Seq(
       (1L, "https://a.spam.com/x", 10L),

@@ -679,6 +679,96 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // ---- gzip container (q153) ----
+
+  test("decodeGzipMembers parses JDK GZIPOutputStream output, including concatenated members") {
+    import java.util.zip.GZIPOutputStream
+    def gz(data: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new GZIPOutputStream(bos)
+      g.write(data); g.close()
+      bos.toByteArray
+    }
+    val a = Array.tabulate[Byte](500)(i => ((i * 11 + 5) % 251).toByte)
+    val b = Array.tabulate[Byte](100)(i => (i % 3).toByte)
+    val single = Multimodal.decodeGzipMembers(gz(a))
+    assert(single.length == 1 && single.head.content.sameElements(a))
+    assert(single.head.name == "") // JDK writes no FNAME
+    val multi = Multimodal.decodeGzipMembers(gz(a) ++ gz(b) ++ gz(Array.emptyByteArray))
+    assert(multi.length == 3)
+    assert(multi(0).content.sameElements(a) && multi(1).content.sameElements(b)
+      && multi(2).content.isEmpty)
+    assert(multi.map(_.member_idx) == Vector(0, 1, 2))
+  }
+
+  test("synthesizeGzip bytes are standards-valid: JDK GZIPInputStream reads them back byte-identically") {
+    import java.util.zip.GZIPInputStream
+    val rows = Multimodal.synthesizeGzip(spark, 25)
+      .select($"media_id", $"bytes").collect()
+    for (row <- rows) {
+      val bytes = row.getAs[Array[Byte]]("bytes")
+      val ours = Multimodal.decodeGzipMembers(bytes)
+      // GZIPInputStream transparently concatenates members: total bytes
+      // must equal the concatenation of our per-member contents (it also
+      // exercises FEXTRA/FNAME/FCOMMENT/FHCRC skipping on real headers)
+      val g = new GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      Iterator.continually(g.read(buf)).takeWhile(_ >= 0)
+        .foreach(n => bos.write(buf, 0, n))
+      assert(bos.toByteArray.toSeq == ours.flatMap(_.content.toSeq),
+        s"JDK and first-principles parse disagree on archive ${row.getLong(0)}")
+    }
+  }
+
+  test("decodeGzipMembers rejects malformed streams loudly") {
+    val good = Multimodal.synthesizeGzip(spark, 1)
+      .select($"bytes").head().getAs[Array[Byte]](0)
+    // bad magic
+    val badMagic = good.clone(); badMagic(0) = 0x1e
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodeGzipMembers(badMagic)).getMessage.contains("magic"))
+    // reserved FLG bit
+    val badFlg = good.clone(); badFlg(3) = (badFlg(3) | 0x80).toByte
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodeGzipMembers(badFlg)).getMessage.contains("reserved"))
+    // flipped trailer CRC byte (last member trailer is bytes[len-8..len-5])
+    val badCrc = good.clone()
+    badCrc(badCrc.length - 8) = (badCrc(badCrc.length - 8) ^ 0x01).toByte
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodeGzipMembers(badCrc)).getMessage.contains("CRC32"))
+    // flipped ISIZE
+    val badSz = good.clone()
+    badSz(badSz.length - 4) = (badSz(badSz.length - 4) ^ 0x01).toByte
+    assert(intercept[IllegalArgumentException](
+      Multimodal.decodeGzipMembers(badSz)).getMessage.contains("ISIZE"))
+  }
+
+  test("synthesizeGzip members follow the documented replay formulas, header variants included") {
+    val feats = Multimodal.memberFeatures(
+      Multimodal.extractMembers(Multimodal.synthesizeGzip(spark, 20),
+        Multimodal.decodeGzipMembers)).collect()
+      .sortBy(m => (m.media_id, m.member_idx))
+    def sha(s: String): Array[Byte] =
+      java.security.MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+    val expected = (0 until 20).flatMap { i =>
+      val nm = 1 + (sha(s"42:gzdim:$i")(0) & 0xff) % 3
+      (0 until nm).map { k =>
+        val len = 16 + (sha(s"42:gzlen:$i:$k")(0) & 0xff) % 48
+        val content = (sha(s"42:gz:$i:$k") ++ sha(s"42:gzc1:$i:$k")).take(len)
+        val name = if ((i + k) % 2 == 0) s"g${k}_$i" else ""
+        (i.toLong, k, name, len.toLong,
+          content.map(_ & 0xff).map(_.toLong).sum)
+      }
+    }
+    assert(feats.length == expected.length)
+    feats.zip(expected).foreach { case (m, (i, k, nm2, len, f0)) =>
+      assert((m.media_id, m.member_idx, m.name, m.usize, m.f0) ==
+        ((i, k, nm2, len, f0)))
+      assert(m.method == 8)
+    }
+  }
+
   test("decodeZip rejects malformed archives loudly") {
     val good = Multimodal.synthesizeZip(spark, 1)
       .select($"bytes").head().getAs[Array[Byte]](0)

@@ -28,7 +28,8 @@ run linear                   # linear family, one JVM
 for q in q65_dup_clusters q80_dedup_survivors \
          q100_incremental_pairs q101_incremental_dedup \
          q121_substring_spans q129_prefix_join \
-         q131_sorted_neighborhood q135_containment_join; do
+         q131_sorted_neighborhood q135_containment_join \
+         q138_winnow_pairs q146_edit_join; do
   run "dup:$q"               # iterative family: one JVM PER QUERY
 done
 run inc
