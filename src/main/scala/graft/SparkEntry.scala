@@ -2439,6 +2439,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // EXACT weighted sampling without replacement — the data-mixing
+    // primitive: k docs, inclusion proportional to an integer quality
+    // weight, Efraimidis–Spirtes order realized through integer ticket
+    // minima (min of w 48-bit sha256 tickets per row; monotone map to
+    // exponential clocks makes the ascending-ticket order EXACTLY the
+    // successive weighted draw). No floating point anywhere: selection,
+    // order, and ranks replay bit-identically in the oracle — a wrong
+    // ticket, a wrong min, or a wrong tie-break desyncs the whole list.
+    // Weights 1..8 derive from n_chars so every weight class is in-gate.
+    "q156_weighted_sample" -> ((s, d) => {
+      operators.Curation.weightedSample(
+          t(s, d, "documents")
+            .withColumn("w", (col("n_chars") % 8 + 1).cast("int")),
+          "doc_id", "w", k = 100, salt = "ws")
+        .orderBy(col("rank"))
+    }),
+
     // ColBERT-style MaxSim late-interaction retrieval: embeddings become
     // multi-vector documents (vec_id DIV 8 = doc, vec_id % 8 = token
     // position), queries are every 20th doc's first 4 token vectors, and
@@ -4051,6 +4068,31 @@ object SparkEntry {
         |  nfc_normalize(fl) <> fl AS changed,
         |  nfc_normalize(tail) AS tail_nfc
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Weighted-sample replay: w tickets per doc (48-bit sha256 prefixes
+    // via the q114 digit-parse), min per doc, k smallest (ticket, id)
+    // win, rank = selection order. Pure integer — exact equality.
+    "q156_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, n_chars % 8 + 1 AS weight FROM documents),
+        |tk AS (
+        |  SELECT doc_id, weight, CAST(list_sum(
+        |      [(strpos('0123456789abcdef', substr(
+        |          sha256('ws:' || CAST(doc_id AS VARCHAR) || ':' ||
+        |                  CAST(j AS VARCHAR)), i, 1)) - 1)
+        |       * pow(16.0, 12 - i) for i in generate_series(1, 12)])
+        |    AS BIGINT) AS ticket
+        |  FROM w, range(8) r(j) WHERE j < weight),
+        |mint AS (
+        |  SELECT doc_id, CAST(max(weight) AS BIGINT) AS weight,
+        |    min(ticket) AS ticket
+        |  FROM tk GROUP BY doc_id),
+        |ranked AS (
+        |  SELECT doc_id, weight, ticket,
+        |    row_number() OVER (ORDER BY ticket, doc_id) AS rank
+        |  FROM mint)
+        |SELECT doc_id, weight, ticket, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 100 ORDER BY rank""".stripMargin,
 
     // MaxSim replay: the quantizeInt8 formula (scale = max |x|, half-up
     // rounding), integer dots via list_dot_product over integer-valued

@@ -70,6 +70,60 @@ object Curation {
       .drop("__sk", "__rn")
   }
 
+  /** EXACT weighted sampling without replacement (k of n, inclusion
+    * proportional-to-weight, Efraimidis–Spirtes order) — the data-mixing
+    * primitive: "sample 1M documents, quality-weighted" without an RNG.
+    *
+    * Each row holds an integer weight w ≥ 1 and gets w deterministic
+    * 48-bit TICKETS (sha256 prefix of "salt:id:j", j < w); its key is the
+    * MINIMUM ticket, and the k smallest keys win. Why this is exactly the
+    * E–S weighted order: x → −ln(1 − x/2^48) is strictly monotone, so
+    * ticket order equals order of the mapped values, which are iid
+    * Exp(1) draws; the min of w of them is Exp(w)-distributed, and
+    * ascending order of independent Exp(w_i) minima is precisely
+    * successive probability-proportional-to-weight sampling without
+    * replacement (the exponential-clocks construction). Integer tickets
+    * mean NO floating point anywhere — selection, order, and ties replay
+    * bit-identically in any engine with sha256 (48 bits ≪ 2^53 keeps the
+    * replay integer-exact in engines that route ints through doubles).
+    *
+    * Weights are small integers by contract (quality scores, epoch
+    * multipliers — the mixing use case); cost is O(Σw) hashes. The w
+    * tickets of a row live IN the row, so the min is an `array_min` over
+    * a generated array inside whole-stage codegen: no explode, no
+    * shuffle — the only movement is TakeOrderedAndProject's k-row
+    * per-partition heaps into the driver-side merge (the q13 shape).
+    * At 100 TB: a corpus scan plus k rows of traffic.
+    *
+    * Returns the k winners as (id-col, weight, ticket, rank), rank 1..k
+    * in selection order. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, salt: String, maxWeight: Int = 64): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(maxWeight >= 1 && maxWeight <= 4096,
+      s"maxWeight must be in 1..4096: $maxWeight")
+    val w = col(weightCol).cast("long")
+    // a zero/negative/oversized weight is a caller bug — name it rather
+    // than silently emitting no tickets (array_min of empty = null, which
+    // would SELECT the row first under nulls-first ordering)
+    val guarded = when(w < 1L || w > maxWeight.toLong,
+      raise_error(concat(lit(s"weightedSample: weight out of [1, $maxWeight]: "),
+        w.cast("string")))).otherwise(w)
+    val tickets = transform(
+      sequence(lit(0L), guarded - 1L),
+      j => conv(substring(sha2(concat(lit(salt + ":"),
+        col(idCol).cast("string"), lit(":"), j.cast("string")), 256),
+        1, 12), 16, 10).cast("long"))
+    val picked = df
+      .select(col(idCol), w.as("weight"), array_min(tickets).as("ticket"))
+      .orderBy(col("ticket"), col(idCol))
+      .limit(k)
+    // rank the k survivors — a window over ≤ k rows, not corpus-scale
+    val rw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ticket"), col(idCol))
+    picked.withColumn("rank", row_number().over(rw).cast("long"))
+  }
+
   /** Split each document into fixed-size whitespace-token windows for
     * context-length packing: one output row per (doc, window) with
     * half-open token offsets [tok_start, tok_end). Documents with zero

@@ -128,6 +128,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q156: weighted sample is a scan into TakeOrderedAndProject — tickets never explode or shuffle") {
+    val p = executedPlanOf("q156_weighted_sample").split("== Initial Plan ==").head
+    // the w tickets of a row reduce to their min INSIDE the row
+    // (array_min over a generated array in codegen); corpus-scale data
+    // movement is exactly the top-k heap merge
+    assert(p.contains("TakeOrderedAndProject"), s"lost the top-k shape\n$p")
+    assert(!p.contains("Generate"), s"tickets must not explode to rows\n$p")
+    assert(!"Exchange hashpartitioning".r.findFirstIn(p).isDefined,
+      s"no corpus-scale shuffle expected\n$p")
+  }
+
   test("q150: Aho-Corasick scan is map-only — the automaton rides a broadcast, not the plan") {
     val p = executedPlanOf("q150_ac_scan").split("== Initial Plan ==").head
     val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq

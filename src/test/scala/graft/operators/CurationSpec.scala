@@ -9,6 +9,48 @@ class CurationSpec extends SparkSpec {
   private def docs = spark.range(0, 1000).select(col("id").as("doc_id"),
     concat(lit("doc number "), col("id")).as("text"))
 
+  test("weightedSample matches a serial ticket-minimum reference and is layout-invariant") {
+    // serial reference: identical ticket construction via MessageDigest
+    def ticket(id: Long, j: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"t:$id:$j".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(12), 16)
+    }
+    val weights = (0L until 500L).map(id => id -> (1L + id % 5)).toMap
+    val expected = weights.toSeq
+      .map { case (id, w) => (id, w, (0L until w).map(ticket(id, _)).min) }
+      .sortBy { case (id, _, tk) => (tk, id) }
+      .take(40)
+      .zipWithIndex
+      .map { case ((id, w, tk), i) => (id, w, tk, i + 1L) }
+    val in = weights.toSeq.toDF("doc_id", "w")
+    val got = Curation.weightedSample(in, "doc_id", "w", k = 40, salt = "t")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._4).toSeq
+    assert(got == expected)
+    val repart = Curation.weightedSample(in.repartition(13), "doc_id", "w",
+      k = 40, salt = "t").as[(Long, Long, Long, Long)]
+      .collect().sortBy(_._4).toSeq
+    assert(repart == expected)
+  }
+
+  test("weightedSample selects proportionally to weight and rejects bad weights") {
+    // two weight classes, 8:1 — among the top 200 of 2000 docs the
+    // heavy class (half the docs, 8/9 of the mass) must dominate.
+    // Deterministic given the hash; the margin is far outside noise.
+    val in = spark.range(0, 2000).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, 8).otherwise(1).as("w"))
+    val heavy = Curation.weightedSample(in, "doc_id", "w", k = 200, salt = "p")
+      .filter(col("weight") === 8).count()
+    assert(heavy > 150, s"heavy class won only $heavy of 200")
+    val bad = spark.range(0, 5).select(col("id").as("doc_id"),
+      lit(0).as("w"))
+    val e = intercept[Exception] {
+      Curation.weightedSample(bad, "doc_id", "w", k = 3, salt = "p").collect()
+    }
+    assert(e.getMessage.contains("weight out of"))
+  }
+
   test("hashSplit is exhaustive, roughly proportioned, and repartition-stable") {
     val split = docs.select(col("doc_id"),
       Curation.hashSplit(col("doc_id"), "split:42").as("s"))
