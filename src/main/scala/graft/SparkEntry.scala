@@ -2456,6 +2456,45 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // Host-graph extraction: the crawl's markup becomes the weighted
+    // cross-publisher edge list that PageRank/TrustRank/k-core/HyperBall
+    // (q117/q126/q140/q145) consume. The engine EXTRACTS from real
+    // markup (regexp over synthesized anchors); the oracle replays the
+    // anchor GENERATION formula — so a regex that swallows a decoy
+    // (img src, single-quoted href, data-href, relative href) or misses
+    // a real anchor desyncs rows/counts. Planted in-gate: self-links
+    // (doc_id % 17 = 0 pages link themselves — dropped), duplicate
+    // links (doc_id % 5 = 0 pages link their first target twice —
+    // n_links > n_pages), www prefixes and all four TLDs.
+    "q157_link_graph" -> ((s, d) => {
+      val i = col("doc_id")
+      def tld(off: Column) = element_at(
+        array(lit("com"), lit("org"), lit("co.uk"), lit("io")),
+        (off % 4).cast("int") + 1)
+      def anchor(j: Int) = when(i % 3 >= j, concat(
+        lit(" <a href=\"https://"),
+        when((i + j) % 3 === 0, lit("www.")).otherwise(lit("")),
+        lit("site"), ((i * 7 + j) % 17).cast("string"), lit("."),
+        tld(i + lit(j)),
+        lit("/p/"), ((i + j) % 13).cast("string"),
+        lit("\">x</a>"))).otherwise(lit(""))
+      val dup = when(i % 5 === 0, concat(
+        lit(" <a href=\"https://site"), ((i * 7) % 17).cast("string"),
+        lit("."), tld(i), lit("/again\">x2</a>"))).otherwise(lit(""))
+      val html = concat(col("text"),
+        lit(" <img src=\"https://decoy.net/x.png\">"),
+        lit(" <a href='https://squot.org/'>y</a>"),
+        lit(" <a data-href=\"https://datahref.io/\">z</a>"),
+        lit(" <a href=\"/relative/path\">r</a>"),
+        anchor(0), anchor(1), anchor(2), dup)
+      val src = concat(lit("site"), (i % 17).cast("string"), lit("."), tld(i))
+      operators.Curation.linkGraph(
+          t(s, d, "documents").select(col("doc_id"),
+            src.as("src_domain"), html.as("html")),
+          "doc_id", "src_domain", "html")
+        .orderBy(col("src_domain"), col("dst_domain"))
+    }),
+
     // ColBERT-style MaxSim late-interaction retrieval: embeddings become
     // multi-vector documents (vec_id DIV 8 = doc, vec_id % 8 = token
     // position), queries are every 20th doc's first 4 token vectors, and
@@ -4093,6 +4132,37 @@ object SparkEntry {
         |  FROM mint)
         |SELECT doc_id, weight, ticket, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 100 ORDER BY rank""".stripMargin,
+
+    // Link-graph replay: the oracle regenerates each page's intended
+    // outlink DOMAINS from the anchor formula (the engine must get them
+    // by parsing the markup); decoys planted on the Spark side produce
+    // NO oracle rows, so any extraction slip desyncs. The dup anchor's
+    // path differs but its domain matches anchor 0 — n_links counts it,
+    // n_pages (distinct pages) does not.
+    "q157_link_graph" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'site' || CAST(doc_id % 17 AS VARCHAR) || '.' ||
+        |      (['com', 'org', 'co.uk', 'io'])[CAST(doc_id % 4 AS INT) + 1]
+        |      AS src
+        |  FROM documents),
+        |lnk AS (
+        |  SELECT doc_id, src,
+        |    'site' || CAST((doc_id * 7 + j) % 17 AS VARCHAR) || '.' ||
+        |      (['com', 'org', 'co.uk', 'io'])[CAST((doc_id + j) % 4 AS INT) + 1]
+        |      AS dst
+        |  FROM d, range(3) r(j) WHERE j <= doc_id % 3
+        |  UNION ALL
+        |  SELECT doc_id, src,
+        |    'site' || CAST((doc_id * 7) % 17 AS VARCHAR) || '.' ||
+        |      (['com', 'org', 'co.uk', 'io'])[CAST(doc_id % 4 AS INT) + 1]
+        |      AS dst
+        |  FROM d WHERE doc_id % 5 = 0)
+        |SELECT src AS src_domain, dst AS dst_domain,
+        |  CAST(count(*) AS BIGINT) AS n_links,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
+        |FROM lnk WHERE dst <> src
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // MaxSim replay: the quantizeInt8 formula (scale = max |x|, half-up
     // rounding), integer dots via list_dot_product over integer-valued

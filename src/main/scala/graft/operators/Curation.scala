@@ -678,21 +678,6 @@ object Curation {
       .otherwise(host)
   }
 
-  /** URL-canonicalize + per-registered-domain document cap: normalize
-    * every URL, key each doc by its registered domain, keep the best
-    * `cap` docs per domain by (quality desc, id asc). The standard
-    * anti-boilerplate guard in crawl curation — template-heavy sites
-    * contribute thousands of near-identical pages; capping per PUBLISHER
-    * (registered domain, not full host) closes the subdomain loophole
-    * (a.spam.com, b.spam.com, ...).
-    *
-    * Returns (id, url_norm, domain, rk ≤ cap), kept rows only.
-    *
-    * 100 TB shape: normalization and domain extraction are codegen map
-    * work; the cap is ONE hash shuffle on the domain key feeding a
-    * WindowGroupLimit (Spark pushes the rank filter into the window —
-    * per-partition top-cap heaps, the q83 contract), carrying
-    * (id, url, domain, quality) only — document text never moves. */
   /** robots.txt rule application (RFC 9309 subset) — the compliance
     * stage of crawl curation: per-domain allow/disallow PATH-PREFIX
     * rules, most-specific (longest) matching rule wins, `allow` wins a
@@ -736,6 +721,21 @@ object Curation {
         col("best.p").as("rule"))
   }
 
+  /** URL-canonicalize + per-registered-domain document cap: normalize
+    * every URL, key each doc by its registered domain, keep the best
+    * `cap` docs per domain by (quality desc, id asc). The standard
+    * anti-boilerplate guard in crawl curation — template-heavy sites
+    * contribute thousands of near-identical pages; capping per PUBLISHER
+    * (registered domain, not full host) closes the subdomain loophole
+    * (a.spam.com, b.spam.com, ...).
+    *
+    * Returns (id, url_norm, domain, rk ≤ cap), kept rows only.
+    *
+    * 100 TB shape: normalization and domain extraction are codegen map
+    * work; the cap is ONE hash shuffle on the domain key feeding a
+    * WindowGroupLimit (Spark pushes the rank filter into the window —
+    * per-partition top-cap heaps, the q83 contract), carrying
+    * (id, url, domain, quality) only — document text never moves. */
   def domainCap(df: DataFrame, urlCol: String, qualityCol: String,
                 idCol: String, cap: Int): DataFrame = {
     require(cap >= 1, s"bad cap: $cap")
@@ -752,5 +752,75 @@ object Curation {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= cap)
       .select(col(idCol), col("url_norm"), col("domain"), col("rk"))
+  }
+
+  /** The `href="…"` attribute pattern shared by [[extractLinks]] and
+    * [[linkGraph]]: double-quoted values, attribute name preceded by
+    * start-of-text or a non-word/non-hyphen character so `data-href=`
+    * and friends stay out. The guard CONSUMES the preceding character
+    * instead of looking behind — RE2-class engines (the oracle's) have
+    * no lookbehind, and href attributes are whitespace-separated in any
+    * real markup, so consumption never overlaps a neighboring match.
+    * The href value is capture group 2. */
+  private val HrefPattern = "(^|[^\\w-])href=\"([^\"]+)\""
+
+  /** Outlink extraction: one row per `href="…"` occurrence in the markup
+    * column, document order preserved via the occurrence index. Double-
+    * quoted href attributes only (the form every serializer emits);
+    * `src=`/text mentions/single-quoted attributes/`data-href=` do NOT
+    * match (see [[HrefPattern]]). Narrow explode: regexp_extract_all +
+    * posexplode inside the scan's map stage, no shuffle.
+    *
+    * Returns (id-col, link_idx, href) — raw hrefs; normalize/aggregate
+    * downstream (see [[linkGraph]]). */
+  def extractLinks(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(regexp_extract_all(col(htmlCol),
+          lit(HrefPattern), lit(2))).as(Seq("link_idx", "href")))
+      .select(col(idCol), col("link_idx").cast("long").as("link_idx"),
+        col("href"))
+
+  /** The crawl's host graph: extract every outlink, normalize it, key
+    * both endpoints by REGISTERED domain (the publisher unit, matching
+    * [[domainCap]]), and aggregate to weighted edges. Self-edges
+    * (intra-publisher navigation) are dropped — they dominate raw counts
+    * and carry no cross-site signal; the downstream consumers
+    * (PageRank/TrustRank q117/q126, k-core q140, HyperBall q145) all
+    * expect the cross-publisher web.
+    *
+    * Returns (src_domain, dst_domain, n_links, n_pages): total link
+    * occurrences and distinct linking pages per edge.
+    *
+    * 100 TB shape: extraction + normalization + domain mapping are all
+    * codegen map work riding the corpus scan; the ONE shuffle is the
+    * edge aggregation, keyed (src_domain, dst_domain) and carrying
+    * nothing but the two short keys per link — markup never moves. The
+    * distinct-page count rides the SAME exchange: a page's links all
+    * live in one row pre-explode, so the "first link from this page to
+    * this domain" flag is array_position(domains, dst) = own index — a
+    * pure in-row computation, no window, no second shuffle. */
+  def linkGraph(df: DataFrame, idCol: String, srcDomainCol: String,
+                htmlCol: String): DataFrame = {
+    def dstDomain(href: Column): Column = {
+      val hostport = lower(regexp_extract(href,
+        "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)", 1))
+      registeredDomain(regexp_replace(
+        regexp_replace(hostport, ":[0-9]+$", ""), "^www\\.", ""))
+    }
+    df.select(col(srcDomainCol).as("src_domain"),
+        transform(regexp_extract_all(col(htmlCol),
+          lit(HrefPattern), lit(2)), dstDomain(_)).as("_dsts"))
+      .select(col("src_domain"), col("_dsts"),
+        posexplode(col("_dsts")).as(Seq("_idx", "dst_domain")))
+      // drop self-edges and unparseable hrefs (no scheme → empty host);
+      // both filters are group-total (a dst value is either always or
+      // never filtered), so the first-occurrence flags stay consistent
+      .filter(col("dst_domain") =!= col("src_domain") &&
+        col("dst_domain") =!= "")
+      .withColumn("_first",
+        array_position(col("_dsts"), col("dst_domain")) === col("_idx") + 1)
+      .groupBy(col("src_domain"), col("dst_domain"))
+      .agg(count(lit(1)).as("n_links"),
+        sum(when(col("_first"), 1L).otherwise(0L)).as("n_pages"))
   }
 }

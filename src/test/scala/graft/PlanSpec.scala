@@ -139,6 +139,18 @@ class PlanSpec extends SparkSpec {
       s"no corpus-scale shuffle expected\n$p")
   }
 
+  test("q157: link graph is extract-in-scan into ONE edge-keyed exchange") {
+    val p = executedPlanOf("q157_link_graph").split("== Initial Plan ==").head
+    // markup parse + domain mapping ride the scan (Generate = the href
+    // explode); the only corpus-scale movement is the (src, dst) agg;
+    // the final ORDER BY adds its range exchange
+    assert(p.contains("Generate"), s"lost the href explode\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).toSeq
+    assert(hashEx.size == 1, s"expected 1 hash exchange, got $hashEx\n$p")
+    assert(p.contains("partial_count") || p.contains("partial(count"),
+      s"edge counts must aggregate partially\n$p")
+  }
+
   test("q150: Aho-Corasick scan is map-only — the automaton rides a broadcast, not the plan") {
     val p = executedPlanOf("q150_ac_scan").split("== Initial Plan ==").head
     val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq

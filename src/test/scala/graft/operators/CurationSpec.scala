@@ -51,6 +51,41 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("weight out of"))
   }
 
+  test("extractLinks takes double-quoted hrefs only, in document order") {
+    val html = """<a href="https://a.com/1">x</a> <img src="https://no.com/i.png">
+      |<a href='https://squote.com/'>y</a> <a data-href="https://dh.com/">z</a>
+      |href="https://bare.com/at-start-of-line"
+      |<A HREF="https://upper.com/">case-sensitive: no</A>
+      |<a href="https://a.com/2">again</a>""".stripMargin
+    val got = Curation.extractLinks(Seq((1L, html)).toDF("id", "html"),
+      "id", "html").as[(Long, Long, String)].collect().sortBy(_._2).toSeq
+    // bare href=" after a newline IS an href attribute form we accept
+    // (preceded by non-word char); HREF uppercase is not (exact name)
+    assert(got == Seq((1L, 0L, "https://a.com/1"),
+      (1L, 1L, "https://bare.com/at-start-of-line"),
+      (1L, 2L, "https://a.com/2")))
+  }
+
+  test("linkGraph: registered-domain endpoints, self/unparseable dropped, pages vs links") {
+    val pages = Seq(
+      // page 1 on spam.com links twice to the SAME publisher via two
+      // different subdomains + once to b.org; self-link dropped
+      (1L, "spam.com", """<a href="https://a.target.com/x"><a href="https://WWW.B.TARGET.COM:443/y">
+        |<a href="https://b.org/"><a href="https://sub.spam.com/self">""".stripMargin),
+      // page 2 links target.com once and carries only decoys otherwise
+      (2L, "other.org", """<a href="https://target.com/z"><a href="/rel">
+        |<a href="ftp://files.example.net/f">""".stripMargin),
+    ).toDF("id", "dom", "html")
+    val got = Curation.linkGraph(pages, "id", "dom", "html")
+      .as[(String, String, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq(
+      // ftp scheme parses (any scheme://); example.net is its domain
+      ("other.org", "example.net", 1L, 1L),
+      ("other.org", "target.com", 1L, 1L),
+      ("spam.com", "b.org", 1L, 1L),
+      ("spam.com", "target.com", 2L, 1L)))
+  }
+
   test("hashSplit is exhaustive, roughly proportioned, and repartition-stable") {
     val split = docs.select(col("doc_id"),
       Curation.hashSplit(col("doc_id"), "split:42").as("s"))
