@@ -2384,6 +2384,23 @@ object SparkEntry {
         .orderBy(col("media_id"), col("member_idx"))
     }),
 
+    // Third container format through the codec seam, and the first with
+    // TEXT headers: WARC (ISO 28500) — the shard format every public
+    // crawl ships as. synthesizeWarc cycles both version lines, a
+    // skippable extension header, LOWERCASE header names (the
+    // case-insensitivity contract), absent target URIs, and three record
+    // types; block content is raw sha bytes that can contain "WARC/1.0",
+    // so a separator-scanning parser (instead of Content-Length
+    // delimiting) desyncs the lanes.
+    "q158_warc_records" -> ((s, d) => {
+      val media = operators.Multimodal.synthesizeWarc(s, 200)
+      operators.Multimodal.memberFeatures(
+          operators.Multimodal.extractMembers(media,
+            operators.Multimodal.decodeWarc))
+        .toDF()
+        .orderBy(col("media_id"), col("member_idx"))
+    }),
+
     // robots.txt rule application (RFC 9309 subset): per-domain
     // allow/disallow path-prefix rules, longest match wins, allow wins
     // same-length ties, default allow. The synthesized rule sets (keyed
@@ -3402,6 +3419,45 @@ object SparkEntry {
        |  FROM byt GROUP BY i, k)""".stripMargin
   }
 
+  /** q158 oracle: replay the WARC block-content formula ("wlen"/"wc"/
+    * "wc1" sha chains), the URI rule (present iff (i+k) % 5 != 0), and
+    * the type→method mapping (response=1, request=3, metadata=4 in the
+    * ISO 28500 §6 type order). Header-layout variation (version lines,
+    * lowercase names, extension headers) is representation the parser
+    * must see through — the replay is layout-independent by design. */
+  private lazy val warcMemberCte: String = {
+    val alpha = "'0123456789abcdef'"
+    def byteAt(src: String, off: String): String =
+      s"(strpos($alpha, substr($src, 2 * ($off) + 1, 1)) - 1) * 16 " +
+        s"+ (strpos($alpha, substr($src, 2 * ($off) + 2, 1)) - 1)"
+    val iv = "CAST(i AS VARCHAR)"
+    val kv = "CAST(k AS VARCHAR)"
+    s"""WITH arc AS (
+       |  SELECT i,
+       |    1 + (${byteAt(s"sha256('42:wdim:' || $iv)", "0")}) % 3 AS nm
+       |  FROM range(200) t(i)),
+       |mem AS (
+       |  SELECT i, CAST(k AS INT) AS k,
+       |    16 + (${byteAt(s"sha256('42:wlen:' || $iv || ':' || $kv)", "0")}) % 48 AS len,
+       |    sha256('42:wc:' || $iv || ':' || $kv) ||
+       |      sha256('42:wc1:' || $iv || ':' || $kv) AS hexfull
+       |  FROM arc, range(3) r(k) WHERE k < nm),
+       |byt AS (
+       |  SELECT i, k, len, CAST(j AS INT) AS j, ${byteAt("hexfull", "j")} AS b
+       |  FROM mem, range(63) r(j) WHERE j < len),
+       |feat AS (
+       |  SELECT i AS media_id, k AS member_idx,
+       |    CASE WHEN (i + k) % 5 = 0 THEN ''
+       |         ELSE 'http://w' || CAST(k AS VARCHAR) || '.example/' ||
+       |              CAST(i AS VARCHAR) END AS name,
+       |    CAST(([1, 3, 4])[CAST((i + k) % 3 AS INT) + 1] AS INT) AS method,
+       |    max(len) AS usize,
+       |    sum(b) AS f0, sum(b * (j + 1)) AS f1,
+       |    max(CASE WHEN j = 0 THEN b END) AS f2,
+       |    max(CASE WHEN j = len - 1 THEN b END) AS f3
+       |  FROM byt GROUP BY i, k)""".stripMargin
+  }
+
   private lazy val qoiFeatCte: String = {
     val alpha = "'0123456789abcdef'"
     def byteAt(src: String, off: String): String =
@@ -3942,6 +3998,15 @@ object SparkEntry {
           |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
           |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
           |FROM feat ORDER BY media_id""".stripMargin),
+
+    "q158_warc_records" ->
+      (warcMemberCte +
+        """
+          |SELECT media_id, member_idx, name, method,
+          |  CAST(usize AS BIGINT) AS usize,
+          |  CAST(f0 AS BIGINT) AS f0, CAST(f1 AS BIGINT) AS f1,
+          |  CAST(f2 AS BIGINT) AS f2, CAST(f3 AS BIGINT) AS f3
+          |FROM feat ORDER BY media_id, member_idx""".stripMargin),
 
     "q153_gzip_members" ->
       (gzipMemberCte +

@@ -1391,6 +1391,162 @@ object Multimodal {
     }.toDF()
   }
 
+  /** WARC-Type codes for [[decodeWarc]]'s `method` lane, in spec order
+    * (ISO 28500 §6). Unknown types fail loudly — a crawl shard with a
+    * type outside the standard is corrupt, not "other". */
+  private val WarcTypes = Vector("warcinfo", "response", "resource",
+    "request", "metadata", "revisit", "conversion", "continuation")
+
+  /** REAL parser for WARC (ISO 28500, the web-archive format every
+    * public crawl ships as) — the third container format behind the
+    * codec seam, and unlike ZIP/gzip a TEXT-header format: each record
+    * is `WARC/1.x\r\n`, header lines `Name: value\r\n` (names
+    * case-insensitive), a blank line, exactly Content-Length block
+    * bytes, and a `\r\n\r\n` terminator. First-principles walk:
+    *
+    *  - version line must be WARC/1.0 or WARC/1.1;
+    *  - header names are case-insensitively matched, values trimmed of
+    *    optional leading space; unknown headers are skipped (the spec
+    *    allows extension fields), but a line without a colon fails;
+    *  - Content-Length and WARC-Type are REQUIRED (per the standard);
+    *    the type must be one of the eight §6 record types;
+    *  - the block is length-delimited by Content-Length — never scanned
+    *    for separators, so payloads containing `WARC/1.0` survive;
+    *  - the two-CRLF record terminator is verified byte-exactly.
+    *
+    * Member name = WARC-Target-URI ("" when absent, e.g. warcinfo);
+    * method = the type's index in [[WarcTypes]]. */
+  def decodeWarc(bytes: Array[Byte]): Seq[ParsedMember] = {
+    val out = Vector.newBuilder[ParsedMember]
+    var p = 0
+    var k = 0
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i + 1 < bytes.length &&
+        !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+      require(i + 1 < bytes.length, s"unterminated WARC header line at byte $from")
+      i
+    }
+    require(bytes.length >= 10, "not a WARC stream: too short")
+    while (p < bytes.length) {
+      val ve = lineEnd(p)
+      val version = new String(bytes, p, ve - p,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      require(version == "WARC/1.0" || version == "WARC/1.1",
+        s"record $k: bad WARC version line '$version'")
+      p = ve + 2
+      var len = -1L
+      var wtype = ""
+      var uri = ""
+      var done = false
+      while (!done) {
+        val he = lineEnd(p)
+        if (he == p) { done = true; p += 2 }
+        else {
+          val line = new String(bytes, p, he - p,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          val colon = line.indexOf(':')
+          require(colon > 0, s"record $k: malformed header '$line'")
+          val name = line.substring(0, colon).toLowerCase
+          val value = line.substring(colon + 1).trim
+          name match {
+            case "content-length" => len = value.toLong
+            case "warc-type" => wtype = value
+            case "warc-target-uri" => uri = value
+            case _ => () // extension/irrelevant headers skip per spec
+          }
+          p = he + 2
+        }
+      }
+      require(len >= 0, s"record $k: missing Content-Length")
+      val method = WarcTypes.indexOf(wtype)
+      require(method >= 0, s"record $k: missing or unknown WARC-Type '$wtype'")
+      require(p + len + 4 <= bytes.length,
+        s"record $k: block of $len bytes overruns the stream")
+      val content = java.util.Arrays.copyOfRange(bytes, p, p + len.toInt)
+      p += len.toInt
+      require(bytes(p) == '\r' && bytes(p + 1) == '\n' &&
+        bytes(p + 2) == '\r' && bytes(p + 3) == '\n',
+        s"record $k: missing two-CRLF record terminator")
+      p += 4
+      out += ParsedMember(k, uri, method, len, content)
+      k += 1
+    }
+    out.result()
+  }
+
+  /** Minimal correct WARC writer used by [[synthesizeWarc]] and the
+    * specs. NOT the gated artifact. */
+  def encodeWarcRecord(wtype: String, uri: Option[String],
+                       content: Array[Byte],
+                       version: String = "WARC/1.0",
+                       extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append(version).append("\r\n")
+    sb.append("WARC-Type: ").append(wtype).append("\r\n")
+    extraHeaders.foreach { case (n, v) =>
+      sb.append(n).append(": ").append(v).append("\r\n") }
+    uri.foreach(u => sb.append("WARC-Target-URI: ").append(u).append("\r\n"))
+    sb.append("Content-Length: ").append(content.length).append("\r\n\r\n")
+    val head = sb.result().getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val outArr = new Array[Byte](head.length + content.length + 4)
+    System.arraycopy(head, 0, outArr, 0, head.length)
+    System.arraycopy(content, 0, outArr, head.length, content.length)
+    outArr(outArr.length - 4) = '\r'; outArr(outArr.length - 3) = '\n'
+    outArr(outArr.length - 2) = '\r'; outArr(outArr.length - 1) = '\n'
+    outArr
+  }
+
+  /** Deterministic WARC shard table: each row is 1-3 records whose block
+    * lengths/content come from "wlen"/"wc"/"wc1" sha256 chains (the
+    * synthesizeZip scheme). Header paths exercised in-gate: both WARC/1.0
+    * and /1.1 version lines ((id+k) parity), a skippable extension header
+    * on (id+k) % 3 = 0, LOWERCASE header names on (id+k) % 4 = 0 (the
+    * case-insensitivity contract), target URI absent on (id+k) % 5 = 0,
+    * and the type cycling response/request/metadata. Block content is
+    * raw bytes that may well contain "WARC/1.0" — the parser must be
+    * length-delimited, never separator-scanned. */
+  def synthesizeWarc(spark: SparkSession, n: Int, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).map { id =>
+      def shaK(tag: String, k: Int): Array[Byte] =
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s"$seed:$tag:$id:$k".getBytes("UTF-8"))
+      def sha(tag: String): Array[Byte] =
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s"$seed:$tag:$id".getBytes("UTF-8"))
+      val nm = 1 + (sha("wdim")(0) & 0xff) % 3
+      val out = new java.io.ByteArrayOutputStream()
+      (0 until nm).foreach { k =>
+        val len = 16 + (shaK("wlen", k)(0) & 0xff) % 48
+        val content = java.util.Arrays.copyOf(shaK("wc", k) ++ shaK("wc1", k), len)
+        val s = id + k
+        val wtype = Vector("response", "request", "metadata")((s % 3).toInt)
+        val rec = encodeWarcRecord(
+          wtype,
+          uri = if (s % 5 == 0) None else Some(s"http://w$k.example/$id"),
+          content = content,
+          version = if (s % 2 == 0) "WARC/1.0" else "WARC/1.1",
+          extraHeaders =
+            (if (s % 3 == 0) Seq("X-Crawler-Shard" -> s"$id") else Nil) ++
+            Seq("WARC-Date" -> "2026-08-15T00:00:00Z"))
+        // lowercase the header NAMES on the case-insensitivity lane
+        val bytesOut = if (s % 4 == 0) {
+          val str = new String(rec, java.nio.charset.StandardCharsets.ISO_8859_1)
+          val headEnd = str.indexOf("\r\n\r\n") + 2
+          val lowered = str.substring(0, headEnd).linesWithSeparators.map { ln =>
+            val c = ln.indexOf(':')
+            if (c > 0) ln.substring(0, c).toLowerCase + ln.substring(c) else ln
+          }.mkString
+          lowered.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+            rec.drop(headEnd)
+        } else rec
+        out.write(bytesOut)
+      }
+      MediaRow(id, "archive", out.toByteArray, MediaMeta(nm, 0, 0, "warc", 0, 0))
+    }.toDF()
+  }
+
   /** Per-partition feature extraction: Dataset[MediaRow] → features.
     * One shuffle-free map stage; bytes are dropped on the spot.
     *

@@ -789,4 +789,97 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeZip(Array.fill[Byte](64)(0x41)))
     assert(e3.getMessage.contains("end-of-central-directory"))
   }
+
+  // ---- WARC container (q158) ----
+
+  test("decodeWarc parses a hand-written record literal with known answers") {
+    val payload = "hello WARC world!" // 17 bytes
+    val raw = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Date: 2026-08-15T00:00:00Z\r\n" +
+      "WARC-Target-URI: http://example.com/a\r\n" +
+      "Content-Length: 17\r\n" +
+      "\r\n" + payload + "\r\n\r\n").getBytes("ISO-8859-1")
+    val got = Multimodal.decodeWarc(raw)
+    assert(got.length == 1)
+    assert(got.head.name == "http://example.com/a")
+    assert(got.head.method == 1) // response
+    assert(got.head.usize == 17L)
+    assert(new String(got.head.content, "ISO-8859-1") == payload)
+  }
+
+  test("decodeWarc is length-delimited: payloads containing WARC markers and CRLFs survive") {
+    // the poison payload embeds a full fake record header — a parser
+    // that scans for separators instead of honoring Content-Length
+    // splits here and fails
+    val poison = ("chunk\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 0\r\n\r\n\r\n\r\ntail").getBytes("ISO-8859-1")
+    val rec1 = Multimodal.encodeWarcRecord("metadata", None, poison)
+    val rec2 = Multimodal.encodeWarcRecord("request",
+      Some("http://x.example/"), Array[Byte](1, 2, 3), version = "WARC/1.1",
+      extraHeaders = Seq("X-Extra" -> "v"))
+    val got = Multimodal.decodeWarc(rec1 ++ rec2)
+    assert(got.length == 2)
+    assert(got(0).method == 4 && got(0).name == "" &&
+      got(0).content.sameElements(poison))
+    assert(got(1).method == 3 && got(1).name == "http://x.example/" &&
+      got(1).content.sameElements(Array[Byte](1, 2, 3)))
+  }
+
+  test("decodeWarc header names are case-insensitive; unknown headers skip") {
+    val raw = ("WARC/1.1\r\n" +
+      "warc-type: warcinfo\r\n" +
+      "X-Unknown-Extension: anything: with: colons\r\n" +
+      "CONTENT-LENGTH: 3\r\n" +
+      "\r\nabc\r\n\r\n").getBytes("ISO-8859-1")
+    val got = Multimodal.decodeWarc(raw)
+    assert(got.length == 1 && got.head.method == 0 && got.head.usize == 3L)
+  }
+
+  test("decodeWarc rejects malformed records loudly") {
+    def expectFail(s: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](
+        Multimodal.decodeWarc(s.getBytes("ISO-8859-1")))
+      assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
+    }
+    expectFail("HTTP/1.1\r\nContent-Length: 0\r\n\r\n\r\n\r\n", "version")
+    expectFail("WARC/2.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n", "version")
+    expectFail("WARC/1.0\r\nWARC-Type: response\r\n\r\n\r\n\r\n",
+      "missing Content-Length")
+    expectFail("WARC/1.0\r\nWARC-Type: bogus\r\nContent-Length: 0\r\n\r\n\r\n\r\n",
+      "unknown WARC-Type")
+    expectFail("WARC/1.0\r\nno colon line\r\nContent-Length: 0\r\n\r\n\r\n\r\n",
+      "malformed header")
+    expectFail("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 10\r\n\r\nshort\r\n\r\n",
+      "overruns")
+    // block present but terminator bytes wrong
+    expectFail("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 3\r\n\r\nabcXXXX",
+      "terminator")
+  }
+
+  test("synthesizeWarc records follow the documented replay formulas, header variants included") {
+    val feats = Multimodal.memberFeatures(
+      Multimodal.extractMembers(Multimodal.synthesizeWarc(spark, 20),
+        Multimodal.decodeWarc)).collect()
+      .sortBy(m => (m.media_id, m.member_idx))
+    def sha(s: String): Array[Byte] =
+      java.security.MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+    val expected = (0 until 20).flatMap { i =>
+      val nm = 1 + (sha(s"42:wdim:$i")(0) & 0xff) % 3
+      (0 until nm).map { k =>
+        val len = 16 + (sha(s"42:wlen:$i:$k")(0) & 0xff) % 48
+        val content = (sha(s"42:wc:$i:$k") ++ sha(s"42:wc1:$i:$k")).take(len)
+        val name = if ((i + k) % 5 == 0) "" else s"http://w$k.example/$i"
+        val method = Vector(1, 3, 4)((i + k) % 3)
+        (i.toLong, k, name, method, len.toLong,
+          content.map(_ & 0xff).map(_.toLong).sum)
+      }
+    }
+    assert(feats.length == expected.length)
+    feats.zip(expected).foreach { case (f, (mid, k, name, method, len, sum)) =>
+      assert(f.media_id == mid && f.member_idx == k && f.name == name &&
+        f.method == method && f.usize == len && f.f0 == sum,
+        s"mismatch at ($mid, $k)")
+    }
+  }
 }
