@@ -2401,6 +2401,40 @@ object SparkEntry {
         .orderBy(col("media_id"), col("member_idx"))
     }),
 
+    // UTF-8 validation stats (12th native expression): RFC 3629
+    // well-formedness scanned byte-by-byte with skip-1 recovery over a
+    // BINARY column — the encoding-hygiene gate before any text op. The
+    // synthesized corpus is sha-chain random bytes (a dense mix of every
+    // malformed shape) plus per-class planted tails covering each
+    // verdict lane: valid 2/3/4-byte sequences, a UTF-16 surrogate
+    // (ED A0 80), and a truncated lead (C3 41). The oracle replays the
+    // POSITION-LOCAL formulation (classify each byte from ≤3 neighbors
+    // via window functions — equivalent to the sequential scan by
+    // UTF-8's self-synchronization, the property Utf8StatsSpec fuzzes).
+    "q159_utf8_stats" -> ((s, d) => {
+      import s.implicits._
+      val bin = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          def sha(tag: String): Array[Byte] =
+            java.security.MessageDigest.getInstance("SHA-256")
+              .digest(s"42:$tag:$id".getBytes("UTF-8"))
+          val len = 16 + (sha("u8len")(0) & 0xff) % 32
+          val rnd = (sha("u8") ++ sha("u8b")).take(len)
+          val tail = ((id % 6).toInt match {
+            case 1 => Array(0xC3, 0xA9)             // é
+            case 2 => Array(0xE2, 0x82, 0xAC)       // €
+            case 3 => Array(0xF0, 0x9F, 0x92, 0x96) // 4-byte emoji
+            case 4 => Array(0xED, 0xA0, 0x80)       // surrogate D800
+            case 5 => Array(0xC3, 0x41)             // truncated lead
+            case _ => Array.empty[Int]
+          }).map(_.toByte)
+          (id, rnd ++ tail)
+        }.toDF("doc_id", "bytes")
+      bin.select(col("doc_id"), expressions.Utf8StatsFn(col("bytes")).as("s"))
+        .select(col("doc_id"), col("s.*"))
+        .orderBy(col("doc_id"))
+    }),
+
     // robots.txt rule application (RFC 9309 subset): per-domain
     // allow/disallow path-prefix rules, longest match wins, allow wins
     // same-length ties, default allow. The synthesized rule sets (keyed
@@ -3998,6 +4032,88 @@ object SparkEntry {
           |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
           |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
           |FROM feat ORDER BY media_id""".stripMargin),
+
+    // UTF-8 stats replay: the position-local classification — vlen per
+    // position from the next ≤3 bytes (RFC 3629 table incl. the E0/ED/
+    // F0/F4 constrained-second-byte rows), stray continuations = those
+    // not covered by a valid sequence starting ≤3 positions back. By
+    // self-synchronization this equals the engine's sequential skip-1
+    // scan (Utf8StatsSpec pins the equivalence on fuzz).
+    "q159_utf8_stats" -> {
+      val alpha = "'0123456789abcdef'"
+      def byteAt(src: String, off: String): String =
+        s"(strpos($alpha, substr($src, 2 * ($off) + 1, 1)) - 1) * 16 " +
+          s"+ (strpos($alpha, substr($src, 2 * ($off) + 2, 1)) - 1)"
+      val iv = "CAST(i AS VARCHAR)"
+      s"""WITH d AS (
+         |  SELECT doc_id AS i,
+         |    16 + (${byteAt(s"sha256('42:u8len:' || CAST(doc_id AS VARCHAR))", "0")}) % 32 AS len,
+         |    sha256('42:u8:' || CAST(doc_id AS VARCHAR)) ||
+         |      sha256('42:u8b:' || CAST(doc_id AS VARCHAR)) AS hexfull
+         |  FROM documents),
+         |rndb AS (
+         |  SELECT i, CAST(j AS INT) AS j, ${byteAt("hexfull", "j")} AS b
+         |  FROM d, range(48) r(j) WHERE j < len),
+         |tails AS (SELECT * FROM (VALUES
+         |  (1, 0, 195), (1, 1, 169),
+         |  (2, 0, 226), (2, 1, 130), (2, 2, 172),
+         |  (3, 0, 240), (3, 1, 159), (3, 2, 146), (3, 3, 150),
+         |  (4, 0, 237), (4, 1, 160), (4, 2, 128),
+         |  (5, 0, 195), (5, 1, 65)) v(m, tj, tb)),
+         |byt AS (
+         |  SELECT i, j, b FROM rndb
+         |  UNION ALL
+         |  SELECT d.i, CAST(d.len + t.tj AS INT) AS j, t.tb AS b
+         |  FROM d JOIN tails t ON t.m = d.i % 6),
+         |w AS (
+         |  SELECT i, j, b,
+         |    lead(b, 1) OVER win AS b1,
+         |    lead(b, 2) OVER win AS b2,
+         |    lead(b, 3) OVER win AS b3
+         |  FROM byt WINDOW win AS (PARTITION BY i ORDER BY j)),
+         |v AS (
+         |  SELECT i, j, b,
+         |    CASE WHEN b < 128 THEN 1
+         |         WHEN b BETWEEN 194 AND 223 AND b1 BETWEEN 128 AND 191 THEN 2
+         |         WHEN b = 224 AND b1 BETWEEN 160 AND 191
+         |              AND b2 BETWEEN 128 AND 191 THEN 3
+         |         WHEN b = 237 AND b1 BETWEEN 128 AND 159
+         |              AND b2 BETWEEN 128 AND 191 THEN 3
+         |         WHEN b BETWEEN 225 AND 239 AND b <> 237
+         |              AND b1 BETWEEN 128 AND 191
+         |              AND b2 BETWEEN 128 AND 191 THEN 3
+         |         WHEN b = 240 AND b1 BETWEEN 144 AND 191
+         |              AND b2 BETWEEN 128 AND 191
+         |              AND b3 BETWEEN 128 AND 191 THEN 4
+         |         WHEN b BETWEEN 241 AND 243 AND b1 BETWEEN 128 AND 191
+         |              AND b2 BETWEEN 128 AND 191
+         |              AND b3 BETWEEN 128 AND 191 THEN 4
+         |         WHEN b = 244 AND b1 BETWEEN 128 AND 143
+         |              AND b2 BETWEEN 128 AND 191
+         |              AND b3 BETWEEN 128 AND 191 THEN 4
+         |         ELSE 0 END AS vlen,
+         |    b BETWEEN 128 AND 191 AS isc
+         |  FROM w),
+         |c AS (
+         |  SELECT i, vlen, isc,
+         |    lag(vlen, 1, 0) OVER win AS p1,
+         |    lag(vlen, 2, 0) OVER win AS p2,
+         |    lag(vlen, 3, 0) OVER win AS p3
+         |  FROM v WINDOW win AS (PARTITION BY i ORDER BY j))
+         |SELECT i AS doc_id,
+         |  CAST(count(*) AS INT) AS n_bytes,
+         |  CAST(sum(CASE WHEN NOT isc AND vlen = 1 THEN 1 ELSE 0 END) AS INT) AS n_ascii,
+         |  CAST(sum(CASE WHEN NOT isc AND vlen = 2 THEN 1 ELSE 0 END) AS INT) AS n_seq2,
+         |  CAST(sum(CASE WHEN NOT isc AND vlen = 3 THEN 1 ELSE 0 END) AS INT) AS n_seq3,
+         |  CAST(sum(CASE WHEN NOT isc AND vlen = 4 THEN 1 ELSE 0 END) AS INT) AS n_seq4,
+         |  CAST(sum(CASE WHEN NOT isc AND vlen = 0 THEN 1 ELSE 0 END) AS INT) AS n_bad_lead,
+         |  CAST(sum(CASE WHEN isc AND NOT (p1 >= 2 OR p2 >= 3 OR p3 >= 4)
+         |                THEN 1 ELSE 0 END) AS INT) AS n_stray_cont,
+         |  sum(CASE WHEN (NOT isc AND vlen = 0) OR
+         |                (isc AND NOT (p1 >= 2 OR p2 >= 3 OR p3 >= 4))
+         |           THEN 1 ELSE 0 END) = 0 AS is_valid
+         |FROM c GROUP BY i ORDER BY doc_id""".stripMargin
+    },
 
     "q158_warc_records" ->
       (warcMemberCte +
