@@ -2401,6 +2401,41 @@ object SparkEntry {
         .orderBy(col("media_id"), col("member_idx"))
     }),
 
+    // C4-style PII scrubbing: emails, cards, SSNs, phones, IPv4 replaced
+    // by type tokens in a FIXED chain (card before ssn/phone so 16-digit
+    // groups win over their substrings; ip last), per-type counts taken
+    // on each stage's input. Planted tails cover every pattern plus
+    // decoys (version string, 5-4 digit run) that word boundaries must
+    // keep out. Both engines run the same chain — the patterns live in
+    // the Java-regex ∩ RE2 common subset by construction.
+    "q160_pii_scrub" -> ((s, d) => {
+      val i = col("doc_id")
+      val m = i % 8
+      val tail = when(m === 1, concat(lit(" mail user"), i.cast("string"),
+          lit("@example"), (i % 7).cast("string"), lit(".com ok")))
+        .when(m === 2, concat(lit(" card 4111 1111 1111 "),
+          (lit(1000) + i % 9000).cast("string")))
+        .when(m === 3, concat(lit(" ssn 123-45-"),
+          (lit(1000) + i % 9000).cast("string")))
+        .when(m === 4, concat(lit(" call (555) "),
+          (lit(100) + i % 900).cast("string"), lit("-"),
+          (lit(1000) + i % 9000).cast("string")))
+        .when(m === 5, concat(lit(" phone 555-"),
+          (lit(100) + i % 900).cast("string"), lit("-"),
+          (lit(1000) + i % 9000).cast("string")))
+        .when(m === 6, concat(lit(" host 10."), (i % 256).cast("string"),
+          lit(".0."), (i % 250).cast("string")))
+        .when(m === 7, lit(" version 1.2.3.4000 build 123-456-78901"))
+        .otherwise(lit(""))
+      operators.TextAnalysis.piiScrub(
+          t(s, d, "documents").select(col("doc_id"),
+            concat(col("text"), tail).as("text")),
+          "text")
+        .select(col("doc_id"), col("text_clean"), col("n_email"),
+          col("n_card"), col("n_ssn"), col("n_phone"), col("n_ip"))
+        .orderBy(col("doc_id"))
+    }),
+
     // UTF-8 validation stats (12th native expression): RFC 3629
     // well-formedness scanned byte-by-byte with skip-1 recovery over a
     // BINARY column — the encoding-hygiene gate before any text op. The
@@ -4032,6 +4067,58 @@ object SparkEntry {
           |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
           |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
           |FROM feat ORDER BY media_id""".stripMargin),
+
+    // PII replay: same tail construction, same five-stage chain — DuckDB
+    // regexp_replace needs the 'g' flag; counts via
+    // len(regexp_extract_all) on each stage's input.
+    "q160_pii_scrub" -> {
+      val pats = Seq(
+        ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        ("card", "\\b(?:\\d{4}[ -]){3}\\d{4}\\b", "<CARD>"),
+        ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+        ("phone", "\\(\\d{3}\\) ?\\d{3}-\\d{4}|\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+        ("ip", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"))
+      // DuckDB '…' literals are not backslash-escaped: regex backslashes
+      // pass through verbatim; only quotes need doubling
+      def q(s: String): String = s.replace("'", "''")
+      // staged CTEs: tN carries the text after stage N and the counts so far
+      val stages = pats.zipWithIndex.map { case ((name, pat, rep), ix) =>
+        val prev = if (ix == 0) "t0" else s"t$ix"
+        // qualify txt with the CTE name: DuckDB allows lateral references
+        // to same-SELECT aliases, and the count must see the PRE-replace
+        // text, not the stage's own output alias
+        s"""t${ix + 1} AS (
+           |  SELECT doc_id,
+           |    regexp_replace($prev.txt, '${q(pat)}', '${q(rep)}', 'g') AS txt,
+           |    ${(0 until ix).map(k => s"n_${pats(k)._1}, ").mkString}
+           |    CAST(len(regexp_extract_all($prev.txt, '${q(pat)}')) AS BIGINT)
+           |      AS n_$name
+           |  FROM $prev)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH base AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 8 = 1 THEN ' mail user' || CAST(doc_id AS VARCHAR)
+         |             || '@example' || CAST(doc_id % 7 AS VARCHAR) || '.com ok'
+         |         WHEN doc_id % 8 = 2 THEN ' card 4111 1111 1111 '
+         |             || CAST(1000 + doc_id % 9000 AS VARCHAR)
+         |         WHEN doc_id % 8 = 3 THEN ' ssn 123-45-'
+         |             || CAST(1000 + doc_id % 9000 AS VARCHAR)
+         |         WHEN doc_id % 8 = 4 THEN ' call (555) '
+         |             || CAST(100 + doc_id % 900 AS VARCHAR) || '-'
+         |             || CAST(1000 + doc_id % 9000 AS VARCHAR)
+         |         WHEN doc_id % 8 = 5 THEN ' phone 555-'
+         |             || CAST(100 + doc_id % 900 AS VARCHAR) || '-'
+         |             || CAST(1000 + doc_id % 9000 AS VARCHAR)
+         |         WHEN doc_id % 8 = 6 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+         |             || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+         |         WHEN doc_id % 8 = 7 THEN ' version 1.2.3.4000 build 123-456-78901'
+         |         ELSE '' END AS txt
+         |  FROM documents),
+         |t0 AS (SELECT doc_id, txt FROM base),
+         |$stages
+         |SELECT doc_id, txt AS text_clean, n_email, n_card, n_ssn, n_phone, n_ip
+         |FROM t5 ORDER BY doc_id""".stripMargin
+    },
 
     // UTF-8 stats replay: the position-local classification — vlen per
     // position from the next ≤3 bytes (RFC 3629 table incl. the E0/ED/

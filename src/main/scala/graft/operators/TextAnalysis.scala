@@ -418,4 +418,49 @@ object TextAnalysis {
       .withColumn("n_tokens", tokenCount(col(textCol)))
       .withColumn("n_bpe_tokens", bpeTokenCount(col(textCol)))
       .withColumn("fp", fingerprint(col(textCol)))
+
+  /** PII redaction patterns, applied in [[piiScrub]]'s fixed order. The
+    * syntax stays inside the Java-regex ∩ RE2 common subset (no
+    * lookaround, no backreferences) so ANSI engines replay the chain
+    * verbatim; alternatives within one pattern start with distinct
+    * characters, so leftmost-FIRST (Java/PCRE) and RE2 agree on every
+    * match. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    // (name, pattern, replacement)
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    // card BEFORE ssn/phone: a 16-digit group must win over its
+    // 3-2-4/3-3-4 substrings
+    ("card", "\\b(?:\\d{4}[ -]){3}\\d{4}\\b", "<CARD>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\(\\d{3}\\) ?\\d{3}-\\d{4}|\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+    // ip LAST: version strings scrubbed as emails/cards can't resurface
+    ("ip", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"))
+
+  /** C4-style PII scrubbing: emails, payment-card numbers, SSNs, US
+    * phone numbers, and IPv4 addresses replaced by type tokens, with a
+    * per-type match count. Patterns apply in a FIXED order (see
+    * [[PiiPatterns]]) and each counts/replaces on the output of the
+    * previous stage, so a 16-digit card is one <CARD>, never also a
+    * phone; word-boundary anchors keep version strings ("1.2.3.4000")
+    * and long digit runs out.
+    *
+    * This is the regex tier — the C4/CCNet practice. Names/addresses
+    * need an NER model and sit behind the classifier seam, not here.
+    *
+    * Returns the input plus text_clean and n_email/n_card/n_ssn/
+    * n_phone/n_ip. Pure codegen map stage: five regexp_count + five
+    * regexp_replace over one row, no shuffle — at 100 TB this rides the
+    * corpus scan like every other hygiene pass. */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val added = "text_clean" +: PiiPatterns.map { case (n, _, _) => s"n_$n" }
+    for (c <- added)
+      require(!df.columns.contains(c),
+        s"piiScrub adds column '$c' but the input already has it")
+    val (scrubbed, counts) = PiiPatterns.foldLeft((col(textCol), Seq.empty[Column])) {
+      case ((t, cs), (name, pat, rep)) =>
+        (regexp_replace(t, pat, rep),
+          cs :+ regexp_count(t, lit(pat)).cast("long").as(s"n_$name"))
+    }
+    df.withColumns(added.zip(scrubbed.as("text_clean") +: counts).toMap)
+  }
 }

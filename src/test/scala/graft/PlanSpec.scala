@@ -151,11 +151,13 @@ class PlanSpec extends SparkSpec {
       s"edge counts must aggregate partially\n$p")
   }
 
-  test("q159: UTF-8 stats ride the scan — codegen expression, sole exchange the final sort") {
-    val p = executedPlanOf("q159_utf8_stats").split("== Initial Plan ==").head
-    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
-    assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
-      s"expected only the sort exchange, got $exchanges\n$p")
+  test("q159/q160: hygiene passes ride the scan — sole exchange the final sort") {
+    for (q <- Seq("q159_utf8_stats", "q160_pii_scrub")) {
+      val p = executedPlanOf(q).split("== Initial Plan ==").head
+      val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+      assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+        s"$q expected only the sort exchange, got $exchanges\n$p")
+    }
   }
 
   test("q150: Aho-Corasick scan is map-only — the automaton rides a broadcast, not the plan") {

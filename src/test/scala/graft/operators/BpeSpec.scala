@@ -92,7 +92,7 @@ class BpeSpec extends SparkSpec {
     val learn = Bpe.learnMerges(df, "text", 4).collect()
       .map(r => r.getInt(0).toLong -> r.getLong(6)).toMap
     val enc = Bpe.encodeStats(df, "text", "source", 4)
-      .agg(org.apache.spark.sql.functions.sum("syms_after")).head.getLong(0)
+      .agg(org.apache.spark.sql.functions.sum("syms_after")).head().getLong(0)
     assert(enc == learn(4L),
       s"encode total $enc != learnMerges round-4 corpus symbols ${learn(4L)}")
   }

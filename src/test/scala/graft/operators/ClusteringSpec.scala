@@ -202,7 +202,7 @@ class ClusteringSpec extends SparkSpec {
 
   test("pqTopK is invariant to input partitioning") {
     val rows = (0L until 50L).map(i =>
-      (i, pad(Seq.tabulate(16)(d => 0.3 * math.sin(i + d))), (i % 3).toInt))
+      (i, pad(Seq.tabulate(16)(d => 0.3 * math.sin((i + d).toDouble))), (i % 3).toInt))
     def run(parts: Int) = Clustering.pqTopK(
         rows.toDF("vec_id", "embedding", "label").repartition(parts),
         "vec_id", "embedding", dims = 64, m = 8, k = 8, iters = 2,

@@ -189,6 +189,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(shares.values.forall(s => math.abs(s - 1.0) < 1e-12))
   }
 
+  test("piiScrub: every type redacts; precedence and boundary decoys hold") {
+    val rows = Seq(
+      (1L, "write bob.smith+x@sub.mail.co today"),
+      (2L, "cards 4111 1111 1111 1234 and 4111-1111-1111-9999"),
+      (3L, "ssn 123-45-6789 phone 555-123-4567 cell (555) 123-4567"),
+      (4L, "ip 192.168.0.1 version 1.2.3.4000 run 123-456-78901"),
+      (5L, "nothing here"),
+    ).toDF("id", "text")
+    val got = TextAnalysis.piiScrub(rows, "text")
+      .select("id", "text_clean", "n_email", "n_card", "n_ssn", "n_phone", "n_ip")
+      .as[(Long, String, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "write <EMAIL> today", 1L, 0L, 0L, 0L, 0L),
+      // 16-digit groups are ONE card each — never also ssn/phone
+      (2L, "cards <CARD> and <CARD>", 0L, 2L, 0L, 0L, 0L),
+      (3L, "ssn <SSN> phone <PHONE> cell <PHONE>", 0L, 0L, 1L, 2L, 0L),
+      // version octet "4000" and 5-digit tail both fail the boundary
+      (4L, "ip <IP> version 1.2.3.4000 run 123-456-78901", 0L, 0L, 0L, 0L, 1L),
+      (5L, "nothing here", 0L, 0L, 0L, 0L, 0L)))
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.piiScrub(rows.withColumn("n_email", lit(1)), "text")
+    }
+    assert(e.getMessage.contains("n_email"))
+  }
+
   test("blocklistFilter: word boundaries, phrase entries, occurrence vs distinct counts") {
     val list = Seq("bad", "worse", "very bad")
     val df = Seq(
