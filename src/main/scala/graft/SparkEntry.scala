@@ -2401,6 +2401,22 @@ object SparkEntry {
         .orderBy(col("media_id"), col("member_idx"))
     }),
 
+    // Fourth container through the codec seam: POSIX ustar tar — the
+    // fixed-width-octal-header family (vs ZIP's little-endian binary,
+    // gzip's bit-packed deflate, WARC's free-text headers). Checksums
+    // validated with the blanked-field rule, octal sizes parsed, content
+    // blocks rounded to 512 with zero padding verified, end marker
+    // checked. Directories ((id+k) % 4 = 0) keep the zero-size path
+    // in-gate: their feature lanes take the documented -1 endpoints.
+    "q161_tar_entries" -> ((s, d) => {
+      val media = operators.Multimodal.synthesizeTar(s, 200)
+      operators.Multimodal.memberFeatures(
+          operators.Multimodal.extractMembers(media,
+            operators.Multimodal.decodeTar))
+        .toDF()
+        .orderBy(col("media_id"), col("member_idx"))
+    }),
+
     // C4-style PII scrubbing: emails, cards, SSNs, phones, IPv4 replaced
     // by type tokens in a FIXED chain (card before ssn/phone so 16-digit
     // groups win over their substrings; ip last), per-type counts taken
@@ -4200,6 +4216,51 @@ object SparkEntry {
          |                (isc AND NOT (p1 >= 2 OR p2 >= 3 OR p3 >= 4))
          |           THEN 1 ELSE 0 END) = 0 AS is_valid
          |FROM c GROUP BY i ORDER BY doc_id""".stripMargin
+    },
+
+    // tar replay: content/name/typeflag regenerated from the sha chains;
+    // directory entries (no byte rows) left-join onto the lane aggregate
+    // and take the documented 0/-1 lanes. Header layout (octal fields,
+    // checksums, padding) is representation the parser must see through.
+    "q161_tar_entries" -> {
+      val alpha = "'0123456789abcdef'"
+      def byteAt(src: String, off: String): String =
+        s"(strpos($alpha, substr($src, 2 * ($off) + 1, 1)) - 1) * 16 " +
+          s"+ (strpos($alpha, substr($src, 2 * ($off) + 2, 1)) - 1)"
+      val iv = "CAST(i AS VARCHAR)"
+      val kv = "CAST(k AS VARCHAR)"
+      s"""WITH arc AS (
+         |  SELECT i,
+         |    1 + (${byteAt(s"sha256('42:tdim:' || $iv)", "0")}) % 3 AS nm
+         |  FROM range(200) t(i)),
+         |mem AS (
+         |  SELECT i, CAST(k AS INT) AS k, (i + k) % 4 = 0 AS isdir,
+         |    CASE WHEN (i + k) % 4 = 0 THEN 0
+         |         ELSE 16 + (${byteAt(s"sha256('42:tlen:' || $iv || ':' || $kv)", "0")}) % 48
+         |         END AS len,
+         |    sha256('42:tc:' || $iv || ':' || $kv) ||
+         |      sha256('42:tc1:' || $iv || ':' || $kv) AS hexfull
+         |  FROM arc, range(3) r(k) WHERE k < nm),
+         |byt AS (
+         |  SELECT i, k, len, CAST(j AS INT) AS j, ${byteAt("hexfull", "j")} AS b
+         |  FROM mem, range(63) r(j) WHERE j < len),
+         |ba AS (
+         |  SELECT i, k, sum(b) AS f0, sum(b * (j + 1)) AS f1,
+         |    max(CASE WHEN j = 0 THEN b END) AS f2,
+         |    max(CASE WHEN j = len - 1 THEN b END) AS f3
+         |  FROM byt GROUP BY i, k)
+         |SELECT mem.i AS media_id, mem.k AS member_idx,
+         |  CASE WHEN isdir THEN 'd' || CAST(mem.k AS VARCHAR) || '/'
+         |       ELSE 'd' || CAST(mem.k AS VARCHAR) || '/f_' || CAST(mem.i AS VARCHAR)
+         |       END AS name,
+         |  CAST(CASE WHEN isdir THEN 5 ELSE 0 END AS INT) AS method,
+         |  CAST(len AS BIGINT) AS usize,
+         |  CAST(coalesce(f0, 0) AS BIGINT) AS f0,
+         |  CAST(coalesce(f1, 0) AS BIGINT) AS f1,
+         |  CAST(coalesce(f2, -1) AS BIGINT) AS f2,
+         |  CAST(coalesce(f3, -1) AS BIGINT) AS f3
+         |FROM mem LEFT JOIN ba ON ba.i = mem.i AND ba.k = mem.k
+         |ORDER BY media_id, member_idx""".stripMargin
     },
 
     "q158_warc_records" ->

@@ -1391,6 +1391,138 @@ object Multimodal {
     }.toDF()
   }
 
+  /** REAL parser for POSIX ustar tar (the fourth container format, and
+    * the fixed-width-OCTAL-header one): 512-byte header blocks with
+    * NUL-terminated name, size as a 12-byte octal field, a checksum
+    * computed over the header WITH the checksum field blanked to
+    * spaces, `ustar` magic, content rounded up to 512-byte blocks, and
+    * an end-of-archive marker of two zero blocks. First-principles
+    * walk; validates magic and checksum per entry, parses regular
+    * files (typeflag '0'/NUL) and directories ('5', size 0). `method`
+    * carries the typeflag digit. */
+  def decodeTar(bytes: Array[Byte]): Seq[ParsedMember] = {
+    require(bytes.length >= 1024 && bytes.length % 512 == 0,
+      s"not a tar stream: length ${bytes.length} is not a positive multiple of 512 (+end marker)")
+    val out = Vector.newBuilder[ParsedMember]
+    var p = 0
+    var k = 0
+    def isZeroBlock(off: Int): Boolean =
+      (off until off + 512).forall(bytes(_) == 0)
+    def cstr(off: Int, max: Int): String = {
+      var e = off
+      while (e < off + max && bytes(e) != 0) e += 1
+      new String(bytes, off, e - off, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    def octal(off: Int, max: Int): Long = {
+      val s = cstr(off, max).trim
+      require(s.nonEmpty && s.forall(c => c >= '0' && c <= '7'),
+        s"entry $k: bad octal field '$s' at byte $off")
+      java.lang.Long.parseLong(s, 8)
+    }
+    var ended = false
+    while (!ended) {
+      require(p + 512 <= bytes.length, s"entry $k: truncated header at byte $p")
+      if (isZeroBlock(p)) {
+        require(p + 1024 <= bytes.length && isZeroBlock(p + 512),
+          "end-of-archive marker must be two zero blocks")
+        ended = true
+      } else {
+        require(cstr(p + 257, 6) == "ustar",
+          s"entry $k: missing ustar magic at byte ${p + 257}")
+        // checksum: unsigned byte sum of the header with the 8-byte
+        // checksum field (offset 148) treated as spaces
+        var sum = 0L
+        var j = 0
+        while (j < 512) {
+          sum += (if (j >= 148 && j < 156) 32 else bytes(p + j) & 0xff)
+          j += 1
+        }
+        require(octal(p + 148, 8) == sum,
+          s"entry $k: header checksum mismatch (${octal(p + 148, 8)} != $sum)")
+        val name = cstr(p, 100)
+        val size = octal(p + 124, 12)
+        val tf = bytes(p + 156) & 0xff
+        val typeflag = if (tf == 0) 0 else tf - '0'
+        require(typeflag == 0 || typeflag == 5,
+          s"entry $k: unsupported typeflag '${tf.toChar}'")
+        require(typeflag != 5 || size == 0L, s"entry $k: directory with size $size")
+        val dataBlocks = ((size + 511) / 512).toInt
+        require(p + 512 + dataBlocks * 512 <= bytes.length,
+          s"entry $k: content of $size bytes overruns the stream")
+        val content = java.util.Arrays.copyOfRange(bytes, p + 512,
+          p + 512 + size.toInt)
+        // padding to the block boundary must be zero
+        var q = p + 512 + size.toInt
+        while (q < p + 512 + dataBlocks * 512) {
+          require(bytes(q) == 0, s"entry $k: nonzero content padding at byte $q")
+          q += 1
+        }
+        out += ParsedMember(k, name, typeflag, size, content)
+        p += 512 + dataBlocks * 512
+        k += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Minimal correct ustar writer used by [[synthesizeTar]] and the
+    * specs. NOT the gated artifact. */
+  def encodeTarEntries(entries: Seq[(String, Int, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (name, typeflag, content) =>
+      val h = new Array[Byte](512)
+      def put(off: Int, s: String): Unit = {
+        val b = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        System.arraycopy(b, 0, h, off, b.length)
+      }
+      put(0, name)
+      put(100, "0000644"); put(108, "0000000"); put(116, "0000000")
+      put(124, f"${content.length.toLong}%011o")
+      put(136, "00000000000") // mtime 0: determinism
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      h(156) = ('0' + typeflag).toByte
+      put(257, "ustar"); h(262) = 0; put(263, "00")
+      var sum = 0L
+      (0 until 512).foreach(j => sum += h(j) & 0xff)
+      put(148, f"$sum%06o"); h(154) = 0; h(155) = ' '.toByte
+      out.write(h)
+      out.write(content)
+      val pad = (512 - content.length % 512) % 512
+      out.write(new Array[Byte](pad))
+    }
+    out.write(new Array[Byte](1024))
+    out.toByteArray
+  }
+
+  /** Deterministic tar table: 1-3 entries per row from the synthesizeZip
+    * sha-chain scheme ("tlen"/"tc"/"tc1"); every (id+k) % 4 = 0 entry is
+    * a DIRECTORY (typeflag 5, empty content) so the zero-size path and
+    * the block-rounding path both stay in-gate; names carry a slash to
+    * exercise full-path fields. */
+  def synthesizeTar(spark: SparkSession, n: Int, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).map { id =>
+      def shaK(tag: String, k: Int): Array[Byte] =
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s"$seed:$tag:$id:$k".getBytes("UTF-8"))
+      def sha(tag: String): Array[Byte] =
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s"$seed:$tag:$id".getBytes("UTF-8"))
+      val nm = 1 + (sha("tdim")(0) & 0xff) % 3
+      val entries = (0 until nm).map { k =>
+        val s = id + k
+        if (s % 4 == 0) (s"d$k/", 5, Array.emptyByteArray)
+        else {
+          val len = 16 + (shaK("tlen", k)(0) & 0xff) % 48
+          (s"d$k/f_$id", 0,
+            java.util.Arrays.copyOf(shaK("tc", k) ++ shaK("tc1", k), len))
+        }
+      }
+      MediaRow(id, "archive", encodeTarEntries(entries),
+        MediaMeta(nm, 0, 0, "tar", 0, 0))
+    }.toDF()
+  }
+
   /** WARC-Type codes for [[decodeWarc]]'s `method` lane, in spec order
     * (ISO 28500 §6). Unknown types fail loudly — a crawl shard with a
     * type outside the standard is corrupt, not "other". */

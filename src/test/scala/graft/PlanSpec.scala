@@ -115,8 +115,9 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q149/q153/q158: container explode is map-only — parse+lanes run in the scan stage, sole exchange is the final sort") {
-    for (q <- Seq("q149_zip_members", "q153_gzip_members", "q158_warc_records")) {
+  test("q149/q153/q158/q161: container explode is map-only — parse+lanes run in the scan stage, sole exchange is the final sort") {
+    for (q <- Seq("q149_zip_members", "q153_gzip_members", "q158_warc_records",
+        "q161_tar_entries")) {
       val p = executedPlanOf(q).split("== Initial Plan ==").head
       // synthesize → mapPartitions parse/explode → lanes map, then the
       // ordered output's range exchange; a second exchange would mean

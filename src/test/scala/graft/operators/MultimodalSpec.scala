@@ -790,6 +790,75 @@ class MultimodalSpec extends SparkSpec {
     assert(e3.getMessage.contains("end-of-central-directory"))
   }
 
+  // ---- tar container (q161) ----
+
+  test("decodeTar roundtrips entries and the header encodes ustar fields at spec offsets") {
+    val data = Array.tabulate[Byte](700)(i => ((i * 7 + 3) % 251).toByte)
+    val raw = Multimodal.encodeTarEntries(Seq(
+      ("dir0/", 5, Array.emptyByteArray),
+      ("dir0/file.bin", 0, data),
+      ("exact512", 0, Array.fill[Byte](512)(9))))
+    // spec offsets on the second header block (starts at 512: the dir
+    // entry has no content blocks): octal size at 124, magic at 257
+    val h2 = raw.slice(512, 1024)
+    assert(new String(h2.slice(124, 135), "ISO-8859-1") == "00000001274") // 700 octal
+    assert(new String(h2.slice(257, 262), "ISO-8859-1") == "ustar")
+    val got = Multimodal.decodeTar(raw)
+    assert(got.map(m => (m.member_idx, m.name, m.method, m.usize)) == Seq(
+      (0, "dir0/", 5, 0L), (1, "dir0/file.bin", 0, 700L), (2, "exact512", 0, 512L)))
+    assert(got(1).content.sameElements(data))
+    assert(got(2).content.forall(_ == 9))
+    // total size: headers (3*512) + data (1024 + 512) + end marker (1024)
+    assert(raw.length == 3 * 512 + 1024 + 512 + 1024)
+  }
+
+  test("decodeTar rejects malformed archives loudly") {
+    val good = Multimodal.encodeTarEntries(Seq(("f", 0, Array[Byte](1, 2, 3))))
+    def corrupt(f: Array[Byte] => Unit): Array[Byte] = {
+      val c = good.clone(); f(c); c
+    }
+    def expectFail(b: Array[Byte], needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](Multimodal.decodeTar(b))
+      assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
+    }
+    expectFail(corrupt(c => c(0) = 'X'), "checksum") // name change breaks sum
+    expectFail(corrupt(c => c(259) = 'X'), "magic")   // usta'X'r
+    expectFail(corrupt(c => c(515) = 1), "padding")  // nonzero pad after 3 bytes
+    expectFail(good.dropRight(512), "two zero blocks") // half an end marker
+    expectFail(good.take(512), "multiple of 512")     // truncated mid-structure
+    // unsupported typeflag with a VALID checksum (raw flips also break
+    // the checksum and fail earlier — also asserted above)
+    expectFail(Multimodal.encodeTarEntries(Seq(("f", 7, Array[Byte](1)))),
+      "typeflag")
+  }
+
+  test("synthesizeTar entries follow the documented replay formulas") {
+    val feats = Multimodal.memberFeatures(
+      Multimodal.extractMembers(Multimodal.synthesizeTar(spark, 20),
+        Multimodal.decodeTar)).collect()
+      .sortBy(m => (m.media_id, m.member_idx))
+    def sha(s: String): Array[Byte] =
+      java.security.MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+    val expected = (0 until 20).flatMap { i =>
+      val nm = 1 + (sha(s"42:tdim:$i")(0) & 0xff) % 3
+      (0 until nm).map { k =>
+        if ((i + k) % 4 == 0) (i.toLong, k, s"d$k/", 5, 0L, 0L, -1L)
+        else {
+          val len = 16 + (sha(s"42:tlen:$i:$k")(0) & 0xff) % 48
+          val content = (sha(s"42:tc:$i:$k") ++ sha(s"42:tc1:$i:$k")).take(len)
+          (i.toLong, k, s"d$k/f_$i", 0, len.toLong,
+            content.map(_ & 0xff).map(_.toLong).sum, (content(0) & 0xff).toLong)
+        }
+      }
+    }
+    assert(feats.length == expected.length)
+    feats.zip(expected).foreach { case (f, (mid, k, name, method, len, sum, first)) =>
+      assert(f.media_id == mid && f.member_idx == k && f.name == name &&
+        f.method == method && f.usize == len && f.f0 == sum && f.f2 == first,
+        s"mismatch at ($mid, $k)")
+    }
+  }
+
   // ---- WARC container (q158) ----
 
   test("decodeWarc parses a hand-written record literal with known answers") {
