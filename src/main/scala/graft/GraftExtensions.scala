@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.expressions.{CosineSimilarity, EmbeddingQuantStats, HashedCharShingles, MinHashSignature, NfcNormalize, RepetitionStats, SentimentScore, SimHash64, SortedArrayJaccard, TextStats, Utf8Stats, WordNgramHashes, WordNgramStrings}
+import graft.expressions.{CosineSimilarity, EmbeddingQuantStats, HashedCharShingles, HtmlEntityDecode, MinHashSignature, NfcNormalize, RepetitionStats, SentimentScore, SimHash64, SortedArrayJaccard, TextStats, Utf8Stats, WordNgramHashes, WordNgramStrings}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `spark.sql` users get them too:
@@ -49,6 +49,8 @@ object GraftExtensions {
       exprs => NfcNormalize(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("utf8_stats",
       exprs => Utf8Stats(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("html_entity_decode",
+      exprs => HtmlEntityDecode(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("word_ngram_strings",
       exprs => WordNgramStrings(exprs.head, exprs(1) match {
         case Literal(v: Int, _) => v
@@ -135,6 +137,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("utf8_stats"),
       new ExpressionInfo(classOf[Utf8Stats].getName, "utf8_stats"),
       (args: Seq[Expression]) => Utf8Stats(args.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("html_entity_decode"),
+      new ExpressionInfo(classOf[HtmlEntityDecode].getName, "html_entity_decode"),
+      (args: Seq[Expression]) => HtmlEntityDecode(args.head)))
 
     ext.injectFunction((
       FunctionIdentifier("word_ngram_strings"),

@@ -57,7 +57,13 @@ object ScaleProbe {
     // round-9 first sittings: perplexity buckets (token explode + B-row
     // model + broadcast stats), blocklist literals, PMI (two
     // vocabulary-bounded aggregates)
-    "q142_lm_perplexity", "q147_blocklist", "q148_pmi")
+    "q142_lm_perplexity", "q147_blocklist", "q148_pmi",
+    // round-9 fifth sitting: weighted sample (in-row ticket minima into
+    // a top-k heap merge — pure scan shape), link graph (extract-in-scan
+    // + one edge-keyed exchange), UTF-8 stats + PII scrub (both pure
+    // codegen map stages — ratios should be scan cost)
+    "q156_weighted_sample", "q157_link_graph", "q159_utf8_stats",
+    "q160_pii_scrub")
 
   // Corpus construction lives in ProbeCorpus (pinned-seed, reproducible
   // across invocations — ProbeCorpusSpec pins count+hash); this main only

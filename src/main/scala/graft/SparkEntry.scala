@@ -2417,6 +2417,32 @@ object SparkEntry {
         .orderBy(col("media_id"), col("member_idx"))
     }),
 
+    // HTML character-reference decoding (13th native expression): the
+    // markup-stripping companion — named subset + decimal/hex numeric
+    // forms, one left-to-right pass with no re-scan (&amp;amp; decodes
+    // once), invalid code points and unknown names verbatim. Planted
+    // tails cover named/decimal/hex (all resolving to the same é in
+    // class 2 — a case-folding or dedup slip desyncs), astral-plane
+    // code points, and the full decoy set (AT&T, unknown names,
+    // surrogates, missing semicolons). The oracle holds the EXPECTED
+    // decoded text via chr() literals — the engine must earn it by
+    // actually decoding.
+    "q162_entity_decode" -> ((s, d) => {
+      val m = col("doc_id") % 6
+      val tail = when(m === 1, lit(" fish &amp; chips &lt;b&gt;"))
+        .when(m === 2, lit(" caf&eacute; &#233; &#xE9;"))
+        .when(m === 3, lit(" snow &#x2603; &#9731; &#x1F600;"))
+        .when(m === 4, lit(" AT&T &notreal; &#xD800; &gt"))
+        .when(m === 5, lit(" q&hellip; &laquo;x&raquo;"))
+        .otherwise(lit(""))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          expressions.HtmlEntityDecodeFn(concat(col("text"), tail)).as("s"))
+        .select(col("doc_id"), col("s.decoded").as("decoded"),
+          col("s.n_decoded").as("n_decoded"))
+        .orderBy(col("doc_id"))
+    }),
+
     // C4-style PII scrubbing: emails, cards, SSNs, phones, IPv4 replaced
     // by type tokens in a FIXED chain (card before ssn/phone so 16-digit
     // groups win over their substrings; ip last), per-type counts taken
@@ -4083,6 +4109,29 @@ object SparkEntry {
           |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
           |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
           |FROM feat ORDER BY media_id""".stripMargin),
+
+    // Entity-decode replay: the oracle states the expected DECODED text
+    // directly (chr() for non-ASCII), per planted class; documents text
+    // itself carries no '&' (verified corpus property), so decode is
+    // identity on it.
+    "q162_entity_decode" ->
+      """SELECT doc_id,
+        |  text || CASE
+        |    WHEN doc_id % 6 = 1 THEN ' fish & chips <b>'
+        |    WHEN doc_id % 6 = 2 THEN ' caf' || chr(233) || ' ' || chr(233)
+        |         || ' ' || chr(233)
+        |    WHEN doc_id % 6 = 3 THEN ' snow ' || chr(9731) || ' ' || chr(9731)
+        |         || ' ' || chr(128512)
+        |    WHEN doc_id % 6 = 4 THEN ' AT&T &notreal; &#xD800; &gt'
+        |    WHEN doc_id % 6 = 5 THEN ' q' || chr(8230) || ' ' || chr(171)
+        |         || 'x' || chr(187)
+        |    ELSE '' END AS decoded,
+        |  CAST(CASE WHEN doc_id % 6 = 1 THEN 3
+        |            WHEN doc_id % 6 = 2 THEN 3
+        |            WHEN doc_id % 6 = 3 THEN 3
+        |            WHEN doc_id % 6 = 5 THEN 3
+        |            ELSE 0 END AS INT) AS n_decoded
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // PII replay: same tail construction, same five-stage chain — DuckDB
     // regexp_replace needs the 'g' flag; counts via

@@ -152,8 +152,8 @@ class PlanSpec extends SparkSpec {
       s"edge counts must aggregate partially\n$p")
   }
 
-  test("q159/q160: hygiene passes ride the scan — sole exchange the final sort") {
-    for (q <- Seq("q159_utf8_stats", "q160_pii_scrub")) {
+  test("q159/q160/q162: hygiene passes ride the scan — sole exchange the final sort") {
+    for (q <- Seq("q159_utf8_stats", "q160_pii_scrub", "q162_entity_decode")) {
       val p = executedPlanOf(q).split("== Initial Plan ==").head
       val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
       assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
