@@ -302,11 +302,12 @@ object TextAnalysis {
     require(terms.nonEmpty, "blocklist must not be empty")
     require(terms.forall(t => t == t.toLowerCase && t.trim == t && t.nonEmpty),
       "blocklist entries must be trimmed lower-case")
+    for (c <- Seq("__bl_toks", "__bl_grams"))
+      require(!df.columns.contains(c),
+        s"blocklistFilter uses internal column '$c' but the input has it")
     val (bi, uni) = terms.distinct.partition(_.contains(" "))
     require(bi.forall(_.split(" ").length == 2),
       "phrase entries must be exactly two words")
-    val toks = TextFunctions.tokens(TextFunctions.normalizeWs(col(textCol)))
-    val grams = TextFunctions.wordShingles(toks, 2)
     def hits(arr: Column, list: Seq[String]): Column =
       if (list.isEmpty) lit(0)
       else size(filter(arr, t => t.isin(list.map(lit(_)): _*)))
@@ -314,11 +315,25 @@ object TextAnalysis {
       if (list.isEmpty) lit(0)
       else size(array_intersect(array_distinct(arr),
         array(list.map(lit(_)): _*)))
-    df.withColumn("n_hits",
-        (hits(toks, uni) + hits(grams, bi)).cast("long"))
+    // tokens and grams MUST be materialized attributes before the HOFs
+    // reference them: an array-HOF lambda re-evaluates any non-attribute
+    // child per ELEMENT in interpreted mode, and wordShingles' slice
+    // lambda referencing the full tokenize expression meant O(tokens)
+    // regex passes per document — 4 HOF consumers made q147 ~70× slower
+    // than its own scan cost (24 s vs 0.34 s at sf0.1). Two withColumn
+    // steps keep them as attributes; CollapseProject will not inline an
+    // alias referenced more than once into lambdas.
+    df.withColumn("__bl_toks",
+        TextFunctions.tokens(TextFunctions.normalizeWs(col(textCol))))
+      .withColumn("__bl_grams",
+        TextFunctions.wordShingles(col("__bl_toks"), 2))
+      .withColumn("n_hits",
+        (hits(col("__bl_toks"), uni) + hits(col("__bl_grams"), bi)).cast("long"))
       .withColumn("n_terms",
-        (matched(toks, uni) + matched(grams, bi)).cast("long"))
+        (matched(col("__bl_toks"), uni) +
+          matched(col("__bl_grams"), bi)).cast("long"))
       .withColumn("keep", col("n_hits") === 0L)
+      .drop("__bl_toks", "__bl_grams")
   }
 
   /** Multi-pattern SUBSTRING scan — [[blocklistFilter]]'s scale path.
