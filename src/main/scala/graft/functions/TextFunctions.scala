@@ -78,21 +78,35 @@ object TextFunctions {
     size(regexp_extract_all(c, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Character n-gram shingles as array<string> (for MinHash / Jaccard).
-    * Pure built-ins: sequence + transform + substring keeps this inside
-    * codegen; shingle count = max(len - n + 1, 0).
+    * Pure built-ins; shingle count = max(len - n + 1, 0).
+    *
+    * The input rides into the per-position lambda via array_repeat +
+    * zip_with, NOT as a captured outer expression: a HOF lambda
+    * re-evaluates any non-attribute subexpression once per ELEMENT
+    * (HOFs are CodegenFallback, so no common-subexpression rescue),
+    * which turns a caller passing e.g. `normalizeWs(text)` into one
+    * regex pass per shingle. array_repeat evaluates its element
+    * argument exactly once and repeats the reference, so the lambda
+    * body touches only its own bound variables.
     */
   def charShingles(c: Column, n: Int): Column = {
     val len = length(c)
+    val cnt = len - lit(n - 1)
     when(len < n, array()).otherwise(
-      transform(sequence(lit(1), len - lit(n - 1)), i => c.substr(i, lit(n))))
+      zip_with(sequence(lit(1), cnt), array_repeat(c, cnt),
+        (i, s) => s.substr(i, lit(n))))
   }
 
-  /** Word n-gram shingles from a token array. */
+  /** Word n-gram shingles from a token array. Capture-safe the same way
+    * [[charShingles]] is: the token array enters the lambda via
+    * array_repeat + zip_with and is evaluated once per row, however
+    * complex the caller's expression. */
   def wordShingles(tokensCol: Column, n: Int): Column = {
     val cnt = size(tokensCol)
     when(cnt < n, array()).otherwise(
-      transform(sequence(lit(0), cnt - lit(n)),
-        i => concat_ws(" ", slice(tokensCol, i + 1, lit(n)))))
+      zip_with(sequence(lit(0), cnt - lit(n)),
+        array_repeat(tokensCol, cnt - lit(n) + 1),
+        (i, tks) => concat_ws(" ", slice(tks, i + 1, lit(n)))))
   }
 
   /** Rolling document fingerprint: xxhash64 over the normalized text —

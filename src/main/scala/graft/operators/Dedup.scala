@@ -72,9 +72,16 @@ object Dedup {
     val cs = coeffs(k, seed)
     val xs = array_distinct(transform(hashes, h => pmod(h, lit(1L << 31))))
     val params = array(cs.map { case (a, b) => struct(lit(a).as("a"), lit(b).as("b")) }: _*)
+    // xs rides into the per-coefficient lambda via array_repeat +
+    // zip_with (k references to ONE evaluated array), not as a captured
+    // subexpression: a HOF lambda re-evaluates a captured non-attribute
+    // child per ELEMENT, so `p => ... transform(xs, ...)` recomputed
+    // the distinct+pmod pass — and, via minhashSignature, the full
+    // shingle xxhash64 pass — once per coefficient, a k× blowup on the
+    // row's dominant cost. (params is foldable → constant-folded.)
     when(size(xs) === 0, array_repeat(lit(MersennePrime), k)).otherwise(
-      transform(params, p =>
-        array_min(transform(xs, x =>
+      zip_with(params, array_repeat(xs, lit(k)), (p, xsv) =>
+        array_min(transform(xsv, x =>
           pmod(p.getField("a") * x + p.getField("b"), lit(MersennePrime))))))
   }
 
@@ -86,9 +93,14 @@ object Dedup {
     val r = k / bands
     // acc stays < 2^31; acc*1000003 + v < 2^51 + 2^31 — ANSI-safe. Band
     // collisions only add candidate pairs, which exact verification prunes.
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      aggregate(slice(sig, b * lit(r) + 1, lit(r)), lit(17L),
-        (acc, v) => pmod(acc * 1000003L + v, lit(1L << 31))))
+    // sig enters via array_repeat + zip_with so a caller passing a full
+    // signature EXPRESSION (rather than a column) pays one evaluation,
+    // not one per band — the same capture-safety rule as
+    // minhashSignatureFromHashes.
+    zip_with(sequence(lit(0), lit(bands - 1)),
+      array_repeat(sig, lit(bands)), (b, sg) =>
+        aggregate(slice(sg, b * lit(r) + 1, lit(r)), lit(17L),
+          (acc, v) => pmod(acc * 1000003L + v, lit(1L << 31))))
   }
 
   /** Candidate near-duplicate pairs via MinHash + LSH banding, verified

@@ -23,7 +23,13 @@ object Embeddings {
   def l2Normalize(v: Column): Column = {
     val d = Similarity.asDouble(v)
     val n = Similarity.norm(d)
-    when(n === 0.0, d).otherwise(transform(d, x => x / n))
+    // norm rides into the lambda via array_repeat + zip_with: a HOF
+    // lambda re-evaluates a captured non-attribute child per ELEMENT
+    // (HOFs are CodegenFallback), so `x => x / n` recomputed the full
+    // O(dims) norm reduction per dimension — O(dims^2) per row.
+    // array_repeat evaluates the norm exactly once per row.
+    when(n === 0.0, d).otherwise(
+      zip_with(d, array_repeat(n, size(d)), (x, nn) => x / nn))
   }
 
   /** Symmetric per-vector int8 quantization:
@@ -34,9 +40,13 @@ object Embeddings {
   def quantizeInt8(v: Column): Column = {
     val d = Similarity.asDouble(v)
     val scale = array_max(transform(d, x => abs(x)))
+    // Same capture-safety rule as [[l2Normalize]]: scale is an O(dims)
+    // reduction and must not be re-evaluated per element inside the
+    // quantization lambda.
     struct(scale.as("scale"),
       when(scale === 0.0, transform(d, x => lit(0)))
-        .otherwise(transform(d, x => floor(x / scale * 127.0 + 0.5).cast("int")))
+        .otherwise(zip_with(d, array_repeat(scale, size(d)),
+          (x, s) => floor(x / s * 127.0 + 0.5).cast("int")))
         .as("q"))
   }
 
