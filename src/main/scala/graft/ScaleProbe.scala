@@ -63,7 +63,11 @@ object ScaleProbe {
     // + one edge-keyed exchange), UTF-8 stats + PII scrub (both pure
     // codegen map stages — ratios should be scan cost)
     "q156_weighted_sample", "q157_link_graph", "q159_utf8_stats",
-    "q160_pii_scrub")
+    "q160_pii_scrub",
+    // round-9 sixth sitting: classifier inference (in-row aggregate
+    // against one folded weight literal — pure map stage, ratio should
+    // be the gram-hash scan cost)
+    "q163_quality_classifier")
 
   // Corpus construction lives in ProbeCorpus (pinned-seed, reproducible
   // across invocations — ProbeCorpusSpec pins count+hash); this main only

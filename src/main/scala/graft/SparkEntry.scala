@@ -2443,6 +2443,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // fastText-style hashed linear quality classifier INFERENCE — the
+    // model-based quality-filter stage of CCNet/LLaMA-class pipelines:
+    // a fixed-point linear model over hashed unigram+bigram counts,
+    // scored IN THE ROW (zero exchanges: the weights vector folds to
+    // one plan constant, nothing per-document leaves the scan task;
+    // plan pinned in PlanSpec). The synthetic model is a deterministic
+    // LCG over the bucket id, so the oracle rebuilds identical weights
+    // and replays bucket hashing (sha-prefix kmvHash mod 512),
+    // occurrence sums, and the bias/threshold decision — everything
+    // Long, no rounding marker anywhere.
+    "q163_quality_classifier" -> ((s, d) => {
+      val weights = Array.tabulate(512)(b =>
+        (b.toLong * 1103515245L + 12345L) % 2001L - 1000L)
+      operators.Curation.linearQualityScore(t(s, d, "documents"),
+          "doc_id", "text", weights, bias = 50L, thrNum = 25L, thrDen = 2L)
+        .select(col("doc_id"), col("n_grams"), col("score_sum"),
+          col("score_num"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // C4-style PII scrubbing: emails, cards, SSNs, phones, IPv4 replaced
     // by type tokens in a FIXED chain (card before ssn/phone so 16-digit
     // groups win over their substrings; ip last), per-type counts taken
@@ -4132,6 +4152,45 @@ object SparkEntry {
         |            WHEN doc_id % 6 = 5 THEN 3
         |            ELSE 0 END AS INT) AS n_decoded
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Classifier replay: q134's gram/bucket CTEs, weights rebuilt from
+    // the same LCG over the bucket id, integer score and verdict.
+    // DuckDB widens sum(BIGINT) to HUGEINT — re-cast to keep the dtype
+    // contract.
+    "q163_quality_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(
+        |      lower(text), '\s+', ' ', 'g')), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |uni AS (SELECT doc_id, unnest(tk) AS gram FROM toks),
+        |bi AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i + 1])) AS gram
+        |  FROM toks WHERE len(tk) >= 2),
+        |grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        |hb AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(sha256(gram), i, 1)) - 1) * pow(16.0, 12 - i)
+        |      for i in generate_series(1, 12)]) AS BIGINT) % 512 AS b
+        |  FROM grams),
+        |pw AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |    CAST(sum((b * 1103515245 + 12345) % 2001 - 1000) AS BIGINT)
+        |      AS score_sum
+        |  FROM hb GROUP BY 1),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    COALESCE(pw.n_grams, 0) AS n_grams,
+        |    COALESCE(pw.score_sum, 0) AS score_sum,
+        |    greatest(COALESCE(pw.n_grams, 0), 1) AS n1
+        |  FROM toks t LEFT JOIN pw ON pw.doc_id = t.doc_id)
+        |SELECT doc_id, n_grams, score_sum,
+        |  50 * n1 + score_sum AS score_num,
+        |  (50 * n1 + score_sum) * 2 >= 25 * n1 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     // PII replay: same tail construction, same five-stage chain — DuckDB
     // regexp_replace needs the 'g' flag; counts via

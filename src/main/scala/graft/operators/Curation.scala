@@ -618,6 +618,77 @@ object Curation {
       .na.fill(0.0, Seq("logw"))
   }
 
+  /** fastText-style hashed linear classifier INFERENCE — the standard
+    * model-based quality-filter stage of CCNet/LLaMA-class pipelines
+    * (reference lambdas score text quality with exactly this model
+    * family: a linear layer over hashed bag-of-n-gram counts). This op
+    * only APPLIES a trained model; the weights arrive as fixed-point
+    * Longs, so the score and the keep verdict replay bit-identically in
+    * any ANSI engine — no sigmoid is evaluated (monotone, so the
+    * probability threshold is pre-mapped to a rational logit threshold
+    * thrNum/thrDen by the caller).
+    *
+    * Features are the hashed gram space [[importanceWeights]] uses:
+    * unigrams + word 2-grams of the whitespace-normalized lower-cased
+    * text, bucket = kmvHash(gram) mod B where B = weights.length.
+    * Scoring is in the MEAN-feature space kept as an integer numerator:
+    *
+    *   score_sum = Σ over gram OCCURRENCES of weights(bucket(gram))
+    *   score_num = bias · max(n_grams, 1) + score_sum
+    *   keep      ⇔ score_num · thrDen ≥ thrNum · max(n_grams, 1)
+    *
+    * (empty documents decide on the bias alone). Output: the input
+    * columns + n_grams, score_sum, score_num, keep.
+    *
+    * 100 TB shape: the weights vector is a foldable plan literal —
+    * constant-folded to ONE array constant, sane through B ≈ 2^16 — and
+    * the score is computed IN THE ROW by aggregate() over the gram
+    * array: a pure map stage with zero exchanges, no explode, no join;
+    * nothing per-document ever leaves the scan task. A vocab-scale
+    * model (fastText's default 2M buckets) should instead ride the
+    * explode + broadcast-weight-join + per-doc re-aggregate shape
+    * [[importanceWeights]] demonstrates. Capture hygiene: tokens and
+    * grams are materialized attributes before any HOF references them,
+    * and the weights literal is foldable, so no lambda re-evaluates a
+    * captured expression per element.
+    *
+    * Overflow (ANSI throws on wrap, so bounds are enforced): |w|, |bias|
+    * ≤ 2^20 and thrDen ≤ 2^16 keep |score_num · thrDen| < 2^62 for any
+    * document under ~2^25 grams.
+    */
+  def linearQualityScore(df: DataFrame, idCol: String, textCol: String,
+                         weights: Array[Long], bias: Long,
+                         thrNum: Long, thrDen: Long): DataFrame = {
+    import graft.functions.{KmvAggregator, TextFunctions}
+    val b = weights.length
+    require(b >= 2 && b <= (1 << 16), s"buckets out of range: $b")
+    require(weights.forall(w => math.abs(w) <= (1L << 20)),
+      "weights must be fixed-point Longs with |w| <= 2^20")
+    require(math.abs(bias) <= (1L << 20), s"bias out of range: $bias")
+    require(thrDen >= 1 && thrDen <= (1L << 16),
+      s"thrDen out of range: $thrDen")
+    require(math.abs(thrNum) <= (1L << 40), s"thrNum out of range: $thrNum")
+    for (c <- Seq("__qc_toks", "__qc_grams", "n_grams", "score_sum",
+                  "score_num", "keep"))
+      require(!df.columns.contains(c),
+        s"linearQualityScore writes column '$c' but the input has it")
+    val wLit = array(weights.map(lit(_)): _*) // foldable -> one constant
+    val n1 = greatest(col("n_grams"), lit(1L))
+    df
+      .withColumn("__qc_toks",
+        TextFunctions.tokens(TextFunctions.normalizeWs(col(textCol))))
+      .withColumn("__qc_grams",
+        concat(col("__qc_toks"), TextFunctions.wordShingles(col("__qc_toks"), 2)))
+      .withColumn("n_grams", size(col("__qc_grams")).cast("long"))
+      .withColumn("score_sum",
+        aggregate(col("__qc_grams"), lit(0L), (acc, g) =>
+          acc + element_at(wLit,
+            (pmod(KmvAggregator.kmvHash(g), lit(b.toLong)) + 1L).cast("int"))))
+      .withColumn("score_num", lit(bias) * n1 + col("score_sum"))
+      .withColumn("keep", col("score_num") * thrDen >= lit(thrNum) * n1)
+      .drop("__qc_toks", "__qc_grams")
+  }
+
   /** Canonical URL form for crawl curation — the normalization every
     * CommonCrawl-scale pipeline runs before URL-level dedup, so that
     * `HTTP://WWW.Site.COM:80/a/?b=2&a=1#x` and `http://site.com/a?a=1&b=2`

@@ -161,6 +161,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q163: classifier inference scores in the row — no explode, no join, sole exchange the final sort") {
+    val p = executedPlanOf("q163_quality_classifier").split("== Initial Plan ==").head
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+      s"expected only the sort exchange, got $exchanges\n$p")
+    // grams must never become rows and the weights must never become a
+    // relation: per-doc scoring is aggregate() over an in-row array
+    // against one folded literal
+    assert(!p.contains("Generate"), s"grams exploded to rows\n$p")
+    assert(!p.toLowerCase.contains("join"), s"weights joined as a relation\n$p")
+  }
+
   test("q150: Aho-Corasick scan is map-only — the automaton rides a broadcast, not the plan") {
     val p = executedPlanOf("q150_ac_scan").split("== Initial Plan ==").head
     val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq

@@ -550,6 +550,95 @@ class CurationSpec extends SparkSpec {
     assert(got(2L)._1 === 3L) // 2 unigrams + 1 bigram
   }
 
+  // ---- hashed linear quality classifier (q163) ----
+
+  test("linearQualityScore matches a serial replay of the integer model") {
+    import java.security.MessageDigest
+    val b = 64
+    val weights = Array.tabulate(b)(i => ((i * 7) % 21).toLong - 10L)
+    val bias = 3L; val thrNum = 1L; val thrDen = 2L
+    val rows = Seq(
+      (1L, "Alpha beta  GAMMA alpha"), // case fold + ws collapse
+      (2L, "beta"),                    // single token, no bigram
+      (3L, ""),                        // empty: bias-only decision
+      (4L, "   \t  "),                 // whitespace-only == empty
+      (5L, "x y z x y z x y"))
+    def bucket(g: String): Int = {
+      val hex = MessageDigest.getInstance("SHA-256")
+        .digest(g.getBytes("UTF-8")).take(6)
+        .map(x => f"${x & 0xff}%02x").mkString
+      (java.lang.Long.parseLong(hex, 16) % b).toInt
+    }
+    val expected = rows.map { case (id, text) =>
+      val tk = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val gs = tk ++ tk.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      val n = gs.size.toLong
+      val ssum = gs.map(g => weights(bucket(g))).sum
+      val num = bias * math.max(n, 1L) + ssum
+      id -> ((n, ssum, num, num * thrDen >= thrNum * math.max(n, 1L)))
+    }.toMap
+    val got = Curation.linearQualityScore(rows.toDF("doc_id", "text"),
+        "doc_id", "text", weights, bias, thrNum, thrDen)
+      .select("doc_id", "n_grams", "score_sum", "score_num", "keep")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(got === expected)
+  }
+
+  test("linearQualityScore agrees with the explode + weight-join reference shape") {
+    import graft.functions.{KmvAggregator, TextFunctions}
+    val b = 128
+    val weights = Array.tabulate(b)(i => (i % 17).toLong - 8L)
+    val df = spark.range(0, 200).select(col("id").as("doc_id"),
+      concat(lit("tok"), (col("id") % 11).cast("string"), lit(" word "),
+        (col("id") % 7).cast("string"), lit(" filler text number "),
+        col("id").cast("string")).as("text"))
+    val got = Curation.linearQualityScore(df, "doc_id", "text",
+        weights, bias = 5L, thrNum = 3L, thrDen = 4L)
+      .select("doc_id", "n_grams", "score_sum")
+    // reference: the vocab-scale broadcast-join shape the scaladoc names
+    val wdf = weights.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toSeq.toDF("b", "w")
+    val grams = df
+      .withColumn("tk", TextFunctions.tokens(TextFunctions.normalizeWs(col("text"))))
+      .select(col("doc_id"),
+        explode(concat(col("tk"), TextFunctions.wordShingles(col("tk"), 2))).as("g"))
+      .select(col("doc_id"), pmod(KmvAggregator.kmvHash(col("g")), lit(b.toLong)).as("b"))
+    val ref = grams.join(broadcast(wdf), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("score_sum"))
+    assert(got.except(ref).isEmpty && ref.except(got).isEmpty)
+  }
+
+  test("linearQualityScore is a map-only plan — zero exchanges") {
+    val out = Curation.linearQualityScore(docs, "doc_id", "text",
+      Array.tabulate(32)(_.toLong - 16L), bias = 0L, thrNum = 0L, thrDen = 1L)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"classifier inference must not shuffle\n$p")
+    assert(!p.contains("Generate"), s"grams must stay in the row\n$p")
+  }
+
+  test("linearQualityScore guard rails") {
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Curation.linearQualityScore(df, "doc_id", "text", Array(1L), 0L, 0L, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.linearQualityScore(df, "doc_id", "text",
+        Array(1L, (1L << 21)), 0L, 0L, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.linearQualityScore(df, "doc_id", "text",
+        Array(1L, 2L), 0L, 0L, 0L) // thrDen < 1
+    }
+    intercept[IllegalArgumentException] {
+      Curation.linearQualityScore(df.withColumn("keep", lit(true)),
+        "doc_id", "text", Array(1L, 2L), 0L, 0L, 1L)
+    }
+  }
+
   // ---- URL normalization + per-domain cap (q151) ----
 
   private def norm(urls: String*): Seq[String] =
