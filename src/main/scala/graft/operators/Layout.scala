@@ -154,8 +154,14 @@ object Layout {
       require(cuts.size <= maxCuts,
         s"column '$c': ${cuts.size} cuts exceed 2^$bits - 1 = $maxCuts buckets")
     }
-    df.withColumn(hCol, hilbertIndex(
-      rankAgainstCuts(xSpec._1, xSpec._2),
-      rankAgainstCuts(ySpec._1, ySpec._2), bits))
+    // ranks become attributes BEFORE the unrolled recurrence references
+    // them: each unroll level duplicates the previous x/y trees, so an
+    // inlined rank expression (a cut-array scan) would be copied
+    // O(2^bits) times into the key expression — as attributes the copies
+    // are bound references and each rank is computed once per row
+    df.withColumn("__hx", rankAgainstCuts(xSpec._1, xSpec._2))
+      .withColumn("__hy", rankAgainstCuts(ySpec._1, ySpec._2))
+      .withColumn(hCol, hilbertIndex(col("__hx"), col("__hy"), bits))
+      .drop("__hx", "__hy")
   }
 }
