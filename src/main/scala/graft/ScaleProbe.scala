@@ -66,8 +66,11 @@ object ScaleProbe {
     "q160_pii_scrub",
     // round-9 sixth sitting: classifier inference (in-row aggregate
     // against one folded weight literal — pure map stage, ratio should
-    // be the gram-hash scan cost)
-    "q163_quality_classifier")
+    // be the gram-hash scan cost); interleave key (sub-bucketed ranking
+    // windows + broadcast offsets — the window is the only corpus-scale
+    // exchange before the key sort)
+    "q163_quality_classifier", "q164_interleave_key",
+    "q165_rendezvous_shard", "q166_script_mix")
 
   // Corpus construction lives in ProbeCorpus (pinned-seed, reproducible
   // across invocations — ProbeCorpusSpec pins count+hash); this main only

@@ -2463,6 +2463,62 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic weighted fair interleave — the training-order
+    // materialization step: smooth weighted round-robin carried as an
+    // EXACT integer virtual-time key (the j-th row of source s sorts by
+    // (2j+1)·(lcm/w_s)), per-source ranks from sub-bucketed windows
+    // (N = 4, the q98/q105 scale convention) with broadcast offsets.
+    // Weights derive from the source suffix (1 + suffix mod 4, lcm 12)
+    // so the oracle rebuilds them in a CASE and replays ticket hashing,
+    // bucket ranks, offsets, and the key — everything Long.
+    "q164_interleave_key" -> ((s, d) => {
+      val weights = (0 until 20).map(k => s"src$k" -> (1L + k % 4)).toMap
+      operators.Curation.weightedInterleaveKey(t(s, d, "documents"),
+          "doc_id", "source", weights, subBuckets = 4)
+        .select(col("doc_id"), col("source"), col("src_idx"), col("pos_key"))
+        .orderBy(col("pos_key"), col("source"))
+    }),
+
+    // Weighted rendezvous (HRW) shard assignment — output sharding with
+    // the minimal-disruption property (hash mod N remaps everything on
+    // any N change; HRW remaps only the changed shard's share). Shard s
+    // at weight w expands to w virtual nodes; winner = lexicographic
+    // max (sha-prefix score, shard) — integer-exact, so the oracle
+    // replays every score and the argmax. Computed IN THE ROW against
+    // one folded vnode literal: zero exchanges (PlanSpec-pinned).
+    "q165_rendezvous_shard" -> ((s, d) => {
+      operators.Curation.rendezvousShard(t(s, d, "documents"),
+          "doc_id", Map("shard_a" -> 1, "shard_b" -> 2, "shard_c" -> 3),
+          salt = "rv9")
+        .select(col("doc_id"), col("shard"), col("shard_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unicode script-mix profile — the mixed-script / homoglyph gate:
+    // per-doc character counts for the five major scripts + the mixed
+    // verdict. Planted tails cover each script and the confusable
+    // classic (Cyrillic а inside a Latin token). Both engines count the
+    // SAME Unicode script property through independent regex engines
+    // (JDK \p{IsXxx} vs RE2 \p{Xxx}) — a genuine two-way check, the
+    // q155 posture.
+    "q166_script_mix" -> ((s, d) => {
+      val m = col("doc_id") % 6
+      val tail = when(m === 1, lit(" привет"))
+        .when(m === 2, lit(" αβγ"))
+        .when(m === 3, lit(" 中文"))
+        .when(m === 4, lit(" مرحبا"))
+        .when(m === 5, lit(" pаypal"))
+        .otherwise(lit(""))
+      operators.TextAnalysis.scriptMix(
+          t(s, d, "documents")
+            .select(col("doc_id"), concat(col("text"), tail).as("text")),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_latin"), col("n_cyrillic"),
+          col("n_greek"), col("n_han"), col("n_arabic"),
+          col("n_scripts"), col("mixed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // C4-style PII scrubbing: emails, cards, SSNs, phones, IPv4 replaced
     // by type tokens in a FIXED chain (card before ssn/phone so 16-digit
     // groups win over their substrings; ip last), per-type counts taken
@@ -4191,6 +4247,96 @@ object SparkEntry {
         |  50 * n1 + score_sum AS score_num,
         |  (50 * n1 + score_sum) * 2 >= 25 * n1 AS keep
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Interleave replay: ticket hash, mod-4 buckets, per-(source,bucket)
+    // ranks, cumulative bucket offsets, and the lcm-scaled virtual-time
+    // key. Window sum widens to HUGEINT — re-cast.
+    "q164_interleave_key" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(sha256(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |      * pow(16.0, 12 - i)
+        |      for i in generate_series(1, 12)]) AS BIGINT) AS tk
+        |  FROM documents),
+        |b AS (SELECT doc_id, source, tk, CAST(tk % 4 AS INT) AS sb FROM t),
+        |r AS (
+        |  SELECT doc_id, source, sb,
+        |    row_number() OVER (PARTITION BY source, sb
+        |      ORDER BY tk, doc_id) - 1 AS rn
+        |  FROM b),
+        |c AS (SELECT source, sb, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |o AS (
+        |  SELECT source, sb,
+        |    CAST(COALESCE(sum(cnt) OVER (PARTITION BY source ORDER BY sb
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS off
+        |  FROM c),
+        |j AS (
+        |  SELECT r.doc_id, r.source, CAST(o.off + r.rn AS BIGINT) AS src_idx,
+        |    CASE CAST(substr(r.source, 4) AS INT) % 4
+        |      WHEN 0 THEN 12 WHEN 1 THEN 6 WHEN 2 THEN 4 ELSE 3 END AS stride
+        |  FROM r JOIN o ON o.source = r.source AND o.sb = r.sb)
+        |SELECT doc_id, source, src_idx,
+        |  CAST((src_idx * 2 + 1) * stride AS BIGINT) AS pos_key
+        |FROM j ORDER BY pos_key, source""".stripMargin,
+
+    // Rendezvous replay: the 6-row virtual-node table cross-joined,
+    // every score rebuilt from the same sha prefix, argmax by
+    // (score DESC, shard DESC) matching the struct-max tie order.
+    "q165_rendezvous_shard" ->
+      """WITH v(s, vn) AS (VALUES
+        |  ('shard_a', 0), ('shard_b', 0), ('shard_b', 1),
+        |  ('shard_c', 0), ('shard_c', 1), ('shard_c', 2)),
+        |sc AS (
+        |  SELECT d.doc_id, v.s,
+        |    CAST(list_sum([(strpos('0123456789abcdef',
+        |      substr(sha256(CAST(d.doc_id AS VARCHAR) || ':' || v.s
+        |        || ':' || CAST(v.vn AS VARCHAR) || ':rv9'), i, 1)) - 1)
+        |      * pow(16.0, 12 - i)
+        |      for i in generate_series(1, 12)]) AS BIGINT) AS h
+        |  FROM documents d CROSS JOIN v),
+        |w AS (
+        |  SELECT doc_id, s, h, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY h DESC, s DESC) AS rn
+        |  FROM sc)
+        |SELECT doc_id, s AS shard, h AS shard_score
+        |FROM w WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // Script-mix replay: same tails (chr() literals), the same Unicode
+    // script property counted by RE2's independently-implemented tables.
+    "q166_script_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, text || CASE
+        |    WHEN doc_id % 6 = 1 THEN ' ' || chr(1087) || chr(1088)
+        |      || chr(1080) || chr(1074) || chr(1077) || chr(1090)
+        |    WHEN doc_id % 6 = 2 THEN ' ' || chr(945) || chr(946) || chr(947)
+        |    WHEN doc_id % 6 = 3 THEN ' ' || chr(20013) || chr(25991)
+        |    WHEN doc_id % 6 = 4 THEN ' ' || chr(1605) || chr(1585)
+        |      || chr(1581) || chr(1576) || chr(1575)
+        |    WHEN doc_id % 6 = 5 THEN ' p' || chr(1072) || 'ypal'
+        |    ELSE '' END AS tx
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(tx, '\p{Latin}')) AS BIGINT) AS n_latin,
+        |    CAST(len(regexp_extract_all(tx, '\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
+        |    CAST(len(regexp_extract_all(tx, '\p{Greek}')) AS BIGINT) AS n_greek,
+        |    CAST(len(regexp_extract_all(tx, '\p{Han}')) AS BIGINT) AS n_han,
+        |    CAST(len(regexp_extract_all(tx, '\p{Arabic}')) AS BIGINT) AS n_arabic
+        |  FROM t)
+        |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_han, n_arabic,
+        |  CAST(CASE WHEN n_latin > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN n_greek > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN n_han > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN n_arabic > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_scripts,
+        |  (CASE WHEN n_latin > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN n_greek > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN n_han > 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN n_arabic > 0 THEN 1 ELSE 0 END) >= 2 AS mixed
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // PII replay: same tail construction, same five-stage chain — DuckDB
     // regexp_replace needs the 'g' flag; counts via

@@ -689,6 +689,149 @@ object Curation {
       .drop("__qc_toks", "__qc_grams")
   }
 
+  /** Deterministic weighted fair interleave — TRAINING-ORDER
+    * materialization: given per-source weights, emit an integer sort key
+    * under which every prefix of the global order carries each source in
+    * proportion to its weight (within ±1 row per source — the smooth
+    * weighted-round-robin guarantee). Mixture operators decide
+    * MEMBERSHIP; this decides ORDER, the piece a training run actually
+    * consumes ("interleave sources 3:2:1", not "shuffle then hope").
+    *
+    * The schedule is classic stride scheduling / start-time fair
+    * queuing: the j-th row of source s has virtual time (2j+1)/w_s and
+    * the global order is ascending virtual time. The fraction is carried
+    * EXACTLY as an integer: pos_key = (2j+1) · (L/w_s) with
+    * L = lcm(weights), so cross-source comparisons are exact rational
+    * comparisons — no floats, and the key replays in any ANSI engine.
+    * Virtual-time ties break by (source, j): deterministic and
+    * partition-independent.
+    *
+    * Per-source index j is the rank of the row's content ticket
+    * (sha-prefix hash of the id — [[KmvAggregator.kmvHash]], the house
+    * determinism) within its source. With `subBuckets = 1` that rank is
+    * one window per source — engine-exact but serialized per source. At
+    * corpus scale pass `subBuckets = N`: rows bucket by ticket mod N,
+    * rank inside (source, bucket) windows (N-way parallel per source),
+    * and bucket offsets — a sources×N row aggregate, broadcast — make j
+    * a dense [0, n_s) bijection again. j values depend on N (a bucketed
+    * bijection, not the global ticket rank), which is fine for the
+    * interleave law (any per-source bijection yields the same
+    * proportionality) and replayed by the oracle with the same N — the
+    * q98/q105 sub-bucket convention.
+    *
+    * Rows whose source is not in `weights` are NOT part of the mixture
+    * and are dropped (membership is upstream's job). Output: the input
+    * columns + src_idx (j) + pos_key; the caller sorts by
+    * (pos_key, source) — a range-partitioned sort, the only corpus-scale
+    * exchange beyond the ranking window.
+    *
+    * Overflow (ANSI throws on wrap, so bounds are enforced): weights in
+    * [1, 1024] with lcm(weights) ≤ 2^20 keeps pos_key < 2^62 for any
+    * source under ~2^40 rows. */
+  def weightedInterleaveKey(df: DataFrame, idCol: String, srcCol: String,
+                            weights: Map[String, Long],
+                            subBuckets: Int = 1): DataFrame = {
+    import graft.functions.KmvAggregator
+    require(weights.nonEmpty, "weights must not be empty")
+    require(weights.values.forall(w => w >= 1L && w <= 1024L),
+      "weights must be in [1, 1024]")
+    require(subBuckets >= 1 && subBuckets <= 256,
+      s"subBuckets out of range: $subBuckets")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val l = weights.values.reduce((a, b) => a / gcd(a, b) * b)
+    require(l <= (1L << 20), s"lcm(weights) = $l exceeds 2^20")
+    for (c <- Seq("__il_tk", "__il_sb", "__il_rn", "__il_off",
+                  "__il_cnt", "src_idx", "pos_key"))
+      require(!df.columns.contains(c),
+        s"weightedInterleaveKey writes column '$c' but the input has it")
+    // per-source stride L/w as one foldable map literal
+    val strideMap = map(weights.toSeq.flatMap { case (s, w) =>
+      Seq(lit(s), lit(l / w)) }: _*)
+    val keyed = df
+      .filter(col(srcCol).isin(weights.keys.toSeq.map(lit(_)): _*))
+      .withColumn("__il_tk", KmvAggregator.kmvHash(col(idCol)))
+      .withColumn("__il_sb",
+        pmod(col("__il_tk"), lit(subBuckets.toLong)).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol), col("__il_sb"))
+      .orderBy(col("__il_tk"), col(idCol))
+    val ranked = keyed.withColumn("__il_rn", row_number().over(w))
+    // dense per-source offsets: cumulative counts over the tiny
+    // (sources × subBuckets) aggregate, broadcast back
+    val ow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol)).orderBy(col("__il_sb"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col(srcCol), col("__il_sb"))
+      .agg(count(lit(1)).as("__il_cnt"))
+      .withColumn("__il_off",
+        coalesce(sum(col("__il_cnt")).over(ow), lit(0L)))
+      .select(col(srcCol), col("__il_sb"), col("__il_off"))
+    ranked.join(broadcast(offsets), Seq(srcCol, "__il_sb"))
+      .withColumn("src_idx",
+        (col("__il_off") + col("__il_rn") - 1L).cast("long"))
+      .withColumn("pos_key",
+        (col("src_idx") * 2L + 1L) * element_at(strideMap, col(srcCol)))
+      .drop("__il_tk", "__il_sb", "__il_rn", "__il_off")
+  }
+
+  /** Weighted rendezvous (highest-random-weight) shard assignment —
+    * the OUTPUT-SHARDING step: route every document to one of N named
+    * shards (training-data output buckets, downstream workers,
+    * per-shard dedup domains) such that reweighting or adding/removing
+    * a shard only remaps the rows that land on the changed shard —
+    * Thaler & Ravishankar's minimal-disruption property, the reason
+    * HRW (and not `hash(id) mod N`, which remaps ~everything on any N
+    * change) is the standard shard router.
+    *
+    * Integer-exact weighting: shard s with weight w_s expands into w_s
+    * virtual nodes; score(doc, s, v) = the replayable sha-prefix hash
+    * ([[KmvAggregator.kmvHash]]) of `id:shard:v:salt`, and the winner
+    * is the lexicographic max (score, shard, v) — deterministic,
+    * engine-independent, no floats (the classic weighted-HRW
+    * −w/ln(u) transform is IEEE-library-dependent and does not
+    * replay). Expected share of shard s = w_s / Σw, exact in the hash
+    * limit.
+    *
+    * 100 TB shape: the virtual-node table is a FOLDABLE literal and the
+    * argmax runs IN THE ROW (array_max over a generated struct array) —
+    * a pure map stage: zero exchanges, no explode, no join; W hashes
+    * per row where W = Σ weights (bounded ≤ 256 below — weights are
+    * RATIOS, not byte sizes; scale them down to coprime form).
+    *
+    * Output: the input columns + `shard` (winner name) + `shard_score`
+    * (its 48-bit score). `idCol` must be non-null (house convention —
+    * hash keys are filtered or coalesced upstream). */
+  def rendezvousShard(df: DataFrame, idCol: String,
+                      shards: Map[String, Int], salt: String): DataFrame = {
+    import graft.functions.KmvAggregator
+    require(shards.nonEmpty, "shards must not be empty")
+    require(shards.values.forall(w => w >= 1 && w <= 64),
+      "shard weights must be in [1, 64]")
+    val vnodes = shards.toSeq.sortBy(_._1)
+      .flatMap { case (s, w) => (0 until w).map(v => (s, v)) }
+    require(vnodes.size <= 256,
+      s"total weight ${vnodes.size} exceeds 256 virtual nodes")
+    for (c <- Seq("__rv_id", "__rv_w", "shard", "shard_score"))
+      require(!df.columns.contains(c),
+        s"rendezvousShard writes column '$c' but the input has it")
+    val vArr = array(vnodes.map { case (s, v) =>
+      struct(lit(s).as("s"), lit(v).as("v")) }: _*) // foldable
+    // the id string is an attribute before the lambda captures it
+    // (capture hygiene: a lambda re-evaluates captured non-attribute
+    // children per element)
+    val scored = transform(vArr, p =>
+      struct(
+        KmvAggregator.kmvHash(concat_ws(":",
+          col("__rv_id"), p.getField("s"), p.getField("v").cast("string"),
+          lit(salt))).as("sc"),
+        p.getField("s").as("s")))
+    df.withColumn("__rv_id", col(idCol).cast("string"))
+      .withColumn("__rv_w", array_max(scored))
+      .withColumn("shard", col("__rv_w.s"))
+      .withColumn("shard_score", col("__rv_w.sc"))
+      .drop("__rv_id", "__rv_w")
+  }
+
   /** Canonical URL form for crawl curation — the normalization every
     * CommonCrawl-scale pipeline runs before URL-level dedup, so that
     * `HTTP://WWW.Site.COM:80/a/?b=2&a=1#x` and `http://site.com/a?a=1&b=2`

@@ -478,4 +478,49 @@ object TextAnalysis {
     }
     df.withColumns(added.zip(scrubbed.as("text_clean") +: counts).toMap)
   }
+
+  /** The five major scripts [[scriptMix]] counts, as (suffix, Java
+    * pattern) pairs. Java spells Unicode script classes `\p{IsXxx}`;
+    * an RE2 oracle spells the same class `\p{Xxx}` — same Unicode
+    * script property, independently implemented tables (the q155
+    * two-way-check posture). */
+  private val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "\\p{IsLatin}",
+    "cyrillic" -> "\\p{IsCyrillic}",
+    "greek" -> "\\p{IsGreek}",
+    "han" -> "\\p{IsHan}",
+    "arabic" -> "\\p{IsArabic}")
+
+  /** Unicode script-mix profile — the mixed-script / homoglyph-spoofing
+    * gate a multilingual crawl needs (a Cyrillic а inside an otherwise
+    * Latin token is the classic confusable-phishing and
+    * corpus-poisoning signature, and honest mixed-script documents
+    * confuse language ID): per-document character counts for the five
+    * major scripts (Latin, Cyrillic, Greek, Han, Arabic), the number of
+    * distinct scripts present, and the mixed verdict (≥ 2 scripts).
+    * Counting is per CHARACTER against the Unicode script property —
+    * digits, punctuation, and whitespace belong to no script and never
+    * count.
+    *
+    * 100 TB shape: five codegen'd regexp counts over the scanned text —
+    * a pure map stage, zero exchanges. Replay: Java and RE2 implement
+    * the same Unicode script tables independently, so an ANSI oracle's
+    * `\p{Xxx}` counts form a genuine two-way check against the JDK's
+    * `\p{IsXxx}` (the q155 NFC posture). */
+  def scriptMix(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val added = ScriptClasses.map { case (n, _) => s"n_$n" } ++
+      Seq("n_scripts", "mixed")
+    for (c <- added)
+      require(!df.columns.contains(c),
+        s"scriptMix adds column '$c' but the input already has it")
+    val counted = ScriptClasses.foldLeft(df) { case (acc, (n, pat)) =>
+      acc.withColumn(s"n_$n",
+        regexp_count(col(textCol), lit(pat)).cast("long"))
+    }
+    val present = ScriptClasses.map { case (n, _) =>
+      when(col(s"n_$n") > 0L, 1L).otherwise(0L) }.reduce(_ + _)
+    counted
+      .withColumn("n_scripts", present)
+      .withColumn("mixed", col("n_scripts") >= 2L)
+  }
 }

@@ -152,13 +152,33 @@ class PlanSpec extends SparkSpec {
       s"edge counts must aggregate partially\n$p")
   }
 
-  test("q159/q160/q162: hygiene passes ride the scan — sole exchange the final sort") {
-    for (q <- Seq("q159_utf8_stats", "q160_pii_scrub", "q162_entity_decode")) {
+  test("q159/q160/q162/q166: hygiene passes ride the scan — sole exchange the final sort") {
+    for (q <- Seq("q159_utf8_stats", "q160_pii_scrub", "q162_entity_decode",
+                  "q166_script_mix")) {
       val p = executedPlanOf(q).split("== Initial Plan ==").head
       val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
       assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
         s"$q expected only the sort exchange, got $exchanges\n$p")
     }
+  }
+
+  test("q164: interleave ranks in sub-bucketed windows — offsets broadcast, no sort-merge join") {
+    val p = executedPlanOf("q164_interleave_key").split("== Initial Plan ==").head
+    // corpus-scale exchanges: the (source, bucket) ranking window and
+    // the final key sort; the sources×N offset table must come back as
+    // a broadcast, never a shuffled join. 3 hash exchanges total: the
+    // corpus window, plus two over the tiny sources×N aggregate (its
+    // count and its per-source cumulative window).
+    assert(p.contains("BroadcastHashJoin"), s"offsets must broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"), s"offset join must not SMJ\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).toSeq
+    assert(hashEx.size <= 3,
+      s"expected window + 2 offset-side hash exchanges, got $hashEx\n$p")
+    assert(p.contains("WindowExec") || p.contains("Window"),
+      s"lost the ranking window\n$p")
+    // only the two key columns reach the scan
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      s"scan must prune to (doc_id, source)\n$p")
   }
 
   test("q163: classifier inference scores in the row — no explode, no join, sole exchange the final sort") {
@@ -171,6 +191,15 @@ class PlanSpec extends SparkSpec {
     // against one folded literal
     assert(!p.contains("Generate"), s"grams exploded to rows\n$p")
     assert(!p.toLowerCase.contains("join"), s"weights joined as a relation\n$p")
+  }
+
+  test("q165: rendezvous argmax runs in the row — vnodes never become a relation") {
+    val p = executedPlanOf("q165_rendezvous_shard").split("== Initial Plan ==").head
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+      s"expected only the sort exchange, got $exchanges\n$p")
+    assert(!p.contains("Generate"), s"vnodes exploded to rows\n$p")
+    assert(!p.toLowerCase.contains("join"), s"vnodes joined as a relation\n$p")
   }
 
   test("q150: Aho-Corasick scan is map-only — the automaton rides a broadcast, not the plan") {

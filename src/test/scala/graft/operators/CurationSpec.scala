@@ -620,6 +620,144 @@ class CurationSpec extends SparkSpec {
     assert(!p.contains("Generate"), s"grams must stay in the row\n$p")
   }
 
+  // ---- weighted fair interleave (q164) ----
+
+  private def ilCorpus(ws: Map[String, Long], m: Int) =
+    ws.toSeq.sortBy(_._1).flatMap { case (s, w) =>
+      (0L until m * w).map(i => (s.hashCode.toLong * 100000 + i, s))
+    }.toDF("doc_id", "source")
+
+  test("weightedInterleaveKey: every prefix is weight-proportional within the smooth-WRR bound") {
+    val ws = Map("a" -> 3L, "b" -> 1L, "c" -> 2L)
+    val wTot = ws.values.sum.toDouble
+    for (n <- Seq(1, 4)) {
+      val rows = Curation.weightedInterleaveKey(ilCorpus(ws, 30),
+          "doc_id", "source", ws, subBuckets = n)
+        .orderBy(col("pos_key"), col("source"), col("src_idx"))
+        .select("source").as[String].collect()
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      for ((s, idx) <- rows.zipWithIndex) {
+        seen(s) = seen.getOrElse(s, 0) + 1
+        val prefix = idx + 1
+        for ((src, w) <- ws) {
+          val dev = math.abs(seen.getOrElse(src, 0) - prefix * w / wTot)
+          assert(dev <= 1.5,
+            s"subBuckets=$n prefix=$prefix source=$src deviation=$dev")
+        }
+      }
+    }
+  }
+
+  test("weightedInterleaveKey: src_idx is a dense per-source bijection, any subBuckets") {
+    val ws = Map("a" -> 2L, "b" -> 5L)
+    for (n <- Seq(1, 3, 16)) {
+      val got = Curation.weightedInterleaveKey(ilCorpus(ws, 8),
+          "doc_id", "source", ws, subBuckets = n)
+      for ((s, w) <- ws) {
+        val idx = got.filter(col("source") === s)
+          .select("src_idx").as[Long].collect().sorted
+        assert(idx.toSeq == (0L until 8 * w), s"subBuckets=$n source=$s")
+      }
+    }
+  }
+
+  test("weightedInterleaveKey: layout invariance and unmapped sources dropped") {
+    val ws = Map("a" -> 1L, "b" -> 4L)
+    val base = ilCorpus(ws, 10)
+      .unionByName(Seq((999L, "ghost")).toDF("doc_id", "source"))
+    val x = Curation.weightedInterleaveKey(base, "doc_id", "source", ws, 2)
+      .select("doc_id", "source", "src_idx", "pos_key")
+    val y = Curation.weightedInterleaveKey(base.repartition(7),
+        "doc_id", "source", ws, 2)
+      .select("doc_id", "source", "src_idx", "pos_key")
+    assert(x.except(y).isEmpty && y.except(x).isEmpty)
+    assert(x.filter(col("source") === "ghost").count() === 0)
+    // exact key formula: lcm(1,4) = 4 -> stride a=4, b=1
+    val bad = x.filter(col("pos_key") =!=
+      (col("src_idx") * 2 + 1) * when(col("source") === "a", 4L).otherwise(1L))
+    assert(bad.count() === 0)
+  }
+
+  test("weightedInterleaveKey guard rails") {
+    val df = Seq((1L, "a")).toDF("doc_id", "source")
+    intercept[IllegalArgumentException] {
+      Curation.weightedInterleaveKey(df, "doc_id", "source", Map("a" -> 0L))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.weightedInterleaveKey(df, "doc_id", "source", Map("a" -> 2000L))
+    }
+    intercept[IllegalArgumentException] { // coprime pile blows the lcm bound
+      Curation.weightedInterleaveKey(df, "doc_id", "source",
+        Map("a" -> 1021L, "b" -> 1019L, "c" -> 1013L))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.weightedInterleaveKey(df.withColumn("pos_key", lit(1L)),
+        "doc_id", "source", Map("a" -> 1L))
+    }
+  }
+
+  // ---- rendezvous shard assignment (q165) ----
+
+  private def rvAssign(ids: Seq[Long], shards: Map[String, Int]) =
+    Curation.rendezvousShard(ids.toDF("doc_id"), "doc_id", shards, "t:rv")
+      .select("doc_id", "shard").as[(Long, String)].collect().toMap
+
+  test("rendezvousShard matches a serial replay of the virtual-node argmax") {
+    import java.security.MessageDigest
+    val shards = Map("a" -> 1, "b" -> 2)
+    def h(s: String): Long = {
+      val hex = MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).take(6)
+        .map(x => f"${x & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val ids = 0L until 50L
+    val expected = ids.map { id =>
+      val best = (for ((s, w) <- shards.toSeq; v <- 0 until w)
+        yield (h(s"$id:$s:$v:t:rv"), s)).max // (score, shard) lexicographic
+      id -> best._2
+    }.toMap
+    assert(rvAssign(ids, shards) === expected)
+  }
+
+  test("rendezvousShard: adding a shard or weight only pulls rows TO the change (minimal disruption)") {
+    val ids = 0L until 2000L
+    val base = rvAssign(ids, Map("a" -> 1, "b" -> 1, "c" -> 1))
+    // new shard d: every changed row moved to d, nothing else moved
+    val plusShard = rvAssign(ids, Map("a" -> 1, "b" -> 1, "c" -> 1, "d" -> 1))
+    val movedToD = ids.count(id => base(id) != plusShard(id))
+    assert(ids.forall(id => base(id) == plusShard(id) || plusShard(id) == "d"))
+    assert(movedToD > 0 && movedToD < ids.size / 2) // ~1/4 expected
+    // weight bump on a: every changed row moved to a
+    val bumped = rvAssign(ids, Map("a" -> 2, "b" -> 1, "c" -> 1))
+    assert(ids.forall(id => base(id) == bumped(id) || bumped(id) == "a"))
+    // contrast: hash mod N has NO such property (documented reason for HRW)
+  }
+
+  test("rendezvousShard: shares track weights") {
+    val got = rvAssign(0L until 2000L, Map("a" -> 1, "b" -> 3))
+    val bShare = got.values.count(_ == "b").toDouble / got.size
+    assert(math.abs(bShare - 0.75) < 0.05, s"b share $bShare")
+  }
+
+  test("rendezvousShard guard rails") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Curation.rendezvousShard(df, "doc_id", Map.empty[String, Int], "s")
+    }
+    intercept[IllegalArgumentException] {
+      Curation.rendezvousShard(df, "doc_id", Map("a" -> 0), "s")
+    }
+    intercept[IllegalArgumentException] { // 5 shards x 64 = 320 vnodes > 256
+      Curation.rendezvousShard(df, "doc_id",
+        (1 to 5).map(i => s"s$i" -> 64).toMap, "s")
+    }
+    intercept[IllegalArgumentException] {
+      Curation.rendezvousShard(df.withColumn("shard", lit("x")),
+        "doc_id", Map("a" -> 1), "s")
+    }
+  }
+
   test("linearQualityScore guard rails") {
     val df = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

@@ -341,4 +341,35 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long, Boolean)].collect().toSeq
     assert(got == Seq((1L, 4L, 2L, false), (2L, 0L, 0L, true), (3L, 0L, 0L, true)))
   }
+
+  test("scriptMix: per-script character counts, the confusable spoof, and the mixed verdict") {
+    val df = Seq(
+      (1L, "hello world"),            // Latin only
+      (2L, "pаypal login"),      // Cyrillic а inside a Latin token
+      (3L, "中文 test"),      // Han + Latin
+      (4L, "123 !!! \n"),             // no script at all
+      (5L, "αβγ"),     // Greek only
+      (6L, "مرحبا")) // Arabic only
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.scriptMix(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_latin", "n_cyrillic", "n_greek", "n_han",
+        "n_arabic", "n_scripts", "mixed")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 10L, 0L, 0L, 0L, 0L, 1L, false),
+      (2L, 10L, 1L, 0L, 0L, 0L, 2L, true),
+      (3L, 4L, 0L, 0L, 2L, 0L, 2L, true),
+      (4L, 0L, 0L, 0L, 0L, 0L, 0L, false),
+      (5L, 0L, 0L, 3L, 0L, 0L, 1L, false),
+      (6L, 0L, 0L, 0L, 0L, 5L, 1L, false)))
+  }
+
+  test("scriptMix rejects column collisions") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text").withColumn("mixed", lit(1))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.scriptMix(df, "doc_id", "text")
+    }
+  }
 }
