@@ -70,7 +70,8 @@ object ScaleProbe {
     // windows + broadcast offsets — the window is the only corpus-scale
     // exchange before the key sort)
     "q163_quality_classifier", "q164_interleave_key",
-    "q165_rendezvous_shard", "q166_script_mix")
+    "q165_rendezvous_shard", "q166_script_mix",
+    "q167_stupid_backoff")
 
   // Corpus construction lives in ProbeCorpus (pinned-seed, reproducible
   // across invocations — ProbeCorpusSpec pins count+hash); this main only

@@ -2519,6 +2519,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Stupid Backoff bigram LM scoring (Brants et al. 2007) — the
+    // context-sensitive LM filter next to q142's unigram perplexity,
+    // and the one backoff scheme with a CLOSED oracle replay (fixed
+    // α = 0.4, deliberately unnormalized). Model trained on the src0
+    // slice; every adjacent token pair of every document scores
+    // c2/c1(w1) or α·add-one-unigram; ln-sums under r4 (the q71/q134
+    // libm-ulp convention).
+    "q167_stupid_backoff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      operators.Perplexity.stupidBackoffScore(docs, "doc_id", "text",
+          docs.filter(col("source") === "src0"), "text")
+        .select(col("doc_id"), col("n_pairs"), r4(col("logsb")).as("logsb"))
+        .orderBy(col("doc_id"))
+    }),
+
     // C4-style PII scrubbing: emails, cards, SSNs, phones, IPv4 replaced
     // by type tokens in a FIXED chain (card before ssn/phone so 16-digit
     // groups win over their substrings; ip last), per-type counts taken
@@ -4337,6 +4352,46 @@ object SparkEntry {
         |     + CASE WHEN n_han > 0 THEN 1 ELSE 0 END
         |     + CASE WHEN n_arabic > 0 THEN 1 ELSE 0 END) >= 2 AS mixed
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Stupid Backoff replay: src0 bigram/unigram counts, T/V scalars,
+    // the c2/c1 vs α·add-one CASE, occurrence-weighted ln-sum under r4.
+    "q167_stupid_backoff" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(trim(regexp_replace(
+        |      lower(text), '\s+', ' ', 'g')), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |uc AS (
+        |  SELECT token, count(*) AS c1 FROM (
+        |    SELECT unnest(tk) AS token FROM toks WHERE source = 'src0')
+        |  GROUP BY 1),
+        |sc AS (SELECT (SELECT CAST(sum(c1) AS DOUBLE) FROM uc) AS t,
+        |              (SELECT CAST(count(*) AS DOUBLE) FROM uc) AS v),
+        |rp AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+        |    i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS p
+        |  FROM toks WHERE source = 'src0' AND len(tk) >= 2),
+        |bc AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c2
+        |       FROM rp GROUP BY 1, 2),
+        |dp AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+        |    i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS p
+        |  FROM toks WHERE len(tk) >= 2),
+        |pg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS pf
+        |       FROM dp GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT pg.doc_id, pg.pf,
+        |    CASE WHEN COALESCE(bc.c2, 0) > 0
+        |      THEN ln(CAST(bc.c2 AS DOUBLE) / u1.c1)
+        |      ELSE ln(0.4 * (COALESCE(u2.c1, 0) + 1.0) / (sc.t + sc.v + 1.0))
+        |    END AS lp
+        |  FROM pg
+        |  LEFT JOIN bc ON bc.w1 = pg.w1 AND bc.w2 = pg.w2
+        |  LEFT JOIN uc u1 ON u1.token = pg.w1
+        |  LEFT JOIN uc u2 ON u2.token = pg.w2, sc)
+        |SELECT doc_id, CAST(sum(pf) AS BIGINT) AS n_pairs,
+        |  r4(sum(pf * lp)) AS logsb
+        |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // PII replay: same tail construction, same five-stage chain — DuckDB
     // regexp_replace needs the 'g' flag; counts via

@@ -66,6 +66,77 @@ object Perplexity {
       .withColumn("ppl", exp(col("xent")))
   }
 
+  /** Stupid Backoff bigram scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation") — the context-sensitive member of
+    * the LM-filter family, and the n-gram generalization the
+    * [[unigramPerplexity]] scaladoc rules out for Katz/Kneser–Ney:
+    * Stupid Backoff is the backoff scheme WITH a closed replay, because
+    * its backoff weight is the fixed constant α = 0.4 = 2/5 and scores
+    * are deliberately unnormalized (the paper's "S", not "p"):
+    *
+    *   S(w2 | w1) = c2(w1 w2) / c1(w1)               if c2 > 0
+    *              = α · (c1(w2) + 1) / (T + V + 1)   otherwise
+    *
+    * — the backoff lands on the SAME add-one unigram floor
+    * [[unigramPerplexity]] uses, so unseen continuations (including
+    * OOV words) score the shared OOV mass times α. Per-document score
+    * logsb = Σ ln S over adjacent token pairs (occurrence-weighted);
+    * documents with fewer than two tokens have no pairs and drop —
+    * there is nothing to score.
+    *
+    * 100 TB shape: training is two partial-agg'd count passes over the
+    * reference slice (bigrams + unigrams); scoring joins the document
+    * pair table to the bigram counts on (w1, w2) and to the unigram
+    * counts on each side — the models are corpus-vocabulary sized
+    * (shuffle joins, NOT broadcasts; a web-scale bigram table runs 10^9
+    * rows), T and V travel as a 1-row broadcast scalar, and the per-doc
+    * ln-sum partial-aggregates before its one doc-keyed exchange. The
+    * per-pair lns differ across libms by ≤ 1 ulp and summation-order
+    * jitter is absorbed by the caller's rounding (the q71/q134
+    * convention). */
+  def stupidBackoffScore(docs: DataFrame, idCol: String, textCol: String,
+                         ref: DataFrame, refTextCol: String): DataFrame = {
+    def pairsOf(df: DataFrame, id: org.apache.spark.sql.Column,
+                text: String): DataFrame = {
+      val withTk = df.select(id.as("doc_id"), toks(col(text)).as("__tk"))
+        .filter(size(col("__tk")) >= 2)
+      val cnt = size(col("__tk"))
+      withTk.select(col("doc_id"),
+          explode(zip_with(
+            slice(col("__tk"), lit(1), cnt - 1),
+            slice(col("__tk"), lit(2), cnt - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    }
+    val refUni = ref
+      .select(explode(toks(col(refTextCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c1"))
+    val refBi = pairsOf(ref, lit(0L), refTextCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val scalars = refUni.agg(
+      sum(col("c1")).cast("double").as("t"),
+      count(lit(1)).cast("double").as("v"))
+    val docPairs = pairsOf(docs, col(idCol), textCol)
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pf"))
+    docPairs
+      .join(refBi, Seq("w1", "w2"), "left")
+      .join(refUni.select(col("token").as("w1"), col("c1").as("c1w1")),
+        Seq("w1"), "left")
+      .join(refUni.select(col("token").as("w2"), col("c1").as("c1w2")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(scalars))
+      .withColumn("lp",
+        when(coalesce(col("c2"), lit(0L)) > 0L,
+          log(col("c2").cast("double") / col("c1w1")))
+        .otherwise(
+          log(lit(0.4) * (coalesce(col("c1w2"), lit(0L)) + lit(1.0)) /
+            (col("t") + col("v") + lit(1.0)))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("pf")).as("n_pairs"),
+        sum(col("pf") * col("lp")).as("logsb"))
+  }
+
   /** CCNet head/middle/tail split: ntile(`buckets`) over the
     * (roundedPpl, doc_id) order — the caller passes the rounding so
     * bucket boundaries sit on the same values the cross-engine gate

@@ -350,6 +350,9 @@ class PlanSpec extends SparkSpec {
       // q148: the one-row corpus token total broadcast into the
       // vocabulary-sized PMI projection
       "q148_pmi",
+      // q167: the one-row T/V scalar frame broadcast into the pair
+      // scoring (the q142 shape, bigram edition)
+      "q167_stupid_backoff",
       // q152: the bounded query-token bag broadcast into one corpus
       // token pass (the MaxSim serving contract — every query token
       // scores every doc token by design)

@@ -91,4 +91,52 @@ class PerplexitySpec extends SparkSpec {
         .as[(Long, Long)].collect().toSet
     assert(go(1) == go(11) && go(1).nonEmpty)
   }
+
+  // ---- Stupid Backoff (q167) ----
+
+  private def sb(docs: Seq[(Long, String)], ref: Seq[String]) =
+    Perplexity.stupidBackoffScore(docs.toDF("doc_id", "text"),
+        "doc_id", "text", ref.map(Tuple1(_)).toDF("text"), "text")
+      .select("doc_id", "n_pairs", "logsb")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("stupidBackoffScore matches hand-computed seen and backed-off pairs") {
+    // ref "a b a c": c1 = {a:2, b:1, c:1}, T=4, V=3;
+    // bigrams (a,b), (b,a), (a,c) each c2 = 1
+    val got = sb(Seq(
+      (1L, "a b x"),   // (a,b) seen: ln(1/2); (b,x) backoff: ln(0.4*1/8)
+      (2L, "c c"),     // (c,c) backoff with seen w2: ln(0.4*(1+1)/8)
+      (3L, "a"),       // one token: no pairs, drops
+      (4L, "")),       // empty: drops
+      Seq("a b a c"))
+    assert(got.keySet === Set(1L, 2L))
+    val (n1, l1) = got(1L)
+    assert(n1 === 2L)
+    assert(math.abs(l1 - (math.log(0.5) + math.log(0.4 / 8))) < 1e-12, s"$l1")
+    val (n2, l2) = got(2L)
+    assert(n2 === 1L)
+    assert(math.abs(l2 - math.log(0.4 * 2 / 8)) < 1e-12, s"$l2")
+  }
+
+  test("stupidBackoffScore: in-domain word order outranks the shuffled bag") {
+    val ref = Seq("the quick brown fox jumps over the lazy dog",
+      "the quick brown fox runs")
+    val got = sb(Seq(
+      (1L, "the quick brown fox"),    // every bigram seen
+      (2L, "fox brown quick the")),   // same bag, every bigram backed off
+      ref)
+    assert(got(1L)._1 === got(2L)._1) // same pair count
+    assert(got(1L)._2 > got(2L)._2,
+      s"seen order must outscore shuffled: $got")
+  }
+
+  test("stupidBackoffScore: repeated pairs weight by occurrence") {
+    val got = sb(Seq((1L, "a b a b a b")), Seq("a b"))
+    // pairs: (a,b)x3 seen ln(1/1)=0 wait c1(a)=1 -> ln(1/1)=0; (b,a)x2 backoff
+    val (n, l) = got(1L)
+    assert(n === 5L)
+    val backoff = math.log(0.4 * (1 + 1) / (2 + 2 + 1.0)) // c1(a)=1 +1 / T=2,V=2
+    assert(math.abs(l - (3 * 0.0 + 2 * backoff)) < 1e-12, s"$l vs ${2 * backoff}")
+  }
 }
