@@ -71,7 +71,7 @@ object ScaleProbe {
     // exchange before the key sort)
     "q163_quality_classifier", "q164_interleave_key",
     "q165_rendezvous_shard", "q166_script_mix",
-    "q167_stupid_backoff")
+    "q167_stupid_backoff", "q168_vocab_coverage")
 
   // Corpus construction lives in ProbeCorpus (pinned-seed, reproducible
   // across invocations — ProbeCorpusSpec pins count+hash); this main only

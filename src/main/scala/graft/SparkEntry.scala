@@ -2534,6 +2534,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Vocabulary coverage curve — "how many token types cover p% of
+    // occurrences": Zipf diagnostic + vocabulary-sizing analysis.
+    // Ranks order by (count DESC, token), the coverage test is pure
+    // integer cross-multiplication — the whole curve replays exactly.
+    "q168_vocab_coverage" -> ((s, d) => {
+      operators.TextAnalysis.vocabCoverage(t(s, d, "documents"), "text",
+          Seq(50, 90, 95, 99))
+        .orderBy(col("pct"))
+    }),
+
     // C4-style PII scrubbing: emails, cards, SSNs, phones, IPv4 replaced
     // by type tokens in a FIXED chain (card before ssn/phone so 16-digit
     // groups win over their substrings; ip last), per-type counts taken
@@ -4392,6 +4402,31 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(pf) AS BIGINT) AS n_pairs,
         |  r4(sum(pf * lp)) AS logsb
         |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // Coverage-curve replay: same counts, same (count DESC, token)
+    // ranks, same integer cross-multiplied coverage test.
+    "q168_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(trim(regexp_replace(
+        |    lower(text), '\s+', ' ', 'g')), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+        |r AS (
+        |  SELECT token, c,
+        |    CAST(row_number() OVER (ORDER BY c DESC, token) AS BIGINT) AS rank,
+        |    CAST(sum(c) OVER (ORDER BY c DESC, token
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM c),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS total_tok,
+        |             CAST(count(*) AS BIGINT) AS total_vocab FROM c),
+        |p(pct) AS (VALUES (CAST(50 AS BIGINT)), (CAST(90 AS BIGINT)),
+        |                  (CAST(95 AS BIGINT)), (CAST(99 AS BIGINT)))
+        |SELECT p.pct, min(r.rank) AS vocab_rank, min(r.cum) AS covered_tok,
+        |  CAST(first(t.total_tok) AS BIGINT) AS total_tok,
+        |  CAST(first(t.total_vocab) AS BIGINT) AS total_vocab
+        |FROM r, t, p
+        |WHERE r.cum * 100 >= p.pct * t.total_tok
+        |GROUP BY p.pct ORDER BY p.pct""".stripMargin,
 
     // PII replay: same tail construction, same five-stage chain — DuckDB
     // regexp_replace needs the 'g' flag; counts via

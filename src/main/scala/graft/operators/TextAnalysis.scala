@@ -479,6 +479,58 @@ object TextAnalysis {
     df.withColumns(added.zip(scrubbed.as("text_clean") +: counts).toMap)
   }
 
+  /** Vocabulary coverage curve — the tokenizer-design / Zipf analysis:
+    * for each requested percentage p, the minimum number of MOST
+    * FREQUENT token types whose occurrences cover at least p% of all
+    * token occurrences (plus the totals that contextualize it). The
+    * standard question behind vocabulary sizing ("how many types cover
+    * 95% of the corpus?") and a one-look Zipf-shape diagnostic —
+    * boilerplate-heavy corpora cover 95% with suspiciously few types.
+    *
+    * Frequency ranks order by (count DESC, token ASC) — fully
+    * deterministic — and the coverage test is pure integer arithmetic
+    * (cum·100 ≥ p·total), so the whole curve replays exactly in an
+    * ANSI oracle; no floats anywhere.
+    *
+    * 100 TB shape: the token count is one partial-agg'd pass over the
+    * corpus; everything after operates on the VOCABULARY-sized count
+    * table (10^6–10^8 rows at web scale, orders of magnitude below the
+    * corpus). The rank/cumsum window here is a single global window
+    * over that table — exact and fine to ~10^8; past that, the
+    * production path is a range-partitioned two-pass cumsum (partition
+    * partial sums broadcast back as offsets), same semantics. Returns
+    * one row per requested pct: (pct, vocab_rank, covered_tok,
+    * total_tok, total_vocab). */
+  def vocabCoverage(df: DataFrame, textCol: String,
+                    percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in [1, 100]: $percents")
+    require(percents.distinct == percents, "percents must be distinct")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(explode(TextFunctions.tokens(
+        TextFunctions.normalizeWs(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("token"))
+    val ranked = counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = counts.agg(sum(col("c")).as("total_tok"),
+      count(lit(1)).as("total_vocab"))
+    val session = df.sparkSession
+    import session.implicits._
+    val pcts = percents.map(_.toLong).toDF("pct")
+    ranked.crossJoin(broadcast(totals))
+      .crossJoin(broadcast(pcts))
+      .filter(col("cum") * 100L >= col("pct") * col("total_tok"))
+      .groupBy(col("pct"))
+      .agg(min(col("rank")).as("vocab_rank"),
+        min(col("cum")).as("covered_tok"),
+        first(col("total_tok")).as("total_tok"),
+        first(col("total_vocab")).as("total_vocab"))
+  }
+
   /** The five major scripts [[scriptMix]] counts, as (suffix, Java
     * pattern) pairs. Java spells Unicode script classes `\p{IsXxx}`;
     * an RE2 oracle spells the same class `\p{Xxx}` — same Unicode

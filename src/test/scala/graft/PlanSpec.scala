@@ -353,6 +353,9 @@ class PlanSpec extends SparkSpec {
       // q167: the one-row T/V scalar frame broadcast into the pair
       // scoring (the q142 shape, bigram edition)
       "q167_stupid_backoff",
+      // q168: the one-row totals frame and the 4-row percent frame
+      // broadcast into the vocabulary-sized coverage scan
+      "q168_vocab_coverage",
       // q152: the bounded query-token bag broadcast into one corpus
       // token pass (the MaxSim serving contract — every query token
       // scores every doc token by design)

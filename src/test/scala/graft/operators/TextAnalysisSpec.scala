@@ -366,6 +366,30 @@ class TextAnalysisSpec extends SparkSpec {
       (6L, 0L, 0L, 0L, 0L, 5L, 1L, false)))
   }
 
+  test("vocabCoverage: hand-computed curve with deterministic tie order") {
+    // a:4 b:2 c:1 d:1 -> total 8, vocab 4; ranks a=1 b=2 c=3 d=4
+    val df = Seq((1L, "a a A b"), (2L, "a  b c"), (3L, "d")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(df, "text", Seq(50, 75, 80, 100))
+      .orderBy("pct")
+      .select("pct", "vocab_rank", "covered_tok", "total_tok", "total_vocab")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (50L, 1L, 4L, 8L, 4L),   // a alone covers exactly 50%
+      (75L, 2L, 6L, 8L, 4L),   // a+b cover exactly 75%
+      (80L, 3L, 7L, 8L, 4L),   // needs c (ties c/d break by token asc)
+      (100L, 4L, 8L, 8L, 4L)))
+  }
+
+  test("vocabCoverage rejects bad percent lists") {
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.vocabCoverage(df, "text", Seq(0))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.vocabCoverage(df, "text", Seq(50, 50))
+    }
+  }
+
   test("scriptMix rejects column collisions") {
     val df = Seq((1L, "x")).toDF("doc_id", "text").withColumn("mixed", lit(1))
     intercept[IllegalArgumentException] {
