@@ -71,7 +71,8 @@ object ScaleProbe {
     // exchange before the key sort)
     "q163_quality_classifier", "q164_interleave_key",
     "q165_rendezvous_shard", "q166_script_mix",
-    "q167_stupid_backoff", "q168_vocab_coverage")
+    "q167_stupid_backoff", "q168_vocab_coverage",
+    "q169_kl_source_drift")
 
   // Corpus construction lives in ProbeCorpus (pinned-seed, reproducible
   // across invocations — ProbeCorpusSpec pins count+hash); this main only

@@ -2544,6 +2544,18 @@ object SparkEntry {
         .orderBy(col("pct"))
     }),
 
+    // Per-source KL divergence from the corpus pool — the categorical
+    // drift alarm next to q143's numeric KS. The engine computes the
+    // absent-word decomposition (no source×vocab cross); the oracle
+    // replays the NAIVE full-support sum, so the r4 gate checks the
+    // decomposition algebra itself.
+    "q169_kl_source_drift" -> ((s, d) => {
+      operators.Diff.klSourceDrift(t(s, d, "documents"), "source", "text")
+        .select(col("source"), col("n_tok"), col("vocab_present"),
+          r4(col("kl")).as("kl"))
+        .orderBy(col("source"))
+    }),
+
     // C4-style PII scrubbing: emails, cards, SSNs, phones, IPv4 replaced
     // by type tokens in a FIXED chain (card before ssn/phone so 16-digit
     // groups win over their substrings; ip last), per-type counts taken
@@ -4427,6 +4439,36 @@ object SparkEntry {
         |FROM r, t, p
         |WHERE r.cum * 100 >= p.pct * t.total_tok
         |GROUP BY p.pct ORDER BY p.pct""".stripMargin,
+
+    // KL replay: the naive full-support sum over sources × global
+    // vocabulary (a deliberately DIFFERENT summation decomposition from
+    // the engine's absent-word algebra — both must agree under r4).
+    "q169_kl_source_drift" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(trim(regexp_replace(
+        |      lower(text), '\s+', ' ', 'g')), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |sc AS (SELECT source, token, count(*) AS cs FROM toks GROUP BY 1, 2),
+        |gc AS (SELECT token, CAST(sum(cs) AS BIGINT) AS c FROM sc GROUP BY 1),
+        |sca AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM gc) AS t,
+        |               (SELECT CAST(count(*) AS DOUBLE) FROM gc) AS v),
+        |st AS (SELECT source, CAST(sum(cs) AS DOUBLE) AS ts FROM sc GROUP BY 1),
+        |srcs AS (SELECT DISTINCT source FROM sc),
+        |sup AS (
+        |  SELECT s.source, g.token, g.c, COALESCE(x.cs, 0) AS cs
+        |  FROM srcs s CROSS JOIN gc g
+        |  LEFT JOIN sc x ON x.source = s.source AND x.token = g.token),
+        |terms AS (
+        |  SELECT f.source, f.cs,
+        |    ((f.cs + 1.0) / (st.ts + sca.v))
+        |      * ln(((f.cs + 1.0) / (st.ts + sca.v))
+        |           / ((f.c + 1.0) / (sca.t + sca.v))) AS term
+        |  FROM sup f JOIN st ON st.source = f.source, sca)
+        |SELECT source, CAST(sum(cs) AS BIGINT) AS n_tok,
+        |  CAST(count(CASE WHEN cs > 0 THEN 1 END) AS BIGINT) AS vocab_present,
+        |  r4(sum(term)) AS kl
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
 
     // PII replay: same tail construction, same five-stage chain — DuckDB
     // regexp_replace needs the 'g' flag; counts via

@@ -104,4 +104,68 @@ object Diff {
           (col("n_a").cast("double") * col("n_b").cast("double"))).as("d"),
         col("n_a"), col("n_b"))
   }
+
+  /** Per-source KL divergence from the corpus pool — the CATEGORICAL
+    * drift detector next to [[ksDrift]]'s numeric one: for every source
+    * s, D_KL(P_s ‖ Q) over add-one-smoothed unigram distributions on
+    * the shared global vocabulary (P_s(w) = (c_s(w)+1)/(T_s+V),
+    * Q(w) = (c(w)+1)/(T+V)), the standard "which source stopped looking
+    * like the corpus" alarm between crawl snapshots and the
+    * distribution-level companion of the DSIR per-document weights
+    * (q134 scores documents; this scores SOURCES).
+    *
+    * The sum runs over the FULL global vocabulary, but no source×vocab
+    * cross ever materializes: for words ABSENT from s, P_s is the
+    * constant 1/(T_s+V), so their contribution reduces to
+    * P0·[(V−V_s)·ln P0 − (ΣlnQ − Σ_{present} lnQ)] — one global ΣlnQ
+    * scalar plus per-source sums over PRESENT words only. The oracle
+    * replays the NAIVE full-support double sum (a genuinely different
+    * summation decomposition), so the r4 gate also checks the
+    * decomposition algebra, not just the arithmetic.
+    *
+    * 100 TB shape: one (source, token) count pass (the corpus-scale
+    * exchange), from which the global counts roll up; everything else
+    * is vocabulary-sized with the per-source totals and 1-row scalars
+    * broadcast. Returns (source, n_tok, vocab_present, kl) for every
+    * source with at least one token; lns differ across libms by ≤1 ulp
+    * and summation order is absorbed by the caller's rounding (the
+    * q71/q134 convention). */
+  def klSourceDrift(df: DataFrame, srcCol: String,
+                    textCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    import org.apache.spark.storage.StorageLevel
+    val sc = df.select(col(srcCol).as("source"),
+        explode(TextFunctions.tokens(
+          TextFunctions.normalizeWs(col(textCol)))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val gc = sc.groupBy(col("token")).agg(sum(col("cs")).as("c"))
+    val scalars = gc.agg(sum(col("c")).cast("double").as("t"),
+      count(lit(1)).cast("double").as("v"))
+    val gq = gc.crossJoin(broadcast(scalars))
+      .withColumn("lq", log((col("c") + 1.0) / (col("t") + col("v"))))
+    val lqAll = gq.agg(sum(col("lq")).as("lq_all"))
+    val srcTot = sc.groupBy(col("source"))
+      .agg(sum(col("cs")).cast("double").as("ts"))
+    sc.join(gq.select(col("token"), col("lq")), Seq("token"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("p", (col("cs") + 1.0) / (col("ts") + col("v")))
+      .groupBy(col("source"))
+      .agg(sum(col("p") * (log(col("p")) - col("lq"))).as("a_term"),
+        sum(col("lq")).as("lq_s"),
+        count(lit(1)).as("vs"),
+        sum(col("cs")).as("n_tok"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(scalars))
+      .crossJoin(broadcast(lqAll))
+      .withColumn("p0", lit(1.0) / (col("ts") + col("v")))
+      .withColumn("b_term",
+        col("p0") * ((col("v") - col("vs")) * log(col("p0")) -
+          (col("lq_all") - col("lq_s"))))
+      .select(col("source"), col("n_tok"),
+        col("vs").as("vocab_present"),
+        (col("a_term") + col("b_term")).as("kl"))
+  }
 }

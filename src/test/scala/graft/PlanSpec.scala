@@ -356,6 +356,9 @@ class PlanSpec extends SparkSpec {
       // q168: the one-row totals frame and the 4-row percent frame
       // broadcast into the vocabulary-sized coverage scan
       "q168_vocab_coverage",
+      // q169: the one-row T/V and sum-lnQ scalar frames broadcast into
+      // the vocabulary-sized per-source aggregates
+      "q169_kl_source_drift",
       // q152: the bounded query-token bag broadcast into one corpus
       // token pass (the MaxSim serving contract — every query token
       // scores every doc token by design)

@@ -100,4 +100,51 @@ class DiffSpec extends SparkSpec {
       .as[(Double, Long, Long)].collect().head
     assert(d3 == d1, "nulls must be ignored, not counted")
   }
+
+  // ---- per-source KL drift (q169) ----
+
+  private def klOf(rows: Seq[(String, String)]): Map[String, (Long, Long, Double)] =
+    Diff.klSourceDrift(rows.toDF("source", "text"), "source", "text")
+      .select("source", "n_tok", "vocab_present", "kl")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+  test("klSourceDrift matches the naive full-support serial sum") {
+    val rows = Seq(
+      ("a", "x x y z"), ("a", "x w"),
+      ("b", "y y y z"),
+      ("c", "q q r"))
+    // serial naive reference: full source x global-vocab support
+    def tk(t: String) = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val byToken = rows.flatMap { case (s, t) => tk(t).map(s -> _) }
+    val gc = byToken.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tTot = gc.values.sum.toDouble; val v = gc.size.toDouble
+    val expected = byToken.groupBy(_._1).map { case (s, ts) =>
+      val cs = ts.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val tsTot = cs.values.sum.toDouble
+      val kl = gc.map { case (w, c) =>
+        val p = (cs.getOrElse(w, 0L) + 1.0) / (tsTot + v)
+        val q = (c + 1.0) / (tTot + v)
+        p * math.log(p / q)
+      }.sum
+      s -> ((cs.values.sum, cs.size.toLong, kl))
+    }
+    val got = klOf(rows)
+    assert(got.keySet === expected.keySet)
+    for ((s, (n, vp, kl)) <- expected) {
+      assert(got(s)._1 === n, s"source $s n_tok")
+      assert(got(s)._2 === vp, s"source $s vocab_present")
+      assert(math.abs(got(s)._3 - kl) < 1e-9,
+        s"source $s kl: ${got(s)._3} vs $kl")
+    }
+  }
+
+  test("klSourceDrift: pool-like sources score lower than a disjoint-vocab source") {
+    val inDist = (1 to 20).map(i => ("a", "the quick brown fox"))
+    val inDist2 = (1 to 20).map(i => ("b", "the quick brown fox"))
+    val alien = Seq(("z", "zzz qqq www vvv"))
+    val got = klOf(inDist ++ inDist2 ++ alien)
+    assert(got("z")._3 > got("a")._3 && got("z")._3 > got("b")._3,
+      s"alien source must diverge most: $got")
+  }
 }
