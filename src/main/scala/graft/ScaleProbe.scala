@@ -72,7 +72,12 @@ object ScaleProbe {
     "q163_quality_classifier", "q164_interleave_key",
     "q165_rendezvous_shard", "q166_script_mix",
     "q167_stupid_backoff", "q168_vocab_coverage",
-    "q169_kl_source_drift")
+    "q169_kl_source_drift",
+    // round-10: composed IVF-PQ (broadcast cells + codebook, in-row
+    // routing, candidate join on cell_id, ADC over the probed slice —
+    // the scored volume is corpus/cells × nprobe, so the ratio should
+    // track the index-build scans, not the ADC)
+    "q170_ivfpq_topk")
 
   // Corpus construction lives in ProbeCorpus (pinned-seed, reproducible
   // across invocations — ProbeCorpusSpec pins count+hash); this main only

@@ -2124,9 +2124,12 @@ object SparkEntry {
 
     // CCNet-style LM perplexity buckets (Wenzek et al. 2020): add-one
     // unigram model trained on the src0 reference slice, every document
-    // scored by cross-entropy, head/middle/tail split by ntile over the
-    // (r4-rounded ppl, doc_id) order. The oracle replays training,
-    // smoothing, the tf-weighted ln-sum, and the tercile assignment.
+    // scored by cross-entropy, head/middle/tail split at fixed
+    // percentile cut scores (the paper's rule — exact percentile_disc
+    // order statistics of the r4-rounded score, ties to the lower
+    // bucket) assigned map-side from a broadcast cut array. The oracle
+    // replays training, smoothing, the tf-weighted ln-sum, the integer
+    // cum·k ≥ b·N cut selection, and the strict-greater assignment.
     "q142_lm_perplexity" -> ((s, d) => {
       val docs = t(s, d, "documents")
       operators.Perplexity.perplexityBuckets(docs, "doc_id", "text",
@@ -2554,6 +2557,23 @@ object SparkEntry {
         .select(col("source"), col("n_tok"), col("vocab_present"),
           r4(col("kl")).as("kl"))
         .orderBy(col("source"))
+    }),
+
+    // Composed IVF-PQ (FAISS IVFADC) — the production ANN serving tier
+    // uniting q46's inverted-file routing with q137's product-
+    // quantization ADC: queries probe their nprobe nearest coarse cells
+    // and only vectors assigned there are ADC-ranked. Integer-exact end
+    // to end (sha-sampled coarse cells scored by integer L2, the q137
+    // codebook unchanged), so the oracle replays the entire composed
+    // index — cells, routing, probes, codes, LUT, ranks — with no
+    // rounding marker.
+    "q170_ivfpq_topk" -> ((s, d) => {
+      graft.operators.Clustering.ivfPqTopK(t(s, d, "embeddings"),
+          "vec_id", "embedding", dims = 64, m = 8, k = 16, iters = 2,
+          cells = 16, nprobe = 4, topK = 3, queryMod = 50L)
+        .select(col("query_id"), col("neighbor_id"), col("dist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // C4-style PII scrubbing: emails, cards, SSNs, phones, IPv4 replaced
@@ -3268,8 +3288,11 @@ object SparkEntry {
     * division), final codes, per-query LUTs, ADC sums, and the
     * (dist, id) rank — all integer arithmetic, no rounding marker
     * needed anywhere. */
-  private def pqOracleSql(mSub: Int, k: Int, iters: Int, dims: Int,
-                          topK: Int, queryMod: Int): String = {
+  /** Shared PQ-index CTE chain (quantize → seeds → subvectors → `iters`
+    * Lloyd layers → final codes + query LUT), the common core of the
+    * q137 and q170 oracles. Ends with `codes`, `qsub`, `lut`. */
+  private def pqCoreCtes(mSub: Int, k: Int, iters: Int, dims: Int,
+                         queryMod: Int): String = {
     val sd = dims / mSub
     val hash = "CAST(list_sum([(strpos('0123456789abcdef', substr(sha256(" +
       "CAST(vec_id AS VARCHAR)), i, 1)) - 1) * pow(16.0, 12 - i) " +
@@ -3297,7 +3320,7 @@ object SparkEntry {
          |        FROM c${n - 1} p LEFT JOIN nc$n
          |          ON nc$n.m = p.m AND nc$n.cid = p.cid)""".stripMargin
     val layers = (1 to iters).map(layer).mkString(",\n")
-    s"""WITH v AS (
+    s"""v AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
        |      * 1048576) AS BIGINT)) AS q
@@ -3330,7 +3353,12 @@ object SparkEntry {
        |  SELECT q.query_id, c.m, c.cid,
        |    CAST(list_sum([(q.qs[i] - c.c[i]) * (q.qs[i] - c.c[i])
        |      for i in generate_series(1, $sd)]) AS BIGINT) AS dm
-       |  FROM qsub q JOIN c$iters c ON c.m = q.m),
+       |  FROM qsub q JOIN c$iters c ON c.m = q.m)""".stripMargin
+  }
+
+  private def pqOracleSql(mSub: Int, k: Int, iters: Int, dims: Int,
+                          topK: Int, queryMod: Int): String =
+    s"""WITH ${pqCoreCtes(mSub, k, iters, dims, queryMod)},
        |ad AS (
        |  SELECT l.query_id, co.vec_id AS neighbor_id,
        |    CAST(sum(l.dm) AS BIGINT) AS dist
@@ -3343,7 +3371,55 @@ object SparkEntry {
        |  FROM ad WHERE neighbor_id <> query_id)
        |SELECT query_id, neighbor_id, dist, CAST(rnk AS BIGINT) AS rank
        |FROM rk WHERE rnk <= $topK ORDER BY query_id, rank""".stripMargin
-  }
+
+  /** q170 oracle: the q137 PQ core plus the IVF composition — coarse
+    * cells from the sha-ordered sample (the q46 recipe, ':ivfpq' tag),
+    * integer-L2 routing of every vector to its nearest cell, nprobe
+    * probe cells per query, ADC re-rank restricted to candidates
+    * assigned to the probed cells. */
+  private def ivfPqOracleSql(mSub: Int, k: Int, iters: Int, dims: Int,
+                             topK: Int, queryMod: Int, cells: Int,
+                             nprobe: Int): String =
+    s"""WITH ${pqCoreCtes(mSub, k, iters, dims, queryMod)},
+       |cc AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY sh, vec_id) - 1
+       |    AS BIGINT) AS cell_id
+       |  FROM (SELECT vec_id,
+       |          sha256(CAST(vec_id AS VARCHAR) || ':ivfpq') AS sh
+       |        FROM v ORDER BY sh, vec_id LIMIT $cells)),
+       |ccv AS (SELECT cc.cell_id, v.q AS cq FROM cc JOIN v USING (vec_id)),
+       |cdist AS (
+       |  SELECT v.vec_id, c.cell_id,
+       |    list_sum([(v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i])
+       |      for i in generate_series(1, $dims)]) AS cd
+       |  FROM v CROSS JOIN ccv c),
+       |crk AS (
+       |  SELECT vec_id, cell_id,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cd, cell_id) AS rn
+       |  FROM cdist),
+       |asg AS (SELECT vec_id AS neighbor_id, cell_id FROM crk WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cell_id FROM crk
+       |           WHERE rn <= $nprobe AND vec_id % $queryMod = 0),
+       |cand AS (
+       |  SELECT p.query_id, a.neighbor_id
+       |  FROM probes p JOIN asg a USING (cell_id)
+       |  WHERE a.neighbor_id <> p.query_id),
+       |ad AS (
+       |  SELECT ca.query_id, ca.neighbor_id,
+       |    CAST(sum(l.dm) AS BIGINT) AS dist
+       |  FROM cand ca
+       |    JOIN codes co ON co.vec_id = ca.neighbor_id
+       |    JOIN lut l ON l.query_id = ca.query_id
+       |      AND l.m = co.m AND l.cid = co.cid
+       |  GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT query_id, neighbor_id, dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist, neighbor_id) AS rnk
+       |  FROM ad)
+       |SELECT query_id, neighbor_id, dist, CAST(rnk AS BIGINT) AS rank
+       |FROM rk WHERE rnk <= $topK ORDER BY query_id, rank""".stripMargin
 
   /** q130 oracle: the q124 Lloyd chain over corpus ∪ planted near-dups,
     * then the SemDeDup within-cluster integer cosine pruning — pairwise
@@ -6651,6 +6727,8 @@ object SparkEntry {
     "q130_semdedup" -> semDedupOracleSql(8, 3, 64),
     "q137_pq_topk" -> pqOracleSql(8, 16, 2, 64, 3, 50),
 
+    "q170_ivfpq_topk" -> ivfPqOracleSql(8, 16, 2, 64, 3, 50, 16, 4),
+
     // Winnowing replay: tokenization, 4-gram 48-bit sha hashes (the
     // q121 formula), the w=4 rightmost-min selection as a lexicographic
     // struct min over a ROWS window (−st makes "rightmost" the struct
@@ -6709,7 +6787,10 @@ object SparkEntry {
     // Unigram-LM perplexity replay: reference counts from the src0
     // slice, T/V scalars, add-one smoothing with the shared OOV bucket,
     // tf-weighted cross-entropy (sum(tf) widens to HUGEINT — hence the
-    // casts), e^H, and the ntile tercile on the rounded score.
+    // casts), e^H, then the fixed-percentile cut rule: cumulative
+    // counts over the DISTINCT rounded-score histogram, cut_b = the
+    // smallest ppl with cum·3 ≥ b·N (integer ⌈b·N/3⌉), bucket = 1 +
+    // #cuts strictly below the document's score.
     "q142_lm_perplexity" ->
       """WITH base AS (
         |  SELECT doc_id, source,
@@ -6731,10 +6812,21 @@ object SparkEntry {
         |        (coalesce(rc.c, 0) + 1.0) / (s.t + s.v + 1.0)))
         |      AS DOUBLE) / CAST(sum(f.tf) AS DOUBLE))) AS ppl
         |  FROM tf f LEFT JOIN rc ON rc.token = f.token CROSS JOIN sc s
-        |  GROUP BY 1)
-        |SELECT doc_id, n_tokens, ppl,
-        |  CAST(ntile(3) OVER (ORDER BY ppl, doc_id) AS BIGINT) AS bucket
-        |FROM scored ORDER BY doc_id""".stripMargin,
+        |  GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+        |hist AS (SELECT ppl, CAST(count(*) AS BIGINT) AS cnt
+        |         FROM scored GROUP BY 1),
+        |cum AS (SELECT ppl,
+        |          CAST(sum(cnt) OVER (ORDER BY ppl) AS BIGINT) AS cum
+        |        FROM hist),
+        |cuts AS (
+        |  SELECT t.b, min(c.ppl) AS cut
+        |  FROM cum c CROSS JOIN nn CROSS JOIN range(1, 3) t(b)
+        |  WHERE c.cum * 3 >= t.b * nn.n GROUP BY 1)
+        |SELECT s.doc_id, s.n_tokens, s.ppl,
+        |  CAST(1 + (SELECT count(*) FROM cuts c WHERE s.ppl > c.cut)
+        |    AS BIGINT) AS bucket
+        |FROM scored s ORDER BY doc_id""".stripMargin,
 
     // KS replay: both comparisons — fixed-width 1024-bucket binning for
     // the continuous price column (same IEEE op order as the Spark

@@ -241,6 +241,29 @@ object Clustering {
   def pqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
              dims: Int, m: Int, k: Int, iters: Int, topK: Int,
              queryMod: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = buildPqIndex(embeddings, idCol, vecCol, dims, m, k, iters)
+    val lut = pqLut(idx, queryMod, dims / m)
+    val dists = idx.codes.join(broadcast(lut), Seq("sm", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dm")).as("dist"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    dists.filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
+  /** PQ index internals shared by [[pqTopK]] and [[ivfPqTopK]]:
+    * quantized vectors, the subvector frame, the trained one-row
+    * codebook, and the per-vector code table. */
+  private case class PqIndex(vecs: DataFrame, sub: DataFrame,
+                             centRow: DataFrame, codes: DataFrame)
+
+  private def buildPqIndex(embeddings: DataFrame, idCol: String,
+                           vecCol: String, dims: Int, m: Int, k: Int,
+                           iters: Int): PqIndex = {
     require(dims % m == 0, s"dims $dims not divisible by m $m")
     require(k >= 2 && k <= 256 && iters >= 1 && iters <= 10, "bad k/iters")
     import org.apache.spark.storage.StorageLevel
@@ -296,11 +319,16 @@ object Clustering {
       centRow = toRow(next).persist(StorageLevel.MEMORY_AND_DISK)
     }
     val codes = assign(centRow).select(col("vec_id"), col("sm"), col("cid"))
-    val qsub = sub.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+    PqIndex(vecs, sub, centRow, codes)
+  }
+
+  /** Per-query ADC lookup table: distance from each query subvector to
+    * every codebook centroid of its subspace — (queries · m · k) rows,
+    * broadcast-sized for a bounded query batch (the serving contract). */
+  private def pqLut(idx: PqIndex, queryMod: Long, sd: Int): DataFrame =
+    idx.sub.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
       .select(col("vec_id").as("query_id"), col("sm"), col("qs"))
-    // per-query lookup table: distance from each query subvector to
-    // every codebook centroid of its subspace — (queries · m · k) rows
-    val lut = qsub.crossJoin(broadcast(centRow))
+      .crossJoin(broadcast(idx.centRow))
       .select(col("query_id"), col("sm"), col("qs"),
         explode(filter(col("cents"), c => c.getField("sm") === col("sm")))
           .as("ce"))
@@ -308,14 +336,82 @@ object Clustering {
         aggregate(zip_with(col("qs"), col("ce").getField("c"),
           (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
           .as("dm"))
-    val dists = codes.join(broadcast(lut), Seq("sm", "cid"))
-      .groupBy(col("query_id"), col("vec_id"))
+
+  /** Composed IVF-PQ ANN — the production FAISS serving shape (Jégou
+    * et al. 2011 §IV: `IVFADC`), uniting the two halves this engine
+    * already gates separately: q46's inverted-file cell routing bounds
+    * WHICH vectors are scored, q137's product-quantization ADC scores
+    * them without ever touching the full vectors. A query probes its
+    * `nprobe` nearest coarse cells and re-ranks only the vectors
+    * ASSIGNED to those cells by summed codebook-lookup distances.
+    *
+    * Integer-exact end to end: coarse routing uses squared L2 on the
+    * q124-quantized vectors against a deterministic sha-ordered coarse
+    * sample (the q46 centroid recipe with an `:ivfpq` tag, scored in
+    * integers rather than cosine doubles), and the PQ half is q137's
+    * integer codebook/LUT/ADC unchanged — so cells, assignments,
+    * probes, codes, and final (dist, id) ranks all replay in an ANSI
+    * oracle with no rounding marker.
+    *
+    * 100 TB shape: the coarse cell array (cells × dims longs) and the
+    * codebook are ONE-ROW broadcasts; routing and probe selection are
+    * IN-ROW array operations over the broadcast cells (sort_array of a
+    * cells-length struct array — no window, no shuffle); the candidate
+    * join exchanges (query_id | neighbor_id, cell_id) id pairs keyed on
+    * cell_id; ADC re-rank joins candidates to the m-shorts code table
+    * and the broadcast LUT with map-side partial sums. Versus q137,
+    * the scored volume drops from |corpus| to |probed cells| — the
+    * knob (`nprobe`/`cells`) that makes exhaustive ADC affordable; the
+    * full vectors are touched only at index build, never at query
+    * time. Returns (query_id, neighbor_id, dist, rank ≤ topK). */
+  def ivfPqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                dims: Int, m: Int, k: Int, iters: Int, cells: Int,
+                nprobe: Int, topK: Int, queryMod: Long): DataFrame = {
+    require(cells >= 1 && cells <= 65536, s"cells out of range: $cells")
+    require(nprobe >= 1 && nprobe <= cells, s"nprobe out of range: $nprobe")
+    require(topK >= 1, s"bad topK: $topK")
+    import org.apache.spark.sql.expressions.Window
+    val idx = buildPqIndex(embeddings, idCol, vecCol, dims, m, k, iters)
+    // coarse cells: sha-ordered deterministic sample (q46's recipe);
+    // cell_id 0..cells−1 in (hash, id) order — the window runs over the
+    // `cells`-row sample, never the corpus
+    val cw = Window.orderBy(
+      sha2(concat(col("vec_id").cast("string"), lit(":ivfpq")), 256),
+      col("vec_id"))
+    val cellRow = broadcast(idx.vecs
+      .orderBy(sha2(concat(col("vec_id").cast("string"), lit(":ivfpq")), 256),
+        col("vec_id"))
+      .limit(cells)
+      .withColumn("cell_id", (row_number().over(cw) - 1).cast("long"))
+      .agg(sort_array(collect_list(
+        struct(col("cell_id"), col("q").as("cq")))).as("cls")))
+    // in-row routing: per-vector (dist, cell_id) ranking of every cell
+    def routed = idx.vecs.crossJoin(cellRow)
+      .withColumn("cd", sort_array(transform(col("cls"), c =>
+        struct(
+          aggregate(zip_with(col("q"), c.getField("cq"),
+            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+            .as("dist"),
+          c.getField("cell_id").as("cell_id")))))
+    val assigned = routed.select(col("vec_id").as("neighbor_id"),
+      element_at(col("cd"), 1).getField("cell_id").as("cell_id"))
+    val probes = routed.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("query_id"),
+        explode(slice(col("cd"), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("p").getField("cell_id").as("cell_id"))
+    val candidates = probes.join(assigned, Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val lut = pqLut(idx, queryMod, dims / m)
+    val dists = candidates
+      .join(idx.codes.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"))
+      .join(broadcast(lut), Seq("query_id", "sm", "cid"))
+      .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("dm")).as("dist"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("dist"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("neighbor_id"))
-    dists.filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("rank", row_number().over(w))
+    dists.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
   }
 

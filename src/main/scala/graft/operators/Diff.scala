@@ -126,10 +126,16 @@ object Diff {
     * 100 TB shape: one (source, token) count pass (the corpus-scale
     * exchange), from which the global counts roll up; everything else
     * is vocabulary-sized with the per-source totals and 1-row scalars
-    * broadcast. Returns (source, n_tok, vocab_present, kl) for every
-    * source with at least one token; lns differ across libms by ≤1 ulp
-    * and summation order is absorbed by the caller's rounding (the
-    * q71/q134 convention). */
+    * broadcast. CACHING CONTRACT: the (source, token) count table is
+    * persisted because the returned plan reads it four ways (global
+    * counts, ΣlnQ, per-source totals, the present-word sum) on every
+    * execution; it stays cached for the plan's lifetime, so callers
+    * invoking this repeatedly in a long-lived session should release it
+    * (`spark.catalog.clearCache()`) after consuming the result — the
+    * same contract as [[Graphs.labelPropagation]]'s edge table. Returns
+    * (source, n_tok, vocab_present, kl) for every source with at least
+    * one token; lns differ across libms by ≤1 ulp and summation order
+    * is absorbed by the caller's rounding (the q71/q134 convention). */
   def klSourceDrift(df: DataFrame, srcCol: String,
                     textCol: String): DataFrame = {
     import graft.functions.TextFunctions

@@ -147,34 +147,63 @@ object Graphs {
     * 100 TB shape: the edge table is hashed by src and persisted once;
     * each iteration is one edges⋈labels join (labels co-partitioned or
     * broadcast — one long per node) plus two label-keyed aggregates
-    * whose exchanges carry (nid, lbl, cnt) triples only. Label volume
-    * per iteration is at most the in-degree sum pre-combine and the
-    * node count post-combine — never edge-quadratic. */
+    * whose exchanges carry (nid, lbl, cnt) triples only. The
+    * keep-previous rule for nodes with no in-neighbors rides the SAME
+    * argmax aggregate as the votes: each node contributes a zero-count
+    * sentinel row (nid, prev, 0) that any real vote (cnt ≥ 1 ⇒ −cnt < 0)
+    * beats — no per-iteration join back onto the node set. Label volume
+    * per iteration is at most the in-degree sum pre-combine and the node
+    * count post-combine — never edge-quadratic.
+    *
+    * Each round's label table is eagerly `localCheckpoint`ed and the
+    * superseded round's blocks freed — the [[Dedup.connectedComponents]]
+    * protocol. Because the sentinel rule references the label table
+    * twice per round, a lazy chain would double its LOGICAL plan every
+    * iteration (exponential plan growth kills the driver long before
+    * executor cost matters at corpus scale); checkpointed rounds keep
+    * plan and work linear in `iters`. The hashed edge table is released
+    * before returning — the returned frame reads only the final round's
+    * checkpoint blocks, which free when it is garbage collected. */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 10, s"iters out of range: $iters")
     import org.apache.spark.storage.StorageLevel
     val ed = edges.repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = ed.select(col("src").as("nid"))
+    var lbl = ed.select(col("src").as("nid"))
       .unionByName(ed.select(col("dst").as("nid")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var lbl = nodes.select(col("nid"), col("nid").as("lbl"))
+      .select(col("nid"), col("nid").as("lbl"))
+      .localCheckpoint()
     for (_ <- 1 to iters) {
-      val votes = ed.alias("e")
+      val counts = ed.alias("e")
         .join(lbl.alias("p"), col("e.src") === col("p.nid"))
         .groupBy(col("e.dst").as("nid"), col("p.lbl").as("lbl"))
         .agg(count(lit(1)).as("cnt"))
+      // zero-count self-vote sentinels: a node with no in-neighbors has
+      // only its sentinel and keeps its previous label; any real vote
+      // outranks the sentinel in the same (−cnt, lbl) argmax
+      val next = counts
+        .unionByName(lbl.select(col("nid"), col("lbl"), lit(0L).as("cnt")))
         .groupBy(col("nid"))
         .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("w"))
-        .select(col("nid"), col("w.l").as("win"))
-      // left join: a node with no in-neighbors keeps its previous label
-      // instead of silently exiting the label table
-      lbl = lbl.join(votes, Seq("nid"), "left")
-        .select(col("nid"), coalesce(col("win"), col("lbl")).as("lbl"))
+        .select(col("nid"), col("w.l").as("lbl"))
+        .localCheckpoint() // eager: materializes the round, cuts lineage
+      freeCheckpoint(lbl)
+      lbl = next
     }
+    ed.unpersist(blocking = false) // rounds are materialized; nothing lazy reads ed
     lbl
   }
+
+  /** Frees the storage blocks behind a `localCheckpoint`ed frame (plain
+    * `Dataset.unpersist` only talks to the cache manager, not to the
+    * checkpointed RDD). Safe once the successor round is materialized. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Exact per-node triangle counting by degree orientation — the
     * standard bounded-wedge scheme (each undirected edge is directed
@@ -262,14 +291,22 @@ object Graphs {
     * table carries bare node ids, and the edge table shrinks
     * monotonically so every round is cheaper than the last. The
     * per-round count() that powers the early stop is a driver-side
-    * scalar, not a collect. */
+    * scalar, not a collect. Each round's filtered edge table is eagerly
+    * `localCheckpoint`ed and the superseded round's blocks freed — the
+    * [[Dedup.connectedComponents]] protocol: a round references its
+    * predecessor THREE times (degree count + two semi-filters), so a
+    * lazy chain would triple its logical plan every round (exponential
+    * plan growth kills the driver long before executor cost matters);
+    * checkpointed rounds keep plan and work linear, nothing ever
+    * recomputes back through the peel chain, and no per-round cache
+    * accumulates. The returned frame reads only the final round's
+    * checkpoint blocks, which free when it is garbage collected. */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
     require(k >= 1, s"k out of range: $k")
     require(maxRounds >= 1 && maxRounds <= 30,
       s"maxRounds out of range: $maxRounds")
     import org.apache.spark.storage.StorageLevel
-    var e = edges.select(col("src"), col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var e = edges.select(col("src"), col("dst")).localCheckpoint()
     var nAlive = -1L
     var done = false
     for (_ <- 1 to maxRounds if !done) {
@@ -290,8 +327,9 @@ object Graphs {
           .join(alive.withColumnRenamed("n", "src"), Seq("src"))
           .join(alive.withColumnRenamed("n", "dst"), Seq("dst"))
           .select(col("src"), col("dst"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        e.unpersist(blocking = false)
+          .localCheckpoint() // eager: materializes the round, cuts lineage
+        alive.unpersist(blocking = false)
+        freeCheckpoint(e)
         e = ne
       }
     }

@@ -1051,7 +1051,17 @@ object Multimodal {
       val nameLen = u16(cd + 28)
       val extraLen = u16(cd + 30)
       val commentLen = u16(cd + 32)
-      val localOff = u32(cd + 42).toInt
+      // validate declared offsets/sizes in LONG arithmetic before any
+      // Int narrowing: a declared value ≥ 2^31 would otherwise wrap
+      // negative and surface as a raw array-index error instead of the
+      // validated 'corrupt/unsupported' contract
+      val localOffL = u32(cd + 42)
+      require(localOffL + 30 <= bytes.length,
+        s"corrupt ZIP: local header at $localOffL overruns the archive")
+      require(usize <= Int.MaxValue - 8,
+        s"unsupported ZIP: member of $usize bytes exceeds the 2 GiB " +
+          "single-member bound (split oversized members upstream)")
+      val localOff = localOffL.toInt
       val name = new String(bytes, cd + 46, nameLen,
         java.nio.charset.StandardCharsets.UTF_8)
       // local header cross-check (name must agree with the CD entry)
@@ -1446,9 +1456,14 @@ object Multimodal {
         require(typeflag == 0 || typeflag == 5,
           s"entry $k: unsupported typeflag '${tf.toChar}'")
         require(typeflag != 5 || size == 0L, s"entry $k: directory with size $size")
-        val dataBlocks = ((size + 511) / 512).toInt
-        require(p + 512 + dataBlocks * 512 <= bytes.length,
+        // bound-check in LONG arithmetic before narrowing: a 12-char
+        // octal size field encodes up to 8^11 ≈ 2^33, which would wrap
+        // dataBlocks negative and slip past an Int-domain overrun check
+        require(size >= 0, s"entry $k: negative size $size")
+        val dataBlocksL = (size + 511L) / 512L
+        require(p + 512L + dataBlocksL * 512L <= bytes.length,
           s"entry $k: content of $size bytes overruns the stream")
+        val dataBlocks = dataBlocksL.toInt // fits: bounded by bytes.length/512 above
         val content = java.util.Arrays.copyOfRange(bytes, p + 512,
           p + 512 + size.toInt)
         // padding to the block boundary must be zero

@@ -29,11 +29,9 @@ import graft.functions.TextFunctions
   * the count table on token — the reference model is corpus-vocabulary
   * sized (shuffle join, NOT a broadcast; web-scale vocabs run 10^7+)
   * while T and V travel as a 1-row broadcast scalar; the per-doc sum is
-  * one partial-agg'd groupBy. Bucketing here uses ntile over the global
-  * (score, id) order for exact replay; at corpus scale the production
-  * path is the q72 recipe — approx-percentile cut scores broadcast to a
-  * map-side bucket assignment — with identical semantics up to sketch
-  * error, leaving no global window anywhere.
+  * one partial-agg'd groupBy. Bucketing splits at fixed percentile cut
+  * scores (the paper's rule) broadcast to a map-side assignment — see
+  * [[perplexityBuckets]]; no corpus row ever enters a global window.
   */
 object Perplexity {
 
@@ -137,15 +135,71 @@ object Perplexity {
         sum(col("pf") * col("lp")).as("logsb"))
   }
 
-  /** CCNet head/middle/tail split: ntile(`buckets`) over the
-    * (roundedPpl, doc_id) order — the caller passes the rounding so
-    * bucket boundaries sit on the same values the cross-engine gate
-    * compares. Returns (doc_id, n_tokens, ppl, bucket) with bucket 1 =
-    * lowest perplexity (head). */
+  /** CCNet head/middle/tail split by FIXED PERCENTILE CUT SCORES — the
+    * paper's actual rule (Wenzek et al. 2020 §4.4 cut the pool at fixed
+    * perplexity percentiles), and the form that scales: no row of the
+    * scored corpus ever enters a global window.
+    *
+    * Cut points are exact `percentile_disc` order statistics of the
+    * rounded score: for b in 1..k−1, cut_b = the smallest ppl whose
+    * cumulative count reaches ⌈b·N/k⌉. A document lands in bucket
+    * 1 + |{b : ppl > cut_b}| — every tie at a cut value goes to the
+    * LOWER (better) bucket, so bucket sizes deviate from N/k exactly by
+    * the tied mass (on an all-distinct score column this reproduces
+    * ntile's split; see [[perplexityBucketsExact]] for rank-exact
+    * splits). The caller passes the rounding so cut points sit on the
+    * same values the cross-engine gate compares, and the whole rule —
+    * histogram, cumulative counts, ⌈b·N/k⌉ via the integer cross-product
+    * `cum·k ≥ b·N`, strict-greater assignment — replays exactly in ANSI
+    * SQL.
+    *
+    * 100 TB shape: the only window runs over the DISTINCT rounded-score
+    * histogram (cardinality bounded by the rounding granularity, e.g.
+    * ~10^6 at 4 decimals over a bounded ppl range — the vocabCoverage
+    * precedent), the k−1 cut rows collapse to a one-row broadcast array,
+    * and bucket assignment is a map-side array scan over the scored
+    * corpus. Returns (doc_id, n_tokens, ppl, bucket), bucket 1 = lowest
+    * perplexity (head). */
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
                         ref: DataFrame, refTextCol: String, buckets: Int,
                         round: org.apache.spark.sql.Column =>
                           org.apache.spark.sql.Column): DataFrame = {
+    require(buckets >= 2 && buckets <= 100, s"buckets out of range: $buckets")
+    val k = buckets.toLong
+    val scored = unigramPerplexity(docs, idCol, textCol, ref, refTextCol)
+      .withColumn("ppl", round(col("ppl")))
+    val hist = scored.groupBy(col("ppl")).agg(count(lit(1)).as("cnt"))
+    // distinct-value-sized cumulation (histogram rows, never corpus rows)
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("ppl"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = hist.agg(sum(col("cnt")).as("n"))
+    // cum ≥ ⌈b·n/k⌉ ⟺ cum·k ≥ b·n on integers; N·k ≤ 100·N fits a long
+    val cuts = cum.crossJoin(broadcast(total))
+      .select(col("ppl"), col("cum"), col("n"),
+        explode(sequence(lit(1L), lit(k - 1L))).as("b"))
+      .filter(col("cum") * lit(k) >= col("b") * col("n"))
+      .groupBy(col("b")).agg(min(col("ppl")).as("cut"))
+    // k−1 cut values (duplicates preserved: a value spanning several
+    // percentile ranks legitimately empties the buckets between them)
+    val cutArr = cuts.agg(sort_array(collect_list(col("cut"))).as("cuts"))
+    scored.crossJoin(broadcast(cutArr))
+      .withColumn("bucket",
+        (lit(1) + size(filter(col("cuts"), c => col("ppl") > c)))
+          .cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("ppl"), col("bucket"))
+  }
+
+  /** Rank-exact head/middle/tail split: ntile(`buckets`) over the
+    * (roundedPpl, doc_id) order. SMALL-SCALE ONLY — the unpartitioned
+    * window sorts every scored document through one task; it exists for
+    * callers who need ntile's exact equal-size split (ties broken by
+    * doc_id) on pools that fit a single executor. Production corpora use
+    * [[perplexityBuckets]]' percentile-cut form. */
+  def perplexityBucketsExact(docs: DataFrame, idCol: String, textCol: String,
+                             ref: DataFrame, refTextCol: String, buckets: Int,
+                             round: org.apache.spark.sql.Column =>
+                               org.apache.spark.sql.Column): DataFrame = {
     require(buckets >= 2 && buckets <= 100, s"buckets out of range: $buckets")
     val scored = unigramPerplexity(docs, idCol, textCol, ref, refTextCol)
       .withColumn("ppl", round(col("ppl")))

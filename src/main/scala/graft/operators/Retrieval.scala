@@ -44,13 +44,16 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     val qt = broadcast(queryTerms.select(col("query_id"), col("term")).distinct())
     // postings of query terms only — the term filter drops everything
-    // else BEFORE df/score exchanges; df per term is unaffected
+    // else BEFORE df/score exchanges; df per term is unaffected because
+    // the filter keeps or drops a term's postings wholesale, so df is a
+    // per-term window count ON the filtered postings (one term-keyed
+    // exchange, no cached second pass — the same colocation the old
+    // count+join needed anyway)
     val qtf = tf.join(qt.select("term").distinct(), Seq("term"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfc = qtf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = base.agg(count(lit(1)).cast("double").as("n"),
       avg(size(col("s"))).as("avgdl"))
-    qtf.join(dfc, Seq("term"))
+    qtf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("term"))).cast("long"))
       .crossJoin(broadcast(stats))
       .join(qt, Seq("term"))
       // constant subexpressions (k1 + 1, 1 − b) are folded in Scala so
@@ -124,7 +127,13 @@ object Retrieval {
     * anywhere, the q137 property.
     *
     * Returns (query_id, doc_id, maxsim, rank ≤ topK), rank by
-    * (maxsim desc, doc_id).
+    * (maxsim desc, doc_id). IN-CORPUS QUERY CONTRACT: ids share one
+    * namespace and a doc whose id equals the query's id is excluded
+    * (the q26/q106 self-match convention — queries drawn from the
+    * corpus must not retrieve themselves). Callers with a separate
+    * query-id namespace must remap ids so they don't collide, or a
+    * numerically colliding doc silently drops from that query's
+    * ranking.
     *
     * 100 TB shape: the QUERY bag is the bounded side (a serving batch —
     * the q137 LUT contract) and broadcasts into ONE pass over the corpus

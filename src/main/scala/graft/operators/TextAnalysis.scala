@@ -359,21 +359,26 @@ object TextAnalysis {
   def multiPatternScan(df: DataFrame, idCol: String, textCol: String,
                        patterns: Seq[String]): DataFrame = {
     require(patterns.nonEmpty, "pattern list must not be empty")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val sess = df.sparkSession
-    import sess.implicits._
     val bc = sess.sparkContext.broadcast(
       graft.functions.AhoCorasick.build(patterns.map(_.toLowerCase)))
-    df.select(col(idCol).cast("long").as("_id"),
-        coalesce(lower(col(textCol)), lit("")).as("_txt"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val ac = bc.value
-        it.map { case (id, txt) =>
-          val (hits, np) = ac.scan(txt)
-          (id, hits, np.toLong)
-        }
+    // the id column rides through UNTOUCHED (any type — long, string,
+    // UUID): the row encoder carries its original field, so no ANSI
+    // cast can throw and no non-numeric id silently nulls
+    val proj = df.select(col(idCol),
+      coalesce(lower(col(textCol)), lit("")).as("_txt"))
+    val outSchema = StructType(proj.schema.head +:
+      Seq(StructField("n_hits", LongType, nullable = false),
+        StructField("n_patterns", LongType, nullable = false)))
+    proj.mapPartitions { it =>
+      val ac = bc.value
+      it.map { r =>
+        val (hits, np) = ac.scan(r.getString(1))
+        Row(r.get(0), hits, np.toLong)
       }
-      .toDF(idCol, "n_hits", "n_patterns")
+    }(Encoders.row(outSchema))
       .withColumn("keep", col("n_hits") === 0L)
   }
 

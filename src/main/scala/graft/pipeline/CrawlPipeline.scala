@@ -47,17 +47,36 @@ object CrawlPipeline {
           outRoot: String, maxBadBytes: Int = 0,
           domainCap: Int = 100): CurationPipeline.Result = {
     val audits = scala.collection.mutable.ArrayBuffer.empty[CurationPipeline.StageAudit]
-    def stage(name: String, df: DataFrame,
-              sortCols: Seq[String] = Seq("doc_id")): DataFrame = {
+    def stage(name: String, df: DataFrame): DataFrame = {
       val path = s"$outRoot/$name"
       val n = Observe.countedAction(spark, df, name)(d =>
         Zones.writeCurated(d, path, partitionCols = Seq.empty,
-          sortCols = sortCols, maxRecordsPerFile = 10000000L,
+          sortCols = Seq("doc_id"), maxRecordsPerFile = 10000000L,
           cluster = false))
       audits += CurationPipeline.StageAudit(name, n)
       spark.read.parquet(path)
     }
+    chain(spark, warcShards, robotsRules, maxBadBytes, domainCap, stage)
+    CurationPipeline.Result(audits.toSeq, s"$outRoot/c5_pii")
+  }
 
+  /** The five-stage transform as ONE lazy plan — no stage writes, no
+    * audit ledger: the per-micro-batch form [[graft.streaming.CrawlStream]]
+    * runs inside its foreachBatch (a micro-batch is already a bounded
+    * materialization unit; staging it through disk five times per batch
+    * would turn the stream's latency into its write amplification).
+    * Identical row semantics to [[run]] — the batch stages are pure
+    * materialization barriers. */
+  def transform(spark: SparkSession, warcShards: DataFrame,
+                robotsRules: DataFrame, maxBadBytes: Int = 0,
+                domainCap: Int = 100): DataFrame =
+    chain(spark, warcShards, robotsRules, maxBadBytes, domainCap,
+      (_, df) => df)
+
+  private def chain(spark: SparkSession, warcShards: DataFrame,
+                    robotsRules: DataFrame, maxBadBytes: Int,
+                    domainCap: Int,
+                    stage: (String, DataFrame) => DataFrame): DataFrame = {
     // 1. record explode: WARC responses become candidate documents;
     // requests/metadata/warcinfo are crawler bookkeeping, not corpus
     val records = stage("c1_records", {
@@ -120,12 +139,10 @@ object CrawlPipeline {
     })
 
     // 5. PII scrub: final text, typed redaction counts carried forward
-    val scrubbed = stage("c5_pii", TextAnalysis.piiScrub(urled, "text")
+    stage("c5_pii", TextAnalysis.piiScrub(urled, "text")
       .select(col("doc_id"), col("url_norm"), col("domain"),
         col("text_clean").as("text"), col("n_entities"),
         col("n_email") + col("n_card") + col("n_ssn") +
           col("n_phone") + col("n_ip") as "n_pii"))
-
-    CurationPipeline.Result(audits.toSeq, s"$outRoot/c5_pii")
   }
 }

@@ -186,6 +186,29 @@ object DedupStream {
       s"compactSigsAfterFiles must be >= 0: $compactSigsAfterFiles")
     require(compactSinkAfterFiles >= 0,
       s"compactSinkAfterFiles must be >= 0: $compactSinkAfterFiles")
+    repairAtStartup(spark, sigPath, outPath, idCol, textCol, shingleSize,
+      k, bands, growCorpus, bandPath, fileBuckets)
+    docStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(spark, batch, sigPath, outPath, idCol, textCol,
+          shingleSize, k, bands, threshold, growCorpus, idempotent,
+          compactSigsAfterFiles, compactSinkAfterFiles, bandPath,
+          fileBuckets)
+        ()
+      }
+      .start()
+  }
+
+  /** Crash-window repair shared by every drain protocol riding this
+    * stream ([[run]], [[CrawlStream.run]]): backup-swap recovery for the
+    * two rewritten tables, the survivors-committed/signatures-missing
+    * backfill, and the band-table sync — all BEFORE the first batch. */
+  private[streaming] def repairAtStartup(spark: SparkSession,
+      sigPath: String, outPath: String, idCol: String, textCol: String,
+      shingleSize: Int, k: Int, bands: Int, growCorpus: Boolean,
+      bandPath: Option[String], fileBuckets: Int): Unit = {
     // restore the signature table first if a compaction swap died between
     // its two renames (source-of-truth table: backup swap, not
     // delete-then-rename), then repair the derived/sink gaps below;
@@ -201,10 +224,20 @@ object DedupStream {
         shingleSize, k)
     bandPath.foreach(bp =>
       backfillBands(spark, sigPath, bp, k, bands, fileBuckets))
-    docStream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+  }
+
+  /** One micro-batch of the dedup-ingest protocol: within-batch dedup →
+    * standing-corpus probe → idempotent sink append → signature/band
+    * growth → compaction triggers. Factored out so other foreachBatch
+    * drains (the crawl-ingest stream) ride the exact same protocol —
+    * and the same crash-window guarantees DedupStreamSpec gates. */
+  private[streaming] def processBatch(spark: SparkSession,
+      batch: DataFrame, sigPath: String, outPath: String, idCol: String,
+      textCol: String, shingleSize: Int, k: Int, bands: Int,
+      threshold: Double, growCorpus: Boolean, idempotent: Boolean,
+      compactSigsAfterFiles: Int, compactSinkAfterFiles: Int,
+      bandPath: Option[String], fileBuckets: Int): Unit = {
+    {
         // the batch feeds banding + verify + anti-join; cache it so
         // arriving text is scanned once per micro-batch
         val cached = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -277,8 +310,6 @@ object DedupStream {
               }
           }
         } finally cached.unpersist()
-        ()
-      }
-      .start()
+    }
   }
 }

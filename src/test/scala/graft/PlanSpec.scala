@@ -339,6 +339,9 @@ class PlanSpec extends SparkSpec {
       "q113_rolling_kmv", "q116_hll_distinct", "q119_heavy_hitters",
       "q120_bpe_merges", "q122_bpe_encode", "q124_kmeans",
       "q125_diverse_sample", "q130_semdedup", "q137_pq_topk",
+      // q170: broadcast coarse-cell row + codebook row + query LUT into
+      // the in-row routing / ADC scans (the q137 contract, IVF edition)
+      "q170_ivfpq_topk",
       // q134: the one-row totals frame broadcast into the B-row model
       "q134_importance_weights",
       // q139/q142: one-row corpus stats (N/avgdl, T/V) broadcast into
@@ -373,6 +376,19 @@ class PlanSpec extends SparkSpec {
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$q plans an unexpected nested-loop join")
     }
+  }
+
+  test("q142: no corpus-sized window — ntile is gone, the only window cumulates the score histogram") {
+    val p = executedPlanOf("q142_lm_perplexity")
+    assert(!p.contains("ntile"), s"q142 must not plan a global ntile:\n$p")
+    // the surviving window runs over the DISTINCT rounded-ppl histogram
+    // (post-aggregate `cnt` rows, cardinality bounded by the rounding
+    // granularity), never over scored corpus rows
+    val wins = "Window \\[([^\\]]+)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(wins.nonEmpty, s"expected the histogram cumulation window:\n$p")
+    assert(wins.forall(_.contains("cnt")),
+      s"unexpected window over non-histogram input: $wins\n$p")
   }
 
   test("q77: scd history shares one hash exchange across compaction + versioning windows") {

@@ -212,6 +212,79 @@ class ClusteringSpec extends SparkSpec {
     assert(run(1) === run(13))
   }
 
+  test("ivfPqTopK with cells = 1 degenerates exactly to pqTopK") {
+    // one coarse cell ⇒ every vector is a candidate for every query ⇒
+    // the composition must reproduce the plain-PQ ranking bit for bit
+    val rows = (0L until 40L).map(i =>
+      (i, pad(Seq.tabulate(16)(d => 0.3 * math.sin((i + d).toDouble))), (i % 3).toInt))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "neighbor_id", "dist", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val pq = canon(Clustering.pqTopK(df, "vec_id", "embedding",
+      dims = 64, m = 8, k = 8, iters = 2, topK = 3, queryMod = 10L))
+    val ivf = canon(Clustering.ivfPqTopK(df, "vec_id", "embedding",
+      dims = 64, m = 8, k = 8, iters = 2, cells = 1, nprobe = 1,
+      topK = 3, queryMod = 10L))
+    assert(ivf.nonEmpty && ivf == pq)
+  }
+
+  test("ivfPqTopK recall vs integer-L2 brute force on clustered data") {
+    // four tight blobs at the corners of a 2-subspace sign grid; one
+    // query per blob (id % 100 == 0)
+    val rnd = new scala.util.Random(11)
+    val corners = Seq((1, 1), (1, -1), (-1, 1), (-1, -1))
+    val corpus = for {
+      c <- 0 until 4
+      j <- 0 until 15
+    } yield {
+      val (s1, s2) = corners(c)
+      val v = Seq.tabulate(16)(d =>
+        (if (d < 8) s1 else s2) * 0.4 + (rnd.nextDouble() - 0.5) * 0.05)
+      ((c * 100 + j).toLong, pad(v), c)
+    }
+    val df = corpus.toDF("vec_id", "embedding", "label")
+    // brute force: exact integer L2 on the SAME 2^20 quantization
+    def quant(v: Seq[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * (1L << 20)).toLong).toArray
+    val qv = corpus.map { case (id, v, _) => id -> quant(v) }.toMap
+    val queries = corpus.map(_._1).filter(_ % 100L == 0L)
+    def bruteTop3(q: Long): Seq[Long] =
+      qv.keys.filter(_ != q).toSeq
+        .map(n => (qv(n).zip(qv(q)).map { case (a, b) =>
+          (a - b) * (a - b) }.sum, n))
+        .sorted.take(3).map(_._2)
+    val got = Clustering.ivfPqTopK(df, "vec_id", "embedding",
+        dims = 64, m = 8, k = 16, iters = 2, cells = 8, nprobe = 3,
+        topK = 12, queryMod = 100L)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // every returned neighbor stays in the query's blob (the routing
+    // contract on separated data)…
+    for ((q, ns) <- got; n <- ns)
+      assert(n / 100 == q / 100, s"query $q retrieved cross-blob $n")
+    // …and the exact top-3 survives the composed index
+    val recalls = queries.map { q =>
+      val b = bruteTop3(q)
+      b.count(got.getOrElse(q, Set.empty)).toDouble / b.size
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.75, s"recall@3 in top-12: $recall (per-query $recalls)")
+  }
+
+  test("ivfPqTopK is invariant to input partitioning") {
+    val rows = (0L until 60L).map(i =>
+      (i, pad(Seq.tabulate(16)(d => 0.35 * math.cos((2 * i + d).toDouble))), (i % 4).toInt))
+    def run(parts: Int) = Clustering.ivfPqTopK(
+        rows.toDF("vec_id", "embedding", "label").repartition(parts),
+        "vec_id", "embedding", dims = 64, m = 8, k = 8, iters = 2,
+        cells = 4, nprobe = 2, topK = 3, queryMod = 12L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(run(1) === run(13) && run(1).nonEmpty)
+  }
+
   test("semDedup matches a brute-force within-cluster reference") {
     val rnd = new scala.util.Random(7)
     val base = (0L until 40L).map { i =>

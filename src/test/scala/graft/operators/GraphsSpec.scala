@@ -328,4 +328,28 @@ class GraphsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(a == b && a == serialCore(und, 3))
   }
+
+  test("iterative operators leave no per-round cache growth — one documented table each") {
+    // a pendant chain forces many peel rounds; each superseded round's
+    // alive set and edge table must be released, so after the action at
+    // most the final core's edge table (kCore) / the hashed edge table
+    // (labelPropagation, pageRank) stays persisted
+    def persisted: Int = spark.sparkContext.getPersistentRDDs.size
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val chain = symmetrize(
+      Seq((0L, 1L), (1L, 2L), (0L, 2L)) ++
+        (2L until 12L).map(i => (i, i + 1))).toDF("src", "dst")
+    Graphs.kCore(chain, 2, 30).collect() // ~10 cascade rounds
+    assert(persisted <= 1, s"kCore leaked cached tables: $persisted")
+    spark.catalog.clearCache()
+    Graphs.labelPropagation(chain, 5).collect()
+    // documented contract: only the final round's checkpoint blocks remain
+    assert(persisted <= 1, s"labelPropagation leaked cached tables: $persisted")
+    spark.catalog.clearCache()
+    Graphs.integerPageRank(chain, 5).collect()
+    assert(persisted <= 2, s"pageRank leaked cached tables: $persisted")
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+  }
 }

@@ -790,6 +790,40 @@ class MultimodalSpec extends SparkSpec {
     assert(e3.getMessage.contains("end-of-central-directory"))
   }
 
+  test("declared sizes/offsets ≥ 2^31 hit the validated contract, never raw array errors") {
+    def patchLE32(b: Array[Byte], off: Int, v: Long): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte
+      b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    val zip = Multimodal.encodeZip(Seq(("a.bin", 0, Array[Byte](1, 2, 3))))
+    val eocd = zip.length - 22 // no archive comment in encodeZip output
+    val cdOff = ((zip(eocd + 16) & 0xff) | ((zip(eocd + 17) & 0xff) << 8) |
+      ((zip(eocd + 18) & 0xff) << 16) | ((zip(eocd + 19) & 0xff) << 24))
+    // local-header offset field wraps negative if narrowed before checking
+    val z1 = zip.clone(); patchLE32(z1, cdOff + 42, 0x80000000L)
+    val e1 = intercept[IllegalArgumentException](Multimodal.decodeZip(z1))
+    assert(e1.getMessage.contains("overruns the archive"), e1.getMessage)
+    // declared uncompressed size just under the zip64 sentinel
+    val z2 = zip.clone(); patchLE32(z2, cdOff + 24, 0xfffffff0L)
+    val e2 = intercept[IllegalArgumentException](Multimodal.decodeZip(z2))
+    assert(e2.getMessage.contains("2 GiB"), e2.getMessage)
+    // tar: a 12-digit octal size (2^33) with a RECOMPUTED checksum, so
+    // only the Long-domain overrun bound can reject it
+    val tar = Multimodal.encodeTarEntries(Seq(("f", 0, Array[Byte](1))))
+    val t1 = tar.clone()
+    val oct = f"${1L << 33}%011o".getBytes(
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    System.arraycopy(oct, 0, t1, 124, oct.length)
+    java.util.Arrays.fill(t1, 148, 156, ' '.toByte)
+    var sum = 0L; (0 until 512).foreach(j => sum += t1(j) & 0xff)
+    val cs = f"$sum%06o".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    System.arraycopy(cs, 0, t1, 148, cs.length)
+    t1(154) = 0; t1(155) = ' '.toByte
+    val e4 = intercept[IllegalArgumentException](Multimodal.decodeTar(t1))
+    assert(e4.getMessage.contains("overruns the stream"), e4.getMessage)
+  }
+
   // ---- tar container (q161) ----
 
   test("decodeTar roundtrips entries and the header encodes ustar fields at spec offsets") {

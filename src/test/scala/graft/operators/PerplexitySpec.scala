@@ -56,7 +56,7 @@ class PerplexitySpec extends SparkSpec {
     assert(got.keySet == Set(1L))
   }
 
-  test("perplexityBuckets: bucket 1 is the head (lowest ppl), sizes are ntile-even") {
+  test("perplexityBuckets: bucket 1 is the head (lowest ppl); distinct scores split ntile-even") {
     val ref = Seq("a b c d e f a b c d")
     val docs = (1L to 9L).map { i =>
       // increasing OOV fraction with i → increasing perplexity
@@ -74,6 +74,54 @@ class PerplexitySpec extends SparkSpec {
     val byBucket = got.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
     assert(byBucket(1L).max <= byBucket(2L).min &&
       byBucket(2L).max <= byBucket(3L).min)
+  }
+
+  test("perplexityBuckets: ties at a cut score all land in the LOWER bucket") {
+    val ref = Seq("a a a a")
+    // 5 identical docs (one score, all ties) + 1 all-OOV doc: with k=3
+    // both cuts land on the tied score, so the 5 share bucket 1 and the
+    // outlier — strictly above BOTH cuts — lands in bucket 3 (bucket 2
+    // is legitimately empty under the fixed-percentile rule)
+    val docs = (1L to 5L).map(i => i -> "a a") :+ (6L -> "zz zz")
+    val got = Perplexity.perplexityBuckets(docs.toDF("doc_id", "text"),
+        "doc_id", "text", ref.map(Tuple1(_)).toDF("text"), "text",
+        buckets = 3, c => c)
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(got(_) == 1L), s"$got")
+    assert(got(6L) == 3L, s"$got")
+  }
+
+  test("perplexityBuckets (cuts) ≡ perplexityBucketsExact (ntile) on all-distinct scores") {
+    // fixed length 21, strictly increasing OOV fraction i/21 → strictly
+    // distinct cross-entropies (xent = ((21−i)·ln p_a + i·ln p_oov)/21);
+    // verify distinctness before comparing so the premise holds
+    val docs = (1L to 20L).map { i =>
+      i -> (Seq.fill((21 - i).toInt)("a") ++
+        Seq.fill(i.toInt)(s"oov$i")).mkString(" ")
+    }
+    val ref = Seq(Tuple1("a b c d e a b c a b a"))
+    def run(f: (org.apache.spark.sql.DataFrame, String, String,
+                org.apache.spark.sql.DataFrame, String, Int,
+                org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+              => org.apache.spark.sql.DataFrame) =
+      f(docs.toDF("doc_id", "text"), "doc_id", "text",
+        ref.toDF("text"), "text", 4, c => c)
+        .select("doc_id", "ppl", "bucket")
+        .as[(Long, Double, Long)].collect().sortBy(_._1)
+    val cut = run(Perplexity.perplexityBuckets)
+    assume(cut.map(_._2).distinct.length == cut.length)
+    assert(cut.sameElements(run(Perplexity.perplexityBucketsExact)))
+  }
+
+  test("perplexityBucketsExact: ntile splits rank-even regardless of ties") {
+    val ref = Seq("a a a a")
+    val docs = (1L to 6L).map(i => i -> "a a")
+    val got = Perplexity.perplexityBucketsExact(docs.toDF("doc_id", "text"),
+        "doc_id", "text", ref.map(Tuple1(_)).toDF("text"), "text",
+        buckets = 3, c => c)
+      .select("doc_id", "bucket").as[(Long, Long)].collect()
+    assert(got.groupBy(_._2).view.mapValues(_.length).toMap ==
+      Map(1L -> 2, 2L -> 2, 3L -> 2))
   }
 
   test("scores are invariant to input partitioning") {

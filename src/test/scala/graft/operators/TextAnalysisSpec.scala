@@ -342,6 +342,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq((1L, 4L, 2L, false), (2L, 0L, 0L, true), (3L, 0L, 0L, true)))
   }
 
+  test("multiPatternScan carries a non-numeric id column through untouched") {
+    // string/UUID-style ids must survive: the id field rides the row
+    // encoder, no long cast anywhere (ANSI mode would throw on one)
+    val df = Seq(
+      ("doc-aa11", "the table is set"),
+      ("7f9e-uuid-like", "nothing here")).toDF("doc_id", "text")
+    val got = TextAnalysis.multiPatternScan(df, "doc_id", "text", Seq("table"))
+      .orderBy("doc_id")
+      .select("doc_id", "n_hits", "keep")
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(got == Seq(("7f9e-uuid-like", 0L, true), ("doc-aa11", 1L, false)))
+  }
+
   test("scriptMix: per-script character counts, the confusable spoof, and the mixed verdict") {
     val df = Seq(
       (1L, "hello world"),            // Latin only
