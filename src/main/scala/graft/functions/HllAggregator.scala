@@ -112,6 +112,53 @@ class HllMergeAggregator(p: Int) extends Aggregator[Seq[Int], Array[Byte], Seq[I
   override def outputEncoder: Encoder[Seq[Int]] = ExpressionEncoder()
 }
 
+/** [[HllAggregator]] with PACKED output: the finished value IS the
+  * m-byte register buffer (one unsigned rank byte per bucket) instead of
+  * array<int>. For iterated-sketch algorithms (HyperBall) whose counter
+  * rows cross a join exchange EVERY round — m bytes per row beats
+  * array<int>'s 4m-plus-offsets wire size 4-5x at m = 64. Register
+  * VALUES are bit-identical to [[HllAggregator]]'s (same hash, bucket,
+  * rank); only the container differs, so estimates and replays agree. */
+class HllBytesAggregator(p: Int)
+    extends Aggregator[Long, Array[Byte], Array[Byte]] {
+  private val inner = new HllAggregator(p)
+  override def zero: Array[Byte] = inner.zero
+  override def reduce(buf: Array[Byte], h: Long): Array[Byte] =
+    inner.reduce(buf, h)
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    inner.merge(b1, b2)
+  override def finish(buf: Array[Byte]): Array[Byte] = buf
+  override def bufferEncoder: Encoder[Array[Byte]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Array[Byte]] = ExpressionEncoder()
+}
+
+/** Packed-input twin of [[HllMergeAggregator]]: max-merges m-byte packed
+  * register vectors ([[HllBytesAggregator]] outputs) with a binary
+  * buffer — input, partial-aggregate state, AND output all stay m bytes,
+  * so nothing wider than the packed form ever crosses an exchange. */
+class HllMergeBytesAggregator(p: Int)
+    extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+  require(p >= 4 && p <= 14, s"precision out of range (4..14): $p")
+  private val m = 1 << p
+
+  override def zero: Array[Byte] = new Array[Byte](m)
+
+  override def reduce(buf: Array[Byte], regs: Array[Byte]): Array[Byte] = {
+    require(regs.length == m, s"register vector size ${regs.length} != $m")
+    merge(buf, regs)
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (b2(i) > b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  override def finish(buf: Array[Byte]): Array[Byte] = buf
+  override def bufferEncoder: Encoder[Array[Byte]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Array[Byte]] = ExpressionEncoder()
+}
+
 object Hll {
   /** Column form: `hll(6)(hashCol)` usable in `agg(...)`; input is a
     * [[KmvAggregator.kmvHash]] long (non-null). Output is the full
@@ -127,6 +174,23 @@ object Hll {
     val fn = udaf(new HllMergeAggregator(p))
     (c: Column) => fn(c)
   }
+
+  /** Column form of [[HllBytesAggregator]]: packed m-byte registers. */
+  def hllBytes(p: Int): Column => Column = {
+    val fn = udaf(new HllBytesAggregator(p))
+    (c: Column) => fn(c)
+  }
+
+  /** Column form of [[HllMergeBytesAggregator]]: max-merge over packed
+    * m-byte register vectors. */
+  def hllMergeBytes(p: Int): Column => Column = {
+    val fn = udaf(new HllMergeBytesAggregator(p))
+    (c: Column) => fn(c)
+  }
+
+  /** Packed binary registers → array<int> for the estimator math. */
+  def unpackRegs(c: Column): Column =
+    graft.expressions.UnpackRegisters.unpackRegisters(c)
 
   /** Number of empty registers (the linear-counting input). */
   def zeros(regs: Column): Column =

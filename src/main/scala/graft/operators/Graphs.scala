@@ -353,13 +353,18 @@ object Graphs {
     * (a float sum over millions of nodes would drift with partitioning;
     * a sum of longs cannot).
     *
-    * 100 TB shape: the whole state is |V| rows of m bytes; each round
-    * is one edges⋈counters join plus one max-merge aggregate — compare
-    * the exact alternative, whose ball membership table multiplies by
-    * the average degree EVERY round (the oracle pays that cost at test
-    * scale; at 10× the merge row count grows linearly while exact
-    * membership grows by degree^rounds). Estimates carry standard HLL
-    * error (~1.04/√m); the registers themselves are exact. */
+    * 100 TB shape: the whole state is |V| rows of m bytes — LITERALLY:
+    * counters ride between rounds as PACKED BINARY register vectors
+    * ([[graft.functions.HllBytesAggregator]]), so the per-round
+    * edges⋈counters join and the max-merge aggregate exchange m bytes
+    * per row instead of array<int>'s 4m-plus-offsets (4-5× less shuffle
+    * volume at m = 64); registers unpack only at the per-round 1-row
+    * summary. Compare the exact alternative, whose ball membership
+    * table multiplies by the average degree EVERY round (the oracle
+    * pays that cost at test scale; at 10× the merge row count grows
+    * linearly while exact membership grows by degree^rounds). Estimates
+    * carry standard HLL error (~1.04/√m); the registers themselves are
+    * exact and bit-identical to the unpacked formulation's. */
   def hyperBall(edges: DataFrame, rounds: Int, p: Int = 6): DataFrame = {
     require(rounds >= 1 && rounds <= 6, s"rounds out of range: $rounds")
     import org.apache.spark.storage.StorageLevel
@@ -372,7 +377,7 @@ object Graphs {
       .distinct()
     var ctr = nodes
       .groupBy(col("v"))
-      .agg(Hll.hll(p)(KmvAggregator.kmvHash(col("v"))).as("regs"))
+      .agg(Hll.hllBytes(p)(KmvAggregator.kmvHash(col("v"))).as("regs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // per-round summaries are 1-row scalars, collected EAGERLY so the
     // previous round's counter table can be released (a lazy union of
@@ -380,9 +385,10 @@ object Graphs {
     // final action)
     val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     def summarize(t: Int, c: DataFrame): Unit = {
-      val r = c.select(
-          aggregate(col("regs"), lit(0L), (a, x) => a + x).as("rsum"),
-          floor(Hll.rawEstimate(Hll.harmonicS(col("regs"), p), p)
+      val r = c.select(Hll.unpackRegs(col("regs")).as("u"))
+        .select(
+          aggregate(col("u"), lit(0L), (a, x) => a + x).as("rsum"),
+          floor(Hll.rawEstimate(Hll.harmonicS(col("u"), p), p)
             * 1000000.0 + 0.5).cast("long").as("nfm"))
         .agg(sum(col("rsum")).as("reg_sum"), sum(col("nfm")).as("nf_micro"))
         .head()
@@ -395,7 +401,7 @@ object Graphs {
           .join(ctr.withColumnRenamed("v", "dst"), Seq("dst"))
           .select(col("src").as("v"), col("regs")))
         .groupBy(col("v"))
-        .agg(Hll.hllMerge(p)(col("regs")).as("regs"))
+        .agg(Hll.hllMergeBytes(p)(col("regs")).as("regs"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       summarize(t, next)
       ctr.unpersist(blocking = false)

@@ -49,6 +49,30 @@ class HyperBallSpec extends SparkSpec {
     }
   }
 
+  test("packed byte aggregators carry the exact registers of the array form") {
+    // the wire-format change (array<int> -> m-byte binary) must be
+    // value-invisible: hllBytes ∘ unpack ≡ hll, and the packed max-merge
+    // of two groups ≡ the array merge
+    import graft.functions.{Hll, KmvAggregator}
+    val df = (0L until 500L).map(i => (i % 7, i)).toDF("g", "v")
+      .withColumn("h", KmvAggregator.kmvHash(col("v")))
+    val arr = df.groupBy("g").agg(Hll.hll(6)(col("h")).as("regs"))
+      .select(col("g"), col("regs").cast("array<int>"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val packed = df.groupBy("g")
+      .agg(Hll.hllBytes(6)(col("h")).as("pb"))
+      .select(col("g"), Hll.unpackRegs(col("pb")))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(packed == arr && arr.nonEmpty)
+    // merge equivalence: collapse the 7 groups to one via both paths
+    val mArr = df.groupBy("g").agg(Hll.hll(6)(col("h")).as("regs"))
+      .agg(Hll.hllMerge(6)(col("regs"))).as[Seq[Int]].head()
+    val mPacked = df.groupBy("g").agg(Hll.hllBytes(6)(col("h")).as("pb"))
+      .agg(Hll.hllMergeBytes(6)(col("pb")).as("mb"))
+      .select(Hll.unpackRegs(col("mb"))).as[Seq[Int]].head()
+    assert(mArr == mPacked)
+  }
+
   test("hyperBall matches the register-exact serial reference on a mixed graph") {
     // two components: a path 0—1—2—3—4 and a triangle 10,11,12
     val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
