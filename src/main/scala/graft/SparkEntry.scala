@@ -550,6 +550,22 @@ object SparkEntry {
       feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
     }),
 
+    // Sixth real decoder through the codec seam, and the first LOSSY
+    // format: baseline JPEG (sequential DCT + Huffman, 4:2:0). The
+    // synthesis lattice carries only the four DCT bases whose sampled
+    // cosines are ±1/√2, so encode is exactly invertible and the oracle
+    // replays the pixel formula — Huffman, zigzag, dequant, IDCT,
+    // upsample, and the fixed-point color transform are all under the
+    // hash gate (operators/Jpeg.scala scaladoc has the full argument).
+    "q171_jpeg_decode" -> ((s, d) => {
+      val media = operators.Jpeg.synthesizeJpeg(s, 200)
+      val feats = operators.Multimodal
+        .extractFeatures(media, operators.Jpeg.decodeJpeg).toDF()
+      val fcols = (0 until 8).map(i =>
+        element_at(col("features"), i + 1).cast("double").as(s"f$i"))
+      feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
+    }),
+
     // S10: SQL text execution through spark.sql over registered views
     "q38_sql_text" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("orders")
@@ -3758,6 +3774,76 @@ object SparkEntry {
        |  FROM byt GROUP BY i, k)""".stripMargin
   }
 
+  /** q171 oracle: replay the JPEG pixel formula, NOT the codec. The
+    * synthesis lattice makes the lossy format lossless by construction
+    * (operators/Jpeg.synthesizeJpeg scaladoc), so pixel (x, y) of image
+    * i is an exact integer function of its block's four sha-chain
+    * parameters — base + a·s(x) + b·s(y) + c·s(x)s(y) for luma, the
+    * same shape at half resolution for each chroma plane, then the
+    * fixed-point YCbCr→RGB shifts (floor division by 2^16, exact in
+    * doubles). Any Huffman, zigzag, dequant, IDCT, upsample, or
+    * color-convert mistake desyncs the q109 feature lanes. */
+  private lazy val jpegFeatCte: String = {
+    val alpha = "'0123456789abcdef'"
+    def byteAt(src: String, off: Int): String =
+      s"(strpos($alpha, substr($src, ${2 * off + 1}, 1)) - 1) * 16 " +
+        s"+ (strpos($alpha, substr($src, ${2 * off + 2}, 1)) - 1)"
+    val tagBase = "'42:jpg:' || CAST(i AS VARCHAR)"
+    val mcu = "CAST(y // 16 AS VARCHAR) || ':' || CAST(x // 16 AS VARCHAR)"
+    s"""WITH dim AS (
+       |  SELECT i, 9 + (${byteAt("dh", 0)}) % 14 AS w,
+       |         9 + (${byteAt("dh", 1)}) % 14 AS h
+       |  FROM (SELECT i, sha256($tagBase || ':dim') AS dh
+       |        FROM range(200) t(i))),
+       |px AS (
+       |  SELECT i, w, h, CAST(j % w AS INT) AS x, CAST(j // w AS INT) AS y
+       |  FROM dim, range(484) r(j) WHERE j < w * h),
+       |par AS (
+       |  SELECT i, w, h, x, y,
+       |    sha256($tagBase || ':y:' || CAST(y // 16 AS VARCHAR) || ':'
+       |      || CAST(x // 16 AS VARCHAR) || ':'
+       |      || CAST((y % 16) // 8 * 2 + (x % 16) // 8 AS VARCHAR)) AS yh,
+       |    sha256($tagBase || ':cb:' || $mcu) AS bh,
+       |    sha256($tagBase || ':cr:' || $mcu) AS rh,
+       |    CASE WHEN (x % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END AS sx,
+       |    CASE WHEN (y % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END AS sy,
+       |    CASE WHEN ((x % 16) // 2) IN (0, 3, 4, 7) THEN 1 ELSE -1 END AS scx,
+       |    CASE WHEN ((y % 16) // 2) IN (0, 3, 4, 7) THEN 1 ELSE -1 END AS scy
+       |  FROM px),
+       |ycc AS (
+       |  SELECT i, w, h, x, y,
+       |    128 + ((${byteAt("yh", 0)}) % 193 - 96)
+       |        + ((${byteAt("yh", 1)}) % 21 - 10) * sx
+       |        + ((${byteAt("yh", 2)}) % 21 - 10) * sy
+       |        + ((${byteAt("yh", 3)}) % 21 - 10) * sx * sy AS yv,
+       |    ((${byteAt("bh", 0)}) % 161 - 80)
+       |        + ((${byteAt("bh", 1)}) % 17 - 8) * scx
+       |        + ((${byteAt("bh", 2)}) % 17 - 8) * scy
+       |        + ((${byteAt("bh", 3)}) % 17 - 8) * scx * scy AS cb,
+       |    ((${byteAt("rh", 0)}) % 161 - 80)
+       |        + ((${byteAt("rh", 1)}) % 17 - 8) * scx
+       |        + ((${byteAt("rh", 2)}) % 17 - 8) * scy
+       |        + ((${byteAt("rh", 3)}) % 17 - 8) * scx * scy AS cr
+       |  FROM par),
+       |chan AS (
+       |  SELECT i, w, h, x, y AS yt,
+       |    LEAST(255, GREATEST(0,
+       |      yv + CAST(floor((91881 * cr + 32768) / 65536.0) AS INT))) AS rr,
+       |    LEAST(255, GREATEST(0,
+       |      yv - CAST(floor((22554 * cb + 46802 * cr + 32768) / 65536.0) AS INT))) AS g,
+       |    LEAST(255, GREATEST(0,
+       |      yv + CAST(floor((116130 * cb + 32768) / 65536.0) AS INT))) AS b
+       |  FROM ycc),
+       |feat AS (
+       |  SELECT i AS media_id,
+       |    sum(rr) AS f0, sum(g) AS f1, sum(b) AS f2,
+       |    sum(rr * (x + 1)) AS f3, sum(g * (yt + 1)) AS f4,
+       |    sum(b * (x + 1) * (yt + 1)) AS f5,
+       |    max(w * 256 + h) AS f6,
+       |    sum(CASE WHEN rr > g THEN 1 ELSE 0 END) AS f7
+       |  FROM chan GROUP BY i)""".stripMargin
+  }
+
   private lazy val qoiFeatCte: String = {
     val alpha = "'0123456789abcdef'"
     def byteAt(src: String, off: String): String =
@@ -4291,6 +4377,16 @@ object SparkEntry {
 
     "q111_png_decode" ->
       (pngFeatCte +
+        """
+          |SELECT media_id,
+          |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
+          |  CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3,
+          |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
+          |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
+          |FROM feat ORDER BY media_id""".stripMargin),
+
+    "q171_jpeg_decode" ->
+      (jpegFeatCte +
         """
           |SELECT media_id,
           |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
