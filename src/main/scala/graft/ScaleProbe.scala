@@ -256,6 +256,40 @@ object ScaleProbe {
       val big = time(fn(spark, s"$bigDir/dup_big"))
       println(f"[scale-dup] $name%-26s 6k=${small}%6.2fs 60k=${big}%6.2fs ratio=${big / small}%5.2f")
     }
+    if (dupSelected.nonEmpty) {
+      // q172 family on the planted axis at L = 8 (dup docs carry 10-11
+      // tokens, so the fixture's L = 50 is unreachable here; the round
+      // structure under test depends on L only logarithmically). The
+      // strawman alongside is the EXACT gram-string alternative — group
+      // directly on the 8-token window string — whose exchange carries
+      // the L× bytes prefix doubling exists to avoid; the measured gap
+      // is the design evidence, not an assertion.
+      import graft.operators.SuffixDedup
+      def exact(dir: String) = SuffixDedup.exactSpanStats(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 8)
+      val ex1 = time(exact(s"$bigDir/dup_small"))
+      val ex10 = time(exact(s"$bigDir/dup_big"))
+      println(f"[scale-dup] q172_exact_spans(L=8)    6k=${ex1}%6.2fs " +
+        f"60k=${ex10}%6.2fs ratio=${ex10 / ex1}%5.2f")
+      def strawman(dir: String): DataFrame = {
+        val s = col("s")
+        val toks = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), split(trim(regexp_replace(lower(col("text")),
+            "\\s+", " ")), " ").as("s"))
+          .select(col("doc_id"), explode(when(size(s) >= 8,
+            transform(sequence(lit(1), size(s) - 7),
+              i => struct(i.as("st"),
+                array_join(slice(s, i, lit(8)), " ").as("g"))))
+            .otherwise(array())).as("o"))
+          .select(col("doc_id"), col("o.st"), col("o.g"))
+        toks.groupBy(col("g")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).agg(sum(col("c")).as("occ"))
+      }
+      val st1 = time(strawman(s"$bigDir/dup_small"))
+      val st10 = time(strawman(s"$bigDir/dup_big"))
+      println(f"[scale-dup] exact-gram-string strawman 6k=${st1}%6.2fs " +
+        f"60k=${st10}%6.2fs ratio=${st10 / st1}%5.2f")
+    }
 
     // 100x two-point scaling curve for the document/embedding linear
     // family: 6M docs / 1.5M vectors (sf ~1 scale). Together with the

@@ -1850,6 +1850,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // EXACT substring spans at Lee et al.'s L = 50 — the suffix-array-
+    // grade tier above q121's hashed 4-grams: bounded prefix-doubling
+    // equality ranks (6 fixed-width passes, no 50-token gram string ever
+    // materialized, no hash identity anywhere). Same marking semantics
+    // as q121 (canonical-first keeper, island merge), so the two tiers
+    // are drop-in comparable; the oracle replays true window equality
+    // with the gram STRING as identity — any rank-composition mistake
+    // (wrong shift, off-by-one window, cross-doc leak) desyncs the
+    // span sums. See operators/SuffixDedup.scala for the 100 TB shape.
+    "q172_exact_spans" -> ((s, d) => {
+      graft.operators.SuffixDedup.exactSpanStats(
+          t(s, d, "documents"), "doc_id", "text", 50)
+        .orderBy(col("doc_id"))
+    }),
+
     // BPE ENCODE — the apply side of q120's merge learning: the same 6
     // merges, applied to every word, rolled up as per-source symbol
     // counts (the compression the learned vocabulary buys on each
@@ -6755,6 +6770,49 @@ object SparkEntry {
         |  FROM (SELECT doc_id, st,
         |          count(*) OVER (PARTITION BY hv) AS c,
         |          row_number() OVER (PARTITION BY hv ORDER BY doc_id, st) AS rn
+        |        FROM grams)
+        |  WHERE c >= 2 AND rn > 1),
+        |isl AS (
+        |  SELECT doc_id, st, en,
+        |    CASE WHEN max(en) OVER (PARTITION BY doc_id ORDER BY st
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR st > max(en) OVER (PARTITION BY doc_id ORDER BY st
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM mk),
+        |isl2 AS (SELECT doc_id, st, en,
+        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY st
+        |      ROWS UNBOUNDED PRECEDING) AS grp FROM isl),
+        |sp AS (SELECT doc_id, grp, min(st) AS sst, max(en) AS sen
+        |       FROM isl2 GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, count(*) AS dup_spans,
+        |         CAST(sum(sen - sst + 1) AS BIGINT) AS dup_tokens
+        |       FROM sp GROUP BY 1)
+        |SELECT b2.doc_id, CAST(b2.n AS BIGINT) AS total_tokens,
+        |  COALESCE(pd.dup_spans, 0) AS dup_spans,
+        |  COALESCE(pd.dup_tokens, 0) AS dup_tokens
+        |FROM b2 LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Exact-span replay: identical chain to q121's but with the window
+    // STRING itself as identity (no hash) at L = 50 — the oracle can
+    // afford the 50x gram blowup at test scale that the operator's
+    // prefix doubling exists to avoid at 100 TB.
+    "q172_exact_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(
+        |      lower(text), '\s+', ' ', 'g')), '\s+'), x -> x <> '') AS s
+        |  FROM documents),
+        |b2 AS (SELECT doc_id, s, len(s) AS n FROM base),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS st,
+        |    list_aggregate(s[i:i+49], 'string_agg', ' ') AS g
+        |  FROM b2, unnest(generate_series(1, n - 49)) AS t(i)),
+        |mk AS (
+        |  SELECT doc_id, st, st + 49 AS en
+        |  FROM (SELECT doc_id, st,
+        |          count(*) OVER (PARTITION BY g) AS c,
+        |          row_number() OVER (PARTITION BY g ORDER BY doc_id, st) AS rn
         |        FROM grams)
         |  WHERE c >= 2 AND rn > 1),
         |isl AS (
