@@ -566,6 +566,36 @@ object SparkEntry {
       feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
     }),
 
+    // REAL resize through the BMP codec: parse → nearest-neighbor
+    // resample to 7×6 (source dims 4-8 per side, so up- AND down-
+    // sampling are both in-gate) → RE-ENCODE as a valid BMP → decodeBmp
+    // the output. The oracle replays the resample mapping over the
+    // pixel-generation formula (source pixel of target (x,y) is
+    // (⌊x·w/7⌋, ⌊y·h/6⌋)); the encoder's header/stride/row-order is
+    // gated because a decode of the encoder's own output feeds the hash.
+    "q173_resize" -> ((s, d) => {
+      val media = operators.Multimodal.synthesizeBmp(s, 200)
+      val resized = operators.Multimodal.resizeBmp(media, 7, 6)
+      val feats = operators.Multimodal
+        .extractFeatures(resized, operators.Multimodal.decodeBmp).toDF()
+      val fcols = (0 until 8).map(i =>
+        element_at(col("features"), i + 1).cast("double").as(s"f$i"))
+      feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
+    }),
+
+    // REAL frame sampling over animated GIF: decode every frame (each
+    // through the full LZW path), build the timeline from the Graphic
+    // Control Extension delays, emit the active frame's feature lanes at
+    // t = 0, 50, 100, … ms. The oracle replays frame pixels, palette
+    // lookups, AND the delay/cumulative-start arithmetic — a GCE
+    // misparse, a frame-boundary walk slip, or an off-by-one in the
+    // active-frame rule (start ≤ t, latest wins) all desync the hash.
+    "q174_frame_sample" -> ((s, d) => {
+      val media = operators.Multimodal.synthesizeAnimatedGif(s, 120)
+      operators.Multimodal.frameSample(media, 50).toDF()
+        .orderBy(col("media_id"), col("sample_idx"))
+    }),
+
     // S10: SQL text execution through spark.sql over registered views
     "q38_sql_text" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("orders")
@@ -3535,6 +3565,122 @@ object SparkEntry {
        |  FROM chan GROUP BY i)""".stripMargin
   }
 
+  /** q173 oracle: replay the nearest-neighbor resample over the BMP
+    * pixel-generation formula (NOT the parser, NOT the encoder — those
+    * are gated by the Spark side decoding its own re-encoded output).
+    * Target pixel (x, yt) of the 7×6 result reads source pixel
+    * (⌊x·w/7⌋, ⌊yt·h/6⌋), which lives at bottom-up offset
+    * (h-1-sy)·stride + 3·sx of the source chain bytes. */
+  private lazy val resizeBmpFeatCte: String = {
+    val alpha = "'0123456789abcdef'"
+    def byteAt(off: String): String =
+      s"(strpos($alpha, substr(hexfull, 2 * ($off) + 1, 1)) - 1) * 16 " +
+        s"+ (strpos($alpha, substr(hexfull, 2 * ($off) + 2, 1)) - 1)"
+    val shaChunks = (0 to 7)
+      .map(k => s"sha256('42:' || CAST(i AS VARCHAR) || ':$k')")
+      .mkString(" || ")
+    val dimByte0 =
+      s"(strpos($alpha, substr(dh, 1, 1)) - 1) * 16 + (strpos($alpha, substr(dh, 2, 1)) - 1)"
+    val dimByte1 =
+      s"(strpos($alpha, substr(dh, 3, 1)) - 1) * 16 + (strpos($alpha, substr(dh, 4, 1)) - 1)"
+    s"""WITH dim AS (
+       |  SELECT i, 4 + ($dimByte0) % 5 AS w, 4 + ($dimByte1) % 5 AS h, hexfull
+       |  FROM (SELECT i, sha256('42:' || CAST(i AS VARCHAR) || ':dim') AS dh,
+       |               $shaChunks AS hexfull
+       |        FROM range(200) t(i))),
+       |px AS (
+       |  SELECT i, hexfull,
+       |    CAST(j % 7 AS INT) AS x, CAST(j // 7 AS INT) AS yt,
+       |    (h - 1 - (((j // 7) * h) // 6)) * (((3 * w + 3) // 4) * 4)
+       |      + 3 * (((j % 7) * w) // 7) AS off
+       |  FROM dim, range(42) r(j)),
+       |chan AS (
+       |  SELECT i, x, yt,
+       |    ${byteAt("off")} AS b, ${byteAt("off + 1")} AS g,
+       |    ${byteAt("off + 2")} AS rr
+       |  FROM px),
+       |feat AS (
+       |  SELECT i AS media_id,
+       |    sum(rr) AS f0, sum(g) AS f1, sum(b) AS f2,
+       |    sum(rr * (x + 1)) AS f3, sum(g * (yt + 1)) AS f4,
+       |    sum(b * (x + 1) * (yt + 1)) AS f5,
+       |    max(7 * 256 + 6) AS f6,
+       |    sum(CASE WHEN rr > g THEN 1 ELSE 0 END) AS f7
+       |  FROM chan GROUP BY i)""".stripMargin
+  }
+
+  /** q174 oracle: replay the animated-GIF frame-generation formulas (NOT
+    * the parser): frame k's pixels are the "agif{k}" chain bytes through
+    * the "agifpal" palette, its delay is 10·(2 + dlybyte(k) mod 8) ms,
+    * frame k starts at the cumulative sum of earlier delays, and sample
+    * instant t = 50·s (t < total duration) carries the LATEST frame with
+    * start ≤ t. Every lane is integer-exact; the delay windowing and the
+    * active-frame max both replay in plain SQL. */
+  private lazy val frameSampleCte: String = {
+    val alpha = "'0123456789abcdef'"
+    def byteAt(src: String, off: String): String =
+      s"(strpos($alpha, substr($src, 2 * ($off) + 1, 1)) - 1) * 16 " +
+        s"+ (strpos($alpha, substr($src, 2 * ($off) + 2, 1)) - 1)"
+    val iv = "CAST(i AS VARCHAR)"
+    val kv = "CAST(k AS VARCHAR)"
+    val palChunks = (0 to 23)
+      .map(c => s"sha256('42:agifpal:' || $iv || ':$c')")
+      .mkString(" || ")
+    val pixChunks = (0 to 7)
+      .map(c => s"sha256('42:agif' || $kv || ':' || $iv || ':$c')")
+      .mkString(" || ")
+    val dimByte0 =
+      s"(strpos($alpha, substr(dh, 1, 1)) - 1) * 16 + (strpos($alpha, substr(dh, 2, 1)) - 1)"
+    val dimByte1 =
+      s"(strpos($alpha, substr(dh, 3, 1)) - 1) * 16 + (strpos($alpha, substr(dh, 4, 1)) - 1)"
+    s"""WITH dim AS (
+       |  SELECT i, 4 + ($dimByte0) % 5 AS w, 4 + ($dimByte1) % 5 AS h,
+       |    2 + (${byteAt(s"sha256('42:agifnf:' || $iv)", "0")}) % 4 AS nf,
+       |    sha256('42:agifdly:' || $iv) AS dlyhex, palhex
+       |  FROM (SELECT i, sha256('42:agifdim:' || $iv) AS dh,
+       |               $palChunks AS palhex
+       |        FROM range(120) t(i))),
+       |fr AS (
+       |  SELECT i, CAST(k AS INT) AS k, w, h, palhex,
+       |    10 * (2 + (${byteAt("dlyhex", "k")}) % 8) AS delay_ms,
+       |    $pixChunks AS pixhex
+       |  FROM dim, range(5) r(k) WHERE k < nf),
+       |st AS (
+       |  SELECT i, k, w, h, palhex, pixhex, delay_ms,
+       |    COALESCE(CAST(sum(delay_ms) OVER (PARTITION BY i ORDER BY k
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS INT), 0)
+       |      AS start_ms,
+       |    CAST(sum(delay_ms) OVER (PARTITION BY i) AS INT) AS dur_ms
+       |  FROM fr),
+       |samp AS (
+       |  SELECT d.i, CAST(s AS INT) AS s, CAST(s * 50 AS INT) AS t
+       |  FROM (SELECT DISTINCT i, dur_ms FROM st) d, range(16) r(s)
+       |  WHERE s * 50 < d.dur_ms),
+       |act AS (
+       |  SELECT samp.i, samp.s, samp.t, max(st.k) AS k
+       |  FROM samp JOIN st ON st.i = samp.i AND st.start_ms <= samp.t
+       |  GROUP BY 1, 2, 3),
+       |px AS (
+       |  SELECT i, k, w, h, palhex,
+       |    CAST(j % w AS INT) AS x, CAST(j // w AS INT) AS yt,
+       |    ${byteAt("pixhex", "j")} AS idx
+       |  FROM st, range(64) r(j) WHERE j < w * h),
+       |chan AS (
+       |  SELECT i, k, w, h, x, yt,
+       |    ${byteAt("palhex", "3 * idx")} AS rr,
+       |    ${byteAt("palhex", "3 * idx + 1")} AS g,
+       |    ${byteAt("palhex", "3 * idx + 2")} AS b
+       |  FROM px),
+       |ffeat AS (
+       |  SELECT i, k,
+       |    sum(rr) AS f0, sum(g) AS f1, sum(b) AS f2,
+       |    sum(rr * (x + 1)) AS f3, sum(g * (yt + 1)) AS f4,
+       |    sum(b * (x + 1) * (yt + 1)) AS f5,
+       |    max(w * 256 + h) AS f6,
+       |    sum(CASE WHEN rr > g THEN 1 ELSE 0 END) AS f7
+       |  FROM chan GROUP BY i, k)""".stripMargin
+  }
+
   /** q110 oracle: replay the WAV sample-generation formula (NOT the
     * parser). Sample j of file i is the 16-bit signed LE value at chain
     * bytes (2j, 2j+1); sample count and rate come from the "len" sha
@@ -4379,6 +4525,28 @@ object SparkEntry {
           |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
           |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
           |FROM feat ORDER BY media_id""".stripMargin),
+
+    "q173_resize" ->
+      (resizeBmpFeatCte +
+        """
+          |SELECT media_id,
+          |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
+          |  CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3,
+          |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
+          |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
+          |FROM feat ORDER BY media_id""".stripMargin),
+
+    "q174_frame_sample" ->
+      (frameSampleCte +
+        """
+          |SELECT act.i AS media_id, act.s AS sample_idx, act.t AS t_ms,
+          |  CAST(act.k AS INT) AS frame_idx,
+          |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
+          |  CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3,
+          |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
+          |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
+          |FROM act JOIN ffeat ON ffeat.i = act.i AND ffeat.k = act.k
+          |ORDER BY media_id, sample_idx""".stripMargin),
 
     "q110_wav_decode" ->
       (wavFeatCte +

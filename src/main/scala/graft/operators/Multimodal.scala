@@ -8,10 +8,12 @@ import org.apache.spark.sql.types._
   * pipelines: media as opaque `binary` columns with a typed metadata
   * struct, processed by per-partition JVM transforms.
   *
-  * The codec layer is STUBBED — this container has no image/audio
-  * libraries, so `decodeStub` / `resizeStub` / `frameSampleStub` produce
-  * deterministic fakes derived from the bytes. Everything around the stub
-  * is real and designed for scale:
+  * The codec seam carries REAL first-principles decoders for BMP, WAV,
+  * PNG, GIF (incl. animated frames), QOI, and JPEG (operators/Jpeg.scala),
+  * plus a real resize ([[resizeBmp]]) and real frame sampling
+  * ([[frameSample]]); `decodeStub` / `resizeStub` / `frameSampleStub`
+  * remain as the deterministic-fake path for formats with no
+  * in-container library. Everything is designed for scale:
   *
   *  - **Schema**: (media_id, kind, bytes, meta struct) — metadata travels
   *    in a typed struct so filters on width/duration prune without
@@ -158,6 +160,16 @@ object Multimodal {
     * any header field, row order, or padding byte, the hash gate goes
     * red). */
   def decodeBmp(bytes: Array[Byte]): Array[Float] = {
+    val (w, h, px) = parseBmp24(bytes)
+    packedLanes(px, w, h)
+  }
+
+  /** Parse an uncompressed 24-bit BMP into (width, height, packed
+    * 0xRRGGBB pixels in top-down row-major order). All of the
+    * loud-reject `require`s live here so every BMP consumer
+    * ([[decodeBmp]], [[resizeBmp]]) shares one validated-error
+    * contract. */
+  private[operators] def parseBmp24(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
     require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
       "not a BMP: bad magic/length")
     def le32(off: Int): Int =
@@ -182,9 +194,9 @@ object Multimodal {
     val strideL = ((3L * w + 3) / 4) * 4
     require(bytes.length.toLong >= pixelOff.toLong + strideL * h,
       "truncated pixel array")
+    require(w.toLong * h <= (1L << 24), s"pixel count ${w}x$h too large")
     val stride = strideL.toInt // fits: strideL * h <= bytes.length (Int)
-    val acc = new Array[Long](6)
-    var rGtG = 0L
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       val row = if (bottomUp) h - 1 - y else y
@@ -194,6 +206,25 @@ object Multimodal {
         val b = bytes(base + 3 * x) & 0xff
         val g = bytes(base + 3 * x + 1) & 0xff
         val r = bytes(base + 3 * x + 2) & 0xff
+        px(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  /** decodeBmp's 8 integer-exact feature lanes over packed 0xRRGGBB
+    * top-down pixels (shared by the BMP and resize paths). */
+  private def packedLanes(px: Array[Int], w: Int, h: Int): Array[Float] = {
+    val acc = new Array[Long](6)
+    var rGtG = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = px(y * w + x)
+        val r = (v >> 16) & 0xff; val g = (v >> 8) & 0xff; val b = v & 0xff
         acc(0) += r; acc(1) += g; acc(2) += b
         acc(3) += r.toLong * (x + 1)
         acc(4) += g.toLong * (y + 1)
@@ -205,6 +236,75 @@ object Multimodal {
     }
     Array(acc(0).toFloat, acc(1).toFloat, acc(2).toFloat, acc(3).toFloat,
       acc(4).toFloat, acc(5).toFloat, (w * 256 + h).toFloat, rGtG.toFloat)
+  }
+
+  /** Encode packed 0xRRGGBB top-down pixels as a standards-valid
+    * uncompressed 24-bit bottom-up BMP (54-byte header, 4-byte row
+    * stride) — byte-layout-identical to [[synthesizeBmp]]'s files, so
+    * encode∘parse is the identity on that corpus and [[decodeBmp]]
+    * re-parses anything this emits. */
+  private[operators] def encodeBmp24(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+    require(w > 0 && h > 0 && px.length == w * h, "bad encode dimensions")
+    val stride = ((3 * w + 3) / 4) * 4
+    val out = new Array[Byte](54 + stride * h)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, out.length); le32(10, 54); le32(14, 40)
+    le32(18, w); le32(22, h)                    // +ve height → bottom-up
+    out(26) = 1; out(28) = 24                   // planes=1, bpp=24
+    le32(34, stride * h)                        // image size
+    le32(38, 2835); le32(42, 2835)              // ppm x/y (synthesizeBmp's)
+    var y = 0
+    while (y < h) {
+      val base = 54 + (h - 1 - y) * stride      // bottom-up rows
+      var x = 0
+      while (x < w) {
+        val v = px(y * w + x)
+        out(base + 3 * x) = (v & 0xff).toByte           // B
+        out(base + 3 * x + 1) = ((v >> 8) & 0xff).toByte  // G
+        out(base + 3 * x + 2) = ((v >> 16) & 0xff).toByte // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL resize (the operator [[resizeStub]] stands in for when no
+    * decodable format is present): parse each 24-bit BMP, nearest-
+    * neighbor resample to width×height — source pixel of target (x, y)
+    * is (⌊x·w/W⌋, ⌊y·h/H⌋), the integer-exact mapping a SQL oracle can
+    * replay — and RE-ENCODE as a standards-valid BMP, updating the meta
+    * struct. Same mapPartitions batch shape as [[extractFeatures]]:
+    * bytes in, bytes out, one iterator pass per partition, nothing
+    * crosses a shuffle. The q173 gate decodes the OUTPUT with
+    * [[decodeBmp]], so a header, stride, or row-order slip in the
+    * encoder desyncs the feature hash — the encode side is in-gate, not
+    * just the resample arithmetic. */
+  def resizeBmp(media: DataFrame, width: Int, height: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    require(width > 0 && height > 0, "target dimensions must be positive")
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { m =>
+        val (w, h, px) = parseBmp24(m.bytes)
+        val out = new Array[Int](width * height)
+        var y = 0
+        while (y < height) {
+          val sy = y * h / height
+          var x = 0
+          while (x < width) {
+            out(y * width + x) = px(sy * w + x * w / width)
+            x += 1
+          }
+          y += 1
+        }
+        MediaRow(m.media_id, m.kind, encodeBmp24(width, height, out),
+          m.meta.copy(width = width, height = height))
+      }
+    }.toDF()
   }
 
   /** Deterministic genuine-BMP table: each row's `bytes` is a complete,
@@ -574,10 +674,24 @@ object Multimodal {
     * indices never depend on which LZW codes encoded them) — the same
     * property that let the q111 oracle gate a DEFLATE codec. */
   def decodeGif(bytes: Array[Byte]): Array[Float] = {
+    val (gct, pos0) = parseGifHeader(bytes)
+    // walk blocks to the first image descriptor, skipping extensions
+    var pos = pos0
+    while (gifU8(bytes, pos) == 0x21) // extension: label + sub-blocks
+      pos = gifSkipSubBlocks(bytes, pos + 2)
+    require(gifU8(bytes, pos) == 0x2c, s"expected image descriptor at $pos")
+    val (pixels, palette, w, h, _) = decodeGifImage(bytes, pos, gct)
+    paletteLanes(pixels, palette, w, h)
+  }
+
+  /** Header + logical screen descriptor + optional global color table →
+    * (gct or null, position of the first block). Every byte goes through
+    * the checked reader: a truncated file rejects loudly (the decodeBmp
+    * contract), never as a raw ArrayIndexOutOfBounds. */
+  private def parseGifHeader(bytes: Array[Byte]): (Array[Byte], Int) = {
     require(bytes.length > 13, "not a GIF: too short")
     val magic = new String(bytes, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
     require(magic == "GIF87a" || magic == "GIF89a", s"not a GIF: magic '$magic'")
-    def le16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
     val packed = bytes(10) & 0xff
     var pos = 13
     var gct: Array[Byte] = null
@@ -587,22 +701,29 @@ object Multimodal {
       gct = java.util.Arrays.copyOfRange(bytes, pos, pos + sz)
       pos += sz
     }
-    // walk blocks to the first image descriptor, skipping extensions.
-    // Every header byte goes through the checked reader: a truncated
-    // file must reject loudly (the decodeBmp contract), never surface
-    // as an ArrayIndexOutOfBounds from an unchecked read.
-    def u8(off: Int): Int = {
-      require(off >= 0 && off < bytes.length, s"truncated GIF at byte $off")
-      bytes(off) & 0xff
-    }
-    def skipSubBlocks(p0: Int): Int = {
-      var p = p0
-      while (u8(p) != 0) p += 1 + u8(p)
-      p + 1
-    }
-    while (u8(pos) == 0x21) // extension: label + sub-blocks
-      pos = skipSubBlocks(pos + 2)
-    require(u8(pos) == 0x2c, s"expected image descriptor at $pos")
+    (gct, pos)
+  }
+
+  private def gifU8(bytes: Array[Byte], off: Int): Int = {
+    require(off >= 0 && off < bytes.length, s"truncated GIF at byte $off")
+    bytes(off) & 0xff
+  }
+
+  private def gifSkipSubBlocks(bytes: Array[Byte], p0: Int): Int = {
+    var p = p0
+    while (gifU8(bytes, p) != 0) p += 1 + gifU8(bytes, p)
+    p + 1
+  }
+
+  /** Decode ONE image block (descriptor + optional local color table +
+    * LZW stream) starting at `pos` (caller has verified the 0x2c) →
+    * (top-down pixel indices, effective palette, w, h, position after
+    * the image's block terminator). */
+  private def decodeGifImage(bytes: Array[Byte], pos0: Int,
+                             gct: Array[Byte]): (Array[Byte], Array[Byte], Int, Int, Int) = {
+    def u8(off: Int): Int = gifU8(bytes, off)
+    def le16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    var pos = pos0
     require(pos + 10 <= bytes.length, "truncated image descriptor")
     val w = le16(pos + 5)
     val h = le16(pos + 7)
@@ -705,7 +826,13 @@ object Multimodal {
         }
         deint
       }
-    // decodeBmp's feature lanes over palette-RGB pixels (top-down)
+    (pixels, palette, w, h, pos + 1) // pos sits on the block terminator
+  }
+
+  /** decodeBmp's 8 integer-exact feature lanes over palette-indexed
+    * top-down pixels (shared by the single-image and per-frame paths). */
+  private def paletteLanes(pixels: Array[Byte], palette: Array[Byte],
+                           w: Int, h: Int): Array[Float] = {
     val accs = new Array[Long](6)
     var rGtG = 0L
     var y = 0
@@ -728,6 +855,44 @@ object Multimodal {
     }
     Array(accs(0).toFloat, accs(1).toFloat, accs(2).toFloat, accs(3).toFloat,
       accs(4).toFloat, accs(5).toFloat, (w * 256 + h).toFloat, rGtG.toFloat)
+  }
+
+  final case class GifFrame(frame_idx: Int, delay_ms: Int, w: Int, h: Int,
+                            features: Array[Float])
+
+  /** Decode EVERY frame of an animated GIF (89a): walks the full block
+    * stream to the trailer, reading each Graphic Control Extension's
+    * delay (centiseconds → ms) and decoding each image block with the
+    * same LZW machinery as [[decodeGif]]. A frame with no preceding GCE
+    * gets delay 0 (the 87a/static case). Unknown extensions skip
+    * generically; anything else rejects loudly. */
+  def decodeGifFrames(bytes: Array[Byte]): Seq[GifFrame] = {
+    val (gct, pos0) = parseGifHeader(bytes)
+    var pos = pos0
+    var delayMs = 0
+    val frames = scala.collection.mutable.ArrayBuffer.empty[GifFrame]
+    var done = false
+    while (!done) {
+      gifU8(bytes, pos) match {
+        case 0x21 =>
+          if (gifU8(bytes, pos + 1) == 0xf9) { // Graphic Control Extension
+            require(gifU8(bytes, pos + 2) == 4, "bad GCE block size")
+            delayMs = (gifU8(bytes, pos + 4) | (gifU8(bytes, pos + 5) << 8)) * 10
+          }
+          pos = gifSkipSubBlocks(bytes, pos + 2)
+        case 0x2c =>
+          val (pixels, palette, w, h, p2) = decodeGifImage(bytes, pos, gct)
+          frames += GifFrame(frames.size, delayMs, w, h,
+            paletteLanes(pixels, palette, w, h))
+          delayMs = 0
+          pos = p2
+        case 0x3b => done = true
+        case b => throw new IllegalArgumentException(
+          f"unexpected GIF block 0x$b%02x at $pos")
+      }
+    }
+    require(frames.nonEmpty, "GIF has no image blocks")
+    frames.toSeq
   }
 
   /** Deterministic genuine-GIF table: each row's `bytes` is a complete,
@@ -792,6 +957,119 @@ object Multimodal {
       MediaRow(id, "image", outBytes.toByteArray,
         MediaMeta(w, h, 3, "gif", 0, 0))
     }.toDF()
+  }
+
+  /** Deterministic genuine ANIMATED-GIF table: each row is a complete
+    * GIF89a with 2-5 full-size frames, each frame preceded by a Graphic
+    * Control Extension carrying a replayable delay — so [[frameSample]]
+    * has real multi-frame timing to sample against and the q174 DuckDB
+    * oracle can replay frame pixels, palette lookups, AND the delay
+    * arithmetic without a GIF parser:
+    *
+    *   frames   nf       = 2 + byte0("agifnf") % 4            ∈ [2,5]
+    *   delay of frame k  = (2 + byte k of "agifdly" % 8) cs   ∈ [20,90] ms
+    *   frame k pixel j   = byte j of the "agif{k}" chain
+    *   palette entry e   = "agifpal" chain bytes 3e..3e+2
+    *   dims              = 4 + "agifdim" bytes % 5 (shared by frames)
+    *
+    * The LZW layer is the trivially-valid literal encoding, NOT part of
+    * the gated artifact (decoded indices are code-sequence-independent;
+    * MultimodalSpec's ImageIO reader cross-checks every frame). */
+  def synthesizeAnimatedGif(spark: SparkSession, n: Int, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).map { id =>
+      def sha(tag: String): Array[Byte] =
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s"$seed:$tag:$id".getBytes("UTF-8"))
+      def shaK(tag: String, k: Int): Array[Byte] =
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s"$seed:$tag:$id:$k".getBytes("UTF-8"))
+      val dim = sha("agifdim")
+      val w = 4 + (dim(0) & 0xff) % 5
+      val h = 4 + (dim(1) & 0xff) % 5
+      val nf = 2 + (sha("agifnf")(0) & 0xff) % 4
+      val dly = sha("agifdly")
+      val palette = (0 until 24).flatMap(k => shaK("agifpal", k)).toArray // 768
+      val outBytes = new java.io.ByteArrayOutputStream()
+      outBytes.write("GIF89a".getBytes("US-ASCII"))
+      def le16(v: Int): Unit = { outBytes.write(v & 0xff); outBytes.write((v >> 8) & 0xff) }
+      le16(w); le16(h)
+      outBytes.write(0xf7)            // GCT present, 256 entries
+      outBytes.write(0); outBytes.write(0)
+      outBytes.write(palette, 0, 768)
+      var durationMs = 0
+      for (f <- 0 until nf) {
+        val delayCs = 2 + (dly(f) & 0xff) % 8
+        durationMs += delayCs * 10
+        outBytes.write(0x21); outBytes.write(0xf9) // Graphic Control Ext
+        outBytes.write(4)                          // block size
+        outBytes.write(0)                          // no disposal/transparency
+        le16(delayCs)                              // delay, centiseconds
+        outBytes.write(0); outBytes.write(0)       // transparent idx, term
+        outBytes.write(0x2c)                       // image descriptor
+        le16(0); le16(0); le16(w); le16(h)
+        outBytes.write(0)                          // no LCT, not interlaced
+        outBytes.write(8)                          // LZW minimum code size
+        val pixels = (0 until 8).flatMap(k => shaK(s"agif$f", k)).toArray
+        var acc = 0L; var nbits = 0
+        val lzw = new java.io.ByteArrayOutputStream()
+        def put(code: Int): Unit = {
+          acc |= (code.toLong & 0x1ff) << nbits; nbits += 9
+          while (nbits >= 8) { lzw.write((acc & 0xff).toInt); acc >>>= 8; nbits -= 8 }
+        }
+        put(256)
+        var j = 0
+        while (j < w * h) { put(pixels(j) & 0xff); j += 1 }
+        put(257)
+        if (nbits > 0) lzw.write((acc & 0xff).toInt)
+        val lz = lzw.toByteArray
+        var off = 0
+        while (off < lz.length) {
+          val blen = math.min(255, lz.length - off)
+          outBytes.write(blen); outBytes.write(lz, off, blen)
+          off += blen
+        }
+        outBytes.write(0)             // block terminator
+      }
+      outBytes.write(0x3b)            // trailer
+      MediaRow(id, "video", outBytes.toByteArray,
+        MediaMeta(w, h, 3, "gif", durationMs, 0))
+    }.toDF()
+  }
+
+  final case class SampledFrame(media_id: Long, sample_idx: Int, t_ms: Int,
+                                frame_idx: Int, f0: Double, f1: Double,
+                                f2: Double, f3: Double, f4: Double,
+                                f5: Double, f6: Double, f7: Double)
+
+  /** REAL frame sampling (the operator [[frameSampleStub]] stands in for
+    * when no decodable container is present): decode every frame of each
+    * animated GIF, build the frame timeline from the GCE delays (frame k
+    * starts at Σ delays < k), and emit one row per sample instant
+    * t = 0, everyMs, 2·everyMs, … < duration carrying the ACTIVE frame's
+    * integer-exact feature lanes — the Generator-shaped media analogue of
+    * C6's explode, and the op a video pipeline runs as "grab a frame
+    * every N ms". Same mapPartitions batch shape as [[extractFeatures]]:
+    * bytes decoded and dropped in one pass, only (id, t, frame, features)
+    * rows cross the exchange — at scale the output is O(duration/everyMs)
+    * small rows per media file, never pixels. */
+  def frameSample(media: DataFrame, everyMs: Int): Dataset[SampledFrame] = {
+    import media.sparkSession.implicits._
+    require(everyMs > 0, "everyMs must be positive")
+    media.as[MediaRow].filter(_.kind == "video").flatMap { m =>
+      val frames = decodeGifFrames(m.bytes)
+      val starts = frames.scanLeft(0)(_ + _.delay_ms) // length nf+1; last = duration
+      val duration = starts.last
+      require(duration > 0, s"media ${m.media_id}: zero total duration")
+      Iterator.from(0).map(_ * everyMs).takeWhile(_ < duration).zipWithIndex
+        .map { case (t, s) =>
+          val k = frames.indices.reverse.find(i => starts(i) <= t).get
+          val f = frames(k).features
+          SampledFrame(m.media_id, s, t, k,
+            f(0).toDouble, f(1).toDouble, f(2).toDouble, f(3).toDouble,
+            f(4).toDouble, f(5).toDouble, f(6).toDouble, f(7).toDouble)
+        }.toSeq
+    }
   }
 
   /** REAL codec for QOI ("Quite OK Image", qoiformat.org, public spec
@@ -1714,9 +1992,10 @@ object Multimodal {
     }
   }
 
-  /** STUB resize: real impl re-encodes pixels; the stub truncates/pads
+  /** STUB resize for formats with no in-container decoder: truncates/pads
     * bytes to the target "resolution" and rewrites meta — schema and
-    * partition behavior identical to the real operator. */
+    * partition behavior identical to the real operator ([[resizeBmp]] is
+    * the real one, gated end-to-end by q173). */
   def resizeStub(media: DataFrame, width: Int, height: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.as[MediaRow].mapPartitions { it =>
@@ -1729,9 +2008,10 @@ object Multimodal {
     }.toDF()
   }
 
-  /** STUB frame sampling for video rows: emits one frame row per
-    * `everyMs` of duration (a Generator-shaped expansion, like C6's
-    * explode but for media). */
+  /** STUB frame sampling for video rows with no in-container decoder:
+    * emits one frame row per `everyMs` of duration (a Generator-shaped
+    * expansion, like C6's explode but for media — [[frameSample]] is the
+    * real one over animated GIF, gated end-to-end by q174). */
   def frameSampleStub(media: DataFrame, everyMs: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.as[MediaRow].filter(_.kind == "video").flatMap { m =>

@@ -151,6 +151,62 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.decodeBmp(truncated))
   }
 
+  test("resizeBmp: identity resample re-encodes byte-identically (encode∘parse = id)") {
+    // encodeBmp24 emits the same canonical layout synthesizeBmp does, so
+    // resizing to the source's own dimensions must reproduce the input
+    // file byte for byte — header fields, stride padding, row order.
+    val w = 6; val h = 5
+    val px = Array.tabulate(w * h) { j =>
+      val x = j % w; val y = j / w
+      (((x * 53 + y * 17) % 256) << 16) | (((x * 29 + y * 71) % 256) << 8) |
+        ((x * 13 + y * 97) % 256)
+    }
+    val bytes = Multimodal.encodeBmp24(w, h, px)
+    val media = Seq(Multimodal.MediaRow(0L, "image", bytes,
+      Multimodal.MediaMeta(w, h, 3, "bmp", 0, 0))).toDF()
+    val out = Multimodal.resizeBmp(media, w, h).collect().head
+    assert(out.getAs[Array[Byte]]("bytes").sameElements(bytes),
+      "identity resize is not byte-identical")
+  }
+
+  test("resizeBmp output is a valid BMP whose pixels are the NN resample (ImageIO cross-check)") {
+    val src = Multimodal.synthesizeBmp(spark, 15).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    val rows = Multimodal.resizeBmp(Multimodal.synthesizeBmp(spark, 15), 7, 6)
+      .select($"media_id", $"bytes", $"meta.width", $"meta.height")
+      .collect()
+    assert(rows.length == 15)
+    for (row <- rows) {
+      assert(row.getInt(2) == 7 && row.getInt(3) == 6, "meta not updated")
+      val out = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("bytes")))
+      assert(out != null, s"ImageIO rejected resized BMP ${row.getLong(0)}")
+      assert(out.getWidth == 7 && out.getHeight == 6)
+      val in = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(src(row.getLong(0))))
+      for (y <- 0 until 6; x <- 0 until 7) {
+        val expected = in.getRGB(x * in.getWidth / 7, y * in.getHeight / 6)
+        assert((out.getRGB(x, y) & 0xffffff) == (expected & 0xffffff),
+          s"media ${row.getLong(0)}: pixel ($x,$y) is not the NN source pixel")
+      }
+    }
+  }
+
+  test("resizeBmp upsamples and downsamples by the exact integer mapping") {
+    val px = Array.tabulate(6)(j => j * 0x010203) // 3×2, distinct pixels
+    val media = Seq(Multimodal.MediaRow(1L, "image",
+      Multimodal.encodeBmp24(3, 2, px),
+      Multimodal.MediaMeta(3, 2, 3, "bmp", 0, 0))).toDF()
+    val up = Multimodal.resizeBmp(media, 9, 4).collect().head
+    val (uw, uh, upx) = Multimodal.parseBmp24(up.getAs[Array[Byte]]("bytes"))
+    assert((uw, uh) == (9, 4))
+    for (y <- 0 until 4; x <- 0 until 9)
+      assert(upx(y * 9 + x) == px((y * 2 / 4) * 3 + x * 3 / 9))
+    val down = Multimodal.resizeBmp(media, 1, 1).collect().head
+    val (_, _, dpx) = Multimodal.parseBmp24(down.getAs[Array[Byte]]("bytes"))
+    assert(dpx.toSeq == Seq(px(0)), "1×1 downsample is the top-left pixel")
+  }
+
   private def wavFeaturesOf(samples: Array[Short], rate: Int): Seq[Float] = {
     var f0, f1, f4, f5 = 0L
     var mx = Int.MinValue; var mn = Int.MaxValue
@@ -390,6 +446,115 @@ class MultimodalSpec extends SparkSpec {
     // truncation mid-stream: the sub-block walk or LZW refill must trip
     intercept[Exception](
       Multimodal.decodeGif(java.util.Arrays.copyOf(good, good.length / 2)))
+  }
+
+  test("synthesizeAnimatedGif frames are JDK-readable frame-identically; delays follow the formula") {
+    val rows = Multimodal.synthesizeAnimatedGif(spark, 15)
+      .select($"media_id", $"bytes", $"meta.duration_ms").collect()
+    assert(rows.length == 15)
+    var sawMultiFrame = false
+    for (row <- rows) {
+      val id = row.getLong(0)
+      val bytes = row.getAs[Array[Byte]]("bytes")
+      val frames = Multimodal.decodeGifFrames(bytes)
+      if (frames.length > 2) sawMultiFrame = true
+      // delay + count formulas replayed independently of the parser
+      def sha(tag: String): Array[Byte] =
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s"42:$tag:$id".getBytes("UTF-8"))
+      val nf = 2 + (sha("agifnf")(0) & 0xff) % 4
+      assert(frames.length == nf, s"media $id: frame count")
+      val dly = sha("agifdly")
+      for (f <- frames)
+        assert(f.delay_ms == 10 * (2 + (dly(f.frame_idx) & 0xff) % 8),
+          s"media $id frame ${f.frame_idx}: delay")
+      assert(row.getInt(2) == frames.map(_.delay_ms).sum, "meta duration")
+      // independent implementation reads every frame pixel-identically
+      val rdr = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      rdr.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      assert(rdr.getNumImages(true) == nf, s"media $id: ImageIO frame count")
+      for (k <- 0 until nf) {
+        val img = rdr.read(k)
+        var f0, f1, f2, f3, f4, f5, f7 = 0L
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          f0 += r; f1 += g; f2 += b
+          f3 += r * (x + 1); f4 += g * (y + 1); f5 += b.toLong * (x + 1) * (y + 1)
+          if (r > g) f7 += 1
+        }
+        val expected = Seq(f0, f1, f2, f3, f4, f5,
+          img.getWidth * 256 + img.getHeight, f7).map(_.toFloat)
+        assert(frames(k).features.toSeq == expected,
+          s"media $id frame $k: decodeGifFrames disagrees with ImageIO pixels")
+      }
+      rdr.dispose()
+    }
+    assert(sawMultiFrame, "no >2-frame GIF sampled")
+  }
+
+  test("decodeGifFrames degenerates to decodeGif on single-frame files (delay 0)") {
+    for (row <- Multimodal.synthesizeGif(spark, 5).select($"bytes").collect()) {
+      val bytes = row.getAs[Array[Byte]]("bytes")
+      val frames = Multimodal.decodeGifFrames(bytes)
+      assert(frames.length == 1 && frames.head.delay_ms == 0)
+      assert(frames.head.features.toSeq == Multimodal.decodeGif(bytes).toSeq)
+    }
+  }
+
+  test("frameSample: timeline semantics — active frame is the latest with start ≤ t, boundaries included") {
+    val media = Multimodal.synthesizeAnimatedGif(spark, 12)
+    val byId = Multimodal.frameSample(media, 50).collect()
+      .groupBy(_.media_id).view.mapValues(_.sortBy(_.sample_idx)).toMap
+    for (row <- media.select($"media_id", $"bytes").collect()) {
+      val id = row.getLong(0)
+      val frames = Multimodal.decodeGifFrames(row.getAs[Array[Byte]]("bytes"))
+      val starts = frames.scanLeft(0)(_ + _.delay_ms)
+      val expected = Iterator.from(0).map(_ * 50)
+        .takeWhile(_ < starts.last).toSeq
+      val got = byId(id)
+      assert(got.length == expected.length, s"media $id: sample count")
+      for ((t, s) <- expected.zipWithIndex) {
+        val k = frames.indices.reverse.find(i => starts(i) <= t).get
+        assert(got(s).t_ms == t && got(s).frame_idx == k,
+          s"media $id sample $s: expected frame $k at t=$t, got ${got(s)}")
+        assert(got(s).f0 == frames(k).features(0).toDouble,
+          s"media $id sample $s: features not the active frame's")
+      }
+    }
+    // sample instants t = 0 and t = exact frame starts must both resolve:
+    // at t = start(k), frame k (not k-1) is active — at least one media
+    // row has a 20/30/40/50-ms-multiple start hit by the 50 ms grid
+    val boundaryHits = for {
+      row <- media.select($"media_id", $"bytes").collect()
+      frames = Multimodal.decodeGifFrames(row.getAs[Array[Byte]]("bytes"))
+      starts = frames.scanLeft(0)(_ + _.delay_ms).init
+      (st, k) <- starts.zipWithIndex if k > 0 && st % 50 == 0
+    } yield (row.getLong(0), st, k)
+    assert(boundaryHits.nonEmpty, "corpus never hits a frame-start boundary")
+    for ((id, st, k) <- boundaryHits) {
+      val hit = byId(id).find(_.t_ms == st).get
+      assert(hit.frame_idx == k, s"media $id: t=$st must pick frame $k")
+    }
+  }
+
+  test("decodeGifFrames rejects malformed animated input loudly") {
+    val good = Multimodal.synthesizeAnimatedGif(spark, 1)
+      .select($"bytes").collect().head.getAs[Array[Byte]]("bytes")
+    // cut mid-way through the later frames: sub-block walk / LZW must trip
+    intercept[Exception](Multimodal.decodeGifFrames(
+      java.util.Arrays.copyOf(good, good.length * 2 / 3)))
+    // missing trailer: the block walk runs off the end — checked reader
+    intercept[IllegalArgumentException](Multimodal.decodeGifFrames(
+      java.util.Arrays.copyOf(good, good.length - 1)))
+    // corrupt a GCE introducer into an unknown block type
+    val gceAt = {
+      var p = 13 + 768 // header + LSD + GCT
+      p
+    }
+    val bad = good.clone(); bad(gceAt) = 0x7e
+    intercept[IllegalArgumentException](Multimodal.decodeGifFrames(bad))
   }
 
   /** Feature lanes over packed 0xRRGGBB pixels — the spec-side reference
