@@ -161,7 +161,7 @@ object ScaleProbe {
     // select NOTHING and exit cleanly — in a scripted battery an empty
     // section reads as an intentionally empty family
     val knownBare = Set("dup", "inc", "x100", "skew", "asof", "gen", "linear",
-      "graph", "dhash", "semdedup")
+      "graph", "dhash", "semdedup", "media")
     for (a <- args)
       require(knownBare(a) || a.startsWith("only:") || a.startsWith("dup:"),
         s"unknown ScaleProbe mode '$a' (known: ${knownBare.mkString("/")}, " +
@@ -182,6 +182,7 @@ object ScaleProbe {
     if (asofOnly) { asofProbe(spark, srcDir); spark.stop(); return }
     if (args.contains("graph")) { graphProbe(spark, srcDir); spark.stop(); return }
     if (args.contains("dhash")) { dhashProbe(spark); spark.stop(); return }
+    if (args.contains("media")) { mediaProbe(spark); spark.stop(); return }
     if (args.contains("semdedup")) { semDedupProbe(spark, srcDir); spark.stop(); return }
 
     if (genOnly || (args.isEmpty && !dupOnly && !incOnly && !x100Only)) {
@@ -521,6 +522,43 @@ object ScaleProbe {
     * pairs (linear) plus random 16-bit band collisions (quadratic/65536
     * — ~18k candidate probes at 24k images, all killed by the Hamming
     * verify). Expected ~linear wall. */
+  /** Media codec/transform family linearity: the q173/q174/q175 shapes
+    * at 200k vs 2M files (the gated queries run fixed 120-200-row synth
+    * corpora, so this is their only scale axis; sub-100k points measure
+    * job overhead, not the codec — per-file decode is microseconds). All
+    * three are map-only mapPartitions passes — the measured ratio
+    * includes the sha-chain synthesis (itself linear), so a ratio near
+    * 10 confirms pure per-file cost with no hidden corpus-size term; the
+    * final count is an agg, not an orderBy, so no sort exchange muddies
+    * the shape. */
+  private def mediaProbe(spark: SparkSession): Unit = {
+    import graft.operators.Multimodal
+    def time(fn: => DataFrame): Double = timeMedian(spark)(fn)
+    def resize(n: Int): DataFrame =
+      Multimodal.extractFeatures(
+        Multimodal.resizeBmp(Multimodal.synthesizeBmp(spark, n), 7, 6),
+        Multimodal.decodeBmp).toDF()
+        .agg(sum(element_at(col("features"), 1)))
+    def resample(n: Int): DataFrame =
+      Multimodal.extractFeatures(
+        Multimodal.resampleWav(Multimodal.synthesizeWav(spark, n), 10000),
+        Multimodal.decodeWav).toDF()
+        .agg(sum(element_at(col("features"), 1)))
+    def frames(n: Int): DataFrame =
+      Multimodal.frameSample(Multimodal.synthesizeAnimatedGif(spark, n), 50)
+        .toDF().agg(sum(col("f0")), count(lit(1)))
+    spark.range(1000).agg(count(lit(1))).queryExecution.toRdd.count() // warmup
+    for ((name, fn) <- Seq(
+        ("q173_resize", resize _),
+        ("q175_audio_resample", resample _),
+        ("q174_frame_sample", frames _))) {
+      val t1 = time(fn(200000))
+      val t10 = time(fn(2000000))
+      println(f"[scale-media] $name%-22s 200k=${t1}%6.2fs 2M=${t10}%6.2fs " +
+        f"ratio=${t10 / t1}%5.2f")
+    }
+  }
+
   private def dhashProbe(spark: SparkSession): Unit = {
     import graft.operators.Multimodal
     def time(fn: => DataFrame): Double = timeMedian(spark)(fn)

@@ -583,6 +583,23 @@ object SparkEntry {
       feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
     }),
 
+    // REAL audio resample through the WAV codec: parse → nearest-
+    // neighbor resample to 10 kHz (source rates 8000-12080 Hz, so up-
+    // AND down-sampling are both in-gate) → RE-ENCODE as a valid WAV →
+    // decodeWav the output. The oracle replays the index mapping
+    // j → ⌊j·rate/10000⌋ over the sample-generation formula; the
+    // encoder's header arithmetic is gated because a decode of the
+    // operator's own output feeds the hash (the q173 pattern).
+    "q175_audio_resample" -> ((s, d) => {
+      val media = operators.Multimodal.synthesizeWav(s, 200)
+      val resampled = operators.Multimodal.resampleWav(media, 10000)
+      val feats = operators.Multimodal
+        .extractFeatures(resampled, operators.Multimodal.decodeWav).toDF()
+      val fcols = (0 until 8).map(i =>
+        element_at(col("features"), i + 1).cast("double").as(s"f$i"))
+      feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
+    }),
+
     // REAL frame sampling over animated GIF: decode every frame (each
     // through the full LZW path), build the timeline from the Graphic
     // Control Extension delays, emit the active frame's feature lanes at
@@ -3681,6 +3698,54 @@ object SparkEntry {
        |  FROM chan GROUP BY i, k)""".stripMargin
   }
 
+  /** q175 oracle: replay the nearest-neighbor resample over the WAV
+    * sample-generation formula (NOT the parser or encoder — those are
+    * gated by the Spark side decoding its own re-encoded output).
+    * Output sample j of file i is source sample ⌊j·rate/10000⌋ (the
+    * 16-bit signed LE chain value), output length ⌊ns·10000/rate⌋;
+    * lanes and the zero-crossing lag are identical to q110's but over
+    * the resampled sequence. */
+  private lazy val resampleWavCte: String = {
+    val alpha = "'0123456789abcdef'"
+    def byteAt(off: String): String =
+      s"(strpos($alpha, substr(hexfull, 2 * ($off) + 1, 1)) - 1) * 16 " +
+        s"+ (strpos($alpha, substr(hexfull, 2 * ($off) + 2, 1)) - 1)"
+    val shaChunks = (0 to 7)
+      .map(k => s"sha256('42:' || CAST(i AS VARCHAR) || ':$k')")
+      .mkString(" || ")
+    val lenByte0 =
+      s"(strpos($alpha, substr(lh, 1, 1)) - 1) * 16 + (strpos($alpha, substr(lh, 2, 1)) - 1)"
+    val lenByte1 =
+      s"(strpos($alpha, substr(lh, 3, 1)) - 1) * 16 + (strpos($alpha, substr(lh, 4, 1)) - 1)"
+    s"""WITH dim AS (
+       |  SELECT i, 32 + ($lenByte0) % 64 AS ns, 8000 + ($lenByte1) * 16 AS rate,
+       |         hexfull
+       |  FROM (SELECT i, sha256('42:' || CAST(i AS VARCHAR) || ':len') AS lh,
+       |               $shaChunks AS hexfull
+       |        FROM range(200) t(i))),
+       |smp AS (
+       |  SELECT i, j, (j * rate) // 10000 AS k,
+       |    ${byteAt("2 * ((j * rate) // 10000)")} AS b0,
+       |    (${byteAt("2 * ((j * rate) // 10000)")})
+       |      + 256 * (${byteAt("2 * ((j * rate) // 10000) + 1")})
+       |      - CASE WHEN (${byteAt("2 * ((j * rate) // 10000)")})
+       |               + 256 * (${byteAt("2 * ((j * rate) // 10000) + 1")})
+       |             >= 32768 THEN 65536 ELSE 0 END AS s
+       |  FROM dim, range(128) r(j) WHERE j < (ns * 10000) // rate),
+       |sgn AS (
+       |  SELECT i, j, s, b0,
+       |    CASE WHEN j > 0 AND ((s >= 0) <>
+       |        (lag(s) OVER (PARTITION BY i ORDER BY j) >= 0))
+       |      THEN 1 ELSE 0 END AS zc
+       |  FROM smp),
+       |feat AS (
+       |  SELECT i AS media_id,
+       |    sum(s) AS f0, sum(abs(s)) AS f1, max(s) AS f2, min(s) AS f3,
+       |    sum(zc) AS f4, sum(b0 * (j + 1)) AS f5,
+       |    max(10000) AS f6, count(*) AS f7
+       |  FROM sgn GROUP BY i)""".stripMargin
+  }
+
   /** q110 oracle: replay the WAV sample-generation formula (NOT the
     * parser). Sample j of file i is the 16-bit signed LE value at chain
     * bytes (2j, 2j+1); sample count and rate come from the "len" sha
@@ -4528,6 +4593,16 @@ object SparkEntry {
 
     "q173_resize" ->
       (resizeBmpFeatCte +
+        """
+          |SELECT media_id,
+          |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
+          |  CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3,
+          |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
+          |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
+          |FROM feat ORDER BY media_id""".stripMargin),
+
+    "q175_audio_resample" ->
+      (resampleWavCte +
         """
           |SELECT media_id,
           |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,

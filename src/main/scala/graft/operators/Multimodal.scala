@@ -373,6 +373,15 @@ object Multimodal {
     * lane is exactly representable and the q110 oracle replays them from
     * the sample-generation formula in SQL. */
   def decodeWav(bytes: Array[Byte]): Array[Float] = {
+    val (rate, samples) = parseWav16(bytes)
+    sampleLanes(samples, rate)
+  }
+
+  /** Parse a PCM mono 16-bit RIFF/WAV into (sample rate, signed
+    * samples). The chunk-walk `require`s live here so every WAV
+    * consumer ([[decodeWav]], [[resampleWav]]) shares one
+    * validated-error contract. */
+  private[operators] def parseWav16(bytes: Array[Byte]): (Int, Array[Short]) = {
     require(bytes.length >= 44, "not a WAV: too short")
     def fourcc(off: Int): String =
       new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -406,26 +415,102 @@ object Multimodal {
     require(sampleRate > 0, "missing fmt chunk")
     require(dataOff >= 0, "missing data chunk")
     val n = dataLen / 2
+    val samples = new Array[Short](n)
+    var j = 0
+    while (j < n) {
+      val raw = (bytes(dataOff + 2 * j) & 0xff) |
+        ((bytes(dataOff + 2 * j + 1) & 0xff) << 8)
+      samples(j) = raw.toShort
+      j += 1
+    }
+    (sampleRate, samples)
+  }
+
+  /** decodeWav's 8 integer-exact feature lanes over signed samples
+    * (shared by the WAV decode and resample paths). */
+  private def sampleLanes(samples: Array[Short], sampleRate: Int): Array[Float] = {
     var sum, absSum, posWeighted, crossings = 0L
     var mx = Int.MinValue
     var mn = Int.MaxValue
     var prevNonNeg = false
     var j = 0
-    while (j < n) {
-      val lo = bytes(dataOff + 2 * j) & 0xff
-      val raw = lo | ((bytes(dataOff + 2 * j + 1) & 0xff) << 8)
-      val s = if (raw >= 32768) raw - 65536 else raw
+    while (j < samples.length) {
+      val s = samples(j).toInt
       sum += s; absSum += math.abs(s)
       if (s > mx) mx = s
       if (s < mn) mn = s
       val nonNeg = s >= 0
       if (j > 0 && nonNeg != prevNonNeg) crossings += 1
       prevNonNeg = nonNeg
-      posWeighted += lo.toLong * (j + 1)
+      posWeighted += (s & 0xff).toLong * (j + 1)
       j += 1
     }
     Array(sum.toFloat, absSum.toFloat, mx.toFloat, mn.toFloat,
-      crossings.toFloat, posWeighted.toFloat, sampleRate.toFloat, n.toFloat)
+      crossings.toFloat, posWeighted.toFloat, sampleRate.toFloat,
+      samples.length.toFloat)
+  }
+
+  /** Encode signed 16-bit mono samples as a standards-valid RIFF/WAV —
+    * byte-layout-identical to [[synthesizeWav]]'s files (44-byte
+    * canonical header), so encode∘parse is the identity on that corpus
+    * and [[decodeWav]] re-parses anything this emits. */
+  private[operators] def encodeWav16(rate: Int, samples: Array[Short]): Array[Byte] = {
+    require(rate > 0, "sample rate must be positive")
+    val dataSize = samples.length * 2
+    val out = new Array[Byte](44 + dataSize)
+    def ascii(off: Int, s: String): Unit = {
+      var k = 0; while (k < 4) { out(off + k) = s.charAt(k).toByte; k += 1 }
+    }
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    ascii(0, "RIFF"); le32(4, dataSize + 36); ascii(8, "WAVE")
+    ascii(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+    le32(24, rate); le32(28, rate * 2); le16(32, 2); le16(34, 16)
+    ascii(36, "data"); le32(40, dataSize)
+    var j = 0
+    while (j < samples.length) {
+      val s = samples(j) & 0xffff
+      out(44 + 2 * j) = (s & 0xff).toByte
+      out(44 + 2 * j + 1) = ((s >> 8) & 0xff).toByte
+      j += 1
+    }
+    out
+  }
+
+  /** REAL audio resample (the [[resizeBmp]] counterpart for the audio
+    * modality): parse each PCM WAV, nearest-neighbor resample to
+    * `targetRate` — output sample j is input sample ⌊j·rate/target⌋,
+    * output length ⌊n·target/rate⌋, the integer-exact mapping a SQL
+    * oracle can replay (a real pipeline would add a low-pass stage
+    * before decimation; the sample-selection arithmetic under the gate
+    * is the same) — and RE-ENCODE as a standards-valid WAV with the new
+    * rate, updating the meta struct. Same mapPartitions batch shape as
+    * [[extractFeatures]]: one iterator pass, nothing crosses a shuffle.
+    * The q175 gate decodes the OUTPUT with [[decodeWav]], putting the
+    * encoder's header arithmetic in-gate, not just the resampling. */
+  def resampleWav(media: DataFrame, targetRate: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    require(targetRate > 0, "target rate must be positive")
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { m =>
+        val (rate, samples) = parseWav16(m.bytes)
+        val outN = (samples.length.toLong * targetRate / rate).toInt
+        val out = new Array[Short](outN)
+        var j = 0
+        while (j < outN) {
+          out(j) = samples((j.toLong * rate / targetRate).toInt)
+          j += 1
+        }
+        MediaRow(m.media_id, m.kind, encodeWav16(targetRate, out),
+          m.meta.copy(duration_ms = (outN.toLong * 1000 / targetRate).toInt,
+            sample_rate = targetRate))
+      }
+    }.toDF()
   }
 
   /** Deterministic genuine-WAV table: each row's `bytes` is a complete,

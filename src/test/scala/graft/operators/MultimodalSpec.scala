@@ -297,6 +297,64 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeWav(java.util.Arrays.copyOf(std, std.length - 3)))
   }
 
+  test("resampleWav: identity resample re-encodes byte-identically (encode∘parse = id)") {
+    val samples = Array.tabulate[Short](50)(j =>
+      ((j * 2221 + 17) % 65536 - 32768).toShort)
+    val bytes = Multimodal.encodeWav16(10000, samples)
+    val media = Seq(Multimodal.MediaRow(0L, "audio", bytes,
+      Multimodal.MediaMeta(0, 0, 1, "wav", 5, 10000))).toDF()
+    val out = Multimodal.resampleWav(media, 10000).collect().head
+    assert(out.getAs[Array[Byte]]("bytes").sameElements(bytes),
+      "identity resample is not byte-identical")
+  }
+
+  test("resampleWav output is a valid WAV whose samples are the NN resample (javax.sound cross-check)") {
+    import javax.sound.sampled._
+    val src = Multimodal.synthesizeWav(spark, 15).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    val rows = Multimodal.resampleWav(Multimodal.synthesizeWav(spark, 15), 10000)
+      .select($"media_id", $"bytes", $"meta.sample_rate", $"meta.duration_ms")
+      .collect()
+    assert(rows.length == 15)
+    def jdkSamples(bytes: Array[Byte]): (Int, Array[Short]) = {
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val raw = ais.readAllBytes()
+      (ais.getFormat.getSampleRate.toInt,
+        Array.tabulate[Short](raw.length / 2)(j =>
+          ((raw(2 * j) & 0xff) | (raw(2 * j + 1) << 8)).toShort))
+    }
+    var sawUp = false; var sawDown = false
+    for (row <- rows) {
+      val (outRate, out) = jdkSamples(row.getAs[Array[Byte]]("bytes"))
+      val (inRate, in) = jdkSamples(src(row.getLong(0)))
+      assert(outRate == 10000 && row.getInt(2) == 10000, "rate not updated")
+      assert(row.getInt(3) == out.length * 1000 / 10000, "duration not updated")
+      assert(out.length == (in.length.toLong * 10000 / inRate).toInt,
+        s"media ${row.getLong(0)}: output length")
+      for (j <- out.indices)
+        assert(out(j) == in((j.toLong * inRate / 10000).toInt),
+          s"media ${row.getLong(0)}: sample $j is not the NN source sample")
+      if (inRate < 10000) sawUp = true else if (inRate > 10000) sawDown = true
+    }
+    assert(sawUp && sawDown, "corpus sampled only one resample direction")
+  }
+
+  test("resampleWav up/downsamples by the exact integer mapping") {
+    val samples = Array[Short](10, -20, 30, -40, 50, -60)
+    val media = Seq(Multimodal.MediaRow(1L, "audio",
+      Multimodal.encodeWav16(8000, samples),
+      Multimodal.MediaMeta(0, 0, 1, "wav", 0, 8000))).toDF()
+    val up = Multimodal.resampleWav(media, 16000).collect().head
+    val (_, upS) = Multimodal.parseWav16(up.getAs[Array[Byte]]("bytes"))
+    assert(upS.toSeq == samples.flatMap(s => Seq(s, s)).toSeq,
+      "2x upsample must duplicate each sample")
+    val down = Multimodal.resampleWav(media, 4000).collect().head
+    val (_, downS) = Multimodal.parseWav16(down.getAs[Array[Byte]]("bytes"))
+    assert(downS.toSeq == Seq[Short](10, 30, 50),
+      "2x downsample must keep every other sample")
+  }
+
   test("decodePng parses a PNG written by the JDK's own encoder (ImageIO cross-check)") {
     // ImageIO's PNG writer picks its own scanline filters — parsing its
     // output exercises the filter reconstruction against an independent
