@@ -77,7 +77,13 @@ object ScaleProbe {
     // routing, candidate join on cell_id, ADC over the probed slice —
     // the scored volume is corpus/cells × nprobe, so the ratio should
     // track the index-build scans, not the ADC)
-    "q170_ivfpq_topk")
+    "q170_ivfpq_topk",
+    // round-10 continuation: FIM transform (pure codegen map stage —
+    // sha draws, token slices, concat_ws — ratio should be scan cost);
+    // length-bucketed batching (two sub-keyed window exchanges over
+    // id-sized rows — the replicated corpus deepens each (bucket, sub)
+    // partition 10x, which is the axis the sub-bucket fan-out exists for)
+    "q176_fim_transform", "q177_length_batches")
 
   // Corpus construction lives in ProbeCorpus (pinned-seed, reproducible
   // across invocations — ProbeCorpusSpec pins count+hash); this main only

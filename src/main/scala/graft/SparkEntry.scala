@@ -1111,6 +1111,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Fill-in-the-middle transform (Bavarian et al. 2022): content-keyed
+    // sha bytes pick the two token cut points, the 50% transform rate,
+    // and the PSM/SPM coin; the oracle replays all four draws plus the
+    // segment slicing and concat_ws null-skip — a cut-point off-by-one,
+    // a slice-boundary slip, or a sentinel-order mistake desyncs the
+    // text hash on every transformed row.
+    "q176_fim_transform" -> ((s, d) => {
+      operators.Curation.fimTransform(t(s, d, "documents"),
+          "doc_id", "text", ratePct = 50, salt = "fim:42")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Length-bucketed batch assignment (the length-grouped sampler):
+    // token-count buckets at edges 8/16/32, 4 hash sub-buckets per
+    // bucket (no single-partition corpus sort — the q142 lesson),
+    // batches of 8 in (n_tok DESC, hash, id) order, per-batch pad width
+    // and per-doc padding waste. The oracle replays the bucket edges,
+    // the sub-bucket byte, both windows, and the waste arithmetic.
+    "q177_length_batches" -> ((s, d) => {
+      operators.Curation.lengthBucketBatches(t(s, d, "documents"),
+          "doc_id", "text", batchRows = 8, salt = "lb:42",
+          edges = Seq(8, 16, 32), subBuckets = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding-space eval: exact 1-NN label agreement per label (the
     // standard "is this embedding space any good" probe), on a
     // deterministic 1-in-4 query subsample — the corpus-scale eval
@@ -5896,6 +5921,88 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, source, n_tok, cum_tok FROM c
         |WHERE cum_tok <= 500 ORDER BY source, doc_id""".stripMargin,
+
+    // Length-grouped sampler replay: bucket edges, sub-bucket byte,
+    // rank window (n_tok DESC, hash, id), batch cut, and pad/waste.
+    "q177_length_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '')) AS INT) AS n_tok,
+        |    sha256(CAST(doc_id AS VARCHAR) || ':lb:42') AS sk
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tok, sk,
+        |    CAST(CASE WHEN n_tok >= 8 THEN 1 ELSE 0 END
+        |       + CASE WHEN n_tok >= 16 THEN 1 ELSE 0 END
+        |       + CASE WHEN n_tok >= 32 THEN 1 ELSE 0 END AS INT) AS bucket,
+        |    CAST(((strpos('0123456789abcdef', substr(sk, 1, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef', substr(sk, 2, 1)) - 1)) % 4
+        |      AS INT) AS sub
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, n_tok, bucket, sub,
+        |    row_number() OVER (PARTITION BY bucket, sub
+        |      ORDER BY n_tok DESC, sk, doc_id) - 1 AS rn
+        |  FROM b),
+        |bb AS (
+        |  SELECT doc_id, n_tok, bucket, sub,
+        |    CAST(rn // 8 AS INT) AS batch_idx, CAST(rn % 8 AS INT) AS slot
+        |  FROM r),
+        |p AS (
+        |  SELECT doc_id, n_tok, bucket, sub, batch_idx, slot,
+        |    CAST(max(n_tok) OVER (PARTITION BY bucket, sub, batch_idx)
+        |      AS INT) AS pad_to
+        |  FROM bb)
+        |SELECT doc_id, n_tok, bucket, sub, batch_idx, slot, pad_to,
+        |  CAST(pad_to - n_tok AS INT) AS waste
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // FIM replay: the four sha-byte draws (cut points, transform rate,
+    // PSM/SPM coin), the token-slice boundaries, and concat_ws's
+    // null-skip over empty segments all re-derived in DuckDB.
+    "q176_fim_transform" -> {
+      val alpha = "'0123456789abcdef'"
+      def byteAt(k: Int): String =
+        s"(strpos($alpha, substr(hx, ${2 * k + 1}, 1)) - 1) * 16 " +
+          s"+ (strpos($alpha, substr(hx, ${2 * k + 2}, 1)) - 1)"
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(trim(regexp_replace(
+         |      lower(text), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS s,
+         |    sha256('fim:42:' || CAST(doc_id AS VARCHAR)) AS hx
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, text, s, len(s) AS n,
+         |    ${byteAt(0)} AS b0, ${byteAt(1)} AS b1,
+         |    ${byteAt(2)} AS b2, ${byteAt(3)} AS b3
+         |  FROM base),
+         |cut AS (
+         |  SELECT doc_id, text, s, n,
+         |    (b0 % (n + 1)) AS c1,
+         |    (b0 % (n + 1)) + (b1 % (n - (b0 % (n + 1)) + 1)) AS c2,
+         |    (b2 % 100 < 50) AND n > 0 AS dofim,
+         |    b3 % 2 = 1 AS spm
+         |  FROM b),
+         |seg AS (
+         |  SELECT doc_id, text, n, c1, c2, dofim, spm,
+         |    nullif(array_to_string(s[1:c1], ' '), '') AS pre,
+         |    nullif(array_to_string(s[c1+1:c2], ' '), '') AS mid,
+         |    nullif(array_to_string(s[c2+1:n], ' '), '') AS suf
+         |  FROM cut)
+         |SELECT doc_id,
+         |  CASE WHEN NOT dofim THEN text
+         |       WHEN spm THEN concat_ws(' ', '<SUF>', suf, '<PRE>', pre,
+         |                               '<MID>', mid)
+         |       ELSE concat_ws(' ', '<PRE>', pre, '<SUF>', suf,
+         |                      '<MID>', mid) END AS fim_text,
+         |  CASE WHEN NOT dofim THEN 'none'
+         |       WHEN spm THEN 'spm' ELSE 'psm' END AS mode,
+         |  CAST(CASE WHEN dofim THEN c1 ELSE 0 END AS INT) AS n_pre,
+         |  CAST(CASE WHEN dofim THEN c2 - c1 ELSE 0 END AS INT) AS n_mid,
+         |  CAST(CASE WHEN dofim THEN n - c2 ELSE 0 END AS INT) AS n_suf
+         |FROM seg ORDER BY doc_id""".stripMargin
+    },
 
     // The same greedy first-fit recurrence as packSequences, stepped
     // row-by-row per shard (recursion depth = max docs per shard).

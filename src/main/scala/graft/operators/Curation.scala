@@ -124,6 +124,59 @@ object Curation {
     picked.withColumn("rank", row_number().over(rw).cast("long"))
   }
 
+  /** Fill-in-the-middle (FIM) transform (Bavarian et al. 2022,
+    * arXiv:2207.14255): deterministically rewrite a `ratePct`-fraction
+    * of documents into infilling layout — two token cut points split the
+    * document into (prefix, middle, suffix) and the pieces are reordered
+    * with sentinel tokens so an autoregressive model learns to fill the
+    * middle:
+    *
+    *   PSM  `<PRE> prefix <SUF> suffix <MID> middle`
+    *   SPM  `<SUF> suffix <PRE> prefix <MID> middle`  (50/50 per doc)
+    *
+    * All randomness is content-keyed sha256 (the [[hashSplit]] idiom),
+    * never RNG state: bytes 0-3 of sha256("salt:id") drive the cut
+    * points (c1 uniform over [0, n], c2 uniform over [c1, n]), the
+    * transform decision (byte2 mod 100 < ratePct), and the PSM/SPM coin
+    * — so retries, repartitions, and engine changes reproduce the same
+    * corpus. Untransformed documents pass through verbatim with mode
+    * 'none'. Segments travel through `concat_ws`'s null-skip (empty
+    * segment → NULL) so adjacent sentinels stay single-spaced. Pure
+    * codegen map stage, zero shuffle — at 100 TB this is free inside the
+    * corpus scan.
+    *
+    * Returns (id, fim_text, mode, n_pre, n_mid, n_suf) with token counts
+    * of the three segments (zeros when mode = 'none'). */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+                   ratePct: Int = 50, salt: String = "fim"): DataFrame = {
+    require(ratePct >= 0 && ratePct <= 100, s"ratePct out of range: $ratePct")
+    import graft.functions.TextFunctions
+    val hx = sha2(concat(lit(salt + ":"), col(idCol).cast("string")), 256)
+    def hb(k: Int): Column =
+      conv(substring(hx, 2 * k + 1, 2), 16, 10).cast("int")
+    val s = TextFunctions.tokens(TextFunctions.normalizeWs(col(textCol)))
+    val n = size(s)
+    val c1 = hb(0) % (n + 1)             // prefix length ∈ [0, n]
+    val c2 = c1 + hb(1) % (n - c1 + 1)   // middle end ∈ [c1, n]
+    val doFim = (hb(2) % 100 < ratePct) && n > 0
+    val spm = hb(3) % 2 === 1
+    def seg(a: Column): Column = nullif(array_join(a, " "), lit(""))
+    val pre = seg(slice(s, lit(1), c1))
+    val mid = seg(slice(s, c1 + 1, c2 - c1))
+    val suf = seg(slice(s, c2 + 1, n - c2))
+    docs.select(col(idCol),
+      when(!doFim, col(textCol))
+        .when(spm, concat_ws(" ", lit("<SUF>"), suf, lit("<PRE>"), pre,
+          lit("<MID>"), mid))
+        .otherwise(concat_ws(" ", lit("<PRE>"), pre, lit("<SUF>"), suf,
+          lit("<MID>"), mid)).as("fim_text"),
+      when(!doFim, lit("none")).when(spm, lit("spm")).otherwise(lit("psm"))
+        .as("mode"),
+      when(doFim, c1).otherwise(lit(0)).as("n_pre"),
+      when(doFim, c2 - c1).otherwise(lit(0)).as("n_mid"),
+      when(doFim, n - c2).otherwise(lit(0)).as("n_suf"))
+  }
+
   /** Split each document into fixed-size whitespace-token windows for
     * context-length packing: one output row per (doc, window) with
     * half-open token offsets [tok_start, tok_end). Documents with zero
@@ -183,6 +236,97 @@ object Curation {
   def weightedMixture(df: DataFrame, key: Column, weightHex: Column,
                       salt: String): DataFrame =
     df.filter(hexByte(key, salt) < weightHex)
+
+  /** Fractional-epoch upsampling — materialize a mixture like "2.5
+    * epochs of wiki, 0.3 of web" (the repeated-high-quality-sources
+    * recipe): each row repeats ⌊pct/100⌋ times, plus ONE more copy for a
+    * deterministic content-hash-selected (pct mod 100)% of rows — so
+    * expected copies per source = pct/100 exactly (up to the 1/256 hash
+    * quantization of the fractional cut), and pct < 100 degenerates to
+    * the [[weightedMixture]] subsample. `epochsPct` is a per-row column
+    * (hundredths of an epoch: 250 = 2.5 epochs) so callers drive it from
+    * a source map, a quality score, or any expression. The fractional
+    * draw is the [[hashSplit]] idiom (first sha byte < ⌊frac·256/100⌋):
+    * retries, layout, and engines reproduce the same copy set. Pure
+    * map-side explode — the fan-out happens inside the scan's map stage,
+    * zero shuffle, which is what makes epoch materialization affordable
+    * at 100 TB (the alternative, a per-epoch union, re-plans the corpus
+    * scan per epoch).
+    *
+    * Output: input columns + `copy_idx` (0-based); rows with zero copies
+    * disappear. */
+  def epochRepeat(df: DataFrame, idCol: String, epochsPct: Column,
+                  salt: String): DataFrame = {
+    require(!df.columns.contains("copy_idx"),
+      "epochRepeat emits 'copy_idx' but the input already has it")
+    val pct = epochsPct.cast("int")
+    val b = conv(substring(
+      sha2(concat(col(idCol).cast("string"), lit(":" + salt)), 256), 1, 2),
+      16, 10).cast("int")
+    val base = floor(pct / lit(100)).cast("int")
+    val thr = floor((pct % 100) * lit(256) / lit(100)).cast("int")
+    val k = base + when(b < thr, 1).otherwise(0)
+    // sequence(0, k-1) DESCENDS for k <= 0 — the guard is load-bearing
+    df.withColumn("copy_idx",
+      explode(when(k >= 1, sequence(lit(0), k - 1))
+        .otherwise(array().cast("array<int>"))))
+  }
+
+  /** Length-bucketed batch assignment (the "length-grouped sampler"
+    * training layout): bucket documents by token count at the given
+    * edges, order each bucket by (token count DESC, content hash, id),
+    * and cut consecutive runs of `batchRows` docs into batches — so a
+    * batch pads every member to its own longest doc, not the corpus's,
+    * and the reported `waste` (pad_to − n_tok) is the padding cost the
+    * layout actually saves versus random batching. Length-descending
+    * order inside the bucket is the real sampler's trick: it packs
+    * near-equal lengths together, so `pad_to` hugs each batch's median.
+    *
+    * Scale shape: the only corpus-scale exchange is the bucket window.
+    * With `subBuckets = N > 1` (the [[temperatureMixture]] mitigation)
+    * each bucket splits across N deterministic hash sub-buckets —
+    * batches never span sub-buckets, so a bucket holding most of the
+    * corpus ranks through N independent window tasks instead of one
+    * (the q142 lesson: no operator gets to sort the corpus in a single
+    * partition). Batch stats (`pad_to`) ride a second window over the
+    * same keys + batch_idx; its exchange carries only id-sized rows.
+    *
+    * Returns (id, n_tok, bucket, sub, batch_idx, slot, pad_to, waste).
+    * Deterministic under retries/layout: order keys are content hashes,
+    * never RNG or partition state. */
+  def lengthBucketBatches(docs: DataFrame, idCol: String, textCol: String,
+                          batchRows: Int, salt: String, edges: Seq[Int],
+                          subBuckets: Int = 1): DataFrame = {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.expressions.Window
+    require(batchRows > 0, s"batchRows must be positive: $batchRows")
+    require(edges.nonEmpty && edges == edges.sorted && edges.head > 0,
+      s"edges must be sorted positive: $edges")
+    require(subBuckets >= 1 && subBuckets <= 256,
+      s"subBuckets must be in 1..256: $subBuckets")
+    val nTok = TextFunctions.tokenCount(col(textCol)).cast("int")
+    val sk = shuffleKey(col(idCol), salt)
+    val bucket = edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(col("n_tok") >= e, 1).otherwise(0) }
+    val digits = "0123456789abcdef"
+    def hexDigit(i: Int): Column = locate_(substring(col("__sk"), i, 1), digits) - 1
+    val sub =
+      if (subBuckets == 1) lit(0)
+      else (hexDigit(1) * 16 + hexDigit(2)) % subBuckets
+    val w = Window.partitionBy(col("bucket"), col("sub"))
+      .orderBy(col("n_tok").desc, col("__sk"), col(idCol))
+    val wBatch = Window.partitionBy(col("bucket"), col("sub"), col("batch_idx"))
+    docs.select(col(idCol), nTok.as("n_tok"), sk.as("__sk"))
+      .withColumn("bucket", bucket)
+      .withColumn("sub", sub.cast("int"))
+      .withColumn("__rn", row_number().over(w) - 1)
+      .withColumn("batch_idx", (col("__rn") / batchRows).cast("int"))
+      .withColumn("slot", (col("__rn") % batchRows).cast("int"))
+      .withColumn("pad_to", max(col("n_tok")).over(wBatch))
+      .withColumn("waste", col("pad_to") - col("n_tok"))
+      .select(col(idCol), col("n_tok"), col("bucket"), col("sub"),
+        col("batch_idx"), col("slot"), col("pad_to"), col("waste"))
+  }
 
   /** Temperature (α = 1/2) source mixture: rebalance sources by keeping
     * `floor(scale · sqrt(n_s))` docs from each source `s`, admitted in

@@ -438,6 +438,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q177: length-bucket windows partition on (bucket, sub) — never a single-partition sort") {
+    val p = executedPlanOf("q177_length_batches")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"corpus-scale single-partition exchange:\n$p")
+    // both windows must carry the sub key so a dominant bucket fans out
+    val windows = "Window \\[[^\\]]*\\], \\[[^\\]]*\\]".r.findAllIn(p).toSeq
+    assert(windows.nonEmpty && "partitionBy|sub".r.findFirstIn(p).isDefined,
+      s"expected sub-keyed windows:\n$p")
+    assert("hashpartitioning\\([^)]*sub".r.findAllIn(p).size >= 2,
+      s"both window exchanges must hash on the sub key:\n$p")
+  }
+
   test("q102: KMV sketch aggregates partially (bounded map-side state)") {
     val p = executedPlanOf("q102_kmv_distinct")
     // typed-Aggregator UDAFs plan as ObjectHashAggregate; a partial +

@@ -9,6 +9,106 @@ class CurationSpec extends SparkSpec {
   private def docs = spark.range(0, 1000).select(col("id").as("doc_id"),
     concat(lit("doc number "), col("id")).as("text"))
 
+  test("fimTransform: segments partition the token stream; sentinels reassemble the original") {
+    val varied = spark.range(0, 300).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma delta "), col("id"),
+        lit(" epsilon zeta")).as("text"))
+    val out = Curation.fimTransform(varied, "doc_id", "text",
+      ratePct = 100, salt = "fs").collect()
+    assert(out.length == 300)
+    val srcToks = varied.select(col("doc_id"),
+        split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ").as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    var sawPsm = false; var sawSpm = false
+    var sawEmptyPre = false; var sawEmptySuf = false
+    for (r <- out) {
+      val toks = srcToks(r.getLong(0))
+      val mode = r.getString(2)
+      assert(mode == "psm" || mode == "spm", s"rate 100 must transform all")
+      assert(r.getInt(3) + r.getInt(4) + r.getInt(5) == toks.length,
+        s"doc ${r.getLong(0)}: segment counts don't partition the tokens")
+      // parse the sentinels back out and reassemble in document order
+      val txt = r.getString(1)
+      def between(a: String, b: String): Seq[String] = {
+        val s0 = txt.indexOf(a) + a.length
+        val s1 = if (b == null) txt.length else txt.indexOf(b)
+        txt.substring(s0, s1).trim.split("\\s+").filter(_.nonEmpty).toSeq
+      }
+      val (pre, mid, suf) =
+        if (mode == "psm") (between("<PRE>", "<SUF>"), between("<MID>", null),
+          between("<SUF>", "<MID>"))
+        else (between("<PRE>", "<MID>"), between("<MID>", null),
+          between("<SUF>", "<PRE>"))
+      assert(pre ++ mid ++ suf == toks,
+        s"doc ${r.getLong(0)} ($mode): reassembly differs from source tokens")
+      assert(pre.length == r.getInt(3) && mid.length == r.getInt(4) &&
+        suf.length == r.getInt(5), s"doc ${r.getLong(0)}: counts vs parse")
+      if (mode == "psm") sawPsm = true else sawSpm = true
+      if (pre.isEmpty) sawEmptyPre = true
+      if (suf.isEmpty) sawEmptySuf = true
+      // null-skipped empty segments: never a double space
+      assert(!txt.contains("  "), s"doc ${r.getLong(0)}: double space")
+    }
+    assert(sawPsm && sawSpm, "both layouts must occur at 300 docs")
+    assert(sawEmptyPre && sawEmptySuf,
+      "cut-point extremes (empty prefix/suffix) must occur")
+  }
+
+  test("fimTransform: rate 0 passes every document through verbatim; output is layout-invariant") {
+    val out0 = Curation.fimTransform(docs, "doc_id", "text", ratePct = 0)
+      .as[(Long, String, String, Int, Int, Int)].collect().sortBy(_._1)
+    val src = docs.as[(Long, String)].collect().sortBy(_._1)
+    assert(out0.forall(_._3 == "none") &&
+      out0.map(r => (r._1, r._2)).toSeq == src.map(r => (r._1, r._2)).toSeq)
+    assert(out0.forall(r => r._4 == 0 && r._5 == 0 && r._6 == 0))
+    val a = Curation.fimTransform(docs, "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    val b = Curation.fimTransform(docs.repartition(13), "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b, "membership/cuts must not depend on partition layout")
+  }
+
+  test("lengthBucketBatches: batches are homogeneous, contiguous, and pad to their own max") {
+    val varied = spark.range(0, 400).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 to 60).map(k =>
+        when(pmod(col("id") * 7 + k, lit(61)) < pmod(col("id"), lit(55)) + 3,
+          lit(s"w$k"))): _*).as("text"))
+    val out = Curation.lengthBucketBatches(varied, "doc_id", "text",
+      batchRows = 8, salt = "lb", edges = Seq(8, 16, 32), subBuckets = 4)
+      .as[(Long, Int, Int, Int, Int, Int, Int, Int)].collect()
+    assert(out.length == 400)
+    for ((id, n, bucket, sub, _, _, padTo, waste) <- out) {
+      val expectBucket = Seq(8, 16, 32).count(n >= _)
+      assert(bucket == expectBucket, s"doc $id: bucket")
+      assert(sub >= 0 && sub < 4)
+      assert(waste == padTo - n && waste >= 0, s"doc $id: waste")
+    }
+    for (((b, s, bi), rows) <- out.groupBy(r => (r._3, r._4, r._5))) {
+      assert(rows.map(_._6).sorted.toSeq == (0 until rows.length),
+        s"batch ($b,$s,$bi): slots not contiguous from 0")
+      assert(rows.map(_._7).distinct.length == 1 &&
+        rows.head._7 == rows.map(_._2).max,
+        s"batch ($b,$s,$bi): pad_to is not the batch max")
+      // only the LAST batch of a (bucket, sub) may be short
+      val maxBi = out.filter(r => r._3 == b && r._4 == s).map(_._5).max
+      if (bi < maxBi) assert(rows.length == 8, s"batch ($b,$s,$bi): short")
+    }
+    // the layout's point: length-desc batching wastes less padding than
+    // batching the same partitions in plain hash order
+    val byPart = out.groupBy(r => (r._3, r._4))
+    val hashOrderWaste = byPart.values.map { rows =>
+      rows.sortBy(r => r._1).grouped(8)
+        .map(g => g.map(_._2).max * g.length - g.map(_._2).sum).sum
+    }.sum
+    assert(out.map(_._8).sum <= hashOrderWaste,
+      "length-grouped batching must not waste more than hash-order batching")
+    val a = Curation.lengthBucketBatches(varied, "doc_id", "text",
+      8, "lb", Seq(8, 16, 32), 4).collect().map(_.toString).sorted.toSeq
+    val b = Curation.lengthBucketBatches(varied.repartition(17), "doc_id",
+      "text", 8, "lb", Seq(8, 16, 32), 4).collect().map(_.toString).sorted.toSeq
+    assert(a == b, "batch assignment must not depend on partition layout")
+  }
+
   test("weightedSample matches a serial ticket-minimum reference and is layout-invariant") {
     // serial reference: identical ticket construction via MessageDigest
     def ticket(id: Long, j: Long): Long = {
