@@ -83,7 +83,10 @@ object ScaleProbe {
     // length-bucketed batching (two sub-keyed window exchanges over
     // id-sized rows — the replicated corpus deepens each (bucket, sub)
     // partition 10x, which is the axis the sub-bucket fan-out exists for)
-    "q176_fim_transform", "q177_length_batches")
+    "q176_fim_transform", "q177_length_batches",
+    // fractional-epoch explode: map-side fan-out, ratio should be scan
+    // cost plus the ~1.8x row amplification's write-side share
+    "q178_epoch_repeat")
 
   // Corpus construction lives in ProbeCorpus (pinned-seed, reproducible
   // across invocations — ProbeCorpusSpec pins count+hash); this main only

@@ -1123,6 +1123,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Fractional-epoch upsampling: per-source epoch factors 0.30-3.29
+    // (a formula over the source number, so all four base-copy counts
+    // and both sub-/super-unit regimes are in-gate); each doc repeats
+    // floor(pct/100) times plus a hash-selected extra. The oracle
+    // replays the pct formula, the sha-byte cut, and the copy explode.
+    "q178_epoch_repeat" -> ((s, d) => {
+      val pct = lit(30) +
+        pmod(substring(col("source"), 4, 10).cast("int") * 37, lit(300))
+      operators.Curation.epochRepeat(
+          t(s, d, "documents").select(col("doc_id"), col("source")),
+          "doc_id", pct, salt = "ep:42")
+        .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+
     // Length-bucketed batch assignment (the length-grouped sampler):
     // token-count buckets at edges 8/16/32, 4 hash sub-buckets per
     // bucket (no single-partition corpus sort — the q142 lesson),
@@ -5921,6 +5935,26 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, source, n_tok, cum_tok FROM c
         |WHERE cum_tok <= 500 ORDER BY source, doc_id""".stripMargin,
+
+    // Fractional-epoch replay: pct formula, base copies, the sha-byte
+    // fractional cut at floor(frac*256/100), and the copy explode.
+    "q178_epoch_repeat" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    30 + (CAST(substr(source, 4) AS INT) * 37) % 300 AS pct,
+        |    (strpos('0123456789abcdef', substr(
+        |       sha256(CAST(doc_id AS VARCHAR) || ':ep:42'), 1, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(
+        |       sha256(CAST(doc_id AS VARCHAR) || ':ep:42'), 2, 1)) - 1) AS b
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, source,
+        |    pct // 100 + CASE WHEN b < (pct % 100) * 256 // 100
+        |                      THEN 1 ELSE 0 END AS nc
+        |  FROM t)
+        |SELECT doc_id, source, CAST(c AS INT) AS copy_idx
+        |FROM k, unnest(generate_series(0, nc - 1)) AS u(c)
+        |ORDER BY doc_id, copy_idx""".stripMargin,
 
     // Length-grouped sampler replay: bucket edges, sub-bucket byte,
     // rank window (n_tok DESC, hash, id), batch cut, and pad/waste.

@@ -68,6 +68,39 @@ class CurationSpec extends SparkSpec {
     assert(a == b, "membership/cuts must not depend on partition layout")
   }
 
+  test("epochRepeat: copy counts match a serial sha reference; fractional rates land within quantization") {
+    val in = spark.range(0, 2000).select(col("id").as("doc_id"),
+      (pmod(col("id"), lit(4)) * 100 + 50).cast("int").as("pct")) // 50/150/250/350
+    val out = Curation.epochRepeat(in, "doc_id", col("pct"), salt = "er")
+      .as[(Long, Int, Int)].collect()
+    def hashByte(id: Long): Int =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"$id:er".getBytes("UTF-8")).head & 0xff
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    var dropped = 0
+    for (id <- 0L until 2000L) {
+      val pct = (id % 4).toInt * 100 + 50
+      val k = pct / 100 + (if (hashByte(id) < (pct % 100) * 256 / 100) 1 else 0)
+      if (k == 0) { dropped += 1; assert(!byDoc.contains(id), s"doc $id: expected no copies") }
+      else assert(byDoc(id) == (0 until k), s"doc $id: expected $k contiguous copies")
+    }
+    assert(dropped > 0, "the sub-unit regime must drop some docs")
+    // per-rate totals sit within the 1/256 quantization of the cut:
+    // thr = floor(50*256/100) = 128 → exactly thr/256 of docs get the
+    // extra copy in expectation; at 500 docs/rate allow binomial spread
+    for (r <- 0 to 3) {
+      val pct = r * 100 + 50
+      val n = out.count(_._2 == pct)
+      val expected = 500.0 * (pct / 100 + 128.0 / 256)
+      assert(math.abs(n - expected) < 60, s"rate $pct: $n vs ~$expected")
+    }
+    val a = Curation.epochRepeat(in, "doc_id", col("pct"), "er")
+      .collect().map(_.toString).sorted.toSeq
+    val b = Curation.epochRepeat(in.repartition(11), "doc_id", col("pct"), "er")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b, "copy set must not depend on partition layout")
+  }
+
   test("lengthBucketBatches: batches are homogeneous, contiguous, and pad to their own max") {
     val varied = spark.range(0, 400).select(col("id").as("doc_id"),
       concat_ws(" ", (0 to 60).map(k =>
