@@ -600,6 +600,17 @@ object SparkEntry {
       feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
     }),
 
+    // Inter-frame motion features (scene-change primitive): per
+    // consecutive frame pair, channel |Δ| sums, changed-pixel count,
+    // and peak per-pixel delta — the signal a smart frame sampler cuts
+    // on. The oracle replays both frames' pixel formulas and joins them
+    // per (x, y); a frame-pairing or channel-order slip desyncs sums.
+    "q180_frame_deltas" -> ((s, d) => {
+      operators.Multimodal.frameDeltas(
+          operators.Multimodal.synthesizeAnimatedGif(s, 120)).toDF()
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // REAL frame sampling over animated GIF: decode every frame (each
     // through the full LZW path), build the timeline from the Graphic
     // Control Extension delays, emit the active frame's feature lanes at
@@ -1121,6 +1132,26 @@ object SparkEntry {
       operators.Curation.fimTransform(t(s, d, "documents"),
           "doc_id", "text", ratePct = 50, salt = "fim:42")
         .orderBy(col("doc_id"))
+    }),
+
+    // Pack-boundary index over q75's packing: per-(shard, seq_id) sorted
+    // document start offsets (the attention-mask reset points), member
+    // ids, fill, and fill fraction (exact /512 power-of-two scaling).
+    // The oracle replays the q75 recurrence and groups it per sequence;
+    // the list columns ride the hash as CSV (the q41 precedent — the
+    // driver's value hash compares scalars).
+    "q179_pack_boundaries" -> ((s, d) => {
+      val packed = operators.Curation.packSequences(t(s, d, "documents"),
+        "doc_id", "text", capacity = 512L, salt = "pack:42",
+        shardHexChars = 1)
+      operators.Curation.packBoundaries(packed, "doc_id", capacity = 512L)
+        .select(col("shard"), col("seq_id"),
+          array_join(transform(col("boundaries"), _.cast("string")), ",")
+            .as("boundaries_csv"),
+          array_join(transform(col("doc_ids"), _.cast("string")), ",")
+            .as("doc_ids_csv"),
+          col("fill"), col("n_docs"), col("fill_frac"))
+        .orderBy(col("shard"), col("seq_id"))
     }),
 
     // Fractional-epoch upsampling: per-source epoch factors 0.30-3.29
@@ -3621,6 +3652,35 @@ object SparkEntry {
        |  FROM chan GROUP BY i)""".stripMargin
   }
 
+  /** q75/q179 shared CTE: the greedy first-fit packing recurrence,
+    * stepped row-by-row per shard (recursion depth = max docs/shard).
+    * Ends with `pack(doc_id, n_tok, shard, rn, seq_id, tok_start)`. */
+  private lazy val packRecurrenceCte: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |      x -> x <> '')) AS BIGINT) AS n_tok,
+      |    sha256(CAST(doc_id AS VARCHAR) || ':pack:42') AS sk
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, n_tok, substring(sk, 1, 1) AS shard,
+      |    row_number() OVER (PARTITION BY substring(sk, 1, 1)
+      |      ORDER BY sk, doc_id) AS rn
+      |  FROM t),
+      |pack AS (
+      |  SELECT doc_id, n_tok, shard, rn,
+      |    0::BIGINT AS seq_id, 0::BIGINT AS tok_start
+      |  FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.doc_id, o.n_tok, o.shard, o.rn,
+      |    CASE WHEN p.tok_start + p.n_tok > 0
+      |           AND p.tok_start + p.n_tok + o.n_tok > 512
+      |         THEN p.seq_id + 1 ELSE p.seq_id END,
+      |    CASE WHEN p.tok_start + p.n_tok > 0
+      |           AND p.tok_start + p.n_tok + o.n_tok > 512
+      |         THEN 0 ELSE p.tok_start + p.n_tok END
+      |  FROM pack p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1)""".stripMargin
+
   /** q173 oracle: replay the nearest-neighbor resample over the BMP
     * pixel-generation formula (NOT the parser, NOT the encoder — those
     * are gated by the Spark side decoding its own re-encoded output).
@@ -3672,7 +3732,11 @@ object SparkEntry {
     * instant t = 50·s (t < total duration) carries the LATEST frame with
     * start ≤ t. Every lane is integer-exact; the delay windowing and the
     * active-frame max both replay in plain SQL. */
-  private lazy val frameSampleCte: String = {
+  /** Shared q174/q180 prefix: the animated-GIF corpus replay down to
+    * per-frame per-pixel channels — dim (dims, frame count, delays,
+    * palette chains), fr (per-frame delay + pixel chains), px (pixel
+    * indices), chan (palette-RGB channels per (i, k, x, yt)). */
+  private lazy val agifChanCte: String = {
     val alpha = "'0123456789abcdef'"
     def byteAt(src: String, off: String): String =
       s"(strpos($alpha, substr($src, 2 * ($off) + 1, 1)) - 1) * 16 " +
@@ -3701,8 +3765,23 @@ object SparkEntry {
        |    10 * (2 + (${byteAt("dlyhex", "k")}) % 8) AS delay_ms,
        |    $pixChunks AS pixhex
        |  FROM dim, range(5) r(k) WHERE k < nf),
+       |px AS (
+       |  SELECT i, k, w, h, palhex,
+       |    CAST(j % w AS INT) AS x, CAST(j // w AS INT) AS yt,
+       |    ${byteAt("pixhex", "j")} AS idx
+       |  FROM fr, range(64) r(j) WHERE j < w * h),
+       |chan AS (
+       |  SELECT i, k, w, h, x, yt,
+       |    ${byteAt("palhex", "3 * idx")} AS rr,
+       |    ${byteAt("palhex", "3 * idx + 1")} AS g,
+       |    ${byteAt("palhex", "3 * idx + 2")} AS b
+       |  FROM px)""".stripMargin
+  }
+
+  private lazy val frameSampleCte: String =
+    agifChanCte + """,
        |st AS (
-       |  SELECT i, k, w, h, palhex, pixhex, delay_ms,
+       |  SELECT i, k, delay_ms,
        |    COALESCE(CAST(sum(delay_ms) OVER (PARTITION BY i ORDER BY k
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS INT), 0)
        |      AS start_ms,
@@ -3716,17 +3795,6 @@ object SparkEntry {
        |  SELECT samp.i, samp.s, samp.t, max(st.k) AS k
        |  FROM samp JOIN st ON st.i = samp.i AND st.start_ms <= samp.t
        |  GROUP BY 1, 2, 3),
-       |px AS (
-       |  SELECT i, k, w, h, palhex,
-       |    CAST(j % w AS INT) AS x, CAST(j // w AS INT) AS yt,
-       |    ${byteAt("pixhex", "j")} AS idx
-       |  FROM st, range(64) r(j) WHERE j < w * h),
-       |chan AS (
-       |  SELECT i, k, w, h, x, yt,
-       |    ${byteAt("palhex", "3 * idx")} AS rr,
-       |    ${byteAt("palhex", "3 * idx + 1")} AS g,
-       |    ${byteAt("palhex", "3 * idx + 2")} AS b
-       |  FROM px),
        |ffeat AS (
        |  SELECT i, k,
        |    sum(rr) AS f0, sum(g) AS f1, sum(b) AS f2,
@@ -3735,7 +3803,6 @@ object SparkEntry {
        |    max(w * 256 + h) AS f6,
        |    sum(CASE WHEN rr > g THEN 1 ELSE 0 END) AS f7
        |  FROM chan GROUP BY i, k)""".stripMargin
-  }
 
   /** q175 oracle: replay the nearest-neighbor resample over the WAV
     * sample-generation formula (NOT the parser or encoder — those are
@@ -4649,6 +4716,27 @@ object SparkEntry {
           |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
           |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
           |FROM feat ORDER BY media_id""".stripMargin),
+
+    "q180_frame_deltas" ->
+      (agifChanCte + """,
+        |delta AS (
+        |  SELECT a.i, b.k,
+        |    CAST(sum(abs(b.rr - a.rr)) AS BIGINT) AS d_r,
+        |    CAST(sum(abs(b.g - a.g)) AS BIGINT) AS d_g,
+        |    CAST(sum(abs(b.b - a.b)) AS BIGINT) AS d_b,
+        |    CAST(sum(CASE WHEN abs(b.rr - a.rr) + abs(b.g - a.g)
+        |        + abs(b.b - a.b) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_changed,
+        |    CAST(max(abs(b.rr - a.rr) + abs(b.g - a.g) + abs(b.b - a.b))
+        |      AS INT) AS max_delta
+        |  FROM chan a JOIN chan b ON b.i = a.i AND b.k = a.k + 1
+        |    AND b.x = a.x AND b.yt = a.yt
+        |  GROUP BY 1, 2)
+        |SELECT d.i AS media_id, CAST(d.k AS INT) AS frame_idx,
+        |  CAST(f.delay_ms AS INT) AS delay_ms,
+        |  d_r, d_g, d_b, n_changed, max_delta
+        |FROM delta d JOIN fr f ON f.i = d.i AND f.k = d.k
+        |ORDER BY media_id, frame_idx""".stripMargin),
 
     "q174_frame_sample" ->
       (frameSampleCte +
@@ -6041,32 +6129,24 @@ object SparkEntry {
     // The same greedy first-fit recurrence as packSequences, stepped
     // row-by-row per shard (recursion depth = max docs per shard).
     "q75_seq_pack" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id,
-        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-        |      x -> x <> '')) AS BIGINT) AS n_tok,
-        |    sha256(CAST(doc_id AS VARCHAR) || ':pack:42') AS sk
-        |  FROM documents),
-        |o AS (
-        |  SELECT doc_id, n_tok, substring(sk, 1, 1) AS shard,
-        |    row_number() OVER (PARTITION BY substring(sk, 1, 1)
-        |      ORDER BY sk, doc_id) AS rn
-        |  FROM t),
-        |pack AS (
-        |  SELECT doc_id, n_tok, shard, rn,
-        |    0::BIGINT AS seq_id, 0::BIGINT AS tok_start
-        |  FROM o WHERE rn = 1
-        |  UNION ALL
-        |  SELECT o.doc_id, o.n_tok, o.shard, o.rn,
-        |    CASE WHEN p.tok_start + p.n_tok > 0
-        |           AND p.tok_start + p.n_tok + o.n_tok > 512
-        |         THEN p.seq_id + 1 ELSE p.seq_id END,
-        |    CASE WHEN p.tok_start + p.n_tok > 0
-        |           AND p.tok_start + p.n_tok + o.n_tok > 512
-        |         THEN 0 ELSE p.tok_start + p.n_tok END
-        |  FROM pack p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1)
+      (packRecurrenceCte + """
         |SELECT doc_id, shard, seq_id, tok_start, n_tok FROM pack
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin),
+
+    // Boundary-index replay: the q75 recurrence grouped per sequence —
+    // ordered start lists, member ids, fill, and the exact /512 scaling.
+    "q179_pack_boundaries" ->
+      (packRecurrenceCte + """
+        |SELECT shard, seq_id,
+        |  array_to_string(list(CAST(tok_start AS VARCHAR)
+        |    ORDER BY tok_start, doc_id), ',') AS boundaries_csv,
+        |  array_to_string(list(CAST(doc_id AS VARCHAR)
+        |    ORDER BY tok_start, doc_id), ',') AS doc_ids_csv,
+        |  CAST(sum(n_tok) AS BIGINT) AS fill,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS DOUBLE) / 512 AS fill_frac
+        |FROM pack GROUP BY shard, seq_id
+        |ORDER BY shard, seq_id""".stripMargin),
 
     // Same pair-scoring technique as the q26 oracle; top-1 per query,
     // label agreement aggregated per label.

@@ -237,6 +237,31 @@ object Curation {
                       salt: String): DataFrame =
     df.filter(hexByte(key, salt) < weightHex)
 
+  /** Pack-boundary index — the per-sequence metadata a packed-corpus
+    * writer actually ships next to the token stream: for every
+    * (shard, seq_id) from [[packSequences]], the sorted document start
+    * offsets (the attention-mask reset points — cross-document attention
+    * is masked AT these boundaries), the member ids in position order,
+    * the filled token count, and the fill fraction (capacity is a power
+    * of two in practice, so the division is exact IEEE scaling and
+    * replays bit-identically). One hash-agg shuffle on (shard, seq_id);
+    * boundary arrays are per-sequence-sized, never corpus-sized. */
+  def packBoundaries(packed: DataFrame, idCol: String,
+                     capacity: Long): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    packed.groupBy(col("shard"), col("seq_id"))
+      .agg(
+        sort_array(collect_list(struct(col("tok_start"), col(idCol))))
+          .as("__bd"),
+        sum(col("n_tok")).as("fill"),
+        count(lit(1)).as("n_docs"))
+      .select(col("shard"), col("seq_id"),
+        transform(col("__bd"), b => b.getField("tok_start")).as("boundaries"),
+        transform(col("__bd"), b => b.getField(idCol)).as("doc_ids"),
+        col("fill"), col("n_docs"),
+        (col("fill").cast("double") / capacity).as("fill_frac"))
+  }
+
   /** Fractional-epoch upsampling — materialize a mixture like "2.5
     * epochs of wiki, 0.3 of web" (the repeated-high-quality-sources
     * recipe): each row repeats ⌊pct/100⌋ times, plus ONE more copy for a

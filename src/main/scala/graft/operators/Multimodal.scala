@@ -952,10 +952,20 @@ object Multimodal {
     * gets delay 0 (the 87a/static case). Unknown extensions skip
     * generically; anything else rejects loudly. */
   def decodeGifFrames(bytes: Array[Byte]): Seq[GifFrame] = {
+    walkGifFrames(bytes).zipWithIndex.map { case ((delayMs, px, pal, w, h), k) =>
+      GifFrame(k, delayMs, w, h, paletteLanes(px, pal, w, h))
+    }
+  }
+
+  /** Shared frame walk: (delay_ms, pixel indices, palette, w, h) per
+    * image block, GCE delays attached, loud-reject on unknown blocks. */
+  private def walkGifFrames(bytes: Array[Byte])
+      : Seq[(Int, Array[Byte], Array[Byte], Int, Int)] = {
     val (gct, pos0) = parseGifHeader(bytes)
     var pos = pos0
     var delayMs = 0
-    val frames = scala.collection.mutable.ArrayBuffer.empty[GifFrame]
+    val frames = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Array[Byte], Array[Byte], Int, Int)]
     var done = false
     while (!done) {
       gifU8(bytes, pos) match {
@@ -967,8 +977,7 @@ object Multimodal {
           pos = gifSkipSubBlocks(bytes, pos + 2)
         case 0x2c =>
           val (pixels, palette, w, h, p2) = decodeGifImage(bytes, pos, gct)
-          frames += GifFrame(frames.size, delayMs, w, h,
-            paletteLanes(pixels, palette, w, h))
+          frames += ((delayMs, pixels, palette, w, h))
           delayMs = 0
           pos = p2
         case 0x3b => done = true
@@ -978,6 +987,48 @@ object Multimodal {
     }
     require(frames.nonEmpty, "GIF has no image blocks")
     frames.toSeq
+  }
+
+  final case class FrameDelta(media_id: Long, frame_idx: Int, delay_ms: Int,
+                              d_r: Long, d_g: Long, d_b: Long,
+                              n_changed: Long, max_delta: Int)
+
+  /** Inter-frame motion features over animated GIF — the scene-change
+    * primitive behind "sample a frame when the picture actually
+    * changes" (the smarter sibling of [[frameSample]]'s fixed grid):
+    * for every consecutive frame pair emit the per-channel absolute
+    * pixel-delta sums, the changed-pixel count, and the largest
+    * per-pixel |Δr|+|Δg|+|Δb|. Integer-exact lanes over palette-RGB
+    * pixels, so the q180 oracle replays them from the frame formulas.
+    * Frames must share dimensions (full-replacement frames, the
+    * synthesized corpus's shape); a dimension change rejects loudly.
+    * Same mapPartitions shape as [[frameSample]]: one pass, pixel
+    * buffers die inside the task, only delta rows cross the exchange. */
+  def frameDeltas(media: DataFrame): Dataset[FrameDelta] = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].filter(_.kind == "video").flatMap { m =>
+      val frames = walkGifFrames(m.bytes)
+      frames.sliding(2).zipWithIndex.collect {
+        case (Seq((_, px0, pal0, w0, h0), (delay, px1, pal1, w1, h1)), i) =>
+          require(w0 == w1 && h0 == h1,
+            s"media ${m.media_id}: frame ${i + 1} dims ${w1}x$h1 != ${w0}x$h0")
+          var dr, dg, db, changed = 0L
+          var mx = 0
+          var j = 0
+          while (j < w1 * h1) {
+            val i0 = (px0(j) & 0xff) * 3
+            val i1 = (px1(j) & 0xff) * 3
+            val ddr = math.abs((pal1(i1) & 0xff) - (pal0(i0) & 0xff))
+            val ddg = math.abs((pal1(i1 + 1) & 0xff) - (pal0(i0 + 1) & 0xff))
+            val ddb = math.abs((pal1(i1 + 2) & 0xff) - (pal0(i0 + 2) & 0xff))
+            dr += ddr; dg += ddg; db += ddb
+            if (ddr + ddg + ddb > 0) changed += 1
+            if (ddr + ddg + ddb > mx) mx = ddr + ddg + ddb
+            j += 1
+          }
+          FrameDelta(m.media_id, i + 1, delay, dr, dg, db, changed, mx)
+      }.toSeq
+    }
   }
 
   /** Deterministic genuine-GIF table: each row's `bytes` is a complete,

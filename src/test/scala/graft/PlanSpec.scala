@@ -426,11 +426,12 @@ class PlanSpec extends SparkSpec {
     assert(hasCodegen(p), s"lost whole-stage codegen\n$p")
   }
 
-  test("q173/q174/q175: media resample and frame sampling are map-only; sole exchange is the final sort") {
-    // bytes must never cross a shuffle: decode/resample/sample happen in
-    // one mapPartitions pass and only (id, features)-sized rows reach the
-    // orderBy's range exchange — the multimodal 100 TB contract.
-    for (q <- Seq("q173_resize", "q174_frame_sample", "q175_audio_resample")) {
+  test("q173/q174/q175/q180: media resample, frame sampling, and frame deltas are map-only; sole exchange is the final sort") {
+    // bytes must never cross a shuffle: decode/resample/sample/delta all
+    // happen in one mapPartitions pass and only (id, features)-sized rows
+    // reach the orderBy's range exchange — the multimodal 100 TB contract.
+    for (q <- Seq("q173_resize", "q174_frame_sample", "q175_audio_resample",
+        "q180_frame_deltas")) {
       val p = executedPlanOf(q).split("== Initial Plan ==").head
       val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
       assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),

@@ -68,6 +68,38 @@ class CurationSpec extends SparkSpec {
     assert(a == b, "membership/cuts must not depend on partition layout")
   }
 
+  test("packBoundaries: per-sequence index agrees with the packing rows it summarizes") {
+    val varied = spark.range(0, 500).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 to 40).map(k =>
+        when(pmod(col("id") + k, lit(41)) < pmod(col("id"), lit(37)) + 2,
+          lit(s"t$k"))): _*).as("text"))
+    val packed = Curation.packSequences(varied, "doc_id", "text",
+      capacity = 64L, salt = "pb", shardHexChars = 1)
+    val packRows = packed.as[(Long, String, Long, Long, Long)].collect()
+    val idx = Curation.packBoundaries(packed, "doc_id", capacity = 64L)
+      .collect()
+    val bySeq = packRows.groupBy(r => (r._2, r._3))
+    assert(idx.length == bySeq.size, "one index row per sequence")
+    for (r <- idx) {
+      val key = (r.getString(0), r.getLong(1))
+      val members = bySeq(key).sortBy(m => (m._4, m._1)) // (tok_start, id)
+      val bounds = r.getAs[scala.collection.Seq[Long]]("boundaries").toSeq
+      val ids = r.getAs[scala.collection.Seq[Long]]("doc_ids").toSeq
+      assert(bounds == members.map(_._4).toSeq, s"$key: boundaries")
+      assert(ids == members.map(_._1).toSeq, s"$key: member ids")
+      assert(bounds.head == 0L, s"$key: first boundary must be 0")
+      assert(bounds == bounds.sorted, s"$key: boundaries must ascend")
+      assert(r.getAs[Long]("fill") == members.map(_._5).sum, s"$key: fill")
+      assert(r.getAs[Long]("n_docs") == members.length, s"$key: n_docs")
+      assert(r.getAs[Double]("fill_frac") ==
+        members.map(_._5).sum.toDouble / 64, s"$key: fill_frac")
+      // capacity respected unless a single overlong doc owns the sequence
+      assert(r.getAs[Long]("fill") <= 64 || members.length == 1,
+        s"$key: multi-doc sequence over capacity")
+    }
+    assert(idx.exists(_.getAs[Long]("n_docs") > 1), "no multi-doc sequence sampled")
+  }
+
   test("epochRepeat: copy counts match a serial sha reference; fractional rates land within quantization") {
     val in = spark.range(0, 2000).select(col("id").as("doc_id"),
       (pmod(col("id"), lit(4)) * 100 + 50).cast("int").as("pct")) // 50/150/250/350

@@ -597,6 +597,55 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("frameDeltas match an ImageIO-pixel reference; dimension changes reject loudly") {
+    val media = Multimodal.synthesizeAnimatedGif(spark, 10)
+    val byId = Multimodal.frameDeltas(media).collect()
+      .groupBy(_.media_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
+    for (row <- media.select($"media_id", $"bytes").collect()) {
+      val id = row.getLong(0)
+      val rdr = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      rdr.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("bytes"))))
+      val n = rdr.getNumImages(true)
+      val imgs = (0 until n).map(rdr.read)
+      assert(byId(id).length == n - 1, s"media $id: one delta per pair")
+      for (k <- 1 until n) {
+        val (a, b) = (imgs(k - 1), imgs(k))
+        var dr, dg, db, changed = 0L
+        var mx = 0
+        for (y <- 0 until b.getHeight; x <- 0 until b.getWidth) {
+          val pa = a.getRGB(x, y); val pb = b.getRGB(x, y)
+          val ddr = math.abs(((pb >> 16) & 0xff) - ((pa >> 16) & 0xff))
+          val ddg = math.abs(((pb >> 8) & 0xff) - ((pa >> 8) & 0xff))
+          val ddb = math.abs((pb & 0xff) - (pa & 0xff))
+          dr += ddr; dg += ddg; db += ddb
+          if (ddr + ddg + ddb > 0) changed += 1
+          mx = math.max(mx, ddr + ddg + ddb)
+        }
+        val got = byId(id)(k - 1)
+        assert((got.d_r, got.d_g, got.d_b, got.n_changed, got.max_delta) ==
+          (dr, dg, db, changed, mx),
+          s"media $id frame $k: deltas disagree with ImageIO pixels")
+      }
+      rdr.dispose()
+    }
+    // splice a different-dimensioned second frame: must reject loudly,
+    // not read garbage (synthesizeGif ids 0 and 2 differ in dims)
+    val g = Multimodal.synthesizeGif(spark, 3)
+      .select($"media_id", $"bytes", $"meta.width").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    val (b0, b2) = (g(0L), g(2L))
+    val dims = Seq(b0, b2).map(b => Multimodal.decodeGifFrames(b).head)
+    assume(dims(0).w != dims(1).w || dims(0).h != dims(1).h)
+    val spliced = b0.dropRight(1) ++
+      b2.slice(13 + 768, b2.length - 1) :+ 0x3b.toByte
+    val df2 = Seq(Multimodal.MediaRow(9L, "video", spliced,
+      Multimodal.MediaMeta(0, 0, 3, "gif", 0, 0))).toDF()
+    val ex = intercept[org.apache.spark.SparkException](
+      Multimodal.frameDeltas(df2).collect())
+    assert(ex.getMessage != null)
+  }
+
   test("decodeGifFrames rejects malformed animated input loudly") {
     val good = Multimodal.synthesizeAnimatedGif(spark, 1)
       .select($"bytes").collect().head.getAs[Array[Byte]]("bytes")
