@@ -583,6 +583,21 @@ object SparkEntry {
       feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
     }),
 
+    // Bilinear fixed-point resize (the quality path next to q173's NN):
+    // align-corners 8-bit fractional mapping, four-neighbor integer
+    // blend with +32768 >> 16 rounding, re-encode, decode the output.
+    // The oracle replays the whole fixed-point kernel over the pixel
+    // formula — a weight, corner-clamp, or rounding slip desyncs sums.
+    "q181_resize_bilinear" -> ((s, d) => {
+      val media = operators.Multimodal.synthesizeBmp(s, 200)
+      val resized = operators.Multimodal.resizeBmpBilinear(media, 7, 6)
+      val feats = operators.Multimodal
+        .extractFeatures(resized, operators.Multimodal.decodeBmp).toDF()
+      val fcols = (0 until 8).map(i =>
+        element_at(col("features"), i + 1).cast("double").as(s"f$i"))
+      feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
+    }),
+
     // REAL audio resample through the WAV codec: parse → nearest-
     // neighbor resample to 10 kHz (source rates 8000-12080 Hz, so up-
     // AND down-sampling are both in-gate) → RE-ENCODE as a valid WAV →
@@ -3852,6 +3867,71 @@ object SparkEntry {
        |  FROM sgn GROUP BY i)""".stripMargin
   }
 
+  /** q181 oracle: replay the fixed-point bilinear resample over the BMP
+    * pixel-generation formula. Target (x, yt) of the 7×6 result blends
+    * the four source neighbors of the align-corners mapping
+    * sx_fp = x·(w−1)·256/6, sy_fp = yt·(h−1)·256/5 with 8-bit fractional
+    * weights and the +32768 >> 16 rounding — all integer, so the DOUBLE
+    * projection hashes identically against the decoded-output Spark
+    * side. */
+  private lazy val bilinearBmpFeatCte: String = {
+    val alpha = "'0123456789abcdef'"
+    def byteAt(off: String): String =
+      s"(strpos($alpha, substr(hexfull, 2 * ($off) + 1, 1)) - 1) * 16 " +
+        s"+ (strpos($alpha, substr(hexfull, 2 * ($off) + 2, 1)) - 1)"
+    val shaChunks = (0 to 7)
+      .map(k => s"sha256('42:' || CAST(i AS VARCHAR) || ':$k')")
+      .mkString(" || ")
+    val dimByte0 =
+      s"(strpos($alpha, substr(dh, 1, 1)) - 1) * 16 + (strpos($alpha, substr(dh, 2, 1)) - 1)"
+    val dimByte1 =
+      s"(strpos($alpha, substr(dh, 3, 1)) - 1) * 16 + (strpos($alpha, substr(dh, 4, 1)) - 1)"
+    def off(sx: String, sy: String): String =
+      s"(h - 1 - ($sy)) * (((3 * w + 3) // 4) * 4) + 3 * ($sx)"
+    // corner channel columns: c<chan><yx> with chan b/g/r offsets 0/1/2
+    val corners = (for ((cn, co) <- Seq(("b", 0), ("g", 1), ("r", 2));
+                        (yx, sx, sy) <- Seq(("00", "x0", "y0"), ("10", "x1", "y0"),
+                                            ("01", "x0", "y1"), ("11", "x1", "y1")))
+      yield s"${byteAt(s"${off(sx, sy)} + $co")} AS c$cn$yx").mkString(",\n    ")
+    def blend(cn: String): String =
+      s"(c${cn}00 * (256 - fx) * (256 - fy) + c${cn}10 * fx * (256 - fy)" +
+        s" + c${cn}01 * (256 - fx) * fy + c${cn}11 * fx * fy + 32768) // 65536"
+    s"""WITH dim AS (
+       |  SELECT i, 4 + ($dimByte0) % 5 AS w, 4 + ($dimByte1) % 5 AS h, hexfull
+       |  FROM (SELECT i, sha256('42:' || CAST(i AS VARCHAR) || ':dim') AS dh,
+       |               $shaChunks AS hexfull
+       |        FROM range(200) t(i))),
+       |grid AS (
+       |  SELECT i, w, h, hexfull,
+       |    CAST(j % 7 AS INT) AS x, CAST(j // 7 AS INT) AS yt,
+       |    ((j % 7) * (w - 1) * 256) // 6 AS sxfp,
+       |    ((j // 7) * (h - 1) * 256) // 5 AS syfp
+       |  FROM dim, range(42) r(j)),
+       |pos AS (
+       |  SELECT i, w, h, hexfull, x, yt,
+       |    sxfp // 256 AS x0, least(sxfp // 256 + 1, w - 1) AS x1,
+       |    sxfp % 256 AS fx,
+       |    syfp // 256 AS y0, least(syfp // 256 + 1, h - 1) AS y1,
+       |    syfp % 256 AS fy
+       |  FROM grid),
+       |cor AS (
+       |  SELECT i, x, yt, fx, fy,
+       |    $corners
+       |  FROM pos),
+       |chan AS (
+       |  SELECT i, x, yt,
+       |    ${blend("r")} AS rr, ${blend("g")} AS g, ${blend("b")} AS b
+       |  FROM cor),
+       |feat AS (
+       |  SELECT i AS media_id,
+       |    sum(rr) AS f0, sum(g) AS f1, sum(b) AS f2,
+       |    sum(rr * (x + 1)) AS f3, sum(g * (yt + 1)) AS f4,
+       |    sum(b * (x + 1) * (yt + 1)) AS f5,
+       |    max(7 * 256 + 6) AS f6,
+       |    sum(CASE WHEN rr > g THEN 1 ELSE 0 END) AS f7
+       |  FROM chan GROUP BY i)""".stripMargin
+  }
+
   /** q110 oracle: replay the WAV sample-generation formula (NOT the
     * parser). Sample j of file i is the 16-bit signed LE value at chain
     * bytes (2j, 2j+1); sample count and rate come from the "len" sha
@@ -4699,6 +4779,16 @@ object SparkEntry {
 
     "q173_resize" ->
       (resizeBmpFeatCte +
+        """
+          |SELECT media_id,
+          |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
+          |  CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3,
+          |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
+          |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
+          |FROM feat ORDER BY media_id""".stripMargin),
+
+    "q181_resize_bilinear" ->
+      (bilinearBmpFeatCte +
         """
           |SELECT media_id,
           |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,

@@ -273,6 +273,60 @@ object Multimodal {
     out
   }
 
+  /** REAL bilinear resize, fixed-point — the production resize kernel
+    * ([[resizeBmp]]'s nearest-neighbor is the fast path; this is the
+    * quality path): align-corners mapping with 8-bit fractional
+    * coordinates, so every output pixel is an INTEGER function of its
+    * four neighbors and a SQL oracle replays it exactly:
+    *
+    *   sx_fp = x·(w−1)·256 / (W−1)   (0 when W = 1; exact at endpoints)
+    *   x0 = sx_fp >> 8, fx = sx_fp & 255, x1 = min(x0+1, w−1)
+    *   out = (p00·(256−fx)(256−fy) + p10·fx(256−fy)
+    *        + p01·(256−fx)fy + p11·fx·fy + 32768) >> 16
+    *
+    * Accumulators stay < 2^24 per channel. Corners are preserved
+    * exactly (fx = fy = 0 there), a constant image stays constant (the
+    * weights sum to 65536), and the re-encoded output is a
+    * standards-valid BMP [[decodeBmp]] re-parses — the q181 gate. */
+  def resizeBmpBilinear(media: DataFrame, width: Int, height: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    require(width > 0 && height > 0, "target dimensions must be positive")
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { m =>
+        val (w, h, px) = parseBmp24(m.bytes)
+        val out = new Array[Int](width * height)
+        var y = 0
+        while (y < height) {
+          // Long mapping math: y·(h−1)·256 overflows Int past ~4k×4k
+          val syFp = if (height == 1) 0
+            else (y.toLong * (h - 1) * 256 / (height - 1)).toInt
+          val y0 = syFp >> 8; val fy = syFp & 255
+          val y1 = math.min(y0 + 1, h - 1)
+          var x = 0
+          while (x < width) {
+            val sxFp = if (width == 1) 0
+              else (x.toLong * (w - 1) * 256 / (width - 1)).toInt
+            val x0 = sxFp >> 8; val fx = sxFp & 255
+            val x1 = math.min(x0 + 1, w - 1)
+            val p00 = px(y0 * w + x0); val p10 = px(y0 * w + x1)
+            val p01 = px(y1 * w + x0); val p11 = px(y1 * w + x1)
+            def ch(shift: Int): Int = {
+              val a = (p00 >> shift) & 0xff; val b = (p10 >> shift) & 0xff
+              val c = (p01 >> shift) & 0xff; val d = (p11 >> shift) & 0xff
+              (a * (256 - fx) * (256 - fy) + b * fx * (256 - fy) +
+                c * (256 - fx) * fy + d * fx * fy + 32768) >> 16
+            }
+            out(y * width + x) = (ch(16) << 16) | (ch(8) << 8) | ch(0)
+            x += 1
+          }
+          y += 1
+        }
+        MediaRow(m.media_id, m.kind, encodeBmp24(width, height, out),
+          m.meta.copy(width = width, height = height))
+      }
+    }.toDF()
+  }
+
   /** REAL resize (the operator [[resizeStub]] stands in for when no
     * decodable format is present): parse each 24-bit BMP, nearest-
     * neighbor resample to width×height — source pixel of target (x, y)

@@ -334,22 +334,32 @@ class GraphsSpec extends SparkSpec {
     // alive set and edge table must be released, so after the action at
     // most the final core's edge table (kCore) / the hashed edge table
     // (labelPropagation, pageRank) stays persisted
+    // count RELATIVE to a post-cleanup baseline, and do the FULL cleanup
+    // (catalog + RDD-level) between sections: catalog.clearCache alone
+    // leaves localCheckpoint blocks behind, so an earlier suite's (or
+    // section's) checkpointed tables would otherwise count against the
+    // next operator — the full-suite flake this test had in round 10
+    def cleanup(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
     def persisted: Int = spark.sparkContext.getPersistentRDDs.size
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    cleanup()
+    val base = persisted
     val chain = symmetrize(
       Seq((0L, 1L), (1L, 2L), (0L, 2L)) ++
         (2L until 12L).map(i => (i, i + 1))).toDF("src", "dst")
     Graphs.kCore(chain, 2, 30).collect() // ~10 cascade rounds
-    assert(persisted <= 1, s"kCore leaked cached tables: $persisted")
-    spark.catalog.clearCache()
+    assert(persisted - base <= 1, s"kCore leaked cached tables: ${persisted - base}")
+    cleanup()
     Graphs.labelPropagation(chain, 5).collect()
     // documented contract: only the final round's checkpoint blocks remain
-    assert(persisted <= 1, s"labelPropagation leaked cached tables: $persisted")
-    spark.catalog.clearCache()
+    assert(persisted - base <= 1,
+      s"labelPropagation leaked cached tables: ${persisted - base}")
+    cleanup()
     Graphs.integerPageRank(chain, 5).collect()
-    assert(persisted <= 2, s"pageRank leaked cached tables: $persisted")
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    assert(persisted - base <= 2,
+      s"pageRank leaked cached tables: ${persisted - base}")
+    cleanup()
   }
 }

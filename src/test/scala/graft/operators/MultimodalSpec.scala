@@ -297,6 +297,58 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeWav(java.util.Arrays.copyOf(std, std.length - 3)))
   }
 
+  test("resizeBmpBilinear: matches a serial fixed-point reference; identity, corners, and constants are exact") {
+    // serial reference over the parsed source pixels
+    def ref(px: Array[Int], w: Int, h: Int, wo: Int, ho: Int): Array[Int] =
+      Array.tabulate(wo * ho) { j =>
+        val x = j % wo; val y = j / wo
+        val sxFp = if (wo == 1) 0 else x * (w - 1) * 256 / (wo - 1)
+        val syFp = if (ho == 1) 0 else y * (h - 1) * 256 / (ho - 1)
+        val x0 = sxFp >> 8; val fx = sxFp & 255; val x1 = math.min(x0 + 1, w - 1)
+        val y0 = syFp >> 8; val fy = syFp & 255; val y1 = math.min(y0 + 1, h - 1)
+        def ch(s: Int): Int = {
+          val a = (px(y0 * w + x0) >> s) & 0xff; val b = (px(y0 * w + x1) >> s) & 0xff
+          val c = (px(y1 * w + x0) >> s) & 0xff; val d = (px(y1 * w + x1) >> s) & 0xff
+          (a * (256 - fx) * (256 - fy) + b * fx * (256 - fy) +
+            c * (256 - fx) * fy + d * fx * fy + 32768) >> 16
+        }
+        (ch(16) << 16) | (ch(8) << 8) | ch(0)
+      }
+    val srcRows = Multimodal.synthesizeBmp(spark, 12).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    val out = Multimodal
+      .resizeBmpBilinear(Multimodal.synthesizeBmp(spark, 12), 7, 6).collect()
+    for (row <- out) {
+      val (w, h, src) = Multimodal.parseBmp24(srcRows(row.getLong(0)))
+      val (wo, ho, got) = Multimodal.parseBmp24(row.getAs[Array[Byte]]("bytes"))
+      assert((wo, ho) == (7, 6))
+      assert(got.toSeq == ref(src, w, h, 7, 6).toSeq,
+        s"media ${row.getLong(0)}: bilinear disagrees with the reference")
+      // align-corners: all four output corners equal the source corners
+      assert(got(0) == src(0) && got(6) == src(w - 1) &&
+        got(5 * 7) == src((h - 1) * w) && got(5 * 7 + 6) == src(h * w - 1),
+        s"media ${row.getLong(0)}: corners not preserved")
+    }
+    // identity dims → fx = fy = 0 everywhere → byte-identical file
+    val w0 = 6; val h0 = 5
+    val px0 = Array.tabulate(w0 * h0)(j => (j * 41 % 256 << 16) |
+      (j * 17 % 256 << 8) | (j * 89 % 256))
+    val idBytes = Multimodal.encodeBmp24(w0, h0, px0)
+    val idMedia = Seq(Multimodal.MediaRow(0L, "image", idBytes,
+      Multimodal.MediaMeta(w0, h0, 3, "bmp", 0, 0))).toDF()
+    val idOut = Multimodal.resizeBmpBilinear(idMedia, w0, h0).collect().head
+    assert(idOut.getAs[Array[Byte]]("bytes").sameElements(idBytes),
+      "identity bilinear resize is not byte-identical")
+    // constant image stays constant at any size (weights sum to 65536)
+    val cMedia = Seq(Multimodal.MediaRow(1L, "image",
+      Multimodal.encodeBmp24(4, 4, Array.fill(16)(0x7a3c19)),
+      Multimodal.MediaMeta(4, 4, 3, "bmp", 0, 0))).toDF()
+    val (_, _, cOut) = Multimodal.parseBmp24(
+      Multimodal.resizeBmpBilinear(cMedia, 9, 3).collect().head
+        .getAs[Array[Byte]]("bytes"))
+    assert(cOut.forall(_ == 0x7a3c19), "constant image must stay constant")
+  }
+
   test("resampleWav: identity resample re-encodes byte-identically (encode∘parse = id)") {
     val samples = Array.tabulate[Short](50)(j =>
       ((j * 2221 + 17) % 65536 - 32768).toShort)

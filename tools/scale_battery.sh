@@ -38,5 +38,6 @@ run skew
 run graph
 run dhash
 run semdedup
+run media
 echo "battery complete -> $OUT"
 cat "$OUT"
