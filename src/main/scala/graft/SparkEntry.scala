@@ -626,6 +626,37 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    // Peak normalization through the WAV codec: every sample scales by
+    // 32767/peak in sign-safe integer arithmetic (magnitude-then-sign —
+    // engines disagree on negative integer division, magnitudes don't).
+    // The oracle replays peak detection and the exact scaling; the gate
+    // decodes the operator's own re-encoded output.
+    "q183_gain_normalize" -> ((s, d) => {
+      val media = operators.Multimodal.synthesizeWav(s, 200)
+      val normed = operators.Multimodal.normalizeGain(media)
+      val feats = operators.Multimodal
+        .extractFeatures(normed, operators.Multimodal.decodeWav).toDF()
+      val fcols = (0 until 8).map(i =>
+        element_at(col("features"), i + 1).cast("double").as(s"f$i"))
+      feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
+    }),
+
+    // Silence trimming through the WAV codec: first/last |s| >= 16384
+    // scan, inclusive span kept, re-encode, decode the output. The
+    // threshold halves the per-sample survival odds, so most files trim
+    // a few samples from each end and some trim none — both regimes
+    // in-gate. The oracle replays the span scan, the re-indexed
+    // positional lane, and the zero-crossing lag over the KEPT span.
+    "q182_silence_trim" -> ((s, d) => {
+      val media = operators.Multimodal.synthesizeWav(s, 200)
+      val trimmed = operators.Multimodal.trimSilence(media, 16384)
+      val feats = operators.Multimodal
+        .extractFeatures(trimmed, operators.Multimodal.decodeWav).toDF()
+      val fcols = (0 until 8).map(i =>
+        element_at(col("features"), i + 1).cast("double").as(s"f$i"))
+      feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
+    }),
+
     // REAL frame sampling over animated GIF: decode every frame (each
     // through the full LZW path), build the timeline from the Graphic
     // Control Extension delays, emit the active frame's feature lanes at
@@ -3932,6 +3963,113 @@ object SparkEntry {
        |  FROM chan GROUP BY i)""".stripMargin
   }
 
+  /** q183 oracle: replay peak detection and the sign-safe gain scaling
+    * over the WAV sample formula — s' = sign(s)·((|s|·32767) // peak),
+    * low byte re-derived from the stored two's-complement form for the
+    * positional lane. Corpus peaks are never 0 (uniform 16-bit chains),
+    * so the pass-through branch never fires here; MultimodalSpec pins
+    * it. */
+  private lazy val gainWavCte: String = {
+    val alpha = "'0123456789abcdef'"
+    def byteAt(off: String): String =
+      s"(strpos($alpha, substr(hexfull, 2 * ($off) + 1, 1)) - 1) * 16 " +
+        s"+ (strpos($alpha, substr(hexfull, 2 * ($off) + 2, 1)) - 1)"
+    val shaChunks = (0 to 7)
+      .map(k => s"sha256('42:' || CAST(i AS VARCHAR) || ':$k')")
+      .mkString(" || ")
+    val lenByte0 =
+      s"(strpos($alpha, substr(lh, 1, 1)) - 1) * 16 + (strpos($alpha, substr(lh, 2, 1)) - 1)"
+    val lenByte1 =
+      s"(strpos($alpha, substr(lh, 3, 1)) - 1) * 16 + (strpos($alpha, substr(lh, 4, 1)) - 1)"
+    s"""WITH dim AS (
+       |  SELECT i, 32 + ($lenByte0) % 64 AS ns, 8000 + ($lenByte1) * 16 AS rate,
+       |         hexfull
+       |  FROM (SELECT i, sha256('42:' || CAST(i AS VARCHAR) || ':len') AS lh,
+       |               $shaChunks AS hexfull
+       |        FROM range(200) t(i))),
+       |smp AS (
+       |  SELECT i, ns, rate, j,
+       |    (${byteAt("2 * j")}) + 256 * (${byteAt("2 * j + 1")})
+       |      - CASE WHEN (${byteAt("2 * j")}) + 256 * (${byteAt("2 * j + 1")})
+       |             >= 32768 THEN 65536 ELSE 0 END AS s
+       |  FROM dim, range(96) r(j) WHERE j < ns),
+       |pk AS (SELECT i, max(abs(s)) AS peak FROM smp GROUP BY i),
+       |sc AS (
+       |  SELECT smp.i, smp.ns, smp.rate, smp.j,
+       |    CASE WHEN s < 0 THEN -(((-s) * 32767) // peak)
+       |         ELSE (s * 32767) // peak END AS s
+       |  FROM smp JOIN pk ON pk.i = smp.i),
+       |lb AS (
+       |  SELECT i, ns, rate, j, s,
+       |    (s + CASE WHEN s < 0 THEN 65536 ELSE 0 END) % 256 AS b0
+       |  FROM sc),
+       |sgn AS (
+       |  SELECT i, ns, rate, j, s, b0,
+       |    CASE WHEN j > 0 AND ((s >= 0) <>
+       |        (lag(s) OVER (PARTITION BY i ORDER BY j) >= 0))
+       |      THEN 1 ELSE 0 END AS zc
+       |  FROM lb),
+       |feat AS (
+       |  SELECT i AS media_id,
+       |    sum(s) AS f0, sum(abs(s)) AS f1, max(s) AS f2, min(s) AS f3,
+       |    sum(zc) AS f4, sum(b0 * (j + 1)) AS f5,
+       |    max(rate) AS f6, max(ns) AS f7
+       |  FROM sgn GROUP BY i)""".stripMargin
+  }
+
+  /** q182 oracle: replay the silence-trim span scan over the WAV sample
+    * formula — first/last |s| ≥ 16384 bound the kept inclusive span,
+    * positions re-index from the span start (the trimmed file's sample
+    * j − first), and the lanes/zero-crossing lag run over the KEPT
+    * sequence only. The synthesized corpus never goes all-silent
+    * (P ≈ 2⁻³², 32+ uniform samples), so the bounds are always
+    * defined. */
+  private lazy val trimWavCte: String = {
+    val alpha = "'0123456789abcdef'"
+    def byteAt(off: String): String =
+      s"(strpos($alpha, substr(hexfull, 2 * ($off) + 1, 1)) - 1) * 16 " +
+        s"+ (strpos($alpha, substr(hexfull, 2 * ($off) + 2, 1)) - 1)"
+    val shaChunks = (0 to 7)
+      .map(k => s"sha256('42:' || CAST(i AS VARCHAR) || ':$k')")
+      .mkString(" || ")
+    val lenByte0 =
+      s"(strpos($alpha, substr(lh, 1, 1)) - 1) * 16 + (strpos($alpha, substr(lh, 2, 1)) - 1)"
+    val lenByte1 =
+      s"(strpos($alpha, substr(lh, 3, 1)) - 1) * 16 + (strpos($alpha, substr(lh, 4, 1)) - 1)"
+    s"""WITH dim AS (
+       |  SELECT i, 32 + ($lenByte0) % 64 AS ns, 8000 + ($lenByte1) * 16 AS rate,
+       |         hexfull
+       |  FROM (SELECT i, sha256('42:' || CAST(i AS VARCHAR) || ':len') AS lh,
+       |               $shaChunks AS hexfull
+       |        FROM range(200) t(i))),
+       |smp AS (
+       |  SELECT i, rate, j,
+       |    ${byteAt("2 * j")} AS b0,
+       |    (${byteAt("2 * j")}) + 256 * (${byteAt("2 * j + 1")})
+       |      - CASE WHEN (${byteAt("2 * j")}) + 256 * (${byteAt("2 * j + 1")})
+       |             >= 32768 THEN 65536 ELSE 0 END AS s
+       |  FROM dim, range(96) r(j) WHERE j < ns),
+       |bounds AS (
+       |  SELECT i, min(j) AS fst, max(j) AS lst
+       |  FROM smp WHERE abs(s) >= 16384 GROUP BY i),
+       |kept AS (
+       |  SELECT smp.i, smp.rate, smp.j - b.fst AS j, smp.b0, smp.s
+       |  FROM smp JOIN bounds b ON b.i = smp.i
+       |  WHERE smp.j BETWEEN b.fst AND b.lst),
+       |sgn AS (
+       |  SELECT i, rate, j, s, b0,
+       |    CASE WHEN j > 0 AND ((s >= 0) <>
+       |        (lag(s) OVER (PARTITION BY i ORDER BY j) >= 0))
+       |      THEN 1 ELSE 0 END AS zc
+       |  FROM kept),
+       |feat AS (
+       |  SELECT i AS media_id,
+       |    sum(s) AS f0, sum(abs(s)) AS f1, max(s) AS f2, min(s) AS f3,
+       |    sum(zc) AS f4, sum(b0 * (j + 1)) AS f5,
+       |    max(rate) AS f6, count(*) AS f7
+       |  FROM sgn GROUP BY i)""".stripMargin
+  }
+
   /** q110 oracle: replay the WAV sample-generation formula (NOT the
     * parser). Sample j of file i is the 16-bit signed LE value at chain
     * bytes (2j, 2j+1); sample count and rate come from the "len" sha
@@ -4789,6 +4927,26 @@ object SparkEntry {
 
     "q181_resize_bilinear" ->
       (bilinearBmpFeatCte +
+        """
+          |SELECT media_id,
+          |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
+          |  CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3,
+          |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
+          |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
+          |FROM feat ORDER BY media_id""".stripMargin),
+
+    "q183_gain_normalize" ->
+      (gainWavCte +
+        """
+          |SELECT media_id,
+          |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
+          |  CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3,
+          |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
+          |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
+          |FROM feat ORDER BY media_id""".stripMargin),
+
+    "q182_silence_trim" ->
+      (trimWavCte +
         """
           |SELECT media_id,
           |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,

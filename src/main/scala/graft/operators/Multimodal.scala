@@ -536,6 +536,70 @@ object Multimodal {
     out
   }
 
+  /** Silence trimming through the WAV codec — the standard audio-corpus
+    * cleanup (drop the dead air before/after the content): parse, scan
+    * for the first and last sample with |s| ≥ threshold, keep the
+    * inclusive span, RE-ENCODE with the shortened data chunk and an
+    * updated duration. An all-silent file trims to a valid ZERO-sample
+    * WAV (empty data chunk) rather than rejecting — silence is data
+    * quality, not corruption. Same mapPartitions shape as
+    * [[resampleWav]]; the q182 gate decodes the operator's own
+    * re-encoded output. */
+  def trimSilence(media: DataFrame, threshold: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    require(threshold > 0, "threshold must be positive")
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { m =>
+        val (rate, s) = parseWav16(m.bytes)
+        var first = 0
+        while (first < s.length && math.abs(s(first).toInt) < threshold)
+          first += 1
+        var last = s.length - 1
+        while (last >= first && math.abs(s(last).toInt) < threshold)
+          last -= 1
+        val kept =
+          if (last >= first) java.util.Arrays.copyOfRange(s, first, last + 1)
+          else new Array[Short](0)
+        MediaRow(m.media_id, m.kind, encodeWav16(rate, kept),
+          m.meta.copy(duration_ms = (kept.length.toLong * 1000 / rate).toInt))
+      }
+    }.toDF()
+  }
+
+  /** Peak (gain) normalization through the WAV codec — scale every
+    * sample so the loudest hits full scale: s' = sign(s)·⌊|s|·32767 /
+    * peak⌋ with peak = max |s|. The magnitude-then-sign form is
+    * deliberate: engines disagree on negative integer division
+    * (truncation vs floor), magnitudes don't — so the q183 oracle
+    * replays the exact scaling. A digital-silence file (peak 0) passes
+    * through unchanged. Same mapPartitions shape as [[resampleWav]];
+    * the gate decodes the operator's own re-encoded output. */
+  def normalizeGain(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { m =>
+        val (rate, s) = parseWav16(m.bytes)
+        var peak = 0
+        var j = 0
+        while (j < s.length) {
+          val a = math.abs(s(j).toInt); if (a > peak) peak = a; j += 1
+        }
+        if (peak == 0) m
+        else {
+          val out = new Array[Short](s.length)
+          j = 0
+          while (j < s.length) {
+            val v = s(j).toInt
+            val mag = (math.abs(v).toLong * 32767 / peak).toInt
+            out(j) = (if (v < 0) -mag else mag).toShort
+            j += 1
+          }
+          MediaRow(m.media_id, m.kind, encodeWav16(rate, out), m.meta)
+        }
+      }
+    }.toDF()
+  }
+
   /** REAL audio resample (the [[resizeBmp]] counterpart for the audio
     * modality): parse each PCM WAV, nearest-neighbor resample to
     * `targetRate` — output sample j is input sample ⌊j·rate/target⌋,

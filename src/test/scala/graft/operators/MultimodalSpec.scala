@@ -407,6 +407,54 @@ class MultimodalSpec extends SparkSpec {
       "2x downsample must keep every other sample")
   }
 
+  test("trimSilence: span scan, duration update, no-trim and all-silent edges") {
+    def wav(samples: Array[Short]): Multimodal.MediaRow =
+      Multimodal.MediaRow(samples.headOption.map(_.toLong).getOrElse(0L),
+        "audio", Multimodal.encodeWav16(8000, samples),
+        Multimodal.MediaMeta(0, 0, 1, "wav", 0, 8000))
+    val a = Array[Short](100, -200, 30000, -500, 20000, 10, 5)
+    val b = Array[Short](25000, 1, -25000) // loud ends: nothing to trim
+    val c = Array[Short](1, -2, 3, -4)     // all silent
+    val out = Multimodal.trimSilence(
+      Seq(wav(a), wav(b), wav(c)).toDF(), threshold = 16384)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Array[Byte]]("bytes"), r.getAs[org.apache.spark.sql.Row]("meta")))).toMap
+    val (_, aS) = Multimodal.parseWav16(out(100L)._1)
+    assert(aS.toSeq == Seq[Short](30000, -500, 20000), "inclusive span kept")
+    assert(out(100L)._2.getAs[Int]("duration_ms") == 3 * 1000 / 8000)
+    val (_, bS) = Multimodal.parseWav16(out(25000L)._1)
+    assert(bS.toSeq == b.toSeq, "loud-ended input passes through")
+    assert(out(25000L)._1.sameElements(wav(b).bytes),
+      "no-trim output is byte-identical")
+    val (_, cS) = Multimodal.parseWav16(out(1L)._1)
+    assert(cS.isEmpty, "all-silent input trims to a valid zero-sample WAV")
+    assert(out(1L)._2.getAs[Int]("duration_ms") == 0)
+    // the zero-sample file is still a standards-valid WAV: JDK reads it
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(out(1L)._1))
+    assert(ais.readAllBytes().isEmpty)
+  }
+
+  test("normalizeGain: peak hits full scale, ratios preserve sign-safe scaling, silence passes through") {
+    def wav(id: Long, samples: Array[Short]): Multimodal.MediaRow =
+      Multimodal.MediaRow(id, "audio", Multimodal.encodeWav16(8000, samples),
+        Multimodal.MediaMeta(0, 0, 1, "wav", 0, 8000))
+    val a = Array[Short](100, -8192, 16384, -4096, 0)
+    val z = Array[Short](0, 0, 0)
+    val out = Multimodal.normalizeGain(Seq(wav(1, a), wav(2, z)).toDF())
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    val (_, aN) = Multimodal.parseWav16(out(1L))
+    val expected = a.map { v =>
+      val mag = (math.abs(v.toInt).toLong * 32767 / 16384).toInt
+      (if (v < 0) -mag else mag).toShort
+    }
+    assert(aN.toSeq == expected.toSeq, "sign-safe exact scaling")
+    assert(aN.map(s => math.abs(s.toInt)).max == 32767, "peak at full scale")
+    assert(aN(4) == 0 && (aN(1) < 0) && (aN(2) > 0), "signs and zeros kept")
+    assert(out(2L).sameElements(wav(2, z).bytes),
+      "digital silence passes through byte-identically")
+  }
+
   test("decodePng parses a PNG written by the JDK's own encoder (ImageIO cross-check)") {
     // ImageIO's PNG writer picks its own scanline filters — parsing its
     // output exercises the filter reconstruction against an independent
