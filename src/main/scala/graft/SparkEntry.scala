@@ -1938,6 +1938,27 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // IMAGE dedup end to end: the q118 perceptual pairs through q65's
+    // connected components — every image gets a cluster label (min id;
+    // singletons label themselves) and the label holder survives, the
+    // media edition of q80's survivor selection. The oracle extends the
+    // q118 replay with a recursive transitive closure.
+    "q184_media_dup_clusters" -> ((s, d) => {
+      import graft.operators.Multimodal
+      val media = Multimodal.synthesizeDhashBmp(s, 80, 3)
+      val pairs = Multimodal.dhashNearDupPairs(
+          Multimodal.dhashBands(media).toDF(), maxHamming = 6)
+        .select(col("a").as("id_a"), col("b").as("id_b"))
+      val labels = operators.Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "media_id")
+      media.select(col("media_id"))
+        .join(labels, Seq("media_id"), "left")
+        .select(col("media_id"),
+          coalesce(col("label"), col("media_id")).as("cluster_label"))
+        .withColumn("kept", col("media_id") === col("cluster_label"))
+        .orderBy(col("media_id"))
+    }),
+
     // Heavy hitters with a broadcast-CMS shuffle guard — the q114 grid
     // used the way a 100 TB token pipeline uses it: the fixed-size
     // sketch BROADCASTS, each row's estimate is computed MAP-SIDE (one
@@ -3223,7 +3244,14 @@ object SparkEntry {
     * and the xor+bit_count Hamming verify. Every step is integer, so
     * pairs AND misses replay exactly (the gated contract is the banded
     * operator, not ground-truth Hamming). */
-  private lazy val dhashOracleSql: String = {
+  private lazy val dhashOracleSql: String =
+    "WITH " + dhashCteBody + """
+      |SELECT a, b, CAST(hd AS INT) AS hd FROM ver
+      |WHERE hd <= 6 ORDER BY a, b""".stripMargin
+
+  /** q118/q184 shared body (no WITH prefix — q184 needs RECURSIVE):
+    * the dHash corpus replay down to verified pair distances (`ver`). */
+  private lazy val dhashCteBody: String = {
     val alpha = "'0123456789abcdef'"
     def byteAt(src: String, off: String): String =
       s"(strpos($alpha, substr($src, 2 * ($off) + 1, 1)) - 1) * 16 " +
@@ -3231,7 +3259,7 @@ object SparkEntry {
     val shaChunks = (0 until 14)
       .map(k => s"sha256('42:g' || CAST(g AS VARCHAR) || ':dh:$k')")
       .mkString(" || ")
-    s"""WITH img AS (
+    s"""img AS (
        |  SELECT i, i % 80 AS g FROM range(240) t(i)),
        |src AS (
        |  SELECT i, $shaChunks AS hexfull,
@@ -3281,10 +3309,27 @@ object SparkEntry {
        |    bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1)) +
        |    bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) AS hd
        |  FROM cand c JOIN hashes ha ON ha.i = c.a
-       |  JOIN hashes hb ON hb.i = c.b)
-       |SELECT a, b, CAST(hd AS INT) AS hd FROM ver
-       |WHERE hd <= 6 ORDER BY a, b""".stripMargin
+       |  JOIN hashes hb ON hb.i = c.b)""".stripMargin
   }
+
+  /** q184 oracle: the q118 pair replay extended with a recursive
+    * transitive closure (the q65 technique) — component label = min id,
+    * singletons label themselves, survivor = the label holder. */
+  private lazy val mediaDupClustersOracleSql: String =
+    "WITH RECURSIVE " + dhashCteBody + """,
+      |edges AS (
+      |  SELECT a, b FROM ver WHERE hd <= 6
+      |  UNION SELECT b, a FROM ver WHERE hd <= 6),
+      |reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |lab AS (SELECT a AS i, least(a, min(b)) AS label FROM reach GROUP BY a)
+      |SELECT img.i AS media_id,
+      |  COALESCE(lab.label, img.i) AS cluster_label,
+      |  img.i = COALESCE(lab.label, img.i) AS kept
+      |FROM img LEFT JOIN lab ON lab.i = img.i
+      |ORDER BY media_id""".stripMargin
 
   /** q120 oracle: replay all `rounds` BPE merge rounds, unrolled — the
     * distinct-word table, per-round adjacent-pair counts, the
@@ -7411,6 +7456,7 @@ object SparkEntry {
         |FROM it3 ORDER BY pr DESC, nid LIMIT 20""".stripMargin,
 
     "q118_dhash_neardup" -> dhashOracleSql,
+    "q184_media_dup_clusters" -> mediaDupClustersOracleSql,
 
     // Heavy-hitter replay: the geometric key stream (bit length of the
     // event-id hash's low 16 bits), the q114-style grid, per-key

@@ -746,6 +746,30 @@ class MultimodalSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("media dup clusters: labels close the dHash pair graph, exactly one survivor per cluster") {
+    val media = Multimodal.synthesizeDhashBmp(spark, 40, 3)
+    val pairs = Multimodal.dhashNearDupPairs(
+        Multimodal.dhashBands(media).toDF(), maxHamming = 6)
+      .select($"a".as("id_a"), $"b".as("id_b"))
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val pairRows = pairs.as[(Long, Long)].collect()
+    assert(pairRows.nonEmpty, "planted corpus must produce pairs")
+    for ((a, b) <- pairRows)
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    for ((id, lab) <- labels) {
+      assert(lab <= id, "label is the component minimum")
+      assert(labels(lab) == lab, "label holder carries its own label")
+    }
+    // survivor rule: exactly one kept per cluster, singletons kept
+    val all = media.select($"media_id").as[Long].collect().toSet
+    val kept = all.map(id => labels.getOrElse(id, id)).toSeq
+    assert(kept.toSet.subsetOf(all), "survivors are corpus members")
+    val clustered = labels.values.toSet
+    assert(clustered.forall(l => labels.getOrElse(l, l) == l),
+      "every cluster's survivor is its own label")
+  }
+
   test("decodeGifFrames rejects malformed animated input loudly") {
     val good = Multimodal.synthesizeAnimatedGif(spark, 1)
       .select($"bytes").collect().head.getAs[Array[Byte]]("bytes")
