@@ -347,10 +347,11 @@ object Multimodal {
         val out = new Array[Int](width * height)
         var y = 0
         while (y < height) {
-          val sy = y * h / height
+          // Long mapping math: y·h overflows Int past ~46k×46k targets
+          val sy = (y.toLong * h / height).toInt
           var x = 0
           while (x < width) {
-            out(y * width + x) = px(sy * w + x * w / width)
+            out(y * width + x) = px(sy * w + (x.toLong * w / width).toInt)
             x += 1
           }
           y += 1
@@ -1315,9 +1316,13 @@ object Multimodal {
       val starts = frames.scanLeft(0)(_ + _.delay_ms) // length nf+1; last = duration
       val duration = starts.last
       require(duration > 0, s"media ${m.media_id}: zero total duration")
+      // single forward cursor over the frame timeline: sample instants
+      // ascend, so the active frame only ever moves forward — O(samples
+      // + frames), not O(samples × frames) (matters for long videos)
+      var k = 0
       Iterator.from(0).map(_ * everyMs).takeWhile(_ < duration).zipWithIndex
         .map { case (t, s) =>
-          val k = frames.indices.reverse.find(i => starts(i) <= t).get
+          while (k + 1 < frames.length && starts(k + 1) <= t) k += 1
           val f = frames(k).features
           SampledFrame(m.media_id, s, t, k,
             f(0).toDouble, f(1).toDouble, f(2).toDouble, f(3).toDouble,
