@@ -583,6 +583,34 @@ object SparkEntry {
       feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
     }),
 
+    // Center crop through the BMP codec (the resize companion): the
+    // 4x4 window at (floor((w-4)/2), floor((h-4)/2)) — always inside
+    // the 4-8px sources — re-encoded and re-decoded. The oracle shifts
+    // the pixel-formula offsets by the crop anchor; an anchor or
+    // row-order slip desyncs the positional sums.
+    "q185_center_crop" -> ((s, d) => {
+      val media = operators.Multimodal.synthesizeBmp(s, 200)
+      val cropped = operators.Multimodal.centerCrop(media, 4, 4)
+      val feats = operators.Multimodal
+        .extractFeatures(cropped, operators.Multimodal.decodeBmp).toDF()
+      val fcols = (0 until 8).map(i =>
+        element_at(col("features"), i + 1).cast("double").as(s"f$i"))
+      feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
+    }),
+
+    // Fixed-point BT.601 grayscale (77/151/28 integer luma, +128 >> 8
+    // rounding): the oracle replays the luma formula per pixel; the
+    // r>g lane goes identically zero (R=G=B) — itself a gated fact.
+    "q186_grayscale" -> ((s, d) => {
+      val media = operators.Multimodal.synthesizeBmp(s, 200)
+      val gray = operators.Multimodal.toGrayscale(media)
+      val feats = operators.Multimodal
+        .extractFeatures(gray, operators.Multimodal.decodeBmp).toDF()
+      val fcols = (0 until 8).map(i =>
+        element_at(col("features"), i + 1).cast("double").as(s"f$i"))
+      feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
+    }),
+
     // Bilinear fixed-point resize (the quality path next to q173's NN):
     // align-corners 8-bit fractional mapping, four-neighbor integer
     // blend with +32768 >> 16 rounding, re-encode, decode the output.
@@ -4115,6 +4143,87 @@ object SparkEntry {
        |  FROM sgn GROUP BY i)""".stripMargin
   }
 
+  /** q185 oracle: replay the center-crop anchor over the BMP pixel
+    * formula — target (x, yt) of the 4×4 crop reads source pixel
+    * (x0+x, y0+yt) with x0 = ⌊(w−4)/2⌋, y0 = ⌊(h−4)/2⌋. */
+  private lazy val cropBmpFeatCte: String = {
+    val alpha = "'0123456789abcdef'"
+    def byteAt(off: String): String =
+      s"(strpos($alpha, substr(hexfull, 2 * ($off) + 1, 1)) - 1) * 16 " +
+        s"+ (strpos($alpha, substr(hexfull, 2 * ($off) + 2, 1)) - 1)"
+    val shaChunks = (0 to 7)
+      .map(k => s"sha256('42:' || CAST(i AS VARCHAR) || ':$k')")
+      .mkString(" || ")
+    val dimByte0 =
+      s"(strpos($alpha, substr(dh, 1, 1)) - 1) * 16 + (strpos($alpha, substr(dh, 2, 1)) - 1)"
+    val dimByte1 =
+      s"(strpos($alpha, substr(dh, 3, 1)) - 1) * 16 + (strpos($alpha, substr(dh, 4, 1)) - 1)"
+    s"""WITH dim AS (
+       |  SELECT i, 4 + ($dimByte0) % 5 AS w, 4 + ($dimByte1) % 5 AS h, hexfull
+       |  FROM (SELECT i, sha256('42:' || CAST(i AS VARCHAR) || ':dim') AS dh,
+       |               $shaChunks AS hexfull
+       |        FROM range(200) t(i))),
+       |px AS (
+       |  SELECT i, hexfull,
+       |    CAST(j % 4 AS INT) AS x, CAST(j // 4 AS INT) AS yt,
+       |    (h - 1 - ((h - 4) // 2 + j // 4)) * (((3 * w + 3) // 4) * 4)
+       |      + 3 * ((w - 4) // 2 + j % 4) AS off
+       |  FROM dim, range(16) r(j)),
+       |chan AS (
+       |  SELECT i, x, yt,
+       |    ${byteAt("off")} AS b, ${byteAt("off + 1")} AS g,
+       |    ${byteAt("off + 2")} AS rr
+       |  FROM px),
+       |feat AS (
+       |  SELECT i AS media_id,
+       |    sum(rr) AS f0, sum(g) AS f1, sum(b) AS f2,
+       |    sum(rr * (x + 1)) AS f3, sum(g * (yt + 1)) AS f4,
+       |    sum(b * (x + 1) * (yt + 1)) AS f5,
+       |    max(4 * 256 + 4) AS f6,
+       |    sum(CASE WHEN rr > g THEN 1 ELSE 0 END) AS f7
+       |  FROM chan GROUP BY i)""".stripMargin
+  }
+
+  /** q186 oracle: replay the fixed-point BT.601 luma over the BMP pixel
+    * formula — L = (77·R + 151·G + 28·B + 128) // 256, lanes over
+    * R=G=B=L (the r>g lane is identically zero). */
+  private lazy val grayBmpFeatCte: String = {
+    val alpha = "'0123456789abcdef'"
+    def byteAt(off: String): String =
+      s"(strpos($alpha, substr(hexfull, 2 * ($off) + 1, 1)) - 1) * 16 " +
+        s"+ (strpos($alpha, substr(hexfull, 2 * ($off) + 2, 1)) - 1)"
+    val shaChunks = (0 to 7)
+      .map(k => s"sha256('42:' || CAST(i AS VARCHAR) || ':$k')")
+      .mkString(" || ")
+    val dimByte0 =
+      s"(strpos($alpha, substr(dh, 1, 1)) - 1) * 16 + (strpos($alpha, substr(dh, 2, 1)) - 1)"
+    val dimByte1 =
+      s"(strpos($alpha, substr(dh, 3, 1)) - 1) * 16 + (strpos($alpha, substr(dh, 4, 1)) - 1)"
+    s"""WITH dim AS (
+       |  SELECT i, 4 + ($dimByte0) % 5 AS w, 4 + ($dimByte1) % 5 AS h, hexfull
+       |  FROM (SELECT i, sha256('42:' || CAST(i AS VARCHAR) || ':dim') AS dh,
+       |               $shaChunks AS hexfull
+       |        FROM range(200) t(i))),
+       |px AS (
+       |  SELECT i, w, h, hexfull,
+       |    CAST(j % w AS INT) AS x, CAST(j // w AS INT) AS yt,
+       |    (h - 1 - (j // w)) * (((3 * w + 3) // 4) * 4) + 3 * (j % w) AS off
+       |  FROM dim, range(64) r(j) WHERE j < w * h),
+       |lum AS (
+       |  SELECT i, w, h, x, yt,
+       |    (77 * (${byteAt("off + 2")}) + 151 * (${byteAt("off + 1")})
+       |     + 28 * (${byteAt("off")}) + 128) // 256 AS l
+       |  FROM px),
+       |feat AS (
+       |  SELECT i AS media_id,
+       |    sum(l) AS f0, sum(l) AS f1, sum(l) AS f2,
+       |    sum(l * (x + 1)) AS f3, sum(l * (yt + 1)) AS f4,
+       |    sum(l * (x + 1) * (yt + 1)) AS f5,
+       |    max(w * 256 + h) AS f6,
+       |    0 AS f7
+       |  FROM lum GROUP BY i)""".stripMargin
+  }
+
   /** q110 oracle: replay the WAV sample-generation formula (NOT the
     * parser). Sample j of file i is the 16-bit signed LE value at chain
     * bytes (2j, 2j+1); sample count and rate come from the "len" sha
@@ -4962,6 +5071,26 @@ object SparkEntry {
 
     "q173_resize" ->
       (resizeBmpFeatCte +
+        """
+          |SELECT media_id,
+          |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
+          |  CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3,
+          |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
+          |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
+          |FROM feat ORDER BY media_id""".stripMargin),
+
+    "q185_center_crop" ->
+      (cropBmpFeatCte +
+        """
+          |SELECT media_id,
+          |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
+          |  CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3,
+          |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
+          |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
+          |FROM feat ORDER BY media_id""".stripMargin),
+
+    "q186_grayscale" ->
+      (grayBmpFeatCte +
         """
           |SELECT media_id,
           |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,

@@ -327,6 +327,65 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Center crop through the BMP codec — the companion of resize in
+    * every image training pipeline (resize-then-crop is the standard
+    * aspect normalization): the W×H window anchored at
+    * (⌊(w−W)/2⌋, ⌊(h−H)/2⌋) in top-down coordinates, re-encoded as a
+    * standards-valid BMP. Inputs smaller than the crop reject loudly
+    * (the caller gates on meta first — the [[filterByMeta]] shape).
+    * Same mapPartitions batch as [[resizeBmp]]; the q185 gate decodes
+    * the operator's own output. */
+  def centerCrop(media: DataFrame, width: Int, height: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    require(width > 0 && height > 0, "crop dimensions must be positive")
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { m =>
+        val (w, h, px) = parseBmp24(m.bytes)
+        require(width <= w && height <= h,
+          s"media ${m.media_id}: crop ${width}x$height exceeds ${w}x$h")
+        val x0 = (w - width) / 2
+        val y0 = (h - height) / 2
+        val out = new Array[Int](width * height)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            out(y * width + x) = px((y0 + y) * w + (x0 + x))
+            x += 1
+          }
+          y += 1
+        }
+        MediaRow(m.media_id, m.kind, encodeBmp24(width, height, out),
+          m.meta.copy(width = width, height = height))
+      }
+    }.toDF()
+  }
+
+  /** Fixed-point grayscale conversion through the BMP codec (ITU-R
+    * BT.601-weight integer luma, the classic preprocessing step):
+    * L = (77·R + 151·G + 28·B + 128) >> 8 — weights sum to 256 so a
+    * constant image maps to (approximately) itself and the arithmetic
+    * is integer-exact for the q186 oracle — written back as R=G=B=L in
+    * a standards-valid BMP. */
+  def toGrayscale(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { m =>
+        val (w, h, px) = parseBmp24(m.bytes)
+        val out = new Array[Int](px.length)
+        var j = 0
+        while (j < px.length) {
+          val v = px(j)
+          val l = (77 * ((v >> 16) & 0xff) + 151 * ((v >> 8) & 0xff) +
+            28 * (v & 0xff) + 128) >> 8
+          out(j) = (l << 16) | (l << 8) | l
+          j += 1
+        }
+        MediaRow(m.media_id, m.kind, encodeBmp24(w, h, out), m.meta)
+      }
+    }.toDF()
+  }
+
   /** REAL resize (the operator [[resizeStub]] stands in for when no
     * decodable format is present): parse each 24-bit BMP, nearest-
     * neighbor resample to width×height — source pixel of target (x, y)

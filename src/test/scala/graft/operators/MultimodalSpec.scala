@@ -349,6 +349,57 @@ class MultimodalSpec extends SparkSpec {
     assert(cOut.forall(_ == 0x7a3c19), "constant image must stay constant")
   }
 
+  test("centerCrop: anchored window matches the source (ImageIO cross-check); undersized input rejects") {
+    val src = Multimodal.synthesizeBmp(spark, 10).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    val rows = Multimodal.centerCrop(Multimodal.synthesizeBmp(spark, 10), 4, 4)
+      .select($"media_id", $"bytes", $"meta.width", $"meta.height").collect()
+    for (row <- rows) {
+      assert(row.getInt(2) == 4 && row.getInt(3) == 4, "meta not updated")
+      val out = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("bytes")))
+      val in = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(src(row.getLong(0))))
+      val x0 = (in.getWidth - 4) / 2; val y0 = (in.getHeight - 4) / 2
+      for (y <- 0 until 4; x <- 0 until 4)
+        assert((out.getRGB(x, y) & 0xffffff) ==
+          (in.getRGB(x0 + x, y0 + y) & 0xffffff),
+          s"media ${row.getLong(0)}: crop pixel ($x,$y) is not the window pixel")
+    }
+    val ex = intercept[org.apache.spark.SparkException](
+      Multimodal.centerCrop(Multimodal.synthesizeBmp(spark, 5), 9, 9).collect())
+    assert(ex.getMessage != null)
+  }
+
+  test("toGrayscale: serial luma reference; constant images are a fixed point") {
+    val src = Multimodal.synthesizeBmp(spark, 10).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    val out = Multimodal.toGrayscale(Multimodal.synthesizeBmp(spark, 10))
+      .select($"media_id", $"bytes").collect()
+    for (row <- out) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("bytes")))
+      val in = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(src(row.getLong(0))))
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val p = in.getRGB(x, y)
+        val l = (77 * ((p >> 16) & 0xff) + 151 * ((p >> 8) & 0xff) +
+          28 * (p & 0xff) + 128) >> 8
+        assert((img.getRGB(x, y) & 0xffffff) == ((l << 16) | (l << 8) | l),
+          s"media ${row.getLong(0)}: luma at ($x,$y)")
+      }
+    }
+    // (c,c,c) maps to (256c + 128) >> 8 = c exactly — grayscale input is
+    // a fixed point of the transform
+    val const = Seq(Multimodal.MediaRow(0L, "image",
+      Multimodal.encodeBmp24(4, 4, Array.fill(16)(0x5a5a5a)),
+      Multimodal.MediaMeta(4, 4, 3, "bmp", 0, 0))).toDF()
+    val cOut = Multimodal.toGrayscale(const).collect().head
+    assert(cOut.getAs[Array[Byte]]("bytes").sameElements(
+      Multimodal.encodeBmp24(4, 4, Array.fill(16)(0x5a5a5a))),
+      "grayscale input must be byte-identical under grayscale")
+  }
+
   test("resampleWav: identity resample re-encodes byte-identically (encode∘parse = id)") {
     val samples = Array.tabulate[Short](50)(j =>
       ((j * 2221 + 17) % 65536 - 32768).toShort)
