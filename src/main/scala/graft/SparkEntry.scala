@@ -611,6 +611,25 @@ object SparkEntry {
       feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
     }),
 
+    // Orientation augmentation quartet: every image through flip_h /
+    // rot90 / rot180 / rot270 (the rotations SWAP dims, so the output
+    // stride/padding differs from the input's — in-gate via the decode
+    // of the operator's own output). Oracle replays the four coordinate
+    // remaps over the pixel formula, one UNION branch per mode.
+    "q187_orientations" -> ((s, d) => {
+      val media = operators.Multimodal.synthesizeBmp(s, 200)
+      val all = Seq("flip_h", "rot90", "rot180", "rot270").map { m =>
+        operators.Multimodal
+          .extractFeatures(operators.Multimodal.orient(media, m),
+            operators.Multimodal.decodeBmp).toDF()
+          .withColumn("mode", lit(m))
+      }.reduce(_ unionByName _)
+      val fcols = (0 until 8).map(i =>
+        element_at(col("features"), i + 1).cast("double").as(s"f$i"))
+      all.select(col("media_id") +: col("mode") +: fcols: _*)
+        .orderBy(col("media_id"), col("mode"))
+    }),
+
     // Bilinear fixed-point resize (the quality path next to q173's NN):
     // align-corners 8-bit fractional mapping, four-neighbor integer
     // blend with +32768 >> 16 rounding, re-encode, decode the output.
@@ -4184,6 +4203,60 @@ object SparkEntry {
        |  FROM chan GROUP BY i)""".stripMargin
   }
 
+  /** q187 oracle: replay the four orientation coordinate remaps over
+    * the BMP pixel formula — per mode, target (x, yt) reads source
+    * (sx, sy) per the documented mapping, with the rotations swapping
+    * the reported geometry lane. One UNION ALL branch per mode. */
+  private lazy val orientationsOracleSql: String = {
+    val alpha = "'0123456789abcdef'"
+    def byteAt(off: String): String =
+      s"(strpos($alpha, substr(hexfull, 2 * ($off) + 1, 1)) - 1) * 16 " +
+        s"+ (strpos($alpha, substr(hexfull, 2 * ($off) + 2, 1)) - 1)"
+    val shaChunks = (0 to 7)
+      .map(k => s"sha256('42:' || CAST(i AS VARCHAR) || ':$k')")
+      .mkString(" || ")
+    val dimByte0 =
+      s"(strpos($alpha, substr(dh, 1, 1)) - 1) * 16 + (strpos($alpha, substr(dh, 2, 1)) - 1)"
+    val dimByte1 =
+      s"(strpos($alpha, substr(dh, 3, 1)) - 1) * 16 + (strpos($alpha, substr(dh, 4, 1)) - 1)"
+    // target grid width per mode ('w' or 'h'), source coords in terms of
+    // target (x, yt) and source dims (w, h), and the geometry lane
+    val modes = Seq(
+      ("flip_h", "w", "w - 1 - x", "yt", "w * 256 + h"),
+      ("rot180", "w", "w - 1 - x", "h - 1 - yt", "w * 256 + h"),
+      ("rot90", "h", "yt", "h - 1 - x", "h * 256 + w"),
+      ("rot270", "h", "w - 1 - yt", "x", "h * 256 + w"))
+    val branches = modes.map { case (mode, gw, sx, sy, f6) =>
+      s"""SELECT i AS media_id, '$mode' AS mode,
+         |  CAST(sum(rr) AS DOUBLE) AS f0, CAST(sum(g) AS DOUBLE) AS f1,
+         |  CAST(sum(b) AS DOUBLE) AS f2,
+         |  CAST(sum(rr * (x + 1)) AS DOUBLE) AS f3,
+         |  CAST(sum(g * (yt + 1)) AS DOUBLE) AS f4,
+         |  CAST(sum(b * (x + 1) * (yt + 1)) AS DOUBLE) AS f5,
+         |  CAST(max($f6) AS DOUBLE) AS f6,
+         |  CAST(sum(CASE WHEN rr > g THEN 1 ELSE 0 END) AS DOUBLE) AS f7
+         |FROM (
+         |  SELECT i, w, h, x, yt,
+         |    ${byteAt("off")} AS b, ${byteAt("off + 1")} AS g,
+         |    ${byteAt("off + 2")} AS rr
+         |  FROM (
+         |    SELECT i, w, h, hexfull, x, yt,
+         |      (h - 1 - ($sy)) * (((3 * w + 3) // 4) * 4) + 3 * ($sx) AS off
+         |    FROM (
+         |      SELECT i, w, h, hexfull,
+         |        CAST(j % $gw AS INT) AS x, CAST(j // $gw AS INT) AS yt
+         |      FROM dim, range(64) r(j) WHERE j < w * h) g0) g1) g2
+         |GROUP BY i""".stripMargin
+    }
+    s"""WITH dim AS (
+       |  SELECT i, 4 + ($dimByte0) % 5 AS w, 4 + ($dimByte1) % 5 AS h, hexfull
+       |  FROM (SELECT i, sha256('42:' || CAST(i AS VARCHAR) || ':dim') AS dh,
+       |               $shaChunks AS hexfull
+       |        FROM range(200) t(i)))
+       |${branches.mkString("", "\nUNION ALL\n", "")}
+       |ORDER BY media_id, mode""".stripMargin
+  }
+
   /** q186 oracle: replay the fixed-point BT.601 luma over the BMP pixel
     * formula — L = (77·R + 151·G + 28·B + 128) // 256, lanes over
     * R=G=B=L (the r>g lane is identically zero). */
@@ -5078,6 +5151,8 @@ object SparkEntry {
           |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
           |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
           |FROM feat ORDER BY media_id""".stripMargin),
+
+    "q187_orientations" -> orientationsOracleSql,
 
     "q185_center_crop" ->
       (cropBmpFeatCte +

@@ -361,6 +361,51 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Orientation transforms through the BMP codec — the training-
+    * augmentation quartet (horizontal flip + the three right-angle
+    * rotations; vertical flip = rot180∘flip_h). Pure coordinate
+    * remaps, integer-exact by construction:
+    *
+    *   flip_h  (w×h)  out(x,y) = in(w−1−x, y)
+    *   rot180  (w×h)  out(x,y) = in(w−1−x, h−1−y)
+    *   rot90   (h×w)  out(x,y) = in(y, h−1−x)        (clockwise)
+    *   rot270  (h×w)  out(x,y) = in(w−1−y, x)
+    *
+    * The rotations swap dimensions, so the re-encode exercises a
+    * DIFFERENT stride/padding than the input — exactly the slip the
+    * q187 gate (decode of the operator's own output) would catch. */
+  def orient(media: DataFrame, mode: String): DataFrame = {
+    import media.sparkSession.implicits._
+    require(Set("flip_h", "rot90", "rot180", "rot270")(mode),
+      s"unknown orientation '$mode'")
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { m =>
+        val (w, h, px) = parseBmp24(m.bytes)
+        val (wo, ho) = mode match {
+          case "flip_h" | "rot180" => (w, h)
+          case _ => (h, w)
+        }
+        val out = new Array[Int](wo * ho)
+        var y = 0
+        while (y < ho) {
+          var x = 0
+          while (x < wo) {
+            out(y * wo + x) = mode match {
+              case "flip_h" => px(y * w + (w - 1 - x))
+              case "rot180" => px((h - 1 - y) * w + (w - 1 - x))
+              case "rot90"  => px((h - 1 - x) * w + y)
+              case "rot270" => px(x * w + (w - 1 - y))
+            }
+            x += 1
+          }
+          y += 1
+        }
+        MediaRow(m.media_id, m.kind, encodeBmp24(wo, ho, out),
+          m.meta.copy(width = wo, height = ho))
+      }
+    }.toDF()
+  }
+
   /** Fixed-point grayscale conversion through the BMP codec (ITU-R
     * BT.601-weight integer luma, the classic preprocessing step):
     * L = (77·R + 151·G + 28·B + 128) >> 8 — weights sum to 256 so a

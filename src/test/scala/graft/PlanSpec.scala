@@ -432,7 +432,8 @@ class PlanSpec extends SparkSpec {
     // reach the orderBy's range exchange — the multimodal 100 TB contract.
     for (q <- Seq("q173_resize", "q174_frame_sample", "q175_audio_resample",
         "q180_frame_deltas", "q181_resize_bilinear", "q182_silence_trim",
-        "q183_gain_normalize", "q185_center_crop", "q186_grayscale")) {
+        "q183_gain_normalize", "q185_center_crop", "q186_grayscale",
+        "q187_orientations")) {
       val p = executedPlanOf(q).split("== Initial Plan ==").head
       val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
       assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),

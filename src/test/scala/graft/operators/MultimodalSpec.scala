@@ -371,6 +371,61 @@ class MultimodalSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("orient: pixel remaps match ImageIO per mode; group laws hold byte-identically") {
+    val media = Multimodal.synthesizeBmp(spark, 8)
+    val src = media.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    def img(b: Array[Byte]) =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    for (mode <- Seq("flip_h", "rot90", "rot180", "rot270")) {
+      val rows = Multimodal.orient(media, mode).collect()
+      for (row <- rows) {
+        val in = img(src(row.getLong(0)))
+        val out = img(row.getAs[Array[Byte]]("bytes"))
+        val (w, h) = (in.getWidth, in.getHeight)
+        val expectDims = if (mode == "flip_h" || mode == "rot180") (w, h) else (h, w)
+        assert((out.getWidth, out.getHeight) == expectDims, s"$mode dims")
+        for (y <- 0 until out.getHeight; x <- 0 until out.getWidth) {
+          val (sx, sy) = mode match {
+            case "flip_h" => (w - 1 - x, y)
+            case "rot180" => (w - 1 - x, h - 1 - y)
+            case "rot90"  => (y, h - 1 - x)
+            case "rot270" => (w - 1 - y, x)
+          }
+          assert((out.getRGB(x, y) & 0xffffff) == (in.getRGB(sx, sy) & 0xffffff),
+            s"media ${row.getLong(0)} $mode: pixel ($x,$y)")
+        }
+      }
+    }
+    // group laws on the PARSED pixels: flip∘flip = id, rot90² = rot180,
+    // rot90⁴ = id. (Raw-byte equality would compare stride PADDING,
+    // which synthesizeBmp fills from the sha chain but encodeBmp24
+    // canonically zeroes — invisible to every decode by construction.)
+    def pixelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Int]] =
+      df.collect().map { r =>
+        val (_, _, px) = Multimodal.parseBmp24(r.getAs[Array[Byte]]("bytes"))
+        r.getLong(0) -> px.toSeq
+      }.toMap
+    val srcPx = pixelsOf(media)
+    val ff = pixelsOf(Multimodal.orient(Multimodal.orient(media, "flip_h"), "flip_h"))
+    assert(ff == srcPx, "flip∘flip ≠ id")
+    val r90twice = pixelsOf(
+      Multimodal.orient(Multimodal.orient(media, "rot90"), "rot90"))
+    assert(r90twice == pixelsOf(Multimodal.orient(media, "rot180")),
+      "rot90² ≠ rot180")
+    val r4 = pixelsOf(Seq.fill(4)("rot90").foldLeft(media)(Multimodal.orient))
+    assert(r4 == srcPx, "rot90⁴ ≠ id")
+    // the double-applied results ARE byte-identical to each other (both
+    // sides went through the canonical encoder)
+    val r90x2bytes = Multimodal
+      .orient(Multimodal.orient(media, "rot90"), "rot90").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    val r180bytes = Multimodal.orient(media, "rot180").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes")).toMap
+    assert(r180bytes.forall { case (id, b) => r90x2bytes(id).sameElements(b) },
+      "canonical encodings must agree")
+  }
+
   test("toGrayscale: serial luma reference; constant images are a fixed point") {
     val src = Multimodal.synthesizeBmp(spark, 10).collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bytes")).toMap
