@@ -662,6 +662,20 @@ object SparkEntry {
       feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
     }),
 
+    // Keyframe extraction over TEMPORALLY-CORRELATED animated GIF
+    // (frames share ~75% of pixels via a replayable change mask — the
+    // q133 copy-mask rule on the time axis): frame 0 always emits,
+    // frame k emits iff ≥35% of pixels changed value vs frame k-1. The
+    // oracle replays the mask's max-source rule, the value-diff count,
+    // the start times, and the selection — a mask slip, a copy-forward
+    // bug, or a threshold off-by-one changes the emitted SET.
+    "q188_keyframes" -> ((s, d) => {
+      operators.Multimodal.keyframes(
+          operators.Multimodal.synthesizeAnimatedGifCorrelated(s, 120),
+          minChangedPct = 35).toDF()
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // Inter-frame motion features (scene-change primitive): per
     // consecutive frame pair, channel |Δ| sums, changed-pixel count,
     // and peak per-pixel delta — the signal a smart frame sampler cuts
@@ -4297,6 +4311,99 @@ object SparkEntry {
        |  FROM lum GROUP BY i)""".stripMargin
   }
 
+  /** q188 oracle: replay the correlated-GIF mask rule (pixel j of frame
+    * k comes from chain m* = max {m ≤ k : mask(m, j)}, mask(0,·) always
+    * set — the q133 copy-mask trick on the time axis), the per-pixel
+    * value-difference count between consecutive frames, the cumulative
+    * start times, and the keyframe rule (k = 0 or changed% ≥ 35). */
+  private lazy val keyframesOracleSql: String = {
+    val alpha = "'0123456789abcdef'"
+    def byteAt(src: String, off: String): String =
+      s"(strpos($alpha, substr($src, 2 * ($off) + 1, 1)) - 1) * 16 " +
+        s"+ (strpos($alpha, substr($src, 2 * ($off) + 2, 1)) - 1)"
+    val iv = "CAST(i AS VARCHAR)"
+    val kv = "CAST(k AS VARCHAR)"
+    val palChunks = (0 to 23)
+      .map(c => s"sha256('42:cgifpal:' || $iv || ':$c')")
+      .mkString(" || ")
+    def chunks(tag: String): String = (0 to 7)
+      .map(c => s"sha256('42:$tag' || $kv || ':' || $iv || ':$c')")
+      .mkString(" || ")
+    val dimByte0 =
+      s"(strpos($alpha, substr(dh, 1, 1)) - 1) * 16 + (strpos($alpha, substr(dh, 2, 1)) - 1)"
+    val dimByte1 =
+      s"(strpos($alpha, substr(dh, 3, 1)) - 1) * 16 + (strpos($alpha, substr(dh, 4, 1)) - 1)"
+    s"""WITH dim AS (
+       |  SELECT i, 4 + ($dimByte0) % 5 AS w, 4 + ($dimByte1) % 5 AS h,
+       |    2 + (${byteAt(s"sha256('42:cgifnf:' || $iv)", "0")}) % 4 AS nf,
+       |    sha256('42:cgifdly:' || $iv) AS dlyhex, palhex
+       |  FROM (SELECT i, sha256('42:cgifdim:' || $iv) AS dh,
+       |               $palChunks AS palhex
+       |        FROM range(120) t(i))),
+       |fr AS (
+       |  SELECT i, CAST(k AS INT) AS k, w, h,
+       |    10 * (2 + (${byteAt("dlyhex", "k")}) % 8) AS delay_ms,
+       |    ${chunks("cgif")} AS pixhex, ${chunks("cgifm")} AS maskhex
+       |  FROM dim, range(5) r(k) WHERE k < nf),
+       |cell AS (
+       |  SELECT i, k AS m, CAST(j AS INT) AS j,
+       |    (k = 0 OR (${byteAt("maskhex", "j")}) < 64) AS sel,
+       |    ${byteAt("pixhex", "j")} AS pb
+       |  FROM fr, range(64) r(j) WHERE j < w * h),
+       |ms AS (
+       |  SELECT c.i, f.k, c.j, max(c.m) AS msrc
+       |  FROM cell c JOIN fr f ON f.i = c.i AND c.m <= f.k
+       |  WHERE c.sel GROUP BY 1, 2, 3),
+       |pidx AS (
+       |  SELECT ms.i, ms.k, ms.j, cell.pb
+       |  FROM ms JOIN cell ON cell.i = ms.i AND cell.m = ms.msrc
+       |    AND cell.j = ms.j),
+       |chan AS (
+       |  SELECT p.i, p.k, d.w, d.h,
+       |    CAST(p.j % d.w AS INT) AS x, CAST(p.j // d.w AS INT) AS yt,
+       |    ${byteAt("d.palhex", "3 * p.pb")} AS rr,
+       |    ${byteAt("d.palhex", "3 * p.pb + 1")} AS g,
+       |    ${byteAt("d.palhex", "3 * p.pb + 2")} AS b
+       |  FROM pidx p JOIN dim d ON d.i = p.i),
+       |ffeat AS (
+       |  SELECT i, k,
+       |    sum(rr) AS f0, sum(g) AS f1, sum(b) AS f2,
+       |    sum(rr * (x + 1)) AS f3, sum(g * (yt + 1)) AS f4,
+       |    sum(b * (x + 1) * (yt + 1)) AS f5,
+       |    max(w * 256 + h) AS f6,
+       |    sum(CASE WHEN rr > g THEN 1 ELSE 0 END) AS f7,
+       |    max(w * h) AS npx
+       |  FROM chan GROUP BY i, k),
+       |delta AS (
+       |  SELECT a.i, b.k,
+       |    CAST(sum(CASE WHEN a.rr <> b.rr OR a.g <> b.g OR a.b <> b.b
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS changed
+       |  FROM chan a JOIN chan b ON b.i = a.i AND b.k = a.k + 1
+       |    AND b.x = a.x AND b.yt = a.yt
+       |  GROUP BY 1, 2),
+       |st AS (
+       |  SELECT i, k, delay_ms,
+       |    COALESCE(CAST(sum(delay_ms) OVER (PARTITION BY i ORDER BY k
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS INT), 0)
+       |      AS start_ms
+       |  FROM fr),
+       |key AS (
+       |  SELECT f.i, f.k, st.start_ms,
+       |    COALESCE(d.changed, 0) AS n_changed,
+       |    f.f0, f.f1, f.f2, f.f3, f.f4, f.f5, f.f6, f.f7
+       |  FROM ffeat f JOIN st ON st.i = f.i AND st.k = f.k
+       |  LEFT JOIN delta d ON d.i = f.i AND d.k = f.k
+       |  WHERE f.k = 0 OR COALESCE(d.changed, 0) * 100 >= 35 * f.npx)
+       |SELECT i AS media_id, CAST(k AS INT) AS frame_idx,
+       |  CAST(start_ms AS INT) AS start_ms,
+       |  CAST(n_changed AS BIGINT) AS n_changed,
+       |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
+       |  CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3,
+       |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
+       |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
+       |FROM key ORDER BY media_id, frame_idx""".stripMargin
+  }
+
   /** q110 oracle: replay the WAV sample-generation formula (NOT the
     * parser). Sample j of file i is the 16-bit signed LE value at chain
     * bytes (2j, 2j+1); sample count and rate come from the "len" sha
@@ -5213,6 +5320,8 @@ object SparkEntry {
           |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
           |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
           |FROM feat ORDER BY media_id""".stripMargin),
+
+    "q188_keyframes" -> keyframesOracleSql,
 
     "q180_frame_deltas" ->
       (agifChanCte + """,

@@ -1212,6 +1212,129 @@ object Multimodal {
     frames.toSeq
   }
 
+  /** Temporally-CORRELATED animated-GIF table — the realistic video
+    * shape [[synthesizeAnimatedGif]]'s independent frames lack: frame 0
+    * comes fully from its chain; frame k ≥ 1 copies frame k−1 except at
+    * pixels whose "cgifm{k}" mask byte < 64 (≈25% churn), which take
+    * the "cgif{k}" chain value — so consecutive frames are mostly
+    * identical and scene-change detection has a real signal. The mask
+    * rule replays in SQL exactly (the q133 copy-mask trick, lifted to
+    * the time axis): pixel j of frame k is the "cgif{m*}" chain byte
+    * where m* = max {m ≤ k : mask(m, j)} and mask(0, ·) is always set.
+    * Delays/dims/palette follow the agif formulas under "cgif" tags. */
+  def synthesizeAnimatedGifCorrelated(spark: SparkSession, n: Int,
+                                      seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).map { id =>
+      def sha(tag: String): Array[Byte] =
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s"$seed:$tag:$id".getBytes("UTF-8"))
+      def shaK(tag: String, k: Int): Array[Byte] =
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s"$seed:$tag:$id:$k".getBytes("UTF-8"))
+      val dim = sha("cgifdim")
+      val w = 4 + (dim(0) & 0xff) % 5
+      val h = 4 + (dim(1) & 0xff) % 5
+      val nf = 2 + (sha("cgifnf")(0) & 0xff) % 4
+      val dly = sha("cgifdly")
+      val palette = (0 until 24).flatMap(k => shaK("cgifpal", k)).toArray
+      val outBytes = new java.io.ByteArrayOutputStream()
+      outBytes.write("GIF89a".getBytes("US-ASCII"))
+      def le16(v: Int): Unit = { outBytes.write(v & 0xff); outBytes.write((v >> 8) & 0xff) }
+      le16(w); le16(h)
+      outBytes.write(0xf7); outBytes.write(0); outBytes.write(0)
+      outBytes.write(palette, 0, 768)
+      var durationMs = 0
+      val cur = new Array[Byte](w * h)
+      for (f <- 0 until nf) {
+        val chain = (0 until 8).flatMap(k => shaK(s"cgif$f", k)).toArray
+        val mask = (0 until 8).flatMap(k => shaK(s"cgifm$f", k)).toArray
+        var j = 0
+        while (j < w * h) {
+          if (f == 0 || (mask(j) & 0xff) < 64) cur(j) = chain(j)
+          j += 1
+        }
+        val delayCs = 2 + (dly(f) & 0xff) % 8
+        durationMs += delayCs * 10
+        outBytes.write(0x21); outBytes.write(0xf9); outBytes.write(4)
+        outBytes.write(0); le16(delayCs); outBytes.write(0); outBytes.write(0)
+        outBytes.write(0x2c)
+        le16(0); le16(0); le16(w); le16(h)
+        outBytes.write(0); outBytes.write(8)
+        var acc = 0L; var nbits = 0
+        val lzw = new java.io.ByteArrayOutputStream()
+        def put(code: Int): Unit = {
+          acc |= (code.toLong & 0x1ff) << nbits; nbits += 9
+          while (nbits >= 8) { lzw.write((acc & 0xff).toInt); acc >>>= 8; nbits -= 8 }
+        }
+        put(256)
+        j = 0
+        while (j < w * h) { put(cur(j) & 0xff); j += 1 }
+        put(257)
+        if (nbits > 0) lzw.write((acc & 0xff).toInt)
+        val lz = lzw.toByteArray
+        var off = 0
+        while (off < lz.length) {
+          val blen = math.min(255, lz.length - off)
+          outBytes.write(blen); outBytes.write(lz, off, blen)
+          off += blen
+        }
+        outBytes.write(0)
+      }
+      outBytes.write(0x3b)
+      MediaRow(id, "video", outBytes.toByteArray,
+        MediaMeta(w, h, 3, "gif", durationMs, 0))
+    }.toDF()
+  }
+
+  final case class Keyframe(media_id: Long, frame_idx: Int, start_ms: Int,
+                            n_changed: Long, f0: Double, f1: Double,
+                            f2: Double, f3: Double, f4: Double,
+                            f5: Double, f6: Double, f7: Double)
+
+  /** Keyframe extraction — sample a frame when the PICTURE changes, not
+    * when the clock ticks (the production alternative to
+    * [[frameSample]]'s fixed grid): frame 0 always emits; frame k ≥ 1
+    * emits iff its changed-pixel count (any channel differs vs frame
+    * k−1, the [[frameDeltas]] metric) reaches `minChangedPct`% of the
+    * frame. Emits the frame's start time and feature lanes. Same
+    * map-only shape as the other frame ops: pixels die in the task,
+    * only keyframe rows cross the exchange. */
+  def keyframes(media: DataFrame, minChangedPct: Int): Dataset[Keyframe] = {
+    import media.sparkSession.implicits._
+    require(minChangedPct >= 0 && minChangedPct <= 100,
+      s"minChangedPct out of range: $minChangedPct")
+    media.as[MediaRow].filter(_.kind == "video").flatMap { m =>
+      val frames = walkGifFrames(m.bytes)
+      var startMs = 0
+      var prev: (Array[Byte], Array[Byte]) = null // (pixels, palette)
+      frames.zipWithIndex.flatMap { case ((delay, px, pal, w, h), k) =>
+        val changed =
+          if (k == 0) 0L
+          else {
+            val (px0, pal0) = prev
+            var c = 0L; var j = 0
+            while (j < w * h) {
+              val i0 = (px0(j) & 0xff) * 3; val i1 = (px(j) & 0xff) * 3
+              if (pal0(i0) != pal(i1) || pal0(i0 + 1) != pal(i1 + 1) ||
+                pal0(i0 + 2) != pal(i1 + 2)) c += 1
+              j += 1
+            }
+            c
+          }
+        val st = startMs
+        startMs += delay
+        prev = (px, pal)
+        if (k == 0 || changed * 100L >= minChangedPct.toLong * (w * h)) {
+          val f = paletteLanes(px, pal, w, h)
+          Some(Keyframe(m.media_id, k, st, changed,
+            f(0).toDouble, f(1).toDouble, f(2).toDouble, f(3).toDouble,
+            f(4).toDouble, f(5).toDouble, f(6).toDouble, f(7).toDouble))
+        } else None
+      }
+    }
+  }
+
   final case class FrameDelta(media_id: Long, frame_idx: Int, delay_ms: Int,
                               d_r: Long, d_g: Long, d_b: Long,
                               n_changed: Long, max_delta: Int)

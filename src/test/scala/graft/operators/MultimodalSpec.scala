@@ -803,6 +803,72 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("correlated GIF frames follow the mask rule; keyframes match a serial ImageIO reference") {
+    val media = Multimodal.synthesizeAnimatedGifCorrelated(spark, 20)
+    val rows = media.select($"media_id", $"bytes").collect()
+    def framesOf(bytes: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
+      val rdr = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      rdr.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      val out = (0 until rdr.getNumImages(true)).map(rdr.read)
+      rdr.dispose(); out
+    }
+    // serial mask-rule reference: expected pixel index of frame k
+    def sha(tag: String, id: Long): Array[Byte] =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"42:$tag:$id".getBytes("UTF-8"))
+    def chain(tag: String, id: Long): Array[Byte] =
+      (0 until 8).flatMap(c => java.security.MessageDigest
+        .getInstance("SHA-256")
+        .digest(s"42:$tag:$id:$c".getBytes("UTF-8"))).toArray
+    var frac = List.empty[Double]
+    for (row <- rows) {
+      val id = row.getLong(0)
+      val imgs = framesOf(row.getAs[Array[Byte]]("bytes"))
+      val (w, h) = (imgs.head.getWidth, imgs.head.getHeight)
+      val pal = (0 until 24).flatMap(c => java.security.MessageDigest
+        .getInstance("SHA-256")
+        .digest(s"42:cgifpal:$id:$c".getBytes("UTF-8"))).toArray
+      val cur = new Array[Int](w * h)
+      for (k <- imgs.indices) {
+        val pix = chain(s"cgif$k", id); val msk = chain(s"cgifm$k", id)
+        for (j <- 0 until w * h)
+          if (k == 0 || (msk(j) & 0xff) < 64) cur(j) = pix(j) & 0xff
+        var changed = 0
+        for (y <- 0 until h; x <- 0 until w) {
+          val e = cur(y * w + x) * 3
+          val expected = ((pal(e) & 0xff) << 16) | ((pal(e + 1) & 0xff) << 8) |
+            (pal(e + 2) & 0xff)
+          assert((imgs(k).getRGB(x, y) & 0xffffff) == expected,
+            s"media $id frame $k: pixel ($x,$y) breaks the mask rule")
+          if (k > 0 && (imgs(k).getRGB(x, y) & 0xffffff) !=
+            (imgs(k - 1).getRGB(x, y) & 0xffffff)) changed += 1
+        }
+        if (k > 0) frac ::= changed.toDouble / (w * h)
+      }
+    }
+    assert(frac.exists(_ * 100 >= 35) && frac.exists(_ * 100 < 35),
+      "corpus must produce both keyframe and non-keyframe transitions")
+    // keyframe emission matches the serial rule exactly
+    val got = Multimodal.keyframes(media, 35).collect()
+      .groupBy(_.media_id).view.mapValues(_.map(_.frame_idx).sorted.toSeq).toMap
+    for (row <- rows) {
+      val id = row.getLong(0)
+      val imgs = framesOf(row.getAs[Array[Byte]]("bytes"))
+      val (w, h) = (imgs.head.getWidth, imgs.head.getHeight)
+      val expected = imgs.indices.filter { k =>
+        k == 0 || {
+          var c = 0
+          for (y <- 0 until h; x <- 0 until w)
+            if ((imgs(k).getRGB(x, y) & 0xffffff) !=
+              (imgs(k - 1).getRGB(x, y) & 0xffffff)) c += 1
+          c * 100 >= 35 * (w * h)
+        }
+      }
+      assert(got(id) == expected, s"media $id: keyframe set")
+    }
+  }
+
   test("frameDeltas match an ImageIO-pixel reference; dimension changes reject loudly") {
     val media = Multimodal.synthesizeAnimatedGif(spark, 10)
     val byId = Multimodal.frameDeltas(media).collect()
