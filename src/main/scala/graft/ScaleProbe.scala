@@ -499,6 +499,46 @@ object ScaleProbe {
     val hb10 = time(Graphs.hyperBall(edgesOf(s"$bigDir/graph10"), rounds = 3))
     println(f"[scale-graph] q145_hyperball 1x=${hb1}%6.2fs 10x=${hb10}%6.2fs " +
       f"ratio=${hb10 / hb1}%5.2f")
+
+    // large/small-star CC on the same disjoint-copies axis: every star
+    // round is edge-linear work and the copies converge in the same
+    // round count, so the expected shape is ~linear in edges
+    def pairsOf(dir: String): DataFrame = spark.read.parquet(dir)
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+    val cs1 = time(Graphs.ccLargeSmallStar(pairsOf(s"$bigDir/graph1"), 6))
+    val cs10 = time(Graphs.ccLargeSmallStar(pairsOf(s"$bigDir/graph10"), 6))
+    println(f"[scale-graph] q189_cc_stars 1x=${cs1}%6.2fs 10x=${cs10}%6.2fs " +
+      f"ratio=${cs10 / cs1}%5.2f")
+
+    // incremental CC: the standing-corpus claim — the SAME copy-0 delta
+    // (~1% of copy-0 edges) against 1x vs 10x standing labels should
+    // cost the SAME (only touched components enter the iteration; the
+    // 10x standing table adds one anti-join pass, not iteration work).
+    // Standing labels build OUTSIDE the timer (they are the standing
+    // corpus, maintained across batches in production).
+    val deltaRule =
+      (col("id_a") + col("id_b")) % 101 === 0 && col("id_a") < offset
+    val d0 = pairsOf(s"$bigDir/graph1").filter(deltaRule).localCheckpoint()
+    val sl1 = Graphs.ccLargeSmallStar(
+      pairsOf(s"$bigDir/graph1").except(d0), 6)
+    val sl10 = Graphs.ccLargeSmallStar(
+      pairsOf(s"$bigDir/graph10").except(d0), 6)
+    sl1.write.mode("overwrite").parquet(s"$bigDir/ccstand1")
+    sl10.write.mode("overwrite").parquet(s"$bigDir/ccstand10")
+    val ic1 = time(Graphs.incrementalCc(
+      spark.read.parquet(s"$bigDir/ccstand1"), d0, 6))
+    val ic10 = time(Graphs.incrementalCc(
+      spark.read.parquet(s"$bigDir/ccstand10"), d0, 6))
+    println(f"[scale-graph] q195_incremental_cc stand1x=${ic1}%6.2fs " +
+      f"stand10x=${ic10}%6.2fs ratio=${ic10 / ic1}%5.2f (want ~flat)")
+
+    // hash random walks: each of the 4 steps is one frontier⋈edges
+    // join with map-side argmin collapse — linear in edges at fixed
+    // degree distribution (10x walks over 10x edges)
+    val rw1 = time(Graphs.hashRandomWalks(edgesOf(s"$bigDir/graph1"), 4, "rw:p"))
+    val rw10 = time(Graphs.hashRandomWalks(edgesOf(s"$bigDir/graph10"), 4, "rw:p"))
+    println(f"[scale-graph] q196_hash_walks 1x=${rw1}%6.2fs 10x=${rw10}%6.2fs " +
+      f"ratio=${rw10 / rw1}%5.2f")
   }
 
   /** SemDeDup probe on BOTH axes of its scale story (assumes `gen` ran:

@@ -483,6 +483,21 @@ object SparkEntry {
       feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
     }),
 
+    // Sobel edge energy over the q109 BMP corpus — the edge/texture
+    // quality lane for the image modality: q186's fixed-point luma,
+    // then the standard 3×3 Sobel gradients at interior pixels. The
+    // oracle replays pixel bytes → luma → a kernel-weighted 3×3
+    // neighborhood self-join — a row-order, stride, luma-constant, or
+    // kernel-orientation slip desyncs the |gx|/|gy|/positional sums.
+    "q191_sobel_edges" -> ((s, d) => {
+      val media = operators.Multimodal.synthesizeBmp(s, 200)
+      val feats = operators.Multimodal
+        .extractFeatures(media, operators.Multimodal.decodeBmpSobel).toDF()
+      val fcols = (0 until 8).map(i =>
+        element_at(col("features"), i + 1).cast("double").as(s"f$i"))
+      feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
+    }),
+
     // The audio-modality counterpart of q109: synthesizeWav emits
     // standards-valid RIFF/WAV PCM files (sha256-chain samples, sha-
     // derived per-row sample counts and rates so header fields vary) and
@@ -494,6 +509,21 @@ object SparkEntry {
       val media = operators.Multimodal.synthesizeWav(s, 200)
       val feats = operators.Multimodal
         .extractFeatures(media, operators.Multimodal.decodeWav).toDF()
+      val fcols = (0 until 8).map(i =>
+        element_at(col("features"), i + 1).cast("double").as(s"f$i"))
+      feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
+    }),
+
+    // Walsh–Hadamard spectral fingerprint over the q110 WAV corpus —
+    // the audio signature lane: 8 integer-exact ±1-basis coefficients
+    // over the first 64 decoded samples (dyadic filter bank; the
+    // engine-reproducible stand-in for a float FFT). The oracle
+    // replays the sample formula and the popcount sign rule — a
+    // sample-order, sign-extension, or window slip desyncs the lanes.
+    "q192_wht_fingerprint" -> ((s, d) => {
+      val media = operators.Multimodal.synthesizeWav(s, 200)
+      val feats = operators.Multimodal
+        .extractFeatures(media, operators.Multimodal.decodeWavWht).toDF()
       val fcols = (0 until 8).map(i =>
         element_at(col("features"), i + 1).cast("double").as(s"f$i"))
       feats.select(col("media_id") +: fcols: _*).orderBy(col("media_id"))
@@ -953,6 +983,31 @@ object SparkEntry {
           operators.Curation.shuffleKey(col("doc_id"), "shuffle:42")
             .as("shuffle_key"))
         .orderBy(col("shuffle_key"))
+    }),
+
+    // Feature-hashed document vectors (the hashing trick, Weinberger
+    // et al. 2009): fixed 64-dim signed-hash vectors with no
+    // vocabulary and no fit pass — the text→vector bridge into the
+    // ANN/clustering column. One map-only pass (tokens never cross a
+    // shuffle); the oracle replays tokenization, the 48-bit sha
+    // prefix, dim/sign extraction, the signed sums, the ordered-CSV
+    // serialization, and the norm.
+    "q194_feature_hash" -> ((s, d) => {
+      operators.Embeddings.featureHashVectors(t(s, d, "documents"),
+          "doc_id", "text", dims = 64)
+        .orderBy(col("doc_id"))
+    }),
+
+    // EXACT-proportion stratified split: q57's hashSplit holds 80/10/10
+    // only in expectation; this guarantees ⌊n·pct/100⌋ per source via a
+    // within-stratum (hash, id) rank — one stratum-keyed window
+    // exchange, never a global sort. The oracle replays rank, count,
+    // and both floor-division thresholds.
+    "q193_exact_split" -> ((s, d) => {
+      operators.Curation.exactStratifiedSplit(t(s, d, "documents"),
+          "source", "doc_id", "xsplit:42", pctTrain = 80, pctVal = 10)
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy(col("doc_id"))
     }),
 
     // Curation: context-window chunking — one row per 64-token window
@@ -1979,6 +2034,110 @@ object SparkEntry {
             .otherwise("supplier").as("kind"),
           col("pr"))
         .orderBy(col("pr").desc, col("nid")).limit(20)
+    }),
+
+    // Connected components by alternating large-star/small-star
+    // (Kiveris et al. 2014 — the published trillion-edge CC algorithm),
+    // the second, edge-rewriting CC implementation next to q65's
+    // pointer doubling: no label table, each round rewrites the edge
+    // set itself toward a star forest, so the working set SHRINKS
+    // monotonically and every exchange carries bare (long, long) pairs.
+    // Graph: the same-nation customer→supplier co-trade graph
+    // (customers even ids, suppliers odd) — 25 nation-blocked
+    // components whose census is the output. Fixed 5 alternations
+    // (post-convergence rounds replay as no-ops at every SF); the
+    // operator ASSERTS label consistency over every input edge, so an
+    // insufficient budget fails loudly instead of splitting components.
+    // The oracle replays all 5 unrolled rounds — emit rules, dedup,
+    // orientation, and the final forest-to-label left join.
+    "q189_cc_stars" -> ((s, d) => {
+      import graft.operators.Graphs
+      val pairs = t(s, d, "orders")
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .select((col("c_custkey") * 2).as("id_a"),
+          (col("s_suppkey") * 2 + 1).as("id_b"))
+        .distinct()
+      Graphs.ccLargeSmallStar(pairs, 5)
+        .groupBy(col("label").as("component"))
+        .agg(count(lit(1)).as("members"))
+        .orderBy(col("members").desc, col("component"))
+    }),
+
+    // Deterministic random-walk corpus (DeepWalk's input) over the
+    // q189 co-trade graph: one 4-step walk per node, next hop =
+    // neighbor minimizing the replayable 48-bit hash of (salt, start,
+    // step, neighbor) — uniform-over-neighbors in distribution, yet
+    // bit-reproducible on any layout/engine (a rand()-driven walk is
+    // not). The oracle replays all four frontier joins and argmin
+    // picks, path strings included.
+    "q196_hash_walks" -> ((s, d) => {
+      import graft.operators.Graphs
+      val pairs = t(s, d, "orders")
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .select((col("c_custkey") * 2).as("a"),
+          (col("s_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      Graphs.hashRandomWalks(edges, steps = 4, salt = "rw:42")
+        .orderBy(col("start"))
+    }),
+
+    // Incremental connected components against STANDING labels — the
+    // graph member of the standing-corpus family: batch-1 edges
+    // ((cust + supp) % 3 ≠ 0) build standing labels, the remaining
+    // third arrives as the delta, and only TOUCHED components
+    // re-solve (star edges are connectivity-equivalent stand-ins for
+    // their components, so the subgraph solve is exact and
+    // delta-priced). Output: full-union component census plus the
+    // relabeled count per component. The oracle replays BOTH star
+    // pyramids — standing subset and full union — so a merge bug,
+    // a pruning bug, or a stale-label leak all desync the census.
+    "q195_incremental_cc" -> ((s, d) => {
+      import graft.operators.Graphs
+      val all = t(s, d, "orders")
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .select((col("c_custkey") * 2).as("id_a"),
+          (col("s_suppkey") * 2 + 1).as("id_b"),
+          ((col("c_custkey") + col("s_suppkey")) % 3).as("m"))
+        .distinct()
+      val standing = Graphs.ccLargeSmallStar(
+        all.filter(col("m") =!= 0).select("id_a", "id_b"), 5)
+      val merged = Graphs.incrementalCc(standing,
+        all.filter(col("m") === 0).select("id_a", "id_b"), 5)
+      merged
+        .join(standing.withColumnRenamed("label", "old_label"),
+          Seq("id"), "left")
+        .groupBy(col("label").as("component"))
+        .agg(count(lit(1)).as("members"),
+          sum(when(coalesce(col("old_label"), col("id")) =!= col("label"),
+            1L).otherwise(0L)).as("relabeled"))
+        .orderBy(col("members").desc, col("component"))
+    }),
+
+    // Grid-granular DBSCAN over a 2-D signed random projection of the
+    // embedding space — density clustering with an explicit NOISE
+    // class (k-means q124 partitions everything; DBSCAN quarantines
+    // off-manifold vectors). Cell width 2^19, minPts 12, q124
+    // quantization, sha-parity projection signs, clusters = 8-connected
+    // core-cell components via ccLargeSmallStar (q189's operator
+    // composed). The oracle replays quantization, signs, projection,
+    // cell floor, census, adjacency, a recursive component closure,
+    // and the core/border/noise role rules per point.
+    "q190_grid_dbscan" -> ((s, d) => {
+      import graft.operators.Clustering
+      Clustering.gridDbscan(Tables.embeddings(s, d), "vec_id", "embedding",
+          dims = 64, cellWidth = 524288L, minPts = 12L)
+        .orderBy(col("vec_id"))
     }),
 
     // Perceptual-hash image near-dup: the codec family (q109–q112)
@@ -3392,6 +3551,185 @@ object SparkEntry {
       |FROM img LEFT JOIN lab ON lab.i = img.i
       |ORDER BY media_id""".stripMargin
 
+  /** q189 oracle: replay all `rounds` large-star/small-star
+    * alternations, unrolled (the q117/q120 fixed-round technique) —
+    * each alternation is the symmetric-neighborhood min + larger-
+    * neighbor emit (large star), then the big→small orientation, min,
+    * and attach-all emit (small star), each half deduplicated. After
+    * the last round, labels come from the final star forest (left
+    * join keeps early-absorbed nodes), then the component census. */
+  private def ccStarsRoundsCte(p: String, rounds: Int): String = {
+    // every layer is referenced 2-4 times by its successors; DuckDB
+    // INLINES plain CTEs (each reference re-expands the subtree), so an
+    // unrolled multi-reference chain would grow exponentially — 5 rounds
+    // exhausted the process fd limit re-scanning the base parquet
+    // thousands of times. AS MATERIALIZED evaluates each layer once.
+    // `p` namespaces the pyramid so q195 can run two of them (standing
+    // subset + full union) in one statement; ends with ${p}lab(id,
+    // label) — final-forest labels left-joined onto ${p}e1's node set
+    // so early-absorbed nodes keep a label.
+    def round(n: Int): String =
+      s"""${p}nb$n AS MATERIALIZED (SELECT u, v FROM ${p}e$n UNION SELECT v, u FROM ${p}e$n),
+         |${p}mn$n AS MATERIALIZED (SELECT u, least(u, min(v)) AS m FROM ${p}nb$n GROUP BY u),
+         |${p}ls$n AS MATERIALIZED (SELECT DISTINCT n.v AS u, m.m AS v
+         |         FROM ${p}nb$n n JOIN ${p}mn$n m ON m.u = n.u WHERE n.v > n.u),
+         |${p}sb$n AS MATERIALIZED (SELECT greatest(u, v) AS u, least(u, v) AS v
+         |         FROM ${p}ls$n WHERE u <> v),
+         |${p}sm$n AS MATERIALIZED (SELECT u, least(u, min(v)) AS m FROM ${p}sb$n GROUP BY u),
+         |${p}e${n + 1} AS MATERIALIZED (
+         |  SELECT DISTINCT u, v FROM (
+         |    SELECT s.v AS u, m.m AS v FROM ${p}sb$n s JOIN ${p}sm$n m ON m.u = s.u
+         |    UNION SELECT u, m FROM ${p}sm$n) x WHERE u <> v)""".stripMargin
+    val layers = (1 to rounds).map(round).mkString(",\n")
+    s"""$layers,
+       |${p}fnb AS MATERIALIZED (SELECT u, v FROM ${p}e${rounds + 1}
+       |        UNION SELECT v, u FROM ${p}e${rounds + 1}),
+       |${p}flab AS (SELECT u AS id, least(u, min(v)) AS label
+       |         FROM ${p}fnb GROUP BY u),
+       |${p}nodes AS (SELECT u AS id FROM ${p}e1 UNION SELECT v FROM ${p}e1),
+       |${p}lab AS MATERIALIZED (SELECT n.id, COALESCE(f.label, n.id) AS label
+       |        FROM ${p}nodes n LEFT JOIN ${p}flab f ON f.id = n.id)""".stripMargin
+  }
+
+  /** The q189/q195 edge set: the same-nation customer→supplier
+    * co-trade graph (customers even node ids, suppliers odd). */
+  private val ccStarsEdgesSql: String =
+    """SELECT DISTINCT c_custkey * 2 AS u, s_suppkey * 2 + 1 AS v
+      |  FROM orders
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE c_nationkey = s_nationkey""".stripMargin
+
+  private def ccStarsOracleSql(rounds: Int): String =
+    s"""WITH e1 AS MATERIALIZED (
+       |  $ccStarsEdgesSql),
+       |${ccStarsRoundsCte("", rounds)}
+       |SELECT label AS component, count(*) AS members
+       |FROM lab GROUP BY 1 ORDER BY members DESC, component""".stripMargin
+
+  /** q195 oracle: the incremental result must equal a FULL recompute,
+    * so the oracle replays BOTH pyramids — standing labels from the
+    * batch-1 edge subset (prefix `s`) and the union labels (prefix
+    * `f`) — then reports the per-component census with the relabeled
+    * count (members whose standing label, self for nodes new to the
+    * graph, differs from the merged label). */
+  private def incrementalCcOracleSql(rounds: Int): String =
+    s"""WITH fe1 AS MATERIALIZED (
+       |  $ccStarsEdgesSql),
+       |se1 AS MATERIALIZED (
+       |  SELECT u, v FROM fe1 WHERE ((u // 2) + (v // 2)) % 3 <> 0),
+       |${ccStarsRoundsCte("s", rounds)},
+       |${ccStarsRoundsCte("f", rounds)}
+       |SELECT f.label AS component, count(*) AS members,
+       |  CAST(sum(CASE WHEN COALESCE(s.label, f.id) <> f.label
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS relabeled
+       |FROM flab f LEFT JOIN slab s ON s.id = f.id
+       |GROUP BY 1 ORDER BY members DESC, component""".stripMargin
+
+  /** q196 oracle: replay every frontier join and hash-argmin pick of
+    * the walk, unrolled — candidate hashes use the engine's standard
+    * 48-bit sha prefix over the exact (salt, start, step, neighbor)
+    * key string, ties break to the smaller neighbor id, and the path
+    * string accretes per step. */
+  private def hashWalksOracleSql(steps: Int): String = {
+    def hv(key: String): String =
+      s"""CAST(list_sum([(strpos('0123456789abcdef', substr(
+         |      sha256($key), i, 1)) - 1) * pow(16.0, 12 - i)
+         |      for i in generate_series(1, 12)]) AS BIGINT)""".stripMargin
+    def step(t: Int): String = {
+      val key = s"'rw:42:' || CAST(w.start AS VARCHAR) || ':$t:' " +
+        "|| CAST(e.v AS VARCHAR)"
+      s"""c$t AS MATERIALIZED (
+         |  SELECT w.start, e.v AS dst, ${hv(key)} AS h
+         |  FROM w${t - 1} w JOIN nb e ON e.u = w.cur),
+         |n$t AS MATERIALIZED (
+         |  SELECT start, dst FROM (
+         |    SELECT start, dst,
+         |      row_number() OVER (PARTITION BY start ORDER BY h, dst) AS rn
+         |    FROM c$t) WHERE rn = 1),
+         |w$t AS MATERIALIZED (
+         |  SELECT w.start, n.dst AS cur,
+         |    w.path || ',' || CAST(n.dst AS VARCHAR) AS path
+         |  FROM w${t - 1} w JOIN n$t n ON n.start = w.start)""".stripMargin
+    }
+    val layers = (1 to steps).map(step).mkString(",\n")
+    s"""WITH e1 AS MATERIALIZED (
+       |  $ccStarsEdgesSql),
+       |nb AS MATERIALIZED (SELECT u, v FROM e1 UNION SELECT v, u FROM e1),
+       |w0 AS MATERIALIZED (
+       |  SELECT DISTINCT u AS start, u AS cur, CAST(u AS VARCHAR) AS path
+       |  FROM nb),
+       |$layers
+       |SELECT start, path FROM w$steps ORDER BY start""".stripMargin
+  }
+
+  /** q190 oracle: replay the grid-DBSCAN spec end to end — q124
+    * quantization, sha-parity signs, the 2-D signed projection, exact
+    * double-floor cells, the census, core threshold, 8-adjacency
+    * between core cells, a recursive min-label closure over the (tiny,
+    * cell-granular) core graph, border adoption of the minimum
+    * adjacent cluster, and the noise fallback. Cell keys replay the
+    * (cx+2^20)·2^21+(cy+2^20) encoding. */
+  private lazy val gridDbscanOracleSql: String =
+    """WITH RECURSIVE qv AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)
+      |     for x in embedding] AS q
+      |  FROM embeddings),
+      |sg AS MATERIALIZED (
+      |  SELECT a.axis, d.range AS d,
+      |    CASE WHEN (strpos('0123456789abcdef',
+      |        substr(sha256('dbs:' || a.axis || ':' || d.range), 1, 1)) - 1)
+      |        % 2 = 0 THEN 1 ELSE -1 END AS s
+      |  FROM (VALUES (0), (1)) a(axis), range(64) d),
+      |pts AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    CAST(floor(sum(CASE WHEN axis = 0 THEN q[d + 1] * s ELSE 0 END)
+      |      / 524288.0) AS BIGINT) AS cx,
+      |    CAST(floor(sum(CASE WHEN axis = 1 THEN q[d + 1] * s ELSE 0 END)
+      |      / 524288.0) AS BIGINT) AS cy
+      |  FROM qv, sg GROUP BY vec_id),
+      |cells AS MATERIALIZED (
+      |  SELECT cx, cy, (cx + 1048576) * 2097152 + (cy + 1048576) AS cell,
+      |    count(*) AS cnt
+      |  FROM pts GROUP BY 1, 2),
+      |core AS MATERIALIZED (SELECT cx, cy, cell FROM cells WHERE cnt >= 12),
+      |sh AS MATERIALIZED (
+      |  SELECT dx.range - 1 AS dx, dy.range - 1 AS dy
+      |  FROM range(3) dx, range(3) dy
+      |  WHERE NOT (dx.range = 1 AND dy.range = 1)),
+      |ce AS MATERIALIZED (
+      |  SELECT a.cell AS ca, b.cell AS cb
+      |  FROM core a CROSS JOIN sh
+      |  JOIN core b ON b.cx = a.cx + sh.dx AND b.cy = a.cy + sh.dy
+      |  WHERE a.cell < b.cell),
+      |edges AS MATERIALIZED (
+      |  SELECT ca AS a, cb AS b FROM ce UNION SELECT cb, ca FROM ce),
+      |reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |lab AS MATERIALIZED (
+      |  SELECT a AS cell, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+      |corelab AS MATERIALIZED (
+      |  SELECT c.cx, c.cy, c.cell, COALESCE(l.cluster, c.cell) AS cluster
+      |  FROM core c LEFT JOIN lab l ON l.cell = c.cell),
+      |border AS MATERIALIZED (
+      |  SELECT nc.cell, min(cl.cluster) AS cluster
+      |  FROM (SELECT cx, cy, cell FROM cells WHERE cnt < 12) nc
+      |  CROSS JOIN sh
+      |  JOIN corelab cl ON cl.cx = nc.cx + sh.dx AND cl.cy = nc.cy + sh.dy
+      |  GROUP BY nc.cell),
+      |cellab AS MATERIALIZED (
+      |  SELECT cell, cluster, 'core' AS role FROM corelab
+      |  UNION ALL SELECT cell, cluster, 'border' AS role FROM border)
+      |SELECT p.vec_id, COALESCE(cl.role, 'noise') AS role,
+      |  COALESCE(cl.cluster, CAST(-1 AS BIGINT)) AS cluster
+      |FROM pts p LEFT JOIN cellab cl
+      |  ON cl.cell = (p.cx + 1048576) * 2097152 + (p.cy + 1048576)
+      |ORDER BY vec_id""".stripMargin
+
   /** q120 oracle: replay all `rounds` BPE merge rounds, unrolled — the
     * distinct-word table, per-round adjacent-pair counts, the
     * (count desc, lexicographic) winner, the single-scan replace-merge,
@@ -3802,6 +4140,63 @@ object SparkEntry {
        |    max(w * 256 + h) AS f6,
        |    sum(CASE WHEN rr > g THEN 1 ELSE 0 END) AS f7
        |  FROM chan GROUP BY i)""".stripMargin
+  }
+
+  /** q191 oracle: the q109 pixel replay extended to luma and a
+    * kernel-weighted 3×3 neighborhood self-join. Sobel weights are
+    * generated, not tabulated: gx weight = dx·(2−|dy|), gy weight =
+    * dy·(2−|dx|) over dx,dy ∈ {−1,0,1}. Interior is never empty
+    * (w,h ≥ 4), so the per-image aggregates join 1:1 with the
+    * whole-image luma lanes. */
+  private lazy val sobelBmpFeatCte: String = {
+    val alpha = "'0123456789abcdef'"
+    def byteAt(off: String): String =
+      s"(strpos($alpha, substr(hexfull, 2 * ($off) + 1, 1)) - 1) * 16 " +
+        s"+ (strpos($alpha, substr(hexfull, 2 * ($off) + 2, 1)) - 1)"
+    val shaChunks = (0 to 7)
+      .map(k => s"sha256('42:' || CAST(i AS VARCHAR) || ':$k')")
+      .mkString(" || ")
+    val dimByte0 =
+      s"(strpos($alpha, substr(dh, 1, 1)) - 1) * 16 + (strpos($alpha, substr(dh, 2, 1)) - 1)"
+    val dimByte1 =
+      s"(strpos($alpha, substr(dh, 3, 1)) - 1) * 16 + (strpos($alpha, substr(dh, 4, 1)) - 1)"
+    s"""WITH dim AS MATERIALIZED (
+       |  SELECT i, 4 + ($dimByte0) % 5 AS w, 4 + ($dimByte1) % 5 AS h, hexfull
+       |  FROM (SELECT i, sha256('42:' || CAST(i AS VARCHAR) || ':dim') AS dh,
+       |               $shaChunks AS hexfull
+       |        FROM range(200) t(i))),
+       |px AS (
+       |  SELECT i, w, h, hexfull,
+       |    CAST(j % w AS INT) AS x, CAST(j // w AS INT) AS yt,
+       |    (h - 1 - (j // w)) * (((3 * w + 3) // 4) * 4) + 3 * (j % w) AS off
+       |  FROM dim, range(64) r(j) WHERE j < w * h),
+       |lum AS MATERIALIZED (
+       |  SELECT i, w, h, x, yt,
+       |    (77 * (${byteAt("off + 2")}) + 151 * (${byteAt("off + 1")})
+       |     + 28 * (${byteAt("off")}) + 128) // 256 AS l
+       |  FROM px),
+       |g AS MATERIALIZED (
+       |  SELECT c.i, c.x, c.yt, c.w,
+       |    sum(n.l * (k.dx * (2 - abs(k.dy)))) AS gx,
+       |    sum(n.l * (k.dy * (2 - abs(k.dx)))) AS gy
+       |  FROM lum c
+       |  CROSS JOIN (SELECT dx.range - 1 AS dx, dy.range - 1 AS dy
+       |              FROM range(3) dx, range(3) dy) k
+       |  JOIN lum n ON n.i = c.i AND n.x = c.x + k.dx AND n.yt = c.yt + k.dy
+       |  WHERE c.x >= 1 AND c.x <= c.w - 2 AND c.yt >= 1 AND c.yt <= c.h - 2
+       |  GROUP BY c.i, c.x, c.yt, c.w),
+       |feat AS (
+       |  SELECT la.i AS media_id,
+       |    ga.s0 AS f0, ga.s1 AS f1, ga.m2 AS f2, ga.e3 AS f3,
+       |    ga.p4 AS f4, ga.n5 AS f5, la.w * 256 + la.h AS f6, la.ls AS f7
+       |  FROM (SELECT i, max(w) AS w, max(h) AS h, sum(l) AS ls
+       |        FROM lum GROUP BY i) la
+       |  JOIN (SELECT i, sum(abs(gx)) AS s0, sum(abs(gy)) AS s1,
+       |          max(abs(gx) + abs(gy)) AS m2,
+       |          sum(CASE WHEN abs(gx) + abs(gy) >= 256 THEN 1 ELSE 0 END) AS e3,
+       |          sum((abs(gx) + abs(gy)) * ((yt * w + x) % 97 + 1)) AS p4,
+       |          count(*) AS n5
+       |        FROM g GROUP BY i) ga ON ga.i = la.i)""".stripMargin
   }
 
   /** q75/q179 shared CTE: the greedy first-fit packing recurrence,
@@ -4447,6 +4842,50 @@ object SparkEntry {
        |    sum(zc) AS f4, sum(b0 * (j + 1)) AS f5,
        |    max(rate) AS f6, max(ns) AS f7
        |  FROM sgn GROUP BY i)""".stripMargin
+  }
+
+  /** q192 oracle: the q110 sample replay + the Walsh–Hadamard sign
+    * rule — lane k's coefficient is the sample sum signed by
+    * popcount(k AND n) parity over the 64-sample window (shorter files
+    * analyze their full length). */
+  private lazy val whtWavCte: String = {
+    val alpha = "'0123456789abcdef'"
+    def byteAt(off: String): String =
+      s"(strpos($alpha, substr(hexfull, 2 * ($off) + 1, 1)) - 1) * 16 " +
+        s"+ (strpos($alpha, substr(hexfull, 2 * ($off) + 2, 1)) - 1)"
+    val shaChunks = (0 to 7)
+      .map(k => s"sha256('42:' || CAST(i AS VARCHAR) || ':$k')")
+      .mkString(" || ")
+    val lenByte0 =
+      s"(strpos($alpha, substr(lh, 1, 1)) - 1) * 16 + (strpos($alpha, substr(lh, 2, 1)) - 1)"
+    s"""WITH dim AS (
+       |  SELECT i, 32 + ($lenByte0) % 64 AS ns, hexfull
+       |  FROM (SELECT i, sha256('42:' || CAST(i AS VARCHAR) || ':len') AS lh,
+       |               $shaChunks AS hexfull
+       |        FROM range(200) t(i))),
+       |smp AS MATERIALIZED (
+       |  SELECT i, j,
+       |    (${byteAt("2 * j")}) + 256 * (${byteAt("2 * j + 1")})
+       |      - CASE WHEN (${byteAt("2 * j")}) + 256 * (${byteAt("2 * j + 1")})
+       |             >= 32768 THEN 65536 ELSE 0 END AS s
+       |  FROM dim, range(64) r(j) WHERE j < ns),
+       |lanes AS (SELECT * FROM (VALUES (0, 0), (1, 1), (2, 2), (3, 4),
+       |  (4, 8), (5, 16), (6, 32), (7, 63)) l(li, k)),
+       |wv AS (
+       |  SELECT i, li,
+       |    sum(CASE WHEN bit_count(k & j) % 2 = 0 THEN s ELSE -s END) AS v
+       |  FROM smp CROSS JOIN lanes GROUP BY i, li),
+       |feat AS (
+       |  SELECT i AS media_id,
+       |    max(CASE WHEN li = 0 THEN v END) AS f0,
+       |    max(CASE WHEN li = 1 THEN v END) AS f1,
+       |    max(CASE WHEN li = 2 THEN v END) AS f2,
+       |    max(CASE WHEN li = 3 THEN v END) AS f3,
+       |    max(CASE WHEN li = 4 THEN v END) AS f4,
+       |    max(CASE WHEN li = 5 THEN v END) AS f5,
+       |    max(CASE WHEN li = 6 THEN v END) AS f6,
+       |    max(CASE WHEN li = 7 THEN v END) AS f7
+       |  FROM wv GROUP BY i)""".stripMargin
   }
 
   /** q111 oracle: replay the PNG pixel-generation formula (NOT the
@@ -5249,6 +5688,16 @@ object SparkEntry {
           |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
           |FROM feat ORDER BY media_id""".stripMargin),
 
+    "q191_sobel_edges" ->
+      (sobelBmpFeatCte +
+        """
+          |SELECT media_id,
+          |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
+          |  CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3,
+          |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
+          |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
+          |FROM feat ORDER BY media_id""".stripMargin),
+
     "q173_resize" ->
       (resizeBmpFeatCte +
         """
@@ -5355,6 +5804,16 @@ object SparkEntry {
           |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
           |FROM act JOIN ffeat ON ffeat.i = act.i AND ffeat.k = act.k
           |ORDER BY media_id, sample_idx""".stripMargin),
+
+    "q192_wht_fingerprint" ->
+      (whtWavCte +
+        """
+          |SELECT media_id,
+          |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
+          |  CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3,
+          |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
+          |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
+          |FROM feat ORDER BY media_id""".stripMargin),
 
     "q110_wav_decode" ->
       (wavFeatCte +
@@ -6299,6 +6758,56 @@ object SparkEntry {
         |      ELSE 'test' END AS split,
         | sha256(CAST(doc_id AS VARCHAR) || ':shuffle:42') AS shuffle_key
         |FROM documents ORDER BY shuffle_key""".stripMargin,
+
+    "q194_feature_hash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, CAST(list_sum(
+        |      [(strpos('0123456789abcdef', substr(sha256(w), i, 1)) - 1)
+        |       * pow(16.0, 12 - i) for i in generate_series(1, 12)])
+        |    AS BIGINT) AS hv
+        |  FROM toks),
+        |dimv AS (
+        |  SELECT doc_id, CAST(hv % 64 AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END)
+        |      AS BIGINT) AS v
+        |  FROM h GROUP BY 1, 2),
+        |fullv AS (
+        |  SELECT doc.doc_id, r.range AS d,
+        |    CAST(COALESCE(dimv.v, 0) AS BIGINT) AS v
+        |  FROM (SELECT doc_id FROM documents) doc
+        |  CROSS JOIN range(64) r
+        |  LEFT JOIN dimv ON dimv.doc_id = doc.doc_id AND dimv.d = r.range),
+        |agg AS (
+        |  SELECT doc_id,
+        |    string_agg(CAST(v AS VARCHAR), ',' ORDER BY d) AS vec_csv,
+        |    CAST(sum(v * v) AS BIGINT) AS norm2
+        |  FROM fullv GROUP BY doc_id),
+        |nt AS (
+        |  SELECT doc_id, CAST(len(list_filter(
+        |    string_split_regex(trim(text), '\s+'), x -> x <> ''))
+        |    AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT a.doc_id, nt.n_tok, a.norm2, a.vec_csv
+        |FROM agg a JOIN nt ON nt.doc_id = a.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
+
+    "q193_exact_split" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY sha256(CAST(doc_id AS VARCHAR) || ':xsplit:42'),
+        |        doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CASE WHEN rn <= (n * 80) // 100 THEN 'train'
+        |       WHEN rn <= (n * 90) // 100 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q58_token_chunks" ->
       """WITH toks AS (
@@ -7770,6 +8279,10 @@ object SparkEntry {
 
     "q118_dhash_neardup" -> dhashOracleSql,
     "q184_media_dup_clusters" -> mediaDupClustersOracleSql,
+    "q189_cc_stars" -> ccStarsOracleSql(5),
+    "q195_incremental_cc" -> incrementalCcOracleSql(5),
+    "q196_hash_walks" -> hashWalksOracleSql(4),
+    "q190_grid_dbscan" -> gridDbscanOracleSql,
 
     // Heavy-hitter replay: the geometric key stream (bit length of the
     // event-id hash's low 16 bits), the q114-style grid, per-key

@@ -435,4 +435,119 @@ object Clustering {
       .select(col("cid"), col("vec_id"), col("label"))
       .orderBy(col("cid"), col("vec_id"))
   }
+
+  /** ±1 sign vector for the 2-D random projection: sign(axis, d) = +1
+    * iff the first hex nibble of sha256("dbs:axis:d") is even — the
+    * engine's standard replayable-randomness source (any ANSI engine
+    * with sha256 reproduces it). */
+  private def dbscanSigns(axis: Int, dims: Int): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    (0 until dims).map { d =>
+      val h = md.digest(s"dbs:$axis:$d".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) % 2 == 0) 1L else -1L
+    }.toArray
+  }
+
+  /** Grid-granular DBSCAN over a 2-D signed random projection of the
+    * embedding space — the density-clustering member of the family
+    * (k-means q124 partitions EVERYTHING; DBSCAN finds dense modes and
+    * calls the rest noise, the outlier-discovery shape curation uses to
+    * quarantine off-manifold documents). This is the documented
+    * cell-granular variant of DBSCAN (density measured per grid cell,
+    * the classic grid/cell formulation used at scale): with cell width
+    * = eps, a cell holding ≥ `minPts` points is CORE; clusters are the
+    * 8-connected components of core cells; a point in a non-core cell
+    * 8-adjacent to a core cell is BORDER (joining the minimum adjacent
+    * cluster); everything else is NOISE.
+    *
+    * Every step is integer-exact and replayable (q190's hash gate):
+    *   - quantization: q_d = floor(x_d · 2^20) (the q124 rule);
+    *   - projection: p_a = Σ_d q_d · sign(a, d), signs from sha256
+    *     parity ([[dbscanSigns]]) — a 2-D Johnson-Lindenstrauss-style
+    *     signed projection, so "density" is measured in a space whose
+    *     construction any engine replays;
+    *   - cells: c = floor(p / cellWidth) via exact double floor (both
+    *     engines floor identically; |p| < 2^31 ≪ 2^53);
+    *   - cluster ids: encoded cell keys (cx+2^20)·2^21 + (cy+2^20),
+    *     component-minimized; coordinates outside ±2^20 raise loudly.
+    *
+    * 100 TB shape: two map-only passes over the vectors (cell census,
+    * then final labeling) — vectors NEVER join vectors; every other
+    * table is cell-granular (occupied cells ≪ points), the core-cell
+    * adjacency expands exactly 8 shifted keys per core cell against a
+    * broadcast shift table, and the component step is
+    * [[Graphs.ccLargeSmallStar]] on the (tiny) core-cell graph, which
+    * asserts convergence loudly. The cell census is eagerly
+    * `localCheckpoint`ed (it is read by three downstream branches;
+    * cells are bounded by occupied-cell count, not corpus size).
+    *
+    * Returns (vec_id, role ∈ core|border|noise, cluster; noise = −1). */
+  def gridDbscan(embeddings: DataFrame, idCol: String, vecCol: String,
+                 dims: Int, cellWidth: Long, minPts: Long,
+                 ccRounds: Int = 8): DataFrame = {
+    require(cellWidth >= 1, s"cellWidth out of range: $cellWidth")
+    require(minPts >= 1, s"minPts out of range: $minPts")
+    val bound = 1L << 20
+    def cellKey(cx: Column, cy: Column): Column =
+      when(abs(cx) >= bound || abs(cy) >= bound,
+        raise_error(concat(lit("gridDbscan cell out of range: "),
+          cx.cast("string"), lit(","), cy.cast("string"))).cast("long"))
+        .otherwise((cx + bound) * lit(2L * bound) + (cy + bound))
+    def proj(axis: Int): Column =
+      aggregate(zip_with(quantize(col(vecCol)),
+          array(dbscanSigns(axis, dims).map(lit(_)): _*), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+    // a vector whose length ≠ dims null-pads the zip_with and the sum
+    // goes null — turn that into a loud error, not a silent noise point
+    def toCell(p: Column): Column =
+      when(p.isNull, raise_error(
+        lit(s"gridDbscan: vector length != dims ($dims) or null element"))
+        .cast("long"))
+        .otherwise(floor(p.cast("double") / cellWidth.toDouble).cast("long"))
+    val pts = embeddings.select(col(idCol).cast("long").as("vec_id"),
+        toCell(proj(0)).as("cx"), toCell(proj(1)).as("cy"))
+    val cells = pts.groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cell", cellKey(col("cx"), col("cy")))
+      .localCheckpoint() // eager: cell-granular census, read by 3 branches
+    val core = cells.filter(col("cnt") >= minPts)
+      .select(col("cx"), col("cy"), col("cell"))
+    // the 8 neighbor offsets ride as a literal-array explode — a pure
+    // map-side fan-out, not a (nested-loop-joined) relation
+    val shiftArr = array((for { dx <- -1 to 1; dy <- -1 to 1
+      if dx != 0 || dy != 0 }
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+    val corePairs = core
+      .select(col("cell").as("id_a"), col("cx"), col("cy"),
+        explode(shiftArr).as("sh"))
+      .select(col("id_a"),
+        cellKey(col("cx") + col("sh.dx"), col("cy") + col("sh.dy")).as("id_b"))
+      .join(core.select(col("cell").as("id_b")), Seq("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val comp = Graphs.ccLargeSmallStar(corePairs, ccRounds)
+    // isolated core cells (no core neighbor) are their own cluster
+    val coreLab = core
+      .join(comp.withColumnRenamed("id", "cell"), Seq("cell"), "left")
+      .select(col("cx"), col("cy"), col("cell"),
+        coalesce(col("label"), col("cell")).as("cluster"))
+    val borderLab = cells.filter(col("cnt") < minPts)
+      .select(col("cell"), col("cx"), col("cy"), explode(shiftArr).as("sh"))
+      .select(col("cell"),
+        cellKey(col("cx") + col("sh.dx"), col("cy") + col("sh.dy")).as("ncell"))
+      .join(coreLab.select(col("cell").as("ncell"), col("cluster")),
+        Seq("ncell"))
+      .groupBy(col("cell"))
+      .agg(min(col("cluster")).as("cluster"))
+    val cellLab = coreLab.select(col("cell"), col("cluster"),
+        lit("core").as("role"))
+      .unionByName(borderLab.select(col("cell"), col("cluster"),
+        lit("border").as("role")))
+    pts.withColumn("cell", cellKey(col("cx"), col("cy")))
+      .join(cellLab, Seq("cell"), "left")
+      .select(col("vec_id"),
+        coalesce(col("role"), lit("noise")).as("role"),
+        coalesce(col("cluster"), lit(-1L)).as("cluster"))
+  }
 }

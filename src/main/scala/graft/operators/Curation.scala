@@ -70,6 +70,48 @@ object Curation {
       .drop("__sk", "__rn")
   }
 
+  /** EXACT-proportion stratified split. [[hashSplit]] draws each row
+    * independently, so proportions hold only in expectation — a 200-doc
+    * stratum can land 74/26 and a small eval set can end up empty.
+    * This one GUARANTEES per-stratum counts: within each stratum rows
+    * rank by (shuffle hash, id) and rank r goes to
+    *   train  iff r ≤ ⌊n·pctTrain/100⌋
+    *   val    iff r ≤ ⌊n·(pctTrain+pctVal)/100⌋ (and not train)
+    *   test   otherwise
+    * — the deterministic eval-carve a training run needs to reproduce
+    * across engines, retries, and partition layouts (the hash order is
+    * content-keyed, so membership is stable under re-layout exactly
+    * like [[hashSplit]]'s).
+    *
+    * Scale shape: ONE window exchange keyed on the stratum — rank and
+    * count ride the same partition — never a global sort. Strata are
+    * corpus-sized groups (source, language); the per-stratum sort is
+    * the price of exact counts — use [[hashSplit]] when statistical
+    * proportions suffice. Integer thresholds use `div` (both engines
+    * floor non-negative operands identically). */
+  def exactStratifiedSplit(df: DataFrame, strataCol: String, idCol: String,
+                           salt: String, pctTrain: Int,
+                           pctVal: Int): DataFrame = {
+    require(pctTrain >= 0 && pctVal >= 0 && pctTrain + pctVal <= 100,
+      s"bad split percentages: $pctTrain/$pctVal")
+    for (c <- Seq("__sk", "__rn", "__n"))
+      require(!df.columns.contains(c),
+        s"exactStratifiedSplit uses internal column '$c' but the input has it")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("__sk"), col(idCol))
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+    df.withColumn("__sk", shuffleKey(col(idCol), salt))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .withColumn("split",
+        when(col("__rn") <= expr(s"(__n * $pctTrain) div 100"), "train")
+          .when(col("__rn") <= expr(s"(__n * ${pctTrain + pctVal}) div 100"),
+            "val")
+          .otherwise("test"))
+      .drop("__sk", "__rn", "__n")
+  }
+
   /** EXACT weighted sampling without replacement (k of n, inclusion
     * proportional-to-weight, Efraimidis–Spirtes order) — the data-mixing
     * primitive: "sample 1M documents, quality-weighted" without an RNG.

@@ -67,6 +67,58 @@ object Embeddings {
       q => (q.cast("double") * scale) / 127.0)
   }
 
+  /** Feature-hashed document vectors — the "hashing trick" (Weinberger
+    * et al. 2009; Vowpal Wabbit's representation): token t contributes
+    * sign(t)·1 per occurrence to dimension hash(t) mod dims, giving a
+    * fixed-width vector with NO vocabulary and NO fit pass — the
+    * text→vector bridge that feeds a corpus into the engine's ANN /
+    * clustering / dedup column when no trained embedder is in the loop
+    * (the signed hash keeps collision noise zero-mean, the paper's
+    * trick). Hash = the engine's standard replayable 48-bit sha256
+    * prefix ([[graft.functions.KmvAggregator.kmvHash]] of the token);
+    * dim = h mod dims; sign = parity of ⌊h / dims⌋ (the next bit up,
+    * independent of the dim bits for power-of-two dims).
+    *
+    * Returns (id, n_tok, norm2, vec_csv) with the vector serialized as
+    * ordered CSV (the q41 list-column precedent) and norm2 = Σ v_d² —
+    * both integer-exact, so the whole construction replays in the
+    * q194 oracle.
+    *
+    * 100 TB shape: ONE map-only pass — tokens are hashed and
+    * accumulated into the dims-long array inside the row, so nothing
+    * (tokens or vectors) crosses a shuffle; downstream consumers chain
+    * the usual quantize/LSH/IVF operators. Tokenization is the
+    * engine-standard whitespace rule (trim, split \\s+, drop empties). */
+  def featureHashVectors(docs: DataFrame, idCol: String, textCol: String,
+                         dims: Int): DataFrame = {
+    require(dims >= 2 && dims <= 4096, s"dims out of range: $dims")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, text) =>
+          val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+          val vec = new Array[Long](dims)
+          var i = 0
+          while (i < toks.length) {
+            val h = md.digest(toks(i).getBytes("UTF-8"))
+            // first 12 hex digits of the sha = first 6 bytes, big-endian
+            var hv = 0L
+            var b = 0
+            while (b < 6) { hv = (hv << 8) | (h(b) & 0xffL); b += 1 }
+            vec((hv % dims).toInt) += (if ((hv / dims) % 2 == 0) 1L else -1L)
+            i += 1
+          }
+          var norm2 = 0L
+          var j = 0
+          while (j < dims) { norm2 += vec(j) * vec(j); j += 1 }
+          (id, toks.length.toLong, norm2, vec.mkString(","))
+        }
+      }.toDF(idCol, "n_tok", "norm2", "vec_csv")
+  }
+
   /** Per-dimension corpus statistics: (dim, mean, std, min, max) over
     * every vector. Scale shape: the explode is map-side and the
     * aggregation partially combines to one row per dimension per task, so

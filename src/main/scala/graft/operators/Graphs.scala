@@ -336,6 +336,215 @@ object Graphs {
     e.groupBy(col("src").as("nid")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond" — the algorithm published for trillion-edge graphs), the
+    * second, independently-derived CC implementation next to
+    * [[Dedup.connectedComponents]]'s pointer doubling. Where pointer
+    * doubling keeps a LABEL table and chases it through the original
+    * edge set every round, star rounds rewrite the EDGE SET itself
+    * toward a forest of stars — each round is two pure
+    * groupBy-min + join passes over the current edges with no side
+    * label state, and the edge set shrinks monotonically toward one
+    * (child → root) row per non-root node. That shape is why it wins
+    * at extreme scale: the working set is the (shrinking) edge table
+    * alone, every exchange carries bare (long, long) pairs, and the
+    * reduce key is always a plain node id (combinable map-side).
+    *
+    * One round, exactly as replayed by q189's oracle:
+    *  - large-star: per node u over its symmetric neighborhood Γ(u),
+    *    m = min(Γ(u) ∪ {u}); emit (v, m) for every v ∈ Γ(u), v > u.
+    *  - small-star: orient every edge (big, small); per node u over
+    *    its smaller neighbors N(u), m = min(N(u) ∪ {u}); emit (v, m)
+    *    for v ∈ N(u) ∪ {u}, v ≠ m.
+    * Both halves dedup their output (`distinct`) — the emitted
+    * multiset has duplicates by construction and carrying them would
+    * compound per round. Deterministic given the edge set, so a FIXED
+    * round count replays bit-for-bit in any ANSI engine.
+    *
+    * `pairs` carries one row per undirected edge (`id_a`, `id_b`),
+    * self-loops ignored. Returns (`id`, `label`) for every node
+    * incident to an edge, label = component minimum (the
+    * [[Dedup.connectedComponents]] contract, so the two algorithms are
+    * interchangeable and spec-gated equal). Runs `rounds` alternations
+    * and then ASSERTS convergence by checking every input edge joins
+    * two equal labels — a wrong round count fails loudly instead of
+    * returning split components (the check is one pass over the input
+    * pairs; labels are node-count-sized and broadcast or
+    * co-partitioned).
+    *
+    * Iteration hygiene: each round's edge table is eagerly
+    * `localCheckpoint`ed and the superseded round's blocks freed (the
+    * [[Dedup.connectedComponents]] protocol — a round reads its
+    * predecessor four times, so a lazy chain would grow the plan 4^R).
+    */
+  def ccLargeSmallStar(pairs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 15, s"rounds out of range: $rounds")
+    val input = pairs.select(col("id_a").cast("long").as("u"),
+        col("id_b").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .localCheckpoint() // materialize: reused by every round's replay AND the final assert
+    var e = input
+    var first = true
+    for (_ <- 1 to rounds) {
+      // large-star: attach every larger neighbor of u to u's minimum
+      val nb = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mn = nb.groupBy(col("u"))
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      val ls = nb.join(mn, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: orient (big → small), attach u and all its smaller
+      // neighbors to their minimum
+      val sb = ls.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val sm = sb.groupBy(col("u"))
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      val ss = sb.join(sm, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(sm.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint() // eager: materializes the round, cuts lineage
+      if (!first) freeCheckpoint(e) // keep `input` alive for the assert
+      e = ss
+      first = false
+    }
+    // labels from the final star forest: every node incident to a final
+    // edge takes its minimum neighbor (roots take themselves); nodes
+    // whose component collapsed early (star edges absorbed them) are
+    // re-covered from the ORIGINAL node set via the assert join below.
+    val nb = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val lab = nb.groupBy(col("u").as("id"))
+      .agg(least(col("u"), min(col("v"))).as("label"))
+    val nodes = input.select(col("u").as("id"))
+      .unionByName(input.select(col("v").as("id"))).distinct()
+    val labels = nodes.join(lab, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+      .localCheckpoint()
+    if (!first) freeCheckpoint(e)
+    // convergence assert: a valid labeling is constant across every
+    // input edge; min-propagation can only produce in-component node
+    // ids, so edge-constant ⇒ label = component minimum exactly.
+    val bad = input
+      .join(labels.select(col("id").as("u"), col("label").as("la")), Seq("u"))
+      .join(labels.select(col("id").as("v"), col("label").as("lb")), Seq("v"))
+      .filter(col("la") =!= col("lb"))
+      .limit(1).count()
+    freeCheckpoint(input)
+    if (bad != 0) throw new IllegalStateException(
+      s"ccLargeSmallStar did not converge in $rounds rounds " +
+        "(an input edge still joins two labels); raise rounds")
+    labels
+  }
+
+  /** Deterministic random-walk corpus (the DeepWalk/node2vec input,
+    * Perozzi et al. 2014) with NO RNG: at step t the walk at node u
+    * moves to the neighbor v minimizing the engine's replayable 48-bit
+    * hash of (salt, start, t, v) — each neighbor's hash is uniform, so
+    * the pick is uniform-over-neighbors in distribution, yet every
+    * engine, retry, and partition layout reproduces the same walk
+    * (`rand()`-driven walks are layout-dependent; these replay in the
+    * q196 oracle). One walk starts at every node of `edges`' source
+    * column; `edges` should carry both directions for undirected
+    * graphs, which also guarantees every node has a successor.
+    *
+    * 100 TB shape: the edge table is hashed by src and persisted once
+    * (the [[integerPageRank]] layout); each step is one
+    * frontier⋈edges join whose candidate rows collapse map-side to
+    * one (start, argmin) row per walk BEFORE the exchange (min of a
+    * (hash, dst) struct — partial-aggregable), and the growing path
+    * string rides the node-count-sized walk table, never the
+    * candidate exchange. Walk tables are localCheckpointed per step
+    * (the [[Dedup.connectedComponents]] protocol).
+    *
+    * Returns (start, path) with path = comma-joined node sequence of
+    * length steps+1. */
+  def hashRandomWalks(edges: DataFrame, steps: Int, salt: String): DataFrame = {
+    require(steps >= 1 && steps <= 10, s"steps out of range: $steps")
+    import org.apache.spark.storage.StorageLevel
+    import graft.functions.KmvAggregator
+    val ed = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var walk = ed.select(col("src").as("start")).distinct()
+      .select(col("start"), col("start").as("cur"),
+        col("start").cast("string").as("path"))
+      .localCheckpoint()
+    for (t <- 1 to steps) {
+      val nxt = walk.select(col("start"), col("cur"))
+        .join(ed, col("cur") === col("src"))
+        .groupBy(col("start"))
+        .agg(min(struct(
+          KmvAggregator.kmvHash(concat(lit(salt + ":"), col("start"),
+            lit(s":$t:"), col("dst"))).as("h"),
+          col("dst").as("d"))).as("w"))
+        .select(col("start"), col("w.d").as("nxt"))
+      val nw = walk.join(nxt, Seq("start"))
+        .select(col("start"), col("nxt").as("cur"),
+          concat(col("path"), lit(","), col("nxt").cast("string")).as("path"))
+        .localCheckpoint()
+      freeCheckpoint(walk)
+      walk = nw
+    }
+    ed.unpersist(blocking = false)
+    walk.select(col("start"), col("path"))
+  }
+
+  /** Incremental connected components against STANDING labels — the
+    * graph member of the standing-corpus family (q104/q108's banded
+    * dedup, q127's spans, q136's inverted index): a DELTA batch of
+    * edges arrives and only the components it TOUCHES re-solve;
+    * every other node keeps its label without entering the iteration.
+    * This is how a 100 TB link graph absorbs a crawl increment — the
+    * full-graph recompute is corpus-priced, the increment is
+    * delta-priced.
+    *
+    * `standing` is a valid (id, label) CC labeling (label = component
+    * minimum — [[ccLargeSmallStar]] / [[Dedup.connectedComponents]]
+    * output); `delta` carries new undirected (id_a, id_b) edges.
+    * Mechanics:
+    *  1. delta endpoints look up their current labels (nodes new to
+    *     the graph label themselves) → the TOUCHED component set;
+    *  2. the affected subgraph = delta edges ∪ the (member → label)
+    *     star edges of touched components ONLY — a star is
+    *     connectivity-equivalent to the original component, so the
+    *     subgraph solve is exact while carrying |delta| + |touched
+    *     members| edges, not the corpus;
+    *  3. [[ccLargeSmallStar]] solves the subgraph (loud convergence
+    *     assert — star components have diameter ≤ 2, so small round
+    *     budgets hold regardless of the ORIGINAL components'
+    *     diameters: the spec pins that untouched topology never
+    *     enters the iteration);
+    *  4. untouched rows pass through label-identical (anti-join).
+    *
+    * Returns (id, label) for standing ∪ delta nodes, ≡ a full
+    * recompute on the union graph (oracle + spec gated). */
+  def incrementalCc(standing: DataFrame, delta: DataFrame,
+                    rounds: Int): DataFrame = {
+    val lbl = standing.select(col("id").cast("long").as("id"),
+        col("label").cast("long").as("label"))
+      .localCheckpoint() // read three times below
+    val d = delta.select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .localCheckpoint()
+    val ends = d.select(col("id_a").as("id"))
+      .unionByName(d.select(col("id_b").as("id"))).distinct()
+    val touched = ends.join(lbl, Seq("id"), "left")
+      .select(coalesce(col("label"), col("id")).as("label")).distinct()
+    val affectedStar = lbl.join(touched, Seq("label"))
+    val subEdges = d.unionByName(
+      affectedStar.filter(col("id") =!= col("label"))
+        .select(col("id").as("id_a"), col("label").as("id_b")))
+    val newLab = ccLargeSmallStar(subEdges, rounds)
+    val unaffected = lbl.join(touched, Seq("label"), "left_anti")
+      .select(col("id"), col("label"))
+    unaffected.unionByName(newLab.select(col("id"), col("label")))
+  }
+
   /** HyperBall (Boldi & Vigna 2013): the neighborhood function
     * N(t) = Σ_v |B(v, t)| estimated with per-node HLL counters —
     * average distance / effective diameter of graphs whose exact BFS

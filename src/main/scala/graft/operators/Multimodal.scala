@@ -431,6 +431,64 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Sobel edge-energy features over 24-bit BMP — the classic
+    * edge/texture signal an image-curation pipeline uses to separate
+    * flat synthetic fills from real photographic content (a
+    * quality-scoring lane for the media modality, next to q118's
+    * perceptual dedup hash). Luma is the q186 grayscale rule
+    * L = (77·R + 151·G + 28·B + 128) >> 8; gradients are the standard
+    * 3×3 Sobel kernels at interior pixels (x right, y down):
+    * gx(dx,dy) weight = dx·(2−|dy|), gy weight = dy·(2−|dx|).
+    * Eight integer-exact lanes (every accumulator < 2^24, so the
+    * float lanes are exact and the q191 oracle replays them from the
+    * pixel formula):
+    *
+    *   f0 = Σ |gx|            f1 = Σ |gy|
+    *   f2 = max(|gx|+|gy|)    f3 = #pixels with |gx|+|gy| ≥ 256
+    *   f4 = Σ (|gx|+|gy|)·((y·w+x) mod 97 + 1) — catches coordinate slips
+    *   f5 = interior pixel count (w−2)·(h−2)
+    *   f6 = width·256 + height
+    *   f7 = Σ luma over the WHOLE image — catches luma-rule drift
+    */
+  def decodeBmpSobel(bytes: Array[Byte]): Array[Float] = {
+    val (w, h, px) = parseBmp24(bytes)
+    val lum = new Array[Int](w * h)
+    var lumSum = 0L
+    var j = 0
+    while (j < px.length) {
+      val v = px(j)
+      val l = (77 * ((v >> 16) & 0xff) + 151 * ((v >> 8) & 0xff) +
+        28 * (v & 0xff) + 128) >> 8
+      lum(j) = l
+      lumSum += l
+      j += 1
+    }
+    var sAx = 0L; var sAy = 0L; var mMax = 0L
+    var edges = 0L; var posL = 0L; var interior = 0L
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val gx = -lum((y - 1) * w + x - 1) + lum((y - 1) * w + x + 1) -
+          2 * lum(y * w + x - 1) + 2 * lum(y * w + x + 1) -
+          lum((y + 1) * w + x - 1) + lum((y + 1) * w + x + 1)
+        val gy = -lum((y - 1) * w + x - 1) - 2 * lum((y - 1) * w + x) -
+          lum((y - 1) * w + x + 1) + lum((y + 1) * w + x - 1) +
+          2 * lum((y + 1) * w + x) + lum((y + 1) * w + x + 1)
+        val ax = math.abs(gx); val ay = math.abs(gy); val m = ax + ay
+        sAx += ax; sAy += ay
+        if (m > mMax) mMax = m
+        if (m >= 256) edges += 1
+        posL += m.toLong * ((y * w + x) % 97 + 1)
+        interior += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array(sAx.toFloat, sAy.toFloat, mMax.toFloat, edges.toFloat,
+      posL.toFloat, interior.toFloat, (w * 256 + h).toFloat, lumSum.toFloat)
+  }
+
   /** REAL resize (the operator [[resizeStub]] stands in for when no
     * decodable format is present): parse each 24-bit BMP, nearest-
     * neighbor resample to width×height — source pixel of target (x, y)
@@ -734,6 +792,44 @@ object Multimodal {
             sample_rate = targetRate))
       }
     }.toDF()
+  }
+
+  /** Walsh–Hadamard spectral fingerprint over PCM WAV — the audio
+    * signature lane (the role [[dhashBands]] plays for images): a
+    * dyadic filter bank whose basis functions are ±1 square waves, so
+    * every coefficient is INTEGER-exact and replays in any engine with
+    * popcount (the transform audio fingerprinting uses when float FFTs
+    * would be engine-dependent). Over the first 64 decoded samples
+    * (shorter files analyze their full length — the window just ends;
+    * longer files truncate to the window):
+    *
+    *   W_k = Σ_{n < min(64, ns)} s[n] · (−1)^popcount(k AND n)
+    *
+    * for the 8 lanes k ∈ {0, 1, 2, 4, 8, 16, 32, 63}: k = 0 is DC,
+    * k = 2^j is the square wave flipping with bit j of n (period
+    * 2^{j+1} samples), k = 63 the highest checker. |W_k| ≤ 64·32768 <
+    * 2^22, exactly representable in the float lanes. Orthogonality law
+    * (spec-gated): an alternating ±A signal concentrates entirely in
+    * the k = 1 lane. */
+  def decodeWavWht(bytes: Array[Byte]): Array[Float] = {
+    val (_, samples) = parseWav16(bytes)
+    val ks = Array(0, 1, 2, 4, 8, 16, 32, 63)
+    val out = new Array[Float](8)
+    val lim = math.min(64, samples.length)
+    var li = 0
+    while (li < 8) {
+      val k = ks(li)
+      var acc = 0L
+      var n = 0
+      while (n < lim) {
+        acc += (if (java.lang.Integer.bitCount(k & n) % 2 == 0) 1L else -1L) *
+          samples(n)
+        n += 1
+      }
+      out(li) = acc.toFloat
+      li += 1
+    }
+    out
   }
 
   /** Deterministic genuine-WAV table: each row's `bytes` is a complete,

@@ -162,6 +162,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q194: feature hashing is map-only — vectors build in the scan stage, sole exchange the final sort") {
+    val p = executedPlanOf("q194_feature_hash").split("== Initial Plan ==").head
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+      s"q194 expected only the sort exchange, got $exchanges\n$p")
+    assert(!p.contains("Generate"), s"tokens must not explode into rows\n$p")
+  }
+
+  test("q193: exact split plans ONE stratum-keyed window exchange (plus the final sort)") {
+    val p = executedPlanOf("q193_exact_split").split("== Initial Plan ==").head
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).toSeq
+    assert(hashEx.size == 1,
+      s"q193 expected one stratum hash exchange (rank+count share it), got $hashEx\n$p")
+  }
+
   test("q164: interleave ranks in sub-bucketed windows — offsets broadcast, no sort-merge join") {
     val p = executedPlanOf("q164_interleave_key").split("== Initial Plan ==").head
     // corpus-scale exchanges: the (source, bucket) ranking window and

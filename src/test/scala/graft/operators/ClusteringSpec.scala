@@ -323,4 +323,110 @@ class ClusteringSpec extends SparkSpec {
     }.toMap
     assert(kept === expectedKept)
   }
+
+  // ---- gridDbscan (q190) -------------------------------------------
+
+  /** Independent serial re-computation of the grid-DBSCAN spec:
+    * quantize, sha-parity signs, project, cell floor, census, BFS over
+    * 8-adjacent core cells, border adoption, noise fallback. */
+  private def serialDbscan(rows: Seq[(Long, Seq[Float])], w: Long,
+                           minPts: Int): Map[Long, (String, Long)] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def signs(axis: Int): IndexedSeq[Long] = (0 until 64).map { d =>
+      val h = md.digest(s"dbs:$axis:$d".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) % 2 == 0) 1L else -1L
+    }
+    val s0 = signs(0); val s1 = signs(1)
+    val b = 1L << 20
+    def cellOf(v: Seq[Float]): (Long, Long) = {
+      val q = v.map(x => math.floor(x.toDouble * (1L << 20)).toLong)
+      val px = q.zip(s0).map { case (a, s) => a * s }.sum
+      val py = q.zip(s1).map { case (a, s) => a * s }.sum
+      (math.floor(px.toDouble / w).toLong, math.floor(py.toDouble / w).toLong)
+    }
+    def key(c: (Long, Long)): Long = (c._1 + b) * (2 * b) + (c._2 + b)
+    val pc = rows.map { case (id, v) => id -> cellOf(v) }
+    val counts = pc.groupBy(_._2).view.mapValues(_.size).toMap
+    val core = counts.filter(_._2 >= minPts).keySet
+    val labels = scala.collection.mutable.Map[(Long, Long), Long]()
+    for (c <- core if !labels.contains(c)) {
+      var comp = List(c)
+      val seen = scala.collection.mutable.Set(c)
+      var queue = List(c)
+      while (queue.nonEmpty) {
+        val h = queue.head; queue = queue.tail
+        for (dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0) {
+          val n = (h._1 + dx, h._2 + dy)
+          if (core(n) && !seen(n)) { seen += n; queue ::= n; comp ::= n }
+        }
+      }
+      val m = comp.map(key).min
+      comp.foreach(cc => labels(cc) = m)
+    }
+    pc.map { case (id, c) =>
+      if (core(c)) id -> (("core", labels(c)))
+      else {
+        val adj = for {
+          dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0
+          n = (c._1 + dx, c._2 + dy) if core(n)
+        } yield labels(n)
+        if (adj.nonEmpty) id -> (("border", adj.min))
+        else id -> (("noise", -1L))
+      }
+    }.toMap
+  }
+
+  /** Deterministic fixture: three planted 2-D blobs riding dims 0/1
+    * plus sine jitter on every dim, and a sparse far-out tail. */
+  private def dbscanFixture: Seq[(Long, Seq[Float])] =
+    (0L until 260L).map { i =>
+      val blob = (i % 4).toInt
+      val (bx, by) =
+        if (blob == 3 && i > 200) (1.5 + i * 0.05, -1.5 - i * 0.07) // scattered far tail
+        else (Seq(0.45, -0.45, 0.45)(blob % 3), Seq(0.45, 0.45, -0.45)(blob % 3))
+      val v = (0 until 64).map { d =>
+        val jitter = math.sin(i.toDouble * 7.3 + d * 1.7) * 0.015
+        (if (d == 0) bx else if (d == 1) by else 0.0) + jitter
+      }
+      (i, v.map(_.toFloat))
+    }
+
+  test("gridDbscan equals a serial re-computation of the cell-DBSCAN spec") {
+    val rows = dbscanFixture
+    val got = Clustering.gridDbscan(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dims = 64, cellWidth = 262144L, minPts = 10L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    val want = serialDbscan(rows, 262144L, 10)
+    assert(got == want)
+    // non-vacuous: the fixture must exercise core AND noise at least
+    val roles = got.values.map(_._1).toSet
+    assert(roles.contains("core") && roles.contains("noise"), roles.toString)
+  }
+
+  test("gridDbscan is partition-layout invariant") {
+    val rows = dbscanFixture
+    val a = Clustering.gridDbscan(
+        rows.toDF("vec_id", "embedding").repartition(1),
+        "vec_id", "embedding", 64, 262144L, 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val b = Clustering.gridDbscan(
+        rows.toDF("vec_id", "embedding").repartition(32),
+        "vec_id", "embedding", 64, 262144L, 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+
+  test("gridDbscan rejects vectors whose length != dims loudly") {
+    val rows = Seq((1L, Seq.fill(32)(0.1f)))
+    val e = intercept[Exception] {
+      Clustering.gridDbscan(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", 64, 262144L, 10L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("vector length != dims")),
+      messages(e).mkString(" | "))
+  }
 }

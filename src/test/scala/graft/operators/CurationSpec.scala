@@ -1016,4 +1016,59 @@ class CurationSpec extends SparkSpec {
     assert(got == Set((2L, "spam.com", 1), (3L, "spam.com", 2),
       (5L, "ok.org", 1)))
   }
+
+  // ---- exactStratifiedSplit (q193) ---------------------------------
+
+  test("exactStratifiedSplit guarantees floor-exact per-stratum counts") {
+    // strata sizes chosen so hashSplit could never guarantee these:
+    // 7, 10, 23, 1 → train/val/test = (5,1,1), (8,1,1), (18,2,3), (0,0,1)
+    val rows = (0L until 41L).map { i =>
+      val src = if (i < 7) "a" else if (i < 17) "b" else if (i < 40) "c" else "d"
+      (i, src)
+    }.toDF("doc_id", "source")
+    val got = Curation.exactStratifiedSplit(rows, "source", "doc_id",
+        "xsplit:42", 80, 10)
+      .groupBy("source", "split").count()
+      .as[(String, String, Long)].collect()
+      .map { case (s, sp, n) => (s, sp) -> n }.toMap
+    def expect(n: Long): Map[String, Long] = {
+      val tr = n * 80 / 100; val va = n * 90 / 100 - tr
+      Map("train" -> tr, "val" -> va, "test" -> (n - n * 90 / 100))
+        .filter(_._2 > 0)
+    }
+    val want = Map("a" -> 7L, "b" -> 10L, "c" -> 23L, "d" -> 1L).flatMap {
+      case (s, n) => expect(n).map { case (sp, c) => (s, sp) -> c }
+    }
+    assert(got == want, s"got $got")
+  }
+
+  test("exactStratifiedSplit membership is layout-invariant and hash-ordered") {
+    val rows = (0L until 200L).map(i => (i, s"s${i % 3}"))
+    val a = Curation.exactStratifiedSplit(
+        rows.toDF("doc_id", "source").repartition(1),
+        "source", "doc_id", "xsplit:42", 80, 10)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = Curation.exactStratifiedSplit(
+        rows.toDF("doc_id", "source").repartition(32),
+        "source", "doc_id", "xsplit:42", 80, 10)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+    // and a different salt reshuffles membership (not a trivial id order)
+    val c = Curation.exactStratifiedSplit(rows.toDF("doc_id", "source"),
+        "source", "doc_id", "other:7", 80, 10)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a != c)
+  }
+
+  test("exactStratifiedSplit refuses colliding internal columns and bad percentages") {
+    val df = Seq((1L, "a", 0)).toDF("doc_id", "source", "__rn")
+    intercept[IllegalArgumentException] {
+      Curation.exactStratifiedSplit(df, "source", "doc_id", "s", 80, 10)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.exactStratifiedSplit(
+        Seq((1L, "a")).toDF("doc_id", "source"),
+        "source", "doc_id", "s", 80, 30)
+    }
+  }
 }

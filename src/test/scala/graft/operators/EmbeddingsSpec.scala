@@ -81,4 +81,54 @@ class EmbeddingsSpec extends SparkSpec {
     assert(got(0) == ((0L, 2.0, math.sqrt(2.0), 1.0, 3.0)))
     assert(got(1) == ((1L, 10.0, 0.0, 10.0, 10.0)))
   }
+
+  // ---- featureHashVectors (q194) -----------------------------------
+
+  /** Serial reference of the hashing-trick spec. */
+  private def fhRef(text: String, dims: Int): (Long, Long, String) = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    val vec = new Array[Long](dims)
+    for (t <- toks) {
+      val h = md.digest(t.getBytes("UTF-8"))
+      var hv = 0L
+      for (b <- 0 until 6) hv = (hv << 8) | (h(b) & 0xffL)
+      vec((hv % dims).toInt) += (if ((hv / dims) % 2 == 0) 1L else -1L)
+    }
+    (toks.length.toLong, vec.map(v => v * v).sum, vec.mkString(","))
+  }
+
+  test("featureHashVectors matches a serial hashing-trick reference") {
+    val docs = Seq(
+      (1L, "spark hash spark vector hash spark"),
+      (2L, "  leading and   trailing   space  "),
+      (3L, ""), // zero tokens → zero vector, zero norm
+      (4L, "spark hash spark vector hash spark"), // same text as 1
+      (5L, (0 until 200).map(i => s"tok$i").mkString(" ")))
+    val got = Embeddings.featureHashVectors(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 64)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val want = docs.map { case (id, t) => id -> fhRef(t, 64) }.toMap
+    assert(got == want)
+    // identical text → identical vector; CSV has exactly dims entries
+    assert(got(1L) == got(4L))
+    assert(got(5L)._3.split(",").length == 64)
+    assert(got(3L) == ((0L, 0L, Seq.fill(64)("0").mkString(","))))
+  }
+
+  test("featureHashVectors is partition-layout invariant and dims-bounded") {
+    val docs = (0L until 100L).map(i => (i, s"a$i b${i % 7} c${i % 3} a$i"))
+    val a = Embeddings.featureHashVectors(
+        docs.toDF("doc_id", "text").repartition(1), "doc_id", "text", 32)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val b = Embeddings.featureHashVectors(
+        docs.toDF("doc_id", "text").repartition(32), "doc_id", "text", 32)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Embeddings.featureHashVectors(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 1)
+    }
+  }
 }

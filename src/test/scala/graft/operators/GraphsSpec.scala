@@ -362,4 +362,163 @@ class GraphsSpec extends SparkSpec {
       s"pageRank leaked cached tables: ${persisted - base}")
     cleanup()
   }
+
+  // ---- ccLargeSmallStar (q189) -------------------------------------
+
+  private def ccViaStars(pairs: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+    Graphs.ccLargeSmallStar(pairs.toDF("id_a", "id_b"), rounds)
+      .as[(Long, Long)].collect().toMap
+
+  private def ccViaDoubling(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("ccLargeSmallStar equals pointer-doubling CC on adversarial fixtures") {
+    val fixtures: Seq[(String, Seq[(Long, Long)])] = Seq(
+      "two cliques + bridge-free pair" -> (
+        (for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)) ++
+          (for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)) ++
+          Seq((20L, 21L))),
+      "chain of 64" -> (0L until 63L).map(i => (i, i + 1)),
+      "star with high-id hub" -> (0L until 20L).map(i => (100L, i)),
+      "random mod graph" -> (0L until 300L).map(i => (i, (i * i + 7) % 97))
+        .filter { case (a, b) => a != b },
+      "duplicate + reversed edges" -> Seq((1L, 2L), (2L, 1L), (1L, 2L),
+        (3L, 4L), (4L, 5L), (5L, 3L)))
+    for ((name, pairs) <- fixtures) {
+      val stars = ccViaStars(pairs, rounds = 8)
+      val doubling = ccViaDoubling(pairs)
+      assert(stars == doubling, name)
+      // labels are component MINIMA: every label labels itself
+      assert(stars.filter { case (id, l) => id == l }.keySet == stars.values.toSet, name)
+    }
+  }
+
+  test("ccLargeSmallStar is partition-layout invariant") {
+    val pairs = (0L until 500L).map(i => (i, (i * 31 + 11) % 257))
+      .filter { case (a, b) => a != b }
+    val a = Graphs.ccLargeSmallStar(pairs.toDF("id_a", "id_b").repartition(1), 8)
+      .as[(Long, Long)].collect().toMap
+    val b = Graphs.ccLargeSmallStar(pairs.toDF("id_a", "id_b").repartition(32), 8)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("ccLargeSmallStar fails loudly when the round budget is too small") {
+    val chain = (0L until 4000L).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      ccViaStars(chain, rounds = 1)
+    }
+    // and the logarithmic convergence claim: a 4001-node path — the
+    // worst-case diameter shape — lands within ~1.4·log2(n) alternations
+    val got = ccViaStars(chain, rounds = 13)
+    assert(got.values.toSet == Set(0L) && got.size == 4001)
+  }
+
+  // ---- hashRandomWalks (q196) --------------------------------------
+
+  test("hashRandomWalks replays serially, follows edges, and is layout-invariant") {
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 2L), (3L, 4L),
+      (4L, 0L), (2L, 5L))
+    val edges = symmetrize(und)
+    def run(parts: Int): Map[Long, String] = Graphs.hashRandomWalks(
+        edges.toDF("src", "dst").repartition(parts), 4, "rw:t")
+      .as[(Long, String)].collect().toMap
+    val a = run(1)
+    assert(a == run(16))
+    // independent serial replay of the hash-argmin rule
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def hv(s: String): Long = {
+      val h = md.digest(s.getBytes("UTF-8"))
+      var x = 0L
+      for (b <- 0 until 6) x = (x << 8) | (h(b) & 0xffL)
+      x
+    }
+    val want = adj.keys.map { start =>
+      var cur = start
+      val sb = new StringBuilder(start.toString)
+      for (t <- 1 to 4) {
+        val nxt = adj(cur).minBy(v => (hv(s"rw:t:$start:$t:$v"), v))
+        sb.append(",").append(nxt)
+        cur = nxt
+      }
+      start -> sb.toString
+    }.toMap
+    assert(a == want)
+    // every hop is a real edge
+    for ((s0, path) <- a) {
+      val hops = path.split(",").map(_.toLong).toSeq
+      assert(hops.head == s0)
+      hops.sliding(2).foreach { case Seq(u, v) =>
+        assert(adj(u).contains(v), s"walk $s0 used a phantom edge $u->$v")
+      }
+    }
+  }
+
+  // ---- incrementalCc (q195) ----------------------------------------
+
+  test("incrementalCc equals a full recompute across merge/new-node/no-op deltas") {
+    val batch1: Seq[(Long, Long)] = Seq(
+      (1L, 2L), (2L, 3L),          // comp {1,2,3}
+      (10L, 11L),                  // comp {10,11}
+      (20L, 21L), (21L, 22L),      // comp {20,21,22}
+      (30L, 31L))                  // comp {30,31} — never touched
+    val deltas: Seq[(String, Seq[(Long, Long)])] = Seq(
+      "merge two standing comps" -> Seq((3L, 10L)),
+      "attach brand-new nodes" -> Seq((11L, 100L), (100L, 101L)),
+      "intra-component no-op edge" -> Seq((20L, 22L)),
+      "new isolated pair" -> Seq((200L, 201L)),
+      "everything at once" -> Seq((3L, 10L), (11L, 100L), (100L, 101L),
+        (20L, 22L), (200L, 201L), (22L, 1L)))
+    val standing = ccViaStars(batch1, 8)
+    for ((name, delta) <- deltas) {
+      val got = Graphs.incrementalCc(
+          standing.toSeq.toDF("id", "label"),
+          delta.toDF("id_a", "id_b"), 8)
+        .as[(Long, Long)].collect().toMap
+      val want = ccViaDoubling(batch1 ++ delta)
+      assert(got == want, name)
+    }
+  }
+
+  test("incrementalCc never re-iterates untouched components (pruning pin)") {
+    // the untouched component is a 2000-link chain whose own solve
+    // needs ~12 alternations; the delta touches a separate pair. If
+    // pruning leaked the chain into the star iteration, rounds = 2
+    // could not converge and the loud assert would fire — passing IS
+    // the proof the chain never entered the iteration.
+    val chain = (0L until 2000L).map(i => (i, i + 1))
+    val standingMap = ccViaStars(chain :+ (5000L, 5001L), 13)
+    val got = Graphs.incrementalCc(
+        standingMap.toSeq.toDF("id", "label"),
+        Seq((5001L, 5002L)).toDF("id_a", "id_b"), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got(5002L) == 5000L && got(5001L) == 5000L)
+    assert(got.filter(_._1 <= 2000L) == standingMap.filter(_._1 <= 2000L))
+  }
+
+  test("incrementalCc with an empty delta is the identity") {
+    val standing = ccViaStars(Seq((1L, 2L), (3L, 4L)), 4)
+    val got = Graphs.incrementalCc(
+        standing.toSeq.toDF("id", "label"),
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"), 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == standing)
+  }
+
+  test("ccLargeSmallStar leaves no per-round cache growth") {
+    def cleanup(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+    def persisted: Int = spark.sparkContext.getPersistentRDDs.size
+    cleanup()
+    val base = persisted
+    val chain = (0L until 200L).map(i => (i, i + 1))
+    Graphs.ccLargeSmallStar(chain.toDF("id_a", "id_b"), 8).collect()
+    assert(persisted - base <= 1,
+      s"ccLargeSmallStar leaked cached tables: ${persisted - base}")
+    cleanup()
+  }
 }

@@ -1553,4 +1553,108 @@ class MultimodalSpec extends SparkSpec {
         s"mismatch at ($mid, $k)")
     }
   }
+
+  // ---- decodeBmpSobel (q191) ---------------------------------------
+
+  /** Serial Sobel reference over explicit (r, g, b) pixel truth. */
+  private def sobelRef(w: Int, h: Int,
+                       px: (Int, Int) => (Int, Int, Int)): Seq[Float] = {
+    val lum = Array.tabulate(h, w) { (y, x) =>
+      val (r, g, b) = px(x, y)
+      (77 * r + 151 * g + 28 * b + 128) >> 8
+    }
+    var sAx, sAy, mMax, edges, posL, interior, lumSum = 0L
+    for (y <- 0 until h; x <- 0 until w) lumSum += lum(y)(x)
+    for (y <- 1 until h - 1; x <- 1 until w - 1) {
+      val gx = -lum(y - 1)(x - 1) + lum(y - 1)(x + 1) -
+        2 * lum(y)(x - 1) + 2 * lum(y)(x + 1) -
+        lum(y + 1)(x - 1) + lum(y + 1)(x + 1)
+      val gy = -lum(y - 1)(x - 1) - 2 * lum(y - 1)(x) - lum(y - 1)(x + 1) +
+        lum(y + 1)(x - 1) + 2 * lum(y + 1)(x) + lum(y + 1)(x + 1)
+      val m = math.abs(gx) + math.abs(gy)
+      sAx += math.abs(gx); sAy += math.abs(gy)
+      if (m > mMax) mMax = m
+      if (m >= 256) edges += 1
+      posL += m.toLong * ((y * w + x) % 97 + 1)
+      interior += 1
+    }
+    Seq(sAx, sAy, mMax, edges, posL, interior, w * 256 + h, lumSum)
+      .map(_.toFloat)
+  }
+
+  private def jdkBmp(w: Int, h: Int,
+                     px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", bos), "JDK BMP writer missing")
+    bos.toByteArray
+  }
+
+  // ---- decodeWavWht (q192) -----------------------------------------
+
+  test("decodeWavWht matches a serial transform over JDK-encoded sample truth") {
+    val samples = Array.tabulate[Short](80)(j =>
+      ((j * 977 + 419) % 65536 - 32768).toShort)
+    val got = Multimodal.decodeWavWht(jdkWavBytes(samples, 10000)).toSeq
+    val ks = Seq(0, 1, 2, 4, 8, 16, 32, 63)
+    val want = ks.map { k =>
+      (0 until 64).map { n =>
+        (if (java.lang.Integer.bitCount(k & n) % 2 == 0) 1L else -1L) *
+          samples(n)
+      }.sum.toFloat
+    }
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("decodeWavWht orthogonality laws: DC and alternating signals concentrate in one lane") {
+    // constant signal: everything lands in the k=0 (DC) lane
+    val dc = Multimodal.decodeWavWht(
+      jdkWavBytes(Array.fill[Short](64)(100), 8000)).toSeq
+    assert(dc == Seq(6400f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), dc.toString)
+    // alternating ±A: sign pattern is (−1)^popcount(1 AND n) → all of
+    // the energy lands in the k=1 lane, every other lane cancels
+    val alt = Multimodal.decodeWavWht(jdkWavBytes(
+      Array.tabulate[Short](64)(n => if (n % 2 == 0) 500 else -500), 8000)).toSeq
+    assert(alt == Seq(0f, 32000f, 0f, 0f, 0f, 0f, 0f, 0f), alt.toString)
+    // short file: the window is the file, not zero-padded phantom taps
+    val short = Multimodal.decodeWavWht(
+      jdkWavBytes(Array.fill[Short](40)(100), 8000)).toSeq
+    val wantShort = Seq(0, 1, 2, 4, 8, 16, 32, 63).map { k =>
+      (0 until 40).map(n =>
+        (if (java.lang.Integer.bitCount(k & n) % 2 == 0) 100L else -100L)).sum.toFloat
+    }
+    assert(short == wantShort, short.toString)
+  }
+
+  test("decodeBmpSobel matches a serial Sobel over JDK-encoded pixel truth") {
+    val w = 9; val h = 7
+    def px(x: Int, y: Int): (Int, Int, Int) =
+      (((x * 61 + y * 23 + 7) % 256), ((x * 31 + y * 83 + 101) % 256),
+        ((x * 17 + y * 41 + 191) % 256))
+    val got = Multimodal.decodeBmpSobel(jdkBmp(w, h, px)).toSeq
+    assert(got == sobelRef(w, h, px), s"got $got")
+  }
+
+  test("decodeBmpSobel analytic laws: flat image is edgeless, a vertical step has no gy") {
+    // constant image: every gradient lane zero, luma/meta lanes alive
+    val flat = Multimodal.decodeBmpSobel(jdkBmp(6, 6, (_, _) => (80, 120, 40)))
+    val l = (77 * 80 + 151 * 120 + 28 * 40 + 128) >> 8
+    assert(flat.toSeq.take(5) == Seq(0f, 0f, 0f, 0f, 0f) &&
+      flat(5) == 16f && flat(6) == (6 * 256 + 6).toFloat &&
+      flat(7) == (36 * l).toFloat, flat.toSeq.toString)
+    // vertical step edge (left dark, right bright): gy = 0 everywhere,
+    // gx > 0 at the boundary columns → f1 = 0, f0 > 0
+    val step = Multimodal.decodeBmpSobel(
+      jdkBmp(8, 6, (x, _) => if (x < 4) (10, 10, 10) else (200, 200, 200)))
+    assert(step(1) == 0f && step(0) > 0f, step.toSeq.toString)
+    // and the transposed law for a horizontal step
+    val hstep = Multimodal.decodeBmpSobel(
+      jdkBmp(6, 8, (_, y) => if (y < 4) (10, 10, 10) else (200, 200, 200)))
+    assert(hstep(0) == 0f && hstep(1) > 0f, hstep.toSeq.toString)
+  }
 }
