@@ -998,6 +998,80 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact tie-aware per-source ROC AUC (Mann–Whitney rank-sum) of
+    // the n_chars signal predicting lang = 'en' — the evaluation
+    // metric a scored gate reports per source before trusting its
+    // threshold. Integer pair (u2, 2·n_pos·n_neg) under the hash; the
+    // r6 AUC rides alongside. Tie-rich by construction (n_chars
+    // collides constantly), so the ½-credit convention is in-gate.
+    "q201_rank_auc" -> ((s, d) => {
+      operators.Profiling.rankAuc(t(s, d, "documents"),
+          "source", "n_chars", col("lang") === "en")
+        .select(col("source"), col("n_pos"), col("n_neg"), col("u2"),
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            r6(col("u2").cast("double")
+              / (col("n_pos") * col("n_neg") * 2).cast("double")))
+            .as("auc"))
+        .orderBy(col("source"))
+    }),
+
+    // Interpolated Kneser–Ney bigram probabilities as EXACT integer
+    // rationals (d = 3/4): the classic LM smoothing with continuation
+    // counts, every probability a ratio of two integers so the model
+    // replays bit-for-bit. Top-30 bigrams by count with (numer,
+    // denom); the unity law Σ_w2 numer = denom is spec-gated.
+    "q200_kneser_ney" -> ((s, d) => {
+      operators.Perplexity.kneserNeyBigrams(t(s, d, "documents"),
+        "doc_id", "text", topK = 30)
+    }),
+
+    // Cross-source quantile normalization of the n_chars score — the
+    // calibration step before mixing incomparable per-source quality
+    // scores: each row's score becomes the GLOBAL score at its
+    // within-source midpoint quantile (integer rule, exact). One
+    // source-keyed window exchange + a distinct-score histogram
+    // broadcast as one row; the oracle replays rank, histogram, and
+    // the min-v threshold lookup per row.
+    "q198_quantile_normalize" -> ((s, d) => {
+      operators.Curation.quantileNormalize(t(s, d, "documents"),
+          "source", "n_chars", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Brute-force cosine top-k over the q194 HASHED vectors — the
+    // bridge demo end to end: text → hashing-trick vectors → ANN
+    // baseline, no trained embedder anywhere. Query side (doc_id %
+    // 50 = 0) broadcasts (the q26 contract); dot products and norms
+    // are integer-exact, sqrt/divide IEEE-identical in both engines,
+    // ranking on the unrounded cosine, r6 only in the report.
+    "q199_hashed_cosine_topk" -> ((s, d) => {
+      import graft.operators.Embeddings
+      import org.apache.spark.sql.expressions.Window
+      val vecs = Embeddings.featureHashArrays(t(s, d, "documents"),
+          "doc_id", "text", dims = 64)
+        .filter(col("norm2") > 0)
+        .localCheckpoint() // built once, read by both sides of the join
+      val queries = vecs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("query_id"), col("vec").as("qv"),
+          col("norm2").as("qn"))
+      val cand = vecs
+        .select(col("doc_id").as("neighbor_id"), col("vec").as("dv"),
+          col("norm2").as("dn"))
+        .crossJoin(broadcast(queries))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("dot", aggregate(zip_with(col("qv"), col("dv"),
+          (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+        .withColumn("cos", col("dot").cast("double")
+          / sqrt((col("qn") * col("dn")).cast("double")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      cand.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), r6(col("cos")).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // EXACT-proportion stratified split: q57's hashSplit holds 80/10/10
     // only in expectation; this guarantees ⌊n·pct/100⌋ per source via a
     // within-stratum (hash, id) rank — one stratum-keyed window
@@ -2064,6 +2138,32 @@ object SparkEntry {
         .groupBy(col("label").as("component"))
         .agg(count(lit(1)).as("members"))
         .orderBy(col("members").desc, col("component"))
+    }),
+
+    // INCREMENTAL grid-DBSCAN state maintenance — the q195 pattern in
+    // the density-clustering column: the standing embeddings build the
+    // cell census + core labels, a delta batch (reversed vectors,
+    // shifted ids) arrives, counts merge BY ADDITION (core-ness is
+    // monotone) and only components touched by newly-core cells
+    // re-solve via incrementalCc. Output is the merged CELL state
+    // table; the oracle recomputes grid-DBSCAN from scratch on the
+    // union corpus, so any stale label, census slip, or missed
+    // newly-core edge desyncs.
+    "q197_incremental_dbscan" -> ((s, d) => {
+      import graft.operators.Clustering
+      val base = Tables.embeddings(s, d)
+      val standingCensus = Clustering.cellCensus(
+        base, "vec_id", "embedding", 64, 524288L)
+      val standingLabels = Clustering.cellStates(standingCensus, 12L, 8)
+        .filter(col("role") === "core")
+        .select(col("cell"), col("cluster"))
+      val delta = base.select((col("vec_id") + 100000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+      Clustering.incrementalCellDbscan(standingCensus, standingLabels,
+          delta, "vec_id", "embedding", 64, 524288L, 12L)
+        .select(col("cx"), col("cy"), col("cnt"), col("role"),
+          col("cluster"))
+        .orderBy(col("cx"), col("cy"))
     }),
 
     // Deterministic random-walk corpus (DeepWalk's input) over the
@@ -3664,6 +3764,32 @@ object SparkEntry {
        |SELECT start, path FROM w$steps ORDER BY start""".stripMargin
   }
 
+  /** q194/q199 shared CTE: per-document feature-hash construction —
+    * tokenization, the 48-bit sha prefix, dim/sign split, signed sums,
+    * densified to all 64 dims as `fullv(doc_id, d, v)`. */
+  private lazy val featureHashCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(trim(text), '\s+'), x -> x <> '')) AS w
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, CAST(list_sum(
+      |      [(strpos('0123456789abcdef', substr(sha256(w), i, 1)) - 1)
+      |       * pow(16.0, 12 - i) for i in generate_series(1, 12)])
+      |    AS BIGINT) AS hv
+      |  FROM toks),
+      |dimv AS (
+      |  SELECT doc_id, CAST(hv % 64 AS BIGINT) AS d,
+      |    CAST(sum(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END)
+      |      AS BIGINT) AS v
+      |  FROM h GROUP BY 1, 2),
+      |fullv AS MATERIALIZED (
+      |  SELECT doc.doc_id, r.range AS d,
+      |    CAST(COALESCE(dimv.v, 0) AS BIGINT) AS v
+      |  FROM (SELECT doc_id FROM documents) doc
+      |  CROSS JOIN range(64) r
+      |  LEFT JOIN dimv ON dimv.doc_id = doc.doc_id AND dimv.d = r.range)""".stripMargin
+
   /** q190 oracle: replay the grid-DBSCAN spec end to end — q124
     * quantization, sha-parity signs, the 2-D signed projection, exact
     * double-floor cells, the census, core threshold, 8-adjacency
@@ -3671,12 +3797,45 @@ object SparkEntry {
     * cell-granular) core graph, border adoption of the minimum
     * adjacent cluster, and the noise fallback. Cell keys replay the
     * (cx+2^20)·2^21+(cy+2^20) encoding. */
-  private lazy val gridDbscanOracleSql: String =
-    """WITH RECURSIVE qv AS MATERIALIZED (
-      |  SELECT vec_id,
+  private lazy val gridDbscanOracleSql: String = dbscanOracleSql(
+    """SELECT vec_id,
       |    [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)
       |     for x in embedding] AS q
-      |  FROM embeddings),
+      |  FROM embeddings""".stripMargin,
+    """SELECT p.vec_id, COALESCE(cl.role, 'noise') AS role,
+      |  COALESCE(cl.cluster, CAST(-1 AS BIGINT)) AS cluster
+      |FROM pts p LEFT JOIN cellab cl
+      |  ON cl.cell = (p.cx + 1048576) * 2097152 + (p.cy + 1048576)
+      |ORDER BY vec_id""".stripMargin)
+
+  /** q197 oracle: a FULL grid-DBSCAN recompute over the union corpus
+    * (standing embeddings + the reversed-vector delta with shifted
+    * ids) reported at CELL level — the incremental path must
+    * reproduce it exactly, so a census-merge slip, a missed
+    * newly-core edge, or a stale standing label all desync. */
+  private lazy val incrementalDbscanOracleSql: String = dbscanOracleSql(
+    """SELECT vec_id,
+      |    [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)
+      |     for x in embedding] AS q
+      |  FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000,
+      |    [CAST(floor(CAST(embedding[65 - i] AS DOUBLE) * 1048576) AS BIGINT)
+      |     for i in generate_series(1, 64)]
+      |  FROM embeddings""".stripMargin,
+    """SELECT c.cx, c.cy, c.cnt, COALESCE(cl.role, 'noise') AS role,
+      |  COALESCE(cl.cluster, CAST(-1 AS BIGINT)) AS cluster
+      |FROM cells c LEFT JOIN cellab cl ON cl.cell = c.cell
+      |ORDER BY c.cx, c.cy""".stripMargin)
+
+  /** Shared q190/q197 grid-DBSCAN replay: `qvSelect` supplies the
+    * quantized-vector table, `finalSelect` the report (point-level for
+    * q190, cell-level for q197); everything between — signs,
+    * projection, cells, core closure, border adoption — is the one
+    * spec. */
+  private def dbscanOracleSql(qvSelect: String, finalSelect: String): String =
+    s"""WITH RECURSIVE qv AS MATERIALIZED (
+      |  $qvSelect),
       |sg AS MATERIALIZED (
       |  SELECT a.axis, d.range AS d,
       |    CASE WHEN (strpos('0123456789abcdef',
@@ -3724,11 +3883,7 @@ object SparkEntry {
       |cellab AS MATERIALIZED (
       |  SELECT cell, cluster, 'core' AS role FROM corelab
       |  UNION ALL SELECT cell, cluster, 'border' AS role FROM border)
-      |SELECT p.vec_id, COALESCE(cl.role, 'noise') AS role,
-      |  COALESCE(cl.cluster, CAST(-1 AS BIGINT)) AS cluster
-      |FROM pts p LEFT JOIN cellab cl
-      |  ON cl.cell = (p.cx + 1048576) * 2097152 + (p.cy + 1048576)
-      |ORDER BY vec_id""".stripMargin
+      |$finalSelect""".stripMargin
 
   /** q120 oracle: replay all `rounds` BPE merge rounds, unrolled — the
     * distinct-word table, per-round adjacent-pair counts, the
@@ -6760,40 +6915,50 @@ object SparkEntry {
         |FROM documents ORDER BY shuffle_key""".stripMargin,
 
     "q194_feature_hash" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(list_filter(
-        |    string_split_regex(trim(text), '\s+'), x -> x <> '')) AS w
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id, CAST(list_sum(
-        |      [(strpos('0123456789abcdef', substr(sha256(w), i, 1)) - 1)
-        |       * pow(16.0, 12 - i) for i in generate_series(1, 12)])
-        |    AS BIGINT) AS hv
-        |  FROM toks),
-        |dimv AS (
-        |  SELECT doc_id, CAST(hv % 64 AS BIGINT) AS d,
-        |    CAST(sum(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END)
-        |      AS BIGINT) AS v
-        |  FROM h GROUP BY 1, 2),
-        |fullv AS (
-        |  SELECT doc.doc_id, r.range AS d,
-        |    CAST(COALESCE(dimv.v, 0) AS BIGINT) AS v
-        |  FROM (SELECT doc_id FROM documents) doc
-        |  CROSS JOIN range(64) r
-        |  LEFT JOIN dimv ON dimv.doc_id = doc.doc_id AND dimv.d = r.range),
-        |agg AS (
-        |  SELECT doc_id,
-        |    string_agg(CAST(v AS VARCHAR), ',' ORDER BY d) AS vec_csv,
-        |    CAST(sum(v * v) AS BIGINT) AS norm2
-        |  FROM fullv GROUP BY doc_id),
-        |nt AS (
-        |  SELECT doc_id, CAST(len(list_filter(
-        |    string_split_regex(trim(text), '\s+'), x -> x <> ''))
-        |    AS BIGINT) AS n_tok
-        |  FROM documents)
-        |SELECT a.doc_id, nt.n_tok, a.norm2, a.vec_csv
-        |FROM agg a JOIN nt ON nt.doc_id = a.doc_id
-        |ORDER BY a.doc_id""".stripMargin,
+      (featureHashCte +
+        """,
+          |agg AS (
+          |  SELECT doc_id,
+          |    string_agg(CAST(v AS VARCHAR), ',' ORDER BY d) AS vec_csv,
+          |    CAST(sum(v * v) AS BIGINT) AS norm2
+          |  FROM fullv GROUP BY doc_id),
+          |nt AS (
+          |  SELECT doc_id, CAST(len(list_filter(
+          |    string_split_regex(trim(text), '\s+'), x -> x <> ''))
+          |    AS BIGINT) AS n_tok
+          |  FROM documents)
+          |SELECT a.doc_id, nt.n_tok, a.norm2, a.vec_csv
+          |FROM agg a JOIN nt ON nt.doc_id = a.doc_id
+          |ORDER BY a.doc_id""".stripMargin),
+
+    // Brute-force cosine over the replayed hashed vectors: dot and
+    // norms integer-exact in doubles, sqrt/divide in the engine's
+    // order, rank on the UNROUNDED cosine, r6 only in the report
+    // (the q26/q56 contract over the q194 construction).
+    "q199_hashed_cosine_topk" ->
+      (featureHashCte +
+        """,
+          |vecs AS MATERIALIZED (
+          |  SELECT doc_id, list(v ORDER BY d) AS vec,
+          |    CAST(sum(v * v) AS BIGINT) AS norm2
+          |  FROM fullv GROUP BY doc_id),
+          |nz AS (SELECT * FROM vecs WHERE norm2 > 0),
+          |scored AS (
+          |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+          |    CAST(CAST(list_sum([q.vec[i] * c.vec[i]
+          |        for i in generate_series(1, 64)]) AS BIGINT) AS DOUBLE)
+          |      / sqrt(CAST(q.norm2 * c.norm2 AS DOUBLE)) AS cos
+          |  FROM nz q JOIN nz c
+          |    ON q.doc_id % 50 = 0 AND c.doc_id <> q.doc_id),
+          |rk AS (
+          |  SELECT query_id, neighbor_id, cos,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY cos DESC, neighbor_id) AS rank
+          |  FROM scored)
+          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+          |  r6(cos) AS cos
+          |FROM rk WHERE rank <= 5
+          |ORDER BY query_id, rank""".stripMargin),
 
     "q193_exact_split" ->
       """WITH r AS (
@@ -8282,7 +8447,71 @@ object SparkEntry {
     "q189_cc_stars" -> ccStarsOracleSql(5),
     "q195_incremental_cc" -> incrementalCcOracleSql(5),
     "q196_hash_walks" -> hashWalksOracleSql(4),
+
+    "q201_rank_auc" ->
+      """WITH g AS (
+        |  SELECT source, n_chars AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |ps AS (
+        |  SELECT source, s, sum(pos) AS np, sum(1 - pos) AS nn
+        |  FROM g GROUP BY 1, 2),
+        |w AS (
+        |  SELECT source, np, nn,
+        |    COALESCE(sum(nn) OVER (PARTITION BY source ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM ps),
+        |agg AS (
+        |  SELECT source, CAST(sum(np) AS BIGINT) AS n_pos,
+        |    CAST(sum(nn) AS BIGINT) AS n_neg,
+        |    CAST(sum(np * (2 * below + nn)) AS BIGINT) AS u2
+        |  FROM w GROUP BY source)
+        |SELECT source, n_pos, n_neg, u2,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0
+        |    THEN r6(CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE))
+        |    ELSE NULL END AS auc
+        |FROM agg ORDER BY source""".stripMargin,
+
+    "q200_kneser_ney" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(
+        |    regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |bi0 AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM tk WHERE len(t) >= 2)),
+        |bi AS MATERIALIZED (
+        |  SELECT w1, w2, count(*) AS c12 FROM bi0 GROUP BY 1, 2),
+        |c1t AS (SELECT w1, sum(c12) AS c1, count(*) AS n1p
+        |        FROM bi GROUP BY 1),
+        |n1ct AS (SELECT w2, count(*) AS n1c FROM bi GROUP BY 1),
+        |bt AS (SELECT count(*) AS b FROM bi)
+        |SELECT bi.w1, bi.w2, bi.c12,
+        |  CAST(greatest(4 * bi.c12 - 3, 0) * bt.b
+        |    + 3 * c1t.n1p * n1ct.n1c AS BIGINT) AS numer,
+        |  CAST(4 * c1t.c1 * bt.b AS BIGINT) AS denom
+        |FROM bi JOIN c1t USING (w1) JOIN n1ct USING (w2) CROSS JOIN bt
+        |ORDER BY c12 DESC, w1, w2 LIMIT 30""".stripMargin,
+
+    "q198_quantile_normalize" ->
+      """WITH hist AS (SELECT n_chars AS v, count(*) AS c
+        |  FROM documents GROUP BY 1),
+        |ch AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM hist),
+        |tot AS (SELECT max(cum) AS n FROM ch),
+        |r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS r,
+        |    count(*) OVER (PARTITION BY source) AS ng
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, r.n_chars,
+        |  (SELECT min(ch.v) FROM ch, tot
+        |   WHERE ch.cum * 2 * r.ng >= (2 * r.r - 1) * tot.n) AS calibrated
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q190_grid_dbscan" -> gridDbscanOracleSql,
+    "q197_incremental_dbscan" -> incrementalDbscanOracleSql,
 
     // Heavy-hitter replay: the geometric key stream (bit length of the
     // event-id hash's low 16 bits), the q114-style grid, per-key

@@ -485,14 +485,32 @@ object Clustering {
   def gridDbscan(embeddings: DataFrame, idCol: String, vecCol: String,
                  dims: Int, cellWidth: Long, minPts: Long,
                  ccRounds: Int = 8): DataFrame = {
+    val pts = dbscanPts(embeddings, idCol, vecCol, dims, cellWidth)
+    val states = cellStates(
+      cellCensus(embeddings, idCol, vecCol, dims, cellWidth),
+      minPts, ccRounds)
+    pts.withColumn("cell", cellKey(col("cx"), col("cy")))
+      .join(states.select(col("cell"), col("role"), col("cluster")),
+        Seq("cell"), "left")
+      .select(col("vec_id"),
+        coalesce(col("role"), lit("noise")).as("role"),
+        coalesce(col("cluster"), lit(-1L)).as("cluster"))
+  }
+
+  private val DbsBound = 1L << 20
+
+  /** Encoded cell key (cx+2^20)·2^21 + (cy+2^20); out-of-range
+    * coordinates raise loudly. */
+  private def cellKey(cx: Column, cy: Column): Column =
+    when(abs(cx) >= DbsBound || abs(cy) >= DbsBound,
+      raise_error(concat(lit("gridDbscan cell out of range: "),
+        cx.cast("string"), lit(","), cy.cast("string"))).cast("long"))
+      .otherwise((cx + DbsBound) * lit(2L * DbsBound) + (cy + DbsBound))
+
+  /** (vec_id, cx, cy) of every vector — one map-only projection pass. */
+  private def dbscanPts(vecs: DataFrame, idCol: String, vecCol: String,
+                        dims: Int, cellWidth: Long): DataFrame = {
     require(cellWidth >= 1, s"cellWidth out of range: $cellWidth")
-    require(minPts >= 1, s"minPts out of range: $minPts")
-    val bound = 1L << 20
-    def cellKey(cx: Column, cy: Column): Column =
-      when(abs(cx) >= bound || abs(cy) >= bound,
-        raise_error(concat(lit("gridDbscan cell out of range: "),
-          cx.cast("string"), lit(","), cy.cast("string"))).cast("long"))
-        .otherwise((cx + bound) * lit(2L * bound) + (cy + bound))
     def proj(axis: Int): Column =
       aggregate(zip_with(quantize(col(vecCol)),
           array(dbscanSigns(axis, dims).map(lit(_)): _*), (a, b) => a * b),
@@ -504,19 +522,37 @@ object Clustering {
         lit(s"gridDbscan: vector length != dims ($dims) or null element"))
         .cast("long"))
         .otherwise(floor(p.cast("double") / cellWidth.toDouble).cast("long"))
-    val pts = embeddings.select(col(idCol).cast("long").as("vec_id"),
-        toCell(proj(0)).as("cx"), toCell(proj(1)).as("cy"))
-    val cells = pts.groupBy(col("cx"), col("cy"))
+    vecs.select(col(idCol).cast("long").as("vec_id"),
+      toCell(proj(0)).as("cx"), toCell(proj(1)).as("cy"))
+  }
+
+  /** Occupied-cell census (cx, cy, cell, cnt) — the grid-DBSCAN
+    * STANDING STATE a streaming corpus maintains (counts only grow, so
+    * census rows merge by addition). Eagerly localCheckpointed: it is
+    * cell-granular (≪ points) and read by several downstream branches. */
+  def cellCensus(vecs: DataFrame, idCol: String, vecCol: String,
+                 dims: Int, cellWidth: Long): DataFrame =
+    dbscanPts(vecs, idCol, vecCol, dims, cellWidth)
+      .groupBy(col("cx"), col("cy"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("cell", cellKey(col("cx"), col("cy")))
-      .localCheckpoint() // eager: cell-granular census, read by 3 branches
-    val core = cells.filter(col("cnt") >= minPts)
-      .select(col("cx"), col("cy"), col("cell"))
-    // the 8 neighbor offsets ride as a literal-array explode — a pure
-    // map-side fan-out, not a (nested-loop-joined) relation
-    val shiftArr = array((for { dx <- -1 to 1; dy <- -1 to 1
-      if dx != 0 || dy != 0 }
+      .localCheckpoint()
+
+  /** The 8 neighbor offsets as a literal-array explode — a pure
+    * map-side fan-out, not a (nested-loop-joined) relation. */
+  private def shiftArr: Column =
+    array((for { dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0 }
       yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+
+  /** Cell-level DBSCAN states from a census: (cx, cy, cell, cnt, role,
+    * cluster) for EVERY occupied cell — core cells carry their
+    * 8-connected-component label ([[Graphs.ccLargeSmallStar]], loud
+    * convergence assert), border cells the minimum adjacent cluster,
+    * noise cells −1. */
+  def cellStates(census: DataFrame, minPts: Long, ccRounds: Int): DataFrame = {
+    require(minPts >= 1, s"minPts out of range: $minPts")
+    val core = census.filter(col("cnt") >= minPts)
+      .select(col("cx"), col("cy"), col("cell"))
     val corePairs = core
       .select(col("cell").as("id_a"), col("cx"), col("cy"),
         explode(shiftArr).as("sh"))
@@ -530,9 +566,16 @@ object Clustering {
     // isolated core cells (no core neighbor) are their own cluster
     val coreLab = core
       .join(comp.withColumnRenamed("id", "cell"), Seq("cell"), "left")
-      .select(col("cx"), col("cy"), col("cell"),
+      .select(col("cell"),
         coalesce(col("label"), col("cell")).as("cluster"))
-    val borderLab = cells.filter(col("cnt") < minPts)
+    statesFromCore(census, coreLab, minPts)
+  }
+
+  /** Assemble per-cell (role, cluster) from a census and the core-cell
+    * cluster labels — shared by the batch and incremental paths. */
+  private def statesFromCore(census: DataFrame, coreLab: DataFrame,
+                             minPts: Long): DataFrame = {
+    val borderLab = census.filter(col("cnt") < minPts)
       .select(col("cell"), col("cx"), col("cy"), explode(shiftArr).as("sh"))
       .select(col("cell"),
         cellKey(col("cx") + col("sh.dx"), col("cy") + col("sh.dy")).as("ncell"))
@@ -540,14 +583,77 @@ object Clustering {
         Seq("ncell"))
       .groupBy(col("cell"))
       .agg(min(col("cluster")).as("cluster"))
-    val cellLab = coreLab.select(col("cell"), col("cluster"),
-        lit("core").as("role"))
-      .unionByName(borderLab.select(col("cell"), col("cluster"),
-        lit("border").as("role")))
-    pts.withColumn("cell", cellKey(col("cx"), col("cy")))
-      .join(cellLab, Seq("cell"), "left")
-      .select(col("vec_id"),
-        coalesce(col("role"), lit("noise")).as("role"),
-        coalesce(col("cluster"), lit(-1L)).as("cluster"))
+    census
+      .join(coreLab.select(col("cell"), col("cluster").as("core_cl")),
+        Seq("cell"), "left")
+      .join(borderLab.withColumnRenamed("cluster", "bord_cl"),
+        Seq("cell"), "left")
+      .select(col("cx"), col("cy"), col("cell"), col("cnt"),
+        when(col("core_cl").isNotNull, "core")
+          .when(col("bord_cl").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("core_cl"), col("bord_cl"), lit(-1L)).as("cluster"))
+  }
+
+  /** INCREMENTAL grid-DBSCAN state maintenance — the standing-corpus
+    * member of the clustering family (the q195 pattern, density
+    * edition): a delta batch of vectors arrives, the cell census
+    * merges BY ADDITION (counts only grow — core-ness is monotone, so
+    * the standing core graph only gains nodes and edges, never loses
+    * them), and the core-cell component labels update through
+    * [[Graphs.incrementalCc]]: only components touched by NEWLY-core
+    * cells re-solve; a standing megacluster's labels pass through
+    * untouched. Delta-priced: iteration work is bounded by newly-core
+    * cells + their touched components, never the standing grid. Border
+    * and noise roles are re-derived from the merged census — they are
+    * cell-granular map/join work, not iteration.
+    *
+    * Inputs: `standingCensus` ([[cellCensus]] of the corpus so far),
+    * `standingLabels` (cell, cluster) of the standing CORE cells
+    * ([[cellStates]] rows with role = core), and the delta vectors.
+    * Returns the MERGED [[cellStates]] — ≡ a full recompute on the
+    * union corpus (q197's oracle + spec gate). */
+  def incrementalCellDbscan(standingCensus: DataFrame,
+                            standingLabels: DataFrame, newVecs: DataFrame,
+                            idCol: String, vecCol: String, dims: Int,
+                            cellWidth: Long, minPts: Long,
+                            ccRounds: Int = 8): DataFrame = {
+    require(minPts >= 1, s"minPts out of range: $minPts")
+    val deltaCensus = cellCensus(newVecs, idCol, vecCol, dims, cellWidth)
+    val merged = standingCensus
+      .select(col("cx"), col("cy"), col("cnt"))
+      .unionByName(deltaCensus.select(col("cx"), col("cy"), col("cnt")))
+      .groupBy(col("cx"), col("cy"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .withColumn("cell", cellKey(col("cx"), col("cy")))
+      .localCheckpoint() // the new standing census, read by 4 branches
+    val coreM = merged.filter(col("cnt") >= minPts)
+      .select(col("cx"), col("cy"), col("cell"))
+    // cells that BECAME core this batch (upgraded or brand-new); the
+    // standing label table's key set IS the standing core set
+    val newCore = coreM.join(
+      standingLabels.select(col("cell")), Seq("cell"), "left_anti")
+    // new core-graph edges = adjacency incident to a newly-core cell
+    // (old-core ↔ old-core adjacencies already live in standingLabels'
+    // clusters); symmetric closure is the star iteration's job
+    val newEdges = newCore
+      .select(col("cell").as("id_a"), col("cx"), col("cy"),
+        explode(shiftArr).as("sh"))
+      .select(col("id_a"),
+        cellKey(col("cx") + col("sh.dx"), col("cy") + col("sh.dy")).as("id_b"))
+      .join(coreM.select(col("cell").as("id_b")), Seq("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val incLab = Graphs.incrementalCc(
+      standingLabels.select(col("cell").as("id"), col("cluster").as("label")),
+      newEdges, ccRounds)
+      .select(col("id").as("cell"), col("label").as("cluster"))
+    // newly-core cells with NO core neighbor never enter the delta
+    // edge set — they are their own singleton cluster
+    val isolated = newCore.select(col("cell"))
+      .join(incLab.select(col("cell")), Seq("cell"), "left_anti")
+      .select(col("cell"), col("cell").as("cluster"))
+    statesFromCore(merged, incLab.unionByName(isolated), minPts)
   }
 }

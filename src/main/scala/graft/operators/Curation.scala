@@ -112,6 +112,55 @@ object Curation {
       .drop("__sk", "__rn", "__n")
   }
 
+  /** Cross-group QUANTILE NORMALIZATION of a score column — the
+    * calibration step before mixing per-source quality scores that are
+    * not comparable across sources (a CCNet-style pipeline scores each
+    * language/source with its own model; rank 50% in one source must
+    * mean what rank 50% means in another before a global threshold or
+    * mixture weight can touch them). Each row's score is replaced by
+    * the GLOBAL score at its within-group quantile:
+    *
+    *   calibrated(r, n_g) = min { v : 2·n_g·cum(v) ≥ (2r−1)·N }
+    *
+    * with r = within-group (score, id) rank, n_g the group size,
+    * cum(v) the global count of scores ≤ v, N the corpus size — the
+    * integer midpoint-quantile mapping, so the whole construction is
+    * exact and replayable (q198's hash gate).
+    *
+    * Scale shape: one group-keyed window exchange (rank + count share
+    * it, the q193 shape) plus a DISTINCT-SCORE-sized cumulative
+    * histogram broadcast as one row — the [[Diff.ksDrift]] contract:
+    * the score column must be bounded-cardinality (quality scores,
+    * lengths, bucketed perplexities; quantize first if continuous).
+    * The per-row lookup runs map-side over the broadcast array; the
+    * HOF lambda references only row attributes (capture-safe). */
+  def quantileNormalize(df: DataFrame, groupCol: String, scoreCol: String,
+                        idCol: String): DataFrame = {
+    for (c <- Seq("__r", "__ng", "__hs", "__n", "__t"))
+      require(!df.columns.contains(c),
+        s"quantileNormalize uses internal column '$c' but the input has it")
+    val w = org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(scoreCol).as("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        w.orderBy(col("v")).rowsBetween(w.unboundedPreceding, 0)))
+    val histRow = broadcast(hist.agg(
+      sort_array(collect_list(struct(col("v"), col("cum")))).as("__hs")))
+    val wr = w.partitionBy(col(groupCol)).orderBy(col(scoreCol), col(idCol))
+    val wn = w.partitionBy(col(groupCol))
+    df.select(col(idCol), col(groupCol), col(scoreCol))
+      .withColumn("__r", row_number().over(wr))
+      .withColumn("__ng", count(lit(1)).over(wn))
+      .crossJoin(histRow)
+      .withColumn("__n",
+        element_at(col("__hs"), size(col("__hs"))).getField("cum"))
+      .withColumn("__t", (col("__r") * 2 - 1) * col("__n"))
+      .withColumn("calibrated",
+        element_at(filter(col("__hs"),
+          e => e.getField("cum") * 2 * col("__ng") >= col("__t")), 1)
+          .getField("v"))
+      .drop("__r", "__ng", "__hs", "__n", "__t")
+  }
+
   /** EXACT weighted sampling without replacement (k of n, inclusion
     * proportional-to-weight, Efraimidis–Spirtes order) — the data-mixing
     * primitive: "sample 1M documents, quality-weighted" without an RNG.

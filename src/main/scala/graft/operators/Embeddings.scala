@@ -90,7 +90,17 @@ object Embeddings {
     * the usual quantize/LSH/IVF operators. Tokenization is the
     * engine-standard whitespace rule (trim, split \\s+, drop empties). */
   def featureHashVectors(docs: DataFrame, idCol: String, textCol: String,
-                         dims: Int): DataFrame = {
+                         dims: Int): DataFrame =
+    featureHashArrays(docs, idCol, textCol, dims)
+      .select(col(idCol), col("n_tok"), col("norm2"),
+        array_join(col("vec"), ",").as("vec_csv"))
+
+  /** [[featureHashVectors]] with the vector as a live array<long>
+    * column instead of CSV — the form downstream similarity/clustering
+    * operators consume (q199 runs brute-force cosine straight over
+    * these). Same construction, same map-only shape. */
+  def featureHashArrays(docs: DataFrame, idCol: String, textCol: String,
+                        dims: Int): DataFrame = {
     require(dims >= 2 && dims <= 4096, s"dims out of range: $dims")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -114,9 +124,9 @@ object Embeddings {
           var norm2 = 0L
           var j = 0
           while (j < dims) { norm2 += vec(j) * vec(j); j += 1 }
-          (id, toks.length.toLong, norm2, vec.mkString(","))
+          (id, toks.length.toLong, norm2, vec)
         }
-      }.toDF(idCol, "n_tok", "norm2", "vec_csv")
+      }.toDF(idCol, "n_tok", "norm2", "vec")
   }
 
   /** Per-dimension corpus statistics: (dim, mean, std, min, max) over

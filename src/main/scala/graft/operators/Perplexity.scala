@@ -92,20 +92,26 @@ object Perplexity {
     * per-pair lns differ across libms by ≤ 1 ulp and summation-order
     * jitter is absorbed by the caller's rounding (the q71/q134
     * convention). */
+  /** Per-document adjacent-token bigram rows (doc_id, w1, w2) — the
+    * map-side explode shared by [[stupidBackoffScore]] and
+    * [[kneserNeyBigrams]]; doc boundaries never wrap. */
+  private def bigramPairs(df: DataFrame, id: org.apache.spark.sql.Column,
+                          text: String): DataFrame = {
+    val withTk = df.select(id.as("doc_id"), toks(col(text)).as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+    val cnt = size(col("__tk"))
+    withTk.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("__tk"), lit(1), cnt - 1),
+          slice(col("__tk"), lit(2), cnt - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+  }
+
   def stupidBackoffScore(docs: DataFrame, idCol: String, textCol: String,
                          ref: DataFrame, refTextCol: String): DataFrame = {
     def pairsOf(df: DataFrame, id: org.apache.spark.sql.Column,
-                text: String): DataFrame = {
-      val withTk = df.select(id.as("doc_id"), toks(col(text)).as("__tk"))
-        .filter(size(col("__tk")) >= 2)
-      val cnt = size(col("__tk"))
-      withTk.select(col("doc_id"),
-          explode(zip_with(
-            slice(col("__tk"), lit(1), cnt - 1),
-            slice(col("__tk"), lit(2), cnt - 1),
-            (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    }
+                text: String): DataFrame = bigramPairs(df, id, text)
     val refUni = ref
       .select(explode(toks(col(refTextCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("c1"))
@@ -207,5 +213,50 @@ object Perplexity {
     scored
       .withColumn("bucket", ntile(buckets).over(w).cast("long"))
       .select(col("doc_id"), col("n_tokens"), col("ppl"), col("bucket"))
+  }
+
+  /** Interpolated Kneser–Ney bigram probabilities as EXACT integer
+    * rationals — the classic LM smoothing (Kneser & Ney 1995; Chen &
+    * Goodman 1999's interpolated form), next to [[stupidBackoffScore]]
+    * the way q117's exact PageRank sits next to float formulations:
+    * with the discount fixed at the standard d = 3/4, every
+    * probability is the ratio of two integers, so the model replays
+    * bit-for-bit in any engine (a float KN is order-sensitive):
+    *
+    *   P(w2|w1) = max(c12 − d, 0)/c1 + (d·N1p(w1)/c1)·N1c(w2)/B
+    *            = [max(4·c12 − 3, 0)·B + 3·N1p(w1)·N1c(w2)]
+    *              / (4·c1·B)                          (numer / denom)
+    *
+    * where c12 = bigram count, c1 = Σ_w2 c12 (w1's history count),
+    * N1p(w1) = distinct continuations of w1, N1c(w2) = distinct
+    * histories of w2 (the CONTINUATION count — KN's insight: "Francisco"
+    * is frequent but follows only "San"), B = distinct bigram types.
+    * The interpolation telescopes: Σ_{w2∈V} numer = denom exactly
+    * (spec-gated unity law, an integer identity).
+    *
+    * Scale shape: one corpus pass to bigram counts (map-side explode +
+    * one hash agg), then three bigram-table-sized aggregates (c1/N1p,
+    * N1c, B) and a broadcast scalar; the report is
+    * TakeOrderedAndProject on (c12 desc, w1, w2). Returns the top-K
+    * bigrams: (w1, w2, c12, numer, denom). */
+  def kneserNeyBigrams(docs: DataFrame, idCol: String, textCol: String,
+                       topK: Int): DataFrame = {
+    require(topK >= 1, s"topK out of range: $topK")
+    val bi = bigramPairs(docs, col(idCol), textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // read by four aggregates + the report
+    val c1 = bi.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
+    val n1c = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1c"))
+    val bRow = broadcast(bi.agg(count(lit(1)).as("b")))
+    bi.join(c1, Seq("w1"))
+      .join(n1c, Seq("w2"))
+      .crossJoin(bRow)
+      .select(col("w1"), col("w2"), col("c12"),
+        (greatest(col("c12") * 4 - 3, lit(0L)) * col("b")
+          + col("n1p") * col("n1c") * 3).as("numer"),
+        (col("c1") * 4 * col("b")).as("denom"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(topK)
   }
 }

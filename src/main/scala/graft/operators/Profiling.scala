@@ -80,4 +80,44 @@ object Profiling {
     }
     packed.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
+
+  /** Exact tie-aware ROC AUC per group — the Mann–Whitney rank-sum
+    * form, the evaluation metric a quality-classifier pipeline reports
+    * per source/language before trusting its threshold (q163's
+    * classifier, q167's LM filter, any scored gate). Kept as an exact
+    * integer pair so the metric replays in any engine (q201's hash
+    * gate; a float AUC over averaged tie ranks is reduce-order
+    * sensitive):
+    *
+    *   u2 = 2·U = Σ over distinct scores s:
+    *          n_pos(s) · (2·negBelow(s) + n_neg(s))
+    *   AUC  = u2 / (2 · n_pos · n_neg)
+    *
+    * (each positive counts 2 per negative strictly below it and 1 per
+    * tied negative — the standard ½-credit tie convention, doubled
+    * into integers).
+    *
+    * Scale shape: one (group, score) pre-aggregation — map-side
+    * combine collapses the corpus to distinct-score rows per group
+    * BEFORE the exchange — then a group-keyed cumulative window over
+    * those rows and a final per-group aggregate riding the same
+    * partitioning. Nothing pairwise, nothing global.
+    *
+    * Returns (groupCol, n_pos, n_neg, u2); AUC itself is u2 /
+    * (2·n_pos·n_neg) — left to the caller so the gated columns stay
+    * integers (a group with zero positives or negatives has no AUC). */
+  def rankAuc(df: DataFrame, groupCol: String, scoreCol: String,
+              isPositive: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(groupCol).as("grp"), col(scoreCol).as("s"),
+        when(isPositive, 1L).otherwise(0L).as("pos"))
+      .groupBy(col("grp"), col("s"))
+      .agg(sum(col("pos")).as("np"), sum(lit(1L) - col("pos")).as("nn"))
+      .withColumn("below", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .groupBy(col("grp").as(groupCol))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (col("below") * 2 + col("nn"))).as("u2"))
+  }
 }

@@ -380,7 +380,16 @@ class PlanSpec extends SparkSpec {
       // q152: the bounded query-token bag broadcast into one corpus
       // token pass (the MaxSim serving contract — every query token
       // scores every doc token by design)
-      "q152_maxsim_topk")
+      "q152_maxsim_topk",
+      // q198: the one-row distinct-score histogram frame broadcast into
+      // the per-row calibration lookup (the q142/q167 scalar shape)
+      "q198_quantile_normalize",
+      // q199: the q26 brute-force contract over hashed vectors — the
+      // bounded query side broadcast into one corpus pass
+      "q199_hashed_cosine_topk",
+      // q200: the one-row bigram-type-count scalar broadcast into the
+      // rational projection (the q142/q167 scalar shape)
+      "q200_kneser_ney")
     // iterative queries execute jobs at plan-build (connected components
     // materializes rounds); their shapes are pinned by their own tests
     val excluded = Set("q65_dup_clusters", "q80_dedup_survivors")

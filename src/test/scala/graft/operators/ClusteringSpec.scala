@@ -417,6 +417,55 @@ class ClusteringSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("incrementalCellDbscan equals a full recompute on the union corpus") {
+    val rows = dbscanFixture
+    // 1:4 split — batch 1 alone leaves most cells under minPts, so the
+    // merge creates genuinely NEWLY-core cells (vacuity check below)
+    val (b1, b2) = rows.partition(_._1 % 5 == 0)
+    val c1 = Clustering.cellCensus(b1.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 64, 262144L)
+    val lab1 = Clustering.cellStates(c1, 10L, 8)
+      .filter($"role" === "core").select($"cell", $"cluster")
+    val got = Clustering.incrementalCellDbscan(c1, lab1,
+        b2.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        64, 262144L, 10L)
+      .select("cx", "cy", "cnt", "role", "cluster")
+      .as[(Long, Long, Long, String, Long)].collect().toSet
+    val want = Clustering.cellStates(
+        Clustering.cellCensus(rows.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", 64, 262144L), 10L, 8)
+      .select("cx", "cy", "cnt", "role", "cluster")
+      .as[(Long, Long, Long, String, Long)].collect().toSet
+    assert(got == want)
+    // non-vacuous: the split must actually create newly-core cells
+    // (cells under minPts in batch 1 that cross it after the merge)
+    val coreB1 = lab1.count()
+    val coreAll = want.count(_._4 == "core")
+    assert(coreAll > coreB1, s"fixture split created no newly-core cells")
+  }
+
+  test("incrementalCellDbscan never re-iterates untouched core chains (pruning pin)") {
+    // the standing state holds a 300-cell core CHAIN (solving it needs
+    // ~10 star alternations); the delta lands in real-projection cells
+    // (|cx| ≤ ~16 at this width) far from the chain at cx ≥ 1000. With
+    // ccRounds = 2 the call succeeds only because the chain never
+    // enters the incremental iteration — and its labels must survive
+    // byte-identical.
+    val b = 1L << 20
+    def key(cx: Long, cy: Long): Long = (cx + b) * (2 * b) + (cy + b)
+    val chain = (0L until 300L).map(i =>
+      (1000L + i, 500L, key(1000L + i, 500L), 10L))
+    val standing = chain.toDF("cx", "cy", "cell", "cnt")
+    val labels = Clustering.cellStates(standing, 10L, 13)
+      .filter($"role" === "core").select($"cell", $"cluster")
+    val got = Clustering.incrementalCellDbscan(standing, labels,
+        dbscanFixture.take(60).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", 64, 262144L, 10L, ccRounds = 2)
+      .filter($"cx" >= 1000L)
+      .select($"cell", $"cluster").as[(Long, Long)].collect().toMap
+    assert(got.size == 300 && got.values.forall(_ == key(1000L, 500L)))
+  }
+
   test("gridDbscan rejects vectors whose length != dims loudly") {
     val rows = Seq((1L, Seq.fill(32)(0.1f)))
     val e = intercept[Exception] {

@@ -1060,6 +1060,48 @@ class CurationSpec extends SparkSpec {
     assert(a != c)
   }
 
+  // ---- quantileNormalize (q198) ------------------------------------
+
+  test("quantileNormalize maps within-group ranks onto the global distribution") {
+    val rows = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), (4L, "a", 40L),
+      (5L, "b", 100L), (6L, "b", 200L), (7L, "c", 5L))
+    val got = Curation.quantileNormalize(
+        rows.toDF("doc_id", "source", "score"), "source", "score", "doc_id")
+      .select("doc_id", "calibrated").as[(Long, Long)].collect().toMap
+    // independent serial replay of the midpoint-quantile rule
+    val global = rows.map(_._3).sorted
+    def cum(v: Long): Long = global.count(_ <= v).toLong
+    val byGroup = rows.groupBy(_._2)
+    val want = rows.map { case (id, g, _) =>
+      val grp = byGroup(g).sortBy(x => (x._3, x._1))
+      val r = grp.indexWhere(_._1 == id) + 1L
+      val ng = grp.size.toLong
+      val n = global.size.toLong
+      id -> global.distinct.find(v => 2 * ng * cum(v) >= (2 * r - 1) * n).get
+    }.toMap
+    assert(got == want)
+    // a single-row group lands on the global median
+    assert(got(7L) == 30L)
+    // within a group, calibration preserves the score order
+    val aCal = Seq(1L, 2L, 3L, 4L).map(got)
+    assert(aCal == aCal.sorted)
+  }
+
+  test("quantileNormalize is layout-invariant and refuses column collisions") {
+    val rows = (0L until 300L).map(i => (i, s"s${i % 4}", (i * 37) % 50))
+    def run(parts: Int): Map[Long, Long] = Curation.quantileNormalize(
+        rows.toDF("doc_id", "source", "score").repartition(parts),
+        "source", "score", "doc_id")
+      .select("doc_id", "calibrated").as[(Long, Long)].collect().toMap
+    assert(run(1) == run(32))
+    intercept[IllegalArgumentException] {
+      Curation.quantileNormalize(
+        Seq((1L, "a", 1L, 2L)).toDF("doc_id", "source", "score", "__r"),
+        "source", "score", "doc_id")
+    }
+  }
+
   test("exactStratifiedSplit refuses colliding internal columns and bad percentages") {
     val df = Seq((1L, "a", 0)).toDF("doc_id", "source", "__rn")
     intercept[IllegalArgumentException] {

@@ -117,6 +117,18 @@ class EmbeddingsSpec extends SparkSpec {
     assert(got(3L) == ((0L, 0L, Seq.fill(64)("0").mkString(","))))
   }
 
+  test("featureHashArrays and featureHashVectors agree (CSV = serialized array)") {
+    val docs = (0L until 30L).map(i => (i, s"w${i % 5} w${i % 3} w$i"))
+    val a = Embeddings.featureHashArrays(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 16)
+      .select($"doc_id", array_join($"vec", ","))
+      .as[(Long, String)].collect().toMap
+    val b = Embeddings.featureHashVectors(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 16)
+      .select($"doc_id", $"vec_csv").as[(Long, String)].collect().toMap
+    assert(a == b)
+  }
+
   test("featureHashVectors is partition-layout invariant and dims-bounded") {
     val docs = (0L until 100L).map(i => (i, s"a$i b${i % 7} c${i % 3} a$i"))
     val a = Embeddings.featureHashVectors(

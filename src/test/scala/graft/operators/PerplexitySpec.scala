@@ -187,4 +187,43 @@ class PerplexitySpec extends SparkSpec {
     val backoff = math.log(0.4 * (1 + 1) / (2 + 2 + 1.0)) // c1(a)=1 +1 / T=2,V=2
     assert(math.abs(l - (3 * 0.0 + 2 * backoff)) < 1e-12, s"$l vs ${2 * backoff}")
   }
+
+  // ---- kneserNeyBigrams (q200) -------------------------------------
+
+  test("kneserNeyBigrams: exact rationals match a serial reference; unity law holds") {
+    val texts = Seq("a b a b c", "a b c d", "b a b a", "d c b a")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Perplexity.kneserNeyBigrams(docs, "doc_id", "text", 100)
+      .as[(String, String, Long, Long, Long)].collect()
+    // serial reference of every count and the d = 3/4 rational
+    val bigrams = texts.flatMap { t => val w = t.split(" "); w.zip(w.tail) }
+    val c12 = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1m = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1p = c12.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1c = c12.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val b = c12.size.toLong
+    val want = c12.map { case ((w1, w2), c) =>
+      (w1, w2) -> ((c, math.max(4 * c - 3, 0) * b + 3 * n1p(w1) * n1c(w2),
+        4 * c1m(w1) * b))
+    }
+    assert(got.length == want.size)
+    got.foreach { case (w1, w2, c, nu, de) =>
+      assert(want((w1, w2)) == ((c, nu, de)), s"($w1, $w2)")
+    }
+    // report order: count desc, then (w1, w2)
+    val order = got.map { case (w1, w2, c, _, _) => (-c, w1, w2) }
+    assert(order.sameElements(order.sorted))
+    // unity law (the interpolation telescopes): for every history w1,
+    // Σ over the w2 vocabulary of numer — unseen bigrams contribute
+    // their pure continuation mass — equals denom EXACTLY
+    for (w1 <- c1m.keys) {
+      // toSeq before map: mapping a SET would collapse equal terms
+      val total = n1c.keys.toSeq.map { w2 =>
+        val c = c12.getOrElse((w1, w2), 0L)
+        math.max(4 * c - 3, 0) * b + 3 * n1p(w1) * n1c(w2)
+      }.sum
+      assert(total == 4 * c1m(w1) * b, s"unity for '$w1'")
+    }
+  }
 }

@@ -53,4 +53,41 @@ class ProfilingSpec extends SparkSpec {
     val s = p(1).getAs[Long]("n_distinct").toDouble
     assert(math.abs(m - 97) / 97 < 0.1 && math.abs(s - 1000) / 1000 < 0.1)
   }
+
+  // ---- rankAuc (q201) ----------------------------------------------
+
+  private def aucOf(rows: Seq[(String, Long, Boolean)]): Map[String, (Long, Long, Long)] =
+    Profiling.rankAuc(rows.toDF("grp", "score", "lbl"), "grp", "score",
+        col("lbl"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("rankAuc equals a brute-force pairwise U with half-credit ties") {
+    val rows = (0L until 400L).map { i =>
+      val g = s"g${i % 3}"
+      val score = (i * 7919) % 23 // heavy ties
+      (g, score, (i * 31 + i % 5) % 3 == 0)
+    }
+    val got = aucOf(rows)
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val pos = rs.filter(_._3).map(_._2)
+      val neg = rs.filterNot(_._3).map(_._2)
+      val u2 = (for (p <- pos; n <- neg)
+        yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+      g -> ((pos.size.toLong, neg.size.toLong, u2))
+    }
+    assert(got == want)
+  }
+
+  test("rankAuc laws: perfect separation, reversal, and all-ties") {
+    // perfect: every positive above every negative → u2 = 2·np·nn
+    val perfect = (0L until 20L).map(i => ("a", i, i >= 10L))
+    assert(aucOf(perfect)("a") == ((10L, 10L, 200L)))
+    // reversed: u2 = 0
+    val reversed = (0L until 20L).map(i => ("a", i, i < 10L))
+    assert(aucOf(reversed)("a") == ((10L, 10L, 0L)))
+    // single score value: u2 = np·nn (AUC exactly 1/2)
+    val ties = (0L until 20L).map(i => ("a", 7L, i < 8L))
+    assert(aucOf(ties)("a") == ((8L, 12L, 96L)))
+  }
 }
