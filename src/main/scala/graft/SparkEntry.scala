@@ -998,6 +998,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // T5 span corruption (Raffel et al. 2020): deterministic masked
+    // runs leave the input as sentinel-keyed gaps and collect into
+    // the target — the denoising-objective layout next to q176's FIM.
+    // The oracle replays seeds, span lengths, the δ ∈ {0,1,2} overlap
+    // rule, the gaps-and-islands run numbering, and BOTH reconstructed
+    // strings.
+    "q202_span_corruption" -> ((s, d) => {
+      operators.Curation.spanCorruption(t(s, d, "documents"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact tie-aware per-source ROC AUC (Mann–Whitney rank-sum) of
     // the n_chars signal predicting lang = 'en' — the evaluation
     // metric a scored gate reports per source before trusting its
@@ -2427,6 +2439,17 @@ object SparkEntry {
     "q125_diverse_sample" -> ((s, d) => {
       graft.operators.Clustering.diversitySample(
         t(s, d, "embeddings"), "vec_id", "embedding", "label", 8, 3, 5)
+    }),
+
+    // Contrastive pair mining from the q124 clusters — the
+    // supervision generator for embedding training: anchor/positive
+    // from the same cluster (cyclic next in hash order), negative
+    // hash-aligned from the next cluster. The oracle replays kmeans,
+    // the within-cluster ranks, and both modular pick rules.
+    "q203_contrastive_pairs" -> ((s, d) => {
+      graft.operators.Clustering.contrastivePairs(
+          t(s, d, "embeddings"), "vec_id", "embedding", "label", 8, 3)
+        .orderBy(col("anchor_id"))
     }),
 
     // TrustRank (Gyöngyi et al. 2004) — seeded PageRank for
@@ -4075,6 +4098,30 @@ object SparkEntry {
        |  FROM af JOIN hv ON hv.vec_id = af.vec_id)
        |SELECT cid, vec_id, label FROM rk WHERE rnk <= $m
        |ORDER BY cid, vec_id""".stripMargin
+
+  /** q203 oracle: the q124 Lloyd chain, then within-cluster (hash, id)
+    * ranks + sizes, the cyclic positive rule (r mod sz)+1, and the
+    * hash-aligned negative rule ((r−1) mod sz')+1 in cluster
+    * (cid+1) mod k. */
+  private def contrastivePairsOracleSql(k: Int, iters: Int,
+                                        dims: Int): String =
+    s"""${kmeansOracleCore(k, iters, dims)},
+       |rk AS MATERIALIZED (
+       |  SELECT af.cid, af.vec_id,
+       |    row_number() OVER (PARTITION BY af.cid
+       |      ORDER BY hv.h, af.vec_id) AS rnk,
+       |    count(*) OVER (PARTITION BY af.cid) AS sz
+       |  FROM af JOIN hv ON hv.vec_id = af.vec_id),
+       |csz AS (SELECT cid, max(sz) AS sz FROM rk GROUP BY cid)
+       |SELECT a.vec_id AS anchor_id, a.cid, p.vec_id AS pos_id,
+       |  (a.cid + 1) % $k AS neg_cid, g.vec_id AS neg_id
+       |FROM rk a
+       |JOIN rk p ON p.cid = a.cid AND p.rnk = (a.rnk % a.sz) + 1
+       |JOIN csz n ON n.cid = (a.cid + 1) % $k
+       |JOIN rk g ON g.cid = (a.cid + 1) % $k
+       |  AND g.rnk = ((a.rnk - 1) % n.sz) + 1
+       |WHERE a.sz >= 2
+       |ORDER BY anchor_id""".stripMargin
 
   /** q137 oracle: the full PQ index build and query replayed — per-
     * subspace integer Lloyd (shared (hash, id) seeds, shifted floor
@@ -8448,6 +8495,81 @@ object SparkEntry {
     "q195_incremental_cc" -> incrementalCcOracleSql(5),
     "q196_hash_walks" -> hashWalksOracleSql(4),
 
+    "q202_span_corruption" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(
+        |    regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, i - 1 AS i, t[i] AS w
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        |        FROM tk WHERE len(t) >= 1)),
+        |sd AS MATERIALIZED (
+        |  SELECT doc_id, i, w,
+        |    CASE WHEN (strpos('0123456789abcdef', substr(sha256(
+        |          'sc:42:' || CAST(doc_id AS VARCHAR) || ':'
+        |          || CAST(i AS VARCHAR)), 1, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef', substr(sha256(
+        |          'sc:42:' || CAST(doc_id AS VARCHAR) || ':'
+        |          || CAST(i AS VARCHAR)), 2, 1)) - 1) < 38
+        |      THEN 1 + ((strpos('0123456789abcdef', substr(sha256(
+        |          'sc:42:' || CAST(doc_id AS VARCHAR) || ':'
+        |          || CAST(i AS VARCHAR)), 3, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef', substr(sha256(
+        |          'sc:42:' || CAST(doc_id AS VARCHAR) || ':'
+        |          || CAST(i AS VARCHAR)), 4, 1)) - 1)) % 3
+        |      ELSE 0 END AS len0
+        |  FROM pos),
+        |mk AS MATERIALIZED (
+        |  SELECT doc_id, i, w,
+        |    (len0 > 0)
+        |    OR COALESCE(lag(len0, 1) OVER
+        |        (PARTITION BY doc_id ORDER BY i), 0) >= 2
+        |    OR COALESCE(lag(len0, 2) OVER
+        |        (PARTITION BY doc_id ORDER BY i), 0) >= 3 AS m
+        |  FROM sd),
+        |isl AS MATERIALIZED (
+        |  SELECT doc_id, i, w, m,
+        |    CASE WHEN m AND NOT COALESCE(lag(m) OVER
+        |        (PARTITION BY doc_id ORDER BY i), FALSE)
+        |      THEN 1 ELSE 0 END AS strt
+        |  FROM mk),
+        |isl2 AS MATERIALIZED (
+        |  SELECT doc_id, i, w, m, strt,
+        |    sum(strt) OVER (PARTITION BY doc_id ORDER BY i) AS isl_id
+        |  FROM isl),
+        |inp AS (
+        |  SELECT doc_id, string_agg(piece, ' ' ORDER BY i) AS input_text
+        |  FROM (SELECT doc_id, i,
+        |          CASE WHEN NOT m THEN w
+        |               WHEN strt = 1 THEN '<extra_id_'
+        |                 || CAST(isl_id - 1 AS VARCHAR) || '>'
+        |               ELSE NULL END AS piece
+        |        FROM isl2)
+        |  WHERE piece IS NOT NULL GROUP BY doc_id),
+        |tg AS (
+        |  SELECT doc_id,
+        |    string_agg(CASE WHEN strt = 1 THEN '<extra_id_'
+        |        || CAST(isl_id - 1 AS VARCHAR) || '> ' || w
+        |      ELSE w END, ' ' ORDER BY i) AS tgt_body,
+        |    CAST(count(*) AS BIGINT) AS n_masked,
+        |    CAST(max(isl_id) AS BIGINT) AS k
+        |  FROM isl2 WHERE m GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(len(tk.t), 0) AS BIGINT) AS n_tok,
+        |  COALESCE(tg.n_masked, 0) AS n_masked,
+        |  COALESCE(tg.k, 0) AS n_spans,
+        |  COALESCE(inp.input_text, '') AS input_text,
+        |  COALESCE(tg.tgt_body || ' ', '')
+        |    || '<extra_id_' || CAST(COALESCE(tg.k, 0) AS VARCHAR) || '>'
+        |    AS target_text
+        |FROM documents d
+        |LEFT JOIN tk ON tk.doc_id = d.doc_id
+        |LEFT JOIN inp ON inp.doc_id = d.doc_id
+        |LEFT JOIN tg ON tg.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q201_rank_auc" ->
       """WITH g AS (
         |  SELECT source, n_chars AS s,
@@ -8691,6 +8813,7 @@ object SparkEntry {
     "q124_kmeans" -> kmeansOracleSql(8, 3, 64),
 
     "q125_diverse_sample" -> diversitySampleOracleSql(8, 3, 64, 5),
+    "q203_contrastive_pairs" -> contrastivePairsOracleSql(8, 3, 64),
     "q130_semdedup" -> semDedupOracleSql(8, 3, 64),
     "q137_pq_topk" -> pqOracleSql(8, 16, 2, 64, 3, 50),
 

@@ -436,6 +436,55 @@ object Clustering {
       .orderBy(col("cid"), col("vec_id"))
   }
 
+  /** Contrastive training-pair mining from semantic clusters — the
+    * supervision generator for embedding-model training (the
+    * cluster-as-weak-label recipe): every member of a multi-member
+    * k-means cluster becomes an ANCHOR, its POSITIVE is the cyclically
+    * next member of the same cluster in content-hash order, and its
+    * NEGATIVE is a hash-aligned member of the NEXT cluster
+    * ((cid+1) mod k) — all picks deterministic (the [[diversitySample]]
+    * hash order), so retries, layouts, and engines mine the same pairs
+    * (q203's hash gate replays kmeans + ranks + both pick rules).
+    *
+    * Pick rules, exactly as the oracle replays them (r = anchor's
+    * within-cluster (hash, id) rank, sz = cluster size):
+    *   positive rank = (r mod sz) + 1      (≠ r whenever sz ≥ 2;
+    *                                        singleton clusters mine
+    *                                        no anchors)
+    *   negative rank = ((r−1) mod sz') + 1 in cluster (cid+1) mod k
+    *
+    * Scale shape: one kmeans assignment pass, ONE cluster-keyed window
+    * (rank + size share it), two rank-equi-joins (positives within the
+    * cluster partition, negatives via the 8-row broadcast size table +
+    * a cluster-keyed join) — no pairwise anything. Returns
+    * (anchor_id, cid, pos_id, neg_cid, neg_id). */
+  def contrastivePairs(embeddings: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, k: Int, iters: Int): DataFrame = {
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(KmvAggregator.kmvHash(col("vec_id")), col("vec_id"))
+    val ranked = kmeansAssign(embeddings, idCol, vecCol, labelCol, k, iters)
+      .select(col("vec_id"), col("cid"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("sz", count(lit(1))
+        .over(Window.partitionBy(col("cid"))))
+      .localCheckpoint() // one kmeans run feeds anchors + both pick sides
+    val sizes = broadcast(ranked.groupBy(col("cid").as("ncid"))
+      .agg(max(col("sz")).as("nsz")))
+    val pos = ranked.select(col("cid"), col("rnk").as("prnk"),
+      col("vec_id").as("pos_id"))
+    val neg = ranked.select(col("cid").as("ncid"), col("rnk").as("nrnk"),
+      col("vec_id").as("neg_id"))
+    ranked.filter(col("sz") >= 2)
+      .withColumn("prnk", (col("rnk") % col("sz")) + 1)
+      .join(pos, Seq("cid", "prnk"))
+      .withColumn("ncid", (col("cid") + 1) % k)
+      .join(sizes, Seq("ncid"))
+      .withColumn("nrnk", ((col("rnk") - 1) % col("nsz")) + 1)
+      .join(neg, Seq("ncid", "nrnk"))
+      .select(col("vec_id").as("anchor_id"), col("cid"),
+        col("pos_id"), col("ncid").as("neg_cid"), col("neg_id"))
+  }
+
   /** ±1 sign vector for the 2-D random projection: sign(axis, d) = +1
     * iff the first hex nibble of sha256("dbs:axis:d") is even — the
     * engine's standard replayable-randomness source (any ANSI engine
@@ -620,17 +669,36 @@ object Clustering {
                             ccRounds: Int = 8): DataFrame = {
     require(minPts >= 1, s"minPts out of range: $minPts")
     val deltaCensus = cellCensus(newVecs, idCol, vecCol, dims, cellWidth)
-    val merged = standingCensus
-      .select(col("cx"), col("cy"), col("cnt"))
-      .unionByName(deltaCensus.select(col("cx"), col("cy"), col("cnt")))
+    val merged = mergeCensus(standingCensus, deltaCensus)
+    statesFromCore(merged,
+      mergeCoreLabels(merged, standingLabels, minPts, ccRounds), minPts)
+  }
+
+  /** Add two censuses (counts sum; core-ness is monotone under
+    * addition). Eagerly localCheckpointed like [[cellCensus]]. */
+  def mergeCensus(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("cx"), col("cy"), col("cnt"))
+      .unionByName(b.select(col("cx"), col("cy"), col("cnt")))
       .groupBy(col("cx"), col("cy"))
       .agg(sum(col("cnt")).as("cnt"))
       .withColumn("cell", cellKey(col("cx"), col("cy")))
-      .localCheckpoint() // the new standing census, read by 4 branches
-    val coreM = merged.filter(col("cnt") >= minPts)
+      .localCheckpoint()
+
+  /** Update standing CORE labels against a (just-merged) census: cells
+    * core in the census but absent from `standingLabels` are
+    * newly-core; their adjacency edges feed [[Graphs.incrementalCc]]
+    * (only touched components re-solve) and isolated newcomers label
+    * themselves. Returns the full (cell, cluster) core-label table —
+    * shared by [[incrementalCellDbscan]] and the streaming drain's
+    * per-batch merge AND its startup repair (a label table that
+    * missed a batch is repaired by exactly this call: the missed
+    * cells are simply still "newly-core"). */
+  def mergeCoreLabels(census: DataFrame, standingLabels: DataFrame,
+                      minPts: Long, ccRounds: Int): DataFrame = {
+    require(minPts >= 1, s"minPts out of range: $minPts")
+    val coreM = census.filter(col("cnt") >= minPts)
       .select(col("cx"), col("cy"), col("cell"))
-    // cells that BECAME core this batch (upgraded or brand-new); the
-    // standing label table's key set IS the standing core set
+    // the standing label table's key set IS the standing core set
     val newCore = coreM.join(
       standingLabels.select(col("cell")), Seq("cell"), "left_anti")
     // new core-graph edges = adjacency incident to a newly-core cell
@@ -654,6 +722,13 @@ object Clustering {
     val isolated = newCore.select(col("cell"))
       .join(incLab.select(col("cell")), Seq("cell"), "left_anti")
       .select(col("cell"), col("cell").as("cluster"))
-    statesFromCore(merged, incLab.unionByName(isolated), minPts)
+    incLab.unionByName(isolated)
   }
+
+  /** (vec_id, cx, cy) of every vector — the public face of the
+    * projection pass, for callers that maintain their own point log
+    * (the streaming drain's idempotency ledger). */
+  def pointCells(vecs: DataFrame, idCol: String, vecCol: String,
+                 dims: Int, cellWidth: Long): DataFrame =
+    dbscanPts(vecs, idCol, vecCol, dims, cellWidth)
 }

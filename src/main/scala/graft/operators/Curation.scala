@@ -268,6 +268,85 @@ object Curation {
       when(doFim, n - c2).otherwise(lit(0)).as("n_suf"))
   }
 
+  /** T5 SPAN CORRUPTION (Raffel et al. 2020 §3.1.4) — the
+    * denoising-objective layout next to [[fimTransform]]'s infilling
+    * one: deterministic token spans are masked out of the input and
+    * collected, sentinel-keyed, into the target:
+    *
+    *   input  = tokens with each masked RUN replaced by <extra_id_k>
+    *   target = <extra_id_0> run0 <extra_id_1> run1 … <extra_id_K>
+    *
+    * (K = run count; the target always ends with the final sentinel —
+    * the paper's convention, so an unmasked document's target is
+    * exactly `<extra_id_0>`.) All randomness is content-keyed sha256
+    * (the [[hashSplit]] idiom): token i of doc d seeds a span iff byte
+    * 0 of sha256("salt:d:i") < 38 (≈15% seed rate), with span length
+    * 1 + (byte1 mod 3) ∈ {1,2,3} (mean 2 — the paper's mean-3 knob
+    * scaled to this corpus's short documents); overlapping spans merge
+    * into runs, exactly the gaps-and-islands rule the q202 oracle
+    * replays (token i is masked iff a seed at i−δ has length > δ,
+    * δ ∈ {0,1,2}). Tokenization is the engine-standard lower + trim +
+    * whitespace split.
+    *
+    * One map-only pass — per-row hashing and the serial island scan
+    * run inside the task ([[Embeddings.featureHashArrays]]'s shape);
+    * nothing crosses a shuffle. Returns (id, n_tok, n_masked,
+    * n_spans, input_text, target_text). */
+  def spanCorruption(docs: DataFrame, idCol: String, textCol: String,
+                     salt: String = "sc:42"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, text) =>
+          val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+").filter(_.nonEmpty)
+          val n = toks.length
+          val masked = new Array[Boolean](n)
+          var i = 0
+          while (i < n) {
+            val h = md.digest(s"$salt:$id:$i".getBytes("UTF-8"))
+            if ((h(0) & 0xff) < 38) {
+              val len = 1 + ((h(1) & 0xff) % 3)
+              var j = i
+              val lim = math.min(n, i + len)
+              while (j < lim) { masked(j) = true; j += 1 }
+            }
+            i += 1
+          }
+          val inB = new StringBuilder
+          val tgB = new StringBuilder
+          var k = 0
+          var nMasked = 0L
+          i = 0
+          while (i < n) {
+            if (!masked(i)) {
+              if (inB.nonEmpty) inB.append(' ')
+              inB.append(toks(i))
+              i += 1
+            } else {
+              if (inB.nonEmpty) inB.append(' ')
+              inB.append("<extra_id_").append(k).append('>')
+              if (tgB.nonEmpty) tgB.append(' ')
+              tgB.append("<extra_id_").append(k).append('>')
+              while (i < n && masked(i)) {
+                tgB.append(' ').append(toks(i))
+                nMasked += 1
+                i += 1
+              }
+              k += 1
+            }
+          }
+          if (tgB.nonEmpty) tgB.append(' ')
+          tgB.append("<extra_id_").append(k).append('>')
+          (id, n.toLong, nMasked, k.toLong, inB.toString, tgB.toString)
+        }
+      }.toDF(idCol, "n_tok", "n_masked", "n_spans", "input_text",
+        "target_text")
+  }
+
   /** Split each document into fixed-size whitespace-token windows for
     * context-length packing: one output row per (doc, window) with
     * half-open token offsets [tok_start, tok_end). Documents with zero

@@ -324,6 +324,56 @@ class ClusteringSpec extends SparkSpec {
     assert(kept === expectedKept)
   }
 
+  // ---- contrastivePairs (q203) -------------------------------------
+
+  test("contrastivePairs obeys both pick rules against an independent derivation") {
+    val rows = (0L until 30L).map { i =>
+      val c = (i % 3).toInt
+      val base = Seq(0.4, -0.4, 0.0)(c)
+      val v = (0 until 64).map(d =>
+        (if (d == 0) base else if (d == 1) -base else 0.0)
+          + math.sin(i * 3.1 + d) * 0.01)
+      (i, v.map(_.toFloat), c)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val asg = Clustering.kmeansAssign(df, "vec_id", "embedding", "label", 3, 3)
+      .select(col("vec_id"), col("cid").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    // independent re-derivation of the pick rules from the assignment
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def hv(id: Long): Long = {
+      val h = md.digest(id.toString.getBytes("UTF-8"))
+      var x = 0L
+      for (b <- 0 until 6) x = (x << 8) | (h(b) & 0xffL)
+      x
+    }
+    val byCluster = asg.groupBy(_._2).view
+      .mapValues(_.keys.toSeq.sortBy(id => (hv(id), id))).toMap
+    val want = byCluster.toSeq.flatMap { case (cid, members) =>
+      val sz = members.size
+      if (sz < 2) Nil
+      else members.zipWithIndex.flatMap { case (a, idx0) =>
+        val r = idx0 + 1
+        val ncid = (cid + 1) % 3
+        byCluster.get(ncid).map { nm =>
+          (a, cid, members(r % sz), ncid, nm(((r - 1) % nm.size).toInt))
+        }
+      }
+    }.toSet
+    val got = Clustering.contrastivePairs(df, "vec_id", "embedding",
+        "label", 3, 3)
+      .select(col("anchor_id"), col("cid").cast("long"), col("pos_id"),
+        col("neg_cid").cast("long"), col("neg_id"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+    // structural laws: positive ≠ anchor, same cluster; negative from
+    // the next cluster, never the anchor's
+    got.foreach { case (a, cid, p, ncid, n) =>
+      assert(p != a && asg(p) == cid && ncid == (cid + 1) % 3 &&
+        asg(n) == ncid)
+    }
+  }
+
   // ---- gridDbscan (q190) -------------------------------------------
 
   /** Independent serial re-computation of the grid-DBSCAN spec:

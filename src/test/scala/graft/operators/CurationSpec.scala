@@ -1060,6 +1060,54 @@ class CurationSpec extends SparkSpec {
     assert(a != c)
   }
 
+  // ---- spanCorruption (q202) ---------------------------------------
+
+  test("spanCorruption reassembles to the original tokens (sentinel splice law)") {
+    val docs = (0L until 200L).map(i =>
+      (i, (0 until (i % 25).toInt).map(j => s"w${(i + j) % 11}")
+        .mkString(" ")))
+    val got = Curation.spanCorruption(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Long, Long, String, String)].collect()
+    assert(got.length == docs.length)
+    val sentRe = "<extra_id_(\\d+)>".r
+    for ((id, nTok, nMasked, nSpans, inp, tgt) <- got) {
+      val orig = docs.find(_._1 == id).get._2
+        .trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      assert(nTok == orig.length, s"doc $id n_tok")
+      // parse the target into sentinel-keyed runs
+      var runs = Map.empty[Int, Vector[String]]
+      var cur = -1
+      for (tok <- tgt.split(" ").toSeq) tok match {
+        case sentRe(k) => cur = k.toInt; runs += cur -> Vector()
+        case w => runs += cur -> (runs(cur) :+ w)
+      }
+      // the paper's convention: target ends with the EMPTY sentinel K
+      assert(runs.contains(nSpans.toInt) && runs(nSpans.toInt).isEmpty,
+        s"doc $id final sentinel")
+      // splice the runs back into the input → the original document
+      val inToks = if (inp.isEmpty) Seq.empty[String] else inp.split(" ").toSeq
+      val spliced = inToks.flatMap {
+        case sentRe(k) => runs(k.toInt)
+        case w => Seq(w)
+      }
+      assert(spliced == orig, s"doc $id splice")
+      val maskedCount = runs.collect {
+        case (k, r) if k < nSpans => r.size
+      }.sum
+      assert(nMasked == maskedCount, s"doc $id n_masked")
+    }
+    // the seed rate actually bites (≈15% seeds, mean span 2)
+    val tot = got.map(_._2).sum.toDouble
+    val msk = got.map(_._3).sum.toDouble
+    assert(msk / tot > 0.10 && msk / tot < 0.45, s"mask rate ${msk / tot}")
+    // layout invariance
+    val b = Curation.spanCorruption(
+        docs.toDF("doc_id", "text").repartition(32), "doc_id", "text")
+      .as[(Long, Long, Long, Long, String, String)].collect().toSet
+    assert(b == got.toSet)
+  }
+
   // ---- quantileNormalize (q198) ------------------------------------
 
   test("quantileNormalize maps within-group ranks onto the global distribution") {
