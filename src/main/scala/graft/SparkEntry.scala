@@ -998,6 +998,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Group-aware K-fold split via snake draft (GroupKFold): whole
+    // sources land in one fold — the leakage-preventing CV split —
+    // while boustrophedon filling keeps fold sizes balanced. The
+    // window runs over the 20-source census, never corpus rows; the
+    // oracle replays size-desc-hash ranking and the zig-zag rule.
+    "q204_group_folds" -> ((s, d) => {
+      operators.Curation.groupKFolds(
+          t(s, d, "documents").select(col("doc_id"), col("source")),
+          "source", k = 4)
+        .select(col("doc_id"), col("source"), col("fold"))
+        .orderBy(col("doc_id"))
+    }),
+
     // T5 span corruption (Raffel et al. 2020): deterministic masked
     // runs leave the input as sentinel-keyed gaps and collect into
     // the target — the denoising-objective layout next to q176's FIM.
@@ -8494,6 +8507,21 @@ object SparkEntry {
     "q189_cc_stars" -> ccStarsOracleSql(5),
     "q195_incremental_cc" -> incrementalCcOracleSql(5),
     "q196_hash_walks" -> hashWalksOracleSql(4),
+
+    "q204_group_folds" ->
+      """WITH census AS (
+        |  SELECT source, count(*) AS gsz FROM documents GROUP BY 1),
+        |rk AS (
+        |  SELECT source, row_number() OVER (
+        |    ORDER BY gsz DESC, sha256(source || ':gkf'), source) AS r
+        |  FROM census),
+        |fd AS (
+        |  SELECT source, CAST(CASE WHEN (r - 1) % 8 < 4 THEN (r - 1) % 8
+        |    ELSE 7 - (r - 1) % 8 END AS BIGINT) AS fold
+        |  FROM rk)
+        |SELECT d.doc_id, d.source, f.fold
+        |FROM documents d JOIN fd f USING (source)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q202_span_corruption" ->
       """WITH tk AS (

@@ -268,6 +268,38 @@ object Curation {
       when(doFim, n - c2).otherwise(lit(0)).as("n_suf"))
   }
 
+  /** Group-aware K-fold assignment with SNAKE-DRAFT balancing — the
+    * leakage-preventing cross-validation split (GroupKFold): near
+    * duplicates, boilerplate, and style leakage live WITHIN a group (a
+    * domain, a source, a repo), so evaluation folds must contain whole
+    * groups, never rows ([[exactStratifiedSplit]] solves the opposite
+    * problem — proportional presence of every stratum in every split).
+    * Groups rank by (size desc, content hash, group) and fill folds in
+    * boustrophedon order 0…k−1, k−1…0, … — the classic draft rule:
+    * deterministic, one pass, and imbalance bounded by group-size
+    * differences within a zig-zag round rather than accumulating.
+    *
+    * Scale shape: the window runs over the GROUP CENSUS (bounded by
+    * distinct groups — the ksDrift bounded-cardinality contract), and
+    * the fold table broadcasts back onto the corpus rows; corpus rows
+    * never enter a window. Returns the input rows + `fold` ∈ [0, k). */
+  def groupKFolds(df: DataFrame, groupCol: String, k: Int,
+                  salt: String = "gkf"): DataFrame = {
+    require(k >= 2 && k <= 64, s"k out of range: $k")
+    require(!df.columns.contains("fold"),
+      "groupKFolds adds a 'fold' column but the input already has one")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("gsz").desc, shuffleKey(col(groupCol), salt),
+        col(groupCol))
+    val folds = df.groupBy(col(groupCol)).agg(count(lit(1)).as("gsz"))
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__p", (col("__r") - 1) % (2 * k))
+      .select(col(groupCol),
+        when(col("__p") < k, col("__p"))
+          .otherwise(lit(2 * k - 1) - col("__p")).cast("long").as("fold"))
+    df.join(broadcast(folds), Seq(groupCol))
+  }
+
   /** T5 SPAN CORRUPTION (Raffel et al. 2020 §3.1.4) — the
     * denoising-objective layout next to [[fimTransform]]'s infilling
     * one: deterministic token spans are masked out of the input and

@@ -1060,6 +1060,51 @@ class CurationSpec extends SparkSpec {
     assert(a != c)
   }
 
+  // ---- groupKFolds (q204) ------------------------------------------
+
+  test("groupKFolds: whole groups per fold, snake order, serial agreement") {
+    // 10 groups with distinct sizes so the snake order is data-driven
+    val rows = (0L until 10L).flatMap { g =>
+      (0L until (3 + g * 2)).map(j => (g * 1000 + j, s"grp$g"))
+    }
+    val got = Curation.groupKFolds(rows.toDF("doc_id", "source"),
+        "source", 4)
+      .select("doc_id", "source", "fold")
+      .as[(Long, String, Long)].collect()
+    // leakage law: every group lands wholly in one fold
+    val byGroup = got.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byGroup.values.forall(_.size == 1), byGroup.toString)
+    // serial snake reference: size desc, sha256(group || ':gkf') hex, group
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def shaHex(s: String): String =
+      md.digest((s + ":gkf").getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    val sizes = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    val order = sizes.keys.toSeq
+      .sortBy(g => (-sizes(g), shaHex(g), g))
+    val wantFold = order.zipWithIndex.map { case (g, i) =>
+      val p = i % 8
+      g -> (if (p < 4) p.toLong else (7 - p).toLong)
+    }.toMap
+    assert(byGroup.map { case (g, fs) => g -> fs.head } == wantFold)
+    // every row kept, folds within range
+    assert(got.length == rows.length && got.forall(r => r._3 >= 0 && r._3 < 4))
+    // refuse a pre-existing fold column
+    intercept[IllegalArgumentException] {
+      Curation.groupKFolds(Seq((1L, "a", 0L)).toDF("doc_id", "source", "fold"),
+        "source", 4)
+    }
+  }
+
+  test("groupKFolds balances equal-size groups perfectly") {
+    val rows = (0L until 16L).flatMap(g =>
+      (0L until 5L).map(j => (g * 100 + j, s"g$g")))
+    val got = Curation.groupKFolds(rows.toDF("doc_id", "source"),
+        "source", 4)
+      .groupBy("fold").count().as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 20L, 1L -> 20L, 2L -> 20L, 3L -> 20L), got.toString)
+  }
+
   // ---- spanCorruption (q202) ---------------------------------------
 
   test("spanCorruption reassembles to the original tokens (sentinel splice law)") {
