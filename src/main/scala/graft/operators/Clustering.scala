@@ -457,7 +457,11 @@ object Clustering {
     * (rank + size share it), two rank-equi-joins (positives within the
     * cluster partition, negatives via the 8-row broadcast size table +
     * a cluster-keyed join) — no pairwise anything. Returns
-    * (anchor_id, cid, pos_id, neg_cid, neg_id). */
+    * (anchor_id, cid, pos_id, neg_cid, neg_id).
+    *
+    * Caching contract: the ranked assignment is localCheckpointed (one
+    * kmeans run feeds anchors and both pick sides); its blocks free
+    * when the returned frame is garbage-collected. */
   def contrastivePairs(embeddings: DataFrame, idCol: String, vecCol: String,
                        labelCol: String, k: Int, iters: Int): DataFrame = {
     val w = Window.partitionBy(col("cid"))
@@ -578,7 +582,9 @@ object Clustering {
   /** Occupied-cell census (cx, cy, cell, cnt) — the grid-DBSCAN
     * STANDING STATE a streaming corpus maintains (counts only grow, so
     * census rows merge by addition). Eagerly localCheckpointed: it is
-    * cell-granular (≪ points) and read by several downstream branches. */
+    * cell-granular (≪ points) and read by several downstream branches;
+    * the blocks free when the frames that read them are
+    * garbage-collected (caching contract as in [[Diff.klSourceDrift]]). */
   def cellCensus(vecs: DataFrame, idCol: String, vecCol: String,
                  dims: Int, cellWidth: Long): DataFrame =
     dbscanPts(vecs, idCol, vecCol, dims, cellWidth)

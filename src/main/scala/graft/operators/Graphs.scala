@@ -521,7 +521,14 @@ object Graphs {
     *  4. untouched rows pass through label-identical (anti-join).
     *
     * Returns (id, label) for standing ∪ delta nodes, ≡ a full
-    * recompute on the union graph (oracle + spec gated). */
+    * recompute on the union graph (oracle + spec gated).
+    *
+    * Caching contract: the standing-label and delta frames are
+    * localCheckpointed (each is read 2-3 times across the touched-set
+    * derivation, the subgraph solve, and the anti-join); their blocks
+    * free when the returned frame is garbage-collected — consume the
+    * result promptly in long-lived sessions (the Verify/Bench
+    * harnesses clear RDD state per query). */
   def incrementalCc(standing: DataFrame, delta: DataFrame,
                     rounds: Int): DataFrame = {
     val lbl = standing.select(col("id").cast("long").as("id"),

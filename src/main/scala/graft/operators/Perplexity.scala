@@ -238,7 +238,13 @@ object Perplexity {
     * one hash agg), then three bigram-table-sized aggregates (c1/N1p,
     * N1c, B) and a broadcast scalar; the report is
     * TakeOrderedAndProject on (c12 desc, w1, w2). Returns the top-K
-    * bigrams: (w1, w2, c12, numer, denom). */
+    * bigrams: (w1, w2, c12, numer, denom).
+    *
+    * Caching contract (the klSourceDrift convention): the bigram-count
+    * table is localCheckpointed — it feeds four aggregates and the
+    * report — and its blocks free when the returned frame (which reads
+    * them) is garbage-collected; a long-lived session issuing many
+    * calls should consume each result promptly. */
   def kneserNeyBigrams(docs: DataFrame, idCol: String, textCol: String,
                        topK: Int): DataFrame = {
     require(topK >= 1, s"topK out of range: $topK")
