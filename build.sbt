@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output defaults to sbt's logger, which prefixes every
+// stdout line with "[info] " — that prefix breaks the driver's
+// line-wise JSON parse of Bench's contract line (BENCH_r* carried
+// parsed:null every round because of it). StdoutOutput passes the
+// child's stdout/stderr through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -135,6 +135,34 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     println(s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
       s""""queries":$qsShort,"sf":"$sfName"}""")
+    // FINAL stdout line: a compact, fully self-describing JSON that fits
+    // the driver's ~2k visible-tail capture even at 210+ queries, so the
+    // round artifact's "parsed" field carries EVERY entry (VERDICT r10
+    // #2: the full per-query dict above is ~2.5 KB and gets decapitated
+    // by the tail window; rounds 1-10 shipped parsed:null). Encoding:
+    // vq[i] = median time of query id i+1 in CENTISECONDS (ids are the
+    // contiguous qNN prefixes of SparkEntry.queries, ascending), and vb
+    // maps each standing-corpus build phase to its centiseconds. Any id
+    // gap or unparsable name falls back into vb by short name, so the
+    // line stays lossless no matter how the registry evolves.
+    val idOf: String => Option[Int] = n =>
+      "^q(\\d+)$".r.findFirstMatchIn(n.takeWhile(_ != '_')).map(_.group(1).toInt)
+    val medCenti = results.map { case (k, ts) =>
+      k -> math.round(ts(ts.length / 2) * 100).toInt }
+    val (plain, extra) = medCenti.partition { case (k, _) =>
+      !k.contains("build") && idOf(k).isDefined }
+    val byId = plain.map { case (k, v) => idOf(k).get -> v }.toMap
+    val maxId = if (byId.isEmpty) 0 else byId.keys.max
+    val vq = (1 to maxId).map(i => byId.get(i).map(_.toString).getOrElse("null"))
+      .mkString("[", ",", "]")
+    val vb = extra.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
+      s""""sf":"$sfName","runs":$runs,""" +
+      """"enc":"vq[i]=median centiseconds of query q(i+1), ids ascending;""" +
+      """ standing-build phases in vb; full names+min/max in""" +
+      """ target/bench_detail.json",""" +
+      s""""vq":$vq,"vb":$vb}""")
     spark.stop()
   }
 }

@@ -1011,6 +1011,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // NN-Descent k-NN-graph construction (Dong et al. 2011) — the
+    // graph-ANN tier above IVF/PQ: iterated neighbor-of-neighbor
+    // refinement from an IVF-cell ring init, every step deterministic
+    // (sha-ordered ring, (cos desc, id) keeps). The oracle replays the
+    // centroid sample, the cell assignment, the ring, and both
+    // refinement rounds; recall vs bruteForceTopK is spec-gated.
+    "q205_nndescent_knn" -> ((s, d) => {
+      Similarity.nnDescentKnn(t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 8, cells = 16, rounds = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          r6(col("cos")).as("cos"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // T5 span corruption (Raffel et al. 2020): deterministic masked
     // runs leave the input as sentinel-keyed gaps and collect into
     // the target — the denoising-objective layout next to q176's FIM.
@@ -3736,6 +3750,70 @@ object SparkEntry {
       |  JOIN customer ON o_custkey = c_custkey
       |  JOIN supplier ON l_suppkey = s_suppkey
       |  WHERE c_nationkey = s_nationkey""".stripMargin
+
+  /** q205 oracle: replay the whole NN-Descent construction — the q46
+    * centroid sample + cell assignment, the sha-ordered ring init, and
+    * `rounds` neighbor-of-neighbor refinement rounds, each a
+    * (B ∪ B⁻¹) self-join + exact cosine rescore + (cos desc, id)
+    * top-k. Converged rounds are no-ops, so the engine's early stop
+    * never desyncs the unrolled replay. */
+  private def nnDescentOracleSql(k: Int, cells: Int, rounds: Int): String = {
+    def roundCte(i: Int): String = {
+      val prev = if (i == 1) "b0" else s"b${i - 1}"
+      s"""c$i AS (SELECT u, w FROM $prev UNION ALL SELECT w, u FROM $prev),
+         |cd$i AS (
+         |  SELECT DISTINCT u, w FROM (
+         |    SELECT c1.u, c2.w FROM c$i c1 JOIN c$i c2 ON c1.w = c2.u
+         |    WHERE c2.w <> c1.u
+         |    UNION ALL SELECT u, w FROM $prev)),
+         |b$i AS MATERIALIZED (
+         |  SELECT u, w, cos, rank FROM (
+         |    SELECT d.u, d.w, list_cosine_similarity(a.vec, b.vec) AS cos,
+         |      row_number() OVER (PARTITION BY d.u
+         |        ORDER BY list_cosine_similarity(a.vec, b.vec) DESC, d.w)
+         |        AS rank
+         |    FROM cd$i d JOIN v a ON a.id = d.u JOIN v b ON b.id = d.w)
+         |  WHERE rank <= $k)""".stripMargin
+    }
+    s"""WITH v AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT id AS cell_id, vec AS cv FROM v
+       |  ORDER BY sha256(CAST(id AS VARCHAR) || ':ivf'), id LIMIT $cells),
+       |asg AS (
+       |  SELECT id, cell_id FROM (
+       |    SELECT v.id, c.cell_id, row_number() OVER (PARTITION BY v.id
+       |      ORDER BY list_cosine_similarity(v.vec, c.cv) DESC, c.cell_id)
+       |      AS crank
+       |    FROM v CROSS JOIN cent c)
+       |  WHERE crank = 1),
+       |ring AS (
+       |  SELECT id, cell_id,
+       |    row_number() OVER (PARTITION BY cell_id
+       |      ORDER BY sha256(CAST(id AS VARCHAR) || ':nnd'), id) AS r,
+       |    count(*) OVER (PARTITION BY cell_id) AS sz
+       |  FROM asg),
+       |ic AS (
+       |  SELECT g.id AS u, p.id AS w
+       |  FROM ring g, unnest(generate_series(1, $k)) AS t(j)
+       |  JOIN ring p ON p.cell_id = g.cell_id
+       |    AND p.r = ((g.r - 1 + j) % g.sz) + 1
+       |  WHERE j < g.sz),
+       |b0 AS MATERIALIZED (
+       |  SELECT u, w, cos, rank FROM (
+       |    SELECT d.u, d.w, list_cosine_similarity(a.vec, b.vec) AS cos,
+       |      row_number() OVER (PARTITION BY d.u
+       |        ORDER BY list_cosine_similarity(a.vec, b.vec) DESC, d.w)
+       |        AS rank
+       |    FROM (SELECT DISTINCT u, w FROM ic) d
+       |    JOIN v a ON a.id = d.u JOIN v b ON b.id = d.w)
+       |  WHERE rank <= $k),
+       |${(1 to rounds).map(roundCte).mkString(",\n")}
+       |SELECT u AS query_id, w AS neighbor_id, r6(cos) AS cos,
+       |  CAST(rank AS BIGINT) AS rank
+       |FROM b$rounds ORDER BY query_id, rank""".stripMargin
+  }
 
   private def ccStarsOracleSql(rounds: Int): String =
     s"""WITH e1 AS MATERIALIZED (
@@ -8507,6 +8585,7 @@ object SparkEntry {
     "q189_cc_stars" -> ccStarsOracleSql(5),
     "q195_incremental_cc" -> incrementalCcOracleSql(5),
     "q196_hash_walks" -> hashWalksOracleSql(4),
+    "q205_nndescent_knn" -> nnDescentOracleSql(8, 16, 2),
 
     "q204_group_folds" ->
       """WITH census AS (
@@ -8520,7 +8599,7 @@ object SparkEntry {
         |    ELSE 7 - (r - 1) % 8 END AS BIGINT) AS fold
         |  FROM rk)
         |SELECT d.doc_id, d.source, f.fold
-        |FROM documents d JOIN fd f USING (source)
+        |FROM documents d JOIN fd f ON d.source IS NOT DISTINCT FROM f.source
         |ORDER BY d.doc_id""".stripMargin,
 
     "q202_span_corruption" ->

@@ -453,6 +453,15 @@ object Clustering {
     *                                        no anchors)
     *   negative rank = ((r−1) mod sz') + 1 in cluster (cid+1) mod k
     *
+    * Documented edge: if k-means leaves cluster (cid+1) mod k EMPTY
+    * (possible — a centroid can strand with no nearest points), the
+    * anchors of cluster cid have no negative under this rule and are
+    * DROPPED (the inner join with the size table). That keeps the pick
+    * rule a pure function the oracle replays verbatim; a fallback to
+    * the next non-empty cluster would make every pick depend on the
+    * global emptiness pattern. Requires k ≥ 2 — with one cluster the
+    * "negative" would come from the anchor's own cluster.
+    *
     * Scale shape: one kmeans assignment pass, ONE cluster-keyed window
     * (rank + size share it), two rank-equi-joins (positives within the
     * cluster partition, negatives via the 8-row broadcast size table +
@@ -464,6 +473,10 @@ object Clustering {
     * when the returned frame is garbage-collected. */
   def contrastivePairs(embeddings: DataFrame, idCol: String, vecCol: String,
                        labelCol: String, k: Int, iters: Int): DataFrame = {
+    // k = 1 would draw the "negative" from the anchor's own (only)
+    // cluster — a contradiction in terms, not a degenerate case worth
+    // supporting (ADVICE r10)
+    require(k >= 2, s"contrastivePairs needs k >= 2 clusters, got $k")
     val w = Window.partitionBy(col("cid"))
       .orderBy(KmvAggregator.kmvHash(col("vec_id")), col("vec_id"))
     val ranked = kmeansAssign(embeddings, idCol, vecCol, labelCol, k, iters)
@@ -700,7 +713,8 @@ object Clustering {
     * missed a batch is repaired by exactly this call: the missed
     * cells are simply still "newly-core"). */
   def mergeCoreLabels(census: DataFrame, standingLabels: DataFrame,
-                      minPts: Long, ccRounds: Int): DataFrame = {
+                      minPts: Long, ccRounds: Int,
+                      toFixedPoint: Boolean = false): DataFrame = {
     require(minPts >= 1, s"minPts out of range: $minPts")
     val coreM = census.filter(col("cnt") >= minPts)
       .select(col("cx"), col("cy"), col("cell"))
@@ -721,7 +735,7 @@ object Clustering {
       .distinct()
     val incLab = Graphs.incrementalCc(
       standingLabels.select(col("cell").as("id"), col("cluster").as("label")),
-      newEdges, ccRounds)
+      newEdges, ccRounds, toFixedPoint)
       .select(col("id").as("cell"), col("label").as("cluster"))
     // newly-core cells with NO core neighbor never enter the delta
     // edge set — they are their own singleton cluster

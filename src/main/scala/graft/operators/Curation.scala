@@ -282,9 +282,25 @@ object Curation {
     * Scale shape: the window runs over the GROUP CENSUS (bounded by
     * distinct groups — the ksDrift bounded-cardinality contract), and
     * the fold table broadcasts back onto the corpus rows; corpus rows
-    * never enter a window. Returns the input rows + `fold` ∈ [0, k). */
+    * never enter a window. ASSUMES group cardinality is census-sized
+    * (sources, domains, repos — thousands to low millions), NOT
+    * row-sized: the draft rank is one global window, so the census
+    * serializes through a single partition, and the fold table must
+    * broadcast. `maxGroups` (default 1M — a single-partition 1M-row
+    * window is seconds; the broadcast stays ≪ executor memory) fails
+    * loudly inside the census plan rather than letting a row-sized
+    * group key degrade into a one-partition sort of the corpus.
+    *
+    * A NULL group is a VALID group: the census counts it and the
+    * null-safe (`<=>`) join carries its rows into a fold — an
+    * equality join would silently drop every null-group row while the
+    * census still ranked them (ADVICE r10; [[exactStratifiedSplit]]
+    * keeps null strata the same way).
+    *
+    * Returns the input rows + `fold` ∈ [0, k). */
   def groupKFolds(df: DataFrame, groupCol: String, k: Int,
-                  salt: String = "gkf"): DataFrame = {
+                  salt: String = "gkf",
+                  maxGroups: Long = 1000000L): DataFrame = {
     require(k >= 2 && k <= 64, s"k out of range: $k")
     require(!df.columns.contains("fold"),
       "groupKFolds adds a 'fold' column but the input already has one")
@@ -293,11 +309,16 @@ object Curation {
         col(groupCol))
     val folds = df.groupBy(col(groupCol)).agg(count(lit(1)).as("gsz"))
       .withColumn("__r", row_number().over(w))
+      .withColumn("__r", when(col("__r") <= maxGroups, col("__r"))
+        .otherwise(raise_error(lit(s"groupKFolds: more than $maxGroups " +
+          "distinct groups — the census window serializes on one " +
+          "partition; use a coarser group key or raise maxGroups"))))
       .withColumn("__p", (col("__r") - 1) % (2 * k))
-      .select(col(groupCol),
+      .select(col(groupCol).as("__gkf_g"),
         when(col("__p") < k, col("__p"))
           .otherwise(lit(2 * k - 1) - col("__p")).cast("long").as("fold"))
-    df.join(broadcast(folds), Seq(groupCol))
+    df.join(broadcast(folds), df(groupCol) <=> col("__gkf_g"))
+      .drop("__gkf_g")
   }
 
   /** T5 SPAN CORRUPTION (Raffel et al. 2020 §3.1.4) — the

@@ -378,13 +378,92 @@ object Graphs {
     * [[Dedup.connectedComponents]] protocol — a round reads its
     * predecessor four times, so a lazy chain would grow the plan 4^R).
     */
-  def ccLargeSmallStar(pairs: DataFrame, rounds: Int): DataFrame = {
+  def ccLargeSmallStar(pairs: DataFrame, rounds: Int,
+                       skipAssert: Boolean = false): DataFrame = {
     require(rounds >= 1 && rounds <= 15, s"rounds out of range: $rounds")
-    val input = pairs.select(col("id_a").cast("long").as("u"),
+    val input = starInput(pairs)
+    val e = runStarRounds(input, rounds, keepInput = true)
+    val labels = starLabels(input, e)
+    if (e ne input) freeCheckpoint(e)
+    // convergence assert: a valid labeling is constant across every
+    // input edge; min-propagation can only produce in-component node
+    // ids, so edge-constant ⇒ label = component minimum exactly.
+    // `skipAssert` elides the input-edge re-join for callers whose
+    // protocol re-verifies the labeling downstream anyway (the
+    // streaming drains' startup probes re-check every log edge); the
+    // default stays loud — silent split components are worse than one
+    // broadcast-or-co-partitioned pass over the edges.
+    val bad = if (skipAssert) 0L else invalidEdgeCount(input, labels)
+    freeCheckpoint(input)
+    if (bad != 0) throw new IllegalStateException(
+      s"ccLargeSmallStar did not converge in $rounds rounds " +
+        "(an input edge still joins two labels); raise rounds")
+    labels
+  }
+
+  /** [[ccLargeSmallStar]] iterated to a VERIFIED fixed point instead of
+    * a fixed round count — the streaming-merge edition (ADVICE r10:
+    * with a fixed cap, a delta batch needing one round more than the
+    * budget throws AFTER the edge-log append, and the startup repair
+    * then re-runs the identical failing merge — a poison batch no
+    * restart can clear). Runs `hint` rounds, checks validity (every
+    * input edge joins two equal labels — the same one-pass probe the
+    * fixed-round assert pays), and keeps iterating round batches with
+    * a re-check until valid, throwing only past `maxRounds` (default
+    * 64 ≈ the star bound for graphs far beyond any real corpus; the
+    * throw then signals a genuine bug, not an undersized budget).
+    * Identical output to a converged [[ccLargeSmallStar]] call — the
+    * extra rounds past convergence are no-ops on a star forest, so
+    * round count does not leak into the labeling. */
+  def ccLargeSmallStarFixedPoint(pairs: DataFrame, hint: Int = 8,
+                                 maxRounds: Int = 64): DataFrame = {
+    require(hint >= 1 && maxRounds >= hint,
+      s"round budget out of range: hint=$hint max=$maxRounds")
+    val input = starInput(pairs)
+    var e = runStarRounds(input, hint, keepInput = true)
+    var done = hint
+    var labels = starLabels(input, e)
+    while (invalidEdgeCount(input, labels) != 0) {
+      freeCheckpoint(labels)
+      if (done >= maxRounds) {
+        if (e ne input) freeCheckpoint(e)
+        freeCheckpoint(input)
+        throw new IllegalStateException(
+          s"ccLargeSmallStarFixedPoint did not converge in $maxRounds " +
+            "rounds — star convergence is ~log2(n); this is a bug, " +
+            "not an undersized budget")
+      }
+      // geometric re-check cadence: each batch doubles the rounds run
+      // so the validity probe (a pass over the input edges) amortizes
+      // keepInput guards `input`'s blocks; a superseded intermediate
+      // edge set frees inside runStarRounds after its first round
+      val batch = math.min(done, maxRounds - done)
+      val e2 = runStarRounds(e, batch, keepInput = e eq input)
+      e = e2
+      done += batch
+      labels = starLabels(input, e)
+    }
+    if (e ne input) freeCheckpoint(e)
+    freeCheckpoint(input)
+    labels
+  }
+
+  /** Canonical (u, v) long edge table for the star rounds, eagerly
+    * materialized (reused by every round's replay AND the validity
+    * probe). */
+  private def starInput(pairs: DataFrame): DataFrame =
+    pairs.select(col("id_a").cast("long").as("u"),
         col("id_b").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-      .localCheckpoint() // materialize: reused by every round's replay AND the final assert
-    var e = input
+      .localCheckpoint()
+
+  /** `rounds` large-star/small-star alternations from edge set `start`
+    * (each round eagerly checkpointed, predecessor freed — a round
+    * reads its predecessor four times, so a lazy chain would grow the
+    * plan 4^R). `keepInput` guards the caller's `start` blocks. */
+  private def runStarRounds(start: DataFrame, rounds: Int,
+                            keepInput: Boolean): DataFrame = {
+    var e = start
     var first = true
     for (_ <- 1 to rounds) {
       // large-star: attach every larger neighbor of u to u's minimum
@@ -408,37 +487,38 @@ object Graphs {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint() // eager: materializes the round, cuts lineage
-      if (!first) freeCheckpoint(e) // keep `input` alive for the assert
+      if (!first || !keepInput) freeCheckpoint(e)
       e = ss
       first = false
     }
-    // labels from the final star forest: every node incident to a final
-    // edge takes its minimum neighbor (roots take themselves); nodes
-    // whose component collapsed early (star edges absorbed them) are
-    // re-covered from the ORIGINAL node set via the assert join below.
+    e
+  }
+
+  /** Labels from a star forest `e`: every node incident to a final edge
+    * takes its minimum neighbor (roots take themselves); nodes whose
+    * component collapsed early (star edges absorbed them) are
+    * re-covered from the ORIGINAL node set of `input`. */
+  private def starLabels(input: DataFrame, e: DataFrame): DataFrame = {
     val nb = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
     val lab = nb.groupBy(col("u").as("id"))
       .agg(least(col("u"), min(col("v"))).as("label"))
     val nodes = input.select(col("u").as("id"))
       .unionByName(input.select(col("v").as("id"))).distinct()
-    val labels = nodes.join(lab, Seq("id"), "left")
+    nodes.join(lab, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
       .localCheckpoint()
-    if (!first) freeCheckpoint(e)
-    // convergence assert: a valid labeling is constant across every
-    // input edge; min-propagation can only produce in-component node
-    // ids, so edge-constant ⇒ label = component minimum exactly.
-    val bad = input
+  }
+
+  /** 1 iff any input edge joins two unequal labels (0 = valid CC
+    * labeling). One pass over `input`; labels are node-count-sized and
+    * broadcast or co-partitioned. */
+  private def invalidEdgeCount(input: DataFrame,
+                               labels: DataFrame): Long =
+    input
       .join(labels.select(col("id").as("u"), col("label").as("la")), Seq("u"))
       .join(labels.select(col("id").as("v"), col("label").as("lb")), Seq("v"))
       .filter(col("la") =!= col("lb"))
       .limit(1).count()
-    freeCheckpoint(input)
-    if (bad != 0) throw new IllegalStateException(
-      s"ccLargeSmallStar did not converge in $rounds rounds " +
-        "(an input edge still joins two labels); raise rounds")
-    labels
-  }
 
   /** Deterministic random-walk corpus (the DeepWalk/node2vec input,
     * Perozzi et al. 2014) with NO RNG: at step t the walk at node u
@@ -530,7 +610,7 @@ object Graphs {
     * result promptly in long-lived sessions (the Verify/Bench
     * harnesses clear RDD state per query). */
   def incrementalCc(standing: DataFrame, delta: DataFrame,
-                    rounds: Int): DataFrame = {
+                    rounds: Int, toFixedPoint: Boolean = false): DataFrame = {
     val lbl = standing.select(col("id").cast("long").as("id"),
         col("label").cast("long").as("label"))
       .localCheckpoint() // read three times below
@@ -546,7 +626,13 @@ object Graphs {
     val subEdges = d.unionByName(
       affectedStar.filter(col("id") =!= col("label"))
         .select(col("id").as("id_a"), col("label").as("id_b")))
-    val newLab = ccLargeSmallStar(subEdges, rounds)
+    // `toFixedPoint` swaps the fixed-round solve (exact replay — the
+    // q195 oracle unrolls `rounds` alternations) for the verified
+    // fixed-point one (streaming merges, where an undersized budget
+    // would otherwise poison the batch — see ccLargeSmallStarFixedPoint)
+    val newLab =
+      if (toFixedPoint) ccLargeSmallStarFixedPoint(subEdges, hint = rounds)
+      else ccLargeSmallStar(subEdges, rounds)
     val unaffected = lbl.join(touched, Seq("label"), "left_anti")
       .select(col("id"), col("label"))
     unaffected.unionByName(newLab.select(col("id"), col("label")))

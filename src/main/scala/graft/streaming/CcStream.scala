@@ -53,8 +53,36 @@ object CcStream {
     * are missing or unequal are the edges-appended/labels-unmerged
     * crash gap; re-merging them restores the invariant (every log edge
     * joins two equal labels). No-op when log or gap is empty. */
-  private[streaming] def repairAtStartup(spark: SparkSession,
+  /** Dedicated batch-profile session for the label merges. The star
+    * iteration's self-union of a localCheckpoint frame trips Spark's
+    * Union constraint rewrite ("key not found: u#…" in
+    * UnionBase.rewriteConstraints — the re-instanced relation's
+    * constraints still reference the original attribute ids), both
+    * under the streaming clone's planner profile and, in principle,
+    * under any session with constraint propagation on. Constraint
+    * propagation buys nothing for these bare (long, long) plans, so
+    * the merge runs on a DERIVED session that has it off permanently —
+    * instead of a set/restore toggle on the shared outer session,
+    * which races: two concurrent drains (CcStream + DbscanStream on
+    * one session) could interleave so one batch's restore re-trips the
+    * crash mid-merge of the other, or strand the conf false for every
+    * later query (ADVICE r10). `newSession` shares the SparkContext —
+    * cached blocks, localCheckpoints, and the parquet state paths are
+    * all visible — but owns an isolated SQLConf, so nothing leaks.
+    * One derived session per outer session, cached (SessionState
+    * construction is not free at micro-batch cadence). */
+  private val mergeSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private[streaming] def mergeSession(outer: SparkSession): SparkSession =
+    mergeSessions.computeIfAbsent(outer, o => {
+      val s = o.newSession()
+      s.conf.set("spark.sql.constraintPropagation.enabled", "false")
+      s
+    })
+
+  private[streaming] def repairAtStartup(outer: SparkSession,
       edgeLogPath: String, labelPath: String, rounds: Int): Unit = {
+    val spark = mergeSession(outer)
     Zones.recoverBackup(spark, labelPath)
     if (!Zones.pathExists(spark, edgeLogPath)) return
     val edges = spark.read.parquet(edgeLogPath)
@@ -70,7 +98,11 @@ object CcStream {
       .select(col("id_a"), col("id_b"))
       .localCheckpoint() // materialize: the merge below rewrites labelPath
     if (bad.count() > 0) {
-      val merged = Graphs.incrementalCc(labels, bad, rounds)
+      // toFixedPoint: the repair path must never re-throw on a round
+      // budget — a merge that poisoned the log under an undersized
+      // fixed budget is exactly what this call clears (ADVICE r10)
+      val merged = Graphs
+        .incrementalCc(labels, bad, rounds, toFixedPoint = true)
         .localCheckpoint() // the plan reads labelPath, which we replace
       Zones.replaceKeepingBackup(spark, labelPath)(tmp =>
         merged.write.parquet(tmp))
@@ -78,28 +110,20 @@ object CcStream {
   }
 
   /** One micro-batch: edge-log append (source of truth, FIRST), then
-    * the incremental label merge, then the label-table swap.
-    *
-    * The body runs with the OUTER session restored as the thread's
-    * active session: foreachBatch executes user code on the stream
-    * thread with the streaming session CLONE active (streaming confs —
-    * AQE off among them), and the star iteration's self-union
-    * constraint rewrite breaks under that planner profile
-    * ("key not found: u#…" from UnionBase.rewriteConstraints). The
-    * merge is genuinely batch work and runs under batch confs. */
-  private[streaming] def processBatch(spark: SparkSession, batch: DataFrame,
+    * the incremental label merge, then the label-table swap. The body
+    * runs on [[mergeSession]] (batch planner profile, constraint
+    * propagation off — see its doc) set as the thread's active
+    * session; foreachBatch executes user code on the stream thread
+    * with the streaming CLONE active, and the merge is genuinely batch
+    * work. The merge solves to a VERIFIED fixed point, not a fixed
+    * round count: a fixed cap that throws after the edge append is a
+    * poison batch — restart repair re-runs the identical failing
+    * merge (ADVICE r10). */
+  private[streaming] def processBatch(outer: SparkSession, batch: DataFrame,
       edgeLogPath: String, labelPath: String, rounds: Int): Unit = {
+    val spark = mergeSession(outer)
     val prior = SparkSession.getActiveSession
     SparkSession.setActiveSession(spark)
-    // Under the streaming drain, the star iteration's self-union of a
-    // localCheckpoint frame trips Spark's Union constraint rewrite
-    // ("key not found: u#…" in UnionBase.rewriteConstraints — the
-    // re-instanced relation's constraints still reference the original
-    // attribute ids). Constraint propagation buys nothing for these
-    // bare (long, long) plans; switch it off for the merge and restore.
-    val cpKey = "spark.sql.constraintPropagation.enabled"
-    val cpPrev = spark.conf.get(cpKey, "true")
-    spark.conf.set(cpKey, "false")
     try {
       val raw = batch
         .select(col("id_a").cast("long").as("id_a"),
@@ -113,12 +137,12 @@ object CcStream {
       if (edges.isEmpty) return
       edges.write.mode("append").parquet(edgeLogPath)
       val merged = Graphs.incrementalCc(
-          standingLabels(spark, labelPath), edges, rounds)
+          standingLabels(spark, labelPath), edges, rounds,
+          toFixedPoint = true)
         .localCheckpoint() // the plan reads labelPath, which we replace
       Zones.replaceKeepingBackup(spark, labelPath)(tmp =>
         merged.write.parquet(tmp))
     } finally {
-      spark.conf.set(cpKey, cpPrev)
       prior.foreach(SparkSession.setActiveSession)
     }
   }

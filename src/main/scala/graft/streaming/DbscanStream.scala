@@ -59,9 +59,10 @@ object DbscanStream {
       pts.sparkSession.range(0).select(col("id").as("cx"),
         col("id").as("cy"), col("id").as("cnt")))
 
-  private[streaming] def repairAtStartup(spark: SparkSession,
+  private[streaming] def repairAtStartup(outer: SparkSession,
       pointsPath: String, censusPath: String, labelPath: String,
       minPts: Long, ccRounds: Int): Unit = {
+    val spark = CcStream.mergeSession(outer) // star iteration inside the label merge
     Zones.recoverBackup(spark, censusPath)
     Zones.recoverBackup(spark, labelPath)
     if (!Zones.pathExists(spark, pointsPath)) return
@@ -87,8 +88,11 @@ object DbscanStream {
       .join(labels0.select(col("cell")), Seq("cell"), "left_anti")
       .limit(1).count()
     if (missing > 0) {
+      // toFixedPoint: the repair must never re-throw on a round budget
+      // (the CcStream poison-batch rule, density edition)
       val merged = Clustering
-        .mergeCoreLabels(census, labels0, minPts, ccRounds)
+        .mergeCoreLabels(census, labels0, minPts, ccRounds,
+          toFixedPoint = true)
         .localCheckpoint() // the plan reads labelPath, which we replace
       Zones.replaceKeepingBackup(spark, labelPath)(tmp =>
         merged.write.parquet(tmp))
@@ -97,22 +101,31 @@ object DbscanStream {
 
   /** One micro-batch: project to cells, drop replayed ids against the
     * point log, append survivors (source of truth, FIRST), then the
-    * census merge and the core-label merge, each swapped in. */
-  private[streaming] def processBatch(spark: SparkSession, batch: DataFrame,
+    * census merge and the core-label merge, each swapped in. Runs on
+    * [[CcStream.mergeSession]] (constraint propagation off for the
+    * star iteration, isolated from the shared outer session — the
+    * ADVICE r10 conf race) and solves labels to a verified fixed
+    * point (no poison batch on an undersized round budget).
+    *
+    * Id contract: `vec_id` is globally unique and immutable — the
+    * point log is an IDENTITY ledger, not a version store. Duplicate
+    * ids WITHIN a batch collapse to one row (`dropDuplicates` below;
+    * a batch that carries the same vector twice must not double-count
+    * its cell), and an id already in the log anti-joins away even if
+    * its vector bytes changed — reusing an id for new content is a
+    * producer bug this sink cannot detect (it would need the vector
+    * bytes in the ledger) and silently ignores. */
+  private[streaming] def processBatch(outer: SparkSession, batch: DataFrame,
       pointsPath: String, censusPath: String, labelPath: String,
       idCol: String, vecCol: String, dims: Int, cellWidth: Long,
       minPts: Long, ccRounds: Int): Unit = {
+    val spark = CcStream.mergeSession(outer)
     val prior = SparkSession.getActiveSession
     SparkSession.setActiveSession(spark)
-    // same CcStream workaround: the star iteration inside the label
-    // merge trips Spark's Union constraint rewrite under the streaming
-    // session profile
-    val cpKey = "spark.sql.constraintPropagation.enabled"
-    val cpPrev = spark.conf.get(cpKey, "true")
-    spark.conf.set(cpKey, "false")
     try {
       val raw = Clustering.pointCells(batch, idCol, vecCol, dims, cellWidth)
       val pts0 = spark.createDataFrame(raw.rdd, raw.schema)
+        .dropDuplicates("vec_id")
       val fresh = (
         if (Zones.pathExists(spark, pointsPath))
           pts0.join(spark.read.parquet(pointsPath).select(col("vec_id")),
@@ -127,12 +140,12 @@ object DbscanStream {
       Zones.replaceKeepingBackup(spark, censusPath)(tmp =>
         census.write.parquet(tmp))
       val labels = Clustering.mergeCoreLabels(census,
-          standing(spark, labelPath, emptyLabels(spark)), minPts, ccRounds)
+          standing(spark, labelPath, emptyLabels(spark)), minPts, ccRounds,
+          toFixedPoint = true)
         .localCheckpoint() // the plan reads labelPath, which we replace
       Zones.replaceKeepingBackup(spark, labelPath)(tmp =>
         labels.write.parquet(tmp))
     } finally {
-      spark.conf.set(cpKey, cpPrev)
       prior.foreach(SparkSession.setActiveSession)
     }
   }

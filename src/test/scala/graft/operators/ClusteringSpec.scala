@@ -372,6 +372,10 @@ class ClusteringSpec extends SparkSpec {
       assert(p != a && asg(p) == cid && ncid == (cid + 1) % 3 &&
         asg(n) == ncid)
     }
+    // k = 1 has no distinct negative cluster — rejected loudly
+    intercept[IllegalArgumentException] {
+      Clustering.contrastivePairs(df, "vec_id", "embedding", "label", 1, 3)
+    }
   }
 
   // ---- gridDbscan (q190) -------------------------------------------

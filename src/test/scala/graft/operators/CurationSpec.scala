@@ -1096,6 +1096,21 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("groupKFolds keeps null-group rows (null-safe join) and refuses k=1") {
+    val rows: Seq[(Long, String)] = (0L until 6L).map(i => (i, "a")) ++
+      (6L until 10L).map(i => (i, "b")) ++
+      Seq((10L, null), (11L, null))
+    val got = Curation.groupKFolds(rows.toDF("doc_id", "source"),
+        "source", 2)
+      .select("doc_id", "fold").as[(Long, Long)].collect().toMap
+    // every row — including the null-source pair — lands in a fold
+    assert(got.keySet == rows.map(_._1).toSet, got.toString)
+    assert(got(10L) == got(11L), "null is ONE group — rows stay together")
+    intercept[IllegalArgumentException] {
+      Curation.groupKFolds(rows.toDF("doc_id", "source"), "source", 1)
+    }
+  }
+
   test("groupKFolds balances equal-size groups perfectly") {
     val rows = (0L until 16L).flatMap(g =>
       (0L until 5L).map(j => (g * 100 + j, s"g$g")))

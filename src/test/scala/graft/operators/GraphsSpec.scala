@@ -415,6 +415,56 @@ class GraphsSpec extends SparkSpec {
     assert(got.values.toSet == Set(0L) && got.size == 4001)
   }
 
+  test("ccLargeSmallStar with skipAssert returns the same labels") {
+    val pairs = (0L until 300L).map(i => (i, (i * i + 7) % 97))
+      .filter { case (a, b) => a != b }
+    val checked = ccViaStars(pairs, rounds = 8)
+    val skipped = Graphs
+      .ccLargeSmallStar(pairs.toDF("id_a", "id_b"), 8, skipAssert = true)
+      .as[(Long, Long)].collect().toMap
+    assert(checked == skipped)
+  }
+
+  test("ccLargeSmallStarFixedPoint converges past an undersized hint " +
+      "(the streaming poison-batch fix) and matches pointer doubling") {
+    // a 2000-link chain needs ~1.4*log2(n) ≈ 16 alternations; hint=2
+    // would THROW under the fixed-round solver, the fixed-point one
+    // keeps iterating with geometric re-checks and returns the labels
+    val chain = (0L until 2000L).map(i => (i, i + 1))
+    val got = Graphs
+      .ccLargeSmallStarFixedPoint(chain.toDF("id_a", "id_b"), hint = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == ccViaDoubling(chain))
+    // and on already-converged inputs the extra machinery is a no-op
+    val stars = (0L until 20L).map(i => (100L, i))
+    assert(Graphs.ccLargeSmallStarFixedPoint(stars.toDF("id_a", "id_b"),
+        hint = 2).as[(Long, Long)].collect().toMap ==
+      ccViaDoubling(stars))
+  }
+
+  test("ccLargeSmallStarFixedPoint leaves no per-round cache growth") {
+    val base = spark.sparkContext.getPersistentRDDs.size
+    val chain = (0L until 1000L).map(i => (i, i + 1))
+    Graphs.ccLargeSmallStarFixedPoint(chain.toDF("id_a", "id_b"), hint = 2)
+      .collect()
+    val persisted = spark.sparkContext.getPersistentRDDs.size
+    assert(persisted - base <= 1,
+      s"ccLargeSmallStarFixedPoint leaked cached tables: ${persisted - base}")
+  }
+
+  test("incrementalCc toFixedPoint matches the fixed-round solve and " +
+      "survives a delta whose subgraph outgrows the hint") {
+    val standing = Seq((0L, 0L), (1L, 0L), (2L, 2L)).toDF("id", "label")
+    // delta chain of fresh nodes 10..200 — diameter far past hint=2
+    val delta = (10L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Graphs.incrementalCc(standing, delta, rounds = 2,
+        toFixedPoint = true)
+      .as[(Long, Long)].collect().toMap
+    val full = Graphs.incrementalCc(standing, delta, rounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == full)
+  }
+
   // ---- hashRandomWalks (q196) --------------------------------------
 
   test("hashRandomWalks replays serially, follows edges, and is layout-invariant") {

@@ -167,6 +167,44 @@ class SimilaritySpec extends SparkSpec {
     assert(nn.size == 32)
   }
 
+  test("nnDescentKnn: refinement recovers cross-cell true neighbors the " +
+      "ring init misses, recall vs brute force is high, and a converged " +
+      "graph is a fixed point") {
+    // 12 tight clusters of 6 — more clusters than IVF cells (4), so the
+    // ring init mixes clusters within a cell and only the
+    // neighbor-of-neighbor rounds can sort each node's true cluster to
+    // the top ranks
+    def e(i: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(i) = 1.0f; a((i + 1) % 64) = eps; a
+    }
+    val df = (0 until 12).flatMap { c =>
+      (0 until 6).map(j => ((c * 10 + j).toLong, e(c * 5, 0.02f * j)))
+    }.toDF("vec_id", "embedding")
+    val knn = Similarity.nnDescentKnn(df, "vec_id", "embedding",
+        k = 5, cells = 4, rounds = 4)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect()
+    val byQ = knn.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byQ.size == 72 && knn.forall(_._3 <= 5))
+    // ground truth: the 5 true NNs are exactly the other 5 cluster members
+    val truth = (0 until 12).flatMap { c =>
+      (0 until 6).map { j =>
+        (c * 10 + j).toLong ->
+          (0 until 6).filter(_ != j).map(x => (c * 10 + x).toLong).toSet
+      }
+    }.toMap
+    val recall = byQ.map { case (q, got) =>
+      got.intersect(truth(q)).size.toDouble / 5.0 }.sum / byQ.size
+    assert(recall >= 0.9, s"NN-Descent recall $recall < 0.9")
+    // fixed point: once converged, more rounds change nothing (the
+    // early-stop + oracle-unroll equivalence contract)
+    val more = Similarity.nnDescentKnn(df, "vec_id", "embedding",
+        k = 5, cells = 4, rounds = 8)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect()
+    assert(more.toSet == knn.toSet)
+  }
+
   test("lshTopK band-join shuffles carry ids only, never vectors") {
     def e(i: Int): Array[Float] = {
       val a = Array.fill(64)(0.0f); a(i) = 1.0f; a

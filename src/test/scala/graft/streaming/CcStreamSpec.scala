@@ -71,4 +71,25 @@ class CcStreamSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L,
       20L -> 20L, 21L -> 20L))
   }
+
+  test("a delta chain past the round hint converges (no poison batch) " +
+      "and the outer session's conf is never touched (ADVICE r10)") {
+    val root = Files.createTempDirectory("graft-ccstream3").toString
+    val (logPath, labPath) = (s"$root/edges", s"$root/labels")
+    implicit val sqlCtx = spark.sqlContext
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpBefore = spark.conf.get(cpKey, "true")
+    val mem = MemoryStream[(Long, Long)]
+    val edges = mem.toDF().toDF("id_a", "id_b")
+    // one batch carrying a 600-link chain: ~1.4*log2(n) ≈ 13 star
+    // alternations needed, far past rounds=2 — the fixed-round solver
+    // would throw AFTER the edge append and poison the log
+    mem.addData((0L until 600L).map(i => (i, i + 1)): _*)
+    CcStream.run(spark, edges, logPath, labPath, s"$root/ckpt", rounds = 2)
+      .awaitTermination(180000)
+    val got = labelsOf(labPath)
+    assert(got.size == 601 && got.values.toSet == Set(0L), s"got ${got.size}")
+    // the merge ran on the derived session — the shared conf is intact
+    assert(spark.conf.get(cpKey, "true") == cpBefore)
+  }
 }

@@ -69,6 +69,23 @@ class DbscanStreamSpec extends SparkSpec {
     assert(spark.read.parquet(pp).count() == 300L)
   }
 
+  test("duplicate vec_ids inside one batch count their cell once (ADVICE r10)") {
+    val root = Files.createTempDirectory("graft-dbstream3").toString
+    val (pp, cp, lp) = (s"$root/points", s"$root/census", s"$root/labels")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val vecs = mem.toDF().toDF("vec_id", "embedding")
+    val b1 = fixture(0, 150)
+    // the batch carries 40 rows TWICE — an at-least-once producer can
+    // duplicate within a delivery, not only across replays
+    mem.addData((b1 ++ b1.take(40)): _*)
+    DbscanStream.run(spark, vecs, pp, cp, lp, s"$root/ckpt",
+      cellWidth = W, minPts = MP).awaitTermination(180000)
+    assert(diskState(cp, lp) == batchTruth(b1))
+    assert(spark.read.parquet(pp).count() == 150L,
+      "the point log must hold one row per id")
+  }
+
   test("streaming DBSCAN repairs the points-appended/census-unmerged crash window") {
     val root = Files.createTempDirectory("graft-dbstream2").toString
     val (pp, cp, lp) = (s"$root/points", s"$root/census", s"$root/labels")
