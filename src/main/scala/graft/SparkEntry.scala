@@ -1011,6 +1011,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Span-level decontamination at L = 16 — the exact-form upgrade of
+    // q61's n-gram overlap: corpus positions whose 16-token window
+    // also occurs in the eval partition (doc_id % 7 = 0, the held-out
+    // benchmark stand-in) mark and island-merge into maximal
+    // contaminated spans; no canonical-keeper exemption (every corpus
+    // occurrence of eval text marks). Prefix-doubling equality ranks
+    // over the corpus ∪ eval union — the q172 machinery pointed across
+    // corpora. The oracle replays true window equality with the gram
+    // string as identity.
+    "q206_span_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.SuffixDedup.spanDecontaminate(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", 16)
+        .orderBy(col("doc_id"))
+    }),
+
     // NN-Descent k-NN-graph construction (Dong et al. 2011) — the
     // graph-ANN tier above IVF/PQ: iterated neighbor-of-neighbor
     // refinement from an IVF-cell ring init, every step deterministic
@@ -8586,6 +8604,43 @@ object SparkEntry {
     "q195_incremental_cc" -> incrementalCcOracleSql(5),
     "q196_hash_walks" -> hashWalksOracleSql(4),
     "q205_nndescent_knn" -> nnDescentOracleSql(8, 16, 2),
+
+    "q206_span_decontaminate" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(regexp_replace(
+        |      lower(text), '\s+', ' ', 'g')), '\s+'), x -> x <> '') AS s
+        |  FROM documents),
+        |b2 AS (SELECT doc_id, s, len(s) AS n FROM base),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS st,
+        |    list_aggregate(s[i:i+15], 'string_agg', ' ') AS g
+        |  FROM b2, unnest(generate_series(1, n - 15)) AS t(i)),
+        |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0),
+        |mk AS (
+        |  SELECT doc_id, st, st + 15 AS en FROM grams
+        |  WHERE doc_id % 7 <> 0 AND g IN (SELECT g FROM ev)),
+        |isl AS (
+        |  SELECT doc_id, st, en,
+        |    CASE WHEN max(en) OVER (PARTITION BY doc_id ORDER BY st
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR st > max(en) OVER (PARTITION BY doc_id ORDER BY st
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM mk),
+        |isl2 AS (SELECT doc_id, st, en,
+        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY st
+        |      ROWS UNBOUNDED PRECEDING) AS grp FROM isl),
+        |sp AS (SELECT doc_id, grp, min(st) AS sst, max(en) AS sen
+        |       FROM isl2 GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, count(*) AS contam_spans,
+        |         CAST(sum(sen - sst + 1) AS BIGINT) AS contam_tokens
+        |       FROM sp GROUP BY 1)
+        |SELECT b2.doc_id, CAST(b2.n AS BIGINT) AS total_tokens,
+        |  COALESCE(pd.contam_spans, 0) AS contam_spans,
+        |  COALESCE(pd.contam_tokens, 0) AS contam_tokens
+        |FROM b2 LEFT JOIN pd USING (doc_id)
+        |WHERE b2.doc_id % 7 <> 0 ORDER BY doc_id""".stripMargin,
 
     "q204_group_folds" ->
       """WITH census AS (

@@ -147,6 +147,16 @@ object SuffixDedup {
         (col("pos") + (l - 1)).as("en"))
       .localCheckpoint()
     freeCheckpoint(ranks)
+    spanStatsFromMarks(docs, idCol, textCol, marks, "dup")
+  }
+
+  /** Island-merge per-position marks (doc_id, st, en) into maximal
+    * spans and roll up per-document stats joined onto every `docs`
+    * row: (doc_id, total_tokens, ${prefix}_spans, ${prefix}_tokens).
+    * The marks table is the (small) marked-position set; corpus rows
+    * enter only the final total-tokens projection. */
+  private def spanStatsFromMarks(docs: DataFrame, idCol: String,
+      textCol: String, marks: DataFrame, prefix: String): DataFrame = {
     val before = Window.partitionBy("doc_id").orderBy("st")
       .rowsBetween(Window.unboundedPreceding, -1)
     val run = Window.partitionBy("doc_id").orderBy("st")
@@ -159,12 +169,64 @@ object SuffixDedup {
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("st")).as("sst"), max(col("en")).as("sen"))
     val perDoc = spans.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("dup_spans"),
-        sum(col("sen") - col("sst") + 1).as("dup_tokens"))
+      .agg(count(lit(1)).as(s"${prefix}_spans"),
+        sum(col("sen") - col("sst") + 1).as(s"${prefix}_tokens"))
     docs
       .select(col(idCol).as("doc_id"),
         size(toks(col(textCol))).cast("long").as("total_tokens"))
       .join(perDoc, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("dup_spans", "dup_tokens"))
+      .na.fill(0L, Seq(s"${prefix}_spans", s"${prefix}_tokens"))
+  }
+
+  /** SPAN-LEVEL DECONTAMINATION (the Lee et al. exact-substring rule
+    * pointed across corpora — VERDICT r10 #4): every corpus position
+    * whose `l`-token window also occurs ANYWHERE in the eval/benchmark
+    * set is contaminated; overlapping marks merge into maximal spans.
+    * This is the exact-form upgrade of the n-gram-overlap
+    * decontamination tier (q61/q76): no hash identity, no l-gram
+    * string ever materialized — the same bounded prefix-doubling
+    * equality ranks as [[exactSpanStats]], run over the corpus ∪ eval
+    * union so rank equality spans both sides. Unlike the dedup
+    * marking there is NO canonical-keeper exemption: eval text must
+    * not leak into training, so EVERY corpus occurrence marks.
+    *
+    * `corpus` and `eval` may share an id space (internally remapped to
+    * even/odd — ids must be non-negative longs below 2^62, or the
+    * ANSI-checked remap throws); output rows cover every corpus doc:
+    * (doc_id, total_tokens, contam_spans, contam_tokens) — a doc is
+    * clean iff contam_tokens = 0; scrub by dropping the doc or cutting
+    * the spans.
+    *
+    * 100 TB shape: identical to [[exactSpanStats]] — ⌈log₂h⌉+1
+    * fixed-width (doc, pos, rank) exchanges over the union corpus; the
+    * eval side is benchmark-sized (thousands of docs), so the
+    * eval-key set and the mark set are tiny next to the corpus, and
+    * the final stats join is one broadcast-or-co-partitioned pass. */
+  def spanDecontaminate(corpus: DataFrame, eval: DataFrame, idCol: String,
+                        textCol: String, l: Int): DataFrame = {
+    require(l >= 2 && l <= 4096, s"window length out of range: $l")
+    var h = 1
+    while (h * 2 <= l) h *= 2
+    def side(df: DataFrame, tag: Int): DataFrame = df
+      .select((col(idCol).cast("long") * 2 + tag).as("doc_id"),
+        posexplode(toks(col(textCol))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val tokens = side(corpus, 0).unionByName(side(eval, 1))
+    val ranks = ranksAt(tokens, h)
+    val tail = ranks.select(col("doc_id"),
+      (col("pos") - (l - h)).as("pos"), col("r").as("rt"))
+    val keyed =
+      if (l == h) ranks.select(col("doc_id"), col("pos"), col("r"),
+        col("r").as("rt"))
+      else ranks.join(tail, Seq("doc_id", "pos"))
+    val evalKeys = keyed.filter(col("doc_id") % 2 === 1)
+      .select(col("r"), col("rt")).distinct()
+    val marks = keyed.filter(col("doc_id") % 2 === 0)
+      .join(evalKeys, Seq("r", "rt"), "left_semi")
+      .select((col("doc_id") / 2).cast("long").as("doc_id"),
+        col("pos").as("st"), (col("pos") + (l - 1)).as("en"))
+      .localCheckpoint()
+    freeCheckpoint(ranks)
+    spanStatsFromMarks(corpus, idCol, textCol, marks, "contam")
   }
 }

@@ -45,7 +45,14 @@ object CurationPipeline {
     *                   the guard a templated web corpus needs)
     * @param mixtureScale temperature-mixture sqrt scale (stage 5):
     *                   per-source target = floor(scale * sqrt(n))
-    * @param packCapacity token capacity per packed sequence (stage 6) */
+    * @param packCapacity token capacity per packed sequence (stage 6)
+    * @param spanDecontamL when > 0, stage 4 uses EXACT-SPAN
+    *                   decontamination ([[graft.operators.SuffixDedup
+    *                   .spanDecontaminate]], the Lee et al. rule): any
+    *                   doc carrying a verbatim ≥ L-token benchmark
+    *                   window drops — the exact-form upgrade of the
+    *                   default n-gram-overlap gate (no hash identity,
+    *                   no fixed-gram blind spots) */
   def run(spark: SparkSession, docs: DataFrame, benchmark: DataFrame,
           outRoot: String, idCol: String = "doc_id",
           textCol: String = "text", srcCol: String = "source",
@@ -53,7 +60,8 @@ object CurationPipeline {
           nearDupThreshold: Double = 0.8, nearDupHotCap: Int = 1024,
           exactNearDup: Boolean = false,
           mixtureScale: Double = 8.0,
-          packCapacity: Long = 512L, salt: String = "curation"): Result = {
+          packCapacity: Long = 512L, salt: String = "curation",
+          spanDecontamL: Int = 0): Result = {
     val audits = scala.collection.mutable.ArrayBuffer.empty[StageAudit]
     def stage(name: String, df: DataFrame,
               sortCols: Seq[String] = Seq(idCol)): DataFrame = {
@@ -92,9 +100,24 @@ object CurationPipeline {
         Dedup.minhashDedup(exact, idCol, textCol,
           threshold = nearDupThreshold, hotCap = nearDupHotCap))
 
-    // 4. benchmark decontamination: broadcast gram semi-join
+    // 4. benchmark decontamination: broadcast gram semi-join by
+    // default; `spanDecontamL` swaps in the exact-span rule (drop any
+    // doc with contam_tokens > 0 — eval text must not leak, so the
+    // action is the strictest one)
     val clean = stage("s4_decontaminated",
-      Curation.decontaminate(near, benchmark, idCol, textCol))
+      if (spanDecontamL > 0) {
+        // benchmark rows carry no id — synthesize a content-keyed one
+        // (deterministic; masked into [0, 2^60) for the operator's
+        // even/odd id remap; eval ids never reach the output)
+        val evalDocs = benchmark.select(col(textCol)).distinct()
+          .withColumn(idCol,
+            expr(s"xxhash64($textCol) & 1152921504606846975"))
+        val contaminated = graft.operators.SuffixDedup
+          .spanDecontaminate(near, evalDocs, idCol, textCol, spanDecontamL)
+          .filter(col("contam_tokens") > 0)
+          .select(col("doc_id").as(idCol))
+        near.join(contaminated, Seq(idCol), "left_anti")
+      } else Curation.decontaminate(near, benchmark, idCol, textCol))
 
     // 5. temperature mixture: per-source sqrt targets, hash-ordered
     // admission (deterministic, engine-replayable)

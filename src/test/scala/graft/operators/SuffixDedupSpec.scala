@@ -120,6 +120,71 @@ class SuffixDedupSpec extends SparkSpec {
     assert(runStats(docs, 16) == bruteStats(docs, 16))
   }
 
+  // ---- spanDecontaminate (q206) ------------------------------------
+
+  /** Brute-force reference for cross-corpus decontamination: every
+    * corpus L-window equal to ANY eval L-window marks (no canonical
+    * exemption), islands merge. */
+  private def bruteDecontam(corpus: Seq[(Long, String)],
+      eval: Seq[(Long, String)], l: Int): Map[Long, (Long, Long, Long)] = {
+    def windows(t: String, l: Int): Seq[(String, Long)] = {
+      val s = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      (1 to s.length - l + 1).map(i =>
+        (s.slice(i - 1, i - 1 + l).mkString(" "), i.toLong))
+    }
+    val evalSet = eval.flatMap(d => windows(d._2, l).map(_._1)).toSet
+    corpus.map { case (id, t) =>
+      val n = t.toLowerCase.trim.split("\\s+").count(_.nonEmpty).toLong
+      val marks = windows(t, l).filter(w => evalSet(w._1))
+        .map(w => (w._2, w._2 + l - 1)).sortBy(_._1)
+      val merged = marks.foldLeft(List.empty[(Long, Long)]) {
+        case ((ps, pe) :: rest, (st, en)) if st <= pe + 1 =>
+          (ps, math.max(pe, en)) :: rest
+        case (acc, (st, en)) => (st, en) :: acc
+      }
+      id -> (n, merged.size.toLong, merged.map(s => s._2 - s._1 + 1).sum)
+    }.toMap
+  }
+
+  private def runDecontam(corpus: Seq[(Long, String)],
+      eval: Seq[(Long, String)], l: Int): Map[Long, (Long, Long, Long)] =
+    SuffixDedup.spanDecontaminate(corpus.toDF("doc_id", "text"),
+        eval.toDF("doc_id", "text"), "doc_id", "text", l)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+  test("spanDecontaminate matches brute force on a random cross-corpus, " +
+      "several L, overlapping id spaces") {
+    val rnd = new scala.util.Random(47)
+    def mk(n: Int, lo: Long): Seq[(Long, String)] = (lo until lo + n).map {
+      id => id -> (0 until 8 + rnd.nextInt(40))
+        .map(_ => s"w${rnd.nextInt(10)}").mkString(" ")
+    }
+    val corpus = mk(30, 0L)
+    val eval = mk(8, 0L) // ids COLLIDE with corpus ids on purpose
+    for (l <- Seq(2, 3, 4, 8))
+      assert(runDecontam(corpus, eval, l) == bruteDecontam(corpus, eval, l),
+        s"mismatch at L=$l")
+  }
+
+  test("spanDecontaminate has NO canonical-keeper exemption: every " +
+      "corpus copy of an eval passage marks, and corpus-only repeats " +
+      "never mark") {
+    val passage = (0 until 20).map(i => s"e$i").mkString(" ")
+    val corpusRun = (0 until 20).map(i => s"c$i").mkString(" ")
+    val corpus = Seq(
+      1L -> s"alpha beta $passage gamma",       // copy 1 — marks
+      2L -> s"$passage delta epsilon zeta",     // copy 2 — ALSO marks
+      3L -> s"one $corpusRun two",              // corpus-internal dup:
+      4L -> s"three $corpusRun four")           //   clean in BOTH docs
+    val eval = Seq(100L -> s"header $passage footer")
+    val got = runDecontam(corpus, eval, 16)
+    assert(got(1L)._3 == 20L && got(2L)._3 == 20L,
+      s"both verbatim copies must mark fully: $got")
+    assert(got(3L) == (22L, 0L, 0L) && got(4L) == (22L, 0L, 0L),
+      "corpus-internal duplication is dedup's job, not decontamination's")
+  }
+
   test("per-round rank checkpoints are all released; residual is ≤ 1 block") {
     // contract: every doubling round's checkpoint is freed when its
     // successor materializes, and only the documented small `marks`

@@ -101,6 +101,31 @@ class CurationPipelineSpec extends SparkSpec {
     assert(s3.contains(2L), "the smaller-id member survives")
   }
 
+  test("spanDecontamL mode drops exactly the verbatim-span victim the " +
+      "gram gate would also have to catch, and keeps paraphrases") {
+    val evalText = "which planet of the solar system has the largest " +
+      "volume and mass according to the survey"
+    // victim 30 embeds a verbatim 16-token eval window mid-document;
+    // doc 31 paraphrases (shares vocabulary, no 8-token run)
+    val corpus2 = Seq(
+      (1L, a1, "a"),
+      (2L, a2, "a"),
+      (3L, a3, "a"),
+      (30L, "students often ask " + evalText + " during class", "a"),
+      (31L, "the largest planet by mass in our solar system is a gas " +
+        "giant according to every survey", "a"),
+    ).toDF("doc_id", "text", "source")
+    val root = Files.createTempDirectory("graft-cur-span").toString
+    val res = CurationPipeline.run(spark, corpus2,
+      Seq(evalText).toDF("text"), root,
+      mixtureScale = 8.0, packCapacity = 30L, spanDecontamL = 8)
+    assert(res.rowsOf("s3_near_dedup") == 5, res.audits)
+    assert(res.rowsOf("s4_decontaminated") == 4, res.audits)
+    val s4 = spark.read.parquet(s"$root/s4_decontaminated")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s4 == Set(1L, 2L, 3L, 31L), s"got $s4")
+  }
+
   test("pipeline is deterministic: two runs produce identical curated tables") {
     val r1 = Files.createTempDirectory("graft-cur1").toString
     val r2 = Files.createTempDirectory("graft-cur2").toString
