@@ -1011,6 +1011,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Ranked-retrieval quality of the IVF tier against brute-force
+    // ground truth — recall@10, MRR, nDCG@10 per query as a QUERY, not
+    // a spec (index quality per configuration is something a user runs
+    // before picking nprobe/cells). All three metrics are ratios of
+    // exact integers (integer DCG weights — the tie-aware-AUC rule),
+    // so the oracle replays them bit-for-bit on top of the q26 + q46
+    // ranking fragments.
+    "q207_ann_quality" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val truth = Similarity.bruteForceTopK(emb, emb, "vec_id",
+        "embedding", k = 10)
+      val ann = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        k = 10, cells = 16, nprobe = 2)
+      operators.Retrieval.rankingQuality(truth, ann, k = 10)
+        .select(col("query_id"), r6(col("recall_k")).as("recall_k"),
+          r6(col("mrr")).as("mrr"), r6(col("ndcg_k")).as("ndcg_k"))
+        .orderBy(col("query_id"))
+    }),
+
     // Span-level decontamination at L = 16 — the exact-form upgrade of
     // q61's n-gram overlap: corpus positions whose 16-token window
     // also occurs in the eval partition (doc_id % 7 = 0, the held-out
@@ -3768,6 +3787,69 @@ object SparkEntry {
       |  JOIN customer ON o_custkey = c_custkey
       |  JOIN supplier ON l_suppkey = s_suppkey
       |  WHERE c_nationkey = s_nationkey""".stripMargin
+
+  /** q207 oracle: brute-force ground truth (the q26 shape) + the IVF
+    * ranking (the q46 fragment) + recall@k / MRR / nDCG@k as ratios of
+    * exact integers. The DCG weight table embeds the SAME
+    * round(10^6/ln(r+1)) integers [[graft.operators.Retrieval
+    * .dcgWeight]] uses, so no float sum exists on either side. */
+  private def annQualityOracleSql(k: Int, cells: Int, nprobe: Int): String = {
+    val wts = (1 to k)
+      .map(r => s"($r, ${graft.operators.Retrieval.dcgWeight(r)})")
+      .mkString(", ")
+    val idcg = (1 to k).map(graft.operators.Retrieval.dcgWeight).sum
+    s"""WITH v AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+       |  FROM embeddings),
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.id AS query_id, n.id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.id
+       |        ORDER BY list_cosine_similarity(q.vec, n.vec) DESC, n.id)
+       |        AS rank
+       |    FROM v q JOIN v n ON q.id <> n.id)
+       |  WHERE rank <= $k),
+       |cent AS (
+       |  SELECT id AS cell_id, vec AS cv FROM v
+       |  ORDER BY sha256(CAST(id AS VARCHAR) || ':ivf'), id LIMIT $cells),
+       |scored AS (
+       |  SELECT v.id, c.cell_id,
+       |    row_number() OVER (PARTITION BY v.id
+       |      ORDER BY list_cosine_similarity(v.vec, c.cv) DESC, c.cell_id)
+       |      AS crank
+       |  FROM v CROSS JOIN cent c),
+       |probed AS (SELECT id, cell_id FROM scored WHERE crank <= $nprobe),
+       |assigned AS (SELECT id AS neighbor_id, cell_id FROM scored
+       |             WHERE crank = 1),
+       |cand AS (
+       |  SELECT DISTINCT p.id AS query_id, a.neighbor_id
+       |  FROM probed p JOIN assigned a USING (cell_id)
+       |  WHERE p.id <> a.neighbor_id),
+       |ann AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id
+       |      ORDER BY list_cosine_similarity(q.vec, n.vec) DESC,
+       |        neighbor_id) AS rank
+       |    FROM cand JOIN v q ON q.id = query_id
+       |    JOIN v n ON n.id = neighbor_id)
+       |  WHERE rank <= $k),
+       |wt(rank, w) AS (VALUES $wts),
+       |hits AS (
+       |  SELECT a.query_id, count(*) AS nhits, min(a.rank) AS minr,
+       |    sum(w.w) AS dcg
+       |  FROM ann a JOIN bf b USING (query_id, neighbor_id)
+       |  JOIN wt w ON w.rank = a.rank
+       |  GROUP BY 1)
+       |SELECT q.query_id,
+       |  r6(COALESCE(h.nhits, 0) / CAST($k AS DOUBLE)) AS recall_k,
+       |  r6(COALESCE(CAST(1 AS DOUBLE) / h.minr, CAST(0 AS DOUBLE)))
+       |    AS mrr,
+       |  r6(COALESCE(h.dcg, 0) / CAST($idcg AS DOUBLE)) AS ndcg_k
+       |FROM (SELECT DISTINCT query_id FROM bf) q
+       |LEFT JOIN hits h USING (query_id)
+       |ORDER BY query_id""".stripMargin
+  }
 
   /** q205 oracle: replay the whole NN-Descent construction — the q46
     * centroid sample + cell assignment, the sha-ordered ring init, and
@@ -8604,6 +8686,7 @@ object SparkEntry {
     "q195_incremental_cc" -> incrementalCcOracleSql(5),
     "q196_hash_walks" -> hashWalksOracleSql(4),
     "q205_nndescent_knn" -> nnDescentOracleSql(8, 16, 2),
+    "q207_ann_quality" -> annQualityOracleSql(10, 16, 2),
 
     "q206_span_decontaminate" ->
       """WITH base AS (

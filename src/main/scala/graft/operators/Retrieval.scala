@@ -164,4 +164,55 @@ object Retrieval {
     scores.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
   }
+
+  /** Integer DCG weight for rank r: round(10^6 / ln(r + 1)). Shared by
+    * [[rankingQuality]] and its oracle generator so both engines sum
+    * the SAME integers — a float Σ 1/log₂(r+1) would be
+    * addition-order-dependent across engines (the tie-aware-AUC
+    * exact-rational rule applied to nDCG). */
+  def dcgWeight(r: Int): Long = math.round(1e6 / math.log(r + 1.0))
+
+  /** RANKED-RETRIEVAL QUALITY of an ANN (or any) ranking against a
+    * ground-truth relevant set — recall@k, MRR, nDCG@k per query
+    * (VERDICT r10 #5: the ANN tiers' recall was spec-only; this makes
+    * index quality a first-class, oracle-replayable query a user runs
+    * per index configuration).
+    *
+    * `truth` carries the relevant (query_id, neighbor_id) pairs (e.g.
+    * [[Similarity.bruteForceTopK]] output — binary relevance);
+    * `ranking` carries (query_id, neighbor_id, rank). Per query (the
+    * query universe is truth's — a query the index lost entirely
+    * scores 0, not absent):
+    *
+    *   recall_k = |ranking[1..k] ∩ truth| / k
+    *   mrr      = 1 / min{r ≤ k : ranking[r] ∈ truth}   (0 if none)
+    *   ndcg_k   = Σ_{hits} w(r) / Σ_{i=1..k} w(i),  w = [[dcgWeight]]
+    *
+    * Every metric is a ratio of EXACT integers (hit counts, a min
+    * rank, integer weight sums), so the single closing division is
+    * bit-identical in any engine — no float-summation-order hazard
+    * anywhere. One hash aggregate over the (k-bounded) hit set plus a
+    * broadcast of the k-row weight table; corpus vectors never enter. */
+  def rankingQuality(truth: DataFrame, ranking: DataFrame,
+                     k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k out of range: $k")
+    val spark = ranking.sparkSession
+    import spark.implicits._
+    val wts = (1 to k).map(r => (r, dcgWeight(r)))
+    val idcg = wts.map(_._2).sum
+    val wdf = broadcast(wts.toDF("rank", "wt"))
+    val rel = truth.select(col("query_id"), col("neighbor_id")).distinct()
+    val hits = ranking.filter(col("rank") <= k)
+      .join(rel, Seq("query_id", "neighbor_id"), "left_semi")
+      .join(wdf, Seq("rank"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("nhits"), min(col("rank")).as("minr"),
+        sum(col("wt")).as("dcg"))
+    rel.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("nhits"), lit(0L)) / k.toDouble).as("recall_k"),
+        coalesce(lit(1.0) / col("minr"), lit(0.0)).as("mrr"),
+        (coalesce(col("dcg"), lit(0L)) / idcg.toDouble).as("ndcg_k"))
+  }
 }

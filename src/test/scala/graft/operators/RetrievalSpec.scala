@@ -189,4 +189,47 @@ class RetrievalSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(got == Seq(2L))
   }
+
+  // ---- rankingQuality (q207) ---------------------------------------
+
+  test("rankingQuality: hand-computed recall/MRR/nDCG, zero-score for " +
+      "a fully-missed query, perfect scores for a perfect ranking") {
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (2L, 22L),
+      (3L, 30L), (3L, 31L), (3L, 32L)).toDF("query_id", "neighbor_id")
+    val ranking = Seq(
+      (1L, 10L, 1), (1L, 99L, 2), (1L, 12L, 3),  // 2 hits at ranks 1, 3
+      (2L, 98L, 1), (2L, 97L, 2), (2L, 96L, 3),  // total miss
+      (3L, 30L, 1), (3L, 31L, 2), (3L, 32L, 3))  // perfect
+      .toDF("query_id", "neighbor_id", "rank")
+    val got = Retrieval.rankingQuality(truth, ranking, k = 3)
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val w = (1 to 3).map(Retrieval.dcgWeight)
+    val idcg = w.sum.toDouble
+    assert(got(1L) == (2.0 / 3.0, 1.0, (w(0) + w(2)) / idcg))
+    assert(got(2L) == (0.0, 0.0, 0.0))
+    assert(got(3L) == (1.0, 1.0, 1.0))
+  }
+
+  test("rankingQuality evaluates the NN-Descent tier: clustered vectors " +
+      "score near-perfect recall against brute force") {
+    def e(i: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(i) = 1.0f; a((i + 1) % 64) = eps; a
+    }
+    val df = (0 until 12).flatMap { c =>
+      (0 until 6).map(j => ((c * 10 + j).toLong, e(c * 5, 0.02f * j)))
+    }.toDF("vec_id", "embedding")
+    val truth = Similarity.bruteForceTopK(df, df, "vec_id", "embedding",
+      k = 5)
+    val ann = Similarity.nnDescentKnn(df, "vec_id", "embedding",
+      k = 5, cells = 4, rounds = 4)
+    val m = Retrieval.rankingQuality(truth, ann, k = 5)
+      .as[(Long, Double, Double, Double)].collect()
+    assert(m.length == 72)
+    val meanRecall = m.map(_._2).sum / m.length
+    assert(meanRecall >= 0.9, s"mean recall@5 $meanRecall")
+    assert(m.forall(r => r._3 >= 0.0 && r._3 <= 1.0 &&
+      r._4 >= 0.0 && r._4 <= 1.0))
+  }
 }
