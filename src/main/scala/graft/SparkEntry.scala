@@ -1011,6 +1011,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // MJPEG-in-AVI — the first VIDEO modality through the codec seam:
+    // a RIFF('AVI ') container whose 'movi' list carries one complete
+    // JFIF per '00dc' chunk. Frame f of video v is the q171 lattice
+    // JPEG at derived id v·100+f, so the oracle replays per-frame
+    // pixels with the UNCHANGED q171 formula over derived ids — the
+    // container walk (fourccs, sizes, strh timebase, idx1 offsets) and
+    // the whole JPEG path sit under the hash gate; t_ms comes from the
+    // validated strh scale/rate tick.
+    "q208_mjpeg_avi" -> ((s, d) => {
+      val media = operators.Avi.synthesizeAviMjpeg(s, 60)
+      val feats = operators.Avi.frameFeatures(media).toDF()
+      val fcols = (0 until 8).map(i =>
+        element_at(col("features"), i + 1).cast("double").as(s"f$i"))
+      feats.select(Seq(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("t_ms").cast("long").as("t_ms")) ++ fcols: _*)
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // Ranked-retrieval quality of the IVF tier against brute-force
     // ground truth — recall@10, MRR, nDCG@10 per query as a QUERY, not
     // a spec (index quality per configuration is something a user runs
@@ -5499,7 +5518,15 @@ object SparkEntry {
     * fixed-point YCbCr→RGB shifts (floor division by 2^16, exact in
     * doubles). Any Huffman, zigzag, dequant, IDCT, upsample, or
     * color-convert mistake desyncs the q109 feature lanes. */
-  private lazy val jpegFeatCte: String = {
+  private lazy val jpegFeatCte: String =
+    jpegFeatCtes("SELECT i FROM range(200) t(i)")
+
+  /** The q171 pixel-formula CTE chain over an arbitrary id source
+    * (`idSrc` must yield one column `i`): dim → px → par → ycc → chan
+    * → feat, with feat keyed media_id = i. q171 feeds range(200);
+    * q208 feeds the derived frame ids vid·100 + frame of the
+    * MJPEG-in-AVI corpus — SAME formula, zero new pixel math. */
+  private def jpegFeatCtes(idSrc: String): String = {
     val alpha = "'0123456789abcdef'"
     def byteAt(src: String, off: Int): String =
       s"(strpos($alpha, substr($src, ${2 * off + 1}, 1)) - 1) * 16 " +
@@ -5510,7 +5537,7 @@ object SparkEntry {
        |  SELECT i, 9 + (${byteAt("dh", 0)}) % 14 AS w,
        |         9 + (${byteAt("dh", 1)}) % 14 AS h
        |  FROM (SELECT i, sha256($tagBase || ':dim') AS dh
-       |        FROM range(200) t(i))),
+       |        FROM ($idSrc))),
        |px AS (
        |  SELECT i, w, h, CAST(j % w AS INT) AS x, CAST(j // w AS INT) AS y
        |  FROM dim, range(484) r(j) WHERE j < w * h),
@@ -8687,6 +8714,31 @@ object SparkEntry {
     "q196_hash_walks" -> hashWalksOracleSql(4),
     "q205_nndescent_knn" -> nnDescentOracleSql(8, 16, 2),
     "q207_ann_quality" -> annQualityOracleSql(10, 16, 2),
+
+    // Frame ids derive as v*100+f; the pixel formula is the q171 CTE
+    // chain verbatim over those ids (jpegFeatCtes), with frames per
+    // video = 2 + sha256('42:avi:v:nf')[0] mod 5 and the 100 ms tick.
+    "q208_mjpeg_avi" ->
+      (jpegFeatCtes(
+        """SELECT v * 100 + f AS i
+          |  FROM (SELECT v,
+          |          2 + ((strpos('0123456789abcdef', substr(sha256(
+          |            '42:avi:' || CAST(v AS VARCHAR) || ':nf'), 1, 1)) - 1)
+          |            * 16
+          |            + (strpos('0123456789abcdef', substr(sha256(
+          |            '42:avi:' || CAST(v AS VARCHAR) || ':nf'), 2, 1)) - 1))
+          |            % 5 AS nf
+          |        FROM range(60) t(v)) vids, range(6) r(f)
+          |  WHERE f < nf""".stripMargin) +
+        """
+          |SELECT CAST(media_id // 100 AS BIGINT) AS media_id,
+          |  CAST(media_id % 100 AS BIGINT) AS frame_idx,
+          |  CAST((media_id % 100) * 100 AS BIGINT) AS t_ms,
+          |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
+          |  CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3,
+          |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
+          |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
+          |FROM feat ORDER BY media_id, frame_idx""".stripMargin),
 
     "q206_span_decontaminate" ->
       """WITH base AS (

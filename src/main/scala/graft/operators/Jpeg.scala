@@ -597,11 +597,25 @@ object Jpeg {
     * files over 16 wide/tall carry multi-MCU interleave. */
   def synthesizeJpeg(spark: SparkSession, n: Int, seed: Long = 42L): DataFrame = {
     import spark.implicits._
+    spark.range(n.toLong).map { id =>
+      val (bytes, w, h) = latticeJpeg(seed, id)
+      MediaRow(id, "image", bytes, MediaMeta(w, h, 3, "jpeg", 0, 0))
+    }.toDF()
+  }
+
+  /** One lattice JPEG for logical id `id` under `seed` — the
+    * [[synthesizeJpeg]] generator factored out so OTHER containers can
+    * embed frames whose pixels replay under the SAME q171 oracle
+    * formula (the MJPEG-in-AVI lane derives each frame's id as
+    * vid·100 + frame and reuses this byte-for-byte). Returns
+    * (bytes, width, height). */
+  private[operators] def latticeJpeg(seed: Long, id: Long)
+      : (Array[Byte], Int, Int) = {
     val dcLumaCodes = buildCodes(DcLumaBits, DcVals)
     val acLumaCodes = buildCodes(AcLumaBits, AcLumaVals)
     val dcChromaCodes = buildCodes(DcChromaBits, DcVals)
     val acChromaCodes = buildCodes(AcChromaBits, AcChromaVals)
-    spark.range(n.toLong).map { id =>
+    locally {
       def sha(tag: String): Array[Byte] =
         java.security.MessageDigest.getInstance("SHA-256")
           .digest(s"$seed:jpg:$id:$tag".getBytes("UTF-8"))
@@ -688,7 +702,7 @@ object Jpeg {
       val ec = bw.out.toByteArray
       out.write(ec, 0, ec.length)
       marker(0xd9) // EOI
-      MediaRow(id, "image", out.toByteArray, MediaMeta(w, h, 3, "jpeg", 0, 0))
-    }.toDF()
+      (out.toByteArray, w, h)
+    }
   }
 }
