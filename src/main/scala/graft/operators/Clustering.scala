@@ -751,4 +751,145 @@ object Clustering {
   def pointCells(vecs: DataFrame, idCol: String, vecCol: String,
                  dims: Int, cellWidth: Long): DataFrame =
     dbscanPts(vecs, idCol, vecCol, dims, cellWidth)
+
+  // ---- IVF-PQ serving-state maintenance surface (VERDICT r10 #7) ----
+  //
+  // The composed index [[ivfPqTopK]] trains, encodes, and probes in one
+  // plan — right for a query, wrong for a STANDING index a stream
+  // maintains. These three functions split the same integer-exact
+  // recipes (the ':ivfpq' sha coarse sample, the kmvHash-seeded Lloyd
+  // codebook, squared-L2 ADC) along the serving lifecycle: TRAIN on a
+  // corpus snapshot → persist flat tables; ASSIGN+ENCODE any later
+  // batch against the persisted model without retraining; PROBE a
+  // bounded query batch against model + entry table. A drain prices
+  // O(batch) per micro-batch; the codebook refreshes only on the
+  // compaction trigger ([[graft.streaming.IvfPqStream]]).
+
+  /** Train the IVF-PQ model on a snapshot: returns one flat table —
+    * coarse-cell rows (part = 'cell': cell_id, c = quantized centroid)
+    * and codebook rows (part = 'cb': sm, cid, c) — so the WHOLE model
+    * swaps atomically through one path (a two-table model could strand
+    * cells and codebook from different generations across a crash).
+    * Recipes are [[ivfPqTopK]]'s verbatim. */
+  def pqTrainModel(embeddings: DataFrame, idCol: String, vecCol: String,
+                   dims: Int, m: Int, k: Int, iters: Int,
+                   cells: Int): DataFrame = {
+    require(cells >= 1 && cells <= 65536, s"cells out of range: $cells")
+    val idx = buildPqIndex(embeddings, idCol, vecCol, dims, m, k, iters)
+    val cw = Window.orderBy(
+      sha2(concat(col("vec_id").cast("string"), lit(":ivfpq")), 256),
+      col("vec_id"))
+    val cellRows = idx.vecs
+      .orderBy(sha2(concat(col("vec_id").cast("string"), lit(":ivfpq")), 256),
+        col("vec_id"))
+      .limit(cells)
+      .withColumn("cell_id", (row_number().over(cw) - 1).cast("long"))
+      .select(lit("cell").as("part"), col("cell_id"),
+        lit(null).cast("long").as("sm"), lit(null).cast("long").as("cid"),
+        col("q").as("c"))
+    val cbRows = idx.centRow.select(explode(col("cents")).as("ce"))
+      .select(lit("cb").as("part"), lit(null).cast("long").as("cell_id"),
+        col("ce.sm").cast("long").as("sm"), col("ce.cid").as("cid"),
+        col("ce.c").as("c"))
+    cellRows.unionByName(cbRows)
+  }
+
+  private def modelCellRow(model: DataFrame): DataFrame =
+    broadcast(model.filter(col("part") === "cell")
+      .select(struct(col("cell_id"), col("c").as("cq")).as("s"))
+      .agg(sort_array(collect_list(col("s"))).as("cls")))
+
+  private def modelCentRow(model: DataFrame): DataFrame =
+    broadcast(model.filter(col("part") === "cb")
+      .select(struct(col("sm").cast("int").as("sm"), col("cid"),
+        col("c")).as("s"))
+      .agg(sort_array(collect_list(col("s"))).as("cents")))
+
+  /** Assign + encode a vector batch against an EXISTING model — no
+    * training, no corpus access: in-row coarse routing against the
+    * broadcast cell array, then per-subvector nearest-codeword argmin
+    * against the broadcast codebook. Returns one row per (vec, sm):
+    * (vec_id, cell_id, sm, cid) — the standing ENTRY table's schema.
+    * This is the per-drain cost: O(batch · cells + batch · m · k)
+    * map-side work, nothing corpus-sized. */
+  def pqAssignEncode(vecs: DataFrame, idCol: String, vecCol: String,
+                     dims: Int, m: Int, model: DataFrame): DataFrame = {
+    require(dims % m == 0, s"dims $dims not divisible by m $m")
+    val sd = dims / m
+    val q = vecs.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("q"))
+    val routed = q.crossJoin(modelCellRow(model))
+      .select(col("vec_id"), col("q"),
+        array_min(transform(col("cls"), c => struct(
+          aggregate(zip_with(col("q"), c.getField("cq"),
+            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+            .as("dist"),
+          c.getField("cell_id").as("cell_id"))))
+          .getField("cell_id").as("cell_id"))
+    // the exploded subspace index is named `smi`, NOT `sm`: aliasing
+    // `sm` and referencing it inside the same select's lambda resolves
+    // as a LateralColumnAliasReference and trips an internal error
+    routed
+      .select(col("vec_id"), col("cell_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("smi"), col("q"))
+      .withColumn("qs", expr(s"slice(q, smi * $sd + 1, $sd)"))
+      .crossJoin(modelCentRow(model))
+      .select(col("vec_id"), col("cell_id"), col("smi"),
+        array_min(transform(
+          filter(col("cents"), c => c.getField("sm") === col("smi")),
+          c => struct(
+            aggregate(zip_with(col("qs"), c.getField("c"),
+              (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+              .as("dist"),
+            c.getField("cid").as("cid"))))
+          .getField("cid").as("cid"))
+      .select(col("vec_id"), col("cell_id"),
+        col("smi").cast("long").as("sm"), col("cid"))
+  }
+
+  /** ADC probe of a bounded query batch against the standing model +
+    * entry table: queries route in-row to their `nprobe` nearest
+    * cells, candidates are the entries ASSIGNED to those cells, and
+    * ranking is the summed codebook-lookup distance — the entries'
+    * full vectors are never touched (they are not even stored).
+    * Returns (query_id, neighbor_id, dist, rank ≤ topK). */
+  def pqAdcProbe(queries: DataFrame, idCol: String, vecCol: String,
+                 dims: Int, m: Int, nprobe: Int, topK: Int,
+                 model: DataFrame, entries: DataFrame): DataFrame = {
+    require(nprobe >= 1 && topK >= 1, s"bad nprobe/topK: $nprobe/$topK")
+    val sd = dims / m
+    val q = queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("q"))
+    val probes = q.crossJoin(modelCellRow(model))
+      .select(col("query_id"), col("q"),
+        explode(slice(sort_array(transform(col("cls"), c => struct(
+          aggregate(zip_with(col("q"), c.getField("cq"),
+            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+            .as("dist"),
+          c.getField("cell_id").as("cell_id")))), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("q"), col("p").getField("cell_id").as("cell_id"))
+    val lut = broadcast(q
+      .select(col("query_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("smi"), col("q"))
+      .withColumn("qs", expr(s"slice(q, smi * $sd + 1, $sd)"))
+      .crossJoin(modelCentRow(model))
+      .select(col("query_id"), col("smi"), col("qs"),
+        explode(filter(col("cents"), c => c.getField("sm") === col("smi")))
+          .as("ce"))
+      .select(col("query_id"), col("smi").cast("long").as("sm"),
+        col("ce").getField("cid").as("cid"),
+        aggregate(zip_with(col("qs"), col("ce").getField("c"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+          .as("dm")))
+    val cands = probes.select(col("query_id"), col("cell_id"))
+      .join(entries.select(col("vec_id").as("neighbor_id"), col("cell_id"),
+        col("sm"), col("cid")), Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val dists = cands.join(lut, Seq("query_id", "sm", "cid"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("dm")).as("dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    dists.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
 }
