@@ -1011,6 +1011,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Harmonic centrality from HyperBall's registers (Boldi & Vigna
+    // 2014) — the per-node read of the q145 sketch: H(v) =
+    // Σ (|B(v,t)|−|B(v,t−1)|)/t over the same lineitem co-order graph,
+    // ball sizes as micro-floored HLL estimates and 1/t weights scaled
+    // by lcm(1..3)=6 so the accumulation is exact longs. The oracle
+    // replays per-node BFS balls + register estimates (the q145
+    // machinery, per-node edition).
+    "q209_harmonic_centrality" -> ((s, d) => {
+      import graft.operators.Graphs
+      val li = t(s, d, "lineitem").filter(col("l_linenumber") <= 2)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val pairs = li.alias("a").join(li.alias("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .distinct()
+      val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
+      Graphs.harmonicCentrality(edges, rounds = 3, p = 6)
+        .orderBy(col("v"))
+    }),
+
     // MJPEG-in-AVI — the first VIDEO modality through the codec seam:
     // a RIFF('AVI ') container whose 'movi' list carries one complete
     // JFIF per '00dc' chunk. Frame f of video v is the q171 lattice
@@ -5792,6 +5813,59 @@ object SparkEntry {
        |ORDER BY t""".stripMargin
   }
 
+  /** q209 oracle: the q145 per-node machinery, kept per node — exact
+    * BFS balls per round, the register formulas, per-node estimates
+    * floored to micro-units, then the lcm-scaled inverse-distance
+    * accumulation as exact longs. */
+  private def harmonicCentralityOracleSql(rounds: Int): String = {
+    val lcm = Seq(1L, 1L, 2L, 6L, 12L, 60L, 60L)(rounds)
+    val sha =
+      """CAST(list_sum([(strpos('0123456789abcdef', substr(
+        |      sha256(CAST(v AS VARCHAR)), i, 1)) - 1)
+        |      * pow(16.0, 12 - i) for i in generate_series(1, 12)])
+        |    AS BIGINT)""".stripMargin
+    val balls = (1 to rounds).map { t =>
+      s"""b$t AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+         |  SELECT e.src AS v, b.u FROM e JOIN b${t - 1} b ON b.v = e.dst
+         |  UNION ALL SELECT v, u FROM b${t - 1}))""".stripMargin
+    }.mkString(",\n")
+    val ests = (0 to rounds).map { t =>
+      s"""m$t AS (
+         |  SELECT v, CAST(floor((((0.709e0 * 4096.0e0) * 8796093022208.0e0)
+         |      / CAST(s AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS m
+         |  FROM (
+         |    SELECT v,
+         |      CAST(sum(pow(2.0, 43 - reg)) AS BIGINT)
+         |        + CAST(64 - count(*) AS BIGINT)
+         |        * CAST(8796093022208 AS BIGINT) AS s
+         |    FROM (SELECT b.v, r.bucket, max(r.rank) AS reg
+         |          FROM b$t b JOIN rk r ON r.u = b.u GROUP BY 1, 2)
+         |    GROUP BY v))""".stripMargin
+    }.mkString(",\n")
+    val hc = (1 to rounds)
+      .map(t => s"(m$t.m - m${t - 1}.m) * ${lcm / t}")
+      .mkString(" + ")
+    val joins = (1 to rounds)
+      .map(t => s"JOIN m$t ON m$t.v = m0.v").mkString(" ")
+    s"""WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+       |            FROM lineitem WHERE l_linenumber <= 2),
+       |pairs AS (SELECT DISTINCT a.p AS u, b.p AS v
+       |          FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+       |e AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
+       |     UNION ALL SELECT v, u FROM pairs),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+       |rk AS MATERIALIZED (
+       |  SELECT v AS u, hv % 64 AS bucket,
+       |    CASE WHEN hv // 64 = 0 THEN 43
+       |         ELSE 43 - length(bin(hv // 64)) END AS rank
+       |  FROM (SELECT v, $sha AS hv FROM nodes)),
+       |b0 AS MATERIALIZED (SELECT v, v AS u FROM nodes),
+       |$balls,
+       |$ests
+       |SELECT m0.v, CAST($hc AS BIGINT) AS hc
+       |FROM m0 $joins ORDER BY m0.v""".stripMargin
+  }
+
   private def zOrderOracleExpr: String = {
     def rank(c: String, cuts: Seq[Double]): String =
       cuts.map(cut => s"(CASE WHEN $c > $cut THEN 1 ELSE 0 END)")
@@ -9170,6 +9244,7 @@ object SparkEntry {
     "q141_hilbert_key" -> hilbertOracleSql(4),
 
     "q145_hyperball" -> hyperBallOracleSql(3),
+    "q209_harmonic_centrality" -> harmonicCentralityOracleSql(3),
 
     // Unigram-LM perplexity replay: reference counts from the src0
     // slice, T/V scalars, add-one smoothing with the shared OOV bucket,

@@ -715,4 +715,71 @@ object Graphs {
     import spark.implicits._
     rows.toSeq.toDF("t", "reg_sum", "nf_micro")
   }
+
+  /** HARMONIC CENTRALITY from HyperBall's registers (Boldi & Vigna
+    * 2014 §3 — the centrality HyperBall was built to make feasible):
+    * H(v) = Σ_{t≥1} (|B(v,t)| − |B(v,t−1)|) / t, the number of nodes
+    * first reached at distance t, inverse-distance weighted. Ball
+    * sizes are the SAME per-node HLL estimates [[hyperBall]] keeps —
+    * this is the per-node read of the registers the global
+    * neighborhood function already maintains, not a new sketch.
+    *
+    * Integer-exact accumulation (the q145/q207 rule): each round's
+    * per-node estimate floors to micro-units BEFORE any arithmetic,
+    * and the 1/t weights scale by lcm(1..rounds), so hc is a sum of
+    * exact long products — bit-replayable in any ANSI engine. The
+    * estimates are monotone under register max-merge, so every delta
+    * is ≥ 0. Returns (v, hc) with hc in micro·lcm units.
+    *
+    * 100 TB shape: identical to [[hyperBall]] — one register exchange
+    * per round keyed on the node id, plus a node-count-sized (v, prev,
+    * hc) state table that joins the new estimates by id; nothing
+    * corpus² anywhere. */
+  def harmonicCentrality(edges: DataFrame, rounds: Int,
+                         p: Int = 6): DataFrame = {
+    require(rounds >= 1 && rounds <= 6, s"rounds out of range: $rounds")
+    import org.apache.spark.storage.StorageLevel
+    import graft.functions.{Hll, KmvAggregator}
+    val lcm = Seq(1L, 1L, 2L, 6L, 12L, 60L, 60L)(rounds)
+    val ed = edges.select(col("src"), col("dst"))
+      .repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("v"))
+      .unionByName(edges.select(col("dst").as("v")))
+      .distinct()
+    val estMicro: org.apache.spark.sql.Column =
+      floor(Hll.rawEstimate(
+          Hll.harmonicS(Hll.unpackRegs(col("regs")), p), p)
+        * 1000000.0 + 0.5).cast("long")
+    var ctr = nodes
+      .groupBy(col("v"))
+      .agg(Hll.hllBytes(p)(KmvAggregator.kmvHash(col("v"))).as("regs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var state = ctr.select(col("v"), estMicro.as("prev"))
+      .withColumn("hc", lit(0L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (t <- 1 to rounds) {
+      val next = ctr
+        .unionByName(ed
+          .join(ctr.withColumnRenamed("v", "dst"), Seq("dst"))
+          .select(col("src").as("v"), col("regs")))
+        .groupBy(col("v"))
+        .agg(Hll.hllMergeBytes(p)(col("regs")).as("regs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val w = lcm / t
+      val nextState = next.select(col("v"), estMicro.as("est"))
+        .join(state, Seq("v"))
+        .select(col("v"), col("est").as("prev"),
+          (col("hc") + (col("est") - col("prev")) * w).as("hc"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      nextState.count() // materialize before releasing the inputs
+      ctr.unpersist(blocking = false)
+      state.unpersist(blocking = false)
+      ctr = next
+      state = nextState
+    }
+    ctr.unpersist(blocking = false)
+    ed.unpersist(blocking = false)
+    state.select(col("v"), col("hc"))
+  }
 }

@@ -389,7 +389,11 @@ class PlanSpec extends SparkSpec {
       "q199_hashed_cosine_topk",
       // q200: the one-row bigram-type-count scalar broadcast into the
       // rational projection (the q142/q167 scalar shape)
-      "q200_kneser_ney")
+      "q200_kneser_ney",
+      // q207: composes the q26 brute-force ground truth (broadcast
+      // query side, one corpus pass) and the q46 broadcast-centroid
+      // scoring — both intended broadcast patterns
+      "q207_ann_quality")
     // iterative queries execute jobs at plan-build (connected components
     // materializes rounds); their shapes are pinned by their own tests
     val excluded = Set("q65_dup_clusters", "q80_dedup_survivors")

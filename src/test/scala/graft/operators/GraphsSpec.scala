@@ -465,6 +465,61 @@ class GraphsSpec extends SparkSpec {
     assert(got == full)
   }
 
+  // ---- harmonicCentrality (q209) -----------------------------------
+
+  test("harmonicCentrality equals a serial replay of balls + registers, " +
+      "and a star's hub outranks its leaves") {
+    // serial reference: exact BFS balls, the q116/q145 register
+    // formulas, micro-floored estimates, lcm-scaled deltas
+    def serialHc(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+      val adj = (edges ++ edges.map(e => (e._2, e._1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val nodes = adj.keySet
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      def hv(v: Long): Long = {
+        val hex = md.digest(v.toString.getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString.take(12)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      def est(ball: Set[Long]): Long = {
+        val regs = ball.toSeq.map(hv).groupBy(_ % 64)
+          .view.mapValues(_.map { h =>
+            val q = h / 64
+            if (q == 0) 43 else 43 - (64 - java.lang.Long.numberOfLeadingZeros(q))
+          }.max).toMap
+        val s = regs.values.map(r => 1L << (43 - r)).sum +
+          (64L - regs.size) * (1L << 43)
+        math.floor(0.709 * 4096.0 * 8796093022208.0 / s.toDouble
+          * 1000000.0 + 0.5).toLong
+      }
+      val lcm = Seq(1L, 1L, 2L, 6L, 12L, 60L, 60L)(rounds)
+      nodes.map { v =>
+        var ball = Set(v)
+        var prev = est(ball)
+        var hc = 0L
+        for (t <- 1 to rounds) {
+          ball = ball ++ ball.flatMap(u => adj.getOrElse(u, Set.empty))
+          val e = est(ball)
+          hc += (e - prev) * (lcm / t)
+          prev = e
+        }
+        v -> hc
+      }.toMap
+    }
+    val pairs = (0L until 40L).map(i => (i, (i * 13 + 5) % 37))
+      .filter { case (a, b) => a != b } ++ (100L until 110L).map(i => (200L, i))
+    val edges = pairs.toDF("src0", "dst0")
+      .select(col("src0").as("src"), col("dst0").as("dst"))
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val got = Graphs.harmonicCentrality(sym, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == serialHc(pairs, 3))
+    // the 10-leaf star hub reaches everything at distance 1
+    val hub = got(200L)
+    (100L until 110L).foreach(l => assert(hub > got(l), s"leaf $l >= hub"))
+  }
+
   // ---- hashRandomWalks (q196) --------------------------------------
 
   test("hashRandomWalks replays serially, follows edges, and is layout-invariant") {
