@@ -170,7 +170,7 @@ object ScaleProbe {
     // select NOTHING and exit cleanly — in a scripted battery an empty
     // section reads as an intentionally empty family
     val knownBare = Set("dup", "inc", "x100", "skew", "asof", "gen", "linear",
-      "graph", "dhash", "semdedup", "media")
+      "graph", "dhash", "semdedup", "media", "r11")
     for (a <- args)
       require(knownBare(a) || a.startsWith("only:") || a.startsWith("dup:"),
         s"unknown ScaleProbe mode '$a' (known: ${knownBare.mkString("/")}, " +
@@ -193,6 +193,7 @@ object ScaleProbe {
     if (args.contains("dhash")) { dhashProbe(spark); spark.stop(); return }
     if (args.contains("media")) { mediaProbe(spark); spark.stop(); return }
     if (args.contains("semdedup")) { semDedupProbe(spark, srcDir); spark.stop(); return }
+    if (args.contains("r11")) { r11Probe(spark, srcDir); spark.stop(); return }
 
     if (genOnly || (args.isEmpty && !dupOnly && !incOnly && !x100Only)) {
       ProbeCorpus.replicateDocuments(spark, srcDir, 10)
@@ -542,6 +543,94 @@ object ScaleProbe {
     val rw10 = time(Graphs.hashRandomWalks(edgesOf(s"$bigDir/graph10"), 4, "rw:p"))
     println(f"[scale-graph] q196_hash_walks 1x=${rw1}%6.2fs 10x=${rw10}%6.2fs " +
       f"ratio=${rw10 / rw1}%5.2f")
+
+    // harmonic centrality: the q145 register exchanges plus one
+    // node-sized state join per round — same linear-in-edges bound as
+    // hyperBall with a node-table term on top
+    val hc1 = time(Graphs.harmonicCentrality(edgesOf(s"$bigDir/graph1"), 3))
+    val hc10 = time(Graphs.harmonicCentrality(edgesOf(s"$bigDir/graph10"), 3))
+    println(f"[scale-graph] q209_harmonic 1x=${hc1}%6.2fs 10x=${hc10}%6.2fs " +
+      f"ratio=${hc10 / hc1}%5.2f")
+  }
+
+  /** Round-11 probes: the graph-ANN build, cross-corpus span
+    * decontamination, the video codec lane, and the streaming IVF-PQ
+    * per-drain claim. Assumes `gen` ran (10x documents + embeddings at
+    * bigDir). */
+  private def r11Probe(spark: SparkSession, srcDir: String): Unit = {
+    import graft.operators.{Avi, Clustering, Similarity, SuffixDedup}
+    def time(fn: => DataFrame): Double = timeMedian(spark)(fn)
+    spark.read.parquet(s"$srcDir/region.parquet")
+      .groupBy("r_name").count().queryExecution.toRdd.count() // warmup
+    val emb1 = s"$srcDir/embeddings.parquet"
+    val emb10 = s"$bigDir/embeddings.parquet"
+
+    // NN-Descent on both regimes of its cells knob (the semdedup
+    // lesson): fixed cells at 10x vectors grows per-cell ring
+    // neighborhoods and candidate overlap; cells scaled ~sqrt-ish with
+    // the corpus keeps per-cell volume roughly constant. Candidate
+    // volume is n·(2k)² either way — the ratio should stay near-linear,
+    // and the fixed-vs-scaled gap is the design guidance.
+    val nd1 = time(Similarity.nnDescentKnn(
+      spark.read.parquet(emb1), "vec_id", "embedding", 8, 16, 2))
+    val nd10fix = time(Similarity.nnDescentKnn(
+      spark.read.parquet(emb10), "vec_id", "embedding", 8, 16, 2))
+    val nd10scaled = time(Similarity.nnDescentKnn(
+      spark.read.parquet(emb10), "vec_id", "embedding", 8, 50, 2))
+    println(f"[scale-r11] q205_nndescent 1x(c16)=${nd1}%6.2fs " +
+      f"10x(c16)=${nd10fix}%6.2fs ratio=${nd10fix / nd1}%5.2f " +
+      f"10x(c50)=${nd10scaled}%6.2fs ratioScaled=${nd10scaled / nd1}%5.2f")
+
+    // span decontamination: FIXED eval set (the 1x corpus's doc_id%7
+    // slice), corpus axis 1x vs 10x — the rank build over corpus ∪ eval
+    // is the linear term; eval keys and marks stay benchmark-sized
+    val evalDocs = spark.read.parquet(s"$srcDir/documents.parquet")
+      .filter(col("doc_id") % 7 === 0)
+    def corpusOf(dir: String): DataFrame = spark.read.parquet(dir)
+      .filter(col("doc_id") % 7 =!= 0)
+    val sd1 = time(SuffixDedup.spanDecontaminate(
+      corpusOf(s"$srcDir/documents.parquet"), evalDocs, "doc_id", "text", 16))
+    val sd10 = time(SuffixDedup.spanDecontaminate(
+      corpusOf(s"$bigDir/documents.parquet"), evalDocs, "doc_id", "text", 16))
+    println(f"[scale-r11] q206_span_decontam 1x=${sd1}%6.2fs " +
+      f"10x=${sd10}%6.2fs ratio=${sd10 / sd1}%5.2f")
+
+    // MJPEG-in-AVI: map-only codec lane — the ratio should be pure
+    // per-video decode cost (no corpus-size term anywhere)
+    val av1 = time(Avi.frameFeatures(Avi.synthesizeAviMjpeg(spark, 60)).toDF())
+    val av10 = time(Avi.frameFeatures(Avi.synthesizeAviMjpeg(spark, 600)).toDF())
+    println(f"[scale-r11] q208_mjpeg_avi 60=${av1}%6.2fs " +
+      f"600=${av10}%6.2fs ratio=${av10 / av1}%5.2f")
+
+    // streaming IVF-PQ per-drain claim: a FIXED 2k-vector batch
+    // assigns+encodes against models trained on 20k vs 200k vectors —
+    // the model is (cells + m·k codewords) rows regardless of corpus,
+    // so the per-drain cost must be FLAT; the ADC probe against 10x
+    // entries prices the candidate growth at fixed cells (the nprobe/
+    // cells knob is what a 100 TB deployment scales instead)
+    val m1 = Clustering.pqTrainModel(spark.read.parquet(emb1),
+      "vec_id", "embedding", 64, 8, 16, 2, 16).localCheckpoint()
+    val m10 = Clustering.pqTrainModel(spark.read.parquet(emb10),
+      "vec_id", "embedding", 64, 8, 16, 2, 16).localCheckpoint()
+    val batch = spark.read.parquet(emb1)
+    val en1 = time(Clustering.pqAssignEncode(batch, "vec_id", "embedding",
+      64, 8, m1))
+    val en10 = time(Clustering.pqAssignEncode(batch, "vec_id", "embedding",
+      64, 8, m10))
+    println(f"[scale-r11] ivfpq_encode_drain stand1x=${en1}%6.2fs " +
+      f"stand10x=${en10}%6.2fs ratio=${en10 / en1}%5.2f (want ~flat)")
+    val ent1 = Clustering.pqAssignEncode(spark.read.parquet(emb1),
+      "vec_id", "embedding", 64, 8, m1).localCheckpoint()
+    val ent10 = Clustering.pqAssignEncode(spark.read.parquet(emb10),
+      "vec_id", "embedding", 64, 8, m10).localCheckpoint()
+    val queries = spark.read.parquet(emb1).filter(col("vec_id") % 20 === 0)
+    val pr1 = time(Clustering.pqAdcProbe(queries, "vec_id", "embedding",
+      64, 8, 2, 5, m1, ent1))
+    val pr10 = time(Clustering.pqAdcProbe(queries, "vec_id", "embedding",
+      64, 8, 2, 5, m10, ent10))
+    println(f"[scale-r11] ivfpq_probe stand1x=${pr1}%6.2fs " +
+      f"stand10x=${pr10}%6.2fs ratio=${pr10 / pr1}%5.2f " +
+      "(candidates grow corpus/cells at fixed cells)")
   }
 
   /** SemDeDup probe on BOTH axes of its scale story (assumes `gen` ran:

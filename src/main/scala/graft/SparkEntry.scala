@@ -1011,6 +1011,48 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Timeline frame sampling over the AVI lane — the q174 contract on
+    // the strh timebase (equal-length frames, so the GIF edition's
+    // variable-delay cursor degenerates to a division); everyMs = 77 is
+    // deliberately coprime to the 100 ms tick so sample→frame mapping
+    // exercises non-aligned instants. Decode runs once per SAMPLED
+    // frame, map-only.
+    "q210_avi_frame_sample" -> ((s, d) => {
+      val media = operators.Avi.synthesizeAviMjpeg(s, 60)
+      operators.Avi.frameSample(media, 77).toDF()
+        .orderBy(col("media_id"), col("sample_idx"))
+    }),
+
+    // k-NN-graph label densification — the curation read of q205's
+    // graph: each vector's predicted label is the majority vote of its
+    // NN-Descent neighbors' TRUE labels ((votes desc, label) winner),
+    // with the agreement flag against its own label — the k-NN
+    // classifier error estimate a curation run reports before trusting
+    // propagated labels. The oracle replays the whole construction
+    // plus the vote.
+    "q211_knn_label_spread" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val knn = Similarity.nnDescentKnn(emb, "vec_id", "embedding",
+        k = 8, cells = 16, rounds = 2)
+      val lbl = emb.select(col("vec_id").as("neighbor_id"),
+        col("label").cast("long").as("nlbl"))
+      val votes = knn.join(lbl, Seq("neighbor_id"))
+        .groupBy(col("query_id"), col("nlbl"))
+        .agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("votes").desc, col("nlbl"))
+      val pred = votes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("query_id").as("vec_id"),
+          col("nlbl").as("pred_label"), col("votes"))
+      emb.select(col("vec_id"), col("label").cast("long").as("true_label"))
+        .join(pred, Seq("vec_id"))
+        .select(col("vec_id"), col("true_label"), col("pred_label"),
+          col("votes"),
+          (col("true_label") === col("pred_label")).cast("long").as("agree"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Harmonic centrality from HyperBall's registers (Boldi & Vigna
     // 2014) — the per-node read of the q145 sketch: H(v) =
     // Σ (|B(v,t)|−|B(v,t−1)|)/t over the same lineitem co-order graph,
@@ -3897,7 +3939,35 @@ object SparkEntry {
     * (B ∪ B⁻¹) self-join + exact cosine rescore + (cos desc, id)
     * top-k. Converged rounds are no-ops, so the engine's early stop
     * never desyncs the unrolled replay. */
-  private def nnDescentOracleSql(k: Int, cells: Int, rounds: Int): String = {
+  private def nnDescentOracleSql(k: Int, cells: Int, rounds: Int): String =
+    s"""${nnDescentCtes(k, cells, rounds)}
+       |SELECT u AS query_id, w AS neighbor_id, r6(cos) AS cos,
+       |  CAST(rank AS BIGINT) AS rank
+       |FROM b$rounds ORDER BY query_id, rank""".stripMargin
+
+  /** q211 oracle: the q205 construction + a neighbor-label majority
+    * vote per node — (votes desc, label) winner, agreement flag. */
+  private def knnLabelSpreadOracleSql(k: Int, cells: Int,
+                                      rounds: Int): String =
+    s"""${nnDescentCtes(k, cells, rounds)},
+       |lbl AS (SELECT vec_id AS w, CAST(label AS BIGINT) AS nlbl
+       |        FROM embeddings),
+       |votes AS (
+       |  SELECT b.u, l.nlbl, count(*) AS votes
+       |  FROM b$rounds b JOIN lbl l ON l.w = b.w GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT u, nlbl, votes FROM (
+       |    SELECT u, nlbl, votes, row_number() OVER (
+       |      PARTITION BY u ORDER BY votes DESC, nlbl) AS rk
+       |    FROM votes)
+       |  WHERE rk = 1)
+       |SELECT e.vec_id, CAST(e.label AS BIGINT) AS true_label,
+       |  p.nlbl AS pred_label, p.votes,
+       |  CAST(CAST(e.label AS BIGINT) = p.nlbl AS BIGINT) AS agree
+       |FROM embeddings e JOIN pred p ON p.u = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+
+  private def nnDescentCtes(k: Int, cells: Int, rounds: Int): String = {
     def roundCte(i: Int): String = {
       val prev = if (i == 1) "b0" else s"b${i - 1}"
       s"""c$i AS (SELECT u, w FROM $prev UNION ALL SELECT w, u FROM $prev),
@@ -3949,10 +4019,7 @@ object SparkEntry {
        |    FROM (SELECT DISTINCT u, w FROM ic) d
        |    JOIN v a ON a.id = d.u JOIN v b ON b.id = d.w)
        |  WHERE rank <= $k),
-       |${(1 to rounds).map(roundCte).mkString(",\n")}
-       |SELECT u AS query_id, w AS neighbor_id, r6(cos) AS cos,
-       |  CAST(rank AS BIGINT) AS rank
-       |FROM b$rounds ORDER BY query_id, rank""".stripMargin
+       |${(1 to rounds).map(roundCte).mkString(",\n")}""".stripMargin
   }
 
   private def ccStarsOracleSql(rounds: Int): String =
@@ -8788,6 +8855,42 @@ object SparkEntry {
     "q196_hash_walks" -> hashWalksOracleSql(4),
     "q205_nndescent_knn" -> nnDescentOracleSql(8, 16, 2),
     "q207_ann_quality" -> annQualityOracleSql(10, 16, 2),
+    "q211_knn_label_spread" -> knnLabelSpreadOracleSql(8, 16, 2),
+
+    // Sample instants 0, 77, 154, ... map to frame (s*77)//100 of the
+    // 100 ms tick; ffeat is the q171 chain over derived frame ids.
+    "q210_avi_frame_sample" ->
+      (jpegFeatCtes(
+        """SELECT v * 100 + f AS i
+          |  FROM (SELECT v,
+          |          2 + ((strpos('0123456789abcdef', substr(sha256(
+          |            '42:avi:' || CAST(v AS VARCHAR) || ':nf'), 1, 1)) - 1)
+          |            * 16
+          |            + (strpos('0123456789abcdef', substr(sha256(
+          |            '42:avi:' || CAST(v AS VARCHAR) || ':nf'), 2, 1)) - 1))
+          |            % 5 AS nf
+          |        FROM range(60) t(v)) vids, range(6) r(f)
+          |  WHERE f < nf""".stripMargin) +
+        """,
+          |vids2 AS (SELECT v,
+          |    2 + ((strpos('0123456789abcdef', substr(sha256(
+          |      '42:avi:' || CAST(v AS VARCHAR) || ':nf'), 1, 1)) - 1) * 16
+          |      + (strpos('0123456789abcdef', substr(sha256(
+          |      '42:avi:' || CAST(v AS VARCHAR) || ':nf'), 2, 1)) - 1))
+          |      % 5 AS nf
+          |  FROM range(60) t(v)),
+          |samp AS (
+          |  SELECT v, CAST(s AS INT) AS s, CAST(s * 77 AS INT) AS t,
+          |    CAST((s * 77) // 100 AS INT) AS k
+          |  FROM vids2, range(8) r(s) WHERE s * 77 < nf * 100)
+          |SELECT samp.v AS media_id, samp.s AS sample_idx,
+          |  samp.t AS t_ms, samp.k AS frame_idx,
+          |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
+          |  CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3,
+          |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
+          |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
+          |FROM samp JOIN feat ON feat.media_id = samp.v * 100 + samp.k
+          |ORDER BY media_id, sample_idx""".stripMargin),
 
     // Frame ids derive as v*100+f; the pixel formula is the q171 CTE
     // chain verbatim over those ids (jpegFeatCtes), with frames per

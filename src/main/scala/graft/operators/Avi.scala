@@ -196,6 +196,34 @@ object Avi {
     (frames.map(_._2).toSeq, tickMs)
   }
 
+  /** Timeline frame sampling over MJPEG-in-AVI — the q174 contract
+    * ([[Multimodal.frameSample]]) on the strh timebase: sample instants
+    * t = s·everyMs ascend over [0, nf·tick); the active frame at t is
+    * ⌊t / tick⌋ (AVI frames are equal-length by the stream header,
+    * so the GIF edition's variable-delay cursor degenerates to a
+    * division). Decode runs once per frame actually sampled, inside
+    * the same map partition as the container walk. */
+  def frameSample(media: DataFrame, everyMs: Int)
+      : Dataset[Multimodal.SampledFrame] = {
+    import media.sparkSession.implicits._
+    require(everyMs > 0, "everyMs must be positive")
+    media.as[MediaRow].filter(_.kind == "video").flatMap { m =>
+      val (frames, tickMs) = decodeAviFrames(m.bytes)
+      val duration = frames.length * tickMs
+      val wanted = Iterator.from(0).map(_ * everyMs)
+        .takeWhile(_ < duration).zipWithIndex
+        .map { case (t, s) => (s, t, t / tickMs) }.toSeq
+      val feats = wanted.map(_._3).distinct
+        .map(k => k -> Jpeg.decodeJpeg(frames(k))).toMap
+      wanted.map { case (s, t, k) =>
+        val f = feats(k)
+        Multimodal.SampledFrame(m.media_id, s, t, k,
+          f(0).toDouble, f(1).toDouble, f(2).toDouble, f(3).toDouble,
+          f(4).toDouble, f(5).toDouble, f(6).toDouble, f(7).toDouble)
+      }
+    }
+  }
+
   /** Per-frame 8-lane features of every video row: frame extraction +
     * [[Jpeg.decodeJpeg]] inside one map partition (codec-seam rule —
     * bytes never cross a shuffle). t_ms = frame_idx · frame tick from

@@ -51,6 +51,30 @@ class AviSpec extends SparkSpec {
     assert(got == byHand)
   }
 
+  test("frameSample follows the q174 timeline contract on the 100 ms " +
+      "tick: instants ascend by everyMs, the active frame is t/tick, " +
+      "and features match frameFeatures' decode of that frame") {
+    val media = Avi.synthesizeAviMjpeg(spark, 5)
+    val byFrame = Avi.frameFeatures(media).collect()
+      .map(v => (v.media_id, v.frame_idx) ->
+        (v.features(0).toDouble, v.features(5).toDouble)).toMap
+    val nfOf = byFrame.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    val got = Avi.frameSample(media, 77).collect()
+    assert(got.nonEmpty)
+    val bySampled = got.groupBy(_.media_id)
+    for ((vid, rows) <- bySampled) {
+      val sorted = rows.sortBy(_.sample_idx)
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.sample_idx == i && r.t_ms == i * 77)
+        assert(r.frame_idx == r.t_ms / 100)
+        assert((r.f0, r.f5) == byFrame((vid, r.frame_idx)))
+      }
+      // sample count covers the whole duration: last instant < nf*100
+      val nf = nfOf(vid)
+      assert(sorted.length == (nf * 100 + 76) / 77)
+    }
+  }
+
   test("the decoder rejects structural corruption loudly") {
     val good = firstVideo.head.bytes
     intercept[IllegalArgumentException] { // bad magic

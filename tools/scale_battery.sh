@@ -39,5 +39,6 @@ run graph
 run dhash
 run semdedup
 run media
+run r11
 echo "battery complete -> $OUT"
 cat "$OUT"
