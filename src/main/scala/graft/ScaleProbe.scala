@@ -608,10 +608,18 @@ object ScaleProbe {
     // so the per-drain cost must be FLAT; the ADC probe against 10x
     // entries prices the candidate growth at fixed cells (the nprobe/
     // cells knob is what a 100 TB deployment scales instead)
-    val m1 = Clustering.pqTrainModel(spark.read.parquet(emb1),
-      "vec_id", "embedding", 64, 8, 16, 2, 16).localCheckpoint()
-    val m10 = Clustering.pqTrainModel(spark.read.parquet(emb10),
-      "vec_id", "embedding", 64, 8, 16, 2, 16).localCheckpoint()
+    // models and entry tables are probe FIXTURES: parquet, not
+    // localCheckpoint — timeMedian's per-run hygiene unpersists every
+    // RDD, which would free a checkpoint the later timed runs re-read
+    // (the q195-probe lesson)
+    Clustering.pqTrainModel(spark.read.parquet(emb1),
+        "vec_id", "embedding", 64, 8, 16, 2, 16)
+      .write.mode("overwrite").parquet(s"$bigDir/pq_m1")
+    Clustering.pqTrainModel(spark.read.parquet(emb10),
+        "vec_id", "embedding", 64, 8, 16, 2, 16)
+      .write.mode("overwrite").parquet(s"$bigDir/pq_m10")
+    val m1 = spark.read.parquet(s"$bigDir/pq_m1")
+    val m10 = spark.read.parquet(s"$bigDir/pq_m10")
     val batch = spark.read.parquet(emb1)
     val en1 = time(Clustering.pqAssignEncode(batch, "vec_id", "embedding",
       64, 8, m1))
@@ -619,10 +627,14 @@ object ScaleProbe {
       64, 8, m10))
     println(f"[scale-r11] ivfpq_encode_drain stand1x=${en1}%6.2fs " +
       f"stand10x=${en10}%6.2fs ratio=${en10 / en1}%5.2f (want ~flat)")
-    val ent1 = Clustering.pqAssignEncode(spark.read.parquet(emb1),
-      "vec_id", "embedding", 64, 8, m1).localCheckpoint()
-    val ent10 = Clustering.pqAssignEncode(spark.read.parquet(emb10),
-      "vec_id", "embedding", 64, 8, m10).localCheckpoint()
+    Clustering.pqAssignEncode(spark.read.parquet(emb1),
+        "vec_id", "embedding", 64, 8, m1)
+      .write.mode("overwrite").parquet(s"$bigDir/pq_e1")
+    Clustering.pqAssignEncode(spark.read.parquet(emb10),
+        "vec_id", "embedding", 64, 8, m10)
+      .write.mode("overwrite").parquet(s"$bigDir/pq_e10")
+    val ent1 = spark.read.parquet(s"$bigDir/pq_e1")
+    val ent10 = spark.read.parquet(s"$bigDir/pq_e10")
     val queries = spark.read.parquet(emb1).filter(col("vec_id") % 20 === 0)
     val pr1 = time(Clustering.pqAdcProbe(queries, "vec_id", "embedding",
       64, 8, 2, 5, m1, ent1))

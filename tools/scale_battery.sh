@@ -18,8 +18,11 @@ OUT="${1:-/tmp/scale_battery.log}"
 
 run() {
   echo "=== ScaleProbe $* (fresh JVM) ===" >> "$OUT"
+  # forked run output passes through RAW since the round-11
+  # outputStrategy fix (no "[info] " prefix) — accept both forms so the
+  # script works regardless of the sbt logger configuration
   sbt -batch "runMain graft.ScaleProbe $*" 2>&1 \
-    | grep -E '^\[info\] \[(scale|skew)' | sed 's/^\[info\] //' >> "$OUT"
+    | grep -E '^(\[info\] )?\[(scale|skew)' | sed 's/^\[info\] //' >> "$OUT"
 }
 
 sbt -batch compile > /dev/null 2>&1 || { echo "compile failed"; exit 1; }
