@@ -115,6 +115,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q208/q210: the AVI video lane is map-only — container walk + " +
+      "per-frame JPEG decode run in the scan stage, sole exchange is " +
+      "the final sort") {
+    for (q <- Seq("q208_mjpeg_avi", "q210_avi_frame_sample")) {
+      val p = executedPlanOf(q).split("== Initial Plan ==").head
+      // synthesize → flatMap frame-extract+decode → project, then the
+      // ordered output's range exchange; a second exchange would mean
+      // video bytes or frame payloads crossed a shuffle
+      val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+      assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+        s"$q expected only the sort exchange, got $exchanges\n$p")
+      assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+        s"$q lost the batch decode stage\n$p")
+    }
+  }
+
+  test("q206: span decontamination exchanges carry fixed-width rank rows, never gram strings") {
+    val p = executedPlanOf("q206_span_decontaminate")
+    // the q172 contract, cross-corpus edition: every shuffle moves
+    // (doc_id, pos, rank-struct | span-bound) tuples; a 16-token gram
+    // string in any exchange would mean the strawman plan snuck back
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(exchanges.nonEmpty)
+    for (e <- exchanges)
+      assert(!e.contains("tok"), s"rank exchange keyed on raw tokens: $e")
+  }
+
   test("q149/q153/q158/q161: container explode is map-only — parse+lanes run in the scan stage, sole exchange is the final sort") {
     for (q <- Seq("q149_zip_members", "q153_gzip_members", "q158_warc_records",
         "q161_tar_entries")) {
