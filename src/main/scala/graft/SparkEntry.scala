@@ -1112,6 +1112,24 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // Ranked-retrieval quality of the NN-DESCENT tier — q207's metric
+    // lane pointed at the graph-ANN index, so both ANN families carry
+    // an oracle-gated quality report (recall@8 / MRR / nDCG@8 vs
+    // brute-force truth, all exact-integer ratios). Together with q207
+    // this is "index quality per configuration" as a first-class
+    // query, not a spec.
+    "q212_nndescent_quality" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val truth = Similarity.bruteForceTopK(emb, emb, "vec_id",
+        "embedding", k = 8)
+      val ann = Similarity.nnDescentKnn(emb, "vec_id", "embedding",
+        k = 8, cells = 16, rounds = 2)
+      operators.Retrieval.rankingQuality(truth, ann, k = 8)
+        .select(col("query_id"), r6(col("recall_k")).as("recall_k"),
+          r6(col("mrr")).as("mrr"), r6(col("ndcg_k")).as("ndcg_k"))
+        .orderBy(col("query_id"))
+    }),
+
     // Span-level decontamination at L = 16 — the exact-form upgrade of
     // q61's n-gram overlap: corpus positions whose 16-token window
     // also occurs in the eval partition (doc_id % 7 = 0, the held-out
@@ -3966,6 +3984,42 @@ object SparkEntry {
        |  CAST(CAST(e.label AS BIGINT) = p.nlbl AS BIGINT) AS agree
        |FROM embeddings e JOIN pred p ON p.u = e.vec_id
        |ORDER BY e.vec_id""".stripMargin
+
+  /** q212 oracle: the q205 construction + the q207 metric block —
+    * brute-force truth over the same `v`, hits against b<rounds>,
+    * integer DCG weights, exact-ratio metrics. */
+  private def nnDescentQualityOracleSql(k: Int, cells: Int,
+                                        rounds: Int): String = {
+    val wts = (1 to k)
+      .map(r => s"($r, ${graft.operators.Retrieval.dcgWeight(r)})")
+      .mkString(", ")
+    val idcg = (1 to k).map(graft.operators.Retrieval.dcgWeight).sum
+    s"""${nnDescentCtes(k, cells, rounds)},
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.id AS query_id, n.id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.id
+       |        ORDER BY list_cosine_similarity(q.vec, n.vec) DESC, n.id)
+       |        AS rank
+       |    FROM v q JOIN v n ON q.id <> n.id)
+       |  WHERE rank <= $k),
+       |wt(rank, w) AS (VALUES $wts),
+       |hits AS (
+       |  SELECT a.u AS query_id, count(*) AS nhits, min(a.rank) AS minr,
+       |    sum(w.w) AS dcg
+       |  FROM b$rounds a JOIN bf b
+       |    ON b.query_id = a.u AND b.neighbor_id = a.w
+       |  JOIN wt w ON w.rank = a.rank
+       |  GROUP BY 1)
+       |SELECT q.query_id,
+       |  r6(COALESCE(h.nhits, 0) / CAST($k AS DOUBLE)) AS recall_k,
+       |  r6(COALESCE(CAST(1 AS DOUBLE) / h.minr, CAST(0 AS DOUBLE)))
+       |    AS mrr,
+       |  r6(COALESCE(h.dcg, 0) / CAST($idcg AS DOUBLE)) AS ndcg_k
+       |FROM (SELECT DISTINCT query_id FROM bf) q
+       |LEFT JOIN hits h USING (query_id)
+       |ORDER BY query_id""".stripMargin
+  }
 
   private def nnDescentCtes(k: Int, cells: Int, rounds: Int): String = {
     def roundCte(i: Int): String = {
@@ -8856,6 +8910,7 @@ object SparkEntry {
     "q205_nndescent_knn" -> nnDescentOracleSql(8, 16, 2),
     "q207_ann_quality" -> annQualityOracleSql(10, 16, 2),
     "q211_knn_label_spread" -> knnLabelSpreadOracleSql(8, 16, 2),
+    "q212_nndescent_quality" -> nnDescentQualityOracleSql(8, 16, 2),
 
     // Sample instants 0, 77, 154, ... map to frame (s*77)//100 of the
     // 100 ms tick; ffeat is the q171 chain over derived frame ids.

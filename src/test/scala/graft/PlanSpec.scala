@@ -421,7 +421,10 @@ class PlanSpec extends SparkSpec {
       // q207: composes the q26 brute-force ground truth (broadcast
       // query side, one corpus pass) and the q46 broadcast-centroid
       // scoring — both intended broadcast patterns
-      "q207_ann_quality")
+      "q207_ann_quality",
+      // q212: the q26 brute-force truth pattern again (the NN-Descent
+      // side is a checkpointed graph — no joins survive into its plan)
+      "q212_nndescent_quality")
     // iterative queries execute jobs at plan-build (connected components
     // materializes rounds); their shapes are pinned by their own tests
     val excluded = Set("q65_dup_clusters", "q80_dedup_survivors")
