@@ -1112,6 +1112,26 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // Isotonic (PAVA) score calibration via the minimax identity
+    // (Robertson/Wright/Dykstra Thm 1.4.4) — the least-squares
+    // NON-DECREASING map from a raw score to P(label): score = token
+    // count, label = the document contains the token 'the' (longer
+    // docs more likely — a genuinely increasing relationship with
+    // non-monotone noise for PAVA to pool). Iteration-free and
+    // bit-replayable: every candidate is one IEEE division of exact
+    // integer prefix sums; min/max over doubles is order-independent.
+    "q213_isotonic_calibration" -> ((s, d) => {
+      import graft.functions.TextFunctions
+      val toks = TextFunctions.tokens(
+        TextFunctions.normalizeWs(col("text")))
+      val scored = t(s, d, "documents").select(
+        size(toks).cast("long").as("s"),
+        array_contains(toks, "the").cast("long").as("y"))
+      operators.Curation.isotonicCalibrate(scored, "s", "y")
+        .select(col("s"), col("n"), col("pos"), r6(col("cal")).as("cal"))
+        .orderBy(col("s"))
+    }),
+
     // Ranked-retrieval quality of the NN-DESCENT tier — q207's metric
     // lane pointed at the graph-ANN index, so both ANN families carry
     // an oracle-gated quality report (recall@8 / MRR / nDCG@8 vs
@@ -8911,6 +8931,39 @@ object SparkEntry {
     "q207_ann_quality" -> annQualityOracleSql(10, 16, 2),
     "q211_knn_label_spread" -> knnLabelSpreadOracleSql(8, 16, 2),
     "q212_nndescent_quality" -> nnDescentQualityOracleSql(8, 16, 2),
+
+    // Minimax isotonic identity over the token-count census: prefix
+    // sums, the (j ≤ k) pair table's one-division averages, per-j
+    // suffix min, per-i max — every comparison over bit-identical
+    // doubles of exact integer differences.
+    "q213_isotonic_calibration" ->
+      """WITH base AS (
+        |  SELECT list_filter(string_split_regex(trim(regexp_replace(
+        |    lower(text), '\s+', ' ', 'g')), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |cen AS (
+        |  SELECT CAST(len(t) AS BIGINT) AS s, count(*) AS n,
+        |    sum(CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END) AS pos
+        |  FROM base GROUP BY 1),
+        |pre AS (
+        |  SELECT s, n, pos,
+        |    row_number() OVER (ORDER BY s) AS rn,
+        |    sum(pos) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cp,
+        |    sum(n) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cn
+        |  FROM cen),
+        |pairs AS (
+        |  SELECT l.rn AS j, r.rn AS k,
+        |    CAST(r.cp - (l.cp - l.pos) AS DOUBLE)
+        |      / CAST(r.cn - (l.cn - l.n) AS DOUBLE) AS a
+        |  FROM pre l JOIN pre r ON l.rn <= r.rn),
+        |mji AS (
+        |  SELECT j, k AS i, min(a) OVER (PARTITION BY j ORDER BY k DESC
+        |    ROWS UNBOUNDED PRECEDING) AS m
+        |  FROM pairs),
+        |g AS (SELECT i, max(m) AS cal FROM mji WHERE j <= i GROUP BY 1)
+        |SELECT pre.s, CAST(pre.n AS BIGINT) AS n,
+        |  CAST(pre.pos AS BIGINT) AS pos, r6(g.cal) AS cal
+        |FROM pre JOIN g ON g.i = pre.rn ORDER BY s""".stripMargin,
 
     // Sample instants 0, 77, 154, ... map to frame (s*77)//100 of the
     // 100 ms tick; ffeat is the q171 chain over derived frame ids.

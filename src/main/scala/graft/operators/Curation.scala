@@ -1429,4 +1429,77 @@ object Curation {
       .agg(count(lit(1)).as("n_links"),
         sum(when(col("_first"), 1L).otherwise(0L)).as("n_pages"))
   }
+
+  /** ISOTONIC (PAVA) SCORE CALIBRATION — the order-constrained
+    * companion to [[quantileNormalize]] in the calibration lane (q201
+    * scores the ranking, q198 aligns distributions, THIS turns a raw
+    * score into a calibrated probability): given rows (score, binary
+    * label), fit the least-squares NON-DECREASING map g(score) →
+    * P(label = 1) — the classic calibration step before trusting a
+    * quality classifier's threshold (isotonic regression; Zadrozny &
+    * Elkan 2002's non-parametric alternative to Platt scaling).
+    *
+    * Computed by the MINIMAX identity rather than the sequential
+    * pool-adjacent-violators stack (Robertson, Wright & Dykstra 1988,
+    * Thm 1.4.4 — the two are the same unique function):
+    *
+    *   g(i) = max_{j ≤ i} min_{k ≥ i} (pos_j + … + pos_k) /
+    *                                   (n_j + … + n_k)
+    *
+    * which is ITERATION-FREE and exactly cross-engine-replayable:
+    * every candidate value is ONE IEEE division of two exact integer
+    * prefix-sum differences (bit-identical in any engine), and
+    * min/max over a SET of doubles is order-independent — there is no
+    * summation-order hazard anywhere, where a distributed PAVA's
+    * merge cascade would need data-dependent rounds.
+    *
+    * Scale shape: the corpus crosses ONE hash aggregate down to the
+    * per-distinct-score census; everything after is census-sized —
+    * prefix sums via one ordered window over the census (the
+    * [[groupKFolds]] bounded-cardinality contract: `maxScores`,
+    * default 4096, fails loudly inside the plan — the minimax pair
+    * table is census², so an unbounded score key would go quadratic
+    * in the wrong place; bucket the score first, which calibration
+    * does anyway), the (j ≤ k) pair table with a per-j suffix-min
+    * window, and a per-i max aggregate.
+    *
+    * Returns one row per distinct score: (score, n, pos, cal) with
+    * `cal` the calibrated probability, non-decreasing in score. */
+  def isotonicCalibrate(df: DataFrame, scoreCol: String, labelCol: String,
+                        maxScores: Long = 4096L): DataFrame = {
+    val census = df.select(col(scoreCol).cast("long").as("s"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val pre = census
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("s"))))
+      .withColumn("rn", when(col("rn") <= maxScores, col("rn"))
+        .otherwise(raise_error(lit(s"isotonicCalibrate: more than " +
+          s"$maxScores distinct scores — the minimax pair table is " +
+          "census-quadratic; bucket the score first"))))
+      .withColumn("cp", sum(col("pos")).over(w))
+      .withColumn("cn", sum(col("n")).over(w))
+    val left = pre.select(col("rn").as("j"), col("s").as("sj"),
+      (col("cp") - col("pos")).as("pj0"), (col("cn") - col("n")).as("nj0"))
+    val right = pre.select(col("rn").as("k"), col("cp"), col("cn"))
+    // A(j,k) = exact-integer prefix differences under ONE division
+    val pairs = left.join(right, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("cp") - col("pj0")) / (col("cn") - col("nj0"))).as("a"))
+    val sw = org.apache.spark.sql.expressions.Window.partitionBy(col("j"))
+      .orderBy(col("k").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // m(j, i) = min_{k ≥ i} A(j, k): running min over k descending
+    val mji = pairs.withColumn("m", min(col("a")).over(sw))
+      .select(col("j"), col("k").as("i"), col("m"))
+    val g = mji.filter(col("j") <= col("i"))
+      .groupBy(col("i"))
+      .agg(max(col("m")).as("cal"))
+    pre.select(col("rn").as("i"), col("s"), col("n"), col("pos"))
+      .join(g, Seq("i"))
+      .select(col("s"), col("n"), col("pos"), col("cal"))
+  }
 }

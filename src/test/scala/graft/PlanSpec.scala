@@ -424,7 +424,11 @@ class PlanSpec extends SparkSpec {
       "q207_ann_quality",
       // q212: the q26 brute-force truth pattern again (the NN-Descent
       // side is a checkpointed graph — no joins survive into its plan)
-      "q212_nndescent_quality")
+      "q212_nndescent_quality",
+      // q213: the minimax (j ≤ k) pair table is a deliberate
+      // broadcast theta-join over the BOUNDED score census (both
+      // sides census-sized — the maxScores raise guards the square)
+      "q213_isotonic_calibration")
     // iterative queries execute jobs at plan-build (connected components
     // materializes rounds); their shapes are pinned by their own tests
     val excluded = Set("q65_dup_clusters", "q80_dedup_survivors")

@@ -1120,6 +1120,81 @@ class CurationSpec extends SparkSpec {
     assert(got == Map(0L -> 20L, 1L -> 20L, 2L -> 20L, 3L -> 20L), got.toString)
   }
 
+  // ---- isotonicCalibrate (q213) ------------------------------------
+
+  /** Serial stack PAVA (pool adjacent violators, the textbook
+    * algorithm) over a score census — the reference the minimax
+    * identity must equal (Robertson/Wright/Dykstra Thm 1.4.4). Block
+    * means compared exactly via cross products; emitted values as the
+    * same single division of exact longs the operator performs. */
+  private def serialPava(census: Seq[(Long, Long, Long)]): Map[Long, Double] = {
+    // census rows: (score, n, pos), ascending score
+    case class Block(lo: Int, hi: Int, n: Long, pos: Long)
+    val sorted = census.sortBy(_._1)
+    var stack = List.empty[Block]
+    for ((b, i) <- sorted.zipWithIndex) {
+      var cur = Block(i, i, b._2, b._3)
+      // pool while the previous block's mean exceeds the current's:
+      // pos_prev * n_cur > pos_cur * n_prev (exact)
+      while (stack.nonEmpty &&
+          stack.head.pos * cur.n > cur.pos * stack.head.n) {
+        val p = stack.head
+        stack = stack.tail
+        cur = Block(p.lo, cur.hi, p.n + cur.n, p.pos + cur.pos)
+      }
+      stack = cur :: stack
+    }
+    stack.flatMap { b =>
+      (b.lo to b.hi).map(i =>
+        sorted(i)._1 -> (b.pos.toDouble / b.n.toDouble))
+    }.toMap
+  }
+
+  test("isotonicCalibrate equals serial stack PAVA exactly on random " +
+      "censuses, is non-decreasing, and preserves weighted mass") {
+    val rnd = new scala.util.Random(61)
+    for (trial <- 1 to 4) {
+      val census = (0 until 40).map { s =>
+        val n = 1L + rnd.nextInt(30)
+        (s.toLong, n, (0L to n).drop(rnd.nextInt(n.toInt + 1)).head)
+      }
+      val rows = census.flatMap { case (s, n, pos) =>
+        (0L until n).map(j => (s, if (j < pos) 1L else 0L))
+      }
+      val got = Curation.isotonicCalibrate(
+          rows.toDF("s", "y"), "s", "y")
+        .select($"s", $"n", $"pos", $"cal")
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+      // exact double equality with the stack algorithm: both sides end
+      // at one division of the same exact integers
+      val want = serialPava(census)
+      got.foreach { case (s, _, _, cal) =>
+        assert(cal == want(s), s"trial $trial score $s: $cal != ${want(s)}")
+      }
+      // monotone law
+      got.sliding(2).foreach { case Array(a, b) =>
+        assert(a._4 <= b._4, s"trial $trial not monotone at ${b._1}")
+      }
+      // weighted mass preservation: Σ g·n = Σ pos (PAVA is a
+      // projection that conserves the weighted mean) — compare in
+      // exact rationals via the pooled blocks of the reference
+      val totPos = census.map(_._3).sum.toDouble
+      val massed = got.map { case (_, n, _, cal) => cal * n }.sum
+      assert(math.abs(massed - totPos) < 1e-6 * totPos + 1e-9,
+        s"trial $trial mass $massed != $totPos")
+    }
+    // degenerate shapes: already-isotonic input is returned verbatim;
+    // anti-monotone input pools to one global block
+    val iso = Seq((1L, 0L), (1L, 0L), (2L, 1L), (2L, 0L), (3L, 1L))
+    val gotIso = Curation.isotonicCalibrate(iso.toDF("s", "y"), "s", "y")
+      .select($"s", $"cal").as[(Long, Double)].collect().toMap
+    assert(gotIso == Map(1L -> 0.0, 2L -> 0.5, 3L -> 1.0))
+    val anti = Seq((1L, 1L), (2L, 0L), (3L, 0L))
+    val gotAnti = Curation.isotonicCalibrate(anti.toDF("s", "y"), "s", "y")
+      .select($"cal").as[Double].collect()
+    assert(gotAnti.forall(_ == 1.0 / 3.0))
+  }
+
   // ---- spanCorruption (q202) ---------------------------------------
 
   test("spanCorruption reassembles to the original tokens (sentinel splice law)") {
