@@ -1150,6 +1150,49 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // Graph-ANN SERVING search (VERDICT r11 #1): out-of-corpus query
+    // vectors (vec_id % 13 = 0, held out of the graph build) route
+    // through a deterministic beam walk over the NN-Descent graph —
+    // sha-ordered ":ivf" entry points, 2 candidates→rescore→top-beam
+    // steps, rank ≤ k of the final beam. The HNSW query side to q205's
+    // batch construction; per-query cost is beam·(2k)·steps candidate
+    // rows, independent of corpus size.
+    "q214_graph_ann_search" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 13 =!= 0)
+      val qs = emb.filter(col("vec_id") % 13 === 0)
+      val graph = Similarity.nnDescentKnn(corpus, "vec_id", "embedding",
+        k = 8, cells = 16, rounds = 2)
+      Similarity.nnDescentSearch(graph, corpus, "vec_id", "embedding",
+          qs, "vec_id", "embedding", k = 8, cells = 16, beam = 8,
+          steps = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          r6(col("cos")).as("cos"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Walk-vs-brute ranking quality for the serving search — the q207
+    // exact-integer metric lane pointed at the beam walk, so the
+    // serving tier carries the same per-configuration quality report
+    // as both index builds (recall@8 / MRR / nDCG@8 against
+    // brute-force truth over the held-out queries).
+    "q215_graph_search_quality" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 13 =!= 0)
+      val qs = emb.filter(col("vec_id") % 13 === 0)
+      val truth = Similarity.bruteForceTopK(qs, corpus, "vec_id",
+        "embedding", k = 8)
+      val graph = Similarity.nnDescentKnn(corpus, "vec_id", "embedding",
+        k = 8, cells = 16, rounds = 2)
+      val walk = Similarity.nnDescentSearch(graph, corpus, "vec_id",
+        "embedding", qs, "vec_id", "embedding", k = 8, cells = 16,
+        beam = 8, steps = 2)
+      operators.Retrieval.rankingQuality(truth, walk, k = 8)
+        .select(col("query_id"), r6(col("recall_k")).as("recall_k"),
+          r6(col("mrr")).as("mrr"), r6(col("ndcg_k")).as("ndcg_k"))
+        .orderBy(col("query_id"))
+    }),
+
     // Span-level decontamination at L = 16 — the exact-form upgrade of
     // q61's n-gram overlap: corpus positions whose 16-token window
     // also occurs in the eval partition (doc_id % 7 = 0, the held-out
@@ -2096,6 +2139,30 @@ object SparkEntry {
           bands = 8, bitsPerBand = 8, dim = 64)
         .select(col("id_a"), col("id_b"), r6(col("cos")).as("cos"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // EMBEDDING-SPACE eval decontamination (VERDICT r11 #3): the q107
+    // band machinery pointed ACROSS corpora — corpus vectors whose
+    // cosine to any eval vector clears the threshold mark as
+    // contaminated, the paraphrase-leak gate q206's exact-text stage
+    // cannot see. Eval items are the q107 IEEE-exact +0.001
+    // perturbations of every 11th vector (a reworded eval item's
+    // stand-in: near, not identical), so every eval item has exactly
+    // one planted corpus leak and the oracle replays band structure,
+    // rescore, and the per-doc aggregate end to end.
+    "q216_embedding_decontam" -> ((s, d) => {
+      val vecs = t(s, d, "embeddings").select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("embedding"))
+      val evalSet = vecs.filter(col("vec_id") % 11 === 0).select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.001)).otherwise(x)).as("embedding"))
+      Similarity.embeddingDecontaminate(vecs, "vec_id", "embedding",
+          evalSet, "vec_id", "embedding", threshold = 0.999,
+          bands = 8, bitsPerBand = 8, dim = 64)
+        .select(col("doc_id"), col("n_eval_hits"),
+          r6(col("max_cos")).as("max_cos"), col("first_eval_id"))
+        .orderBy(col("doc_id"))
     }),
 
     // The flagship standing-corpus probe (q104) in the embedding
@@ -3917,7 +3984,9 @@ object SparkEntry {
     val wts = (1 to k)
       .map(r => s"($r, ${graft.operators.Retrieval.dcgWeight(r)})")
       .mkString(", ")
-    val idcg = (1 to k).map(graft.operators.Retrieval.dcgWeight).sum
+    val cums = (1 to k).map(graft.operators.Retrieval.dcgWeight)
+      .scanLeft(0L)(_ + _).tail
+    val idcgVals = (1 to k).map(n => s"($n, ${cums(n - 1)})").mkString(", ")
     s"""WITH v AS (
        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
        |  FROM embeddings),
@@ -3955,20 +4024,23 @@ object SparkEntry {
        |    JOIN v n ON n.id = neighbor_id)
        |  WHERE rank <= $k),
        |wt(rank, w) AS (VALUES $wts),
+       |iw(n, iws) AS (VALUES $idcgVals),
        |hits AS (
        |  SELECT a.query_id, count(*) AS nhits, min(a.rank) AS minr,
        |    sum(w.w) AS dcg
        |  FROM ann a JOIN bf b USING (query_id, neighbor_id)
        |  JOIN wt w ON w.rank = a.rank
-       |  GROUP BY 1)
-       |SELECT q.query_id,
-       |  r6(COALESCE(h.nhits, 0) / CAST($k AS DOUBLE)) AS recall_k,
+       |  GROUP BY 1),
+       |tc AS (SELECT query_id, LEAST(count(*), $k) AS denom
+       |       FROM bf GROUP BY 1)
+       |SELECT t.query_id,
+       |  r6(COALESCE(h.nhits, 0) / CAST(t.denom AS DOUBLE)) AS recall_k,
        |  r6(COALESCE(CAST(1 AS DOUBLE) / h.minr, CAST(0 AS DOUBLE)))
        |    AS mrr,
-       |  r6(COALESCE(h.dcg, 0) / CAST($idcg AS DOUBLE)) AS ndcg_k
-       |FROM (SELECT DISTINCT query_id FROM bf) q
-       |LEFT JOIN hits h USING (query_id)
-       |ORDER BY query_id""".stripMargin
+       |  r6(COALESCE(h.dcg, 0) / CAST(i.iws AS DOUBLE)) AS ndcg_k
+       |FROM tc t JOIN iw i ON i.n = t.denom
+       |LEFT JOIN hits h ON h.query_id = t.query_id
+       |ORDER BY t.query_id""".stripMargin
   }
 
   /** q205 oracle: replay the whole NN-Descent construction — the q46
@@ -4013,7 +4085,9 @@ object SparkEntry {
     val wts = (1 to k)
       .map(r => s"($r, ${graft.operators.Retrieval.dcgWeight(r)})")
       .mkString(", ")
-    val idcg = (1 to k).map(graft.operators.Retrieval.dcgWeight).sum
+    val cums = (1 to k).map(graft.operators.Retrieval.dcgWeight)
+      .scanLeft(0L)(_ + _).tail
+    val idcgVals = (1 to k).map(n => s"($n, ${cums(n - 1)})").mkString(", ")
     s"""${nnDescentCtes(k, cells, rounds)},
        |bf AS (
        |  SELECT query_id, neighbor_id FROM (
@@ -4024,24 +4098,122 @@ object SparkEntry {
        |    FROM v q JOIN v n ON q.id <> n.id)
        |  WHERE rank <= $k),
        |wt(rank, w) AS (VALUES $wts),
+       |iw(n, iws) AS (VALUES $idcgVals),
        |hits AS (
        |  SELECT a.u AS query_id, count(*) AS nhits, min(a.rank) AS minr,
        |    sum(w.w) AS dcg
        |  FROM b$rounds a JOIN bf b
        |    ON b.query_id = a.u AND b.neighbor_id = a.w
        |  JOIN wt w ON w.rank = a.rank
-       |  GROUP BY 1)
-       |SELECT q.query_id,
-       |  r6(COALESCE(h.nhits, 0) / CAST($k AS DOUBLE)) AS recall_k,
+       |  GROUP BY 1),
+       |tc AS (SELECT query_id, LEAST(count(*), $k) AS denom
+       |       FROM bf GROUP BY 1)
+       |SELECT t.query_id,
+       |  r6(COALESCE(h.nhits, 0) / CAST(t.denom AS DOUBLE)) AS recall_k,
        |  r6(COALESCE(CAST(1 AS DOUBLE) / h.minr, CAST(0 AS DOUBLE)))
        |    AS mrr,
-       |  r6(COALESCE(h.dcg, 0) / CAST($idcg AS DOUBLE)) AS ndcg_k
-       |FROM (SELECT DISTINCT query_id FROM bf) q
-       |LEFT JOIN hits h USING (query_id)
-       |ORDER BY query_id""".stripMargin
+       |  r6(COALESCE(h.dcg, 0) / CAST(i.iws AS DOUBLE)) AS ndcg_k
+       |FROM tc t JOIN iw i ON i.n = t.denom
+       |LEFT JOIN hits h ON h.query_id = t.query_id
+       |ORDER BY t.query_id""".stripMargin
   }
 
-  private def nnDescentCtes(k: Int, cells: Int, rounds: Int): String = {
+  /** q214 CTEs: replay the serving beam walk — the q205 graph build
+    * over the held-out-query corpus (vec_id % 13 <> 0), the sha-ordered
+    * ":ivf" entry sample, and `steps` unrolled candidates → rescore →
+    * top-beam rounds per query. Converged steps are engine no-ops, so
+    * the fixed unroll never desyncs with the engine's early stop. */
+  private def graphSearchCtes(k: Int, cells: Int, rounds: Int, beam: Int,
+                              steps: Int): String = {
+    def stepCte(i: Int): String = {
+      val prev = if (i == 1) "s0" else s"s${i - 1}"
+      s"""n$i AS (
+         |  SELECT DISTINCT qid, node FROM (
+         |    SELECT s.qid, a.w AS node FROM $prev s JOIN adj a ON a.u = s.node
+         |    UNION ALL SELECT qid, node FROM $prev)),
+         |s$i AS MATERIALIZED (
+         |  SELECT qid, node, cos, rank FROM (
+         |    SELECT n.qid, n.node,
+         |      list_cosine_similarity(q.qv, b.vec) AS cos,
+         |      row_number() OVER (PARTITION BY n.qid
+         |        ORDER BY list_cosine_similarity(q.qv, b.vec) DESC, n.node)
+         |        AS rank
+         |    FROM n$i n JOIN qs q ON q.qid = n.qid JOIN v b ON b.id = n.node)
+         |  WHERE rank <= $beam)""".stripMargin
+    }
+    s"""${nnDescentCtes(k, cells, rounds, " WHERE vec_id % 13 <> 0")},
+       |adj AS (
+       |  SELECT DISTINCT u, w FROM (
+       |    SELECT u, w FROM b$rounds UNION ALL SELECT w, u FROM b$rounds)),
+       |qs AS (
+       |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id % 13 = 0),
+       |ent AS (
+       |  SELECT id FROM v
+       |  ORDER BY sha256(CAST(id AS VARCHAR) || ':ivf'), id LIMIT $cells),
+       |s0 AS MATERIALIZED (
+       |  SELECT qid, node, cos, rank FROM (
+       |    SELECT q.qid, e.id AS node,
+       |      list_cosine_similarity(q.qv, b.vec) AS cos,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY list_cosine_similarity(q.qv, b.vec) DESC, e.id)
+       |        AS rank
+       |    FROM qs q CROSS JOIN ent e JOIN v b ON b.id = e.id)
+       |  WHERE rank <= $beam),
+       |${(1 to steps).map(stepCte).mkString(",\n")}""".stripMargin
+  }
+
+  private def graphSearchOracleSql(k: Int, cells: Int, rounds: Int,
+                                   beam: Int, steps: Int): String =
+    s"""${graphSearchCtes(k, cells, rounds, beam, steps)}
+       |SELECT qid AS query_id, node AS neighbor_id, r6(cos) AS cos,
+       |  CAST(rank AS BIGINT) AS rank
+       |FROM s$steps WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** q215 oracle: the q214 walk + the q207 metric block — brute-force
+    * truth over the held-out queries vs the corpus, hits against the
+    * final beam, integer DCG weights, exact-ratio metrics. */
+  private def graphSearchQualityOracleSql(k: Int, cells: Int, rounds: Int,
+                                          beam: Int, steps: Int): String = {
+    val wts = (1 to k)
+      .map(r => s"($r, ${graft.operators.Retrieval.dcgWeight(r)})")
+      .mkString(", ")
+    val cums = (1 to k).map(graft.operators.Retrieval.dcgWeight)
+      .scanLeft(0L)(_ + _).tail
+    val idcgVals = (1 to k).map(n => s"($n, ${cums(n - 1)})").mkString(", ")
+    s"""${graphSearchCtes(k, cells, rounds, beam, steps)},
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.qid AS query_id, n.id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY list_cosine_similarity(q.qv, n.vec) DESC, n.id)
+       |        AS rank
+       |    FROM qs q JOIN v n ON q.qid <> n.id)
+       |  WHERE rank <= $k),
+       |wt(rank, w) AS (VALUES $wts),
+       |iw(n, iws) AS (VALUES $idcgVals),
+       |hits AS (
+       |  SELECT a.qid AS query_id, count(*) AS nhits, min(a.rank) AS minr,
+       |    sum(w.w) AS dcg
+       |  FROM s$steps a JOIN bf b
+       |    ON b.query_id = a.qid AND b.neighbor_id = a.node
+       |  JOIN wt w ON w.rank = a.rank
+       |  WHERE a.rank <= $k
+       |  GROUP BY 1),
+       |tc AS (SELECT query_id, LEAST(count(*), $k) AS denom
+       |       FROM bf GROUP BY 1)
+       |SELECT t.query_id,
+       |  r6(COALESCE(h.nhits, 0) / CAST(t.denom AS DOUBLE)) AS recall_k,
+       |  r6(COALESCE(CAST(1 AS DOUBLE) / h.minr, CAST(0 AS DOUBLE)))
+       |    AS mrr,
+       |  r6(COALESCE(h.dcg, 0) / CAST(i.iws AS DOUBLE)) AS ndcg_k
+       |FROM tc t JOIN iw i ON i.n = t.denom
+       |LEFT JOIN hits h ON h.query_id = t.query_id
+       |ORDER BY t.query_id""".stripMargin
+  }
+
+  private def nnDescentCtes(k: Int, cells: Int, rounds: Int,
+                            vWhere: String = ""): String = {
     def roundCte(i: Int): String = {
       val prev = if (i == 1) "b0" else s"b${i - 1}"
       s"""c$i AS (SELECT u, w FROM $prev UNION ALL SELECT w, u FROM $prev),
@@ -4061,7 +4233,7 @@ object SparkEntry {
     }
     s"""WITH v AS (
        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
-       |  FROM embeddings),
+       |  FROM embeddings$vWhere),
        |cent AS (
        |  SELECT id AS cell_id, vec AS cv FROM v
        |  ORDER BY sha256(CAST(id AS VARCHAR) || ':ivf'), id LIMIT $cells),
@@ -8643,6 +8815,34 @@ object SparkEntry {
          |SELECT id_a, id_b, r6(cos) AS cos FROM resc
          |WHERE cos >= 0.999 ORDER BY id_a, id_b""".stripMargin,
 
+    "q216_embedding_decontam" ->
+      s"""WITH v0 AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+         |  FROM embeddings),
+         |e0 AS (
+         |  SELECT id + 1000000 AS id,
+         |    [CASE WHEN i = 1 THEN vec[i] + 0.001 ELSE vec[i] END
+         |     for i in generate_series(1, 64)] AS vec
+         |  FROM v0 WHERE id % 11 = 0),
+         |v AS (
+         |  SELECT id, vec FROM v0
+         |  UNION ALL
+         |  SELECT id, vec FROM e0),
+         |$lshBandCte,
+         |cand AS (
+         |  SELECT DISTINCT a.id AS doc_id, b.id AS eval_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band = b.band
+         |  WHERE a.id < 1000000 AND b.id >= 1000000),
+         |resc AS (
+         |  SELECT doc_id, eval_id,
+         |    list_cosine_similarity(x.vec, y.vec) AS cos
+         |  FROM cand JOIN v x ON x.id = doc_id JOIN v y ON y.id = eval_id)
+         |SELECT doc_id, count(*) AS n_eval_hits, r6(max(cos)) AS max_cos,
+         |  min(eval_id) AS first_eval_id
+         |FROM resc WHERE cos >= 0.999
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Standing-corpus probe, embedding modality: the band-table path must
     // produce exactly the pairs the replayed band structure produces over
     // (corpus UNION planted batch) restricted to cross pairs — band
@@ -8931,6 +9131,9 @@ object SparkEntry {
     "q207_ann_quality" -> annQualityOracleSql(10, 16, 2),
     "q211_knn_label_spread" -> knnLabelSpreadOracleSql(8, 16, 2),
     "q212_nndescent_quality" -> nnDescentQualityOracleSql(8, 16, 2),
+    "q214_graph_ann_search" -> graphSearchOracleSql(8, 16, 2, 8, 2),
+    "q215_graph_search_quality" ->
+      graphSearchQualityOracleSql(8, 16, 2, 8, 2),
 
     // Minimax isotonic identity over the token-count census: prefix
     // sums, the (j ≤ k) pair table's one-division averages, per-j

@@ -652,14 +652,8 @@ object Dedup {
     docs.join(winners, Seq(idCol))
   }
 
-  /** Frees the storage blocks behind a `localCheckpoint`ed frame (plain
-    * `Dataset.unpersist` only talks to the cache manager, not to the
-    * checkpointed RDD). Safe to call once the successor round is
-    * materialized. */
+  /** See [[Checkpoints.freeCheckpoint]] — the shared release protocol
+    * for round-over-round localCheckpoints. */
   private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    Checkpoints.freeCheckpoint(df)
 }

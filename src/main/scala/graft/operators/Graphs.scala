@@ -195,15 +195,10 @@ object Graphs {
     lbl
   }
 
-  /** Frees the storage blocks behind a `localCheckpoint`ed frame (plain
-    * `Dataset.unpersist` only talks to the cache manager, not to the
-    * checkpointed RDD). Safe once the successor round is materialized. */
+  /** See [[Checkpoints.freeCheckpoint]] — the shared release protocol
+    * for round-over-round localCheckpoints. */
   private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    Checkpoints.freeCheckpoint(df)
 
   /** Exact per-node triangle counting by degree orientation — the
     * standard bounded-wedge scheme (each undirected edge is directed

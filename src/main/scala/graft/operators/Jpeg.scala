@@ -609,12 +609,15 @@ object Jpeg {
     * formula (the MJPEG-in-AVI lane derives each frame's id as
     * vid·100 + frame and reuses this byte-for-byte). Returns
     * (bytes, width, height). */
+  // Huffman code tables are seed-independent — built once per JVM so
+  // per-frame synthesis (AVI rebuilds a frame per chunk) pays nothing
+  private lazy val dcLumaCodes = buildCodes(DcLumaBits, DcVals)
+  private lazy val acLumaCodes = buildCodes(AcLumaBits, AcLumaVals)
+  private lazy val dcChromaCodes = buildCodes(DcChromaBits, DcVals)
+  private lazy val acChromaCodes = buildCodes(AcChromaBits, AcChromaVals)
+
   private[operators] def latticeJpeg(seed: Long, id: Long)
       : (Array[Byte], Int, Int) = {
-    val dcLumaCodes = buildCodes(DcLumaBits, DcVals)
-    val acLumaCodes = buildCodes(AcLumaBits, AcLumaVals)
-    val dcChromaCodes = buildCodes(DcChromaBits, DcVals)
-    val acChromaCodes = buildCodes(AcChromaBits, AcChromaVals)
     locally {
       def sha(tag: String): Array[Byte] =
         java.security.MessageDigest.getInstance("SHA-256")

@@ -184,12 +184,16 @@ object Retrieval {
     * query universe is truth's — a query the index lost entirely
     * scores 0, not absent):
     *
-    *   recall_k = |ranking[1..k] ∩ truth| / k
+    *   d        = min(k, |truth(q)|)   (standard normalization — a
+    *              query with fewer than k relevant docs can still
+    *              score 1.0; ADVICE r11)
+    *   recall_k = |ranking[1..k] ∩ truth| / d
     *   mrr      = 1 / min{r ≤ k : ranking[r] ∈ truth}   (0 if none)
-    *   ndcg_k   = Σ_{hits} w(r) / Σ_{i=1..k} w(i),  w = [[dcgWeight]]
+    *   ndcg_k   = Σ_{hits} w(r) / Σ_{i=1..d} w(i),  w = [[dcgWeight]]
     *
     * Every metric is a ratio of EXACT integers (hit counts, a min
-    * rank, integer weight sums), so the single closing division is
+    * rank, integer weight sums — the ideal-DCG lookup is a broadcast
+    * k-row prefix-sum table), so the single closing division is
     * bit-identical in any engine — no float-summation-order hazard
     * anywhere. One hash aggregate over the (k-bounded) hit set plus a
     * broadcast of the k-row weight table; corpus vectors never enter. */
@@ -199,8 +203,10 @@ object Retrieval {
     val spark = ranking.sparkSession
     import spark.implicits._
     val wts = (1 to k).map(r => (r, dcgWeight(r)))
-    val idcg = wts.map(_._2).sum
+    val cums = wts.map(_._2).scanLeft(0L)(_ + _).tail
     val wdf = broadcast(wts.toDF("rank", "wt"))
+    val idf = broadcast((1 to k).map(n => (n.toLong, cums(n - 1)))
+      .toDF("denom", "idcg"))
     val rel = truth.select(col("query_id"), col("neighbor_id")).distinct()
     val hits = ranking.filter(col("rank") <= k)
       .join(rel, Seq("query_id", "neighbor_id"), "left_semi")
@@ -208,11 +214,13 @@ object Retrieval {
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("nhits"), min(col("rank")).as("minr"),
         sum(col("wt")).as("dcg"))
-    rel.select(col("query_id")).distinct()
+    rel.groupBy(col("query_id")).agg(count(lit(1)).as("ntruth"))
+      .withColumn("denom", least(col("ntruth"), lit(k.toLong)))
+      .join(idf, Seq("denom"))
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
-        (coalesce(col("nhits"), lit(0L)) / k.toDouble).as("recall_k"),
+        (coalesce(col("nhits"), lit(0L)) / col("denom")).as("recall_k"),
         coalesce(lit(1.0) / col("minr"), lit(0.0)).as("mrr"),
-        (coalesce(col("dcg"), lit(0L)) / idcg.toDouble).as("ndcg_k"))
+        (coalesce(col("dcg"), lit(0L)) / col("idcg")).as("ndcg_k"))
   }
 }

@@ -55,16 +55,10 @@ object SuffixDedup {
   private def toks(textCol: Column): Column =
     TextFunctions.tokens(TextFunctions.normalizeWs(textCol))
 
-  /** Frees the storage blocks behind a `localCheckpoint`ed frame (the
-    * Graphs.freeCheckpoint protocol: `Dataset.unpersist` only talks to
-    * the cache manager, not to the checkpointed RDD). Safe once the
-    * successor round is materialized. */
+  /** See [[Checkpoints.freeCheckpoint]] — the shared release protocol
+    * for round-over-round localCheckpoints. */
   private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    Checkpoints.freeCheckpoint(df)
 
   /** (doc_id, pos, rank struct) at depth `h` (a power of two):
     * equality-consistent window ids for every position with a full
@@ -223,7 +217,7 @@ object SuffixDedup {
       .select(col("r"), col("rt")).distinct()
     val marks = keyed.filter(col("doc_id") % 2 === 0)
       .join(evalKeys, Seq("r", "rt"), "left_semi")
-      .select((col("doc_id") / 2).cast("long").as("doc_id"),
+      .select(shiftright(col("doc_id"), 1).as("doc_id"),
         col("pos").as("st"), (col("pos") + (l - 1)).as("en"))
       .localCheckpoint()
     freeCheckpoint(ranks)

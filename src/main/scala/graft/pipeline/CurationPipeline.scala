@@ -52,7 +52,28 @@ object CurationPipeline {
     *                   doc carrying a verbatim ≥ L-token benchmark
     *                   window drops — the exact-form upgrade of the
     *                   default n-gram-overlap gate (no hash identity,
-    *                   no fixed-gram blind spots) */
+    *                   no fixed-gram blind spots)
+    * @param qualityLabels when provided — (`idCol`, `label` ∈ {0, 1})
+    *                   human keep/drop labels on a corpus sample —
+    *                   stage 1b calibrates the raw quality score with
+    *                   [[Curation.isotonicCalibrate]] (PAVA) and gates
+    *                   on CALIBRATED P(keep) ≥ `minCalProb` instead of
+    *                   trusting the raw score's scale: a score band the
+    *                   labels mark bad drops even when its raw value
+    *                   clears `minQuality` (the q213 lane's production
+    *                   use — VERDICT r11 #8)
+    * @param minCalProb stage-1b calibrated-probability cut
+    * @param docEmbeddings when provided with `benchmarkEmbeddings` —
+    *                   (`idCol`, `embedding`) per corpus doc — stage 4b
+    *                   drops docs whose embedding sits within
+    *                   `embDecontamThreshold` cosine of ANY benchmark
+    *                   embedding ([[graft.operators.Similarity
+    *                   .embeddingDecontaminate]]): the paraphrase-leak
+    *                   gate the exact-text stages cannot see (VERDICT
+    *                   r11 #3)
+    * @param benchmarkEmbeddings (`eval_id`, `embedding`) per benchmark
+    *                   item — benchmark-sized by contract (broadcast)
+    * @param embDecontamThreshold stage-4b cosine cut */
   def run(spark: SparkSession, docs: DataFrame, benchmark: DataFrame,
           outRoot: String, idCol: String = "doc_id",
           textCol: String = "text", srcCol: String = "source",
@@ -61,7 +82,12 @@ object CurationPipeline {
           exactNearDup: Boolean = false,
           mixtureScale: Double = 8.0,
           packCapacity: Long = 512L, salt: String = "curation",
-          spanDecontamL: Int = 0): Result = {
+          spanDecontamL: Int = 0,
+          qualityLabels: Option[DataFrame] = None,
+          minCalProb: Double = 0.5,
+          docEmbeddings: Option[DataFrame] = None,
+          benchmarkEmbeddings: Option[DataFrame] = None,
+          embDecontamThreshold: Double = 0.95): Result = {
     val audits = scala.collection.mutable.ArrayBuffer.empty[StageAudit]
     def stage(name: String, df: DataFrame,
               sortCols: Seq[String] = Seq(idCol)): DataFrame = {
@@ -82,10 +108,39 @@ object CurationPipeline {
       .filter(col("quality") >= minQuality &&
         col("lang_pred").isin(keepLangs: _*)))
 
+    // 1b. OPTIONAL isotonic-calibrated quality gate: fit PAVA on the
+    // labeled sample's (scaled score, label) census, apply the
+    // non-decreasing step function to every doc (largest fitted score
+    // ≤ the doc's — the calibration table is census-bounded, so the
+    // range probe broadcasts), and gate on calibrated P(keep). Docs
+    // scoring below the smallest fitted score clamp to its calibrated
+    // value (the step function's left edge).
+    val calibrated = qualityLabels match {
+      case None => gated
+      case Some(labels) =>
+        val sCol = (col("quality") * 1000).cast("long")
+        val labeled = gated
+          .join(labels.select(col(idCol), col("label")), Seq(idCol))
+          .select(sCol.as("s"), col("label").cast("long").as("y"))
+        val cal = Curation.isotonicCalibrate(labeled, "s", "y")
+          .select(col("s").as("cs"), col("cal"))
+        val floorCal = broadcast(cal.agg(
+          min_by(col("cal"), col("cs")).as("floor_cal")))
+        val perDoc = gated.select(col(idCol), sCol.as("s"))
+          .join(broadcast(cal), col("cs") <= col("s"), "left")
+          .groupBy(col(idCol))
+          .agg(max_by(col("cal"), col("cs")).as("cal_prob"))
+          .crossJoin(floorCal)
+          .select(col(idCol),
+            coalesce(col("cal_prob"), col("floor_cal")).as("cal_prob"))
+        stage("s1b_calibrated", gated.join(perDoc, Seq(idCol))
+          .filter(col("cal_prob") >= minCalProb))
+    }
+
     // 2. exact dedup on the normalized-text fingerprint (map-side
     // aggregate winners, smallest id survives)
     val exact = stage("s2_exact_dedup",
-      Dedup.byFingerprint(gated, idCol, textCol))
+      Dedup.byFingerprint(calibrated, idCol, textCol))
 
     // 3. near-dup dedup: MinHash-LSH banding by default (id-only
     // candidate joins, hot-band capped); `exactNearDup` swaps in the
@@ -106,12 +161,14 @@ object CurationPipeline {
     // action is the strictest one)
     val clean = stage("s4_decontaminated",
       if (spanDecontamL > 0) {
-        // benchmark rows carry no id — synthesize a content-keyed one
-        // (deterministic; masked into [0, 2^60) for the operator's
-        // even/odd id remap; eval ids never reach the output)
+        // benchmark rows carry no id — synthesize a collision-free one
+        // (row_number over the deterministic text ordering; the
+        // benchmark set is bounded, so the global window is too; eval
+        // ids never reach the output)
         val evalDocs = benchmark.select(col(textCol)).distinct()
-          .withColumn(idCol,
-            expr(s"xxhash64($textCol) & 1152921504606846975"))
+          .withColumn(idCol, row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col(textCol)))
+            .cast("long"))
         val contaminated = graft.operators.SuffixDedup
           .spanDecontaminate(near, evalDocs, idCol, textCol, spanDecontamL)
           .filter(col("contam_tokens") > 0)
@@ -119,10 +176,28 @@ object CurationPipeline {
         near.join(contaminated, Seq(idCol), "left_anti")
       } else Curation.decontaminate(near, benchmark, idCol, textCol))
 
+    // 4b. OPTIONAL embedding-space decontamination: the paraphrase-leak
+    // gate — an eval item reworded past token-window equality still
+    // sits next to its source in embedding space, so docs within the
+    // cosine threshold of any benchmark embedding drop (strictest
+    // action, same as the text stages; eval must not leak)
+    val embClean = (docEmbeddings, benchmarkEmbeddings) match {
+      case (Some(de), Some(be)) =>
+        val contaminated = graft.operators.Similarity
+          .embeddingDecontaminate(
+            de.join(clean.select(col(idCol)), Seq(idCol), "left_semi"),
+            idCol, "embedding", be, "eval_id", "embedding",
+            threshold = embDecontamThreshold)
+          .select(col("doc_id").as(idCol))
+        stage("s4b_emb_decontaminated",
+          clean.join(contaminated, Seq(idCol), "left_anti"))
+      case _ => clean
+    }
+
     // 5. temperature mixture: per-source sqrt targets, hash-ordered
     // admission (deterministic, engine-replayable)
     val mixed = stage("s5_mixture",
-      Curation.temperatureMixture(clean, srcCol, idCol,
+      Curation.temperatureMixture(embClean, srcCol, idCol,
         scale = mixtureScale, salt = salt))
 
     // 6. greedy sequence packing: shard-parallel, content-hash order;

@@ -425,6 +425,10 @@ class PlanSpec extends SparkSpec {
       // q212: the q26 brute-force truth pattern again (the NN-Descent
       // side is a checkpointed graph — no joins survive into its plan)
       "q212_nndescent_quality",
+      // q214/q215: the walk result is a checkpointed beam (no joins
+      // survive into its plan); q215 adds the q26 brute-force truth
+      // pattern (broadcast held-out query side, one corpus pass)
+      "q214_graph_ann_search", "q215_graph_search_quality",
       // q213: the minimax (j ≤ k) pair table is a deliberate
       // broadcast theta-join over the BOUNDED score census (both
       // sides census-sized — the maxScores raise guards the square)

@@ -205,6 +205,47 @@ class SimilaritySpec extends SparkSpec {
     assert(more.toSet == knn.toSet)
   }
 
+  test("nnDescentSearch: out-of-corpus queries route through the beam " +
+      "walk to their true nearest corpus vector, far beyond what the " +
+      "entry points alone could answer, and a converged walk is a " +
+      "fixed point") {
+    // 40 corpus points around a circle — the k-NN graph is a connected
+    // band (each node's true 4-NN are its ±2 angular neighbors), so a
+    // walk can NAVIGATE: cosine to the query improves monotonically
+    // along the circle, the property graph-ANN serving exploits
+    def ev(theta: Double): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      a(0) = math.cos(theta).toFloat; a(1) = math.sin(theta).toFloat; a
+    }
+    val step = 2 * math.Pi / 40
+    val corpus = (0 until 40).map(i => (i.toLong, ev(i * step)))
+      .toDF("vec_id", "embedding")
+    // queries sit at angle (2j + 0.3) steps — strictly nearest to
+    // corpus point 2j, and NOT in the corpus
+    val queries = (0 until 20).map(j => (1000L + j, ev((2 * j + 0.3) * step)))
+      .toDF("vec_id", "embedding")
+    val graph = Similarity.nnDescentKnn(corpus, "vec_id", "embedding",
+      k = 4, cells = 4, rounds = 4)
+    val walk = Similarity.nnDescentSearch(graph, corpus, "vec_id",
+      "embedding", queries, "vec_id", "embedding",
+      k = 1, cells = 4, beam = 4, steps = 8)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(walk.length == 20)
+    for ((q, n) <- walk)
+      assert(n == 2 * (q - 1000), s"query $q routed to $n, " +
+        s"expected ${2 * (q - 1000)}")
+    // the 20 distinct answers exceed the 4 entry representatives — the
+    // WALK found them, not the entry rescoring
+    assert(walk.map(_._2).distinct.length == 20)
+    // fixed point: extra steps change nothing (the early-stop +
+    // oracle-unroll equivalence contract)
+    val more = Similarity.nnDescentSearch(graph, corpus, "vec_id",
+      "embedding", queries, "vec_id", "embedding",
+      k = 1, cells = 4, beam = 4, steps = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(more.toSet == walk.toSet)
+  }
+
   test("lshTopK band-join shuffles carry ids only, never vectors") {
     def e(i: Int): Array[Float] = {
       val a = Array.fill(64)(0.0f); a(i) = 1.0f; a

@@ -126,6 +126,74 @@ class CurationPipelineSpec extends SparkSpec {
     assert(s4 == Set(1L, 2L, 3L, 31L), s"got $s4")
   }
 
+  test("qualityLabels mode drops exactly the miscalibrated-score victim: " +
+      "raw quality clears the cut, calibrated P(keep) does not") {
+    import org.apache.spark.sql.functions.col
+    // victim 50: under-50-chars text — the length component drops its
+    // raw score to 0.79, above minQuality=0.1 but strictly BELOW every
+    // legit doc's 1.0, so the labeled sample (victim = 0, everything
+    // else = 1) calibrates its score band to P(keep) = 0 while every
+    // other band pools to 1
+    val victimText = "the cat sat on the mat today and then it slept"
+    val corpus3 = Seq(
+      (1L, a1, "a"), (2L, a2, "a"), (3L, a3, "a"), (4L, a4, "a"),
+      (50L, victimText, "a"),
+    ).toDF("doc_id", "text", "source")
+    // precondition the construction relies on: victim's raw quality is
+    // the strict minimum yet clears the raw gate
+    val q = corpus3
+      .withColumn("q", graft.operators.TextAnalysis.qualityScore(col("text")))
+      .select($"doc_id", $"q").as[(Long, Double)].collect().toMap
+    assert(q(50L) >= 0.1, s"victim must clear the raw gate: ${q(50L)}")
+    for ((id, v) <- q if id != 50L)
+      assert(v > q(50L), s"victim must score strictly lowest ($id: $v)")
+    val labels = Seq((1L, 1), (2L, 1), (3L, 1), (4L, 1), (50L, 0))
+      .toDF("doc_id", "label")
+    val root = Files.createTempDirectory("graft-cur-cal").toString
+    val res = CurationPipeline.run(spark, corpus3, benchmark, root,
+      minQuality = 0.1, mixtureScale = 8.0, packCapacity = 30L,
+      qualityLabels = Some(labels), minCalProb = 0.5)
+    assert(res.rowsOf("s1_quality") == 5, res.audits)   // raw gate keeps all
+    assert(res.rowsOf("s1b_calibrated") == 4, res.audits) // calibration drops 50
+    val s1b = spark.read.parquet(s"$root/s1b_calibrated")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1b == Set(1L, 2L, 3L, 4L), s"got $s1b")
+  }
+
+  test("embedding decontamination drops exactly the paraphrase-leak " +
+      "victim the exact-text stages keep") {
+    // victim 60 PARAPHRASES the eval item (shared vocabulary, no long
+    // verbatim run — the span stage keeps it), but its embedding is the
+    // q107 IEEE-exact perturbation of the benchmark's (cos ~ 1-1e-7)
+    val evalText = "which planet of the solar system has the largest " +
+      "volume and mass according to the survey"
+    val corpus4 = Seq(
+      (1L, a1, "a"), (2L, a2, "a"), (3L, a3, "a"),
+      (60L, "the largest planet by mass in our solar system is a gas " +
+        "giant according to every survey", "a"),
+    ).toDF("doc_id", "text", "source")
+    def basis(i: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(i) = 1.0f; a(0) = a(0) + eps; a
+    }
+    val benchEmb = Seq((100L, basis(7, 0.0f))).toDF("eval_id", "embedding")
+    val docEmb = Seq(
+      (1L, basis(1, 0.0f)), (2L, basis(2, 0.0f)), (3L, basis(3, 0.0f)),
+      (60L, basis(7, 0.001f)), // the planted semantic leak
+    ).toDF("doc_id", "embedding")
+    val root = Files.createTempDirectory("graft-cur-emb").toString
+    val res = CurationPipeline.run(spark, corpus4,
+      Seq(evalText).toDF("text"), root,
+      mixtureScale = 8.0, packCapacity = 30L, spanDecontamL = 8,
+      docEmbeddings = Some(docEmb), benchmarkEmbeddings = Some(benchEmb),
+      embDecontamThreshold = 0.999)
+    // the span stage keeps the paraphrase; the embedding stage drops it
+    assert(res.rowsOf("s4_decontaminated") == 4, res.audits)
+    assert(res.rowsOf("s4b_emb_decontaminated") == 3, res.audits)
+    val s4b = spark.read.parquet(s"$root/s4b_emb_decontaminated")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s4b == Set(1L, 2L, 3L), s"got $s4b")
+  }
+
   test("pipeline is deterministic: two runs produce identical curated tables") {
     val r1 = Files.createTempDirectory("graft-cur1").toString
     val r2 = Files.createTempDirectory("graft-cur2").toString
