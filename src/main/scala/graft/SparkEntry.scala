@@ -1093,6 +1093,51 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    // INTERLEAVED audio+video AVI (VERDICT r11 #4): a second 'auds'
+    // stream of '01wb' PCM chunks rides the frame-major interleave
+    // (00dc_f immediately followed by the 100 ms audio window 01wb_f),
+    // and the output is A/V-ALIGNED per-frame features — the 8 JPEG
+    // lanes plus the 8 q110 audio lanes of the frame's sample window,
+    // joined on the shared strh timeline. Zero new decode math: frame
+    // pixels replay under the q171 formula at derived id v·100+f, the
+    // audio window under the q110 sample formula re-tagged
+    // ('42:avia:v:f:k'). The walker validates BOTH strh chains, the
+    // strict interleave order, window sizing against the timebases,
+    // and the two-chain idx1.
+    "q217_av_avi" -> ((s, d) => {
+      val media = operators.Avi.synthesizeAviAv(s, 60)
+      val feats = operators.Avi.avFrameFeatures(media).toDF()
+      val vcols = (0 until 8).map(i =>
+        element_at(col("vfeatures"), i + 1).cast("double").as(s"f$i"))
+      val acols = (0 until 8).map(i =>
+        element_at(col("afeatures"), i + 1).cast("double").as(s"a$i"))
+      feats.select(Seq(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("t_ms").cast("long").as("t_ms")) ++ vcols ++ acols: _*)
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // Unigram-LM (SentencePiece-class) tokenizer training (VERDICT r11
+    // #5): fixed substring-candidate census, 2 hard-EM iterations with
+    // the integer-only log2lin scaled weights and the max-plus
+    // prefix-doubling Viterbi (total-order tie-break on
+    // (score, −pieces, −cutmask)). The gated rows pin the census, the
+    // weight formula, and every E-step's segmentation counts.
+    "q218_unigram_learn" -> ((s, d) => {
+      operators.Unigram.learn(t(s, d, "documents"), "text")
+        .orderBy(col("iter"), col("piece"))
+    }),
+
+    // The apply side: per-source tokenization stats under the learned
+    // unigram-LM weights — the q122 analog for the EM tokenizer
+    // family (words / chars / pieces, occurrence-weighted: the
+    // compression the learned vocabulary buys on each source).
+    "q219_unigram_encode" -> ((s, d) => {
+      operators.Unigram.encodeStats(t(s, d, "documents"), "text",
+          "source")
+        .orderBy(col("source"))
+    }),
+
     // Ranked-retrieval quality of the IVF tier against brute-force
     // ground truth — recall@10, MRR, nDCG@10 per query as a QUERY, not
     // a spec (index quality per configuration is something a user runs
@@ -5860,6 +5905,239 @@ object SparkEntry {
     * → feat, with feat keyed media_id = i. q171 feeds range(200);
     * q208 feeds the derived frame ids vid·100 + frame of the
     * MJPEG-in-AVI corpus — SAME formula, zero new pixel math. */
+  /** q218/q219 oracle CTEs: the full unigram-LM training replay —
+    * word census, substring-candidate census + top-N selection, the
+    * integer-only log2lin weight formula, and per EM iteration the
+    * max-plus prefix-doubling Viterbi (struct max over
+    * (score, −n, −mask) — the engine's total-order tie-break) plus the
+    * piece decode from the cut bitmask. `emIters` E-steps replay
+    * unrolled; `rounds` doubling rounds per Viterbi. */
+  private def unigramCtes(maxPieceLen: Int, topN: Int, emIters: Int,
+                          rounds: Int): String = {
+    def l2l(x: String): String = {
+      val e = s"(length(bin($x)) - 1)"
+      val p = s"(CAST(1 AS BIGINT) << CAST($e AS INT))"
+      s"($e * 1048576 + (($x - $p) * 1048576) // $p)"
+    }
+    def wtCte(k: Int): String =
+      s"""wt$k AS MATERIALIZED (
+         |  SELECT piece, cnt, CAST(${l2l("c1")} - ${l2l("tt")} AS BIGINT)
+         |    AS wt
+         |  FROM (SELECT piece, cnt, CAST(cnt + 1 AS BIGINT) AS c1,
+         |          CAST(sum(cnt + 1) OVER () AS BIGINT) AS tt
+         |        FROM cnt$k))""".stripMargin
+    def viterbiCtes(k: Int): String = {
+      val e =
+        s"""e$k AS MATERIALIZED (
+           |  SELECT s.w, s.j, s.i, wt$k.wt AS score,
+           |    CAST(1 AS BIGINT) AS n, CAST(0 AS BIGINT) AS mask
+           |  FROM (SELECT w, CAST(j - 1 AS BIGINT) AS j,
+           |          CAST(j - 1 + pl AS BIGINT) AS i,
+           |          substr(w, CAST(j AS INT), CAST(pl AS INT)) AS piece
+           |        FROM wds,
+           |          unnest(generate_series(1, least($maxPieceLen, len)))
+           |            u(pl),
+           |          unnest(generate_series(1, len - pl + 1)) s(j)) s
+           |  JOIN wt$k USING (piece)),
+           |p${k}r0 AS MATERIALIZED (SELECT * FROM e$k)""".stripMargin
+      val rs = (1 to rounds).map { r =>
+        s"""p${k}r$r AS MATERIALIZED (
+           |  SELECT w, j, i,
+           |    struct_extract(bb, 's') AS score,
+           |    -struct_extract(bb, 'nn') AS n,
+           |    -struct_extract(bb, 'nm') AS mask
+           |  FROM (
+           |    SELECT w, j, i,
+           |      max(struct_pack(s := score, nn := -n, nm := -mask)) AS bb
+           |    FROM (
+           |      SELECT w, j, i, score, n, mask FROM p${k}r${r - 1}
+           |      UNION ALL
+           |      SELECT a.w, a.j, b.i, a.score + b.score, a.n + b.n,
+           |        a.mask + b.mask + (CAST(1 AS BIGINT) << CAST(a.i AS INT))
+           |      FROM p${k}r${r - 1} a JOIN p${k}r${r - 1} b
+           |        ON a.w = b.w AND a.i = b.j) u
+           |    GROUP BY w, j, i) m)""".stripMargin
+      }
+      val b =
+        s"""b$k AS MATERIALIZED (
+           |  SELECT p.w, p.n, p.mask, wds.cnt
+           |  FROM p${k}r$rounds p JOIN wds ON wds.w = p.w
+           |  WHERE p.j = 0 AND p.i = wds.len)""".stripMargin
+      (Seq(e) ++ rs ++ Seq(b)).mkString(",\n")
+    }
+    def cntCte(k: Int): String =
+      s"""cnt${k + 1} AS MATERIALIZED (
+         |  SELECT c.piece, CAST(coalesce(u.used, 0) AS BIGINT) AS cnt
+         |  FROM (SELECT piece FROM cands) c
+         |  LEFT JOIN (
+         |    SELECT piece, sum(cnt) AS used FROM (
+         |      SELECT unnest([substr(w, CAST(bnds[k] + 1 AS INT),
+         |          CAST(bnds[k + 1] - bnds[k] AS INT))
+         |          for k in generate_series(1, len(bnds) - 1)]) AS piece,
+         |        cnt
+         |      FROM (SELECT w, cnt,
+         |              [p for p in generate_series(0,
+         |                 CAST(length(w) AS BIGINT))
+         |               if p = 0 OR p = length(w)
+         |                 OR ((mask >> p) & 1) = 1] AS bnds
+         |            FROM b$k)) GROUP BY piece) u
+         |  USING (piece))""".stripMargin
+    val iters = (0 until emIters).map(k =>
+      s"${wtCte(k)},\n${viterbiCtes(k)},\n${cntCte(k)}").mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT source,
+       |    list_filter(string_split_regex(trim(regexp_replace(
+       |      lower(text), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS tk
+       |  FROM documents),
+       |wds AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+       |    CAST(length(w) AS BIGINT) AS len
+       |  FROM (SELECT unnest(tk) AS w FROM base) GROUP BY w),
+       |cands AS MATERIALIZED (
+       |  SELECT piece, census FROM (
+       |    SELECT piece, census,
+       |      CASE WHEN length(piece) = 1 THEN 0
+       |        ELSE row_number() OVER (PARTITION BY length(piece) = 1
+       |               ORDER BY census DESC, piece) END AS rn
+       |    FROM (
+       |      SELECT substr(w, CAST(j AS INT), CAST(pl AS INT)) AS piece,
+       |        CAST(sum(cnt) AS BIGINT) AS census
+       |      FROM wds,
+       |        unnest(generate_series(1, least($maxPieceLen, len))) u(pl),
+       |        unnest(generate_series(1, len - pl + 1)) s(j)
+       |      GROUP BY 1))
+       |  WHERE rn <= $topN),
+       |cnt0 AS (SELECT piece, census AS cnt FROM cands),
+       |$iters,
+       |${wtCte(emIters)}""".stripMargin
+  }
+
+  private def unigramLearnOracleSql(maxPieceLen: Int, topN: Int,
+                                    emIters: Int, rounds: Int): String = {
+    val parts = (0 to emIters)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS iter, piece, cnt, wt " +
+        s"FROM wt$k")
+      .mkString("\n  UNION ALL ")
+    s"""${unigramCtes(maxPieceLen, topN, emIters, rounds)}
+       |SELECT iter, piece, cnt, wt FROM (
+       |  $parts)
+       |ORDER BY iter, piece""".stripMargin
+  }
+
+  private def unigramEncodeOracleSql(maxPieceLen: Int, topN: Int,
+                                     emIters: Int, rounds: Int): String = {
+    // one more Viterbi under the FINAL weight table wt<emIters>
+    def viterbiFinal: String = {
+      val e =
+        s"""eF AS MATERIALIZED (
+           |  SELECT s.w, s.j, s.i, wt$emIters.wt AS score,
+           |    CAST(1 AS BIGINT) AS n, CAST(0 AS BIGINT) AS mask
+           |  FROM (SELECT w, CAST(j - 1 AS BIGINT) AS j,
+           |          CAST(j - 1 + pl AS BIGINT) AS i,
+           |          substr(w, CAST(j AS INT), CAST(pl AS INT)) AS piece
+           |        FROM wds,
+           |          unnest(generate_series(1, least($maxPieceLen, len)))
+           |            u(pl),
+           |          unnest(generate_series(1, len - pl + 1)) s(j)) s
+           |  JOIN wt$emIters USING (piece)),
+           |pFr0 AS MATERIALIZED (SELECT * FROM eF)""".stripMargin
+      val rs = (1 to rounds).map { r =>
+        s"""pFr$r AS MATERIALIZED (
+           |  SELECT w, j, i,
+           |    struct_extract(bb, 's') AS score,
+           |    -struct_extract(bb, 'nn') AS n,
+           |    -struct_extract(bb, 'nm') AS mask
+           |  FROM (
+           |    SELECT w, j, i,
+           |      max(struct_pack(s := score, nn := -n, nm := -mask)) AS bb
+           |    FROM (
+           |      SELECT w, j, i, score, n, mask FROM pFr${r - 1}
+           |      UNION ALL
+           |      SELECT a.w, a.j, b.i, a.score + b.score, a.n + b.n,
+           |        a.mask + b.mask + (CAST(1 AS BIGINT) << CAST(a.i AS INT))
+           |      FROM pFr${r - 1} a JOIN pFr${r - 1} b
+           |        ON a.w = b.w AND a.i = b.j) u
+           |    GROUP BY w, j, i) m)""".stripMargin
+      }
+      val b =
+        s"""bF AS MATERIALIZED (
+           |  SELECT p.w, p.n
+           |  FROM pFr$rounds p JOIN wds ON wds.w = p.w
+           |  WHERE p.j = 0 AND p.i = wds.len)""".stripMargin
+      (Seq(e) ++ rs ++ Seq(b)).mkString(",\n")
+    }
+    s"""${unigramCtes(maxPieceLen, topN, emIters, rounds)},
+       |$viterbiFinal,
+       |swd AS (
+       |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT source, unnest(tk) AS w FROM base) GROUP BY 1, 2)
+       |SELECT source, CAST(sum(c) AS BIGINT) AS words,
+       |  CAST(sum(length(w) * c) AS BIGINT) AS chars,
+       |  CAST(sum(n * c) AS BIGINT) AS pieces
+       |FROM swd JOIN bF USING (w)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** q217 oracle: the q208 derived-id pixel replay joined with the
+    * q110 audio-lane replay over the '42:avia:v:f:k' sha chains. */
+  private lazy val avAviOracleSql: String = {
+    val alpha = "'0123456789abcdef'"
+    def byteAt(off: String): String =
+      s"(strpos($alpha, substr(hexfull, 2 * ($off) + 1, 1)) - 1) * 16 " +
+        s"+ (strpos($alpha, substr(hexfull, 2 * ($off) + 2, 1)) - 1)"
+    val shaChunks = (0 to 3)
+      .map(k => "sha256('42:avia:' || CAST(v AS VARCHAR) || ':' || " +
+        s"CAST(f AS VARCHAR) || ':$k')")
+      .mkString(" || ")
+    val nfExpr =
+      """2 + ((strpos('0123456789abcdef', substr(sha256(
+        |      '42:avi:' || CAST(v AS VARCHAR) || ':nf'), 1, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(sha256(
+        |      '42:avi:' || CAST(v AS VARCHAR) || ':nf'), 2, 1)) - 1))
+        |      % 5""".stripMargin
+    jpegFeatCtes(
+      s"""SELECT v * 100 + f AS i
+         |  FROM (SELECT v, $nfExpr AS nf FROM range(60) t(v)) vids,
+         |       range(6) r(f)
+         |  WHERE f < nf""".stripMargin) +
+      s""",
+         |vidsA AS (SELECT v, $nfExpr AS nf FROM range(60) t(v)),
+         |aw AS (
+         |  SELECT v, f, $shaChunks AS hexfull
+         |  FROM vidsA, range(6) r(f) WHERE f < nf),
+         |smp AS (
+         |  SELECT v, f, j, ${byteAt("2 * j")} AS b0,
+         |    (${byteAt("2 * j")}) + 256 * (${byteAt("2 * j + 1")})
+         |      - CASE WHEN (${byteAt("2 * j")}) + 256 * (${byteAt("2 * j + 1")})
+         |             >= 32768 THEN 65536 ELSE 0 END AS s
+         |  FROM aw, range(64) r(j)),
+         |sgn AS (
+         |  SELECT v, f, j, s, b0,
+         |    CASE WHEN j > 0 AND ((s >= 0) <>
+         |        (lag(s) OVER (PARTITION BY v, f ORDER BY j) >= 0))
+         |      THEN 1 ELSE 0 END AS zc
+         |  FROM smp),
+         |afeat AS (
+         |  SELECT v, f,
+         |    sum(s) AS a0, sum(abs(s)) AS a1, max(s) AS a2, min(s) AS a3,
+         |    sum(zc) AS a4, sum(b0 * (j + 1)) AS a5,
+         |    640 AS a6, count(*) AS a7
+         |  FROM sgn GROUP BY v, f)
+         |SELECT CAST(afeat.v AS BIGINT) AS media_id,
+         |  CAST(afeat.f AS BIGINT) AS frame_idx,
+         |  CAST(afeat.f * 100 AS BIGINT) AS t_ms,
+         |  CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1,
+         |  CAST(f2 AS DOUBLE) AS f2, CAST(f3 AS DOUBLE) AS f3,
+         |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
+         |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7,
+         |  CAST(a0 AS DOUBLE) AS a0, CAST(a1 AS DOUBLE) AS a1,
+         |  CAST(a2 AS DOUBLE) AS a2, CAST(a3 AS DOUBLE) AS a3,
+         |  CAST(a4 AS DOUBLE) AS a4, CAST(a5 AS DOUBLE) AS a5,
+         |  CAST(a6 AS DOUBLE) AS a6, CAST(a7 AS DOUBLE) AS a7
+         |FROM afeat JOIN feat ON feat.media_id = afeat.v * 100 + afeat.f
+         |ORDER BY media_id, frame_idx""".stripMargin
+  }
+
   private def jpegFeatCtes(idSrc: String): String = {
     val alpha = "'0123456789abcdef'"
     def byteAt(src: String, off: Int): String =
@@ -9227,6 +9505,15 @@ object SparkEntry {
           |  CAST(f4 AS DOUBLE) AS f4, CAST(f5 AS DOUBLE) AS f5,
           |  CAST(f6 AS DOUBLE) AS f6, CAST(f7 AS DOUBLE) AS f7
           |FROM feat ORDER BY media_id, frame_idx""".stripMargin),
+
+    // A/V-aligned replay: the q208 per-frame pixel CTEs (derived id
+    // v·100+f) joined with the q110 audio-lane formula over the
+    // re-tagged sha chains ('42:avia:v:f:k', four digests = one 64-
+    // sample 100 ms window at 640 Hz).
+    "q217_av_avi" -> avAviOracleSql,
+
+    "q218_unigram_learn" -> unigramLearnOracleSql(4, 24, 2, 4),
+    "q219_unigram_encode" -> unigramEncodeOracleSql(4, 24, 2, 4),
 
     "q206_span_decontaminate" ->
       """WITH base AS (

@@ -238,4 +238,262 @@ object Avi {
       }
     }
   }
+
+  // ------------------------------------------ interleaved audio + video
+
+  final case class AvFrameFeatures(media_id: Long, frame_idx: Int,
+                                   t_ms: Int, vfeatures: Array[Float],
+                                   afeatures: Array[Float])
+
+  /** Samples per 100 ms audio window at the fixed 640 Hz synthetic
+    * rate: 64 samples = 128 bytes = exactly four sha256 digests, so
+    * each window is one clean hash-chain replay. */
+  private val AvAudioRate = 640
+  private val AvSamplesPerWindow = 64
+
+  /** Deterministic INTERLEAVED audio+video AVI (VERDICT r11 #4): the
+    * [[synthesizeAviMjpeg]] corpus extended with a second 'auds'
+    * stream — real AVI carries '01wb' PCM chunks interleaved with the
+    * '00dc' video chunks, and this synthesizer writes the standard
+    * frame-major interleave (each video frame's chunk immediately
+    * followed by the audio chunk covering its 100 ms window).
+    *
+    * Zero new decode math, the q208 discipline: frame f of video v is
+    * still [[Jpeg.latticeJpeg]] at derived id v·100+f (the q171
+    * oracle formula), and the audio window for frame f is the q110
+    * sample formula re-tagged — 64 signed 16-bit LE samples from
+    * sha256("seed:avia:v:f:k"), k = 0..3 (128 bytes = four digests),
+    * at 640 Hz so one window is exactly one 100 ms frame tick. The
+    * 'auds' strh carries scale/rate = 1/640 and the per-stream sample
+    * count; idx1 indexes BOTH chunk chains in file order. */
+  def synthesizeAviAv(spark: SparkSession, n: Int,
+                      seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).map { vid =>
+      def sha(tag: String): Array[Byte] =
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(tag.getBytes("UTF-8"))
+      val nf = 2 + (sha(s"$seed:avi:$vid:nf")(0) & 0xff) % 5
+      val frames = (0 until nf).map(f => Jpeg.latticeJpeg(seed, vid * 100L + f))
+      val (w0, h0) = (frames.head._2, frames.head._3)
+      val audioWindows = (0 until nf).map { f =>
+        (0 until 4).flatMap(k => sha(s"$seed:avia:$vid:$f:$k")).toArray
+      }
+
+      def chunk(cc: String, payload: Array[Byte]): Array[Byte] = {
+        val pad = if (payload.length % 2 == 1) Array(0.toByte)
+                  else Array.empty[Byte]
+        fourcc(cc) ++ u32le(payload.length) ++ payload ++ pad
+      }
+      def list(listType: String, payload: Array[Byte]): Array[Byte] =
+        fourcc("LIST") ++ u32le(payload.length + 4) ++ fourcc(listType) ++
+          payload
+
+      val avih = chunk("avih",
+        u32le(100000) ++ u32le(0) ++ u32le(0) ++ u32le(0x10) ++
+          u32le(nf) ++ u32le(0) ++ u32le(2) ++ u32le(0) ++
+          u32le(w0) ++ u32le(h0) ++ u32le(0) ++ u32le(0) ++ u32le(0) ++
+          u32le(0))
+      val strhV = chunk("strh",
+        fourcc("vids") ++ fourcc("MJPG") ++ u32le(0) ++ u16le(0) ++
+          u16le(0) ++ u32le(0) ++ u32le(1) ++ u32le(10) ++ u32le(0) ++
+          u32le(nf) ++ u32le(0) ++ u32le(0) ++ u32le(0) ++
+          u16le(0) ++ u16le(0) ++ u16le(w0) ++ u16le(h0))
+      val strfV = chunk("strf",
+        u32le(40) ++ u32le(w0) ++ u32le(h0) ++ u16le(1) ++ u16le(24) ++
+          fourcc("MJPG") ++ u32le(0) ++ u32le(0) ++ u32le(0) ++
+          u32le(0) ++ u32le(0))
+      val strhA = chunk("strh",
+        fourcc("auds") ++ u32le(0) ++ u32le(0) ++ u16le(0) ++
+          u16le(0) ++ u32le(0) ++ u32le(1) ++ u32le(AvAudioRate) ++
+          u32le(0) ++ u32le(nf * AvSamplesPerWindow) ++ u32le(0) ++
+          u32le(0) ++ u32le(0) ++
+          u16le(0) ++ u16le(0) ++ u16le(0) ++ u16le(0))
+      // WAVEFORMATEX: PCM, mono, 640 Hz, 16-bit
+      val strfA = chunk("strf",
+        u16le(1) ++ u16le(1) ++ u32le(AvAudioRate) ++
+          u32le(AvAudioRate * 2) ++ u16le(2) ++ u16le(16))
+      val hdrl = list("hdrl", avih ++ list("strl", strhV ++ strfV) ++
+        list("strl", strhA ++ strfA))
+
+      // frame-major interleave: 00dc_f immediately followed by 01wb_f
+      val moviChunks = (0 until nf).flatMap(f =>
+        Seq(("00dc", chunk("00dc", frames(f)._1)),
+          ("01wb", chunk("01wb", audioWindows(f)))))
+      val movi = list("movi", moviChunks.flatMap(_._2).toArray)
+      val offsets = moviChunks.map(_._2).scanLeft(4)(_ + _.length)
+      val sizes = (0 until nf).flatMap(f =>
+        Seq(frames(f)._1.length, audioWindows(f).length))
+      val idx1 = chunk("idx1",
+        moviChunks.indices.flatMap(c =>
+          fourcc(moviChunks(c)._1) ++ u32le(if (c % 2 == 0) 0x10 else 0) ++
+            u32le(offsets(c)) ++ u32le(sizes(c))).toArray)
+
+      val body = fourcc("AVI ") ++ hdrl ++ movi ++ idx1
+      val bytes = fourcc("RIFF") ++ u32le(body.length) ++ body
+      MediaRow(vid, "video", bytes,
+        MediaMeta(w0, h0, 3, "avi", nf * 100, AvAudioRate))
+    }.toDF()
+  }
+
+  /** Strict interleaved-AVI extraction: walks the RIFF tree, validates
+    * BOTH stream header chains (a 'vids' strh with a positive frame
+    * tick AND an 'auds' strh whose scale/rate matches the strf
+    * WAVEFORMATEX sample rate), the STRICT frame-major interleave
+    * ('00dc' and '01wb' chunks alternate, equal counts, audio chunk
+    * sized to exactly one frame tick of samples), and every idx1 entry
+    * (both fourcc chains) against actual offsets/sizes. Returns
+    * (video frame payloads, tick ms, audio rate, per-window samples). */
+  def decodeAviAv(bytes: Array[Byte])
+      : (Seq[Array[Byte]], Int, Int, Seq[Array[Short]]) = {
+    require(bytes.length >= 12, "not an AVI: too short")
+    def cc(off: Int): String =
+      new String(bytes, off, 4, "US-ASCII")
+    def u32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    def u16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    require(cc(0) == "RIFF", "not an AVI: bad RIFF magic")
+    require(u32(4) == bytes.length - 8,
+      s"RIFF size ${u32(4)} != ${bytes.length - 8}")
+    require(cc(8) == "AVI ", s"not an AVI: form '${cc(8)}'")
+
+    var scaleV = 0; var rateV = 0
+    var scaleA = 0; var rateA = 0
+    var fmtRate = -1
+    val chunks =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Int, Array[Byte])]
+    var idx1: Option[Array[Byte]] = None
+    var moviStart = -1
+
+    def walkStrl(off: Int, end: Int): Unit = {
+      var p = off
+      var kind = ""
+      while (p + 8 <= end) {
+        val sz = u32(p + 4)
+        cc(p) match {
+          case "strh" =>
+            kind = cc(p + 8)
+            require(sz >= 56, s"strh too short: $sz")
+            if (kind == "vids") {
+              scaleV = u32(p + 8 + 20); rateV = u32(p + 8 + 24)
+            } else if (kind == "auds") {
+              scaleA = u32(p + 8 + 20); rateA = u32(p + 8 + 24)
+            }
+          case "strf" if kind == "auds" =>
+            require(sz >= 16, s"auds strf too short: $sz")
+            require(u16(p + 8) == 1, "non-PCM audio stream")
+            require(u16(p + 8 + 2) == 1, "only mono audio supported")
+            require(u16(p + 8 + 14) == 16, "only 16-bit audio supported")
+            fmtRate = u32(p + 8 + 4)
+          case _ => ()
+        }
+        p += 8 + sz + (sz & 1)
+      }
+    }
+    def walkHdrl(off: Int, end: Int): Unit = {
+      var p = off
+      while (p + 8 <= end) {
+        val sz = u32(p + 4)
+        if (cc(p) == "LIST" && cc(p + 8) == "strl")
+          walkStrl(p + 12, p + 8 + sz)
+        p += 8 + sz + (sz & 1)
+      }
+    }
+    def walkMovi(off: Int, end: Int): Unit = {
+      var p = off
+      while (p + 8 <= end) {
+        val sz = u32(p + 4)
+        val id = cc(p)
+        if (id == "00dc" || id == "01wb")
+          chunks += ((id, p,
+            java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + sz)))
+        p += 8 + sz + (sz & 1)
+      }
+    }
+    var p = 12
+    while (p + 8 <= bytes.length) {
+      val sz = u32(p + 4)
+      cc(p) match {
+        case "LIST" => cc(p + 8) match {
+          case "hdrl" => walkHdrl(p + 12, p + 8 + sz)
+          case "movi" => moviStart = p + 8; walkMovi(p + 12, p + 8 + sz)
+          case _ => ()
+        }
+        case "idx1" =>
+          idx1 = Some(java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + sz))
+        case _ => ()
+      }
+      p += 8 + sz + (sz & 1)
+    }
+    require(rateV > 0 && scaleV > 0,
+      s"no vids timebase (scale=$scaleV rate=$rateV)")
+    require(rateA > 0 && scaleA > 0,
+      s"no auds timebase (scale=$scaleA rate=$rateA)")
+    val audioRate = rateA / scaleA
+    require(fmtRate == audioRate,
+      s"auds strh rate $audioRate != strf WAVEFORMATEX rate $fmtRate")
+    require(moviStart >= 0 && chunks.nonEmpty, "no movi chunks")
+    // STRICT frame-major interleave: 00dc_f immediately followed by
+    // 01wb_f, equal counts
+    require(chunks.length % 2 == 0,
+      s"odd chunk count ${chunks.length}: unpaired A/V")
+    val nf = chunks.length / 2
+    chunks.indices.foreach { c =>
+      val expect = if (c % 2 == 0) "00dc" else "01wb"
+      require(chunks(c)._1 == expect,
+        s"interleave break at chunk $c: '${chunks(c)._1}' (want '$expect')")
+    }
+    val tickMs = math.toIntExact(1000L * scaleV / rateV)
+    require(tickMs > 0, s"zero frame tick (scale=$scaleV rate=$rateV)")
+    // each audio chunk covers exactly one frame tick of samples
+    val spw = math.toIntExact(audioRate.toLong * tickMs / 1000)
+    require(spw > 0, s"zero samples per window (rate=$audioRate tick=$tickMs)")
+    // idx1 cross-check over BOTH chains, file order
+    val ix = idx1.getOrElse(throw new IllegalArgumentException("no idx1"))
+    require(ix.length == chunks.length * 16,
+      s"idx1 holds ${ix.length / 16} entries for ${chunks.length} chunks")
+    def ixU32(off: Int): Int =
+      (ix(off) & 0xff) | ((ix(off + 1) & 0xff) << 8) |
+        ((ix(off + 2) & 0xff) << 16) | ((ix(off + 3) & 0xff) << 24)
+    chunks.indices.foreach { c =>
+      val e = c * 16
+      require(new String(ix, e, 4, "US-ASCII") == chunks(c)._1,
+        s"idx1[$c] fourcc")
+      require(ixU32(e + 8) == chunks(c)._2 - moviStart,
+        s"idx1[$c] offset ${ixU32(e + 8)} != ${chunks(c)._2 - moviStart}")
+      require(ixU32(e + 12) == chunks(c)._3.length, s"idx1[$c] size")
+    }
+    val frames = (0 until nf).map(f => chunks(2 * f)._3)
+    val windows = (0 until nf).map { f =>
+      val raw = chunks(2 * f + 1)._3
+      require(raw.length == spw * 2,
+        s"audio window $f carries ${raw.length / 2} samples, want $spw")
+      Array.tabulate(spw) { j =>
+        ((raw(2 * j) & 0xff) | ((raw(2 * j + 1) & 0xff) << 8)).toShort
+      }
+    }
+    (frames, tickMs, audioRate, windows)
+  }
+
+  /** A/V-ALIGNED per-frame features over interleaved AVI: for frame f,
+    * the 8 JPEG lanes ([[Jpeg.decodeJpeg]]) plus the 8 audio lanes of
+    * its 100 ms sample window ([[Multimodal]]'s q110 sampleLanes
+    * formula — sum, |sum|, max, min, zero crossings, position-weighted
+    * low bytes, rate, count) — the per-sample-window + active-frame
+    * join on the shared timeline, evaluated where the codec seam rule
+    * demands: both decodes in ONE map partition, bytes never cross a
+    * shuffle. */
+  def avFrameFeatures(media: DataFrame): Dataset[AvFrameFeatures] = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].filter(_.kind == "video").flatMap { m =>
+      val (frames, tickMs, audioRate, windows) = decodeAviAv(m.bytes)
+      frames.indices.map { f =>
+        AvFrameFeatures(m.media_id, f, f * tickMs,
+          Jpeg.decodeJpeg(frames(f)),
+          Multimodal.audioLanes(windows(f), audioRate))
+      }
+    }
+  }
 }

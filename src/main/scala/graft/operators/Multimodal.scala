@@ -645,6 +645,12 @@ object Multimodal {
 
   /** decodeWav's 8 integer-exact feature lanes over signed samples
     * (shared by the WAV decode and resample paths). */
+  /** [[sampleLanes]] for sibling codecs (the AVI audio windows) —
+    * the q110 audio-lane formula is the shared contract. */
+  private[operators] def audioLanes(samples: Array[Short],
+                                    sampleRate: Int): Array[Float] =
+    sampleLanes(samples, sampleRate)
+
   private def sampleLanes(samples: Array[Short], sampleRate: Int): Array[Float] = {
     var sum, absSum, posWeighted, crossings = 0L
     var mx = Int.MinValue

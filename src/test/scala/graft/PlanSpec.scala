@@ -118,7 +118,8 @@ class PlanSpec extends SparkSpec {
   test("q208/q210: the AVI video lane is map-only — container walk + " +
       "per-frame JPEG decode run in the scan stage, sole exchange is " +
       "the final sort") {
-    for (q <- Seq("q208_mjpeg_avi", "q210_avi_frame_sample")) {
+    for (q <- Seq("q208_mjpeg_avi", "q210_avi_frame_sample",
+        "q217_av_avi")) {
       val p = executedPlanOf(q).split("== Initial Plan ==").head
       // synthesize → flatMap frame-extract+decode → project, then the
       // ordered output's range exchange; a second exchange would mean
@@ -429,6 +430,11 @@ class PlanSpec extends SparkSpec {
       // survive into its plan); q215 adds the q26 brute-force truth
       // pattern (broadcast held-out query side, one corpus pass)
       "q214_graph_ann_search", "q215_graph_search_quality",
+      // q218/q219: the one-row smoothed-total frame (and the ≤8-row
+      // piece-length dimension) broadcast into vocabulary-class scans
+      // — the q142/q167 scalar shape; the Viterbi rounds themselves
+      // are checkpointed and never reach the output plan
+      "q218_unigram_learn", "q219_unigram_encode",
       // q213: the minimax (j ≤ k) pair table is a deliberate
       // broadcast theta-join over the BOUNDED score census (both
       // sides census-sized — the maxScores raise guards the square)

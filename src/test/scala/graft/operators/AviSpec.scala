@@ -102,4 +102,88 @@ class AviSpec extends SparkSpec {
       Avi.decodeAviFrames(mangled)
     }
   }
+
+  // ---------------------------------------- interleaved audio + video
+
+  private def firstAv = Avi.synthesizeAviAv(spark, 3)
+    .as[Multimodal.MediaRow].collect().sortBy(_.media_id)
+
+  test("interleaved AVI round-trips: both stream chains validate, the " +
+      "frame count matches the sha rule, each 100 ms audio window " +
+      "carries exactly 64 samples replaying the tagged sha chain") {
+    for (m <- firstAv) {
+      val nfh = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"42:avi:${m.media_id}:nf".getBytes("UTF-8"))
+      val wantNf = 2 + (nfh(0) & 0xff) % 5
+      val (frames, tick, rate, windows) = Avi.decodeAviAv(m.bytes)
+      assert(frames.length == wantNf && tick == 100 && rate == 640)
+      assert(windows.length == wantNf)
+      for ((w, f) <- windows.zipWithIndex) {
+        assert(w.length == 64)
+        // replay the audio formula by hand: 4 sha digests, LE 16-bit
+        val raw = (0 until 4).flatMap { k =>
+          java.security.MessageDigest.getInstance("SHA-256")
+            .digest(s"42:avia:${m.media_id}:$f:$k".getBytes("UTF-8"))
+        }.toArray
+        val want = Array.tabulate(64) { j =>
+          ((raw(2 * j) & 0xff) | ((raw(2 * j + 1) & 0xff) << 8)).toShort
+        }
+        assert(w.sameElements(want), s"audio window $f desynced")
+      }
+      // video frames are still the q171 lattice at derived ids
+      frames.zipWithIndex.foreach { case (fr, f) =>
+        assert(fr.sameElements(
+          Jpeg.latticeJpeg(42L, m.media_id * 100L + f)._1))
+      }
+    }
+  }
+
+  test("the interleaved walker rejects interleave breaks and " +
+      "single-stream files loudly") {
+    val good = firstAv.head.bytes
+    // a single-stream MJPEG file has no auds chain — reject
+    intercept[IllegalArgumentException] {
+      Avi.decodeAviAv(firstVideo.head.bytes)
+    }
+    // swap the first 00dc/01wb pair order by rewriting their fourccs:
+    // find the movi list, flip chunk 0's tag to 01wb
+    def u32(b: Array[Byte], o: Int) =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    var p = 12; var movi = -1
+    while (p + 8 <= good.length && movi < 0) {
+      if (new String(good, p, 4, "US-ASCII") == "LIST" &&
+          new String(good, p + 8, 4, "US-ASCII") == "movi") movi = p
+      else p += 8 + u32(good, p + 4) + (u32(good, p + 4) & 1)
+    }
+    assert(movi > 0)
+    val mangled = good.clone()
+    // chunk 0 starts at movi+12; overwrite its fourcc with '01wb'
+    "01wb".getBytes("US-ASCII").copyToArray(mangled, movi + 12)
+    intercept[IllegalArgumentException] {
+      Avi.decodeAviAv(mangled)
+    }
+    // the old single-stream decoder keeps working on interleaved files?
+    // NO — by contract decodeAviFrames sees the extra chunks as opaque
+    // and still needs its single-chain idx1; the interleaved file's
+    // two-chain idx1 makes it throw rather than silently drop audio
+    intercept[IllegalArgumentException] {
+      Avi.decodeAviFrames(good)
+    }
+  }
+
+  test("avFrameFeatures equals decoding both streams by hand") {
+    val feats = Avi.avFrameFeatures(Avi.synthesizeAviAv(spark, 3))
+      .collect().map(r => (r.media_id, r.frame_idx) -> (r.vfeatures, r.afeatures))
+      .toMap
+    for (m <- firstAv) {
+      val (frames, tick, rate, windows) = Avi.decodeAviAv(m.bytes)
+      frames.indices.foreach { f =>
+        val (vf, af) = feats((m.media_id, f))
+        assert(vf.sameElements(Jpeg.decodeJpeg(frames(f))))
+        assert(af.sameElements(Multimodal.audioLanes(windows(f), rate)))
+        assert(tick == 100)
+      }
+    }
+  }
 }

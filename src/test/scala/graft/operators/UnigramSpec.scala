@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Unigram-LM tokenizer training: census selection, the scaled-long
+  * weight formula, Viterbi segmentation behavior (frequent substrings
+  * win over char-level splits), the coverage guarantee, hard-EM
+  * convergence, and the over-length raise. */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  // "abab" appears often → pieces "ab"/"abab" dominate; "zq" is rare
+  private def corpus = Seq(
+    (1L, "abab abab abab cdcd", "s1"),
+    (2L, "abab cdcd abab abab", "s1"),
+    (3L, "abab abab zq cdcd", "s2"),
+    (4L, "abab cdcd cdcd abab", "s2"),
+  ).toDF("doc_id", "text", "source")
+
+  test("learn output covers every candidate at every iteration, single " +
+      "chars always survive selection, and counts conserve the corpus") {
+    val out = Unigram.learn(corpus, "text", maxPieceLen = 4, topN = 6,
+      emIters = 2).collect()
+    val byIter = out.groupBy(_.getLong(0))
+    assert(byIter.keySet == Set(0L, 1L, 2L))
+    val pieces0 = byIter(0L).map(_.getString(1)).toSet
+    // same candidate set at every iteration (smoothing keeps all alive)
+    for (k <- Seq(1L, 2L))
+      assert(byIter(k).map(_.getString(1)).toSet == pieces0)
+    // coverage: all corpus characters present as single-char pieces
+    for (c <- "abcdzq") assert(pieces0.contains(c.toString), s"missing $c")
+    // Viterbi counts at iter >= 1: total characters covered equals the
+    // corpus character count (every word fully segmented, exactly once)
+    val chars = corpus.as[(Long, String, String)].collect()
+      .map(_._2.replace(" ", "").length).sum
+    for (k <- Seq(1L, 2L)) {
+      val covered = byIter(k)
+        .map(r => r.getString(1).length * r.getLong(2)).sum
+      assert(covered == chars, s"iter $k covered $covered != $chars")
+    }
+  }
+
+  test("frequent multi-char pieces win the segmentation over " +
+      "char-level splits") {
+    val out = Unigram.learn(corpus, "text", maxPieceLen = 4, topN = 6,
+      emIters = 2).filter($"iter" === 2).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    // "abab" occurs 10 times as a word; its Viterbi count must reflect
+    // a multi-char segmentation, not 4 single chars
+    assert(out.getOrElse("abab", 0L) == 10L ||
+      out.getOrElse("ab", 0L) >= 20L,
+      s"multi-char pieces unused: $out")
+    // single chars a/b carry no count once "ab(ab)" wins
+    assert(out("a") == 0L && out("b") == 0L, s"char-level leak: $out")
+  }
+
+  test("encodeStats: pieces strictly below chars (compression) and " +
+      "words/chars match the corpus exactly") {
+    val st = Unigram.encodeStats(corpus, "text", "source",
+      maxPieceLen = 4, topN = 6, emIters = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(st.keySet == Set("s1", "s2"))
+    assert(st("s1")._1 == 8 && st("s2")._1 == 8) // 4 words per doc
+    val chars1 = Seq("abab abab abab cdcd", "abab cdcd abab abab")
+      .map(_.replace(" ", "").length).sum
+    assert(st("s1")._2 == chars1)
+    for ((s, (_, ch, pc)) <- st)
+      assert(pc < ch, s"$s: no compression ($pc vs $ch)")
+  }
+
+  test("deterministic: two runs produce identical outputs") {
+    val a = Unigram.learn(corpus, "text", emIters = 2).collect().toSet
+    val b = Unigram.learn(corpus, "text", emIters = 2).collect().toSet
+    assert(a == b)
+  }
+
+  test("over-length words raise loudly inside the plan") {
+    val bad = Seq((1L, "a" * 40, "s1")).toDF("doc_id", "text", "source")
+    val e = intercept[Exception] {
+      Unigram.learn(bad, "text", maxWordLen = 16).collect()
+    }
+    assert(e.getMessage != null)
+  }
+}
