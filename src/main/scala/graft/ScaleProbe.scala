@@ -170,7 +170,7 @@ object ScaleProbe {
     // select NOTHING and exit cleanly — in a scripted battery an empty
     // section reads as an intentionally empty family
     val knownBare = Set("dup", "inc", "x100", "skew", "asof", "gen", "linear",
-      "graph", "dhash", "semdedup", "media", "r11")
+      "graph", "dhash", "semdedup", "media", "r11", "r12")
     for (a <- args)
       require(knownBare(a) || a.startsWith("only:") || a.startsWith("dup:"),
         s"unknown ScaleProbe mode '$a' (known: ${knownBare.mkString("/")}, " +
@@ -194,6 +194,7 @@ object ScaleProbe {
     if (args.contains("media")) { mediaProbe(spark); spark.stop(); return }
     if (args.contains("semdedup")) { semDedupProbe(spark, srcDir); spark.stop(); return }
     if (args.contains("r11")) { r11Probe(spark, srcDir); spark.stop(); return }
+    if (args.contains("r12")) { r12Probe(spark, srcDir); spark.stop(); return }
 
     if (genOnly || (args.isEmpty && !dupOnly && !incOnly && !x100Only)) {
       ProbeCorpus.replicateDocuments(spark, srcDir, 10)
@@ -643,6 +644,85 @@ object ScaleProbe {
     println(f"[scale-r11] ivfpq_probe stand1x=${pr1}%6.2fs " +
       f"stand10x=${pr10}%6.2fs ratio=${pr10 / pr1}%5.2f " +
       "(candidates grow corpus/cells at fixed cells)")
+  }
+
+  /** Round-12 probes: the graph-ANN serving walk (which is ALSO the
+    * KnnGraphStream per-drain insert — insert = walk), embedding-space
+    * decontamination, the A/V codec lane, and the unigram-LM trainer.
+    * Assumes `gen` ran (10x documents + embeddings at bigDir). */
+  private def r12Probe(spark: SparkSession, srcDir: String): Unit = {
+    import graft.operators.{Avi, Similarity, Unigram}
+    def time(fn: => DataFrame): Double = timeMedian(spark)(fn)
+    spark.read.parquet(s"$srcDir/region.parquet")
+      .groupBy("r_name").count().queryExecution.toRdd.count() // warmup
+    val emb1 = s"$srcDir/embeddings.parquet"
+    val emb10 = s"$bigDir/embeddings.parquet"
+
+    // graph-ANN SERVING walk: a FIXED query set (the 1x mod-13 slice,
+    // ~150 vectors) walks graphs built over 2k vs 20k corpora.
+    // Per-query candidate volume is beam·(2k)·steps regardless of
+    // corpus; the only corpus term is the adjacency hash-join scan —
+    // the ratio prices exactly that. This is simultaneously the
+    // KnnGraphStream per-drain claim: insert = this walk (the spec
+    // pins the equality), so a bounded reading here IS the O(batch)
+    // drain measurement. Graphs are parquet FIXTURES (timeMedian's
+    // per-run hygiene would free a localCheckpoint — the q195 lesson).
+    def corpusOf(path: String): DataFrame =
+      spark.read.parquet(path).filter(col("vec_id") % 13 =!= 0)
+    val queries = spark.read.parquet(emb1)
+      .filter(col("vec_id") % 13 === 0).localCheckpoint()
+    Similarity.nnDescentKnn(corpusOf(emb1), "vec_id", "embedding", 8, 16, 2)
+      .write.mode("overwrite").parquet(s"$bigDir/knng_1")
+    Similarity.nnDescentKnn(corpusOf(emb10), "vec_id", "embedding", 8, 50, 2)
+      .write.mode("overwrite").parquet(s"$bigDir/knng_10")
+    val w1 = time(Similarity.nnDescentSearch(
+      spark.read.parquet(s"$bigDir/knng_1"), corpusOf(emb1),
+      "vec_id", "embedding", queries, "vec_id", "embedding", 8, 16, 8, 2))
+    val w10 = time(Similarity.nnDescentSearch(
+      spark.read.parquet(s"$bigDir/knng_10"), corpusOf(emb10),
+      "vec_id", "embedding", queries, "vec_id", "embedding", 8, 16, 8, 2))
+    println(f"[scale-r12] q214_walk_drain stand1x=${w1}%6.2fs " +
+      f"stand10x=${w10}%6.2fs ratio=${w10 / w1}%5.2f " +
+      "(want bounded: beam-k-steps candidates, adjacency scan only)")
+
+    // embedding decontamination: FIXED eval set (the 1x %11 perturbed
+    // slice), corpus 1x vs 10x — eval bands/vectors broadcast, the
+    // corpus term is one band-derivation pass + candidate rescore
+    def evalOf(path: String): DataFrame = spark.read.parquet(path)
+      .filter(col("vec_id") % 11 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(Similarity.asDouble(col("embedding")),
+          (x, i) => when(i === 0, x + lit(0.001)).otherwise(x))
+          .as("embedding"))
+    val evalSet = evalOf(emb1).localCheckpoint()
+    val ed1 = time(Similarity.embeddingDecontaminate(
+      spark.read.parquet(emb1), "vec_id", "embedding",
+      evalSet, "vec_id", "embedding", 0.999))
+    val ed10 = time(Similarity.embeddingDecontaminate(
+      spark.read.parquet(emb10), "vec_id", "embedding",
+      evalSet, "vec_id", "embedding", 0.999))
+    println(f"[scale-r12] q216_emb_decontam 1x=${ed1}%6.2fs " +
+      f"10x=${ed10}%6.2fs ratio=${ed10 / ed1}%5.2f (want ~linear)")
+
+    // interleaved A/V codec lane: map-only, the q208 floor plus one
+    // JPEG-sized audio window per frame
+    val av1 = time(Avi.avFrameFeatures(Avi.synthesizeAviAv(spark, 60)).toDF())
+    val av10 = time(Avi.avFrameFeatures(Avi.synthesizeAviAv(spark, 600)).toDF())
+    println(f"[scale-r12] q217_av_avi 60=${av1}%6.2fs " +
+      f"600=${av10}%6.2fs ratio=${av10 / av1}%5.2f (map-only floor)")
+
+    // unigram-LM trainer: documents 1x vs 10x replicas — the corpus
+    // pass is the only corpus-sized job; the census, candidate set,
+    // and every DP round are vocabulary-class (identical across the
+    // replicas by construction), so the ratio prices the corpus pass
+    // against the fixed EM cost
+    val ug1 = time(Unigram.learn(
+      spark.read.parquet(s"$srcDir/documents.parquet"), "text"))
+    val ug10 = time(Unigram.learn(
+      spark.read.parquet(s"$bigDir/documents.parquet"), "text"))
+    println(f"[scale-r12] q218_unigram 1x=${ug1}%6.2fs " +
+      f"10x=${ug10}%6.2fs ratio=${ug10 / ug1}%5.2f " +
+      "(corpus pass + fixed vocab-class EM)")
   }
 
   /** SemDeDup probe on BOTH axes of its scale story (assumes `gen` ran:

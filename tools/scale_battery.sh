@@ -43,5 +43,6 @@ run dhash
 run semdedup
 run media
 run r11
+run r12
 echo "battery complete -> $OUT"
 cat "$OUT"
