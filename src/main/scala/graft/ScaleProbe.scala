@@ -669,8 +669,11 @@ object ScaleProbe {
     // per-run hygiene would free a localCheckpoint — the q195 lesson).
     def corpusOf(path: String): DataFrame =
       spark.read.parquet(path).filter(col("vec_id") % 13 =!= 0)
-    val queries = spark.read.parquet(emb1)
-      .filter(col("vec_id") % 13 === 0).localCheckpoint()
+    // queries and eval set are parquet FIXTURES, not localCheckpoints —
+    // timeMedian's per-run hygiene frees checkpoints (the q195 lesson)
+    spark.read.parquet(emb1).filter(col("vec_id") % 13 === 0)
+      .write.mode("overwrite").parquet(s"$bigDir/knng_q")
+    val queries = spark.read.parquet(s"$bigDir/knng_q")
     Similarity.nnDescentKnn(corpusOf(emb1), "vec_id", "embedding", 8, 16, 2)
       .write.mode("overwrite").parquet(s"$bigDir/knng_1")
     Similarity.nnDescentKnn(corpusOf(emb10), "vec_id", "embedding", 8, 50, 2)
@@ -694,7 +697,8 @@ object ScaleProbe {
         transform(Similarity.asDouble(col("embedding")),
           (x, i) => when(i === 0, x + lit(0.001)).otherwise(x))
           .as("embedding"))
-    val evalSet = evalOf(emb1).localCheckpoint()
+    evalOf(emb1).write.mode("overwrite").parquet(s"$bigDir/ed_eval")
+    val evalSet = spark.read.parquet(s"$bigDir/ed_eval")
     val ed1 = time(Similarity.embeddingDecontaminate(
       spark.read.parquet(emb1), "vec_id", "embedding",
       evalSet, "vec_id", "embedding", 0.999))
