@@ -1138,6 +1138,20 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // The SentencePiece loop's THIRD phase: prune the EM-fitted
+    // vocabulary to all single chars + the top keepN multi-char
+    // pieces by EM count (the deterministic stand-in for
+    // likelihood-loss pruning — hard-EM counts ARE each piece's
+    // segmentation contribution), then re-fit under weights
+    // renormalized over the survivors. Gated per ORIGINAL candidate:
+    // kept flag, pre-prune count, post-prune re-fit count (pruned
+    // pieces' mass flows to survivors).
+    "q220_unigram_prune" -> ((s, d) => {
+      operators.Unigram.pruneStats(t(s, d, "documents"), "text",
+          keepN = 8)
+        .orderBy(col("piece"))
+    }),
+
     // Ranked-retrieval quality of the IVF tier against brute-force
     // ground truth — recall@10, MRR, nDCG@10 per query as a QUERY, not
     // a spec (index quality per configuration is something a user runs
@@ -6024,6 +6038,93 @@ object SparkEntry {
        |ORDER BY iter, piece""".stripMargin
   }
 
+  /** q220 oracle: the q218 chain + the prune rule (all single chars +
+    * top keepN multi-char by (EM count desc, piece) among used ones) +
+    * weights renormalized over the survivors + one more unrolled
+    * Viterbi E-step, reported per original candidate. */
+  private def unigramPruneOracleSql(maxPieceLen: Int, topN: Int,
+                                    emIters: Int, rounds: Int,
+                                    keepN: Int): String = {
+    def l2l(x: String): String = {
+      val e = s"(length(bin($x)) - 1)"
+      val p = s"(CAST(1 AS BIGINT) << CAST($e AS INT))"
+      s"($e * 1048576 + (($x - $p) * 1048576) // $p)"
+    }
+    val rs = (1 to rounds).map { r =>
+      s"""pKr$r AS MATERIALIZED (
+         |  SELECT w, j, i,
+         |    struct_extract(bb, 's') AS score,
+         |    -struct_extract(bb, 'nn') AS n,
+         |    -struct_extract(bb, 'nm') AS mask
+         |  FROM (
+         |    SELECT w, j, i,
+         |      max(struct_pack(s := score, nn := -n, nm := -mask)) AS bb
+         |    FROM (
+         |      SELECT w, j, i, score, n, mask FROM pKr${r - 1}
+         |      UNION ALL
+         |      SELECT a.w, a.j, b.i, a.score + b.score, a.n + b.n,
+         |        a.mask + b.mask + (CAST(1 AS BIGINT) << CAST(a.i AS INT))
+         |      FROM pKr${r - 1} a JOIN pKr${r - 1} b
+         |        ON a.w = b.w AND a.i = b.j) u
+         |    GROUP BY w, j, i) m)""".stripMargin
+    }.mkString(",\n")
+    s"""${unigramCtes(maxPieceLen, topN, emIters, rounds)},
+       |keep AS MATERIALIZED (
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt, CASE WHEN length(piece) = 1 THEN 0
+       |      ELSE row_number() OVER (PARTITION BY length(piece) = 1
+       |             ORDER BY cnt DESC, piece) END AS rn
+       |    FROM cnt$emIters)
+       |  WHERE (length(piece) = 1 OR cnt > 0) AND rn <= $keepN),
+       |wtK AS MATERIALIZED (
+       |  SELECT piece, cnt, CAST(${l2l("c1")} - ${l2l("tt")} AS BIGINT)
+       |    AS wt
+       |  FROM (SELECT piece, cnt, CAST(cnt + 1 AS BIGINT) AS c1,
+       |          CAST(sum(cnt + 1) OVER () AS BIGINT) AS tt
+       |        FROM keep)),
+       |eK AS MATERIALIZED (
+       |  SELECT s.w, s.j, s.i, wtK.wt AS score,
+       |    CAST(1 AS BIGINT) AS n, CAST(0 AS BIGINT) AS mask
+       |  FROM (SELECT w, CAST(j - 1 AS BIGINT) AS j,
+       |          CAST(j - 1 + pl AS BIGINT) AS i,
+       |          substr(w, CAST(j AS INT), CAST(pl AS INT)) AS piece
+       |        FROM wds,
+       |          unnest(generate_series(1, least($maxPieceLen, len)))
+       |            u(pl),
+       |          unnest(generate_series(1, len - pl + 1)) s(j)) s
+       |  JOIN wtK USING (piece)),
+       |pKr0 AS MATERIALIZED (SELECT * FROM eK),
+       |$rs,
+       |bK AS MATERIALIZED (
+       |  SELECT p.w, p.n, p.mask, wds.cnt
+       |  FROM pKr$rounds p JOIN wds ON wds.w = p.w
+       |  WHERE p.j = 0 AND p.i = wds.len),
+       |cntK AS MATERIALIZED (
+       |  SELECT c.piece, CAST(coalesce(u.used, 0) AS BIGINT) AS cnt
+       |  FROM (SELECT piece FROM keep) c
+       |  LEFT JOIN (
+       |    SELECT piece, sum(cnt) AS used FROM (
+       |      SELECT unnest([substr(w, CAST(bnds[k] + 1 AS INT),
+       |          CAST(bnds[k + 1] - bnds[k] AS INT))
+       |          for k in generate_series(1, len(bnds) - 1)]) AS piece,
+       |        cnt
+       |      FROM (SELECT w, cnt,
+       |              [p for p in generate_series(0,
+       |                 CAST(length(w) AS BIGINT))
+       |               if p = 0 OR p = length(w)
+       |                 OR ((mask >> p) & 1) = 1] AS bnds
+       |            FROM bK)) GROUP BY piece) u
+       |  USING (piece))
+       |SELECT c.piece,
+       |  CAST(CASE WHEN k.piece IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS kept,
+       |  c.cnt AS cnt_pre, CAST(COALESCE(p.cnt, 0) AS BIGINT) AS cnt_post
+       |FROM cnt$emIters c
+       |LEFT JOIN keep k USING (piece)
+       |LEFT JOIN cntK p USING (piece)
+       |ORDER BY c.piece""".stripMargin
+  }
+
   private def unigramEncodeOracleSql(maxPieceLen: Int, topN: Int,
                                      emIters: Int, rounds: Int): String = {
     // one more Viterbi under the FINAL weight table wt<emIters>
@@ -9514,6 +9615,7 @@ object SparkEntry {
 
     "q218_unigram_learn" -> unigramLearnOracleSql(4, 24, 2, 4),
     "q219_unigram_encode" -> unigramEncodeOracleSql(4, 24, 2, 4),
+    "q220_unigram_prune" -> unigramPruneOracleSql(4, 24, 2, 4, 8),
 
     "q206_span_decontaminate" ->
       """WITH base AS (

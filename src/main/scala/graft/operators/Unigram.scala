@@ -169,6 +169,22 @@ object Unigram {
       .select(col("piece"), col("cnt"), col("wt"))
   }
 
+  /** One E-step: Viterbi-segment every word under weight table `w`,
+    * count used pieces (occurrence-weighted), and return counts over
+    * the candidate set `cands` (zero for unused — smoothing keeps them
+    * alive downstream). */
+  private def estepCounts(words: DataFrame, cands: DataFrame, w: DataFrame,
+                          maxPieceLen: Int, rounds: Int): DataFrame = {
+    val best = viterbi(words, w, maxPieceLen, rounds)
+    val used = withPieces(best.join(words.select(col("w"), col("cnt")),
+        Seq("w")))
+      .select(explode(col("pieces")).as("piece"), col("cnt"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("used"))
+    cands.select(col("piece"))
+      .join(used, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("used"), lit(0L)).as("cnt"))
+  }
+
   /** LEARN: fixed candidate census + `emIters` hard-EM iterations.
     * Returns one row per (iter, piece): `cnt` is the piece's count at
     * that iteration (iter 0 = census weight; iter k ≥ 1 = Viterbi
@@ -189,20 +205,58 @@ object Unigram {
     var counts = cands.select(col("piece"), col("census").as("cnt"))
     val perIter = (0 to emIters).map { k =>
       val w = weighted(counts)
-      if (k < emIters) {
-        val best = viterbi(words, w, maxPieceLen, rounds)
-        val used = withPieces(best.join(words.select(col("w"), col("cnt")),
-            Seq("w")))
-          .select(explode(col("pieces")).as("piece"), col("cnt"))
-          .groupBy(col("piece")).agg(sum(col("cnt")).as("used"))
-        counts = cands.select(col("piece"))
-          .join(used, Seq("piece"), "left")
-          .select(col("piece"), coalesce(col("used"), lit(0L)).as("cnt"))
-      }
+      if (k < emIters)
+        counts = estepCounts(words, cands, w, maxPieceLen, rounds)
       w.select(lit(k.toLong).as("iter"), col("piece"), col("cnt"),
         col("wt"))
     }
     perIter.reduce(_ unionByName _)
+  }
+
+  /** PRUNE + RE-FIT (the full SentencePiece loop's third phase): after
+    * `emIters` hard-EM iterations over the fixed census, keep all
+    * single characters (coverage) plus the top `keepN` multi-char
+    * pieces by (EM count desc, piece asc) among those the E-step
+    * actually used — the deterministic stand-in for likelihood-loss
+    * pruning (hard-EM counts ARE each piece's contribution to the
+    * corpus segmentation) — then re-fit: one more E-step under weights
+    * renormalized over the SURVIVING set. Returns one row per ORIGINAL
+    * candidate: (piece, kept, cnt_pre, cnt_post) — cnt_pre the final
+    * pre-prune EM count, cnt_post the post-prune re-fit count (0 for
+    * pruned pieces; their mass flows to the survivors, which the
+    * corpus-conservation law in the spec pins). */
+  def pruneStats(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
+                 topN: Int = 24, emIters: Int = 2, keepN: Int = 8,
+                 maxWordLen: Int = 16): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 8, "maxPieceLen out of range")
+    require(emIters >= 1 && emIters <= 4, "emIters out of range")
+    require(keepN >= 0 && keepN <= topN, "keepN out of range")
+    require(maxWordLen >= 2 && maxWordLen <= 32, "maxWordLen out of range")
+    val rounds = 32 - Integer.numberOfLeadingZeros(maxWordLen - 1)
+    val words = wordCensus(docs, textCol, maxWordLen).localCheckpoint()
+    val cands = candidateCensus(words, maxPieceLen, topN).localCheckpoint()
+    var counts = cands.select(col("piece"), col("census").as("cnt"))
+    for (_ <- 0 until emIters)
+      counts = estepCounts(words, cands, weighted(counts),
+        maxPieceLen, rounds)
+    val pre = counts.localCheckpoint()
+    val kept = pre
+      .withColumn("rn", when(length(col("piece")) === 1, lit(0L))
+        .otherwise(row_number().over(Window
+          .partitionBy(length(col("piece")) === 1)
+          .orderBy(col("cnt").desc, col("piece"))).cast("long")))
+      .filter((length(col("piece")) === 1 ||
+        col("cnt") > 0) && col("rn") <= keepN)
+      .select(col("piece"), col("cnt"))
+    val post = estepCounts(words, kept, weighted(kept),
+      maxPieceLen, rounds)
+    pre.join(kept.select(col("piece"), lit(1L).as("kept")),
+        Seq("piece"), "left")
+      .join(post.select(col("piece"), col("cnt").as("cnt_post")),
+        Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("kept"), lit(0L)).as("kept"),
+        col("cnt").as("cnt_pre"),
+        coalesce(col("cnt_post"), lit(0L)).as("cnt_post"))
   }
 
   /** ENCODE: per-source tokenization stats under the LEARNED weights
@@ -232,16 +286,9 @@ object Unigram {
       .localCheckpoint()
     val cands = candidateCensus(words, maxPieceLen, topN).localCheckpoint()
     var counts = cands.select(col("piece"), col("census").as("cnt"))
-    for (_ <- 0 until emIters) {
-      val best = viterbi(words, weighted(counts), maxPieceLen, rounds)
-      val used = withPieces(best.join(words.select(col("w"), col("cnt")),
-          Seq("w")))
-        .select(explode(col("pieces")).as("piece"), col("cnt"))
-        .groupBy(col("piece")).agg(sum(col("cnt")).as("used"))
-      counts = cands.select(col("piece"))
-        .join(used, Seq("piece"), "left")
-        .select(col("piece"), coalesce(col("used"), lit(0L)).as("cnt"))
-    }
+    for (_ <- 0 until emIters)
+      counts = estepCounts(words, cands, weighted(counts),
+        maxPieceLen, rounds)
     val best = viterbi(words, weighted(counts), maxPieceLen, rounds)
     sw.join(best.select(col("w"), col("n")), Seq("w"))
       .groupBy(col("source"))

@@ -434,7 +434,7 @@ class PlanSpec extends SparkSpec {
       // piece-length dimension) broadcast into vocabulary-class scans
       // — the q142/q167 scalar shape; the Viterbi rounds themselves
       // are checkpointed and never reach the output plan
-      "q218_unigram_learn", "q219_unigram_encode",
+      "q218_unigram_learn", "q219_unigram_encode", "q220_unigram_prune",
       // q213: the minimax (j ≤ k) pair table is a deliberate
       // broadcast theta-join over the BOUNDED score census (both
       // sides census-sized — the maxScores raise guards the square)

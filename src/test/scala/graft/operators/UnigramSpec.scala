@@ -69,6 +69,33 @@ class UnigramSpec extends SparkSpec {
       assert(pc < ch, s"$s: no compression ($pc vs $ch)")
   }
 
+  test("pruneStats: single chars always survive, exactly the top-keepN " +
+      "used multi-char pieces survive, pruned mass flows to survivors " +
+      "(corpus conservation), and pruned pieces count zero") {
+    val out = Unigram.pruneStats(corpus, "text", maxPieceLen = 4,
+      topN = 6, emIters = 2, keepN = 2).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // coverage: every single char kept
+    for ((p, (kept, _, _)) <- out if p.length == 1)
+      assert(kept == 1L, s"single char $p pruned")
+    // exactly keepN multi-char survivors (the corpus has >= 2 used)
+    val multiKept = out.filter { case (p, (k, _, _)) => p.length > 1 && k == 1L }
+    assert(multiKept.size == 2, s"want 2 multi-char survivors: $multiKept")
+    // survivors are the top-2 pre-prune counts among used multi-char
+    val topPre = out.filter { case (p, (_, pre, _)) => p.length > 1 && pre > 0 }
+      .toSeq.sortBy { case (p, (_, pre, _)) => (-pre, p) }.take(2).map(_._1).toSet
+    assert(multiKept.keySet == topPre)
+    // pruned pieces count zero post; conservation: post counts cover
+    // the corpus character mass exactly
+    for ((p, (k, _, post)) <- out if k == 0L)
+      assert(post == 0L, s"pruned $p has post count")
+    val chars = corpus.as[(Long, String, String)].collect()
+      .map(_._2.replace(" ", "").length).sum
+    val covered = out.map { case (p, (_, _, post)) => p.length * post }.sum
+    assert(covered == chars, s"post-prune covered $covered != $chars")
+  }
+
   test("deterministic: two runs produce identical outputs") {
     val a = Unigram.learn(corpus, "text", emIters = 2).collect().toSet
     val b = Unigram.learn(corpus, "text", emIters = 2).collect().toSet
