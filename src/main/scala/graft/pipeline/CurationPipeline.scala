@@ -122,6 +122,11 @@ object CurationPipeline {
         val labeled = gated
           .join(labels.select(col(idCol), col("label")), Seq(idCol))
           .select(sCol.as("s"), col("label").cast("long").as("y"))
+        // loud, not silent: an empty labeled sample (no label ids
+        // survive stage 1) would calibrate NOTHING and the null-prob
+        // filter below would drop the whole corpus
+        require(!labeled.isEmpty,
+          "qualityLabels: no labeled doc survives the raw quality gate")
         val cal = Curation.isotonicCalibrate(labeled, "s", "y")
           .select(col("s").as("cs"), col("cal"))
         val floorCal = broadcast(cal.agg(

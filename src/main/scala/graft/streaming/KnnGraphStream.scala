@@ -108,6 +108,7 @@ object KnnGraphStream {
       .select(lit("edge").as("part"), col("query_id"), col("neighbor_id"),
         col("cos"), col("rank"), lit(false).as("base"), lit(gen).as("gen"))
       .write.mode("append").parquet(graphPath)
+    graft.operators.Checkpoints.freeCheckpoint(base)
   }
 
   private[streaming] def repairAtStartup(spark: SparkSession,
