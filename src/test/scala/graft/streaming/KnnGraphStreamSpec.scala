@@ -139,6 +139,47 @@ class KnnGraphStreamSpec extends SparkSpec {
     assert(edgeSet(s"$root/graph") == want, "stale-gen repair diverged")
   }
 
+  test("quality decays between rebuilds exactly as documented and the " +
+      "rebuild recovers it: a NEW cluster's members interlink only " +
+      "after the wholesale rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-knng-d").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val b0 = fixture(0, 60)
+    mem.addData(b0: _*); drain(mem, root) // gen-1 base: blobs 0..3
+    // a NEW blob the base has never seen (basis 32)
+    def cvec(j: Int): Seq[Float] = {
+      val v = Array.fill(64)(0.0f); v(32) = 1.0f
+      v(33) = 0.02f * j; v.toSeq
+    }
+    val newBlob = (0 until 8).map(j => (2000L + j, cvec(j)))
+    mem.addData(newBlob: _*); drain(mem, root)
+    val q = Seq((9000L, cvec(9))).toDF("vec_id", "embedding")
+    def hits(): Long = KnnGraphStream.probe(spark, q,
+        s"$root/log", s"$root/graph", topK = 4, params = P)
+      .filter($"neighbor_id" >= 2000L).count()
+    val pre = hits()
+    // decay is structural pre-rebuild: inserted nodes link only to
+    // BASE nodes, so the new blob is not yet interlinked — the walk
+    // can reach its members only through shared base neighbors
+    val preEdges = spark.read.parquet(s"$root/graph")
+      .filter($"part" === "edge" && $"query_id" >= 2000L &&
+        $"neighbor_id" >= 2000L).count()
+    assert(preEdges == 0L, "inserted nodes must link only to the base")
+    // force the rebuild (growth=1.0: any fresh vector trips the
+    // trigger) — the whole log re-solves under gen 2
+    mem.addData(Seq((3000L, cvec(20))): _*)
+    drain(mem, root, P.copy(growth = 1.0))
+    val post = hits()
+    assert(post >= pre, s"rebuild regressed probe quality: $pre -> $post")
+    assert(post == 4L, s"post-rebuild probe must fill top-4 from the " +
+      s"new blob, got $post")
+    val postEdges = spark.read.parquet(s"$root/graph")
+      .filter($"part" === "edge" && $"query_id" >= 2000L &&
+        $"neighbor_id" >= 2000L).count()
+    assert(postEdges > 0L, "rebuild must interlink the new blob")
+  }
+
   test("the serving probe reaches appended nodes through reverse edges " +
       "the moment their drain lands") {
     implicit val sqlCtx = spark.sqlContext
