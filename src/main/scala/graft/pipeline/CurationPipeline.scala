@@ -71,9 +71,19 @@ object CurationPipeline {
     *                   .embeddingDecontaminate]]): the paraphrase-leak
     *                   gate the exact-text stages cannot see (VERDICT
     *                   r11 #3)
-    * @param benchmarkEmbeddings (`eval_id`, `embedding`) per benchmark
-    *                   item — benchmark-sized by contract (broadcast)
-    * @param embDecontamThreshold stage-4b cosine cut */
+    * @param benchmarkEmbeddings (`embEvalIdCol`, `embVecCol`) per
+    *                   benchmark item — benchmark-sized by contract
+    *                   (broadcast)
+    * @param embDecontamThreshold stage-4b cosine cut
+    * @param embDecontamDim stage-4b embedding dimensionality; 0 (the
+    *                   default) derives it from the first doc-embedding
+    *                   row, and [[graft.operators.Similarity
+    *                   .embeddingDecontaminate]] raises in-plan on any
+    *                   vector of a different length — a mis-sized
+    *                   embedding column fails loudly instead of banding
+    *                   against wrong-width hyperplanes (ADVICE r12)
+    * @param embVecCol  embedding column name in BOTH embedding inputs
+    * @param embEvalIdCol id column name in `benchmarkEmbeddings` */
   def run(spark: SparkSession, docs: DataFrame, benchmark: DataFrame,
           outRoot: String, idCol: String = "doc_id",
           textCol: String = "text", srcCol: String = "source",
@@ -87,7 +97,10 @@ object CurationPipeline {
           minCalProb: Double = 0.5,
           docEmbeddings: Option[DataFrame] = None,
           benchmarkEmbeddings: Option[DataFrame] = None,
-          embDecontamThreshold: Double = 0.95): Result = {
+          embDecontamThreshold: Double = 0.95,
+          embDecontamDim: Int = 0,
+          embVecCol: String = "embedding",
+          embEvalIdCol: String = "eval_id"): Result = {
     val audits = scala.collection.mutable.ArrayBuffer.empty[StageAudit]
     def stage(name: String, df: DataFrame,
               sortCols: Seq[String] = Seq(idCol)): DataFrame = {
@@ -188,11 +201,22 @@ object CurationPipeline {
     // action, same as the text stages; eval must not leak)
     val embClean = (docEmbeddings, benchmarkEmbeddings) match {
       case (Some(de), Some(be)) =>
+        // dim = 0 derives from the data (one head over the embedding
+        // table — a metadata-sized probe next to the stage's own scan);
+        // the operator then asserts EVERY vector matches it in-plan
+        val dim =
+          if (embDecontamDim > 0) embDecontamDim
+          else {
+            val h = de.select(size(col(embVecCol))).head(1)
+            require(h.nonEmpty, "docEmbeddings is empty: pass " +
+              "embDecontamDim explicitly or omit the stage")
+            h(0).getInt(0)
+          }
         val contaminated = graft.operators.Similarity
           .embeddingDecontaminate(
             de.join(clean.select(col(idCol)), Seq(idCol), "left_semi"),
-            idCol, "embedding", be, "eval_id", "embedding",
-            threshold = embDecontamThreshold)
+            idCol, embVecCol, be, embEvalIdCol, embVecCol,
+            threshold = embDecontamThreshold, dim = dim)
           .select(col("doc_id").as(idCol))
         stage("s4b_emb_decontaminated",
           clean.join(contaminated, Seq(idCol), "left_anti"))

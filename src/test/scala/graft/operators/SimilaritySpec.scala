@@ -246,6 +246,60 @@ class SimilaritySpec extends SparkSpec {
     assert(more.toSet == walk.toSet)
   }
 
+  test("hnswSearch: the hierarchical descent from a SINGLE top-layer " +
+      "entry navigates every out-of-corpus query to its true nearest, " +
+      "matches the flat-entry walk's answers at equal layer-0 budget, " +
+      "and is deterministic") {
+    def ev(theta: Double): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      a(0) = math.cos(theta).toFloat; a(1) = math.sin(theta).toFloat; a
+    }
+    val step = 2 * math.Pi / 40
+    val corpus = (0 until 40).map(i => (i.toLong, ev(i * step)))
+      .toDF("vec_id", "embedding")
+    val queries = (0 until 20).map(j => (1000L + j, ev((2 * j + 0.3) * step)))
+      .toDF("vec_id", "embedding")
+    def run() = Similarity.hnswSearch(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 1, knnK = 4, cells = 4,
+        rounds = 4, beam = 4, steps = 8, maxLevel = 2, upperBeam = 2,
+        upperSteps = 2)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    val walk = run()
+    assert(walk.length == 20)
+    for ((q, n) <- walk)
+      assert(n == 2 * (q - 1000), s"query $q routed to $n, " +
+        s"expected ${2 * (q - 1000)}")
+    // 20 distinct answers from ONE entry point: the descent + layer-0
+    // walk found them, not entry rescoring (flat q214 needed 4 entries)
+    assert(walk.map(_._2).distinct.length == 20)
+    assert(run().toSet == walk.toSet, "hierarchical walk not deterministic")
+    // equal-budget parity with the flat-entry walk at layer 0
+    val graph = Similarity.nnDescentKnn(corpus, "vec_id", "embedding",
+      k = 4, cells = 4, rounds = 4)
+    val flat = Similarity.nnDescentSearch(graph, corpus, "vec_id",
+        "embedding", queries, "vec_id", "embedding",
+        k = 1, cells = 4, beam = 4, steps = 8)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(walk.toSet == flat.toSet)
+  }
+
+  test("hnswLevel: hash-geometric layer sizes shrink ~4x per level and " +
+      "the assignment is a pure id property") {
+    val ids = spark.range(0, 4096).select($"id".as("vec_id"))
+    val counts = ids
+      .select(Similarity.hnswLevel($"vec_id", 7).as("lvl"))
+      .groupBy($"lvl").count().as[(Int, Long)].collect().toMap
+    // P(level >= 1) = 1/4: expect ~1024 of 4096 at level >= 1
+    val above1 = counts.filter(_._1 >= 1).values.sum
+    assert(above1 > 700 && above1 < 1400, s"level>=1 count $above1")
+    val above2 = counts.filter(_._1 >= 2).values.sum
+    assert(above2 > 150 && above2 < 400, s"level>=2 count $above2")
+    // deterministic: same ids, same levels
+    val again = ids.select(Similarity.hnswLevel($"vec_id", 7).as("lvl"))
+      .groupBy($"lvl").count().as[(Int, Long)].collect().toMap
+    assert(again == counts)
+  }
+
   test("lshTopK band-join shuffles carry ids only, never vectors") {
     def e(i: Int): Array[Float] = {
       val a = Array.fill(64)(0.0f); a(i) = 1.0f; a

@@ -139,6 +139,52 @@ class KnnGraphStreamSpec extends SparkSpec {
     assert(edgeSet(s"$root/graph") == want, "stale-gen repair diverged")
   }
 
+  test("a torn insert append — a SUBSET of one batch's part files " +
+      "committed — is caught by the batch ledger and repaired " +
+      "bit-equal: truncated rank lists cannot pass the presence check") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-knng-t").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    mem.addData(fixture(0, 60): _*); drain(mem, root)
+    mem.addData(fixture(60, 70): _*); drain(mem, root)
+    val want = edgeSet(s"$root/graph")
+
+    // window 3a: the batch's LEDGER row committed but only the rank-1
+    // edge row of each inserted id did — every id still passes a bare
+    // inGraph presence check with a silently truncated neighbor list
+    val torn = spark.read.parquet(s"$root/graph")
+      .filter($"part" =!= "edge" || $"base" || $"rank" === 1)
+      .localCheckpoint()
+    graft.zones.Zones.replaceKeepingBackup(spark, s"$root/graph")(tmp =>
+      torn.write.parquet(tmp))
+    val truncated = spark.read.parquet(s"$root/graph")
+      .filter($"part" === "edge" && !$"base").count()
+    assert(truncated == 10L, s"fixture should truncate to rank-1 rows")
+    KnnGraphStream.repairAtStartup(spark, s"$root/log", s"$root/graph",
+      "vec_id", "embedding", P)
+    assert(edgeSet(s"$root/graph") == want, "truncated-batch repair diverged")
+
+    // window 3b: edge rows committed but the ledger row did not —
+    // an unaccounted batch drops and re-inserts identically
+    val noLedger = spark.read.parquet(s"$root/graph")
+      .filter($"part" =!= "ins").localCheckpoint()
+    graft.zones.Zones.replaceKeepingBackup(spark, s"$root/graph")(tmp =>
+      noLedger.write.parquet(tmp))
+    KnnGraphStream.repairAtStartup(spark, s"$root/log", s"$root/graph",
+      "vec_id", "embedding", P)
+    assert(edgeSet(s"$root/graph") == want, "orphan-batch repair diverged")
+    // and the repaired table accounts: one ledger row per batch, counts
+    // matching
+    val g = spark.read.parquet(s"$root/graph")
+    val nIns = g.filter($"part" === "ins").count()
+    val nAppended = g.filter($"part" === "edge" && !$"base").count()
+    val ledgerSum = g.filter($"part" === "ins")
+      .agg(org.apache.spark.sql.functions.sum($"neighbor_id"))
+      .head().getLong(0)
+    assert(nIns >= 1L && ledgerSum == nAppended,
+      s"ledger does not account: $nIns rows, $ledgerSum vs $nAppended")
+  }
+
   test("quality decays between rebuilds exactly as documented and the " +
       "rebuild recovers it: a NEW cluster's members interlink only " +
       "after the wholesale rebuild") {
