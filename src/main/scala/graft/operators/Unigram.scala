@@ -58,9 +58,11 @@ object Unigram {
 
   /** Distinct-word census of `docs`: (w, cnt, len), with the loud
     * over-length raise inside the plan (the maxScores precedent — a
-    * silent truncation would change the learned vocabulary). */
-  private def wordCensus(docs: DataFrame, textCol: String,
-                         maxWordLen: Int): DataFrame =
+    * silent truncation would change the learned vocabulary).
+    * `private[graft]`: [[graft.streaming.UnigramStream]] appends these
+    * rows as its per-drain census delta. */
+  private[graft] def wordCensus(docs: DataFrame, textCol: String,
+                                maxWordLen: Int): DataFrame =
     docs.select(explode(toks(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .withColumn("w", when(length(col("w")) > maxWordLen,
@@ -180,9 +182,16 @@ object Unigram {
         Seq("w")))
       .select(explode(col("pieces")).as("piece"), col("cnt"))
       .groupBy(col("piece")).agg(sum(col("cnt")).as("used"))
-    cands.select(col("piece"))
+    // checkpoint the (vocabulary-sized) counts so the Viterbi table —
+    // word-census-sized — frees immediately instead of living for the
+    // rest of the job (ADVICE r12: the release protocol every other
+    // iterative operator follows)
+    val counts = cands.select(col("piece"))
       .join(used, Seq("piece"), "left")
       .select(col("piece"), coalesce(col("used"), lit(0L)).as("cnt"))
+      .localCheckpoint()
+    Checkpoints.freeCheckpoint(best)
+    counts
   }
 
   /** LEARN: fixed candidate census + `emIters` hard-EM iterations.
@@ -202,7 +211,12 @@ object Unigram {
     val words = wordCensus(docs, textCol, maxWordLen).localCheckpoint()
     val cands = candidateCensus(words, maxPieceLen, topN)
       .localCheckpoint()
+    // iter-0 counts checkpoint too: every estepCounts output is then a
+    // checkpoint, so the corpus-derived census tables free on return —
+    // what the returned plan retains is emIters+1 vocabulary-sized
+    // counts tables, nothing word-census-sized
     var counts = cands.select(col("piece"), col("census").as("cnt"))
+      .localCheckpoint()
     val perIter = (0 to emIters).map { k =>
       val w = weighted(counts)
       if (k < emIters)
@@ -210,7 +224,10 @@ object Unigram {
       w.select(lit(k.toLong).as("iter"), col("piece"), col("cnt"),
         col("wt"))
     }
-    perIter.reduce(_ unionByName _)
+    val out = perIter.reduce(_ unionByName _)
+    Checkpoints.freeCheckpoint(words)
+    Checkpoints.freeCheckpoint(cands)
+    out
   }
 
   /** PRUNE + RE-FIT (the full SentencePiece loop's third phase): after
@@ -236,10 +253,13 @@ object Unigram {
     val words = wordCensus(docs, textCol, maxWordLen).localCheckpoint()
     val cands = candidateCensus(words, maxPieceLen, topN).localCheckpoint()
     var counts = cands.select(col("piece"), col("census").as("cnt"))
-    for (_ <- 0 until emIters)
-      counts = estepCounts(words, cands, weighted(counts),
+    for (i <- 0 until emIters) {
+      val next = estepCounts(words, cands, weighted(counts),
         maxPieceLen, rounds)
-    val pre = counts.localCheckpoint()
+      if (i > 0) Checkpoints.freeCheckpoint(counts) // predecessor E-step
+      counts = next
+    }
+    val pre = counts // estepCounts output — already a checkpoint
     val kept = pre
       .withColumn("rn", when(length(col("piece")) === 1, lit(0L))
         .otherwise(row_number().over(Window
@@ -250,6 +270,8 @@ object Unigram {
       .select(col("piece"), col("cnt"))
     val post = estepCounts(words, kept, weighted(kept),
       maxPieceLen, rounds)
+    Checkpoints.freeCheckpoint(words)
+    Checkpoints.freeCheckpoint(cands)
     pre.join(kept.select(col("piece"), lit(1L).as("kept")),
         Seq("piece"), "left")
       .join(post.select(col("piece"), col("cnt").as("cnt_post")),
@@ -286,14 +308,239 @@ object Unigram {
       .localCheckpoint()
     val cands = candidateCensus(words, maxPieceLen, topN).localCheckpoint()
     var counts = cands.select(col("piece"), col("census").as("cnt"))
-    for (_ <- 0 until emIters)
-      counts = estepCounts(words, cands, weighted(counts),
+    for (i <- 0 until emIters) {
+      val next = estepCounts(words, cands, weighted(counts),
         maxPieceLen, rounds)
+      if (i > 0) Checkpoints.freeCheckpoint(counts) // predecessor E-step
+      counts = next
+    }
     val best = viterbi(words, weighted(counts), maxPieceLen, rounds)
+    Checkpoints.freeCheckpoint(counts) // best is materialized
+    Checkpoints.freeCheckpoint(words)
+    Checkpoints.freeCheckpoint(cands)
     sw.join(best.select(col("w"), col("n")), Seq("w"))
       .groupBy(col("source"))
       .agg(sum(col("c")).as("words"),
         sum(length(col("w")) * col("c")).as("chars"),
         sum(col("n") * col("c")).as("pieces"))
+  }
+
+  /** The [[learn]] EM loop run to its FINAL weight table over a
+    * PRE-BUILT word census (w, cnt, len) — the streaming-maintenance
+    * seam: [[graft.streaming.UnigramStream]] re-fits from its standing
+    * census delta log, never from raw text, so fit-from-census and
+    * fit-from-corpus must be the same code path. Returns
+    * (piece, cnt, wt) — the weights one more Viterbi pass would
+    * segment with ([[encodeStatsWith]]). */
+  private[graft] def fitWeights(words: DataFrame, maxPieceLen: Int,
+                                topN: Int, emIters: Int,
+                                maxWordLen: Int): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 8, "maxPieceLen out of range")
+    require(emIters >= 1 && emIters <= 4, "emIters out of range")
+    require(maxWordLen >= 2 && maxWordLen <= 32, "maxWordLen out of range")
+    val rounds = 32 - Integer.numberOfLeadingZeros(maxWordLen - 1)
+    val wds = words.localCheckpoint()
+    val cands = candidateCensus(wds, maxPieceLen, topN).localCheckpoint()
+    var counts = cands.select(col("piece"), col("census").as("cnt"))
+    for (i <- 0 until emIters) {
+      val next = estepCounts(wds, cands, weighted(counts),
+        maxPieceLen, rounds)
+      if (i > 0) Checkpoints.freeCheckpoint(counts)
+      counts = next
+    }
+    val out = weighted(counts).localCheckpoint()
+    Checkpoints.freeCheckpoint(counts)
+    Checkpoints.freeCheckpoint(wds)
+    Checkpoints.freeCheckpoint(cands)
+    out
+  }
+
+  /** [[encodeStats]] under a CALLER-SUPPLIED weight table
+    * (piece, wt) — the generation-pinned apply path: a standing
+    * tokenizer ([[graft.streaming.UnigramStream]]) serves encodes from
+    * its fitted generation without re-learning, exactly like the
+    * IVF-PQ stream serves from its codebook generation. */
+  def encodeStatsWith(docs: DataFrame, textCol: String, sourceCol: String,
+                      weights: DataFrame, maxPieceLen: Int = 4,
+                      maxWordLen: Int = 16): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 8, "maxPieceLen out of range")
+    require(maxWordLen >= 2 && maxWordLen <= 32, "maxWordLen out of range")
+    val rounds = 32 - Integer.numberOfLeadingZeros(maxWordLen - 1)
+    val sw = docs.select(col(sourceCol).as("source"),
+        explode(toks(col(textCol))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val words = sw.groupBy(col("w")).agg(sum(col("c")).as("cnt"))
+      .withColumn("w", when(length(col("w")) > maxWordLen,
+        raise_error(concat(lit(s"unigram: word longer than $maxWordLen"),
+          lit(": "), col("w")))).otherwise(col("w")))
+      .withColumn("len", length(col("w")).cast("long"))
+      .localCheckpoint()
+    val best = viterbi(words, weights, maxPieceLen, rounds)
+    Checkpoints.freeCheckpoint(words)
+    sw.join(best.select(col("w"), col("n")), Seq("w"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("words"),
+        sum(length(col("w")) * col("c")).as("chars"),
+        sum(col("n") * col("c")).as("pieces"))
+  }
+
+  /** CCNET-STYLE LM QUALITY FILTERING over the LEARNED tokenizer
+    * (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data"; the recipe behind LLaMA-class data
+    * work) — the composition [[learn]] and
+    * [[Perplexity.stupidBackoffScore]] were built to meet (VERDICT r12
+    * #1): CCNet scores documents with an n-gram LM over SentencePiece
+    * PIECES trained on a clean reference corpus and buckets the pool by
+    * perplexity, so word-level LM filtering (q142/q167) and subword
+    * learning (q218/q219) must compose, not coexist.
+    *
+    * The chain, every stage the already-gated machinery:
+    *  1. fit the unigram-LM vocabulary on the CLEAN REFERENCE source
+    *     (`srcCol` == `refSource`) — the [[learn]] EM loop to its final
+    *     integer weight table;
+    *  2. Viterbi-encode the FULL corpus's word census under those
+    *     weights (the [[encodeStats]] apply pass). A word carrying a
+    *     character the reference never saw has no lattice path and
+    *     encodes as one OOV marker piece — `'<' × (maxPieceLen+1)`,
+    *     longer than any real piece can be, so collision-free by
+    *     construction;
+    *  3. re-assemble each document's ORDERED piece stream (token
+    *     positions ride the census join; arrays are doc-bounded — the
+    *     `toks()` envelope);
+    *  4. train Stupid Backoff over the reference's piece BIGRAMS — the
+    *     backoff scheme with a closed replay (fixed α = 0.4, add-one
+    *     unigram floor; the q167 contract) — and score every document's
+    *     adjacent piece pairs, `xsb` = occurrence-weighted mean −ln S
+    *     (the cross-entropy analog CCNet buckets by). Documents with
+    *     fewer than two pieces have no pairs and drop — nothing to
+    *     score;
+    *  5. bucket PER SOURCE at fixed percentile cut scores — the
+    *     [[Perplexity.perplexityBuckets]] integer cut rule with the
+    *     histogram window partitioned by source (CCNet buckets each
+    *     language pool separately; sources are the pool analog here).
+    *
+    * 100 TB shape: learning is vocabulary-class over the reference
+    * slice (the [[learn]] contract); the corpus pays exactly two
+    * passes — one to its distinct-word census, one token-position
+    * explode — and the encode join is census-sized on the word key;
+    * the piece stream re-assembly is ONE doc-keyed exchange carrying
+    * doc-bounded arrays; the reference bigram/unigram models are
+    * ref-vocabulary-sized shuffle joins (a web-scale piece-bigram
+    * table is not a broadcast) with T and V as a 1-row broadcast; the
+    * bucket window runs over the per-source DISTINCT rounded-score
+    * histogram, never a corpus row.
+    *
+    * Returns (doc_id, source, n_pieces, n_oov, n_pairs, xsb, bucket),
+    * bucket 1 = lowest piece cross-entropy (head). The caller passes
+    * the rounding so cut points sit on the values the cross-engine
+    * gate compares (the q142 convention). */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
+                   srcCol: String, refSource: String,
+                   round: Column => Column, buckets: Int = 3,
+                   maxPieceLen: Int = 4, topN: Int = 24, emIters: Int = 2,
+                   maxWordLen: Int = 16): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 8, "maxPieceLen out of range")
+    require(emIters >= 1 && emIters <= 4, "emIters out of range")
+    require(maxWordLen >= 2 && maxWordLen <= 32, "maxWordLen out of range")
+    require(buckets >= 2 && buckets <= 100, s"buckets out of range: $buckets")
+    val rounds = 32 - Integer.numberOfLeadingZeros(maxWordLen - 1)
+    val unk = "<" * (maxPieceLen + 1)
+    // 1. learn on the clean reference slice (the q218 loop verbatim)
+    val ref = docs.filter(col(srcCol) === refSource)
+    val words = wordCensus(ref, textCol, maxWordLen).localCheckpoint()
+    val cands = candidateCensus(words, maxPieceLen, topN).localCheckpoint()
+    var counts = cands.select(col("piece"), col("census").as("cnt"))
+    for (i <- 0 until emIters) {
+      val next = estepCounts(words, cands, weighted(counts),
+        maxPieceLen, rounds)
+      if (i > 0) Checkpoints.freeCheckpoint(counts)
+      counts = next
+    }
+    // 2. encode the FULL corpus census under the learned weights
+    val wdsAll = wordCensus(docs, textCol, maxWordLen).localCheckpoint()
+    val best = viterbi(wdsAll, weighted(counts), maxPieceLen, rounds)
+    val segAll = withPieces(best).select(col("w"), col("pieces"))
+    // 3. per-doc ordered piece streams
+    val docWords = docs.select(col(idCol).as("doc_id"),
+        col(srcCol).as("source"), posexplode(toks(col(textCol))))
+      .select(col("doc_id"), col("source"), col("pos"), col("col").as("w"))
+    val streams = docWords.join(segAll, Seq("w"), "left")
+      .select(col("doc_id"), col("source"), col("pos"),
+        coalesce(col("pieces"), array(lit(unk))).as("pcs"),
+        when(col("pieces").isNull, 1L).otherwise(0L).as("oov"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(flatten(transform(array_sort(collect_list(
+          struct(col("pos"), col("pcs")))), x => x.getField("pcs")))
+        .as("ps"),
+        sum(col("oov")).as("n_oov"))
+      .localCheckpoint() // read by the ref model AND every doc score
+    Checkpoints.freeCheckpoint(best)
+    Checkpoints.freeCheckpoint(wdsAll)
+    Checkpoints.freeCheckpoint(words)
+    Checkpoints.freeCheckpoint(cands)
+    Checkpoints.freeCheckpoint(counts)
+    // 4. Stupid Backoff over reference piece bigrams (q167 formula)
+    def pairsOf(df: DataFrame): DataFrame = {
+      val cnt = size(col("ps"))
+      df.filter(size(col("ps")) >= 2)
+        .select(col("doc_id"),
+          explode(zip_with(
+            slice(col("ps"), lit(1), cnt - 1),
+            slice(col("ps"), lit(2), cnt - 1),
+            (a, b) => struct(a.as("p1"), b.as("p2")))).as("pr"))
+        .select(col("doc_id"), col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+    }
+    val refStreams = streams.filter(col("source") === refSource)
+    val refUni = refStreams.select(explode(col("ps")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("c1"))
+    val refBi = pairsOf(refStreams)
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("c2"))
+    val scalars = refUni.agg(sum(col("c1")).cast("double").as("t"),
+      count(lit(1)).cast("double").as("v"))
+    // 5. score every document's pairs
+    val scored = pairsOf(streams)
+      .groupBy(col("doc_id"), col("p1"), col("p2"))
+      .agg(count(lit(1)).as("pf"))
+      .join(refBi, Seq("p1", "p2"), "left")
+      .join(refUni.select(col("p").as("p1"), col("c1").as("c1p1")),
+        Seq("p1"), "left")
+      .join(refUni.select(col("p").as("p2"), col("c1").as("c1p2")),
+        Seq("p2"), "left")
+      .crossJoin(broadcast(scalars))
+      .withColumn("lp",
+        when(coalesce(col("c2"), lit(0L)) > 0L,
+          log(col("c2").cast("double") / col("c1p1")))
+        .otherwise(
+          log(lit(0.4) * (coalesce(col("c1p2"), lit(0L)) + lit(1.0)) /
+            (col("t") + col("v") + lit(1.0)))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("pf")).as("n_pairs"),
+        round(-sum(col("pf") * col("lp")) / sum(col("pf"))).as("xsb"))
+    val docScored = streams.select(col("doc_id"), col("source"),
+        size(col("ps")).cast("long").as("n_pieces"), col("n_oov"))
+      .join(scored, Seq("doc_id"))
+    // 6. per-source percentile-cut buckets (q142 integer rule,
+    // histogram window partitioned by source)
+    val k = buckets.toLong
+    val hist = docScored.groupBy(col("source"), col("xsb"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(
+      Window.partitionBy(col("source")).orderBy(col("xsb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = hist.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+    val cuts = cum.join(totals, Seq("source"))
+      .select(col("source"), col("xsb"), col("cum"), col("n"),
+        explode(sequence(lit(1L), lit(k - 1L))).as("b"))
+      .filter(col("cum") * lit(k) >= col("b") * col("n"))
+      .groupBy(col("source"), col("b")).agg(min(col("xsb")).as("cut"))
+    val cutArr = cuts.groupBy(col("source"))
+      .agg(sort_array(collect_list(col("cut"))).as("cuts"))
+    docScored.join(broadcast(cutArr), Seq("source"))
+      .withColumn("bucket",
+        (lit(1) + size(filter(col("cuts"), c => col("xsb") > c)))
+          .cast("long"))
+      .select(col("doc_id"), col("source"), col("n_pieces"), col("n_oov"),
+        col("n_pairs"), col("xsb"), col("bucket"))
   }
 }

@@ -102,6 +102,39 @@ class UnigramSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ccnetBuckets: gibberish scores worse than reference-like text " +
+      "under the piece LM, OOV chars mark n_oov, buckets split per " +
+      "source, and the whole chain is deterministic") {
+    import org.apache.spark.sql.functions.{floor, lit}
+    val docs = Seq(
+      (1L, "abab cdcd abab cdcd abab", "src0"),
+      (2L, "cdcd abab cdcd abab cdcd", "src0"),
+      (3L, "abab cdcd abab cdcd", "srcA"), // fluent: reference bigrams
+      (4L, "dbca adbc bdac cadb", "srcA"), // gibberish: same chars, alien order
+      (5L, "abab xyxy cdcd", "srcB") // x/y never seen by src0 → OOV word
+    ).toDF("doc_id", "text", "source")
+    val r4 = (c: org.apache.spark.sql.Column) =>
+      floor(c * 10000 + lit(0.5)) / 10000
+    def run() = Unigram.ccnetBuckets(docs, "doc_id", "text", "source",
+      "src0", r4, buckets = 3, maxPieceLen = 4, topN = 6, emIters = 2)
+    val out = run().collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // gibberish: every piece pair falls to the backoff floor → higher
+    // cross-entropy and a strictly worse bucket than its fluent sibling
+    assert(out(4L).getDouble(5) > out(3L).getDouble(5),
+      s"gibberish xsb ${out(4L).getDouble(5)} !> ${out(3L).getDouble(5)}")
+    assert(out(4L).getLong(6) > out(3L).getLong(6))
+    // OOV: 'xyxy' has no lattice path under src0's vocabulary — it
+    // encodes as exactly one marker piece, counted in n_oov
+    assert(out(5L).getLong(3) == 1L && out(1L).getLong(3) == 0L)
+    // the marker rides the stream: doc 5 still has all three words
+    // represented (abab + marker + cdcd pieces)
+    assert(out(5L).getLong(2) >= 3L)
+    // determinism: a second full run is bit-identical
+    assert(run().collect().map(_.toSeq).toSet ==
+      out.values.map(_.toSeq).toSet)
+  }
+
   test("over-length words raise loudly inside the plan") {
     val bad = Seq((1L, "a" * 40, "s1")).toDF("doc_id", "text", "source")
     val e = intercept[Exception] {
