@@ -656,4 +656,41 @@ object Dedup {
     * for round-over-round localCheckpoints. */
   private def freeCheckpoint(df: DataFrame): Unit =
     Checkpoints.freeCheckpoint(df)
+
+  /** TEMPORAL ALIGNMENT + CONTAINMENT — the shared tail of the
+    * sequence-media near-dup family ([[Avi.videoNearDupPairs]] over
+    * frame dHashes, [[Multimodal.audioNearDupPairs]] over spectral
+    * window prints): verified element matches `matched`
+    * (a, fa, b, fb — a < b by the caller's contract) VOTE for their
+    * temporal offset fb − fa; the best-supported offset per media pair
+    * wins (ties to the smallest offset), and the pair reports iff the
+    * aligned-match count covers at least `minOverlapPct` percent of
+    * the SHORTER sequence (`counts`: media_id → n) — the q135
+    * asymmetric-containment rule on the time axis, which is exactly
+    * how a clipped sub-sequence is contained in its source.
+    *
+    * Scale shape: one hash aggregate over (a, b, offset) id triples
+    * and a per-pair argmax window over the candidate-pair set — never
+    * over elements. Returns (a, b, offset, n_aligned, n_a, n_b). */
+  private[operators] def temporalAlignPairs(matched: DataFrame,
+      counts: DataFrame, minOverlapPct: Int): DataFrame = {
+    require(minOverlapPct >= 1 && minOverlapPct <= 100,
+      s"minOverlapPct out of range: $minOverlapPct")
+    val votes = matched
+      .groupBy(col("a"), col("b"), (col("fb") - col("fa")).as("offset"))
+      .agg(count(lit(1)).as("n_aligned"))
+    val best = votes.withColumn("rn", row_number().over(
+        Window.partitionBy(col("a"), col("b"))
+          .orderBy(col("n_aligned").desc, col("offset").asc)))
+      .filter(col("rn") === 1)
+    best
+      .join(counts.select(col("media_id").as("a"), col("n").as("n_a")),
+        Seq("a"))
+      .join(counts.select(col("media_id").as("b"), col("n").as("n_b")),
+        Seq("b"))
+      .filter(col("n_aligned") * 100 >= least(col("n_a"), col("n_b")) *
+        minOverlapPct)
+      .select(col("a"), col("b"), col("offset").cast("long").as("offset"),
+        col("n_aligned"), col("n_a"), col("n_b"))
+  }
 }

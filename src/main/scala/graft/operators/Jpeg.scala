@@ -228,12 +228,11 @@ object Jpeg {
     var pred: Int = 0
   }
 
-  /** Full baseline decode → [[Multimodal.decodeBmp]]'s 8 integer-exact
-    * feature lanes over the decoded RGB pixels (grayscale: R=G=B=Y).
-    * The accumulators stay < 2^24 for the dimensions this library's
-    * media tables carry, so the float lanes are exact and the q171
-    * oracle replays them from the generation formula. */
-  def decodeJpeg(bytes: Array[Byte]): Array[Float] = {
+  /** Full baseline decode to (width, height, packed 0xRRGGBB pixels)
+    * (grayscale: R=G=B=Y) — the pixel-level seam [[decodeJpeg]]'s
+    * feature lanes and [[Avi.frameDhash]]'s perceptual hash both
+    * read. */
+  def decodeJpegRgb(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
     require(bytes.length >= 4 &&
       (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
       "not a JPEG: missing SOI")
@@ -415,10 +414,9 @@ object Jpeg {
       mcu += 1
     }
 
-    // feature lanes over visible pixels: upsample by replication, then
-    // the libjpeg fixed-point YCbCr→RGB (exact integer shifts)
-    val acc = new Array[Long](6)
-    var rGtG = 0L
+    // visible pixels: upsample by replication, then the libjpeg
+    // fixed-point YCbCr→RGB (exact integer shifts), packed 0xRRGGBB
+    val rgb = new Array[Int](w * h)
     def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
     val yC = comps(0)
     val yPlaneW = yC.blocksWide * 8
@@ -438,6 +436,29 @@ object Jpeg {
           g = clamp(yv - ((22554 * cb + 46802 * cr + 32768) >> 16))
           b = clamp(yv + ((116130 * cb + 32768) >> 16))
         }
+        rgb(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, rgb)
+  }
+
+  /** [[decodeJpegRgb]] → [[Multimodal.decodeBmp]]'s 8 integer-exact
+    * feature lanes over the decoded RGB pixels. The accumulators stay
+    * < 2^24 for the dimensions this library's media tables carry, so
+    * the float lanes are exact and the q171 oracle replays them from
+    * the generation formula. */
+  def decodeJpeg(bytes: Array[Byte]): Array[Float] = {
+    val (w, h, rgb) = decodeJpegRgb(bytes)
+    val acc = new Array[Long](6)
+    var rGtG = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = rgb(y * w + x)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
         acc(0) += r; acc(1) += g; acc(2) += b
         acc(3) += r.toLong * (x + 1)
         acc(4) += g.toLong * (y + 1)

@@ -881,6 +881,160 @@ object Multimodal {
         unhex(concat(headerHex, sampleHex)).as("bytes"), meta.as("meta"))
   }
 
+  // ---------------------------------------- audio spectral fingerprint
+
+  /** Fixed-point 64-sample DFT basis, scaled 2^8:
+    * ⌊cos(2π·k·n/64)·256 + 0.5⌋ (and sin) — computed by THIS function
+    * on both sides of the gate (the engine loop reads it directly, the
+    * oracle builder stamps the same integers into a VALUES table — the
+    * dcgWeight convention), so no cross-engine libm rounding ever
+    * enters the comparison. */
+  def dftCos(k: Int, n: Int): Long =
+    math.floor(math.cos(2.0 * math.Pi * k * n / 64.0) * 256.0 + 0.5).toLong
+  def dftSin(k: Int, n: Int): Long =
+    math.floor(math.sin(2.0 * math.Pi * k * n / 64.0) * 256.0 + 0.5).toLong
+
+  final case class AudioWindowPrint(media_id: Long, window_idx: Int, fp: Int)
+
+  /** AUDIO SPECTRAL FINGERPRINT (VERDICT r12 #4) — the audio analog of
+    * the image dHash, in the shape of Haitsma & Kalker 2002's robust
+    * hash: per full 64-sample window, bin energies
+    * E_k = (Σₙ x·c_k)² + (Σₙ x·s_k)² for k = 1…17 over the fixed-point
+    * basis (integer accumulators: |Σ x·c| ≤ 64·2¹⁵·2⁸ < 2³⁰, so
+    * E < 2⁶¹ — BIGINT-safe in both engines), fingerprint bit
+    * j = [E_{j+1} > E_{j+2}] → one 16-bit print per window. Energy
+    * RATIOS between adjacent bins survive gain changes exactly (both
+    * energies scale by the same factor), which is why the bit pattern,
+    * not the raw energies, is the identity. Trailing partial windows
+    * drop (nothing to compare). Map-only over the codec seam — bytes
+    * never shuffle; prints are one int per window. */
+  def audioFingerprint(media: DataFrame): Dataset[AudioWindowPrint] = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].filter(_.kind == "audio").flatMap { m =>
+      val (_, samples) = parseWav16(m.bytes)
+      val nw = samples.length / 64
+      (0 until nw).map { w =>
+        val ec = new Array[Long](19)
+        val es = new Array[Long](19)
+        var k = 1
+        while (k <= 17) {
+          var sc = 0L
+          var ss = 0L
+          var n = 0
+          while (n < 64) {
+            val x = samples(w * 64 + n).toLong
+            sc += x * dftCos(k, n)
+            ss += x * dftSin(k, n)
+            n += 1
+          }
+          ec(k) = sc; es(k) = ss
+          k += 1
+        }
+        var fp = 0
+        var j = 0
+        while (j < 16) {
+          val e1 = ec(j + 1) * ec(j + 1) + es(j + 1) * es(j + 1)
+          val e2 = ec(j + 2) * ec(j + 2) + es(j + 2) * es(j + 2)
+          if (e1 > e2) fp |= 1 << j
+          j += 1
+        }
+        AudioWindowPrint(m.media_id, w, fp)
+      }
+    }
+  }
+
+  /** Deterministic NEAR-DUP audio corpus — the q224/q225 fixture,
+    * mirroring [[Avi.synthesizeAviNearDup]]'s family layout on the
+    * audio axis: base audio a (0 ≤ a < n) carries
+    * nw = 6 + sha256("seed:andd:a:nw")[0] mod 3 windows of 64 samples,
+    * window w's 128 PCM bytes = the four digests
+    * sha256("seed:andd:a:w:k") k = 0…3 (the q217 hash-chain-per-window
+    * convention); every a ≡ 0 (mod 3) also ships a WINDOW-ALIGNED
+    * CLIPPED copy (id 1000 + a: windows 1 … nw−2) and every a ≡ 0
+    * (mod 4) a full duplicate (id 2000 + a). Clips are window-aligned
+    * by construction — the fingerprint identity is per-window, so a
+    * sample-offset clip would need overlapped windows (the standard
+    * robust-hash extension, out of this fixture's scope). */
+  def synthesizeWavNearDup(spark: SparkSession, n: Int,
+                           seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    def sha(tag: String): Array[Byte] =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(tag.getBytes("UTF-8"))
+    def nwOf(a: Long): Int = 6 + (sha(s"$seed:andd:$a:nw")(0) & 0xff) % 3
+    val ids = (0L until n.toLong).flatMap { a =>
+      Seq(a) ++
+        (if (a % 3 == 0) Seq(1000L + a) else Seq.empty) ++
+        (if (a % 4 == 0) Seq(2000L + a) else Seq.empty)
+    }
+    spark.createDataset(ids).map { aid =>
+      val base = aid % 1000L
+      val nw = nwOf(base)
+      val windows: Seq[Int] =
+        if (aid < 1000L) 0 until nw
+        else if (aid < 2000L) 1 until nw - 1
+        else 0 until nw
+      val data = windows.flatMap(w =>
+        (0 until 4).flatMap(k => sha(s"$seed:andd:$base:$w:$k"))).toArray
+      val nSamples = windows.length * 64
+      def le16(v: Int): Array[Byte] =
+        Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      def le32(v: Int): Array[Byte] =
+        Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      val rate = 8000
+      val header =
+        "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++
+          "WAVE".getBytes("US-ASCII") ++
+          "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+          le16(1) ++ le16(1) ++ le32(rate) ++ le32(rate * 2) ++
+          le16(2) ++ le16(16) ++
+          "data".getBytes("US-ASCII") ++ le32(data.length)
+      MediaRow(aid, "audio", header ++ data,
+        MediaMeta(0, 0, 1, "wav", nSamples * 1000 / rate, rate))
+    }.toDF()
+  }
+
+  /** AUDIO-to-audio near-dup — [[audioFingerprint]] prints through the
+    * band machinery and the shared temporal-containment tail
+    * ([[Dedup.temporalAlignPairs]], the q223 rule): candidate window
+    * pairs share one intact 4-bit nibble of the 16-bit print (the
+    * SimHash pigeonhole at Hamming ≤ `maxHamming` per print), verify
+    * by exact Hamming, vote for their window offset, and a pair
+    * reports iff the best offset's support covers `minOverlapPct`
+    * percent of the shorter audio. Returns (audio_a, audio_b, offset,
+    * n_aligned, nw_a, nw_b). */
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 2,
+                        minOverlapPct: Int = 80): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16,
+      s"maxHamming out of range: $maxHamming")
+    val fh = audioFingerprint(media).toDF()
+      .localCheckpoint() // read by bands, both verify sides, and counts
+    val nw = fh.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
+    val bands = fh.select(col("media_id"), col("window_idx"),
+        posexplode(array((0 until 4).map(j =>
+          shiftright(col("fp"), 4 * j).bitwiseAND(lit(15))): _*)))
+      .select(col("media_id"), col("window_idx"),
+        col("pos").as("band_idx"), col("col").as("band"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band") === col("y.band") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a"), col("x.window_idx").as("fa"),
+        col("y.media_id").as("b"), col("y.window_idx").as("fb"))
+      .distinct()
+    val matched = cand
+      .join(fh.select(col("media_id").as("a"), col("window_idx").as("fa"),
+        col("fp").as("fpa")), Seq("a", "fa"))
+      .join(fh.select(col("media_id").as("b"), col("window_idx").as("fb"),
+        col("fp").as("fpb")), Seq("b", "fb"))
+      .filter(expr("bit_count(fpa ^ fpb)") <= maxHamming)
+    Dedup.temporalAlignPairs(matched, nw, minOverlapPct)
+      .select(col("a").as("audio_a"), col("b").as("audio_b"),
+        col("offset"), col("n_aligned"),
+        col("n_a").as("nw_a"), col("n_b").as("nw_b"))
+  }
+
   /** REAL codec for PNG (8-bit RGB, non-interlaced) — the first
     * COMPRESSED format behind the codec seam, possible with zero
     * external libraries because DEFLATE ships in the JDK

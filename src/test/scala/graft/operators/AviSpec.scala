@@ -75,6 +75,42 @@ class AviSpec extends SparkSpec {
     }
   }
 
+  test("videoNearDupPairs: the clipped copy is contained at offset +1, " +
+      "the full duplicate aligns at offset 0, unrelated bases never " +
+      "pair, and identical frames hash identically") {
+    val media = Avi.synthesizeAviNearDup(spark, 12)
+    // identical frame bytes -> identical dHash bands
+    val fh = Avi.frameDhash(media).collect()
+      .map(r => (r.media_id, r.frame_idx) -> (r.b0, r.b1, r.b2, r.b3))
+      .toMap
+    val nfh = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("42:avnd:0:nf".getBytes("UTF-8"))
+    val nf0 = 4 + (nfh(0) & 0xff) % 3
+    for (f <- 0 until nf0)
+      assert(fh((0L, f)) == fh((2000L, f)), s"full-copy frame $f hash drift")
+    for (j <- 0 until nf0 - 2)
+      assert(fh((0L, j + 1)) == fh((1000L, j)), s"clip frame $j hash drift")
+    val pairs = Avi.videoNearDupPairs(media)
+      .select($"video_a", $"video_b", $"offset", $"n_aligned", $"nf_a",
+        $"nf_b")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p).toMap
+    // every planted relation surfaces with its true offset
+    for (v <- 0 until 12 if v % 3 == 0) {
+      val p = byPair.getOrElse((v.toLong, 1000L + v),
+        fail(s"clipped copy of $v not found"))
+      assert(p._3 == -1L && p._4 == p._6, s"clip alignment wrong: $p")
+    }
+    for (v <- 0 until 12 if v % 4 == 0) {
+      val p = byPair.getOrElse((v.toLong, 2000L + v),
+        fail(s"full duplicate of $v not found"))
+      assert(p._3 == 0L && p._4 == p._5, s"full alignment wrong: $p")
+    }
+    // no pair crosses base-video families
+    for (((a, b), _) <- byPair)
+      assert(a % 1000 == b % 1000, s"false positive pair ($a, $b)")
+  }
+
   test("the decoder rejects structural corruption loudly") {
     val good = firstVideo.head.bytes
     intercept[IllegalArgumentException] { // bad magic

@@ -237,6 +237,62 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("audioFingerprint matches a literal double-precision loop " +
+      "reference bit-for-bit, and audioNearDupPairs surfaces the " +
+      "planted clipped/full copies at their true window offsets") {
+    import spark.implicits._
+    val media = Multimodal.synthesizeWavNearDup(spark, 12)
+    val prints = Multimodal.audioFingerprint(media).collect()
+      .map(p => (p.media_id, p.window_idx) -> p.fp).toMap
+    // literal-loop reference over the decoded samples: double cos/sin
+    // basis ROUNDED THROUGH THE SAME fixed-point table, energies as
+    // BigInt — any accumulator-width or table slip in the engine loop
+    // diverges here
+    val rows = media.as[Multimodal.MediaRow].collect()
+    for (m <- rows.take(4)) {
+      val (_, samples) = Multimodal.parseWav16(m.bytes)
+      for (w <- 0 until samples.length / 64) {
+        val e = (1 to 17).map { k =>
+          var sc = BigInt(0); var ss = BigInt(0)
+          for (n <- 0 until 64) {
+            sc += BigInt(samples(w * 64 + n).toInt) * Multimodal.dftCos(k, n)
+            ss += BigInt(samples(w * 64 + n).toInt) * Multimodal.dftSin(k, n)
+          }
+          sc * sc + ss * ss
+        }
+        val want = (0 until 16).map(j => if (e(j) > e(j + 1)) 1 << j else 0).sum
+        assert(prints((m.media_id, w)) == want,
+          s"fp drift at (${m.media_id}, $w)")
+      }
+    }
+    // identical windows hash identically across the copy family
+    val nwh = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("42:andd:0:nw".getBytes("UTF-8"))
+    val nw0 = 6 + (nwh(0) & 0xff) % 3
+    for (w <- 0 until nw0)
+      assert(prints((0L, w)) == prints((2000L, w)), s"full-copy drift $w")
+    for (j <- 0 until nw0 - 2)
+      assert(prints((0L, j + 1)) == prints((1000L, j)), s"clip drift $j")
+    // containment pairs with true offsets
+    val pairs = Multimodal.audioNearDupPairs(media)
+      .select($"audio_a", $"audio_b", $"offset", $"n_aligned", $"nw_a",
+        $"nw_b")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p).toMap
+    for (a <- 0 until 12 if a % 3 == 0) {
+      val p = byPair.getOrElse((a.toLong, 1000L + a),
+        fail(s"clipped copy of $a not found"))
+      assert(p._3 == -1L && p._4 == p._6, s"clip alignment wrong: $p")
+    }
+    for (a <- 0 until 12 if a % 4 == 0) {
+      val p = byPair.getOrElse((a.toLong, 2000L + a),
+        fail(s"full duplicate of $a not found"))
+      assert(p._3 == 0L && p._4 == p._5, s"full alignment wrong: $p")
+    }
+    for (((a, b), _) <- byPair)
+      assert(a % 1000 == b % 1000, s"false positive pair ($a, $b)")
+  }
+
   test("decodeWav parses a WAV written by the JDK's own encoder (javax.sound cross-check)") {
     // deterministic asymmetric samples spanning negatives, zero
     // crossings, and the full byte range
