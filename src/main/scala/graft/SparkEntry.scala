@@ -1152,6 +1152,18 @@ object SparkEntry {
         .orderBy(col("piece"))
     }),
 
+    // CCNet end to end (Wenzek et al. 2020; VERDICT r12 #1): unigram-LM
+    // vocabulary learned on the clean src0 slice, the whole corpus
+    // Viterbi-encoded into pieces under it, Stupid Backoff trained on
+    // src0's piece bigrams scoring every doc, head/middle/tail buckets
+    // PER SOURCE at fixed percentile cuts — the piece-LM quality filter
+    // the word-level q142/q167 lanes approximate.
+    "q221_ccnet_filter" -> ((s, d) => {
+      operators.Unigram.ccnetBuckets(t(s, d, "documents"), "doc_id",
+          "text", "source", "src0", r4, buckets = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // Ranked-retrieval quality of the IVF tier against brute-force
     // ground truth — recall@10, MRR, nDCG@10 per query as a QUERY, not
     // a spec (index quality per configuration is something a user runs
@@ -1250,6 +1262,67 @@ object SparkEntry {
         .select(col("query_id"), r6(col("recall_k")).as("recall_k"),
           r6(col("mrr")).as("mrr"), r6(col("ndcg_k")).as("ndcg_k"))
         .orderBy(col("query_id"))
+    }),
+
+    // HIERARCHICAL serving search (VERDICT r12 #2) — HNSW's log-n
+    // routing over the q214 walk: hash-geometric levels (4^-l layer
+    // membership as a pure id predicate), one NN-Descent graph per
+    // layer, descent from the top layer's single sha-min entry through
+    // narrow upper-layer walks into the full layer-0 beam walk. The
+    // oracle replays every layer build, every descent step, and the
+    // final walk; recall >= the flat-entry q214 walk is spec-gated.
+    "q222_hnsw_search" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 13 =!= 0)
+      val qs = emb.filter(col("vec_id") % 13 === 0)
+      Similarity.hnswSearch(corpus, "vec_id", "embedding", qs, "vec_id",
+          "embedding", k = 8, knnK = 8, cells = 16, rounds = 2, beam = 8,
+          steps = 2, maxLevel = 2, upperBeam = 2, upperSteps = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          r6(col("cos")).as("cos"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // VIDEO-to-video near-dup (VERDICT r12 #3): per-frame dHash
+    // sequences (the q118 perceptual hash over q208's decoded frames),
+    // banded frame-hash candidates, Hamming verify, then temporal
+    // alignment — matched frames vote for their offset and the pair
+    // reports iff the best offset's support covers >= 80% of the
+    // shorter video (the q135 containment rule on the time axis).
+    // The fixture plants clipped sub-videos (offset +1) and full
+    // duplicates (offset 0); the oracle replays pixels -> luma ->
+    // cross-multiplied dHash cells -> bands -> join -> vote -> cut.
+    "q223_video_neardup" -> ((s, d) => {
+      val media = operators.Avi.synthesizeAviNearDup(s, 40)
+      operators.Avi.videoNearDupPairs(media, maxHamming = 6,
+          minOverlapPct = 80)
+        .orderBy(col("video_a"), col("video_b"))
+    }),
+
+    // Audio spectral fingerprint (VERDICT r12 #4): fixed-point 64-
+    // sample DFT bin energies (integer accumulators, the basis table
+    // stamped identically into engine and oracle), Haitsma-Kalker
+    // adjacent-bin-compare bits -> one 16-bit print per window. The
+    // gated row IS the print, so the whole sample->energy->bit chain
+    // replays.
+    "q224_audio_fingerprint" -> ((s, d) => {
+      val media = operators.Multimodal.synthesizeWavNearDup(s, 40)
+      operators.Multimodal.audioFingerprint(media).toDF()
+        .select(col("media_id"),
+          col("window_idx").cast("long").as("window_idx"),
+          col("fp").cast("long").as("fp"))
+        .orderBy(col("media_id"), col("window_idx"))
+    }),
+
+    // ... and the q223 containment rule on the audio axis: banded
+    // print candidates (4-bit nibbles), Hamming verify, offset vote,
+    // >= 80% of the shorter audio — clipped and full audio copies
+    // surface with their true window offsets.
+    "q225_audio_neardup" -> ((s, d) => {
+      val media = operators.Multimodal.synthesizeWavNearDup(s, 40)
+      operators.Multimodal.audioNearDupPairs(media, maxHamming = 2,
+          minOverlapPct = 80)
+        .orderBy(col("audio_a"), col("audio_b"))
     }),
 
     // Span-level decontamination at L = 16 — the exact-form upgrade of
@@ -4271,58 +4344,141 @@ object SparkEntry {
        |ORDER BY t.query_id""".stripMargin
   }
 
-  private def nnDescentCtes(k: Int, cells: Int, rounds: Int,
-                            vWhere: String = ""): String = {
-    def roundCte(i: Int): String = {
-      val prev = if (i == 1) "b0" else s"b${i - 1}"
-      s"""c$i AS (SELECT u, w FROM $prev UNION ALL SELECT w, u FROM $prev),
-         |cd$i AS (
+  /** q222 oracle: the full hierarchical descent replayed — one q205
+    * graph build PER LAYER (layer ℓ = corpus nodes whose hash-geometric
+    * level ≥ ℓ, cells shrinking 4^−ℓ), the top layer's single sha-min
+    * entry, an unrolled narrow walk per upper layer seeding the next
+    * layer down, and the full q214 walk at layer 0. */
+  private def hnswSearchOracleSql(k: Int, knnK: Int, cells: Int,
+                                  rounds: Int, beam: Int, steps: Int,
+                                  maxLevel: Int, upperBeam: Int,
+                                  upperSteps: Int): String = {
+    val alpha = "'0123456789abcdef'"
+    def nib(i: Int): String =
+      s"(strpos($alpha, substr(sha256(CAST(vec_id AS VARCHAR) " +
+        s"|| ':lvl'), $i, 1)) - 1)"
+    val h = s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 " +
+      s"+ ${nib(4)})"
+    val lvl = s"least($maxLevel, (16 - length(bin(CAST($h AS BIGINT)))) // 2)"
+    def layerWhere(l: Int): String =
+      if (l == 0) " WHERE vec_id % 13 <> 0"
+      else s" WHERE vec_id % 13 <> 0 AND $lvl >= $l"
+    val builds = (0 to maxLevel).map { l =>
+      nnDescentCtes(knnK, math.max(1, cells >> (2 * l)), rounds,
+        layerWhere(l), s"g$l", lead = if (l == maxLevel) "WITH " else "")
+    }.reverse.mkString(",\n")
+    def adjCte(l: Int): String =
+      s"""w${l}adj AS (
          |  SELECT DISTINCT u, w FROM (
-         |    SELECT c1.u, c2.w FROM c$i c1 JOIN c$i c2 ON c1.w = c2.u
+         |    SELECT u, w FROM g${l}b$rounds
+         |    UNION ALL SELECT w, u FROM g${l}b$rounds))""".stripMargin
+    def stepCte(l: Int, i: Int, lBeam: Int): String = {
+      val prev = s"w${l}s${i - 1}"
+      s"""w${l}n$i AS (
+         |  SELECT DISTINCT qid, node FROM (
+         |    SELECT s.qid, a.w AS node FROM $prev s
+         |    JOIN w${l}adj a ON a.u = s.node
+         |    UNION ALL SELECT qid, node FROM $prev)),
+         |w${l}s$i AS MATERIALIZED (
+         |  SELECT qid, node, cos, rank FROM (
+         |    SELECT n.qid, n.node,
+         |      list_cosine_similarity(q.qv, b.vec) AS cos,
+         |      row_number() OVER (PARTITION BY n.qid
+         |        ORDER BY list_cosine_similarity(q.qv, b.vec) DESC, n.node)
+         |        AS rank
+         |    FROM w${l}n$i n JOIN qs q ON q.qid = n.qid
+         |    JOIN g${l}v b ON b.id = n.node)
+         |  WHERE rank <= $lBeam)""".stripMargin
+    }
+    def s0Cte(l: Int, entrySql: String, lBeam: Int): String =
+      s"""w${l}s0 AS MATERIALIZED (
+         |  SELECT qid, node, cos, rank FROM (
+         |    SELECT e.qid, e.node,
+         |      list_cosine_similarity(q.qv, b.vec) AS cos,
+         |      row_number() OVER (PARTITION BY e.qid
+         |        ORDER BY list_cosine_similarity(q.qv, b.vec) DESC, e.node)
+         |        AS rank
+         |    FROM ($entrySql) e JOIN qs q ON q.qid = e.qid
+         |    JOIN g${l}v b ON b.id = e.node)
+         |  WHERE rank <= $lBeam)""".stripMargin
+    val walks = (maxLevel to 0 by -1).map { l =>
+      val lBeam = if (l == 0) beam else upperBeam
+      val lSteps = if (l == 0) steps else upperSteps
+      val entrySql =
+        if (l == maxLevel)
+          "SELECT q.qid, e.id AS node FROM qs q CROSS JOIN ent e"
+        else
+          s"SELECT DISTINCT qid, node FROM w${l + 1}s$upperSteps"
+      (Seq(adjCte(l), s0Cte(l, entrySql, lBeam)) ++
+        (1 to lSteps).map(i => stepCte(l, i, lBeam))).mkString(",\n")
+    }.mkString(",\n")
+    s"""$builds,
+       |qs AS (
+       |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id % 13 = 0),
+       |ent AS (
+       |  SELECT id FROM g${maxLevel}v
+       |  ORDER BY sha256(CAST(id AS VARCHAR) || ':ivf'), id LIMIT 1),
+       |$walks
+       |SELECT qid AS query_id, node AS neighbor_id, r6(cos) AS cos,
+       |  CAST(rank AS BIGINT) AS rank
+       |FROM w0s$steps WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  private def nnDescentCtes(k: Int, cells: Int, rounds: Int,
+                            vWhere: String = "", p: String = "",
+                            lead: String = "WITH "): String = {
+    def roundCte(i: Int): String = {
+      val prev = if (i == 1) s"${p}b0" else s"${p}b${i - 1}"
+      s"""${p}c$i AS (SELECT u, w FROM $prev UNION ALL SELECT w, u FROM $prev),
+         |${p}cd$i AS (
+         |  SELECT DISTINCT u, w FROM (
+         |    SELECT c1.u, c2.w FROM ${p}c$i c1 JOIN ${p}c$i c2 ON c1.w = c2.u
          |    WHERE c2.w <> c1.u
          |    UNION ALL SELECT u, w FROM $prev)),
-         |b$i AS MATERIALIZED (
+         |${p}b$i AS MATERIALIZED (
          |  SELECT u, w, cos, rank FROM (
          |    SELECT d.u, d.w, list_cosine_similarity(a.vec, b.vec) AS cos,
          |      row_number() OVER (PARTITION BY d.u
          |        ORDER BY list_cosine_similarity(a.vec, b.vec) DESC, d.w)
          |        AS rank
-         |    FROM cd$i d JOIN v a ON a.id = d.u JOIN v b ON b.id = d.w)
+         |    FROM ${p}cd$i d JOIN ${p}v a ON a.id = d.u
+         |    JOIN ${p}v b ON b.id = d.w)
          |  WHERE rank <= $k)""".stripMargin
     }
-    s"""WITH v AS (
+    s"""$lead${p}v AS (
        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
        |  FROM embeddings$vWhere),
-       |cent AS (
-       |  SELECT id AS cell_id, vec AS cv FROM v
+       |${p}cent AS (
+       |  SELECT id AS cell_id, vec AS cv FROM ${p}v
        |  ORDER BY sha256(CAST(id AS VARCHAR) || ':ivf'), id LIMIT $cells),
-       |asg AS (
+       |${p}asg AS (
        |  SELECT id, cell_id FROM (
        |    SELECT v.id, c.cell_id, row_number() OVER (PARTITION BY v.id
        |      ORDER BY list_cosine_similarity(v.vec, c.cv) DESC, c.cell_id)
        |      AS crank
-       |    FROM v CROSS JOIN cent c)
+       |    FROM ${p}v v CROSS JOIN ${p}cent c)
        |  WHERE crank = 1),
-       |ring AS (
+       |${p}ring AS (
        |  SELECT id, cell_id,
        |    row_number() OVER (PARTITION BY cell_id
        |      ORDER BY sha256(CAST(id AS VARCHAR) || ':nnd'), id) AS r,
        |    count(*) OVER (PARTITION BY cell_id) AS sz
-       |  FROM asg),
-       |ic AS (
+       |  FROM ${p}asg),
+       |${p}ic AS (
        |  SELECT g.id AS u, p.id AS w
-       |  FROM ring g, unnest(generate_series(1, $k)) AS t(j)
-       |  JOIN ring p ON p.cell_id = g.cell_id
+       |  FROM ${p}ring g, unnest(generate_series(1, $k)) AS t(j)
+       |  JOIN ${p}ring p ON p.cell_id = g.cell_id
        |    AND p.r = ((g.r - 1 + j) % g.sz) + 1
        |  WHERE j < g.sz),
-       |b0 AS MATERIALIZED (
+       |${p}b0 AS MATERIALIZED (
        |  SELECT u, w, cos, rank FROM (
        |    SELECT d.u, d.w, list_cosine_similarity(a.vec, b.vec) AS cos,
        |      row_number() OVER (PARTITION BY d.u
        |        ORDER BY list_cosine_similarity(a.vec, b.vec) DESC, d.w)
        |        AS rank
-       |    FROM (SELECT DISTINCT u, w FROM ic) d
-       |    JOIN v a ON a.id = d.u JOIN v b ON b.id = d.w)
+       |    FROM (SELECT DISTINCT u, w FROM ${p}ic) d
+       |    JOIN ${p}v a ON a.id = d.u JOIN ${p}v b ON b.id = d.w)
        |  WHERE rank <= $k),
        |${(1 to rounds).map(roundCte).mkString(",\n")}""".stripMargin
   }
@@ -5927,7 +6083,7 @@ object SparkEntry {
     * piece decode from the cut bitmask. `emIters` E-steps replay
     * unrolled; `rounds` doubling rounds per Viterbi. */
   private def unigramCtes(maxPieceLen: Int, topN: Int, emIters: Int,
-                          rounds: Int): String = {
+                          rounds: Int, where: String = ""): String = {
     def l2l(x: String): String = {
       val e = s"(length(bin($x)) - 1)"
       val p = s"(CAST(1 AS BIGINT) << CAST($e AS INT))"
@@ -6002,7 +6158,7 @@ object SparkEntry {
        |  SELECT source,
        |    list_filter(string_split_regex(trim(regexp_replace(
        |      lower(text), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS tk
-       |  FROM documents),
+       |  FROM documents $where),
        |wds AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
        |    CAST(length(w) AS BIGINT) AS len
@@ -6178,6 +6334,334 @@ object SparkEntry {
        |FROM swd JOIN bF USING (w)
        |GROUP BY source ORDER BY source""".stripMargin
   }
+
+  /** q221 oracle: the CCNet composition — the q218 learn chain
+    * restricted to the clean reference source, one more unrolled
+    * Viterbi over the FULL-corpus word census under the final weights,
+    * per-doc ordered piece streams (OOV words encode as the
+    * `'<'×(maxPieceLen+1)` marker — longer than any real piece),
+    * Stupid Backoff over the reference's piece bigrams (the q167
+    * formula), and per-source percentile-cut buckets (the q142 integer
+    * rule partitioned by source). */
+  private def ccnetOracleSql(maxPieceLen: Int, topN: Int, emIters: Int,
+                             rounds: Int, buckets: Int,
+                             refSource: String): String = {
+    val unkLen = maxPieceLen + 1
+    val rs = (1 to rounds).map { r =>
+      s"""pAr$r AS MATERIALIZED (
+         |  SELECT w, j, i,
+         |    struct_extract(bb, 's') AS score,
+         |    -struct_extract(bb, 'nn') AS n,
+         |    -struct_extract(bb, 'nm') AS mask
+         |  FROM (
+         |    SELECT w, j, i,
+         |      max(struct_pack(s := score, nn := -n, nm := -mask)) AS bb
+         |    FROM (
+         |      SELECT w, j, i, score, n, mask FROM pAr${r - 1}
+         |      UNION ALL
+         |      SELECT a.w, a.j, b.i, a.score + b.score, a.n + b.n,
+         |        a.mask + b.mask + (CAST(1 AS BIGINT) << CAST(a.i AS INT))
+         |      FROM pAr${r - 1} a JOIN pAr${r - 1} b
+         |        ON a.w = b.w AND a.i = b.j) u
+         |    GROUP BY w, j, i) m)""".stripMargin
+    }.mkString(",\n")
+    s"""${unigramCtes(maxPieceLen, topN, emIters, rounds,
+          s"WHERE source = '$refSource'")},
+       |baseA AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split_regex(trim(regexp_replace(
+       |      lower(text), '\\s+', ' ', 'g')), '\\s+'), x -> x <> '') AS tk
+       |  FROM documents),
+       |wdsA AS MATERIALIZED (
+       |  SELECT w, CAST(length(w) AS BIGINT) AS len
+       |  FROM (SELECT unnest(tk) AS w FROM baseA) GROUP BY w),
+       |eA AS MATERIALIZED (
+       |  SELECT s.w, s.j, s.i, wt$emIters.wt AS score,
+       |    CAST(1 AS BIGINT) AS n, CAST(0 AS BIGINT) AS mask
+       |  FROM (SELECT w, CAST(j - 1 AS BIGINT) AS j,
+       |          CAST(j - 1 + pl AS BIGINT) AS i,
+       |          substr(w, CAST(j AS INT), CAST(pl AS INT)) AS piece
+       |        FROM wdsA,
+       |          unnest(generate_series(1, least($maxPieceLen, len)))
+       |            u(pl),
+       |          unnest(generate_series(1, len - pl + 1)) s(j)) s
+       |  JOIN wt$emIters USING (piece)),
+       |pAr0 AS MATERIALIZED (SELECT * FROM eA),
+       |$rs,
+       |bA AS MATERIALIZED (
+       |  SELECT p.w, p.mask
+       |  FROM pAr$rounds p JOIN wdsA ON wdsA.w = p.w
+       |  WHERE p.j = 0 AND p.i = wdsA.len),
+       |segA AS MATERIALIZED (
+       |  SELECT w, [substr(w, CAST(bnds[k] + 1 AS INT),
+       |      CAST(bnds[k + 1] - bnds[k] AS INT))
+       |      for k in generate_series(1, len(bnds) - 1)] AS pcs
+       |  FROM (SELECT w,
+       |          [p for p in generate_series(0, CAST(length(w) AS BIGINT))
+       |           if p = 0 OR p = length(w)
+       |             OR ((mask >> p) & 1) = 1] AS bnds
+       |        FROM bA)),
+       |docw AS (
+       |  SELECT doc_id, source, i AS pos, tk[i] AS w
+       |  FROM baseA, unnest(generate_series(1, len(tk))) s(i)),
+       |streams AS MATERIALIZED (
+       |  SELECT doc_id, source, flatten(list(pcs ORDER BY pos)) AS ps,
+       |    CAST(sum(oov) AS BIGINT) AS n_oov
+       |  FROM (SELECT d.doc_id, d.source, d.pos,
+       |          COALESCE(s.pcs, [repeat('<', $unkLen)]) AS pcs,
+       |          CASE WHEN s.pcs IS NULL THEN 1 ELSE 0 END AS oov
+       |        FROM docw d LEFT JOIN segA s USING (w))
+       |  GROUP BY 1, 2),
+       |runi AS MATERIALIZED (
+       |  SELECT p, count(*) AS c1 FROM (
+       |    SELECT unnest(ps) AS p FROM streams
+       |    WHERE source = '$refSource') GROUP BY 1),
+       |rsc AS (SELECT CAST(sum(c1) AS DOUBLE) AS t,
+       |               CAST(count(*) AS DOUBLE) AS v FROM runi),
+       |rbi AS MATERIALIZED (
+       |  SELECT pr.p1 AS p1, pr.p2 AS p2, count(*) AS c2 FROM (
+       |    SELECT unnest(list_transform(generate_series(1, len(ps) - 1),
+       |      i -> struct_pack(p1 := ps[i], p2 := ps[i + 1]))) AS pr
+       |    FROM streams WHERE source = '$refSource' AND len(ps) >= 2)
+       |  GROUP BY 1, 2),
+       |pg AS (
+       |  SELECT doc_id, pr.p1 AS p1, pr.p2 AS p2, count(*) AS pf FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(generate_series(1, len(ps) - 1),
+       |        i -> struct_pack(p1 := ps[i], p2 := ps[i + 1]))) AS pr
+       |    FROM streams WHERE len(ps) >= 2)
+       |  GROUP BY 1, 2, 3),
+       |jn AS (
+       |  SELECT pg.doc_id, pg.pf,
+       |    CASE WHEN COALESCE(rbi.c2, 0) > 0
+       |      THEN ln(CAST(rbi.c2 AS DOUBLE) / u1.c1)
+       |      ELSE ln(0.4 * (COALESCE(u2.c1, 0) + 1.0)
+       |        / (rsc.t + rsc.v + 1.0))
+       |    END AS lp
+       |  FROM pg
+       |  LEFT JOIN rbi ON rbi.p1 = pg.p1 AND rbi.p2 = pg.p2
+       |  LEFT JOIN runi u1 ON u1.p = pg.p1
+       |  LEFT JOIN runi u2 ON u2.p = pg.p2, rsc),
+       |scored0 AS (
+       |  SELECT doc_id, CAST(sum(pf) AS BIGINT) AS n_pairs,
+       |    r4(-sum(pf * lp) / sum(pf)) AS xsb
+       |  FROM jn GROUP BY 1),
+       |ds AS MATERIALIZED (
+       |  SELECT s.doc_id, s.source, CAST(len(s.ps) AS BIGINT) AS n_pieces,
+       |    s.n_oov, c.n_pairs, c.xsb
+       |  FROM streams s JOIN scored0 c USING (doc_id)),
+       |snn AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+       |        FROM ds GROUP BY 1),
+       |scum AS (
+       |  SELECT source, xsb,
+       |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY xsb)
+       |      AS BIGINT) AS cum
+       |  FROM (SELECT source, xsb, CAST(count(*) AS BIGINT) AS cnt
+       |        FROM ds GROUP BY 1, 2)),
+       |cuts AS (
+       |  SELECT c.source, t.b, min(c.xsb) AS cut
+       |  FROM scum c JOIN snn ON snn.source = c.source
+       |  CROSS JOIN range(1, $buckets) t(b)
+       |  WHERE c.cum * $buckets >= t.b * snn.n GROUP BY 1, 2)
+       |SELECT d.doc_id, d.source, d.n_pieces, d.n_oov, d.n_pairs, d.xsb,
+       |  CAST(1 + (SELECT count(*) FROM cuts c
+       |            WHERE c.source = d.source AND d.xsb > c.cut)
+       |    AS BIGINT) AS bucket
+       |FROM ds d ORDER BY doc_id""".stripMargin
+  }
+
+  /** q223 oracle: the q208 derived-id pixel replay (the clipped/full
+    * copies reference the SAME derived frame ids, so only base frames
+    * need pixels) → integer luma → 9×8 cross-multiplied dHash cells →
+    * four 16-bit bands → the (video, frame) map → band join → Hamming
+    * verify → offset vote → per-pair argmax → containment cut. */
+  private def videoNearDupOracleSql(n: Int, maxHamming: Int,
+                                    minOverlapPct: Int): String = {
+    val alpha = "'0123456789abcdef'"
+    val nfB = s"(strpos($alpha, substr(sha256('42:avnd:' " +
+      s"|| CAST(v AS VARCHAR) || ':nf'), 1, 1)) - 1) * 16 " +
+      s"+ (strpos($alpha, substr(sha256('42:avnd:' " +
+      s"|| CAST(v AS VARCHAR) || ':nf'), 2, 1)) - 1)"
+    val basesSql = s"SELECT v, 4 + ($nfB) % 3 AS nf FROM range($n) t(v)"
+    val idSrc = s"SELECT v * 100 + f AS i FROM ($basesSql) bb, " +
+      "range(6) r(f) WHERE f < nf"
+    def bandSum(j: Int): String =
+      s"CAST(COALESCE(sum(CASE WHEN (r * 8 + c) >= ${16 * j} AND " +
+        s"(r * 8 + c) < ${16 * (j + 1)} THEN 1 << ((r * 8 + c) - ${16 * j}) " +
+        s"END), 0) AS BIGINT) AS b$j"
+    jpegFeatCtes(idSrc) + s""",
+       |lum AS (
+       |  SELECT i, rr * 299 + g * 587 + b * 114 AS lum,
+       |    (x * 9) // w AS c, (yt * 8) // h AS r
+       |  FROM chan),
+       |cells AS MATERIALIZED (
+       |  SELECT i, c, r, CAST(sum(lum) AS BIGINT) AS s,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM lum GROUP BY 1, 2, 3),
+       |bits AS (
+       |  SELECT a.i, a.r, a.c FROM cells a
+       |  JOIN cells b ON b.i = a.i AND b.r = a.r AND b.c = a.c + 1
+       |  WHERE a.s * b.n > b.s * a.n),
+       |hsh AS MATERIALIZED (
+       |  SELECT d.i, ${bandSum(0)}, ${bandSum(1)}, ${bandSum(2)},
+       |    ${bandSum(3)}
+       |  FROM (SELECT DISTINCT i FROM dim) d
+       |  LEFT JOIN bits ON bits.i = d.i GROUP BY d.i),
+       |bases AS ($basesSql),
+       |vf AS MATERIALIZED (
+       |  SELECT v AS video_id, f AS frame_idx, v * 100 + f AS i
+       |  FROM bases, range(6) r(f) WHERE f < nf
+       |  UNION ALL
+       |  SELECT 1000 + v, f - 1, v * 100 + f
+       |  FROM bases, range(6) r(f)
+       |  WHERE v % 3 = 0 AND f >= 1 AND f < nf - 1
+       |  UNION ALL
+       |  SELECT 2000 + v, f, v * 100 + f
+       |  FROM bases, range(6) r(f) WHERE v % 4 = 0 AND f < nf),
+       |fh AS MATERIALIZED (
+       |  SELECT video_id, frame_idx, b0, b1, b2, b3
+       |  FROM vf JOIN hsh USING (i)),
+       |nfv AS (SELECT video_id, CAST(count(*) AS BIGINT) AS nf
+       |        FROM fh GROUP BY 1),
+       |bd AS (
+       |  SELECT video_id, frame_idx, u.band_idx,
+       |    CASE u.band_idx WHEN 0 THEN b0 WHEN 1 THEN b1
+       |      WHEN 2 THEN b2 ELSE b3 END AS band
+       |  FROM fh, unnest(generate_series(0, 3)) u(band_idx)),
+       |cand AS (
+       |  SELECT DISTINCT x.video_id AS a, x.frame_idx AS fa,
+       |    y.video_id AS b, y.frame_idx AS fb
+       |  FROM bd x JOIN bd y ON y.band_idx = x.band_idx
+       |    AND y.band = x.band AND x.video_id < y.video_id),
+       |mt AS (
+       |  SELECT c.a, c.fa, c.b, c.fb FROM cand c
+       |  JOIN fh p ON p.video_id = c.a AND p.frame_idx = c.fa
+       |  JOIN fh q ON q.video_id = c.b AND q.frame_idx = c.fb
+       |  WHERE bit_count(xor(p.b0, q.b0)) + bit_count(xor(p.b1, q.b1))
+       |    + bit_count(xor(p.b2, q.b2)) + bit_count(xor(p.b3, q.b3))
+       |    <= $maxHamming),
+       |votes AS (
+       |  SELECT a, b, fb - fa AS off,
+       |    CAST(count(*) AS BIGINT) AS n_aligned
+       |  FROM mt GROUP BY 1, 2, 3),
+       |best AS (
+       |  SELECT a, b, off, n_aligned FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY a, b
+       |      ORDER BY n_aligned DESC, off) AS rn
+       |    FROM votes) WHERE rn = 1)
+       |SELECT best.a AS video_a, best.b AS video_b,
+       |  CAST(best.off AS BIGINT) AS "offset", best.n_aligned,
+       |  na.nf AS nf_a, nb.nf AS nf_b
+       |FROM best
+       |JOIN nfv na ON na.video_id = best.a
+       |JOIN nfv nb ON nb.video_id = best.b
+       |WHERE best.n_aligned * 100 >= least(na.nf, nb.nf) * $minOverlapPct
+       |ORDER BY video_a, video_b""".stripMargin
+  }
+
+  /** q224/q225 shared CTEs: the '42:andd' sample chains → fixed-point
+    * DFT bin energies (the basis table stamped from the SAME
+    * [[graft.operators.Multimodal.dftCos]]/dftSin integers the engine
+    * loop reads) → Haitsma-Kalker adjacent-bin bits → 16-bit window
+    * prints → the (audio, window) family map. */
+  private def audioPrintCtes(n: Int): String = {
+    val alpha = "'0123456789abcdef'"
+    val ctVals = (1 to 17).flatMap(k => (0 until 64).map(nn =>
+      s"($k,$nn,${graft.operators.Multimodal.dftCos(k, nn)}," +
+        s"${graft.operators.Multimodal.dftSin(k, nn)})")).mkString(",")
+    val nwB = s"(strpos($alpha, substr(sha256('42:andd:' " +
+      s"|| CAST(a AS VARCHAR) || ':nw'), 1, 1)) - 1) * 16 " +
+      s"+ (strpos($alpha, substr(sha256('42:andd:' " +
+      s"|| CAST(a AS VARCHAR) || ':nw'), 2, 1)) - 1)"
+    val shaChunks = (0 to 3)
+      .map(k => "sha256('42:andd:' || CAST(a AS VARCHAR) || ':' " +
+        s"|| CAST(w AS VARCHAR) || ':$k')")
+      .mkString(" || ")
+    def byteAt(off: String): String =
+      s"(strpos($alpha, substr(hex, 2 * ($off) + 1, 1)) - 1) * 16 " +
+        s"+ (strpos($alpha, substr(hex, 2 * ($off) + 2, 1)) - 1)"
+    s"""WITH ct(k, n, c, s) AS (VALUES $ctVals),
+       |abase AS (SELECT a, 6 + ($nwB) % 3 AS nw FROM range($n) t(a)),
+       |aw AS (SELECT a, w FROM abase, range(8) r(w) WHERE w < nw),
+       |ahx AS (SELECT a, w, $shaChunks AS hex FROM aw),
+       |asm AS (
+       |  SELECT a, w, CAST(sn AS INT) AS n,
+       |    (${byteAt("2 * sn")}) + 256 * (${byteAt("2 * sn + 1")})
+       |      - CASE WHEN (${byteAt("2 * sn + 1")}) >= 128
+       |        THEN 65536 ELSE 0 END AS x
+       |  FROM ahx, range(64) s(sn)),
+       |aen AS MATERIALIZED (
+       |  SELECT asm.a, asm.w, ct.k,
+       |    CAST(sum(asm.x * ct.c) AS BIGINT) AS ec,
+       |    CAST(sum(asm.x * ct.s) AS BIGINT) AS es
+       |  FROM asm JOIN ct ON ct.n = asm.n GROUP BY 1, 2, 3),
+       |abits AS (
+       |  SELECT e1.a, e1.w, e1.k FROM aen e1
+       |  JOIN aen e2 ON e2.a = e1.a AND e2.w = e1.w AND e2.k = e1.k + 1
+       |  WHERE e1.ec * e1.ec + e1.es * e1.es
+       |    > e2.ec * e2.ec + e2.es * e2.es),
+       |afp AS MATERIALIZED (
+       |  SELECT aw.a, aw.w,
+       |    CAST(COALESCE(sum(1 << (b.k - 1)), 0) AS BIGINT) AS fp
+       |  FROM aw LEFT JOIN abits b ON b.a = aw.a AND b.w = aw.w
+       |  GROUP BY 1, 2),
+       |avf AS MATERIALIZED (
+       |  SELECT a AS audio_id, w AS window_idx, a, w
+       |  FROM abase, range(8) r(w) WHERE w < nw
+       |  UNION ALL
+       |  SELECT 1000 + a, w - 1, a, w
+       |  FROM abase, range(8) r(w)
+       |  WHERE a % 3 = 0 AND w >= 1 AND w < nw - 1
+       |  UNION ALL
+       |  SELECT 2000 + a, w, a, w
+       |  FROM abase, range(8) r(w) WHERE a % 4 = 0 AND w < nw),
+       |afh AS MATERIALIZED (
+       |  SELECT v.audio_id, v.window_idx, p.fp
+       |  FROM avf v JOIN afp p ON p.a = v.a AND p.w = v.w)""".stripMargin
+  }
+
+  private def audioFingerprintOracleSql(n: Int): String =
+    s"""${audioPrintCtes(n)}
+       |SELECT audio_id AS media_id, CAST(window_idx AS BIGINT)
+       |  AS window_idx, fp
+       |FROM afh ORDER BY media_id, window_idx""".stripMargin
+
+  private def audioNearDupOracleSql(n: Int, maxHamming: Int,
+                                    minOverlapPct: Int): String =
+    s"""${audioPrintCtes(n)},
+       |anw AS (SELECT audio_id, CAST(count(*) AS BIGINT) AS nw
+       |        FROM afh GROUP BY 1),
+       |abd AS (
+       |  SELECT audio_id, window_idx, u.band_idx,
+       |    (fp >> (4 * u.band_idx)) & 15 AS band
+       |  FROM afh, unnest(generate_series(0, 3)) u(band_idx)),
+       |acand AS (
+       |  SELECT DISTINCT x.audio_id AS a, x.window_idx AS fa,
+       |    y.audio_id AS b, y.window_idx AS fb
+       |  FROM abd x JOIN abd y ON y.band_idx = x.band_idx
+       |    AND y.band = x.band AND x.audio_id < y.audio_id),
+       |amt AS (
+       |  SELECT c.a, c.fa, c.b, c.fb FROM acand c
+       |  JOIN afh p ON p.audio_id = c.a AND p.window_idx = c.fa
+       |  JOIN afh q ON q.audio_id = c.b AND q.window_idx = c.fb
+       |  WHERE bit_count(xor(p.fp, q.fp)) <= $maxHamming),
+       |avotes AS (
+       |  SELECT a, b, fb - fa AS off,
+       |    CAST(count(*) AS BIGINT) AS n_aligned
+       |  FROM amt GROUP BY 1, 2, 3),
+       |abest AS (
+       |  SELECT a, b, off, n_aligned FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY a, b
+       |      ORDER BY n_aligned DESC, off) AS rn
+       |    FROM avotes) WHERE rn = 1)
+       |SELECT abest.a AS audio_a, abest.b AS audio_b,
+       |  CAST(abest.off AS BIGINT) AS "offset", abest.n_aligned,
+       |  na.nw AS nw_a, nb.nw AS nw_b
+       |FROM abest
+       |JOIN anw na ON na.audio_id = abest.a
+       |JOIN anw nb ON nb.audio_id = abest.b
+       |WHERE abest.n_aligned * 100 >= least(na.nw, nb.nw) * $minOverlapPct
+       |ORDER BY audio_a, audio_b""".stripMargin
 
   /** q217 oracle: the q208 derived-id pixel replay joined with the
     * q110 audio-lane replay over the '42:avia:v:f:k' sha chains. */
@@ -9511,6 +9995,7 @@ object SparkEntry {
     "q211_knn_label_spread" -> knnLabelSpreadOracleSql(8, 16, 2),
     "q212_nndescent_quality" -> nnDescentQualityOracleSql(8, 16, 2),
     "q214_graph_ann_search" -> graphSearchOracleSql(8, 16, 2, 8, 2),
+    "q222_hnsw_search" -> hnswSearchOracleSql(8, 8, 16, 2, 8, 2, 2, 2, 2),
     "q215_graph_search_quality" ->
       graphSearchQualityOracleSql(8, 16, 2, 8, 2),
 
@@ -9616,6 +10101,10 @@ object SparkEntry {
     "q218_unigram_learn" -> unigramLearnOracleSql(4, 24, 2, 4),
     "q219_unigram_encode" -> unigramEncodeOracleSql(4, 24, 2, 4),
     "q220_unigram_prune" -> unigramPruneOracleSql(4, 24, 2, 4, 8),
+    "q221_ccnet_filter" -> ccnetOracleSql(4, 24, 2, 4, 3, "src0"),
+    "q223_video_neardup" -> videoNearDupOracleSql(40, 6, 80),
+    "q224_audio_fingerprint" -> audioFingerprintOracleSql(40),
+    "q225_audio_neardup" -> audioNearDupOracleSql(40, 2, 80),
 
     "q206_span_decontaminate" ->
       """WITH base AS (

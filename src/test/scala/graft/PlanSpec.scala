@@ -435,6 +435,10 @@ class PlanSpec extends SparkSpec {
       // — the q142/q167 scalar shape; the Viterbi rounds themselves
       // are checkpointed and never reach the output plan
       "q218_unigram_learn", "q219_unigram_encode", "q220_unigram_prune",
+      // q221: the q218 learn chain's scalar frames plus the q167-shape
+      // one-row T/V broadcast into the piece-pair scoring; descent
+      // beams and censuses are checkpointed before the output plan
+      "q221_ccnet_filter",
       // q213: the minimax (j ≤ k) pair table is a deliberate
       // broadcast theta-join over the BOUNDED score census (both
       // sides census-sized — the maxScores raise guards the square)
