@@ -1283,6 +1283,27 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Walk-vs-brute ranking quality for the HIERARCHICAL search — the
+    // q215 report pointed at the q222 descent, so the layered tier
+    // carries the same per-configuration quality evidence as the flat
+    // walk (recall@8 / MRR / nDCG@8 against brute-force truth); the
+    // >= flat-entry-recall-at-equal-budget law is spec-gated.
+    "q226_hnsw_quality" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 13 =!= 0)
+      val qs = emb.filter(col("vec_id") % 13 === 0)
+      val truth = Similarity.bruteForceTopK(qs, corpus, "vec_id",
+        "embedding", k = 8)
+      val walk = Similarity.hnswSearch(corpus, "vec_id", "embedding",
+        qs, "vec_id", "embedding", k = 8, knnK = 8, cells = 16,
+        rounds = 2, beam = 8, steps = 2, maxLevel = 2, upperBeam = 2,
+        upperSteps = 2)
+      operators.Retrieval.rankingQuality(truth, walk, k = 8)
+        .select(col("query_id"), r6(col("recall_k")).as("recall_k"),
+          r6(col("mrr")).as("mrr"), r6(col("ndcg_k")).as("ndcg_k"))
+        .orderBy(col("query_id"))
+    }),
+
     // VIDEO-to-video near-dup (VERDICT r12 #3): per-frame dHash
     // sequences (the q118 perceptual hash over q208's decoded frames),
     // banded frame-hash candidates, Hamming verify, then temporal
@@ -4349,10 +4370,10 @@ object SparkEntry {
     * level ≥ ℓ, cells shrinking 4^−ℓ), the top layer's single sha-min
     * entry, an unrolled narrow walk per upper layer seeding the next
     * layer down, and the full q214 walk at layer 0. */
-  private def hnswSearchOracleSql(k: Int, knnK: Int, cells: Int,
-                                  rounds: Int, beam: Int, steps: Int,
-                                  maxLevel: Int, upperBeam: Int,
-                                  upperSteps: Int): String = {
+  private def hnswSearchCtes(k: Int, knnK: Int, cells: Int,
+                             rounds: Int, beam: Int, steps: Int,
+                             maxLevel: Int, upperBeam: Int,
+                             upperSteps: Int): String = {
     val alpha = "'0123456789abcdef'"
     def nib(i: Int): String =
       s"(strpos($alpha, substr(sha256(CAST(vec_id AS VARCHAR) " +
@@ -4419,10 +4440,63 @@ object SparkEntry {
        |ent AS (
        |  SELECT id FROM g${maxLevel}v
        |  ORDER BY sha256(CAST(id AS VARCHAR) || ':ivf'), id LIMIT 1),
-       |$walks
+       |$walks""".stripMargin
+  }
+
+  private def hnswSearchOracleSql(k: Int, knnK: Int, cells: Int,
+                                  rounds: Int, beam: Int, steps: Int,
+                                  maxLevel: Int, upperBeam: Int,
+                                  upperSteps: Int): String =
+    s"""${hnswSearchCtes(k, knnK, cells, rounds, beam, steps, maxLevel,
+          upperBeam, upperSteps)}
        |SELECT qid AS query_id, node AS neighbor_id, r6(cos) AS cos,
        |  CAST(rank AS BIGINT) AS rank
        |FROM w0s$steps WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** q226 oracle: the q222 hierarchical chain + the q215 metric block
+    * — brute-force truth over the held-out queries vs the layer-0
+    * corpus, hits against the final walk beam, integer DCG weights,
+    * exact-ratio metrics. */
+  private def hnswQualityOracleSql(k: Int, knnK: Int, cells: Int,
+                                   rounds: Int, beam: Int, steps: Int,
+                                   maxLevel: Int, upperBeam: Int,
+                                   upperSteps: Int): String = {
+    val wts = (1 to k)
+      .map(r => s"($r, ${graft.operators.Retrieval.dcgWeight(r)})")
+      .mkString(", ")
+    val cums = (1 to k).map(graft.operators.Retrieval.dcgWeight)
+      .scanLeft(0L)(_ + _).tail
+    val idcgVals = (1 to k).map(n => s"($n, ${cums(n - 1)})").mkString(", ")
+    s"""${hnswSearchCtes(k, knnK, cells, rounds, beam, steps, maxLevel,
+          upperBeam, upperSteps)},
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.qid AS query_id, n.id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY list_cosine_similarity(q.qv, n.vec) DESC, n.id)
+       |        AS rank
+       |    FROM qs q JOIN g0v n ON q.qid <> n.id)
+       |  WHERE rank <= $k),
+       |wt(rank, w) AS (VALUES $wts),
+       |iw(n, iws) AS (VALUES $idcgVals),
+       |hits AS (
+       |  SELECT a.qid AS query_id, count(*) AS nhits, min(a.rank) AS minr,
+       |    sum(w.w) AS dcg
+       |  FROM w0s$steps a JOIN bf b
+       |    ON b.query_id = a.qid AND b.neighbor_id = a.node
+       |  JOIN wt w ON w.rank = a.rank
+       |  WHERE a.rank <= $k
+       |  GROUP BY 1),
+       |tc AS (SELECT query_id, LEAST(count(*), $k) AS denom
+       |       FROM bf GROUP BY 1)
+       |SELECT t.query_id,
+       |  r6(COALESCE(h.nhits, 0) / CAST(t.denom AS DOUBLE)) AS recall_k,
+       |  r6(COALESCE(CAST(1 AS DOUBLE) / h.minr, CAST(0 AS DOUBLE)))
+       |    AS mrr,
+       |  r6(COALESCE(h.dcg, 0) / CAST(i.iws AS DOUBLE)) AS ndcg_k
+       |FROM tc t JOIN iw i ON i.n = t.denom
+       |LEFT JOIN hits h ON h.query_id = t.query_id
+       |ORDER BY t.query_id""".stripMargin
   }
 
   private def nnDescentCtes(k: Int, cells: Int, rounds: Int,
@@ -9996,6 +10070,7 @@ object SparkEntry {
     "q212_nndescent_quality" -> nnDescentQualityOracleSql(8, 16, 2),
     "q214_graph_ann_search" -> graphSearchOracleSql(8, 16, 2, 8, 2),
     "q222_hnsw_search" -> hnswSearchOracleSql(8, 8, 16, 2, 8, 2, 2, 2, 2),
+    "q226_hnsw_quality" -> hnswQualityOracleSql(8, 8, 16, 2, 8, 2, 2, 2, 2),
     "q215_graph_search_quality" ->
       graphSearchQualityOracleSql(8, 16, 2, 8, 2),
 

@@ -430,6 +430,10 @@ class PlanSpec extends SparkSpec {
       // survive into its plan); q215 adds the q26 brute-force truth
       // pattern (broadcast held-out query side, one corpus pass)
       "q214_graph_ann_search", "q215_graph_search_quality",
+      // q226: the q215 shape over the hierarchical walk — brute-force
+      // truth (broadcast held-out query side, one corpus pass); descent
+      // beams are checkpointed before the output plan
+      "q226_hnsw_quality",
       // q218/q219: the one-row smoothed-total frame (and the ≤8-row
       // piece-length dimension) broadcast into vocabulary-class scans
       // — the q142/q167 scalar shape; the Viterbi rounds themselves

@@ -283,6 +283,36 @@ class SimilaritySpec extends SparkSpec {
     assert(walk.toSet == flat.toSet)
   }
 
+  test("at EQUAL entry budget the hierarchical descent strictly beats " +
+      "the flat sha-sample: descended entries are near-optimal where " +
+      "sampled entries are random — the scaling claim, measured") {
+    // the fixture corpus (clustered 64-dim blobs, held-out queries):
+    // flat recall grows only by spending MORE entries (cells), which is
+    // exactly the cost that grows with the corpus; the descent turns
+    // the same entry count into walk-chosen near entries at log cost
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" % 13 =!= 0).localCheckpoint()
+    val qs = emb.filter($"vec_id" % 13 === 0).localCheckpoint()
+    val truth = Similarity.bruteForceTopK(qs, corpus, "vec_id",
+      "embedding", k = 8).localCheckpoint()
+    def recall(walk: org.apache.spark.sql.DataFrame): Double =
+      Retrieval.rankingQuality(truth, walk, 8)
+        .agg(avg($"recall_k")).head().getDouble(0)
+    val g0 = Similarity.nnDescentKnn(corpus, "vec_id", "embedding",
+      8, 16, 2)
+    for (budget <- Seq(2, 8)) {
+      val flat = recall(Similarity.nnDescentSearch(g0, corpus, "vec_id",
+        "embedding", qs, "vec_id", "embedding", 8, budget, 8, 2))
+      val hier = recall(Similarity.hnswSearch(corpus, "vec_id",
+        "embedding", qs, "vec_id", "embedding", k = 8, knnK = 8,
+        cells = 16, rounds = 2, beam = 8, steps = 2, maxLevel = 2,
+        upperBeam = budget, upperSteps = 2))
+      assert(hier > flat,
+        f"entry budget $budget: hier $hier%.4f !> flat $flat%.4f")
+    }
+  }
+
   test("hnswLevel: hash-geometric layer sizes shrink ~4x per level and " +
       "the assignment is a pure id property") {
     val ids = spark.range(0, 4096).select($"id".as("vec_id"))
