@@ -170,7 +170,7 @@ object ScaleProbe {
     // select NOTHING and exit cleanly — in a scripted battery an empty
     // section reads as an intentionally empty family
     val knownBare = Set("dup", "inc", "x100", "skew", "asof", "gen", "linear",
-      "graph", "dhash", "semdedup", "media", "r11", "r12")
+      "graph", "dhash", "semdedup", "media", "r11", "r12", "r13")
     for (a <- args)
       require(knownBare(a) || a.startsWith("only:") || a.startsWith("dup:"),
         s"unknown ScaleProbe mode '$a' (known: ${knownBare.mkString("/")}, " +
@@ -195,6 +195,7 @@ object ScaleProbe {
     if (args.contains("semdedup")) { semDedupProbe(spark, srcDir); spark.stop(); return }
     if (args.contains("r11")) { r11Probe(spark, srcDir); spark.stop(); return }
     if (args.contains("r12")) { r12Probe(spark, srcDir); spark.stop(); return }
+    if (args.contains("r13")) { r13Probe(spark, srcDir); spark.stop(); return }
 
     if (genOnly || (args.isEmpty && !dupOnly && !incOnly && !x100Only)) {
       ProbeCorpus.replicateDocuments(spark, srcDir, 10)
@@ -727,6 +728,96 @@ object ScaleProbe {
     println(f"[scale-r12] q218_unigram 1x=${ug1}%6.2fs " +
       f"10x=${ug10}%6.2fs ratio=${ug10 / ug1}%5.2f " +
       "(corpus pass + fixed vocab-class EM)")
+  }
+
+  /** Round-13 probes: the hierarchical descent's bounded serving cost
+    * at 10x standing layers, CCNet piece-LM filtering's two corpus
+    * passes, and the two sequence-media near-dup editions at 10x
+    * corpora (assumes `gen` ran for the 10x embeddings/documents). */
+  private def r13Probe(spark: SparkSession, srcDir: String): Unit = {
+    import graft.operators.{Avi, Multimodal, Similarity, Unigram}
+    def time(fn: => DataFrame): Double = timeMedian(spark)(fn)
+    spark.read.parquet(s"$srcDir/region.parquet")
+      .groupBy("r_name").count().queryExecution.toRdd.count() // warmup
+    val emb1 = s"$srcDir/embeddings.parquet"
+    val emb10 = s"$bigDir/embeddings.parquet"
+
+    // HIERARCHICAL serving descent, 1x vs 10x standing layer graphs
+    // (parquet fixtures — the q195 timeMedian-hygiene lesson): the
+    // fixed mod-13 query slice descends from ONE top entry through the
+    // upper-layer walks into the full layer-0 walk. Per-layer walk cost
+    // is beam·(2k)·steps candidates; the only corpus terms are the
+    // adjacency scans — the claim is the q214 bounded shape WITHOUT the
+    // cells-sized entry scoring that the flat walk must GROW with the
+    // corpus (r12 built 16 -> 50 cells for 10x; the descent enters from
+    // one node at every scale).
+    def corpusOf(path: String): DataFrame =
+      spark.read.parquet(path).filter(col("vec_id") % 13 =!= 0)
+    def nodesOf(path: String, l: Int): DataFrame =
+      if (l == 0) corpusOf(path)
+      else corpusOf(path).filter(Similarity.hnswLevel(col("vec_id"), 2) >= l)
+    spark.read.parquet(emb1).filter(col("vec_id") % 13 === 0)
+      .write.mode("overwrite").parquet(s"$bigDir/hnsw_q")
+    val queries = spark.read.parquet(s"$bigDir/hnsw_q")
+    for ((tag, path, cells0) <- Seq(("1", emb1, 16), ("10", emb10, 50))) {
+      for (l <- 0 to 2)
+        Similarity.nnDescentKnn(nodesOf(path, l), "vec_id", "embedding",
+            8, math.max(1, cells0 >> (2 * l)), 2)
+          .write.mode("overwrite").parquet(s"$bigDir/hnsw_${tag}_$l")
+    }
+    def descend(tag: String, path: String): DataFrame = {
+      val ent0 = nodesOf(path, 2).select(col("vec_id").as("id"))
+        .orderBy(sha2(concat(col("id").cast("string"), lit(":ivf")), 256),
+          col("id"))
+        .limit(1).select(col("id").as("node"))
+      var entries: DataFrame = ent0
+      for (l <- 2 to 1 by -1)
+        entries = Similarity.nnDescentSearchFrom(
+            spark.read.parquet(s"$bigDir/hnsw_${tag}_$l"),
+            nodesOf(path, l), "vec_id", "embedding", queries, "vec_id",
+            "embedding", entries, 2, 2, 2)
+          .select(col("query_id").as("qid"), col("neighbor_id").as("node"))
+      Similarity.nnDescentSearchFrom(
+        spark.read.parquet(s"$bigDir/hnsw_${tag}_0"), corpusOf(path),
+        "vec_id", "embedding", queries, "vec_id", "embedding", entries,
+        8, 8, 2)
+    }
+    val h1 = time(descend("1", emb1))
+    val h10 = time(descend("10", emb10))
+    println(f"[scale-r13] q222_hnsw_descend stand1x=${h1}%6.2fs " +
+      f"stand10x=${h10}%6.2fs ratio=${h10 / h1}%5.2f " +
+      "(want bounded: one entry at every scale, adjacency scans only)")
+
+    // CCNet piece-LM filter: 1x vs 10x documents (exact replicas, so
+    // the census/vocabulary/weights are IDENTICAL across scales by
+    // construction) — the ratio prices the two corpus passes + the
+    // doc-keyed stream assembly + pair scoring against the fixed
+    // vocabulary-class EM
+    def r4c(c: org.apache.spark.sql.Column) =
+      floor(c * 10000 + lit(0.5)) / 10000
+    val cc1 = time(Unigram.ccnetBuckets(
+      spark.read.parquet(s"$srcDir/documents.parquet"), "doc_id", "text",
+      "source", "src0", r4c, 3))
+    val cc10 = time(Unigram.ccnetBuckets(
+      spark.read.parquet(s"$bigDir/documents.parquet"), "doc_id", "text",
+      "source", "src0", r4c, 3))
+    println(f"[scale-r13] q221_ccnet 1x=${cc1}%6.2fs " +
+      f"10x=${cc10}%6.2fs ratio=${cc10 / cc1}%5.2f " +
+      "(want ~linear: corpus passes over a fixed vocab-class EM)")
+
+    // sequence-media near-dup at 10x corpora: the codec/fingerprint
+    // floor is map-only; the band joins carry id rows whose volume
+    // follows the planted dup structure (linear in video/audio count)
+    val v1 = time(Avi.videoNearDupPairs(Avi.synthesizeAviNearDup(spark, 40)))
+    val v10 = time(Avi.videoNearDupPairs(Avi.synthesizeAviNearDup(spark, 400)))
+    println(f"[scale-r13] q223_video_neardup 40=${v1}%6.2fs " +
+      f"400=${v10}%6.2fs ratio=${v10 / v1}%5.2f (codec floor + id bands)")
+    val a1 = time(Multimodal.audioNearDupPairs(
+      Multimodal.synthesizeWavNearDup(spark, 40)))
+    val a10 = time(Multimodal.audioNearDupPairs(
+      Multimodal.synthesizeWavNearDup(spark, 400)))
+    println(f"[scale-r13] q225_audio_neardup 40=${a1}%6.2fs " +
+      f"400=${a10}%6.2fs ratio=${a10 / a1}%5.2f (DFT floor + id bands)")
   }
 
   /** SemDeDup probe on BOTH axes of its scale story (assumes `gen` ran:

@@ -44,5 +44,6 @@ run semdedup
 run media
 run r11
 run r12
+run r13
 echo "battery complete -> $OUT"
 cat "$OUT"
