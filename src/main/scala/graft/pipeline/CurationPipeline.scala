@@ -83,7 +83,19 @@ object CurationPipeline {
     *                   embedding column fails loudly instead of banding
     *                   against wrong-width hyperplanes (ADVICE r12)
     * @param embVecCol  embedding column name in BOTH embedding inputs
-    * @param embEvalIdCol id column name in `benchmarkEmbeddings` */
+    * @param embEvalIdCol id column name in `benchmarkEmbeddings`
+    * @param lmRefSource when provided, stage 1c runs the CCNet
+    *                   piece-LM quality gate ([[graft.operators
+    *                   .Unigram.ccnetBuckets]] — q221's production
+    *                   use): the unigram-LM vocabulary fits on THIS
+    *                   source's slice, Stupid Backoff over its piece
+    *                   bigrams scores every doc, and only docs in
+    *                   per-source bucket ≤ `lmMaxBucket` survive —
+    *                   the LM member of the quality stage, catching
+    *                   fluent-looking word salad the surface stats
+    *                   pass (VERDICT r12 #1)
+    * @param lmBuckets  stage-1c per-source bucket count
+    * @param lmMaxBucket stage-1c keep cut (CCNet: head + middle) */
   def run(spark: SparkSession, docs: DataFrame, benchmark: DataFrame,
           outRoot: String, idCol: String = "doc_id",
           textCol: String = "text", srcCol: String = "source",
@@ -100,7 +112,10 @@ object CurationPipeline {
           embDecontamThreshold: Double = 0.95,
           embDecontamDim: Int = 0,
           embVecCol: String = "embedding",
-          embEvalIdCol: String = "eval_id"): Result = {
+          embEvalIdCol: String = "eval_id",
+          lmRefSource: Option[String] = None,
+          lmBuckets: Int = 3,
+          lmMaxBucket: Int = 2): Result = {
     val audits = scala.collection.mutable.ArrayBuffer.empty[StageAudit]
     def stage(name: String, df: DataFrame,
               sortCols: Seq[String] = Seq(idCol)): DataFrame = {
@@ -155,10 +170,35 @@ object CurationPipeline {
           .filter(col("cal_prob") >= minCalProb))
     }
 
+    // 1c. OPTIONAL CCNet piece-LM quality gate (Wenzek et al. 2020 —
+    // the LM member of the quality stage, q221's production use): fit
+    // the unigram-LM vocabulary on the designated clean reference
+    // source, score every surviving doc's piece bigrams under Stupid
+    // Backoff trained on the reference's piece stream, bucket PER
+    // SOURCE at fixed percentile cuts, and keep bucket <= lmMaxBucket
+    // (CCNet keeps head+middle, drops the tail). This catches what the
+    // surface stats cannot: word salad built from clean-looking tokens
+    // passes length/punctuation/stopword ratios but its piece
+    // transitions fall to the backoff floor. Docs with fewer than two
+    // pieces are unscorable and drop (nothing to defend them — the
+    // strictest action, the stage-4 convention).
+    val lmGated = lmRefSource match {
+      case None => calibrated
+      case Some(ref) =>
+        val r4 = (c: org.apache.spark.sql.Column) =>
+          floor(c * 10000 + lit(0.5)) / 10000
+        val keep = graft.operators.Unigram.ccnetBuckets(calibrated, idCol,
+            textCol, srcCol, ref, r4, buckets = lmBuckets)
+          .filter(col("bucket") <= lmMaxBucket)
+          .select(col("doc_id").as(idCol))
+        stage("s1c_lm_gated",
+          calibrated.join(keep, Seq(idCol), "left_semi"))
+    }
+
     // 2. exact dedup on the normalized-text fingerprint (map-side
     // aggregate winners, smallest id survives)
     val exact = stage("s2_exact_dedup",
-      Dedup.byFingerprint(calibrated, idCol, textCol))
+      Dedup.byFingerprint(lmGated, idCol, textCol))
 
     // 3. near-dup dedup: MinHash-LSH banding by default (id-only
     // candidate joins, hot-band capped); `exactNearDup` swaps in the

@@ -194,6 +194,42 @@ class CurationPipelineSpec extends SparkSpec {
     assert(s4b == Set(1L, 2L, 3L), s"got $s4b")
   }
 
+  test("lmRefSource mode drops exactly the fluent-LOOKING word salad " +
+      "the surface gate passes: its piece bigrams fall to the backoff " +
+      "floor under the reference-fitted vocabulary") {
+    import graft.operators.TextAnalysis
+    // stopwords and clean punctuation — surface stats look fine — but
+    // the content words never occur in the reference, so every piece
+    // transition scores the Stupid-Backoff floor
+    val salad = "the xqzj vwkp the gllm znrb the pqvd wmtt near okra"
+    val corpusLm = Seq(
+      (101L, a1, "r"), (102L, a2, "r"), (103L, a3, "r"),
+      (104L, a4, "r"), (105L, b1, "r"), // the clean reference slice
+      (1L, a1, "a"), (2L, a2, "a"), (3L, a3, "a"), (4L, a4, "a"),
+      (30L, salad, "a")
+    ).toDF("doc_id", "text", "source")
+    val vq = corpusLm.filter($"doc_id" === 30L)
+      .select(TextAnalysis.qualityScore($"text")).as[Double].head()
+    val langs = corpusLm.select(TextAnalysis.languageId($"text"))
+      .as[String].collect().distinct.toSeq
+    val root = Files.createTempDirectory("graft-cur-lm").toString
+    val res = CurationPipeline.run(spark, corpusLm, benchmark, root,
+      minQuality = math.min(vq, 0.0), keepLangs = langs,
+      mixtureScale = 8.0, packCapacity = 30L,
+      lmRefSource = Some("r"))
+    // the surface gate keeps everything — the salad included
+    assert(res.rowsOf("s1_quality") == 10, res.audits.toString)
+    val s1c = spark.read.parquet(s"$root/s1c_lm_gated")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!s1c.contains(30L), "word salad survived the LM gate")
+    assert(Set(1L, 2L, 3L, 4L).subsetOf(s1c),
+      s"fluent siblings dropped: $s1c")
+    // per-source thirds: source a loses exactly the salad; the
+    // reference pool loses only its own tail doc (CCNet keeps
+    // head+middle per pool)
+    assert(s1c.size == 8, s"unexpected stage-1c ledger: $s1c")
+  }
+
   test("pipeline is deterministic: two runs produce identical curated tables") {
     val r1 = Files.createTempDirectory("graft-cur1").toString
     val r2 = Files.createTempDirectory("graft-cur2").toString
