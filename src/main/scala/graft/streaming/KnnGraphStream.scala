@@ -65,7 +65,28 @@ object KnnGraphStream {
 
   final case class Params(k: Int = 8, cells: Int = 16, rounds: Int = 2,
                           beam: Int = 8, steps: Int = 3,
-                          growth: Double = 2.0)
+                          growth: Double = 2.0,
+                          maxTombstoneFrac: Double = 0.2)
+
+  /** Sibling-path convention for the tombstone log. */
+  def tombstonesOf(vecLogPath: String): String =
+    s"${vecLogPath}_tombstones"
+
+  /** The LIVE corpus view: the vector log minus tombstoned ids. */
+  private def liveLog(spark: SparkSession, vecLogPath: String,
+                      idCol: String): DataFrame = {
+    val log = spark.read.parquet(vecLogPath)
+    val tp = tombstonesOf(vecLogPath)
+    if (!Zones.pathExists(spark, tp)) log
+    else log.join(spark.read.parquet(tp), Seq(idCol), "left_anti")
+  }
+
+  private def tombstoneCount(spark: SparkSession,
+                             vecLogPath: String): Long = {
+    val tp = tombstonesOf(vecLogPath)
+    if (!Zones.pathExists(spark, tp)) 0L
+    else spark.read.parquet(tp).count()
+  }
 
   private def metaRow(spark: SparkSession, gen: Long, trainN: Long): DataFrame =
     spark.range(1).select(lit("meta").as("part"),
@@ -169,8 +190,8 @@ object KnnGraphStream {
     Zones.recoverBackup(spark, graphPath)
     if (!Zones.pathExists(spark, vecLogPath)) return
     if (!Zones.pathExists(spark, graphPath)) {
-      buildAndWrite(spark, spark.read.parquet(vecLogPath), idCol, vecCol,
-        p, gen = 1L, graphPath)
+      buildAndWrite(spark, liveLog(spark, vecLogPath, idCol), idCol,
+        vecCol, p, gen = 1L, graphPath)
       return
     }
     val graph = spark.read.parquet(graphPath)
@@ -213,12 +234,36 @@ object KnnGraphStream {
     graft.operators.Checkpoints.freeCheckpoint(badBatches)
     val inGraph = edgeRows(spark.read.parquet(graphPath))
       .select(col("query_id").as(idCol)).distinct()
-    val missing = spark.read.parquet(vecLogPath)
+    // the missing-id scan runs over the LIVE log: a tombstoned id that
+    // a rebuild already excised must NOT re-insert
+    val missing = liveLog(spark, vecLogPath, idCol)
       .join(inGraph, Seq(idCol), "left_anti")
       .localCheckpoint()
     if (missing.count() > 0)
       insertAppend(spark, missing, idCol, vecCol, p, gen,
         vecLogPath, graphPath)
+    // a delete whose triggered excision rebuild died re-fires here
+    rebuildIfPressured(spark, vecLogPath, graphPath, idCol, vecCol, p)
+  }
+
+  /** Excision rebuild when the tombstone log outgrows
+    * `maxTombstoneFrac` of the live corpus — mark-and-filter serving
+    * stays correct at any tombstone count, but every tombstone is a
+    * routable-yet-unservable node the walk still pays for; the
+    * pressure trigger bounds that overhead the way `growth` bounds
+    * insertion decay. */
+  private def rebuildIfPressured(spark: SparkSession, vecLogPath: String,
+      graphPath: String, idCol: String, vecCol: String,
+      p: Params): Unit = {
+    if (!Zones.pathExists(spark, graphPath)) return
+    val nT = tombstoneCount(spark, vecLogPath)
+    if (nT == 0L) return
+    val live = liveLog(spark, vecLogPath, idCol).count()
+    if (nT >= p.maxTombstoneFrac * math.max(live, 1L)) {
+      val (gen, _) = modelMeta(spark.read.parquet(graphPath))
+      buildAndWrite(spark, liveLog(spark, vecLogPath, idCol), idCol,
+        vecCol, p, gen + 1L, graphPath)
+    }
   }
 
   /** One micro-batch: dedup + ledger anti-join, vector-log append
@@ -242,15 +287,15 @@ object KnnGraphStream {
       if (fresh.isEmpty) return
       fresh.write.mode("append").parquet(vecLogPath)
       if (!Zones.pathExists(spark, graphPath)) {
-        buildAndWrite(spark, spark.read.parquet(vecLogPath), idCol, vecCol,
-          p, gen = 1L, graphPath)
+        buildAndWrite(spark, liveLog(spark, vecLogPath, idCol), idCol,
+          vecCol, p, gen = 1L, graphPath)
         return
       }
       val (gen, trainN) = modelMeta(spark.read.parquet(graphPath))
-      val logN = spark.read.parquet(vecLogPath).count()
+      val logN = liveLog(spark, vecLogPath, idCol).count()
       if (logN >= p.growth * trainN) {
-        buildAndWrite(spark, spark.read.parquet(vecLogPath), idCol, vecCol,
-          p, gen + 1L, graphPath)
+        buildAndWrite(spark, liveLog(spark, vecLogPath, idCol), idCol,
+          vecCol, p, gen + 1L, graphPath)
       } else {
         insertAppend(spark, fresh, idCol, vecCol, p, gen,
           vecLogPath, graphPath)
@@ -283,7 +328,14 @@ object KnnGraphStream {
     * generation) scored against the whole log, entered from the
     * PERSISTED generation entry sample (appended nodes are reachable
     * through reverse edges the moment their drain lands; no corpus
-    * scan per probe — VERDICT r12 nit #2). */
+    * scan per probe — VERDICT r12 nit #2). Tombstoned ids are
+    * MARK-AND-FILTERED (the HNSW deletion discipline): they stay
+    * routable — their edges still carry the walk through their
+    * neighborhood — but never serve; the final beam filters them and
+    * re-ranks. The answer under-fills only when fewer than `topK`
+    * LIVE rows remain in the walked beam, so a serving config under
+    * active deletion sizes `beam` with tombstone headroom above
+    * `topK` — the ef-vs-k discipline, priced exactly like HNSW's. */
   def probe(spark: SparkSession, queries: DataFrame, vecLogPath: String,
             graphPath: String, idCol: String = "vec_id",
             vecCol: String = "embedding", topK: Int = 5,
@@ -292,8 +344,57 @@ object KnnGraphStream {
     val (gen, _) = modelMeta(graph)
     val edges = edgeRows(graph).filter(col("gen") === gen)
       .select(col("query_id"), col("neighbor_id"))
-    Similarity.nnDescentSearchFrom(edges, spark.read.parquet(vecLogPath),
-      idCol, vecCol, queries, idCol, vecCol, entryRows(graph, gen),
-      topK, params.beam, params.steps)
+    // serve the FULL beam, then filter + re-rank: a tombstone at rank 1
+    // must not shrink the answer below topK while live beam rows remain
+    val beamOut = Similarity.nnDescentSearchFrom(edges,
+      spark.read.parquet(vecLogPath), idCol, vecCol, queries, idCol,
+      vecCol, entryRows(graph, gen), params.beam, params.beam,
+      params.steps)
+    val tp = tombstonesOf(vecLogPath)
+    val live =
+      if (!Zones.pathExists(spark, tp)) beamOut
+      else beamOut.join(
+        spark.read.parquet(tp).select(col(idCol).as("neighbor_id")),
+        Seq("neighbor_id"), "left_anti")
+    live.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** DELETE vectors from the standing index (the GDPR-removal path the
+    * append-only family needs): ids append to the TOMBSTONE log —
+    * idempotent (already-tombstoned and never-ingested ids no-op) —
+    * and take effect immediately through [[probe]]'s mark-and-filter;
+    * the physical EXCISION happens at the next rebuild (pressure
+    * trigger here and at every drain/startup: tombstones >
+    * `maxTombstoneFrac` of the live corpus force it), after which the
+    * ids are gone from graph, entries, and training set alike. A
+    * deleted id can never resurrect: the vector log still carries it,
+    * so the ingest ledger anti-join drops any re-arrival. */
+  def delete(spark: SparkSession, ids: DataFrame, vecLogPath: String,
+             graphPath: String, idCol: String = "vec_id",
+             vecCol: String = "embedding",
+             params: Params = Params()): Long = {
+    if (!Zones.pathExists(spark, vecLogPath)) return 0L
+    val tp = tombstonesOf(vecLogPath)
+    val known = ids.select(col(idCol)).distinct()
+      .join(spark.read.parquet(vecLogPath).select(col(idCol)),
+        Seq(idCol), "left_semi")
+    val fresh = (
+      if (Zones.pathExists(spark, tp))
+        known.join(spark.read.parquet(tp), Seq(idCol), "left_anti")
+      else known
+    ).localCheckpoint()
+    val n = fresh.count()
+    if (n > 0L) {
+      fresh.write.mode("append").parquet(tp)
+      rebuildIfPressured(spark, vecLogPath, graphPath, idCol, vecCol,
+        params)
+    }
+    graft.operators.Checkpoints.freeCheckpoint(fresh)
+    n
   }
 }

@@ -185,6 +185,62 @@ class KnnGraphStreamSpec extends SparkSpec {
       s"ledger does not account: $nIns rows, $ledgerSum vs $nAppended")
   }
 
+  test("deletes: tombstones serve-filter immediately, the pressure " +
+      "trigger excises wholesale (bit-equal to a batch build over the " +
+      "live corpus), and deleted ids can never resurrect") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-knng-del").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    mem.addData(fixture(0, 60): _*); drain(mem, root)
+    mem.addData(fixture(60, 70): _*); drain(mem, root)
+    val q = Seq((9000L, fixture(4, 5).head._2)).toDF("vec_id", "embedding")
+    // serving beam carries tombstone headroom above topK — the
+    // ef-vs-k discipline the probe scaladoc prices
+    def top(): Seq[Long] = KnnGraphStream.probe(spark, q, s"$root/log",
+        s"$root/graph", topK = 4, params = P.copy(beam = 8))
+      .orderBy($"rank").select($"neighbor_id").as[Long].collect().toSeq
+    val before = top()
+    assert(before.length == 4)
+    val victim = before.head
+    // 1. mark-and-filter: one delete() call, the victim never serves
+    // again, and live rows re-rank to fill topK
+    assert(KnnGraphStream.delete(spark,
+      Seq(victim).toDF("vec_id"), s"$root/log", s"$root/graph",
+      params = P) == 1L)
+    val after = top()
+    assert(!after.contains(victim), s"deleted $victim still serves")
+    assert(after.length == 4, s"filtered answer under-filled: $after")
+    // idempotent + unknown-id no-ops
+    assert(KnnGraphStream.delete(spark, Seq(victim).toDF("vec_id"),
+      s"$root/log", s"$root/graph", params = P) == 0L)
+    assert(KnnGraphStream.delete(spark, Seq(424242L).toDF("vec_id"),
+      s"$root/log", s"$root/graph", params = P) == 0L)
+    // graph untouched so far (mark, not excise): victim edges remain
+    assert(edgeSet(s"$root/graph").exists(e =>
+      e._1 == victim || e._2 == victim), "premature excision")
+    // 2. pressure excision: 14 more tombstones cross maxTombstoneFrac
+    // -> wholesale rebuild over the LIVE corpus under the next gen
+    val more = (0L until 70L).filter(i => i != victim).take(14)
+    assert(KnnGraphStream.delete(spark, more.toDF("vec_id"),
+      s"$root/log", s"$root/graph", params = P) == 14L)
+    val edges = edgeSet(s"$root/graph")
+    assert(edges.forall(e => e._4 && e._5 == 2L), "excision gen/base wrong")
+    val dead = (more :+ victim).toSet
+    assert(!edges.exists(e => dead(e._1) || dead(e._2)),
+      "tombstoned id survived the excision rebuild")
+    val live = fixture(0, 70).filterNot(v => dead(v._1))
+    val ref = Similarity.nnDescentKnn(live.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", P.k, P.cells, P.rounds)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(edges.map(e => (e._1, e._2, e._3)) == ref,
+      "excision rebuild != batch build over the live corpus")
+    // 3. no resurrection: re-draining a deleted id is a ledger no-op
+    mem.addData(fixture(victim, victim + 1): _*); drain(mem, root)
+    assert(spark.read.parquet(s"$root/log").count() == 70L)
+    assert(!top().contains(victim))
+  }
+
   test("quality decays between rebuilds exactly as documented and the " +
       "rebuild recovers it: a NEW cluster's members interlink only " +
       "after the wholesale rebuild") {
