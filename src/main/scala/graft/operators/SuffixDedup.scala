@@ -36,67 +36,63 @@ import graft.functions.TextFunctions
   * marks merge into maximal spans.
   *
   * 100 TB shape: every round ships fixed-size rows — (doc_id, pos,
-  * rank) with rank a 16-byte struct — through two hash exchanges (one
-  * position-shift join, one pair groupBy; the rank-back join reuses the
-  * groupBy's partitioning), and there are ⌈log₂ h⌉ + 1 rounds total:
-  * L = 50 costs 6 fixed-width passes where the exact gram-string
-  * formulation ships 50× the corpus through one. Rounds follow the
-  * eager-localCheckpoint protocol (each round references its parent
-  * four times, so a lazy chain grows the analyzed plan 4^rounds and
-  * Catalyst re-optimization becomes the bottleneck — the Graphs.scala
-  * iterative rule); superseded rounds' blocks are freed
-  * unconditionally. Hot boilerplate windows concentrate rank-pair
-  * groups, but the
-  * aggregate is partial (map-side combine) and emits one row per
-  * DISTINCT pair, so a 10^8-fold repeated passage costs its occurrence
-  * rows only in the final count, never in a widened exchange. */
+  * rank) with rank a 16-byte struct — through two hash exchanges (a
+  * `lead(r, k)` window in pos order replaces the position-shift
+  * self-join, a min-over-(r, r2) window replaces the rank groupBy +
+  * join-back — optimization r13, see [[ranksAt]]), and there are
+  * ⌈log₂ h⌉ + 1 rounds total: L = 50 costs 6 fixed-width passes where
+  * the exact gram-string formulation ships 50× the corpus through one.
+  * Each round references its parent exactly once, so the lazy chain
+  * grows linearly and the whole rank pyramid materializes at the ONE
+  * marks checkpoint per query. Hot boilerplate windows concentrate
+  * rank-pair groups onto single tasks — the same worst-case skew bound
+  * the old join-back fan-out had, reached through half the
+  * exchanges. */
 object SuffixDedup {
 
   private def toks(textCol: Column): Column =
     TextFunctions.tokens(TextFunctions.normalizeWs(textCol))
-
-  /** See [[Checkpoints.freeCheckpoint]] — the shared release protocol
-    * for round-over-round localCheckpoints. */
-  private def freeCheckpoint(df: DataFrame): Unit =
-    Checkpoints.freeCheckpoint(df)
 
   /** (doc_id, pos, rank struct) at depth `h` (a power of two):
     * equality-consistent window ids for every position with a full
     * h-token window. Exposed for tests. */
   private[operators] def ranksAt(tokens: DataFrame, h: Int): DataFrame = {
     require(h >= 1 && (h & (h - 1)) == 0, s"depth must be a power of two: $h")
-    // rank_1: group token values; the id is the first (doc, pos) pair.
-    // Join-back rather than collect_list: a 10^8-fold stop word must
-    // stay one aggregate row + its join fan-out, never one giant array.
-    //
-    // Rounds use the eager-localCheckpoint protocol (the Graphs.scala
-    // iterative rule): each round references its parent FOUR times in
-    // the logical plan (cur, the shift of cur, and both sides of the
-    // rank-back join), so a persist-only chain grows the ANALYZED plan
-    // 4^rounds and Catalyst re-optimization — not execution — becomes
-    // the bottleneck by round 5. localCheckpoint truncates the plan to
-    // a LogicalRDD; the superseded round's blocks are freed
-    // unconditionally once the successor is materialized.
-    val ids1 = tokens
-      .groupBy(col("tok"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("r"))
-    var cur = tokens.join(ids1, Seq("tok"))
+    // OPTIMIZATION r13 (guide §2.3/§2.4 — fewer exchanges, shuffle
+    // fewer bytes). Two rewrites, identical rank semantics:
+    //  1. the position-shift SELF-JOIN (both sides of the round's table
+    //     through a (doc_id, pos) exchange) is a `lead(r, k)` window —
+    //     positions at depth k are contiguous 1..n−k+1 per doc (windows
+    //     only ever drop off the document END), so the row k AHEAD in
+    //     pos order IS position pos+k, and rows whose 2k-window runs
+    //     off the end read a null lead and drop, exactly the old inner
+    //     join's keep set. One exchange instead of two.
+    //  2. the rank-assignment GROUP-BY + JOIN-BACK (one exchange for
+    //     the aggregate, one to re-key the round's rows by (r, r2)) is
+    //     a min-over-window partitioned by (r, r2): the join-back fans
+    //     every occurrence row to the (r, r2) partitioning anyway, so
+    //     the window moves the same rows through HALF the exchanges.
+    //     Hot boilerplate keys land one task either way — the skew
+    //     bound is unchanged.
+    // Each round now references its parent ONCE, so the lazy chain
+    // grows linearly (2 windows per round) instead of 4^rounds and the
+    // per-round localCheckpoints are gone — the caller materializes the
+    // whole rank pyramid in ONE job at its own checkpoint barrier.
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    var cur = tokens
+      .withColumn("r",
+        min(struct(col("doc_id"), col("pos")))
+          .over(Window.partitionBy(col("tok"))))
       .select(col("doc_id"), col("pos"), col("r"))
-      .localCheckpoint() // eager
     var k = 1
     while (k < h) {
-      val shifted = cur.select(col("doc_id"),
-        (col("pos") - k).as("pos"), col("r").as("r2"))
-      // inner: keeps exactly the positions whose 2k-window is in-doc
-      val pairs = cur.join(shifted, Seq("doc_id", "pos"))
-      val ids = pairs
-        .groupBy(col("r"), col("r2"))
-        .agg(min(struct(col("doc_id"), col("pos"))).as("nr"))
-      val next = pairs.join(ids, Seq("r", "r2"))
+      cur = cur
+        .withColumn("r2", lead(col("r"), k).over(byPos))
+        .filter(col("r2").isNotNull)
+        .withColumn("nr",
+          min(struct(col("doc_id"), col("pos")))
+            .over(Window.partitionBy(col("r"), col("r2"))))
         .select(col("doc_id"), col("pos"), col("nr").as("r"))
-        .localCheckpoint() // eager: materializes the round, cuts lineage
-      freeCheckpoint(cur)
-      cur = next
       k *= 2
     }
     cur
@@ -116,31 +112,35 @@ object SuffixDedup {
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
     val ranks = ranksAt(tokens, h)
     // composite key for L-window equality: the h-window at i plus the
-    // h-window at i + L - h (they overlap when h < L ≤ 2h — always,
-    // by choice of h); inner join keeps i with i + L ≤ n + 1
-    val tail = ranks.select(col("doc_id"),
-      (col("pos") - (l - h)).as("pos"), col("r").as("rt"))
+    // h-window at i + L - h (they overlap when h < L ≤ 2h — always, by
+    // choice of h); the tail rank is a lead() in pos order (positions
+    // at depth h are contiguous per doc — the ranksAt argument), and
+    // positions with i + L > n + 1 read a null lead and drop, exactly
+    // the old (doc_id, pos) self-join's keep set
     val keyed =
       if (l == h) ranks.select(col("doc_id"), col("pos"), col("r"),
         col("r").as("rt"))
-      else ranks.join(tail, Seq("doc_id", "pos"))
-    val repeated = keyed
-      .groupBy(col("r"), col("rt"))
-      .agg(count(lit(1)).as("c"),
-        min(struct(col("doc_id"), col("pos"))).as("keep"))
-      .filter(col("c") >= 2)
-      .select(col("r"), col("rt"), col("keep"))
-    // marks is the small survivor set (non-canonical repeated-window
-    // occurrences); checkpointing it eagerly lets the corpus-sized rank
-    // table be freed NOW rather than riding the returned plan. The one
-    // block behind `marks` is the documented residual — ContextCleaner
-    // reclaims it when the returned frame is unreferenced.
-    val marks = keyed.join(repeated, Seq("r", "rt"))
-      .filter(struct(col("doc_id"), col("pos")) =!= col("keep"))
+      else ranks
+        .withColumn("rt", lead(col("r"), l - h).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .filter(col("rt").isNotNull)
+    // occurrence census + canonical keeper in ONE window over the
+    // (r, rt) key (optimization r13: was a groupBy + join-back — same
+    // rows through half the exchanges, same hot-key skew bound); marks
+    // is the small survivor set (non-canonical repeated-window
+    // occurrences), and its localCheckpoint is the SINGLE
+    // materialization of the whole rank pyramid. The one block behind
+    // `marks` is the documented residual — ContextCleaner reclaims it
+    // when the returned frame is unreferenced.
+    val kw = Window.partitionBy(col("r"), col("rt"))
+    val marks = keyed
+      .withColumn("c", count(lit(1)).over(kw))
+      .withColumn("keep", min(struct(col("doc_id"), col("pos"))).over(kw))
+      .filter(col("c") >= 2 &&
+        struct(col("doc_id"), col("pos")) =!= col("keep"))
       .select(col("doc_id"), col("pos").as("st"),
         (col("pos") + (l - 1)).as("en"))
       .localCheckpoint()
-    freeCheckpoint(ranks)
     spanStatsFromMarks(docs, idCol, textCol, marks, "dup")
   }
 
@@ -207,20 +207,26 @@ object SuffixDedup {
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
     val tokens = side(corpus, 0).unionByName(side(eval, 1))
     val ranks = ranksAt(tokens, h)
-    val tail = ranks.select(col("doc_id"),
-      (col("pos") - (l - h)).as("pos"), col("r").as("rt"))
     val keyed =
       if (l == h) ranks.select(col("doc_id"), col("pos"), col("r"),
         col("r").as("rt"))
-      else ranks.join(tail, Seq("doc_id", "pos"))
-    val evalKeys = keyed.filter(col("doc_id") % 2 === 1)
-      .select(col("r"), col("rt")).distinct()
-    val marks = keyed.filter(col("doc_id") % 2 === 0)
-      .join(evalKeys, Seq("r", "rt"), "left_semi")
+      else ranks
+        .withColumn("rt", lead(col("r"), l - h).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .filter(col("rt").isNotNull)
+    // "does any eval-side occurrence share this window key" is a
+    // max-over-window on the SAME (r, rt) partitioning the old
+    // distinct + left-semi pair shuffled twice for (optimization r13 —
+    // the exactSpanStats window rewrite, cross-corpus edition); the
+    // marks localCheckpoint is the single materialization of the whole
+    // rank pyramid
+    val kw = Window.partitionBy(col("r"), col("rt"))
+    val marks = keyed
+      .withColumn("ev", max(col("doc_id") % 2).over(kw))
+      .filter(col("ev") === 1 && col("doc_id") % 2 === 0)
       .select(shiftright(col("doc_id"), 1).as("doc_id"),
         col("pos").as("st"), (col("pos") + (l - 1)).as("en"))
       .localCheckpoint()
-    freeCheckpoint(ranks)
     spanStatsFromMarks(corpus, idCol, textCol, marks, "contam")
   }
 }

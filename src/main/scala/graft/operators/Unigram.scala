@@ -25,23 +25,24 @@ import graft.functions.TextFunctions
   *    (libm `ln` is not correctly-rounded across engines; this is).
   *    Add-one smoothing keeps every candidate alive between
   *    iterations.
-  *  - **Max-plus prefix doubling, total-order tie-break.** The Viterbi
-  *    lattice over a word's cut positions is solved by ⌈log2 L⌉
-  *    rounds of max-plus path doubling (the q172 rank-build idiom in
-  *    the (max, +) semiring); a path is (score, n, mask) with `mask`
-  *    the bitmask of internal cut positions, and the kept path per
-  *    (word, j, i) is the lexicographic max of (score, −n, −mask) —
-  *    highest score, then fewest pieces, then smallest cut mask: a
-  *    TOTAL order (mask ↔ segmentation is a bijection), additive per
-  *    field, so optimal substructure holds and both engines pick the
-  *    same segmentation always.
+  *  - **Forward max-plus DP, total-order tie-break.** The Viterbi
+  *    lattice over a word's cut positions is solved left-to-right in
+  *    ONE map-side higher-order-function pass (optimization r13 — see
+  *    [[viterbi]]; previously ⌈log2 L⌉ distributed prefix-doubling
+  *    rounds computing the same segmentation); a path is
+  *    (score, n, mask) with `mask` the bitmask of internal cut
+  *    positions, and the kept path per prefix is the lexicographic max
+  *    of (score, −n, −mask) — highest score, then fewest pieces, then
+  *    smallest cut mask: a TOTAL order (mask ↔ segmentation is a
+  *    bijection), additive per field, so optimal substructure holds
+  *    and both engines pick the same segmentation always.
   *
   * 100 TB shape: the classic [[Bpe]] trick — ONE corpus pass collapses
-  * text to the distinct-word census; the candidate census, the edge
-  * table, and every DP round are VOCABULARY-class tables (≤ L²/2 path
-  * rows per distinct word, L capped), shuffled on the word key;
-  * piece/weight tables are top-N-bounded broadcasts. The corpus never
-  * rides an exchange after the first pass.
+  * text to the distinct-word census; the candidate census and every
+  * E-step count table are VOCABULARY-class tables shuffled on the word
+  * or piece key; piece/weight tables are top-N-bounded broadcasts (the
+  * per-word lattice DP rides the census scan map-side). The corpus
+  * never rides an exchange after the first pass.
   */
 object Unigram {
 
@@ -97,53 +98,61 @@ object Unigram {
   }
 
   /** Viterbi-best segmentation of every word in `words` under integer
-    * piece weights, by max-plus prefix doubling. Returns
-    * (w, n, mask): piece count and internal-cut bitmask of the unique
-    * total-order-best path 0 → len(w). */
+    * piece weights. Returns the input columns plus (n, mask): piece
+    * count and internal-cut bitmask of the unique total-order-best path
+    * 0 → len(w); words with NO lattice path (a character outside the
+    * piece set — the ccnet corpus-encode case) yield no row.
+    *
+    * OPTIMIZATION r13 (guide §2.4 — remove shuffles outright): the
+    * piece table is bounded by construction (all single chars + topN
+    * multi-char candidates), so it collapses into a ONE-ROW piece→weight
+    * map that broadcasts, and each word's lattice is solved
+    * left-to-right in a single higher-order-function expression — ZERO
+    * shuffles and zero materializations where the previous max-plus
+    * prefix-doubling formulation paid ⌈log₂ L⌉ rounds of
+    * (self-join + aggregate + localCheckpoint) over the path table.
+    * The forward DP keeps, per prefix boundary i, the lexicographic max
+    * of (score, −n, −mask) — the SAME total order the doubling rounds
+    * used; optimal substructure holds because every field combines
+    * additively (a strictly better prefix stays strictly better under
+    * any common suffix), so the chosen segmentation is bit-identical
+    * and the oracle replay is untouched. The result is LAZY (a pure
+    * projection over `words`): callers checkpoint it only where their
+    * release protocol needs a materialization barrier. */
   private def viterbi(words: DataFrame, pieces: DataFrame,
-                      maxPieceLen: Int, rounds: Int): DataFrame = {
-    val spark = words.sparkSession
-    val lens = broadcast(spark.range(1, maxPieceLen + 1L)
-      .select(col("id").as("pl")))
-    val edges = words.crossJoin(lens)
-      .filter(col("pl") <= col("len"))
-      .select(col("w"), col("pl"),
-        explode(expr("sequence(0, len - pl)")).as("j"))
-      .select(col("w"), col("j"), (col("j") + col("pl")).as("i"),
-        expr("substring(w, cast(j + 1 as int), cast(pl as int))")
-          .as("piece"))
-      .join(broadcast(pieces.select(col("piece"), col("wt"))), Seq("piece"))
-      .select(col("w"), col("j"), col("i"), col("wt").as("score"),
-        lit(1L).as("n"), lit(0L).as("mask"))
-    var paths = edges.localCheckpoint()
-    for (_ <- 1 to rounds) {
-      val a = paths.select(col("w"), col("j"), col("i").as("m"),
-        col("score").as("s1"), col("n").as("n1"), col("mask").as("m1"))
-      val b = paths.select(col("w"), col("j").as("m"), col("i"),
-        col("score").as("s2"), col("n").as("n2"), col("mask").as("m2"))
-      val combined = a.join(b, Seq("w", "m"))
-        .select(col("w"), col("j"), col("i"),
-          (col("s1") + col("s2")).as("score"),
-          (col("n1") + col("n2")).as("n"),
-          (col("m1") + col("m2") +
-            expr("shiftleft(cast(1 as bigint), cast(m as int))")).as("mask"))
-      val next = paths.unionByName(combined)
-        .groupBy(col("w"), col("j"), col("i"))
-        .agg(max(struct(col("score"), (-col("n")).as("nn"),
-          (-col("mask")).as("nm"))).as("b"))
-        .select(col("w"), col("j"), col("i"),
-          col("b.score").as("score"), (-col("b.nn")).as("n"),
-          (-col("b.nm")).as("mask"))
-        .localCheckpoint() // eager: the iterative-protocol rule
-      Checkpoints.freeCheckpoint(paths)
-      paths = next
+                      maxPieceLen: Int): DataFrame = {
+    val wmapRow = broadcast(pieces.agg(map_from_entries(
+      collect_list(struct(col("piece"), col("wt")))).as("wm")))
+    // state per boundary: (s = score, nn = −pieces, nm = −mask);
+    // null = boundary unreachable under the piece set
+    val zero = struct(lit(0L).as("s"), lit(0L).as("nn"), lit(0L).as("nm"))
+    def step(acc: Column, i: Column): Column = {
+      val cands: Seq[Column] = (1 to maxPieceLen).map { pl =>
+        val j = i - lit(pl.toLong) // previous boundary
+        when(lit(pl.toLong) <= i, {
+          val prev = element_at(acc, (j + lit(1L)).cast("int"))
+          val wt = try_element_at(col("wm"),
+            col("w").substr((j + lit(1L)).cast("int"), lit(pl)))
+          val cut = when(j > 0,
+            call_function("shiftleft", lit(1L), j.cast("int")))
+            .otherwise(lit(0L))
+          when(prev.isNotNull && wt.isNotNull,
+            struct((prev.getField("s") + wt).as("s"),
+              (prev.getField("nn") - lit(1L)).as("nn"),
+              (prev.getField("nm") - cut).as("nm")))
+        })
+      }
+      val best = if (cands.size == 1) cands.head else greatest(cands: _*)
+      concat(acc, array(best))
     }
-    val best = paths
-      .filter(col("j") === 0 && col("i") === length(col("w")).cast("long"))
-      .select(col("w"), col("n"), col("mask"))
-      .localCheckpoint()
-    Checkpoints.freeCheckpoint(paths)
-    best
+    val passThrough = words.columns.map(col).toSeq
+    words.crossJoin(wmapRow)
+      .withColumn("b", aggregate(
+        sequence(lit(1L), col("len")), array(zero), step,
+        acc => element_at(acc, size(acc))))
+      .filter(col("b").isNotNull)
+      .select(passThrough :+ (-col("b.nn")).as("n")
+        :+ (-col("b.nm")).as("mask"): _*)
   }
 
   /** Decode the best path's pieces: boundaries are 0, len(w), and the
@@ -176,22 +185,19 @@ object Unigram {
     * the candidate set `cands` (zero for unused — smoothing keeps them
     * alive downstream). */
   private def estepCounts(words: DataFrame, cands: DataFrame, w: DataFrame,
-                          maxPieceLen: Int, rounds: Int): DataFrame = {
-    val best = viterbi(words, w, maxPieceLen, rounds)
-    val used = withPieces(best.join(words.select(col("w"), col("cnt")),
-        Seq("w")))
+                          maxPieceLen: Int): DataFrame = {
+    // the map-side viterbi is a lazy projection over the words
+    // checkpoint — the piece-count join rides the same single pass, and
+    // the one materialization per E-step is this (vocabulary-sized)
+    // counts checkpoint (was: ~6 jobs per E-step through the
+    // prefix-doubling rounds)
+    val used = withPieces(viterbi(words, w, maxPieceLen))
       .select(explode(col("pieces")).as("piece"), col("cnt"))
       .groupBy(col("piece")).agg(sum(col("cnt")).as("used"))
-    // checkpoint the (vocabulary-sized) counts so the Viterbi table —
-    // word-census-sized — frees immediately instead of living for the
-    // rest of the job (ADVICE r12: the release protocol every other
-    // iterative operator follows)
-    val counts = cands.select(col("piece"))
+    cands.select(col("piece"))
       .join(used, Seq("piece"), "left")
       .select(col("piece"), coalesce(col("used"), lit(0L)).as("cnt"))
       .localCheckpoint()
-    Checkpoints.freeCheckpoint(best)
-    counts
   }
 
   /** LEARN: fixed candidate census + `emIters` hard-EM iterations.
@@ -207,7 +213,6 @@ object Unigram {
     require(maxPieceLen >= 1 && maxPieceLen <= 8, "maxPieceLen out of range")
     require(emIters >= 1 && emIters <= 4, "emIters out of range")
     require(maxWordLen >= 2 && maxWordLen <= 32, "maxWordLen out of range")
-    val rounds = 32 - Integer.numberOfLeadingZeros(maxWordLen - 1) // ⌈log2⌉
     val words = wordCensus(docs, textCol, maxWordLen).localCheckpoint()
     val cands = candidateCensus(words, maxPieceLen, topN)
       .localCheckpoint()
@@ -220,7 +225,7 @@ object Unigram {
     val perIter = (0 to emIters).map { k =>
       val w = weighted(counts)
       if (k < emIters)
-        counts = estepCounts(words, cands, w, maxPieceLen, rounds)
+        counts = estepCounts(words, cands, w, maxPieceLen)
       w.select(lit(k.toLong).as("iter"), col("piece"), col("cnt"),
         col("wt"))
     }
@@ -249,13 +254,12 @@ object Unigram {
     require(emIters >= 1 && emIters <= 4, "emIters out of range")
     require(keepN >= 0 && keepN <= topN, "keepN out of range")
     require(maxWordLen >= 2 && maxWordLen <= 32, "maxWordLen out of range")
-    val rounds = 32 - Integer.numberOfLeadingZeros(maxWordLen - 1)
     val words = wordCensus(docs, textCol, maxWordLen).localCheckpoint()
     val cands = candidateCensus(words, maxPieceLen, topN).localCheckpoint()
     var counts = cands.select(col("piece"), col("census").as("cnt"))
     for (i <- 0 until emIters) {
       val next = estepCounts(words, cands, weighted(counts),
-        maxPieceLen, rounds)
+        maxPieceLen)
       if (i > 0) Checkpoints.freeCheckpoint(counts) // predecessor E-step
       counts = next
     }
@@ -269,7 +273,7 @@ object Unigram {
         col("cnt") > 0) && col("rn") <= keepN)
       .select(col("piece"), col("cnt"))
     val post = estepCounts(words, kept, weighted(kept),
-      maxPieceLen, rounds)
+      maxPieceLen)
     Checkpoints.freeCheckpoint(words)
     Checkpoints.freeCheckpoint(cands)
     pre.join(kept.select(col("piece"), lit(1L).as("kept")),
@@ -293,7 +297,6 @@ object Unigram {
     require(maxPieceLen >= 1 && maxPieceLen <= 8, "maxPieceLen out of range")
     require(emIters >= 1 && emIters <= 4, "emIters out of range")
     require(maxWordLen >= 2 && maxWordLen <= 32, "maxWordLen out of range")
-    val rounds = 32 - Integer.numberOfLeadingZeros(maxWordLen - 1)
     // per-(source, word) counts in ONE corpus pass; the global word
     // table derives from it (no second pass — the Bpe.encodeStats rule)
     val sw = docs.select(col(sourceCol).as("source"),
@@ -310,11 +313,12 @@ object Unigram {
     var counts = cands.select(col("piece"), col("census").as("cnt"))
     for (i <- 0 until emIters) {
       val next = estepCounts(words, cands, weighted(counts),
-        maxPieceLen, rounds)
+        maxPieceLen)
       if (i > 0) Checkpoints.freeCheckpoint(counts) // predecessor E-step
       counts = next
     }
-    val best = viterbi(words, weighted(counts), maxPieceLen, rounds)
+    val best = viterbi(words, weighted(counts), maxPieceLen)
+      .localCheckpoint() // materialization barrier: counts/words free below
     Checkpoints.freeCheckpoint(counts) // best is materialized
     Checkpoints.freeCheckpoint(words)
     Checkpoints.freeCheckpoint(cands)
@@ -338,13 +342,12 @@ object Unigram {
     require(maxPieceLen >= 1 && maxPieceLen <= 8, "maxPieceLen out of range")
     require(emIters >= 1 && emIters <= 4, "emIters out of range")
     require(maxWordLen >= 2 && maxWordLen <= 32, "maxWordLen out of range")
-    val rounds = 32 - Integer.numberOfLeadingZeros(maxWordLen - 1)
     val wds = words.localCheckpoint()
     val cands = candidateCensus(wds, maxPieceLen, topN).localCheckpoint()
     var counts = cands.select(col("piece"), col("census").as("cnt"))
     for (i <- 0 until emIters) {
       val next = estepCounts(wds, cands, weighted(counts),
-        maxPieceLen, rounds)
+        maxPieceLen)
       if (i > 0) Checkpoints.freeCheckpoint(counts)
       counts = next
     }
@@ -365,7 +368,6 @@ object Unigram {
                       maxWordLen: Int = 16): DataFrame = {
     require(maxPieceLen >= 1 && maxPieceLen <= 8, "maxPieceLen out of range")
     require(maxWordLen >= 2 && maxWordLen <= 32, "maxWordLen out of range")
-    val rounds = 32 - Integer.numberOfLeadingZeros(maxWordLen - 1)
     val sw = docs.select(col(sourceCol).as("source"),
         explode(toks(col(textCol))).as("w"))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
@@ -376,7 +378,8 @@ object Unigram {
           lit(": "), col("w")))).otherwise(col("w")))
       .withColumn("len", length(col("w")).cast("long"))
       .localCheckpoint()
-    val best = viterbi(words, weights, maxPieceLen, rounds)
+    val best = viterbi(words, weights, maxPieceLen)
+      .localCheckpoint() // materialization barrier: words frees below
     Checkpoints.freeCheckpoint(words)
     sw.join(best.select(col("w"), col("n")), Seq("w"))
       .groupBy(col("source"))
@@ -444,7 +447,6 @@ object Unigram {
     require(emIters >= 1 && emIters <= 4, "emIters out of range")
     require(maxWordLen >= 2 && maxWordLen <= 32, "maxWordLen out of range")
     require(buckets >= 2 && buckets <= 100, s"buckets out of range: $buckets")
-    val rounds = 32 - Integer.numberOfLeadingZeros(maxWordLen - 1)
     val unk = "<" * (maxPieceLen + 1)
     // 1. learn on the clean reference slice (the q218 loop verbatim)
     val ref = docs.filter(col(srcCol) === refSource)
@@ -453,13 +455,13 @@ object Unigram {
     var counts = cands.select(col("piece"), col("census").as("cnt"))
     for (i <- 0 until emIters) {
       val next = estepCounts(words, cands, weighted(counts),
-        maxPieceLen, rounds)
+        maxPieceLen)
       if (i > 0) Checkpoints.freeCheckpoint(counts)
       counts = next
     }
     // 2. encode the FULL corpus census under the learned weights
     val wdsAll = wordCensus(docs, textCol, maxWordLen).localCheckpoint()
-    val best = viterbi(wdsAll, weighted(counts), maxPieceLen, rounds)
+    val best = viterbi(wdsAll, weighted(counts), maxPieceLen)
     val segAll = withPieces(best).select(col("w"), col("pieces"))
     // 3. per-doc ordered piece streams
     val docWords = docs.select(col(idCol).as("doc_id"),
@@ -475,7 +477,6 @@ object Unigram {
         .as("ps"),
         sum(col("oov")).as("n_oov"))
       .localCheckpoint() // read by the ref model AND every doc score
-    Checkpoints.freeCheckpoint(best)
     Checkpoints.freeCheckpoint(wdsAll)
     Checkpoints.freeCheckpoint(words)
     Checkpoints.freeCheckpoint(cands)
