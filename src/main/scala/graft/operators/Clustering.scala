@@ -57,9 +57,8 @@ object Clustering {
       .withColumn("best",
         array_min(transform(col("cents"), s =>
           struct(
-            aggregate(
-              zip_with(col("q"), s.getField("c"), (a, b) => (a - b) * (a - b)),
-              lit(0L), (acc, x) => acc + x).as("dist"),
+            graft.expressions.LongSqDist(col("q"), s.getField("c"))
+              .as("dist"),
             s.getField("cid").as("cid")))))
       .select(col("vec_id"), col("label"), col("q"),
         col("best").getField("cid").as("cid"))
@@ -178,7 +177,7 @@ object Clustering {
         .cast("long")).as("qs"))
     val m = assigned.join(qv, Seq("vec_id"))
       .withColumn("hv", KmvAggregator.kmvHash(col("vec_id")))
-      .withColumn("n2", aggregate(col("qs"), lit(0L), (a, x) => a + x * x))
+      .withColumn("n2", graft.expressions.LongDot(col("qs"), col("qs")))
       // ‖q‖² ≤ min(2^27, ⌊√(2^63/tauDen²)⌋) keeps dot²·tauDen² and
       // tauNum²·n2a·n2b inside Long — the unit-norm precondition the
       // integer test relies on, made LOUD instead of an anonymous
@@ -196,9 +195,7 @@ object Clustering {
       col("hv").as("hv_b"), col("qs").as("q_b"), col("n2").as("n2_b"))
     val dropped = a.join(b, Seq("cid"))
       .filter(struct(col("hv_a"), col("id_a")) < struct(col("hv_b"), col("id_b")))
-      .withColumn("dot",
-        aggregate(zip_with(col("q_a"), col("q_b"), (x, y) => x * y),
-          lit(0L), (acc, v) => acc + v))
+      .withColumn("dot", graft.expressions.LongDot(col("q_a"), col("q_b")))
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * lit(tauDen * tauDen) >=
           lit(tauNum * tauNum) * col("n2_a") * col("n2_b"))
@@ -295,8 +292,7 @@ object Clustering {
         .withColumn("best", array_min(transform(
           filter(col("cents"), c => c.getField("sm") === col("sm")),
           c => struct(
-            aggregate(zip_with(col("qs"), c.getField("c"),
-              (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+            graft.expressions.LongSqDist(col("qs"), c.getField("c"))
               .as("dist"),
             c.getField("cid").as("cid")))))
         .select(col("vec_id"), col("sm"), col("qs"),
@@ -333,8 +329,7 @@ object Clustering {
         explode(filter(col("cents"), c => c.getField("sm") === col("sm")))
           .as("ce"))
       .select(col("query_id"), col("sm"), col("ce").getField("cid").as("cid"),
-        aggregate(zip_with(col("qs"), col("ce").getField("c"),
-          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+        graft.expressions.LongSqDist(col("qs"), col("ce").getField("c"))
           .as("dm"))
 
   /** Composed IVF-PQ ANN — the production FAISS serving shape (Jégou
@@ -389,8 +384,7 @@ object Clustering {
     def routed = idx.vecs.crossJoin(cellRow)
       .withColumn("cd", sort_array(transform(col("cls"), c =>
         struct(
-          aggregate(zip_with(col("q"), c.getField("cq"),
-            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+          graft.expressions.LongSqDist(col("q"), c.getField("cq"))
             .as("dist"),
           c.getField("cell_id").as("cell_id")))))
     val assigned = routed.select(col("vec_id").as("neighbor_id"),
@@ -820,8 +814,7 @@ object Clustering {
     val routed = q.crossJoin(modelCellRow(model))
       .select(col("vec_id"), col("q"),
         array_min(transform(col("cls"), c => struct(
-          aggregate(zip_with(col("q"), c.getField("cq"),
-            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+          graft.expressions.LongSqDist(col("q"), c.getField("cq"))
             .as("dist"),
           c.getField("cell_id").as("cell_id"))))
           .getField("cell_id").as("cell_id"))
@@ -837,8 +830,7 @@ object Clustering {
         array_min(transform(
           filter(col("cents"), c => c.getField("sm") === col("smi")),
           c => struct(
-            aggregate(zip_with(col("qs"), c.getField("c"),
-              (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+            graft.expressions.LongSqDist(col("qs"), c.getField("c"))
               .as("dist"),
             c.getField("cid").as("cid"))))
           .getField("cid").as("cid"))
@@ -862,8 +854,7 @@ object Clustering {
     val probes = q.crossJoin(modelCellRow(model))
       .select(col("query_id"), col("q"),
         explode(slice(sort_array(transform(col("cls"), c => struct(
-          aggregate(zip_with(col("q"), c.getField("cq"),
-            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+          graft.expressions.LongSqDist(col("q"), c.getField("cq"))
             .as("dist"),
           c.getField("cell_id").as("cell_id")))), 1, nprobe)).as("p"))
       .select(col("query_id"), col("q"), col("p").getField("cell_id").as("cell_id"))
@@ -877,8 +868,7 @@ object Clustering {
           .as("ce"))
       .select(col("query_id"), col("smi").cast("long").as("sm"),
         col("ce").getField("cid").as("cid"),
-        aggregate(zip_with(col("qs"), col("ce").getField("c"),
-          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+        graft.expressions.LongSqDist(col("qs"), col("ce").getField("c"))
           .as("dm")))
     val cands = probes.select(col("query_id"), col("cell_id"))
       .join(entries.select(col("vec_id").as("neighbor_id"), col("cell_id"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge DataFrames. The engine already
@@ -47,16 +48,22 @@ object Graphs {
   def integerPageRank(edges: DataFrame, iters: Int,
                       scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
-    val spark = edges.sparkSession
-    import org.apache.spark.storage.StorageLevel
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // one hash layout for the whole run: (src, dst, deg), reused by
-    // every iteration's join
+    // every iteration's join. localCheckpoint, not persist
+    // (optimization r13, guide §7.3): persist caches blocks but keeps
+    // the FULL edge-build lineage in the plan, so every iteration
+    // re-embedded the upstream join/distinct subtree and Catalyst
+    // re-optimized a plan that grew by one edge-build per iteration;
+    // the checkpoint pins the same (src)-hashed layout as a flat
+    // LogicalRDD (partitioning preserved), leaving the per-iteration
+    // plan constant-sized. Blocks free with the harness's per-query
+    // RDD cleanup, as before.
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val ed = edges.join(deg, "src")
       .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val nodes = deg.select(col("src").as("nid"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val base = (scale * 3L) / 20L
     var pr = nodes.select(col("nid"), lit(scale).as("pr"))
     for (_ <- 1 to iters) {
@@ -96,16 +103,17 @@ object Graphs {
   def integerTrustRank(edges: DataFrame, seeds: DataFrame, iters: Int,
                        scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
-    import org.apache.spark.storage.StorageLevel
+    // localCheckpoint instead of persist — the integerPageRank
+    // flat-plan rationale (optimization r13)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .join(seeds.select(col("nid").as("src"), lit(1L).as("is_seed")),
         Seq("src"), "left")
       .na.fill(0L, Seq("is_seed"))
     val ed = edges.join(deg.select(col("src"), col("deg")), "src")
       .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val nodes = deg.select(col("src").as("nid"), col("is_seed"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val base = (scale * 3L) / 20L
     var tr = nodes.select(col("nid"), (col("is_seed") * scale).as("tr"))
     for (_ <- 1 to iters) {
@@ -458,15 +466,25 @@ object Graphs {
     * plan 4^R). `keepInput` guards the caller's `start` blocks. */
   private def runStarRounds(start: DataFrame, rounds: Int,
                             keepInput: Boolean): DataFrame = {
+    // OPTIMIZATION r13 (guide §2.4 — the SuffixDedup window rewrite,
+    // star edition): each star step computed the per-node minimum with
+    // a groupBy + join-back — two exchanges moving the same edge rows —
+    // where a min-over-window on the SAME u-partitioning moves them
+    // once. The emitted edge SETS are identical: the join fanned the
+    // group minimum back onto every edge row exactly as the window
+    // does, and the small-star's per-node (u → m) emission rides the
+    // same rows through the final distinct (one (u, m) per edge
+    // collapses to one per node there — same set, same checkpoint).
+    // Hot-node skew lands one task either way (the join-back fan-out
+    // had the same bound).
     var e = start
     var first = true
+    val byU = Window.partitionBy(col("u"))
     for (_ <- 1 to rounds) {
       // large-star: attach every larger neighbor of u to u's minimum
       val nb = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      val mn = nb.groupBy(col("u"))
-        .agg(least(col("u"), min(col("v"))).as("m"))
-      val ls = nb.join(mn, Seq("u"))
-        .filter(col("v") > col("u"))
+        .withColumn("m", least(col("u"), min(col("v")).over(byU)))
+      val ls = nb.filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .distinct()
       // small-star: orient (big → small), attach u and all its smaller
@@ -474,11 +492,9 @@ object Graphs {
       val sb = ls.select(greatest(col("u"), col("v")).as("u"),
           least(col("u"), col("v")).as("v"))
         .filter(col("u") =!= col("v"))
-      val sm = sb.groupBy(col("u"))
-        .agg(least(col("u"), min(col("v"))).as("m"))
-      val ss = sb.join(sm, Seq("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionByName(sm.select(col("u"), col("m").as("v")))
+        .withColumn("m", least(col("u"), min(col("v")).over(byU)))
+      val ss = sb.select(col("v").as("u"), col("m").as("v"))
+        .unionByName(sb.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint() // eager: materializes the round, cuts lineage
@@ -746,13 +762,22 @@ object Graphs {
       floor(Hll.rawEstimate(
           Hll.harmonicS(Hll.unpackRegs(col("regs")), p), p)
         * 1000000.0 + 0.5).cast("long")
+    // OPTIMIZATION r13 (guide §7.3 — planning time IS runtime): the
+    // persist-and-count round protocol kept every round's FULL logical
+    // subtree in the plan (persist caches data but never truncates
+    // lineage), so by round 4 the analyzed plan was ~2.3 MB and each
+    // action re-paid Catalyst over it. localCheckpoint (the iterative
+    // protocol every other round-based operator here follows) truncates
+    // each round to a LogicalRDD: per-round plans stay constant-sized,
+    // the same one-exchange-per-round execution shape is unchanged, and
+    // the superseded round's blocks free exactly as before.
     var ctr = nodes
       .groupBy(col("v"))
       .agg(Hll.hllBytes(p)(KmvAggregator.kmvHash(col("v"))).as("regs"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var state = ctr.select(col("v"), estMicro.as("prev"))
       .withColumn("hc", lit(0L))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     for (t <- 1 to rounds) {
       val next = ctr
         .unionByName(ed
@@ -760,20 +785,19 @@ object Graphs {
           .select(col("src").as("v"), col("regs")))
         .groupBy(col("v"))
         .agg(Hll.hllMergeBytes(p)(col("regs")).as("regs"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val w = lcm / t
       val nextState = next.select(col("v"), estMicro.as("est"))
         .join(state, Seq("v"))
         .select(col("v"), col("est").as("prev"),
           (col("hc") + (col("est") - col("prev")) * w).as("hc"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      nextState.count() // materialize before releasing the inputs
-      ctr.unpersist(blocking = false)
-      state.unpersist(blocking = false)
+        .localCheckpoint() // eager: materializes before the frees below
+      freeCheckpoint(ctr)
+      freeCheckpoint(state)
       ctr = next
       state = nextState
     }
-    ctr.unpersist(blocking = false)
+    freeCheckpoint(ctr)
     ed.unpersist(blocking = false)
     state.select(col("v"), col("hc"))
   }
