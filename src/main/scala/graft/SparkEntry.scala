@@ -1451,8 +1451,11 @@ object SparkEntry {
           col("norm2").as("dn"))
         .crossJoin(broadcast(queries))
         .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("dot", aggregate(zip_with(col("qv"), col("dv"),
-          (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+        // one fused codegen pass over the 500k candidate pairs instead
+        // of the interpreted zip_with/aggregate chain (optimization r13,
+        // the LongDot kernel; same long arithmetic, hash-identical)
+        .withColumn("dot",
+          graft.expressions.LongDot(col("qv"), col("dv")))
         .withColumn("cos", col("dot").cast("double")
           / sqrt((col("qn") * col("dn")).cast("double")))
       val w = Window.partitionBy(col("query_id"))

@@ -62,7 +62,10 @@ object Graphs {
     val ed = edges.join(deg, "src")
       .repartition(col("src"))
       .localCheckpoint()
-    val nodes = deg.select(col("src").as("nid"))
+    // the node set IS ed's distinct src — derive it from the checkpoint
+    // instead of re-running the caller's edge-build subtree a second
+    // time for the nodes materialization
+    val nodes = ed.select(col("src").as("nid")).distinct()
       .localCheckpoint()
     val base = (scale * 3L) / 20L
     var pr = nodes.select(col("nid"), lit(scale).as("pr"))
@@ -109,10 +112,13 @@ object Graphs {
       .join(seeds.select(col("nid").as("src"), lit(1L).as("is_seed")),
         Seq("src"), "left")
       .na.fill(0L, Seq("is_seed"))
-    val ed = edges.join(deg.select(col("src"), col("deg")), "src")
+    // is_seed rides the edge layout so the node set derives from the
+    // checkpoint (one edge-build execution, not two — the
+    // integerPageRank rule)
+    val ed = edges.join(deg, "src")
       .repartition(col("src"))
       .localCheckpoint()
-    val nodes = deg.select(col("src").as("nid"), col("is_seed"))
+    val nodes = ed.select(col("src").as("nid"), col("is_seed")).distinct()
       .localCheckpoint()
     val base = (scale * 3L) / 20L
     var tr = nodes.select(col("nid"), (col("is_seed") * scale).as("tr"))
@@ -688,26 +694,32 @@ object Graphs {
     val nodes = edges.select(col("src").as("v"))
       .unionByName(edges.select(col("dst").as("v")))
       .distinct()
+    // OPTIMIZATION r13 (guide §7.3 — the harmonicCentrality rationale):
+    // rounds were persist-chained and each per-round summary was an
+    // EAGER head() over a plan that re-embedded every earlier round's
+    // subtree, so the driver paid Catalyst over a linearly growing plan
+    // seven times AND collected seven scalars through the driver.
+    // Rounds now localCheckpoint (constant-sized plans, same
+    // one-exchange-per-round execution) and the per-round 1-row
+    // summaries stay LAZY over those checkpoints, unioned into the
+    // returned frame — the caller's single action computes all of them
+    // in one job. Every round's counter table stays referenced by the
+    // output, so nothing frees early: the residual is ≤ rounds+1
+    // node-count × m-byte checkpoints, reclaimed when the returned
+    // frame is garbage-collected (the documented-residual contract).
     var ctr = nodes
       .groupBy(col("v"))
       .agg(Hll.hllBytes(p)(KmvAggregator.kmvHash(col("v"))).as("regs"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // per-round summaries are 1-row scalars, collected EAGERLY so the
-    // previous round's counter table can be released (a lazy union of
-    // round summaries would recompute every unpersisted round at the
-    // final action)
-    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-    def summarize(t: Int, c: DataFrame): Unit = {
-      val r = c.select(Hll.unpackRegs(col("regs")).as("u"))
-        .select(
-          aggregate(col("u"), lit(0L), (a, x) => a + x).as("rsum"),
-          floor(Hll.rawEstimate(Hll.harmonicS(col("u"), p), p)
-            * 1000000.0 + 0.5).cast("long").as("nfm"))
-        .agg(sum(col("rsum")).as("reg_sum"), sum(col("nfm")).as("nf_micro"))
-        .head()
-      rows += ((t.toLong, r.getLong(0), r.getLong(1)))
-    }
-    summarize(0, ctr)
+      .localCheckpoint()
+    def summary(t: Int, c: DataFrame): DataFrame = c
+      .select(Hll.unpackRegs(col("regs")).as("u"))
+      .select(
+        aggregate(col("u"), lit(0L), (a, x) => a + x).as("rsum"),
+        floor(Hll.rawEstimate(Hll.harmonicS(col("u"), p), p)
+          * 1000000.0 + 0.5).cast("long").as("nfm"))
+      .agg(sum(col("rsum")).as("reg_sum"), sum(col("nfm")).as("nf_micro"))
+      .select(lit(t.toLong).as("t"), col("reg_sum"), col("nf_micro"))
+    var out = summary(0, ctr)
     for (t <- 1 to rounds) {
       val next = ctr
         .unionByName(ed
@@ -715,16 +727,12 @@ object Graphs {
           .select(col("src").as("v"), col("regs")))
         .groupBy(col("v"))
         .agg(Hll.hllMergeBytes(p)(col("regs")).as("regs"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      summarize(t, next)
-      ctr.unpersist(blocking = false)
+        .localCheckpoint()
+      out = out.unionByName(summary(t, next))
       ctr = next
     }
-    ctr.unpersist(blocking = false)
     ed.unpersist(blocking = false)
-    val spark = edges.sparkSession
-    import spark.implicits._
-    rows.toSeq.toDF("t", "reg_sum", "nf_micro")
+    out
   }
 
   /** HARMONIC CENTRALITY from HyperBall's registers (Boldi & Vigna

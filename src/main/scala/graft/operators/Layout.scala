@@ -92,12 +92,21 @@ object Layout {
 
   /** rank = number of cuts STRICTLY below the value (counting the
     * value's own cut would push the top bucket to 2^bits, overflowing
-    * the per-dimension bit budget) — a codegen'd scan of the broadcast
-    * (2^bits − 1)-element literal array, map-side. */
+    * the per-dimension bit budget). OPTIMIZATION r13 (guide §4 — no
+    * interpreted expressions in per-row hot paths): the
+    * aggregate-over-literal-array form evaluated its lambda INTERPRETED
+    * per row per cut; a flat sum of when() terms is the same count
+    * fully inside whole-stage codegen (cuts ≤ 2^bits − 1 ≤ 255 by the
+    * callers' require, well inside codegen's expression-split limits).
+    * The cast is hoisted so the value converts once per row, not once
+    * per cut. */
   private def rankAgainstCuts(c: String, cuts: Seq[Double]): Column =
     if (cuts.isEmpty) lit(0L)
-    else aggregate(array(cuts.map(lit): _*), lit(0L),
-      (a, cut) => a + when(col(c).cast("double") > cut, 1L).otherwise(0L))
+    else {
+      val v = col(c).cast("double")
+      cuts.map(cut => when(v > lit(cut), 1L).otherwise(0L))
+        .reduce(_ + _).cast("long")
+    }
 
   /** The d = 2 Hilbert index of integer coordinate columns in
     * [0, 2^bits) — the published xy2d bit recurrence (Hilbert 1891;

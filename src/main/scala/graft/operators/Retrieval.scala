@@ -207,19 +207,30 @@ object Retrieval {
     val wdf = broadcast(wts.toDF("rank", "wt"))
     val idf = broadcast((1 to k).map(n => (n.toLong, cums(n - 1)))
       .toDF("denom", "idcg"))
+    // OPTIMIZATION r13 (guide §1.2 — don't compute what you throw
+    // away, twice): `rel` was referenced by BOTH the hit semi-join and
+    // the per-query denominator aggregate, and Spark performs no
+    // common-subexpression elimination across a plan — so a brute-force
+    // truth input (the n² cross join every quality query passes here)
+    // executed TWICE. One left join from rel to the k-bounded ranking
+    // carries hit ranks and truth counts through a single aggregate:
+    // truth executes once, the metric arithmetic is unchanged
+    // (hits = rel ∩ ranking[1..k] either way; unmatched rel rows join a
+    // null rank, which count()/min()/sum() ignore exactly as the old
+    // left-joined `hits` frame's absent rows did).
     val rel = truth.select(col("query_id"), col("neighbor_id")).distinct()
-    val hits = ranking.filter(col("rank") <= k)
-      .join(rel, Seq("query_id", "neighbor_id"), "left_semi")
-      .join(wdf, Seq("rank"))
-      .groupBy(col("query_id"))
-      .agg(count(lit(1)).as("nhits"), min(col("rank")).as("minr"),
-        sum(col("wt")).as("dcg"))
-    rel.groupBy(col("query_id")).agg(count(lit(1)).as("ntruth"))
+    val j = rel
+      .join(ranking.filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("rank")),
+        Seq("query_id", "neighbor_id"), "left")
+      .join(wdf, Seq("rank"), "left")
+    j.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("ntruth"), count(col("rank")).as("nhits"),
+        min(col("rank")).as("minr"), sum(col("wt")).as("dcg"))
       .withColumn("denom", least(col("ntruth"), lit(k.toLong)))
       .join(idf, Seq("denom"))
-      .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
-        (coalesce(col("nhits"), lit(0L)) / col("denom")).as("recall_k"),
+        (col("nhits") / col("denom")).as("recall_k"),
         coalesce(lit(1.0) / col("minr"), lit(0.0)).as("mrr"),
         (coalesce(col("dcg"), lit(0L)) / col("idcg")).as("ndcg_k"))
   }
